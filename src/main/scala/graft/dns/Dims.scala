@@ -1,0 +1,130 @@
+package graft.dns
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Functions => F}
+import graft.operators.{IntervalIndex, RangeJoin}
+
+/** Dimension enrichment layer (SURVEY §2.4, J1-J7).
+  *
+  * The reference collects each MySQL/Redis dimension to the driver and
+  * linear-scans per record (DnsRptCH.scala:796-855, 927-930). Spark-native:
+  * every dimension is a DataFrame (parquet/JDBC behind the same interface),
+  * small dims are broadcast, and interval dims go through either a broadcast
+  * range join (rule count ≤ ~10³) or the O(log n) [[IntervalIndex]] (the
+  * scale path, mirroring the reference's own binary-searched geo DB,
+  * IpSearch.java:78-127).
+  */
+object Dims {
+
+  /** J1: clientIp → clientName (first matching [min,max] rule, default 5;
+    * DnsRptCH.scala:927-930). `priority` = min_long_ip rule order. */
+  def enrichClientName(fact: DataFrame, clientRules: DataFrame,
+                       factKey: Column): DataFrame = {
+    val dim = clientRules.select(col("min_long_ip"), col("max_long_ip"),
+      col("client_type_id"))
+    RangeJoin.pointInInterval(
+        fact.withColumn("__ipl", F.ip_to_long(col("clientIp"))), dim,
+        point = col("__ipl"), lo = col("min_long_ip"), hi = col("max_long_ip"),
+        policy = RangeJoin.FirstMatch, priority = col("min_long_ip"),
+        factKeys = Seq(factKey))
+      .withColumn("clientName", coalesce(col("client_type_id"), lit(5)))
+      .drop("__ipl", "min_long_ip", "max_long_ip", "client_type_id")
+  }
+
+  /** J2: aip → business resource attrs (last match wins, left outer,
+    * null-safe defaults; DnsRptCH.scala:590-596). */
+  def enrichBusiness(fact: DataFrame, businessRules: DataFrame,
+                     factKey: Column): DataFrame =
+    RangeJoin.pointInInterval(
+        fact.withColumn("__aipl", F.ip_to_long(col("aip"))), businessRules,
+        point = col("__aipl"), lo = col("min_long_ip"), hi = col("max_long_ip"),
+        policy = RangeJoin.LastMatch, priority = col("min_long_ip"),
+        factKeys = Seq(factKey))
+      .withColumn("resourceName", coalesce(col("resource_name"), lit("未知")))
+      .withColumn("resourceType", coalesce(col("resource_type"), lit("未知")))
+      .withColumn("resourceProps", coalesce(col("resource_props"), lit("未知")))
+      .drop("__aipl", "min_long_ip", "max_long_ip",
+        "resource_name", "resource_type", "resource_props")
+
+  /** J3: aip ∈ (media ∪ business ranges) ⇒ inNet = resolver else 0.
+    * The reference's nested-loop precedence quirk (big table empty ⇒ small
+    * never consulted, DnsRptCH.scala:222-235) reduces to a union-membership
+    * test for all non-degenerate inputs; we implement the sane union
+    * semantics and document the divergence. */
+  def enrichInNet(fact: DataFrame, mediaRules: DataFrame,
+                  businessRules: DataFrame): DataFrame = {
+    val union = mediaRules.select(col("min_long_ip"), col("max_long_ip"))
+      .unionByName(businessRules.select(col("min_long_ip"), col("max_long_ip")))
+    val probed = fact.withColumn("__aipl", F.ip_to_long(col("aip")))
+    val cond = col("__aipl") >= col("min_long_ip") && col("__aipl") <= col("max_long_ip")
+    val matched = probed.join(broadcast(union), cond, "left_semi")
+      .withColumn("inNet", col("resolver"))
+    val unmatched = probed.join(broadcast(union), cond, "left_anti")
+      .withColumn("inNet", lit(0L))
+    matched.unionByName(unmatched).drop("__aipl")
+  }
+
+  /** J3, scale path: same semantics with a single broadcast predicate —
+    * one membership check per row, no join operator at all. */
+  def enrichInNetIndexed(spark: SparkSession, fact: DataFrame,
+                         mediaRules: DataFrame, businessRules: DataFrame): DataFrame = {
+    val rules = mediaRules.select("min_long_ip", "max_long_ip")
+      .unionByName(businessRules.select("min_long_ip", "max_long_ip"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), 0L, i) }.toSeq
+    val idx = IntervalIndex.build(rules, lastWins = true)
+    val hit = IntervalIndex.lookupColumn(spark, idx)(F.ip_to_long(col("aip")))
+    fact.withColumn("inNet", when(hit >= 0, col("resolver")).otherwise(0L))
+  }
+
+  /** J4: authorityDomain → company metadata (broadcast equi left join,
+    * "未知" defaults; DnsRptCH.scala:237-258). Expects fact to carry an
+    * `authorityDomain` column (from [[F.authority_domain]]). */
+  def enrichAuthDomain(fact: DataFrame, authDim: DataFrame): DataFrame =
+    fact.join(broadcast(authDim), Seq("authorityDomain"), "left")
+      .withColumn("companyName", coalesce(col("companyName"), lit("未知")))
+      .withColumn("companyType", coalesce(col("companyType"), lit("未知")))
+      .withColumn("websiteName", coalesce(col("websiteName"), lit("未知")))
+      .withColumn("websiteType", coalesce(col("websiteType"), lit("未知")))
+      .withColumn("soft", coalesce(col("soft"), lit("未知")))
+
+  /** J5/F7/P9: aip → geo attributes via the broadcast O(log n) interval
+    * index — the Spark equivalent of the reference's binary-searched binary
+    * geo DB (IpSearch.java:41-127). Unmatched → "未知". */
+  def enrichGeo(spark: SparkSession, fact: DataFrame, geoDim: DataFrame): DataFrame = {
+    val rules = geoDim.select("min_long_ip", "max_long_ip").collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), 0L, i) }.toSeq
+    val idx = IntervalIndex.build(rules, lastWins = false)
+    // geoDim is tiny (collected above); derive the same stable rule ids the
+    // index was built with (zipWithIndex order = row order of the collect).
+    val attrsIndexed = {
+      import org.apache.spark.sql.expressions.Window
+      geoDim.withColumn("__rule_id",
+        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+    }
+    fact.withColumn("__rule_id",
+        IntervalIndex.lookupColumn(spark, idx)(F.ip_to_long(col("aip"))))
+      .join(broadcast(attrsIndexed.drop("min_long_ip", "max_long_ip")),
+        Seq("__rule_id"), "left")
+      .withColumn("operator", coalesce(col("operator"), lit("未知")))
+      .withColumn("province", coalesce(col("province"), lit("未知")))
+      .drop("__rule_id")
+  }
+
+  /** J6/J7: clientIp → userName (inner) → address/phone (left, default).
+    * Reference: Redis maps broadcast + filter (DnsRptCH.scala:376-400). */
+  def enrichUser(fact: DataFrame, users: DataFrame, userInfo: DataFrame): DataFrame =
+    fact.join(broadcast(users), Seq("clientIp"))            // inner: drop unknown
+      .join(broadcast(userInfo), Seq("userName"), "left")
+      .withColumn("address", coalesce(col("address"), lit(" ")))
+      .withColumn("phone", coalesce(col("phone"), lit(" ")))
+
+  /** J8: whitelist membership flag (left semi used as boost flag,
+    * DnsRptCH.scala:570-574). */
+  def withWhitelistFlag(fact: DataFrame, whitelist: DataFrame): DataFrame =
+    fact.join(broadcast(whitelist.select(col("domain"), lit(1).as("__wl"))),
+        Seq("domain"), "left")
+      .withColumn("isWhitelisted", col("__wl").isNotNull)
+      .drop("__wl")
+}

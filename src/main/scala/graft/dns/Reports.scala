@@ -1,0 +1,162 @@
+package graft.dns
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Functions => F}
+import graft.operators.TopK
+
+/** The report suite (SURVEY §2.5 aggregations A1-A16 and §2.6 top-K T1-T6).
+  *
+  * Every report is a pure `DataFrame → DataFrame` so batch, streaming
+  * (`foreachBatch`) and tests share one code path. The reference computes
+  * each "all + per-client" pair twice with copy-pasted code (e.g.
+  * DnsRptCH.scala:522-553); here a single function takes the grouping
+  * columns — clientName hard-coded 0 reproduces the "all" row set.
+  *
+  * Scale notes: every groupBy below is a hash aggregate with map-side
+  * partial aggregation (the reference's manual salting, DnsRptCH.scala:
+  * 641-764, is subsumed); per-group top-K goes through a rank window that
+  * Spark 4's InferWindowGroupLimit pushes into the shuffle.
+  */
+object Reports {
+
+  private def allAndPerClient(df: DataFrame)(report: DataFrame => DataFrame): DataFrame = {
+    val all = report(df.withColumn("clientName", lit(0)))
+    val per = report(df)
+    all.unionByName(per)
+  }
+
+  /** A1: QPS — count + error count per clientName (clientName=0 row = all
+    * clients); avgNum = floor(count/windowSec). DnsRptCH.scala:522-553. */
+  def qps(df: DataFrame, windowSec: Int = 300): DataFrame =
+    allAndPerClient(df) {
+      _.groupBy(col("clientName"))
+        .agg(count(lit(1)).as("sampleNum"), sum(col("error")).as("errorNum"))
+        .withColumn("avgNum", floor(col("sampleNum") / windowSec))
+    }
+
+  /** A2: request-type ratio (all + per-client). DnsRptCH.scala:774-791. */
+  def requestTypeRatio(df: DataFrame): DataFrame =
+    allAndPerClient(df)(_.groupBy(col("clientName"), col("requestType"))
+      .agg(count(lit(1)).as("sampleNum")))
+
+  /** A3: response-type ratio (all + per-client). The reference salts the key
+    * by rand(0,100) then re-reduces (DnsRptCH.scala:747-768) — Catalyst's
+    * partial aggregation makes that redundant. */
+  def responseTypeRatio(df: DataFrame): DataFrame =
+    allAndPerClient(df)(_.groupBy(col("clientName"), col("responseType"))
+      .agg(count(lit(1)).as("sampleNum")))
+
+  /** A4: response-code ratio (all + per-client). DnsRptCH.scala:608-625. */
+  def responseCodeRatio(df: DataFrame): DataFrame =
+    allAndPerClient(df)(_.groupBy(col("clientName"), col("responseCode"))
+      .agg(count(lit(1)).as("sampleNum")))
+
+  /** A5: 4-dim base aggregate. DnsRptCH.scala:560-562. */
+  def baseAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("clientName"), col("domain"), col("dnsIp"), col("aip"))
+      .agg(sum(col("resolver")).as("resolver"), sum(col("error")).as("error"))
+
+  /** A6: 8-dim trend aggregate with HAVING sum(resolver) > threshold.
+    * DnsRptCH.scala:47-53. */
+  def trendAgg(df: DataFrame, threshold: Long = 100): DataFrame =
+    df.groupBy(col("clientName"), col("domain"), col("aip"), col("companyName"),
+        col("authorityDomain"), col("soft"), col("websiteName"), col("websiteType"))
+      .agg(sum(col("resolver")).as("resolver"), sum(col("inNet")).as("inNet"),
+        sum(col("error")).as("error"))
+      .filter(col("resolver") > threshold)
+
+  /** A7: per-user 4-dim aggregate, home clients only (clientName==1),
+    * sum(resolver) > 50. DnsRptCH.scala:364-370. */
+  def userAgg(df: DataFrame, minResolver: Long = 50): DataFrame =
+    df.groupBy(col("clientName"), col("clientIp"), col("domain"), col("aip"))
+      .agg(sum(col("resolver")).as("resolver"), sum(col("error")).as("error"))
+      .filter(col("clientName") === 1 && col("resolver") > minResolver)
+
+  /** A8: business rollup (all + per-client). DnsRptCH.scala:421-440. */
+  def businessRollup(df: DataFrame): DataFrame =
+    allAndPerClient(df)(_.groupBy(col("clientName"), col("resourceName"),
+        col("resourceType"), col("resourceProps"))
+      .agg(sum(col("resolver")).as("resolver")))
+
+  /** A9-A11: single-dimension counts (dnsIp / province / operator),
+    * all + per-client. DnsRptCH.scala:446-516. */
+  def dimensionCount(df: DataFrame, dim: String): DataFrame =
+    allAndPerClient(df)(_.groupBy(col("clientName"), col(dim))
+      .agg(count(lit(1)).as("sampleNum")))
+
+  /** A12: (clientIp, domain) counts. DnsRptCH.scala:112-122. */
+  def clientDomainCount(df: DataFrame): DataFrame =
+    df.groupBy(col("clientIp"), col("domain")).agg(count(lit(1)).as("cnt"))
+
+  /** T1: global top-K detail with whitelist boost (DnsRptCH.scala:558-601).
+    * Boost = +boostAmt resolver for whitelisted domains BEFORE the
+    * resolver >= minResolver filter and the top-K rank, removed afterwards.
+    * `orderBy().limit(k)` plans as TakeOrderedAndProject — a per-partition
+    * K-heap; the reference's take(70000)-to-driver round-trip disappears. */
+  def topDetail(df: DataFrame, whitelist: DataFrame, k: Int = 70000,
+                minResolver: Long = 10, boostAmt: Long = 10): DataFrame = {
+    val boosted = Dims.withWhitelistFlag(baseAgg(df), whitelist)
+      .withColumn("resolver",
+        when(col("isWhitelisted"), col("resolver") + boostAmt).otherwise(col("resolver")))
+      .filter(col("resolver") >= minResolver)
+    TopK.global(boosted, k, col("resolver").desc, col("domain").asc,
+        col("clientName").asc, col("dnsIp").asc, col("aip").asc)
+      .withColumn("resolver",
+        when(col("isWhitelisted"), col("resolver") - boostAmt).otherwise(col("resolver")))
+      .drop("isWhitelisted")
+  }
+
+  /** T2: top users — resolver-desc top `k1`, then error-desc top `k2`.
+    * DnsRptCH.scala:371-397. */
+  def topUsers(df: DataFrame, k1: Int = 20000, k2: Int = 2000): DataFrame = {
+    val stage1 = TopK.global(userAgg(df), k1,
+      col("resolver").desc, col("clientIp").asc, col("domain").asc, col("aip").asc)
+    TopK.global(stage1, k2,
+      col("error").desc, col("clientIp").asc, col("domain").asc, col("aip").asc)
+  }
+
+  /** T3/T5 pattern: per-response-code top-K of `dim` by count
+    * (all + per-client). DnsRptCH.scala:640-654 (domains, K=5000),
+    * :707-741 (client IPs, K=500). */
+  def perCodeTopK(df: DataFrame, dim: String, k: Int): DataFrame =
+    allAndPerClient(df) { d =>
+      val counted = d.groupBy(col("clientName"), col("responseCode"), col(dim))
+        .agg(count(lit(1)).as("cnt"))
+      TopK.perGroup(counted, k, Seq(col("clientName"), col("responseCode")),
+        Seq(col("cnt").desc, col(dim).asc))
+    }
+
+  /** T4: per-code top-K AUTHORITY domains — rolls [[perCodeTopK]] output up
+    * by authority_domain then ranks again. DnsRptCH.scala:656-667. */
+  def perCodeTopAuthority(df: DataFrame, k: Int = 5000): DataFrame =
+    allAndPerClient(df) { d =>
+      val counted = d
+        .withColumn("authorityDomain", F.authority_domain(col("domain")))
+        .groupBy(col("clientName"), col("responseCode"), col("authorityDomain"))
+        .agg(count(lit(1)).as("cnt"))
+      TopK.perGroup(counted, k, Seq(col("clientName"), col("responseCode")),
+        Seq(col("cnt").desc, col("authorityDomain").asc))
+    }
+
+  /** A14/T6: per-user top-N domains as an array-of-struct column.
+    * UserRpt.scala:109-128. */
+  def userDomainTopN(userDomainCounts: DataFrame, n: Int = 10): DataFrame =
+    TopK.perGroup(userDomainCounts, n, Seq(col("userName")),
+        Seq(col("cnt").desc, col("domain").asc))
+      .groupBy(col("userName"))
+      .agg(collect_list(struct(col("domain"), col("cnt"))).as("domains"))
+
+  /** A15: per-user total resolves. UserRpt.scala:133-136. */
+  def userTotals(userDomainCounts: DataFrame): DataFrame =
+    userDomainCounts.groupBy(col("userName")).agg(sum(col("cnt")).as("resolver"))
+
+  /** A16: distinct tag array per user from a domain→"a|b|c" tag dim.
+    * UserRpt.scala:141-189. */
+  def userTags(userDomains: DataFrame, tagDim: DataFrame): DataFrame =
+    userDomains.select(col("userName"), col("domain")).distinct()
+      .join(broadcast(tagDim), Seq("domain"), "left")
+      .withColumn("tags", split(coalesce(col("tags"), lit("未知|未知|未知")), "\\|"))
+      .groupBy(col("userName"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("tags"))))).as("tags"))
+}

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-composition function library.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so the whole
+  * expression tree stays inside Catalyst whole-stage codegen (no UDF / no
+  * serialization wall). Semantics derive from the reference engine's scalar
+  * helpers (see /root/reference — Utils.scala:82-99 ipToLong, DNSUtils.scala:39
+  * longToIp, Utils.scala:62-77 domain→authority, DNSUtils.scala:56-67 MD5) but
+  * are re-expressed as declarative Spark column expressions.
+  */
+object Functions {
+
+  // --------------------------------------------------------------------------
+  // Portable hashing (identical result computable in ANSI SQL / DuckDB):
+  // first 15 hex chars of md5 → 60-bit non-negative long.
+  // Used by dedup / LSH operators so the correctness oracle can reproduce it.
+  // --------------------------------------------------------------------------
+
+  /** 60-bit stable content hash of a string column (md5-prefix based). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member `seed`. */
+  def hash60(c: Column, seed: Int): Column =
+    hash60(concat(c, lit("#" + seed)))
+
+  // --------------------------------------------------------------------------
+  // IPv4 helpers (reference: Utils.scala:82-99, IpUtil.java:304-313).
+  // Malformed input → 0L, matching the reference's exception-to-default.
+  // --------------------------------------------------------------------------
+
+  /** Dotted-quad IPv4 string → unsigned 32-bit value in a long; 0 if malformed. */
+  def ip_to_long(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    def oct(i: Int): Column = p.getItem(i).cast("long")
+    val valid = ip.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") &&
+      oct(0) <= 255 && oct(1) <= 255 && oct(2) <= 255 && oct(3) <= 255
+    when(valid,
+      shiftleft(oct(0), 24) + shiftleft(oct(1), 16) + shiftleft(oct(2), 8) + oct(3)
+    ).otherwise(lit(0L))
+  }
+
+  /** Inverse of [[ip_to_long]]. */
+  def long_to_ip(n: Column): Column = concat_ws(".",
+    shiftright(n, 24).bitwiseAND(lit(255L)),
+    shiftright(n, 16).bitwiseAND(lit(255L)),
+    shiftright(n, 8).bitwiseAND(lit(255L)),
+    n.bitwiseAND(lit(255L)))
+
+  /** True iff `ip` falls inside dotted-quad `cidr` (e.g. "10.1.0.0/16").
+    * Reference: IpUtil.java:13-64 isInRange. */
+  def ip_in_cidr(ip: Column, cidr: Column): Column = {
+    val base = ip_to_long(split(cidr, "/").getItem(0))
+    val bits = split(cidr, "/").getItem(1).cast("int")
+    // mask = 2^32 - 2^(32-bits); pow-of-two doubles are exact below 2^53
+    val mask = when(bits === 0, lit(0L))
+      .otherwise(lit(4294967296L) - pow(lit(2.0), lit(32) - bits).cast("long"))
+    ip_to_long(ip).bitwiseAND(mask) === base.bitwiseAND(mask)
+  }
+
+  // --------------------------------------------------------------------------
+  // Domain helpers (reference: Utils.scala:62-77, Constant.scala:10-18,
+  // DnsRptCH.scala:217-219).
+  // --------------------------------------------------------------------------
+
+  /** Registrable-domain ("authority domain") suffixes, longest-match-first.
+    * Re-derived public-suffix-style list covering the reference's intent:
+    * second-level country registries before gTLD/ccTLDs. */
+  private val authoritySuffixes: Seq[String] = Seq(
+    // second-level registries (must precede their parent TLDs)
+    "com\\.cn", "net\\.cn", "org\\.cn", "gov\\.cn", "edu\\.cn", "ac\\.cn",
+    "co\\.uk", "org\\.uk", "com\\.hk", "com\\.tw", "co\\.jp", "com\\.au",
+    // generic + common country TLDs
+    "com", "net", "org", "gov", "edu", "int", "mil", "arpa",
+    "info", "biz", "name", "mobi", "pro", "coop", "aero", "museum",
+    "cn", "hk", "tw", "jp", "kr", "us", "uk", "de", "fr", "ru", "io",
+    "cc", "tv", "me", "co", "ai", "app", "dev", "xyz", "top", "vip",
+    "cloud", "site", "online", "shop", "club", "fun", "ltd", "live")
+
+  /** Regex matching `label.suffix` at end-of-string. */
+  val authorityDomainRegex: String =
+    "([a-zA-Z0-9-]+\\.(?:" + authoritySuffixes.mkString("|") + "))$"
+
+  /** Extract the registrable domain: the last `label.knownSuffix` in the
+    * string; the input itself when nothing matches (reference fallback,
+    * Utils.scala:74-76). End-anchored, so "last match" and "first match"
+    * coincide for well-formed hostnames. */
+  def authority_domain(domain: Column): Column = {
+    val m = regexp_extract(domain, authorityDomainRegex, 1)
+    when(length(m) > 0, m).otherwise(domain)
+  }
+
+  /** Strip a leading http:// or https:// (reference: DnsRptCH.scala:217-219). */
+  def strip_protocol(url: Column): Column =
+    regexp_replace(url, "^https?://", "")
+
+  // --------------------------------------------------------------------------
+  // Time bucketing (reference: DNSUtils.scala:14-37 getTaskTime).
+  // --------------------------------------------------------------------------
+
+  /** Epoch-second floor to a `seconds`-sized bucket (reference 5-min grain). */
+  def time_bucket(ts: Column, seconds: Int): Column =
+    floor(unix_timestamp(ts) / seconds).cast("long")
+
+  // --------------------------------------------------------------------------
+  // Vector math over ArrayType(Float/Double) columns — codegen'd higher-order
+  // functions, no UDFs. Used by the similarity-search operators.
+  // --------------------------------------------------------------------------
+
+  /** Element-wise dot product of two numeric array columns (double). */
+  def vec_dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def vec_cosine(a: Column, b: Column): Column = {
+    val d = vec_dot(a, b)
+    val n = vec_norm(a) * vec_norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /** Quantize a float vector to longs (`round(x*scale)`) — makes downstream
+    * dot products exact integers, so results are bit-reproducible across
+    * engines (the DuckDB oracle computes the identical value). */
+  def vec_quantize(a: Column, scale: Int): Column =
+    transform(a, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized (long) vectors. */
+  def vec_dot_long(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine over quantized vectors: exact integer dot and
+    * norms, one final IEEE-defined double division. */
+  def vec_cosine_quantized(a: Column, b: Column): Column = {
+    val d = vec_dot_long(a, b).cast("double")
+    val n = sqrt(vec_dot_long(a, a).cast("double") * vec_dot_long(b, b).cast("double"))
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * All pure column expressions (codegen'd, shuffle-free, scale-invariant) with
+  * deterministic semantics reproducible in ANSI SQL for the oracle harness.
+  */
+object TextFunctions {
+
+  /** Whitespace/punctuation tokenizer: lowercase, split on non-alphanumeric
+    * runs, drop empties. A BPE-ish regex split — the standard cheap
+    * approximation for token counting in data pipelines. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Token count under [[tokens]]. */
+  def token_count(text: Column): Column = size(tokens(text))
+
+  /** Character n-gram shingles of the normalized text (dedup input). */
+  def char_shingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val count = length(norm) - (n - 1)
+    when(count >= 1, transform(sequence(lit(1), count), i => norm.substr(i, lit(n))))
+      .otherwise(array())
+  }
+
+  /** Word n-gram shingles over [[tokens]]. */
+  def word_shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+    ).otherwise(array())
+  }
+
+  // --------------------------------------------------------------------------
+  // Language identification: stopword-profile heuristic. Counts hits of a
+  // tiny per-language marker lexicon among the tokens; argmax wins, 'en' on
+  // tie/no-hit (deterministic tie-break by fixed language order).
+  // --------------------------------------------------------------------------
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "que"),
+    "zh" -> Seq("de5", "shi4", "zai4", "he2", "you3", "wo3", "bu4"))
+
+  private def markerHits(ts: Column, markers: Seq[String]): Column =
+    size(filter(ts, t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Predicted language code; ties broken by declaration order ('en' first). */
+  def lang_id(text: Column): Column = {
+    val ts = tokens(text)
+    val scores = langMarkers.map { case (l, ms) => (l, markerHits(ts, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit(langMarkers.head._1)) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // Quality scoring: cheap heuristics over length / punctuation / stopword
+  // ratios, quantized to 4 decimals so the oracle reproduces it exactly.
+  // --------------------------------------------------------------------------
+
+  private val enStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "with")
+
+  /** Composite quality score in [0,1]:
+    * 0.4·lengthScore + 0.3·stopwordScore + 0.3·(1 − punctRatio), where
+    * lengthScore saturates at 500 chars and stopwordScore at a 10% stopword
+    * ratio. All intermediate arithmetic is integer-exact; the final division
+    * and rounding are IEEE-deterministic. */
+  def quality_score(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val ts = tokens(text)
+    val nTok = greatest(size(ts), lit(1)).cast("double")
+    val nStop = size(filter(ts, t => t.isin(enStopwords.map(lit(_)): _*))).cast("double")
+    val nPunct = (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+    val lengthScore = least(nChars / 500.0, lit(1.0))
+    val stopScore = least(nStop / nTok / 0.10, lit(1.0))
+    val punctScore = lit(1.0) - least(nPunct / greatest(nChars, lit(1.0)), lit(1.0))
+    round(lengthScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
+  }
+
+  /** Rolling polynomial fingerprint over tokens: fold
+    * h ← (h·31 + hash60(t) mod 10^6) mod 1 000 000 007. Order-sensitive, so
+    * it discriminates documents with identical token multisets but different
+    * order; bounded so it never overflows a signed 64-bit in any engine. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (h, t) => (h * 31L + Functions.hash60(t) % 1000000L) % 1000000007L)
+}

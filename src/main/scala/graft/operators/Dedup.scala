@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Functions => F, TextFunctions => TF}
+
+/** Document deduplication for training-data pipelines, at 100 TB shapes:
+  *
+  *  - exact:      content-hash groupBy (one shuffle on a 60-bit hash).
+  *  - MinHash+LSH: shingle → k minhashes → b bands → candidates share a
+  *    band bucket. Only bucket-mates are compared: the O(n²) pair space is
+  *    cut to near-linear. Self-join happens on (band, bucketHash) — a
+  *    shuffle-hash join on a high-cardinality key, skew-safe.
+  *  - SimHash:    64-bit signature; near-dups = small Hamming distance,
+  *    candidates via d-choose bit-band buckets.
+  *  - n-gram Jaccard: exact verification of candidate pairs.
+  *
+  * All hashes go through [[F.hash60]] (md5-prefix) so every stage is
+  * bit-reproducible in the ANSI-SQL oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the minimum id per group.
+    * Returns (hash, keep_id, dup_count) — one row per distinct content. */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Keep one row (min id) per distinct `text`; scalable exact dedup. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature as an array<long> of `numHashes` minima over
+    * `shingles` (array<string>), using seeded [[F.hash60]] members.
+    * Empty shingle set → all-zero signature (sentinel). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => coalesce(
+        array_min(transform(shingles, s => F.hash60(concat(s, lit("#"), j)))),
+        lit(0L)))
+
+  /** LSH band keys: split the signature into `bands` rows of `rowsPerBand`,
+    * hash each band to a bucket string "b:hash". */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b => concat(lit(b + ":"),
+      md5(concat_ws("_", slice(signature, b * rowsPerBand + 1, rowsPerBand))))): _*)
+
+  /** Candidate near-duplicate pairs (idA < idB) from MinHash LSH, with the
+    * estimated Jaccard (fraction of agreeing signature components).
+    *
+    * @param df        input
+    * @param id        unique document id (long)
+    * @param shingleN  word-shingle width
+    * @param numHashes signature length
+    * @param bands     LSH bands (rows/band = numHashes/bands)
+    */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+                        shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sigs = df.select(id.as("doc_id"),
+        minhashSignature(TF.word_shingles(text, shingleN), numHashes).as("sig"))
+      .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
+    val a = sigs.select(col("band"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("band"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over the document's tokens: bit i of the signature is 1
+    * iff the sum over tokens of ±1 (sign of bit i of the token hash) is
+    * positive. Pure higher-order column expressions — no UDF, no shuffle. */
+  def simhash64(text: Column): Column =
+    simhashFromHashes(transform(TF.tokens(text), t => F.hash60(t)))
+
+  /** SimHash from a pre-computed array<long> of token hashes. Materialize the
+    * hash array in its own projection first so the md5s are computed once,
+    * not once per bit. Static Scala loop over the 60 hash bits. */
+  def simhashFromHashes(hashes: Column): Column =
+    (0 until 60).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two long columns (bit-counting). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity between two text columns. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(TF.word_shingles(a, n))
+    val sb = array_distinct(TF.word_shingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union > 0, round(inter / union, 6)).otherwise(lit(0.0))
+  }
+
+  /** Near-duplicate pairs by embedding cosine within blocking groups.
+    * Embeddings are quantized (scale 1000) so the cosine is deterministic.
+    * `block` bounds the pair space (e.g. a cluster/label/LSH-bucket column) —
+    * at 100 TB you never cross-join unblocked. */
+  def embeddingNearDups(df: DataFrame, id: Column, vec: Column, block: Column,
+                        threshold: Double): DataFrame = {
+    val q = df.select(block.as("blk"), id.as("vid"), F.vec_quantize(vec, 1000).as("qv"))
+    val a = q.select(col("blk"), col("vid").as("id_a"), col("qv").as("qv_a"))
+    val b = q.select(col("blk"), col("vid").as("id_b"), col("qv").as("qv_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(F.vec_cosine_quantized(col("qv_a"), col("qv_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink layer (SURVEY §2.2).
+  *
+  * K1: the reference appends each report to ClickHouse through one JDBC
+  * connection with 100k-row batches and no transaction isolation
+  * (ClickUtils.scala:15-33). Same operating point here, expressed as
+  * `DataFrameWriter` options inside `foreachBatch` — plus a parquet mode
+  * for tests/local runs.
+  */
+object Sinks {
+
+  /** K1: JDBC append tuned for a columnar OLAP store (batch insert, single
+    * writer connection, isolation NONE — ClickUtils.scala:24-27). */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 batchSize: Int = 100000, numPartitions: Int = 1): Unit =
+    df.write.mode("append")
+      .option("batchsize", batchSize.toString)
+      .option("isolationLevel", "NONE")
+      .option("numPartitions", numPartitions.toString)
+      .jdbc(url, table, new java.util.Properties())
+
+  /** Parquet append (test/local stand-in for K1; also the recommended lake
+    * layout at scale: partition by the 5-min bucket for pruning). */
+  def parquetAppend(df: DataFrame, path: String,
+                    partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** K2: middle-data text save — ``-separated, `numFiles` output files
+    * (reference coalesce(12).saveAsTextFile, DnsRptCH.scala:131-139). */
+  def middleData(df: DataFrame, path: String, numFiles: Int = 12): Unit =
+    df.coalesce(numFiles).write.mode("overwrite")
+      .option("sep", "").csv(path)
+}
