@@ -437,10 +437,14 @@ object Queries {
         .orderBy(col("rf"), col("ls")))
   )
 
+  /** Core + ML/text suites. */
+  def combined: Vector[QueryDef] = all ++ QueriesML.all
+
   /** Headline queries timed by [[Bench]]. */
   val benchNames: Seq[String] = Seq(
     "q01_pricing_summary", "q06_range_join_first", "q09_equi_join_default",
-    "q12_topk_boost", "q14_pergroup_topk", "q18_hash_functions")
+    "q12_topk_boost", "q14_pergroup_topk", "q18_hash_functions",
+    "q30_minhash_candidates", "q35_ann_bruteforce")
 
-  def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+  def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

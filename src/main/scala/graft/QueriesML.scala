@@ -1,0 +1,338 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.{Functions => F, TextFunctions => TF}
+import graft.operators.{Dedup, Similarity, TopK}
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline queries (dedup / similarity / text analysis /
+  * multimodal) over `documents` and `embeddings`, with DuckDB oracles
+  * GENERATED from the same lexicons/parameters the Spark operators use, so
+  * the two sides cannot drift.
+  *
+  * All floating-point emitted by these queries goes through
+  * [[F.qround]]/[[F.vec_quantize]] (floor-based) — bit-identical in any
+  * IEEE-754 engine.
+  */
+object QueriesML {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- DuckDB SQL fragments mirroring graft.functions ----------------------
+  private def dkToks(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  private def dkHash60(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+  private def dkShingles(toks: String, n: Int): String =
+    s"CASE WHEN len($toks) >= $n THEN list_transform(range(0, len($toks) - ${n - 1}), " +
+      s"i -> array_to_string(($toks)[i+1:i+$n], ' ')) ELSE CAST([] AS VARCHAR[]) END"
+  private def dkQround(e: String, decimals: Int): String = {
+    val s = "1" + "0" * decimals
+    s"CAST(floor(($e) * $s.0 + 0.5) AS DOUBLE) / $s.0"
+  }
+  /** Quantized vector (list<bigint>) from a float-list column. */
+  private def dkQuant(e: String): String =
+    s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+  /** Exact integer dot of two 64-dim quantized list columns. */
+  private def dkDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+  /** Quantized cosine, qround-6 — mirrors [[F.vec_cosine_q6]]. */
+  private def dkCos(a: String, b: String): String = {
+    val n = s"sqrt(CAST(${dkDot(a, a)} AS DOUBLE) * CAST(${dkDot(b, b)} AS DOUBLE))"
+    s"CASE WHEN $n > 0 THEN ${dkQround(s"CAST(${dkDot(a, b)} AS DOUBLE) / $n", 6)} ELSE 0.0 END"
+  }
+  /** Minhash component j over a shingle-list column. */
+  private def dkMinhash(sh: String, j: Int): String =
+    s"coalesce(list_min(list_transform($sh, s -> ${dkHash60(s"s || '#' || $j")})), 0)"
+  /** SRP bucket id over a quantized vector column (mirrors Similarity.srpBucket). */
+  private def dkSrpBucket(qv: String, planes: Int): String =
+    (0 until planes).map { p =>
+      val pc = s"(${dkHash60(s"'plane_${p}_' || CAST(i-1 AS VARCHAR)")} % 1000 - 500)"
+      s"(CASE WHEN coalesce(list_sum(list_transform(range(1, 65), i -> ($qv)[i] * $pc)), 0) > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  // ===========================================================================
+  val all: Vector[QueryDef] = Vector(
+
+    // -- text: tokenizer + token counting ------------------------------------
+    QueryDef("q23_token_stats", Some(s"""
+      SELECT doc_id, CAST(len(${dkToks("text")}) AS BIGINT) AS tok_cnt, n_chars
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), TF.token_count(col("text")).cast("long").as("tok_cnt"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // -- text: language identification (marker-lexicon argmax) ---------------
+    QueryDef("q24_lang_id", Some {
+      val hits = TF.langMarkers.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, t -> list_contains($lst, t))) AS h_$l"
+      }.mkString(", ")
+      val best = TF.langMarkers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
+      val cases = TF.langMarkers.map { case (l, _) =>
+        s"WHEN best > 0 AND h_$l = best THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH t AS (SELECT doc_id, lang, ${dkToks("text")} AS toks FROM documents),
+      h AS (SELECT doc_id, lang, $hits FROM t),
+      b AS (SELECT *, $best AS best FROM h)
+      SELECT doc_id, lang, CASE $cases ELSE '${TF.langMarkers.head._1}' END AS lang_pred
+      FROM b ORDER BY doc_id"""
+    },
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TF.lang_id(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // -- text: composite quality score ---------------------------------------
+    QueryDef("q25_quality_score", Some {
+      val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH t AS (SELECT doc_id, text, ${dkToks("text")} AS toks FROM documents),
+      c AS (SELECT doc_id,
+              CAST(len(text) AS DOUBLE) AS n_chars,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n_tok,
+              CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE) AS n_stop,
+              CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+            FROM t)
+      SELECT doc_id,
+             ${dkQround("least(n_chars / 500.0, 1.0) * 0.4 + " +
+               "least(n_stop / n_tok / 0.10, 1.0) * 0.3 + " +
+               "(1.0 - least(n_punct / greatest(n_chars, 1.0), 1.0)) * 0.3", 4)} AS quality
+      FROM c ORDER BY doc_id"""
+    },
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), TF.quality_score(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // -- text: order-sensitive rolling fingerprint ---------------------------
+    QueryDef("q26_fingerprint", Some(s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      h AS (SELECT doc_id,
+              list_transform(toks, tk -> ${dkHash60("tk")} % 1000000) AS hs FROM t)
+      SELECT doc_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                              (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+      FROM h ORDER BY doc_id"""),
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // -- dedup: exact groups by content hash ---------------------------------
+    QueryDef("q27_dedup_exact_groups", Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+      FROM documents GROUP BY 1 ORDER BY content_hash"""),
+      (s, dir) => Dedup.exactGroups(T(s, dir, "documents"), col("text"), col("doc_id"))
+        .orderBy(col("content_hash"))),
+
+    // -- dedup: exact keep-one-row-per-content -------------------------------
+    QueryDef("q28_dedup_exact_keep", Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1 ORDER BY doc_id"""),
+      (s, dir) => Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+
+    // -- dedup: MinHash signatures (8 hashes over 3-word shingles) -----------
+    QueryDef("q29_minhash_signature", Some {
+      val hs = (0 until 8).map(j => s"${dkMinhash("sh", j)} AS h$j").mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      s AS (SELECT doc_id, ${dkShingles("toks", 3)} AS sh FROM t)
+      SELECT doc_id, $hs FROM s ORDER BY doc_id"""
+    },
+      (s, dir) => {
+        val sig = Dedup.minhashSignature(TF.word_shingles(col("text"), 3), 8)
+        T(s, dir, "documents")
+          .select(col("doc_id") +: (0 until 8).map(j =>
+            element_at(sig, j + 1).as(s"h$j")): _*)
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- dedup: MinHash+LSH candidate pairs (bands=4, rows/band=2) -----------
+    QueryDef("q30_minhash_candidates", Some {
+      val sigList = (0 until 8).map(j => dkMinhash("sh", j)).mkString("[", ", ", "]")
+      val bandList = (0 until 4).map(b =>
+        s"'$b:' || md5(array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_'))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      sh AS (SELECT doc_id, ${dkShingles("toks", 3)} AS sh FROM t),
+      sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+      bands AS (SELECT doc_id, sig, unnest($bandList) AS band FROM sig)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 AS est_jaccard
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""
+    },
+      (s, dir) => Dedup.minhashCandidates(T(s, dir, "documents"),
+          col("doc_id"), col("text"), shingleN = 3, numHashes = 8, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // -- dedup: 60-bit SimHash signature -------------------------------------
+    QueryDef("q31_simhash", Some {
+      val terms = (0 until 60).map { i =>
+        s"(CASE WHEN coalesce(list_sum(list_transform(hs, x -> " +
+          s"CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      h AS (SELECT doc_id, list_transform(toks, tk -> ${dkHash60("tk")}) AS hs FROM t)
+      SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h ORDER BY doc_id"""
+    },
+      (s, dir) => T(s, dir, "documents")
+        .withColumn("hs", transform(TF.tokens(col("text")), t => F.hash60(t)))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // -- dedup: SimHash Hamming distance between successive docs -------------
+    QueryDef("q32_simhash_hamming", Some {
+      val terms = (0 until 60).map { i =>
+        s"(CASE WHEN coalesce(list_sum(list_transform(hs, x -> " +
+          s"CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      h AS (SELECT doc_id, list_transform(toks, tk -> ${dkHash60("tk")}) AS hs FROM t),
+      s AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h)
+      SELECT a.doc_id AS doc_id, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+      ORDER BY doc_id"""
+    },
+      (s, dir) => {
+        val sigs = T(s, dir, "documents")
+          .withColumn("hs", transform(TF.tokens(col("text")), t => F.hash60(t)))
+          .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))
+        val b = sigs.select(col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"))
+        sigs.join(b, col("doc_id_b") === col("doc_id") + 1)
+          .select(col("doc_id"),
+            Dedup.hamming64(col("simhash"), col("sh_b")).cast("long").as("hamming"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- dedup: exact n-gram Jaccard over a bounded pair space ---------------
+    QueryDef("q33_ngram_jaccard", Some(s"""
+      WITH d AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents WHERE doc_id < 50),
+      sh AS (SELECT doc_id, list_distinct(${dkShingles("toks", 2)}) AS sh FROM d)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) > 0
+                  THEN ${dkQround(
+                    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+                    "(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))", 6)}
+                  ELSE 0.0 END AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val d = T(s, dir, "documents").filter(col("doc_id") < 50)
+        val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            Dedup.ngramJaccard(col("text_a"), col("text_b"), 2).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // -- dedup: embedding-cosine near-duplicates within label blocks ---------
+    QueryDef("q34_embedding_neardup", Some(s"""
+      WITH q AS (SELECT label AS blk, vec_id AS vid, ${dkQuant("embedding")} AS qv
+                 FROM embeddings)
+      SELECT a.blk AS blk, a.vid AS id_a, b.vid AS id_b,
+             ${dkCos("a.qv", "b.qv")} AS cosine
+      FROM q a JOIN q b ON a.blk = b.blk AND a.vid < b.vid
+      WHERE ${dkCos("a.qv", "b.qv")} >= 0.15
+      ORDER BY blk, id_a, id_b"""),
+      (s, dir) => Dedup.embeddingNearDups(T(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), col("label"), threshold = 0.15)
+        .orderBy(col("blk"), col("id_a"), col("id_b"))),
+
+    // -- similarity: exact brute-force cosine top-k --------------------------
+    QueryDef("q35_ann_bruteforce", Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, ${dkQuant("embedding")} AS cv FROM embeddings),
+      s AS (SELECT query_id, neighbor_id, ${dkCos("cv", "qv")} AS cosine
+            FROM c, q WHERE neighbor_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+      SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
+    // -- similarity: SRP-LSH bucketed ANN ------------------------------------
+    QueryDef("q36_ann_lsh", Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv FROM embeddings
+                 WHERE vec_id < 5),
+      qb AS (SELECT query_id, qv, ${dkSrpBucket("qv", 4)} AS bucket FROM q),
+      c AS (SELECT vec_id AS neighbor_id, ${dkQuant("embedding")} AS cv FROM embeddings),
+      cb AS (SELECT neighbor_id, cv, ${dkSrpBucket("cv", 4)} AS bucket FROM c),
+      s AS (SELECT query_id, bucket, neighbor_id, ${dkCos("cv", "qv")} AS cosine
+            FROM cb JOIN qb USING (bucket) WHERE neighbor_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+      SELECT query_id, bucket, neighbor_id, cosine, rn FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.lshTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            k = 5, planes = 4)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
+    // -- multimodal: batched feature extraction over binary payloads ---------
+    // No SQL oracle (the decode stub is engine code); driver records a
+    // rows-only check.
+    QueryDef("q37_multimodal_features", None,
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(s, T(s, dir, "embeddings"), "vec_id")
+        Multimodal.extractFeatures(media, dim = 16).toDF()
+          .select(col("media_id"), col("kind"), col("featureDim").as("feature_dim"),
+            col("decodeOk").as("decode_ok"),
+            F.qround(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          .orderBy(col("media_id"))
+      }),
+
+    // -- composite: filter → quality gate → exact-dedup training pipeline ----
+    QueryDef("q38_text_pipeline", Some {
+      val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH t AS (SELECT doc_id, text, lang, ${dkToks("text")} AS toks FROM documents),
+      c AS (SELECT doc_id, text, lang, CAST(len(toks) AS BIGINT) AS tok_cnt,
+              CAST(len(text) AS DOUBLE) AS n_chars,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n_tok,
+              CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE) AS n_stop,
+              CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+            FROM t),
+      sc AS (SELECT doc_id, text, lang, tok_cnt,
+               ${dkQround("least(n_chars / 500.0, 1.0) * 0.4 + " +
+                 "least(n_stop / n_tok / 0.10, 1.0) * 0.3 + " +
+                 "(1.0 - least(n_punct / greatest(n_chars, 1.0), 1.0)) * 0.3", 4)} AS quality
+             FROM c),
+      filt AS (SELECT * FROM sc WHERE lang = 'en' AND tok_cnt >= 10 AND quality >= 0.5),
+      dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM filt)
+      SELECT doc_id, tok_cnt, quality FROM dd WHERE rn = 1 ORDER BY doc_id"""
+    },
+      (s, dir) => {
+        val filt = T(s, dir, "documents")
+          .withColumn("tok_cnt", TF.token_count(col("text")).cast("long"))
+          .withColumn("quality", TF.quality_score(col("text")))
+          .filter(col("lang") === "en" && col("tok_cnt") >= 10 && col("quality") >= 0.5)
+        Dedup.exactDedup(filt, "text", "doc_id")
+          .select(col("doc_id"), col("tok_cnt"), col("quality"))
+          .orderBy(col("doc_id"))
+      })
+  )
+}

@@ -14,12 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map(q => q.name -> q.fn).toMap
+    Queries.combined.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Queries.all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+    Queries.combined.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
 }
 
 /** Shared session tuning for local runs (Verify / Bench / tests). */

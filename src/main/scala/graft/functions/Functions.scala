@@ -24,6 +24,14 @@ object Functions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Engine-agnostic rounding to `decimals` places: `floor(x*s + 0.5)/s`.
+    * Spark's `round` (HALF_UP via BigDecimal) and DuckDB's (half away from
+    * zero) can disagree; this exact IEEE formula is identical everywhere. */
+  def qround(c: Column, decimals: Int): Column = {
+    val s = math.pow(10, decimals)
+    floor(c * s + 0.5).cast("double") / s
+  }
+
   /** Seeded variant: independent hash family member `seed`. */
   def hash60(c: Column, seed: Int): Column =
     hash60(concat(c, lit("#" + seed)))
@@ -126,11 +134,11 @@ object Functions {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
-  /** Quantize a float vector to longs (`round(x*scale)`) — makes downstream
-    * dot products exact integers, so results are bit-reproducible across
-    * engines (the DuckDB oracle computes the identical value). */
+  /** Quantize a float vector to longs (`floor(x*scale + 0.5)`) — makes
+    * downstream dot products exact integers, so results are bit-reproducible
+    * across engines (the DuckDB oracle computes the identical value). */
   def vec_quantize(a: Column, scale: Int): Column =
-    transform(a, x => round(x.cast("double") * scale).cast("long"))
+    transform(a, x => floor(x.cast("double") * scale + 0.5).cast("long"))
 
   /** Exact integer dot product of two quantized (long) vectors. */
   def vec_dot_long(a: Column, b: Column): Column =
@@ -143,4 +151,9 @@ object Functions {
     val n = sqrt(vec_dot_long(a, a).cast("double") * vec_dot_long(b, b).cast("double"))
     when(n > 0, d / n).otherwise(lit(0.0))
   }
+
+  /** [[vec_cosine_quantized]] rounded to 6 places with [[qround]] — the
+    * exact value the similarity/dedup operators emit and oracles reproduce. */
+  def vec_cosine_q6(a: Column, b: Column): Column =
+    qround(vec_cosine_quantized(a, b), 6)
 }

@@ -43,7 +43,8 @@ object TextFunctions {
   // tie/no-hit (deterministic tie-break by fixed language order).
   // --------------------------------------------------------------------------
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  /** Public so the SQL-oracle generator can reproduce the scoring exactly. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"),
@@ -68,7 +69,8 @@ object TextFunctions {
   // ratios, quantized to 4 decimals so the oracle reproduces it exactly.
   // --------------------------------------------------------------------------
 
-  private val enStopwords =
+  /** Public so the SQL-oracle generator can reproduce the scoring exactly. */
+  val enStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "with")
 
   /** Composite quality score in [0,1]:
@@ -85,7 +87,7 @@ object TextFunctions {
     val lengthScore = least(nChars / 500.0, lit(1.0))
     val stopScore = least(nStop / nTok / 0.10, lit(1.0))
     val punctScore = lit(1.0) - least(nPunct / greatest(nChars, lit(1.0)), lit(1.0))
-    round(lengthScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
+    Functions.qround(lengthScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
   }
 
   /** Rolling polynomial fingerprint over tokens: fold

@@ -98,7 +98,7 @@ object Dedup {
     val sb = array_distinct(TF.word_shingles(b, n))
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = (size(sa) + size(sb)).cast("double") - inter
-    when(union > 0, round(inter / union, 6)).otherwise(lit(0.0))
+    when(union > 0, F.qround(inter / union, 6)).otherwise(lit(0.0))
   }
 
   /** Near-duplicate pairs by embedding cosine within blocking groups.
@@ -111,7 +111,7 @@ object Dedup {
     val a = q.select(col("blk"), col("vid").as("id_a"), col("qv").as("qv_a"))
     val b = q.select(col("blk"), col("vid").as("id_b"), col("qv").as("qv_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(F.vec_cosine_quantized(col("qv_a"), col("qv_b")), 6))
+      .withColumn("cosine", F.vec_cosine_q6(col("qv_a"), col("qv_b")))
       .filter(col("cosine") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
   }

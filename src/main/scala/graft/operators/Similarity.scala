@@ -29,7 +29,7 @@ object Similarity {
     val c = corpus.select(corpusId.as("neighbor_id"), F.vec_quantize(corpusVec, 1000).as("cv"))
     val q = queries.select(queryId.as("query_id"), F.vec_quantize(queryVec, 1000).as("qv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(F.vec_cosine_quantized(col("cv"), col("qv")), 6))
+      .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("qv")))
     TopK.perGroup(scored, k, Seq(col("query_id")),
         Seq(col("cosine").desc, col("neighbor_id").asc))
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
@@ -65,7 +65,7 @@ object Similarity {
       .withColumn("bucket", srpBucket(col("qv"), planes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(F.vec_cosine_quantized(col("cv"), col("qv")), 6))
+      .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("qv")))
     TopK.perGroup(scored, k, Seq(col("query_id")),
         Seq(col("cosine").desc, col("neighbor_id").asc))
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cosine"), col("rn"))
