@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ---- IntervalIndex: property-check vs a naive linear scan ----------------
+  test("IntervalIndex matches naive first/last-match over random rules") {
+    val rnd = new scala.util.Random(7)
+    val rules = Seq.tabulate(60) { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (lo, lo + rnd.nextInt(80), rnd.nextInt(10).toLong, i)
+    }
+    def naive(p: Long, lastWins: Boolean): Int = {
+      val hits = rules.filter(r => p >= r._1 && p <= r._2)
+      if (hits.isEmpty) -1
+      else if (lastWins) hits.maxBy(r => (r._3, r._4))._4
+      else hits.minBy(r => (r._3, r._4))._4
+    }
+    for (lastWins <- Seq(true, false)) {
+      val idx = IntervalIndex.build(rules, lastWins)
+      for (p <- -5L to 1105L)
+        assert(idx.lookup(p) == naive(p, lastWins), s"p=$p lastWins=$lastWins")
+    }
+  }
+
+  test("IntervalIndex handles empty and degenerate rules") {
+    assert(IntervalIndex.build(Nil, lastWins = true).lookup(5) == -1)
+    val idx = IntervalIndex.build(Seq((10L, 5L, 0L, 1), (7L, 7L, 0L, 2)), lastWins = false)
+    assert(idx.lookup(7) == 2 && idx.lookup(8) == -1) // inverted rule dropped
+  }
+
+  // ---- RangeJoin policies --------------------------------------------------
+  test("RangeJoin first/last-match policies") {
+    val fact = Seq((1L, 15L), (2L, 35L), (3L, 99L)).toDF("id", "pt")
+    val dim = Seq((10L, 20L, 1L, "a"), (12L, 40L, 2L, "b"), (30L, 50L, 3L, "c"))
+      .toDF("lo", "hi", "prio", "tag")
+    def run(policy: RangeJoin.MatchPolicy) =
+      RangeJoin.pointInInterval(fact, dim, col("pt"), col("lo"), col("hi"),
+          policy, col("prio"), Seq(col("id")))
+        .select(col("id"), col("tag")).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(run(RangeJoin.FirstMatch) == Seq((1L, "a"), (2L, "b"), (3L, null)))
+    assert(run(RangeJoin.LastMatch) == Seq((1L, "b"), (2L, "c"), (3L, null)))
+  }
+
+  // ---- TopK ----------------------------------------------------------------
+  test("TopK global and per-group") {
+    val df = Seq(("a", 5L), ("a", 3L), ("a", 9L), ("b", 7L), ("b", 1L))
+      .toDF("g", "v")
+    assert(TopK.global(df, 2, col("v").desc).as[(String, Long)].collect().toSeq ==
+      Seq(("a", 9L), ("b", 7L)))
+    val per = TopK.perGroup(df, 1, Seq(col("g")), Seq(col("v").desc))
+      .select("g", "v").as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(per == Seq(("a", 9L), ("b", 7L)))
+  }
+
+  // ---- Dedup ---------------------------------------------------------------
+  test("exactDedup keeps min-id row per distinct text") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
+    val kept = Dedup.exactDedup(df, "t", "id").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH surfaces identical docs with est_jaccard 1.0") {
+    val doc = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq((1L, doc), (2L, doc), (3L, "completely different words here now ok fine"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(df, col("id"), col("text"), 3, 8, 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._2 == 3L && p._3 == 1.0))
+  }
+
+  test("simhash: identical docs distance 0, different docs positive") {
+    val df = Seq("one two three four five", "one two three four five",
+      "totally unrelated content words").toDF("text")
+      .withColumn("sh", Dedup.simhash64(col("text")))
+    val hs = df.select("sh").as[Long].collect()
+    assert(hs(0) == hs(1))
+    val d = Seq((hs(0), hs(2))).toDF("a", "b")
+      .select(Dedup.hamming64(col("a"), col("b"))).as[Int].head()
+    assert(d > 0)
+  }
+
+  test("ngramJaccard: 1.0 on identical, 0.0 on disjoint") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("s1", "s2", "s3")
+    assert(df.select(Dedup.ngramJaccard(col("s1"), col("s2"), 2)).as[Double].head() == 1.0)
+    assert(df.select(Dedup.ngramJaccard(col("s1"), col("s3"), 2)).as[Double].head() == 0.0)
+  }
+
+  // ---- Similarity ----------------------------------------------------------
+  test("bruteForceTopK: duplicated vector's top neighbor is its twin at 1.0") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f)), (2L, Seq(1.0f, 0.0f, 0.5f)),
+      (3L, Seq(-1.0f, 0.2f, 0.0f)), (4L, Seq(0.0f, 1.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, col("vec_id"), col("embedding"),
+        vecs.filter(col("vec_id") === 1), col("vec_id"), col("embedding"), 1)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+    assert(top.toSeq == Seq((2L, 1.0)))
+  }
+
+  test("lshTopK buckets agree for identical vectors") {
+    val vecs = Seq((1L, Seq(1.0f, 0.2f)), (2L, Seq(1.0f, 0.2f)), (3L, Seq(-0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, col("vec_id"), col("embedding"),
+        vecs.filter(col("vec_id") === 1), col("vec_id"), col("embedding"), 5, 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.contains(2L)) // twin always lands in the same bucket
+  }
+}
