@@ -437,8 +437,8 @@ object Queries {
         .orderBy(col("rf"), col("ls")))
   )
 
-  /** Core + ML/text suites. */
-  def combined: Vector[QueryDef] = all ++ QueriesML.all
+  /** Core + ML/text + DNS-report suites. */
+  def combined: Vector[QueryDef] = all ++ QueriesML.all ++ QueriesDns.all
 
   /** Headline queries timed by [[Bench]]. */
   val benchNames: Seq[String] = Seq(
