@@ -146,10 +146,12 @@ object QueriesML {
       SELECT doc_id, $hs FROM s ORDER BY doc_id"""
     },
       (s, dir) => {
-        val sig = Dedup.minhashSignature(TF.word_shingles(col("text"), 3), 8)
+        // sig staged as its own column: 8 consumers → CollapseProject keeps
+        // the projection, so the signature is computed once per row.
         T(s, dir, "documents")
+          .withColumn("sig", Dedup.minhashSignature(TF.word_shingles(col("text"), 3), 8))
           .select(col("doc_id") +: (0 until 8).map(j =>
-            element_at(sig, j + 1).as(s"h$j")): _*)
+            element_at(col("sig"), j + 1).as(s"h$j")): _*)
           .orderBy(col("doc_id"))
       }),
 

@@ -20,9 +20,20 @@ object Functions {
   // Used by dedup / LSH operators so the correctness oracle can reproduce it.
   // --------------------------------------------------------------------------
 
-  /** 60-bit stable content hash of a string column (md5-prefix based). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit stable content hash of a string column (md5-prefix based):
+    * `conv(substring(md5(c),1,15),16,10)`, evaluated by the native
+    * [[KernelExprs.Hash60]] expression (same value, one codegen'd call). */
+  def hash60(c: Column): Column = KernelExprs.hash60(c)
+
+  /** Let-binding for column expressions: evaluates `value` ONCE, binds it to
+    * a lambda variable, and hands that variable to `body`. Without this, an
+    * expression referenced inside a higher-order-function lambda is re-
+    * evaluated on every lambda invocation (Catalyst does no common-
+    * subexpression elimination across lambda boundaries, and higher-order
+    * functions are interpreted, not codegen'd) — e.g. tokenizing a document
+    * once per shingle index instead of once per row, an O(n²) blow-up. */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
 
   /** Engine-agnostic rounding to `decimals` places: `floor(x*s + 0.5)/s`.
     * Spark's `round` (HALF_UP via BigDecimal) and DuckDB's (half away from
@@ -140,9 +151,9 @@ object Functions {
   def vec_quantize(a: Column, scale: Int): Column =
     transform(a, x => floor(x.cast("double") * scale + 0.5).cast("long"))
 
-  /** Exact integer dot product of two quantized (long) vectors. */
-  def vec_dot_long(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized (long) vectors
+    * (native [[KernelExprs.DotLong]]). */
+  def vec_dot_long(a: Column, b: Column): Column = KernelExprs.dot_long(a, b)
 
   /** Deterministic cosine over quantized vectors: exact integer dot and
     * norms, one final IEEE-defined double division. */
@@ -152,8 +163,9 @@ object Functions {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
-  /** [[vec_cosine_quantized]] rounded to 6 places with [[qround]] — the
-    * exact value the similarity/dedup operators emit and oracles reproduce. */
-  def vec_cosine_q6(a: Column, b: Column): Column =
-    qround(vec_cosine_quantized(a, b), 6)
+  /** Quantized cosine rounded to 6 places with [[qround]] — the exact value
+    * the similarity/dedup operators emit and oracles reproduce. Native
+    * [[KernelExprs.CosineQ6]]: one codegen'd call per pair instead of three
+    * interpreted array-aggregate trees. */
+  def vec_cosine_q6(a: Column, b: Column): Column = KernelExprs.cosine_q6(a, b)
 }

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions over the [[Kernels]] static methods.
+  *
+  * Why expressions and not column compositions / UDFs: the composed
+  * higher-order-function versions build expression trees with hundreds of
+  * interpreted nodes (one md5 sub-tree per hash member per shingle, one
+  * ArrayAggregate per signature bit, …) — slow to analyze, slow to evaluate,
+  * codegen-hostile. Each expression here generates a single static call
+  * (`defineCodeGen`), stays inside whole-stage codegen, and evaluates in a
+  * tight JIT-compiled loop. Semantics (and therefore the DuckDB oracles) are
+  * identical to the composed forms they replace.
+  */
+object KernelExprs {
+
+  /** md5-prefix 60-bit hash of a string column ([[Functions.hash60]]). */
+  case class Hash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.hash60(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hash60($c)")
+    override protected def withNewChildInternal(newChild: Expression): Hash60 =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature (array<long> of length `numHashes`) over an
+    * array<string> shingle column. */
+  case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhashSig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c, $numHashes)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** 60-bit SimHash from an array<long> of token hashes. */
+  case class SimHash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.simhash60(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash60($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+      copy(child = newChild)
+  }
+
+  /** Exact integer dot product of two array<long> columns. */
+  case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dotLong(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotLong($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLong =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Quantized cosine (q6-rounded) of two array<long> columns. */
+  case class CosineQ6(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineQ6(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineQ6($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineQ6 =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** SRP-LSH bucket id of a quantized vector (array<long>). */
+  case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.srpBucket(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.srpBucket($c, $planes)")
+    override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+      copy(child = newChild)
+  }
+
+  // --- Column-level wrappers -------------------------------------------------
+
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+
+  def hash60(c: Column): Column = ColumnBridge.column(Hash60(e(c)))
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(e(shingles), numHashes))
+  def simhash60(hashes: Column): Column = ColumnBridge.column(SimHash60(e(hashes)))
+  def dot_long(a: Column, b: Column): Column = ColumnBridge.column(DotLong(e(a), e(b)))
+  def cosine_q6(a: Column, b: Column): Column = ColumnBridge.column(CosineQ6(e(a), e(b)))
+  def srp_bucket(qv: Column, planes: Int): Column =
+    ColumnBridge.column(SrpBucket(e(qv), planes))
+}

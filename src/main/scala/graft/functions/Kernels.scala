@@ -1,0 +1,163 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight JVM kernels behind the native Catalyst expressions in
+  * [[KernelExprs]]. Semantics are bit-identical to the column-composition
+  * versions they replace (md5-prefix [[Functions.hash60]] hashing, quantized
+  * integer dot products, floor-based q-rounding), so the ANSI-SQL oracles are
+  * unchanged — only the evaluation strategy differs: one small JIT-friendly
+  * method instead of a many-hundred-node interpreted expression tree.
+  *
+  * All methods are static forwarders (callable from generated Java code as
+  * `graft.functions.Kernels.<name>(...)`).
+  */
+object Kernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit non-negative long = first 15 hex chars of md5(bytes), i.e.
+    * bytes 0-6 (56 bits) followed by the high nibble of byte 7. */
+  private def hash60Bytes(d: MessageDigest): Long = {
+    val b = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) & 0xf0L) >>> 4)
+  }
+
+  /** `conv(substring(md5(s), 1, 15), 16, 10)` as a 60-bit long. */
+  def hash60(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    d.update(s.getBytes)
+    hash60Bytes(d)
+  }
+
+  /** MinHash signature: element j = min over shingles of hash60(sh + "#" + j);
+    * empty shingle set → all zeros. */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingles.numElements()
+    val out = new Array[Long](numHashes)
+    if (n == 0) return new GenericArrayData(out)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val suffixes = new Array[Array[Byte]](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      suffixes(j) = ("#" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      j += 1
+    }
+    val d = md5Local.get()
+    var i = 0
+    while (i < n) {
+      val shBytes = shingles.getUTF8String(i).getBytes
+      j = 0
+      while (j < numHashes) {
+        d.reset()
+        d.update(shBytes)
+        d.update(suffixes(j))
+        val h = hash60Bytes(d)
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit SimHash from an array of token hashes: bit i set iff the sum of
+    * ±1 votes (sign = bit i of each hash) is positive. */
+  def simhash60(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Exact integer dot product of two long-array columns. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** Engine-agnostic rounding: floor(x*10^d + 0.5)/10^d ([[Functions.qround]]). */
+  def qround(x: Double, decimals: Int): Double = {
+    val s = math.pow(10, decimals)
+    math.floor(x * s + 0.5) / s
+  }
+
+  /** Quantized cosine rounded to 6 places; 0.0 on zero norm
+    * ([[Functions.vec_cosine_q6]]). */
+  def cosineQ6(a: ArrayData, b: ArrayData): Double = {
+    val norm = math.sqrt(dotLong(a, a).toDouble * dotLong(b, b).toDouble)
+    if (norm > 0) qround(dotLong(a, b).toDouble / norm, 6) else 0.0
+  }
+
+  // --- SRP-LSH plane components: constant per (plane, dim), cached ----------
+
+  @volatile private var planeCache: Array[Array[Long]] = Array.empty
+
+  /** hash60("plane_<p>_<d>") % 1000 - 500, memoized (it is row-independent). */
+  private def planeComponents(p: Int, dims: Int): Array[Long] = {
+    var cache = planeCache
+    if (p < cache.length && cache(p).length >= dims) return cache(p)
+    synchronized {
+      cache = planeCache
+      val grown =
+        if (p < cache.length) cache.clone()
+        else java.util.Arrays.copyOf(cache, p + 1)
+      val old = if (grown(p) == null) new Array[Long](0) else grown(p)
+      if (old.length < dims) {
+        val comp = java.util.Arrays.copyOf(old, dims)
+        var d = old.length
+        while (d < dims) {
+          comp(d) = hash60(UTF8String.fromString(s"plane_${p}_$d")) % 1000L - 500L
+          d += 1
+        }
+        grown(p) = comp
+      }
+      planeCache = grown
+      grown(p)
+    }
+  }
+
+  /** Sign-random-projection bucket id (0 .. 2^planes-1) of a quantized
+    * vector: bit p = sign of the exact integer projection onto plane p. */
+  def srpBucket(qv: ArrayData, planes: Int): Long = {
+    val n = qv.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val comp = planeComponents(p, n)
+      var dot = 0L
+      var d = 0
+      while (d < n) { dot += qv.getLong(d) * comp(d); d += 1 }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}

@@ -20,22 +20,27 @@ object TextFunctions {
   /** Token count under [[tokens]]. */
   def token_count(text: Column): Column = size(tokens(text))
 
-  /** Character n-gram shingles of the normalized text (dedup input). */
-  def char_shingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
-    val count = length(norm) - (n - 1)
-    when(count >= 1, transform(sequence(lit(1), count), i => norm.substr(i, lit(n))))
-      .otherwise(array())
-  }
+  /** Character n-gram shingles of the normalized text (dedup input).
+    * The normalized text is let-bound so it is computed once per row, not
+    * once per shingle index ([[Functions.bind]]). */
+  def char_shingles(text: Column, n: Int): Column =
+    Functions.bind(regexp_replace(lower(text), "\\s+", " ")) { norm =>
+      val count = length(norm) - (n - 1)
+      when(count >= 1, transform(sequence(lit(1), count), i => norm.substr(i, lit(n))))
+        .otherwise(array())
+    }
 
-  /** Word n-gram shingles over [[tokens]]. */
-  def word_shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  /** Word n-gram shingles over [[tokens]]; token array let-bound once. */
+  def word_shingles(text: Column, n: Int): Column =
+    Functions.bind(tokens(text))(ts => word_shingles_of(ts, n))
+
+  /** Shingles from an already-materialized token array column (must be an
+    * attribute or lambda variable — anything cheap to re-evaluate). */
+  def word_shingles_of(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n))))
     ).otherwise(array())
-  }
 
   // --------------------------------------------------------------------------
   // Language identification: stopword-profile heuristic. Counts hits of a
@@ -54,15 +59,19 @@ object TextFunctions {
   private def markerHits(ts: Column, markers: Seq[String]): Column =
     size(filter(ts, t => t.isin(markers.map(lit(_)): _*)))
 
-  /** Predicted language code; ties broken by declaration order ('en' first). */
-  def lang_id(text: Column): Column = {
-    val ts = tokens(text)
-    val scores = langMarkers.map { case (l, ms) => (l, markerHits(ts, ms)) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.reverse.foldLeft(lit(langMarkers.head._1)) { case (acc, (l, s)) =>
-      when(s === best && best > 0, lit(l)).otherwise(acc)
+  /** Predicted language code; ties broken by declaration order ('en' first).
+    * Tokens and the per-language hit counts are each let-bound once — the
+    * naive expression re-tokenizes per language and re-counts per CASE arm. */
+  def lang_id(text: Column): Column =
+    Functions.bind(tokens(text)) { ts =>
+      Functions.bind(array(langMarkers.map { case (_, ms) => markerHits(ts, ms) }: _*)) { hits =>
+        val best = array_max(hits)
+        langMarkers.zipWithIndex.reverse
+          .foldLeft(lit(langMarkers.head._1)) { case (acc, ((l, _), i)) =>
+            when(element_at(hits, i + 1) === best && best > 0, lit(l)).otherwise(acc)
+          }
+      }
     }
-  }
 
   // --------------------------------------------------------------------------
   // Quality scoring: cheap heuristics over length / punctuation / stopword
@@ -78,17 +87,17 @@ object TextFunctions {
     * lengthScore saturates at 500 chars and stopwordScore at a 10% stopword
     * ratio. All intermediate arithmetic is integer-exact; the final division
     * and rounding are IEEE-deterministic. */
-  def quality_score(text: Column): Column = {
-    val nChars = length(text).cast("double")
-    val ts = tokens(text)
-    val nTok = greatest(size(ts), lit(1)).cast("double")
-    val nStop = size(filter(ts, t => t.isin(enStopwords.map(lit(_)): _*))).cast("double")
-    val nPunct = (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
-    val lengthScore = least(nChars / 500.0, lit(1.0))
-    val stopScore = least(nStop / nTok / 0.10, lit(1.0))
-    val punctScore = lit(1.0) - least(nPunct / greatest(nChars, lit(1.0)), lit(1.0))
-    Functions.qround(lengthScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
-  }
+  def quality_score(text: Column): Column =
+    Functions.bind(tokens(text)) { ts =>
+      val nChars = length(text).cast("double")
+      val nTok = greatest(size(ts), lit(1)).cast("double")
+      val nStop = size(filter(ts, t => t.isin(enStopwords.map(lit(_)): _*))).cast("double")
+      val nPunct = (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+      val lengthScore = least(nChars / 500.0, lit(1.0))
+      val stopScore = least(nStop / nTok / 0.10, lit(1.0))
+      val punctScore = lit(1.0) - least(nPunct / greatest(nChars, lit(1.0)), lit(1.0))
+      Functions.qround(lengthScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
+    }
 
   /** Rolling polynomial fingerprint over tokens: fold
     * h ← (h·31 + hash60(t) mod 10^6) mod 1 000 000 007. Order-sensitive, so

@@ -34,13 +34,12 @@ object Dedup {
   }
 
   /** MinHash signature as an array<long> of `numHashes` minima over
-    * `shingles` (array<string>), using seeded [[F.hash60]] members.
-    * Empty shingle set → all-zero signature (sentinel). */
+    * `shingles` (array<string>), using seeded [[F.hash60]] members
+    * (`hash60(shingle + "#" + j)`). Empty shingle set → all-zero signature.
+    * Native [[graft.functions.KernelExprs.MinHashSig]] expression: one
+    * codegen'd call per row instead of `numHashes` md5 expression trees. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => coalesce(
-        array_min(transform(shingles, s => F.hash60(concat(s, lit("#"), j)))),
-        lit(0L)))
+    graft.functions.KernelExprs.minhash_sig(shingles, numHashes)
 
   /** LSH band keys: split the signature into `bands` rows of `rowsPerBand`,
     * hash each band to a bucket string "b:hash". */
@@ -79,27 +78,28 @@ object Dedup {
   def simhash64(text: Column): Column =
     simhashFromHashes(transform(TF.tokens(text), t => F.hash60(t)))
 
-  /** SimHash from a pre-computed array<long> of token hashes. Materialize the
-    * hash array in its own projection first so the md5s are computed once,
-    * not once per bit. Static Scala loop over the 60 hash bits. */
+  /** SimHash from a pre-computed array<long> of token hashes: bit i set iff
+    * the ±1 votes on bit i of the token hashes sum positive. Native
+    * [[graft.functions.KernelExprs.SimHash60]]: one codegen'd call instead of
+    * 60 interpreted array-aggregate trees. */
   def simhashFromHashes(hashes: Column): Column =
-    (0 until 60).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.KernelExprs.simhash60(hashes)
 
   /** Hamming distance between two long columns (bit-counting). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Exact n-gram Jaccard similarity between two text columns. */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = array_distinct(TF.word_shingles(a, n))
-    val sb = array_distinct(TF.word_shingles(b, n))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = (size(sa) + size(sb)).cast("double") - inter
-    when(union > 0, F.qround(inter / union, 6)).otherwise(lit(0.0))
-  }
+  /** Exact n-gram Jaccard similarity between two text columns. Shingle sets
+    * and the intersection size are let-bound — each is referenced more than
+    * once below, and would otherwise be re-derived per reference. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    F.bind(array_distinct(TF.word_shingles(a, n))) { sa =>
+      F.bind(array_distinct(TF.word_shingles(b, n))) { sb =>
+        F.bind(size(array_intersect(sa, sb)).cast("double")) { inter =>
+          val union = (size(sa) + size(sb)).cast("double") - inter
+          when(union > 0, F.qround(inter / union, 6)).otherwise(lit(0.0))
+        }
+      }
+    }
 
   /** Near-duplicate pairs by embedding cosine within blocking groups.
     * Embeddings are quantized (scale 1000) so the cosine is deterministic.

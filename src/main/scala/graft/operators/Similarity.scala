@@ -35,23 +35,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * integer in [-500, 500), derived from the portable hash. Kept integral so
-    * the projection of a quantized vector is an exact integer. */
-  private def planeComponent(p: Int, d: Column): Column =
-    F.hash60(concat(lit(s"plane_${p}_"), d)) % 1000L - 500L
-
   /** Sign-random-projection bucket id (0 .. 2^planes-1) for a quantized
-    * vector column: bit p = sign of <v, hyperplane_p>. Static loop over the
-    * (compile-time) plane count; all arithmetic exact. */
+    * vector column: bit p = sign of <v, hyperplane_p>, where hyperplane
+    * component (p, d) = hash60("plane_<p>_<d>") % 1000 - 500 — deterministic,
+    * so the SQL oracle reproduces it. Native
+    * [[graft.functions.KernelExprs.SrpBucket]]: the plane matrix is
+    * row-independent and memoized; the composed form recomputed one md5 per
+    * vector element per row. */
   def srpBucket(qvec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(qvec, sequence(lit(0), size(qvec) - 1),
-          (x, d) => x * planeComponent(p, d)),
-        lit(0L), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.KernelExprs.srp_bucket(qvec, planes)
 
   /** LSH-bucketed ANN: probe only the query's SRP bucket. Recall < 1 by
     * construction; bucket collision ⇒ similar direction. Output as
