@@ -437,8 +437,9 @@ object Queries {
         .orderBy(col("rf"), col("ls")))
   )
 
-  /** Core + ML/text + DNS-report suites. */
-  def combined: Vector[QueryDef] = all ++ QueriesML.all ++ QueriesDns.all
+  /** Core + ML/text + DNS-report + ops suites. */
+  def combined: Vector[QueryDef] =
+    all ++ QueriesML.all ++ QueriesDns.all ++ QueriesOps.all
 
   /** Headline queries timed by [[Bench]]. */
   val benchNames: Seq[String] = Seq(

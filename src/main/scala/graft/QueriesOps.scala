@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Functions => F}
+import graft.operators.TopK
+
+/** Batch 4: remaining SURVEY §2 shapes — grouping-sets unification of the
+  * "all + per-client" report pairs, the per-user activity funnel
+  * (A7/A12/A15/T2), substring-filtered aggregation (A13), authority-domain
+  * roll-up top-K (T4), deterministic salted two-phase aggregation (A3/F10),
+  * and JSON round-trip (F11/F13).
+  */
+object QueriesOps {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Vector[QueryDef] = Vector(
+
+    // -- §7 design rule: one parameterized grouping replaces the reference's
+    //    copy-pasted "all + per-client" pairs (A1-A4) — GROUPING SETS.
+    QueryDef("q46_grouping_sets", Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY rf, ls"""),
+      (s, dir) => {
+        val p = s"$dir/lineitem.parquet"
+        s.sql(s"""
+          SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+                 count(*) AS cnt,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          FROM parquet.`$p`
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY rf, ls""")
+      }),
+
+    // -- A7/A12/A15/T2: per-user agg with HAVING, then two-stage top-K -------
+    QueryDef("q47_user_activity", Some("""
+      WITH u AS (SELECT user_id, count(*) AS cnt,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+                 FROM events GROUP BY 1 HAVING count(*) > 5),
+      s1 AS (SELECT * FROM u ORDER BY val_sum DESC, user_id LIMIT 50)
+      SELECT user_id, cnt, err_cnt, val_sum FROM s1
+      ORDER BY err_cnt DESC, user_id LIMIT 10"""),
+      (s, dir) => {
+        val u = T(s, dir, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err_cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+          .filter(col("cnt") > 5)
+        val s1 = TopK.global(u, 50, col("val_sum").desc, col("user_id").asc)
+        TopK.global(s1, 10, col("err_cnt").desc, col("user_id").asc)
+          .select(col("user_id"), col("cnt"), col("err_cnt"), col("val_sum"))
+      }),
+
+    // -- A13: substring-filtered multi-dim aggregate with threshold ----------
+    QueryDef("q48_substring_filter_agg", Some("""
+      SELECT p.p_brand, l.l_returnflag,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS BIGINT) AS resolver,
+             count(*) AS cnt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE regexp_matches(p.p_name, '(red|blue|green)')
+      GROUP BY 1, 2 HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+      ORDER BY p_brand, l_returnflag"""),
+      (s, dir) => T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part").filter(col("p_name").rlike("(red|blue|green)"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("bigint").as("resolver"),
+          count(lit(1)).as("cnt"))
+        .filter(col("resolver") > 50)
+        .orderBy(col("p_brand"), col("l_returnflag"))),
+
+    // -- T4: roll T3-style counts up by authority domain, re-rank top-K ------
+    QueryDef("q49_authority_rollup_topk", Some(s"""
+      WITH d AS (SELECT p_partkey, p_partkey % 4 AS code,
+        lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) || '.' ||
+        (CASE p_partkey % 3 WHEN 0 THEN 'cdn.example.com' WHEN 1 THEN 'com.cn' ELSE 'net' END) AS domain
+        FROM part),
+      m AS (SELECT code, domain,
+                   regexp_extract(domain, '${F.authorityDomainRegex}', 1) AS mm FROM d),
+      a AS (SELECT code, CASE WHEN length(mm) > 0 THEN mm ELSE domain END AS authority FROM m),
+      c AS (SELECT code, authority, count(*) AS cnt FROM a GROUP BY 1, 2),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY code
+                           ORDER BY cnt DESC, authority) AS BIGINT) AS rn FROM c)
+      SELECT code, authority, cnt, rn FROM r WHERE rn <= 5 ORDER BY code, rn"""),
+      (s, dir) => {
+        val d = T(s, dir, "part")
+          .select((col("p_partkey") % 4).as("code"),
+            concat(lower(regexp_replace(col("p_name"), "[^a-zA-Z0-9]", "")), lit("."),
+              element_at(array(lit("cdn.example.com"), lit("com.cn"), lit("net")),
+                (col("p_partkey") % 3 + 1).cast("int"))).as("domain"))
+        val c = d.withColumn("authority", F.authority_domain(col("domain")))
+          .groupBy(col("code"), col("authority")).agg(count(lit(1)).as("cnt"))
+        TopK.perGroup(c, 5, Seq(col("code")), Seq(col("cnt").desc, col("authority").asc))
+          .withColumn("rn", col("rn").cast("long"))
+          .select(col("code"), col("authority"), col("cnt"), col("rn"))
+          .orderBy(col("code"), col("rn"))
+      }),
+
+    // -- A3/F10: deterministic salted two-phase aggregation. The salt spreads
+    //    a hot key across 100 reducers in phase 1; phase 2 merges partials.
+    //    Semantically identical to a plain count — which is the oracle.
+    QueryDef("q50_salted_twophase", Some("""
+      SELECT event_type, count(*) AS cnt FROM events
+      GROUP BY 1 ORDER BY event_type"""),
+      (s, dir) => T(s, dir, "events")
+        .withColumn("salt", pmod(hash(col("event_id")), lit(100)))
+        .groupBy(col("salt"), col("event_type")).agg(count(lit(1)).as("c1"))
+        .groupBy(col("event_type")).agg(sum(col("c1")).as("cnt"))
+        .orderBy(col("event_type"))),
+
+    // -- F11/F13: JSON parse → struct → re-serialize round trip --------------
+    QueryDef("q51_json_roundtrip", Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             '{"event_id":' || event_id || ',"k":' ||
+               CAST(json_extract_string(props, '$.k') AS BIGINT) || '}' AS reserialized
+      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+      ORDER BY event_id"""),
+      (s, dir) => T(s, dir, "events")
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .filter(col("k").isNotNull)
+        .withColumn("reserialized", to_json(struct(col("event_id"), col("k"))))
+        .select(col("event_id"), col("k"), col("reserialized"))
+        .orderBy(col("event_id")))
+  )
+}
