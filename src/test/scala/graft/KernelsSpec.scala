@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Functions => F, Kernels, TextFunctions => TF}
+import graft.operators.{Dedup, Similarity}
+
+/** Parity guard: the native kernel expressions must produce bit-identical
+  * values to the SQL-composable formulas they replaced (which the DuckDB
+  * oracles encode). Each test evaluates both forms in Spark and compares. */
+class KernelsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat and more words here"),
+    (3L, ""),
+    (4L, "one"),
+    (5L, "Ünïcode tÈxt — with punctuation!!! and 数字 123")
+  ).toDF("id", "text")
+
+  test("Hash60 kernel == conv(substring(md5,1,15),16,10)") {
+    val rows = docs.select(
+      F.hash60(col("text")).as("k"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("sql")
+    ).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows.map(_.getLong(0)).forall(_ >= 0))
+  }
+
+  test("MinHashSig kernel == seeded array_min composition") {
+    val sh = TF.word_shingles(col("text"), 3)
+    val composed = F.bind(sh) { s =>
+      transform(sequence(lit(0), lit(7)),
+        j => coalesce(
+          array_min(transform(s, x =>
+            conv(substring(md5(concat(x, lit("#"), j)), 1, 15), 16, 10).cast("long"))),
+          lit(0L)))
+    }
+    val rows = docs.select(
+      Dedup.minhashSignature(sh, 8).as("k"), composed.as("sql")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // empty text -> all-zero sentinel
+    val empty = docs.filter(col("id") === 3)
+      .select(Dedup.minhashSignature(sh, 8)).head().getSeq[Long](0)
+    assert(empty == Seq.fill(8)(0L))
+  }
+
+  test("SimHash60 kernel == 60-term vote composition") {
+    val hs = transform(TF.tokens(col("text")), t => F.hash60(t))
+    val composed = F.bind(hs) { h =>
+      (0 until 60).map { i =>
+        val vote = aggregate(h, lit(0L), (acc, x) =>
+          acc + when(shiftright(x, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+        when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val rows = docs.select(
+      Dedup.simhashFromHashes(hs).as("k"), composed.as("sql")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("DotLong / CosineQ6 kernels == zip_with/aggregate composition") {
+    val vecs = Seq(
+      (Array(1L, 2L, 3L), Array(4L, -5L, 6L)),
+      (Array(0L, 0L, 0L), Array(1L, 1L, 1L)),
+      (Array(1000L, -2000L, 3000L), Array(1000L, -2000L, 3000L))
+    ).toDF("a", "b")
+    val dotSql = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val normSql = sqrt(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v).cast("double") *
+      aggregate(zip_with(col("b"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).cast("double"))
+    val cosSql = when(normSql > 0, F.qround(dotSql.cast("double") / normSql, 6))
+      .otherwise(lit(0.0))
+    val rows = vecs.select(
+      F.vec_dot_long(col("a"), col("b")).as("kd"), dotSql.as("sd"),
+      F.vec_cosine_q6(col("a"), col("b")).as("kc"), cosSql.as("sc")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // identical vectors -> cosine exactly 1.0; zero vector -> 0.0
+    assert(rows(2).getDouble(2) == 1.0)
+    assert(rows(1).getDouble(2) == 0.0)
+  }
+
+  test("SrpBucket kernel == per-plane md5 projection composition") {
+    val vecs = Seq(
+      Tuple1(Array(1000L, -500L, 250L, 750L)),
+      Tuple1(Array(-1L, -2L, -3L, -4L)),
+      Tuple1(Array(0L, 0L, 0L, 0L))
+    ).toDF("qv")
+    def planeComponent(p: Int, d: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"plane_${p}_"), d)), 1, 15), 16, 10)
+        .cast("long") % 1000L - 500L
+    val composed = (0 until 4).map { p =>
+      val dot = aggregate(
+        zip_with(col("qv"), sequence(lit(0), size(col("qv")) - 1),
+          (x, d) => x * planeComponent(p, d)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = vecs.select(
+      Similarity.srpBucket(col("qv"), 4).as("k"), composed.as("sql")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // buckets bounded by 2^planes
+    rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 16))
+  }
+
+  test("kernels survive whole-stage codegen and interpreted eval equally") {
+    // force both paths: codegen on (default) vs off
+    val base = docs.select(F.hash60(col("text")).as("h")).collect().map(_.getLong(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = docs.select(F.hash60(col("text")).as("h")).collect().map(_.getLong(0))
+      assert(base.toSeq == interp.toSeq)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
