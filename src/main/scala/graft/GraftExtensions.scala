@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FunctionBridge}
+import graft.functions.{Functions => F, KernelExprs, TextFunctions => TF}
+
+/** SQL surface of the engine: every graft function as a `spark.sql`-callable
+  * function, via the standard `SparkSessionExtensions` hook
+  * (`spark.sql.extensions=graft.GraftExtensions`) or
+  * [[GraftExtensions.register]] on a live session.
+  *
+  * Native kernel expressions ([[KernelExprs]]) are injected directly;
+  * column-composition functions are wrapped through the Column bridge, so
+  * the SQL text `graft_ip_to_long(ip)` resolves to the same Catalyst tree
+  * as the Scala API `Functions.ip_to_long(col("ip"))`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), GraftExtensions.info(name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.GraftExtensions", name)
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Wrap a Column→Column composition as an expression builder (eager node
+    * conversion — a lazy ColumnNodeExpression is Unevaluable here). */
+  private def c1(f: Column => Column)(args: Seq[Expression]): Expression =
+    ColumnBridge.eagerExpression(f(ColumnBridge.column(args.head)))
+  private def c2(f: (Column, Column) => Column)(args: Seq[Expression]): Expression =
+    ColumnBridge.eagerExpression(
+      f(ColumnBridge.column(args(0)), ColumnBridge.column(args(1))))
+
+  /** name → builder for every exposed function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // native kernel expressions
+    "graft_hash60" -> ((a: Seq[Expression]) => KernelExprs.Hash60(a.head)),
+    "graft_minhash" -> ((a: Seq[Expression]) =>
+      KernelExprs.MinHashSig(a(0), intArg(a(1), "numHashes"))),
+    "graft_simhash60" -> ((a: Seq[Expression]) => KernelExprs.SimHash60(a.head)),
+    "graft_dot_long" -> ((a: Seq[Expression]) => KernelExprs.DotLong(a(0), a(1))),
+    "graft_cosine_q6" -> ((a: Seq[Expression]) => KernelExprs.CosineQ6(a(0), a(1))),
+    "graft_srp_bucket" -> ((a: Seq[Expression]) =>
+      KernelExprs.SrpBucket(a(0), intArg(a(1), "planes"))),
+    // column compositions
+    "graft_ip_to_long" -> c1(F.ip_to_long) _,
+    "graft_long_to_ip" -> c1(F.long_to_ip) _,
+    "graft_ip_in_cidr" -> c2(F.ip_in_cidr) _,
+    "graft_authority_domain" -> c1(F.authority_domain) _,
+    "graft_strip_protocol" -> c1(F.strip_protocol) _,
+    "graft_tokens" -> c1(TF.tokens) _,
+    "graft_token_count" -> c1(TF.token_count) _,
+    "graft_lang_id" -> c1(TF.lang_id) _,
+    "graft_quality_score" -> c1(TF.quality_score) _,
+    "graft_fingerprint" -> c1(TF.fingerprint) _,
+    "graft_word_shingles" -> ((a: Seq[Expression]) =>
+      ColumnBridge.eagerExpression(TF.word_shingles(
+        ColumnBridge.column(a(0)), intArg(a(1), "n")))),
+    "graft_qround" -> ((a: Seq[Expression]) =>
+      ColumnBridge.eagerExpression(F.qround(
+        ColumnBridge.column(a(0)), intArg(a(1), "decimals")))),
+    "graft_vec_quantize" -> ((a: Seq[Expression]) =>
+      ColumnBridge.eagerExpression(F.vec_quantize(
+        ColumnBridge.column(a(0)), intArg(a(1), "scale"))))
+  )
+
+  /** Register all functions on a live session (idempotent overwrite). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      FunctionBridge.register(spark, name, info(name), builder)
+    }
+}

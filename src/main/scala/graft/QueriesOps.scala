@@ -131,6 +131,23 @@ object QueriesOps {
         .filter(col("k").isNotNull)
         .withColumn("reserialized", to_json(struct(col("event_id"), col("k"))))
         .select(col("event_id"), col("k"), col("reserialized"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // -- SQL surface: the engine's functions callable from pure spark.sql ----
+    // (registered via SparkSessionExtensions / GraftExtensions.register).
+    QueryDef("q52_sql_functions", Some("""
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h60,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> len(x) > 0)) AS BIGINT) AS tok_cnt
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        GraftExtensions.register(s)
+        val p = s"$dir/documents.parquet"
+        s.sql(s"""
+          SELECT doc_id, graft_hash60(text) AS h60,
+                 CAST(graft_token_count(text) AS BIGINT) AS tok_cnt
+          FROM parquet.`$p` ORDER BY doc_id""")
+      })
   )
 }

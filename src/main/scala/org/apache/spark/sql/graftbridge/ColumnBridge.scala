@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a catalyst expression.
+    * [[expression]] returns a lazy `ColumnNodeExpression` wrapper, which is
+    * fine inside the Dataset API (the analyzer unwraps it at plan
+    * construction) but Unevaluable when returned from a FunctionRegistry
+    * builder — builders substitute AFTER that unwrapping phase. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
