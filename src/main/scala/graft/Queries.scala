@@ -441,11 +441,15 @@ object Queries {
   def combined: Vector[QueryDef] =
     all ++ QueriesML.all ++ QueriesDns.all ++ QueriesOps.all
 
-  /** Headline queries timed by [[Bench]]. */
+  /** Headline queries timed by [[Bench]] — one per operator family: scan+agg,
+    * range join, equi join, global and per-group top-K, scalar kernels,
+    * MinHash LSH dedup, blocked embedding near-dup, ANN, grouping sets,
+    * sessionization windows. */
   val benchNames: Seq[String] = Seq(
     "q01_pricing_summary", "q06_range_join_first", "q09_equi_join_default",
     "q12_topk_boost", "q14_pergroup_topk", "q18_hash_functions",
-    "q30_minhash_candidates", "q35_ann_bruteforce")
+    "q30_minhash_candidates", "q34_embedding_neardup", "q35_ann_bruteforce",
+    "q46_grouping_sets", "q45_sessionize")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

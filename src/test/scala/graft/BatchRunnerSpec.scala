@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dns._
+
+/** End-to-end `call()` parity: one BatchRunner.run over the FIXTURES.md
+  * window produces all six sink tables from one persisted fact set. */
+class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val windowStart = 1616631000000L
+  private val rawLines = Seq(
+    """{"Domain":"www.taobao.com","Timestamp":1616631000123,"ServerIP":"218.108.248.200","ClientIP":"100.104.103.190","QR":true,"Type":"A","ResponseCode":0,"Answers":[{"Type":"CNAME","Value":"www.taobao.com.danuoyi.tbcache.com"},{"Type":"A","Value":"115.238.23.2"}]}""",
+    """{"Domain":"nx.example.org","Timestamp":1616631010456,"ServerIP":"218.108.248.201","ClientIP":"30.250.11.7","QR":true,"Type":"A","ResponseCode":3,"Answers":[]}""",
+    """{"Domain":"mail.example.com","Timestamp":1616631020789,"ServerIP":"218.108.248.200","ClientIP":"30.250.11.8","QR":true,"Type":"MX","ResponseCode":0,"Answers":[{"Type":"MX","Value":"10 mx1.example.com"}]}"""
+  )
+
+  private def ip(s: String): Long =
+    s.split('.').foldLeft(0L)((acc, o) => acc * 256 + o.toInt)
+
+  test("run produces all six sink tables with a shared persisted fact set") {
+    val dims = BatchRunner.DimTables(
+      clientRules = Seq((ip("30.250.11.0"), ip("30.250.11.255"), 1))
+        .toDF("min_long_ip", "max_long_ip", "client_type_id"),
+      businessRules = Seq((ip("115.238.0.0"), ip("115.238.255.255"), 0L, 1,
+        "cdn", "cache", "prod"))
+        .toDF("min_long_ip", "max_long_ip", "prio", "rid",
+          "resourceName", "resourceType", "resourceProps"),
+      mediaRules = Seq((ip("10.0.0.0"), ip("10.255.255.255")))
+        .toDF("min_long_ip", "max_long_ip"),
+      authDomains = Seq(("taobao.com", "淘宝", "电商", "淘宝网", "电商", "web"))
+        .toDF("authorityDomain", "companyName", "companyType",
+          "websiteName", "websiteType", "soft"),
+      whitelist = Seq("www.taobao.com").toDF("domain"),
+      users = Seq(("30.250.11.7", "user7")).toDF("clientIp", "userName"),
+      userInfo = Seq(("user7", "addr7", "137")).toDF("userName", "address", "phone"))
+
+    val rs = BatchRunner.run(spark, rawLines.toDF("value"), dims, windowStart,
+      trendThreshold = 0L)
+    try {
+      // clear: all-clients row counts 3 records, 2 errors (nx + mx)
+      val all = rs.clear.filter(col("clientName") === 0).head()
+      assert(all.getAs[Long]("sampleNum") == 3L)
+      assert(all.getAs[Long]("errorNum") == 2L)
+
+      // trend: taobao row enriched with company metadata, inNet from business
+      val tb = rs.trend.filter(col("domain") === "www.taobao.com").head()
+      assert(tb.getAs[String]("companyName") == "淘宝")
+      assert(tb.getAs[Long]("inNet") == 1L)
+
+      // top detail: with minResolver=10 only the whitelisted domain passes
+      // (1 + boost 10 >= 10) — the boost's exact purpose in the reference —
+      // and its resolver is un-boosted back to the true count afterwards
+      assert(rs.topDetail.select("domain").as[String].collect().toSeq ==
+        Seq("www.taobao.com"))
+      assert(rs.topDetail.head().getAs[Long]("resolver") == 1L)
+
+      // ratios: request-kind rows + code-kind rows
+      assert(rs.ratios.filter(col("kind") === "request").count() > 0)
+      assert(rs.ratios.filter(col("kind") === "code").count() > 0)
+
+      // per-code top: NXDOMAIN row ranks nx.example.org first
+      val nx = rs.perCodeTop
+        .filter(col("clientName") === 0 && col("responseCode") === 3).head()
+      assert(nx.getAs[String]("domain") == "nx.example.org")
+
+      // top users: only the in-range client resolves to a user (inner join),
+      // and userAgg keeps clientName==1 only — user7's nx query qualifies
+      // iff resolver > minResolver; with 1 record it is filtered out.
+      assert(rs.topUsers.count() == 0L)
+
+      // every sink table carries the window stamp
+      rs.all.values.foreach { df =>
+        assert(df.columns.contains("accesstime"))
+      }
+
+      // default threshold (>100) empties the fixture's trend table
+      val strict = BatchRunner.run(spark, rawLines.toDF("value"), dims, windowStart)
+      try assert(strict.trend.count() == 0L) finally strict.unpersist()
+    } finally rs.unpersist()
+  }
+}
