@@ -294,6 +294,60 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- aggregate: native vec_mean (TypedImperativeAggregate) ---------------
+    // Element-wise q6 mean of quantized embeddings per label = the centroid
+    // step of IVF. DuckDB mirrors via a lateral unnest of element indices.
+    QueryDef("q53_vec_mean_centroids", Some(s"""
+      WITH q AS (SELECT label, ${dkQuant("embedding")} AS qv FROM embeddings),
+      u AS (SELECT label, i, sum(qv[i]) AS s, count(*) AS c
+            FROM q, range(1, 65) t(i) GROUP BY 1, 2)
+      SELECT label, list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i) AS centroid,
+             CAST(min(c) AS BIGINT) AS n_vectors
+      FROM u GROUP BY label ORDER BY label"""),
+      (s, dir) => T(s, dir, "embeddings")
+        .select(col("label"), F.vec_quantize(col("embedding"), 1000).as("qv"))
+        .groupBy(col("label"))
+        .agg(graft.functions.KernelAggs.vec_mean(col("qv")).as("centroid"),
+          count(lit(1)).as("n_vectors"))
+        .orderBy(col("label"))),
+
+    // -- similarity: IVF ANN (assign → refine → probe one cell) --------------
+    QueryDef("q54_ann_ivf", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, sid) AS rn FROM a1),
+      cell1 AS (SELECT vec_id, qv, sid AS cell FROM r1 WHERE rn = 1),
+      sums AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+               FROM cell1, range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+               FROM sums GROUP BY cell),
+      a2 AS (SELECT q.vec_id, q.qv, cent.cell, ${dkCos("q.qv", "cent.cq")} AS cos FROM q, cent),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) AS rn FROM a2),
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+      qa AS (SELECT query_id, qv, cent.cell, ${dkCos("qv", "cent.cq")} AS cos FROM qs, cent),
+      qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell) AS rn FROM qa),
+      qcell AS (SELECT query_id, qv, cell FROM qr WHERE rn = 1),
+      cand AS (SELECT query_id, cell, neighbor_id, ${dkCos("cv", "qv")} AS cosine
+               FROM cell2 JOIN qcell USING (cell) WHERE neighbor_id <> query_id),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM cand)
+      SELECT query_id, cell, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- multimodal: batched feature extraction over binary payloads ---------
     // No SQL oracle (the decode stub is engine code); driver records a
     // rows-only check.

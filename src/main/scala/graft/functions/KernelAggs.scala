@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native aggregate functions (SURVEY §2.11 extension surface).
+  *
+  * [[VecMeanAgg]] is the centroid step of IVF similarity search: the exact
+  * element-wise mean of quantized (long) vectors per group. The buffer is a
+  * primitive long sum vector + count — exact integer partial aggregation, so
+  * map-side combine and merge order cannot change the result; the final
+  * division is one IEEE double op per element, q6-rounded for oracle parity.
+  */
+object KernelAggs {
+
+  /** Mutable buffer: element-wise long sums + row count. */
+  final class VecSumBuf(var sums: Array[Long], var count: Long) {
+    def add(v: ArrayData): Unit = {
+      val n = v.numElements()
+      if (sums == null) sums = new Array[Long](n)
+      require(sums.length == n,
+        s"vec_mean: inconsistent vector lengths (${sums.length} vs $n)")
+      var i = 0
+      while (i < n) { sums(i) += v.getLong(i); i += 1 }
+      count += 1L
+    }
+    def merge(o: VecSumBuf): Unit = if (o.sums != null) {
+      if (sums == null) { sums = o.sums.clone(); count = o.count }
+      else {
+        require(sums.length == o.sums.length,
+          s"vec_mean: inconsistent vector lengths (${sums.length} vs ${o.sums.length})")
+        var i = 0
+        while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+        count += o.count
+      }
+    }
+  }
+
+  /** Element-wise q6-rounded mean of an array<long> column per group;
+    * null on an empty group. */
+  case class VecMeanAgg(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VecSumBuf] with UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def createAggregationBuffer(): VecSumBuf = new VecSumBuf(null, 0L)
+
+    override def update(b: VecSumBuf, input: InternalRow): VecSumBuf = {
+      val v = child.eval(input)
+      if (v != null) b.add(v.asInstanceOf[ArrayData])
+      b
+    }
+
+    override def merge(b: VecSumBuf, o: VecSumBuf): VecSumBuf = { b.merge(o); b }
+
+    override def eval(b: VecSumBuf): Any =
+      if (b.count == 0L || b.sums == null) null
+      else {
+        val out = new Array[Double](b.sums.length)
+        var i = 0
+        while (i < out.length) {
+          out(i) = Kernels.qround(b.sums(i).toDouble / b.count, 6)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+
+    override def serialize(b: VecSumBuf): Array[Byte] = {
+      val n = if (b.sums == null) 0 else b.sums.length
+      val bb = ByteBuffer.allocate(8 + 4 + 8 * n)
+      bb.putLong(b.count).putInt(n)
+      var i = 0
+      while (i < n) { bb.putLong(b.sums(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): VecSumBuf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val count = bb.getLong()
+      val n = bb.getInt()
+      if (n == 0) new VecSumBuf(null, count)
+      else {
+        val sums = new Array[Long](n)
+        var i = 0
+        while (i < n) { sums(i) = bb.getLong(); i += 1 }
+        new VecSumBuf(sums, count)
+      }
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): VecMeanAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): VecMeanAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): VecMeanAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_vec_mean"
+  }
+
+  /** Column wrapper: element-wise mean of an array<long> column. */
+  def vec_mean(c: Column): Column =
+    ColumnBridge.column(VecMeanAgg(ColumnBridge.expression(c)).toAggregateExpression())
+}

@@ -116,6 +116,18 @@ object Kernels {
     if (norm > 0) qround(dotLong(a, b).toDouble / norm, 6) else 0.0
   }
 
+  /** [[cosineQ6]] over plain JVM arrays (driver/UDF-side helper). */
+  def cosineQ6Arrays(a: Array[Long], b: Array[Long]): Double = {
+    def dot(x: Array[Long], y: Array[Long]): Long = {
+      val n = math.min(x.length, y.length)
+      var acc = 0L; var i = 0
+      while (i < n) { acc += x(i) * y(i); i += 1 }
+      acc
+    }
+    val norm = math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble)
+    if (norm > 0) qround(dot(a, b).toDouble / norm, 6) else 0.0
+  }
+
   // --- SRP-LSH plane components: constant per (plane, dim), cached ----------
 
   @volatile private var planeCache: Array[Array[Long]] = Array.empty

@@ -45,6 +45,66 @@ object Similarity {
   def srpBucket(qvec: Column, planes: Int): Column =
     graft.functions.KernelExprs.srp_bucket(qvec, planes)
 
+  /** Nearest-centroid id for a quantized-vector column, by q6 cosine (ties →
+    * lowest centroid id). The centroid matrix is broadcast and the argmax
+    * runs inside one projection — assignment never joins, shuffles, or
+    * windows the corpus, which is what survives a 100 TB corpus. */
+  def assignCell(spark: org.apache.spark.sql.SparkSession,
+                 centroids: Array[(Int, Array[Long])])(qvec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val fn = udf((v: Seq[Long]) => {
+      val arr = v.toArray
+      var bestId = Int.MaxValue
+      var bestCos = Double.NegativeInfinity
+      for ((id, c) <- bc.value) {
+        val cos = graft.functions.Kernels.cosineQ6Arrays(arr, c)
+        if (cos > bestCos || (cos == bestCos && id < bestId)) {
+          bestCos = cos; bestId = id
+        }
+      }
+      bestId
+    })
+    fn(qvec)
+  }
+
+  /** IVF (inverted-file) ANN — the scale path beyond [[lshTopK]]:
+    *
+    *  1. seed centroids (caller-chosen small set, e.g. a data sample);
+    *  2. assign the corpus to its nearest seed ([[assignCell]]);
+    *  3. refine: per-cell element-wise mean ([[graft.functions.KernelAggs
+    *     .vec_mean]], exact integer partial aggregation), re-quantize;
+    *  4. re-assign corpus AND queries to the refined centroids;
+    *  5. probe: score only the query's own cell, rank top-k.
+    *
+    * One Lloyd iteration — deterministic end-to-end (quantized integer dots,
+    * q6 rounding), so the ANSI-SQL oracle reproduces every step. Candidate
+    * cost per query: corpus/nlist instead of corpus.
+    * Output: (query_id, cell, neighbor_id, cosine, rn). */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              seeds: DataFrame, seedId: Column, seedVec: Column,
+              k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"), F.vec_quantize(corpusVec, 1000).as("cv"))
+    val sd = seeds.select(seedId.cast("int").as("sid"), F.vec_quantize(seedVec, 1000).as("sv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    // one Lloyd step: cells under seed centroids → refined means → requantized
+    val assigned1 = c.withColumn("cell", assignCell(spark, sd)(col("cv")))
+    val refined = assigned1.groupBy(col("cell"))
+      .agg(graft.functions.KernelAggs.vec_mean(col("cv")).as("cmean"))
+      .select(col("cell"), F.vec_quantize(col("cmean"), 1000).as("cq"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val assigned2 = c.withColumn("cell", assignCell(spark, refined)(col("cv")))
+    val q = queries.select(queryId.as("query_id"), F.vec_quantize(queryVec, 1000).as("qv"))
+      .withColumn("cell", assignCell(spark, refined)(col("qv")))
+    val scored = assigned2.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc))
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("cosine"), col("rn"))
+  }
+
   /** LSH-bucketed ANN: probe only the query's SRP bucket. Recall < 1 by
     * construction; bucket collision ⇒ similar direction. Output as
     * [[bruteForceTopK]] plus the bucket id. */

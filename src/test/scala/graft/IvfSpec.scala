@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Functions => F, KernelAggs}
+import graft.operators.Similarity
+
+/** VecMeanAgg (native TypedImperativeAggregate) and IVF ANN invariants. */
+class IvfSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("vec_mean: exact element-wise mean, merge-order independent") {
+    val df = Seq(
+      (1, Array(2L, 4L, 6L)), (1, Array(4L, 6L, 8L)),
+      (2, Array(10L, 0L, -10L))
+    ).toDF("g", "v").repartition(8) // force partial buffers + merges
+    val got = df.groupBy(col("g")).agg(KernelAggs.vec_mean(col("v")).as("m"))
+      .orderBy(col("g")).collect()
+    assert(got(0).getSeq[Double](1) == Seq(3.0, 5.0, 7.0))
+    assert(got(1).getSeq[Double](1) == Seq(10.0, 0.0, -10.0))
+  }
+
+  test("vec_mean: empty-group null and q6 rounding of uneven division") {
+    val df = Seq((1, Array(1L, 2L)), (1, Array(2L, 2L)), (1, Array(2L, 2L)))
+      .toDF("g", "v")
+    val m = df.groupBy(col("g")).agg(KernelAggs.vec_mean(col("v")).as("m"))
+      .head().getSeq[Double](1)
+    assert(m == Seq(1.666667, 2.0)) // floor(5/3*1e6+0.5)/1e6
+  }
+
+  test("ivf: each query's neighbors all come from the query's cell, ranked") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i % 4) * 10 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      vecs, col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") < 2), col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") < 4), col("vec_id"), col("embedding"),
+      k = 3).collect()
+    assert(out.nonEmpty)
+    // one cell per query; ranks contiguous from 1; no self matches
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).distinct.length == 1)
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to rows.length))
+      assert(!rows.exists(_.getLong(2) == qid))
+    }
+    // cosines non-increasing within a query
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cos = rows.sortBy(_.getInt(4)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse)
+    }
+  }
+
+  test("vec_mean via SQL registration") {
+    GraftExtensions.register(spark)
+    Seq((1, Array(2L, 4L)), (1, Array(4L, 8L))).toDF("g", "v")
+      .createOrReplaceTempView("ivf_probe")
+    val m = spark.sql("SELECT graft_vec_mean(v) AS m FROM ivf_probe GROUP BY g")
+      .head().getSeq[Double](0)
+    assert(m == Seq(3.0, 6.0))
+  }
+}
