@@ -48,4 +48,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(seen.sum == 1L)
     } finally q.stop()
   }
+
+  test("file-source restart from checkpoint processes each file exactly once") {
+    // The reference tracks nothing: a restart re-reads or skips whole windows
+    // (DnsRptCH.scala:1009-1012, 1146-1161). A checkpointed file source must
+    // process every file exactly once across a stop/restart.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(p,
+        String.join("\n", lines: _*).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val processed = scala.collection.mutable.ArrayBuffer[String]()
+    def startQuery() = StreamRunner
+      .reportEvery(StreamRunner.rawStream(spark, dir), interval = "0 seconds", ckpt) {
+        (batch, _) =>
+          processed.synchronized {
+            processed ++= batch.select("value").collect().map(_.getString(0))
+          }
+      }.start()
+
+    writeFile("a.txt", Seq("line-1", "line-2"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(processed.sorted.toSeq == Seq("line-1", "line-2"))
+
+    writeFile("b.txt", Seq("line-3"))
+    val q2 = startQuery() // same checkpoint: a.txt must NOT be reprocessed
+    try q2.processAllAvailable() finally q2.stop()
+    assert(processed.sorted.toSeq == Seq("line-1", "line-2", "line-3"))
+  }
 }
