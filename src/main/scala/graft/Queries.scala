@@ -449,7 +449,7 @@ object Queries {
     "q01_pricing_summary", "q06_range_join_first", "q09_equi_join_default",
     "q12_topk_boost", "q14_pergroup_topk", "q18_hash_functions",
     "q30_minhash_candidates", "q34_embedding_neardup", "q35_ann_bruteforce",
-    "q46_grouping_sets", "q45_sessionize")
+    "q54_ann_ivf", "q46_grouping_sets", "q45_sessionize")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

@@ -60,8 +60,17 @@ object Dedup {
                         shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val sigs = df.select(id.as("doc_id"),
-        minhashSignature(TF.word_shingles(text, shingleN), numHashes).as("sig"))
+    // The shingle+hash stage is CPU-bound; a small input (one parquet file =
+    // one split) would pin it to a single core. Balance up to the cluster's
+    // parallelism — at scale the scan already has >= that many splits and no
+    // shuffle is added.
+    val input = df.select(id.as("doc_id"), text.as("__text"))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (input.rdd.getNumPartitions < parallelism) input.repartition(parallelism)
+      else input
+    val sigs = balanced.select(col("doc_id"),
+        minhashSignature(TF.word_shingles(col("__text"), shingleN), numHashes).as("sig"))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
     val a = sigs.select(col("band"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("band"), col("doc_id").as("id_b"), col("sig").as("sig_b"))

@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.Sinks
+
+/** K2 middle-data sink: -separated text, bounded file count
+  * (reference coalesce(12).saveAsTextFile, DnsRptCH.scala:131-139). */
+class SinksSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("middleData round-trips \\u0001-separated rows in <= numFiles files") {
+    val out = java.nio.file.Files.createTempDirectory("graft-middle").toString
+    val rows = Seq(("user1", "a.com", 3L), ("user2", "b.com", 5L))
+      .toDF("userName", "domain", "cnt")
+    Sinks.middleData(rows, out, numFiles = 2)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(files.nonEmpty && files.length <= 2)
+
+    val back = spark.read.text(out)
+      .as[String].collect()
+      .map(_.split('\u0001') match { case Array(u, d, c) => (u, d, c.toLong) })
+      .sortBy(_._1).toSeq
+    assert(back == Seq(("user1", "a.com", 3L), ("user2", "b.com", 5L)))
+  }
+}
