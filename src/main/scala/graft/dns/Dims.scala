@@ -93,16 +93,23 @@ object Dims {
     * index — the Spark equivalent of the reference's binary-searched binary
     * geo DB (IpSearch.java:41-127). Unmatched → "未知". */
   def enrichGeo(spark: SparkSession, fact: DataFrame, geoDim: DataFrame): DataFrame = {
-    val rules = geoDim.select("min_long_ip", "max_long_ip").collect().zipWithIndex
-      .map { case (r, i) => (r.getLong(0), r.getLong(1), 0L, i) }.toSeq
+    // ONE evaluation of the (tiny) dim: the index and the attribute table are
+    // both derived from the same collected rows, so rule ids cannot drift
+    // between two runs of a nondeterministically-ordered dim plan.
+    val rows = geoDim.collect()
+    val rules = rows.zipWithIndex.map { case (r, i) =>
+      (r.getAs[Long]("min_long_ip"), r.getAs[Long]("max_long_ip"), 0L, i)
+    }.toSeq
     val idx = IntervalIndex.build(rules, lastWins = false)
-    // geoDim is tiny (collected above); derive the same stable rule ids the
-    // index was built with (zipWithIndex order = row order of the collect).
-    val attrsIndexed = {
-      import org.apache.spark.sql.expressions.Window
-      geoDim.withColumn("__rule_id",
-        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+    val attrSchema = org.apache.spark.sql.types.StructType(
+      geoDim.schema.fields :+
+        org.apache.spark.sql.types.StructField("__rule_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    val attrRows = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
+    val attrsIndexed = spark.createDataFrame(
+      java.util.Arrays.asList(attrRows: _*), attrSchema)
     fact.withColumn("__rule_id",
         IntervalIndex.lookupColumn(spark, idx)(F.ip_to_long(col("aip"))))
       .join(broadcast(attrsIndexed.drop("min_long_ip", "max_long_ip")),
