@@ -133,6 +133,58 @@ object QueriesOps {
         .select(col("event_id"), col("k"), col("reserialized"))
         .orderBy(col("event_id"))),
 
+    // -- §2.7 gap: distinct aggregation (reference only in dead code) --------
+    QueryDef("q55_distinct_agg", Some("""
+      SELECT n.n_name AS nation,
+             CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS priorities,
+             CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS customers,
+             count(*) AS cnt
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1 ORDER BY nation"""),
+      (s, dir) => T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(countDistinct(col("o_orderpriority")).as("priorities"),
+          countDistinct(col("c_custkey")).as("customers"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("nation"))),
+
+    // -- as-of join: latest 'view' at-or-before each 'purchase' per user -----
+    // (composed union+window operator — no native Spark as-of join)
+    QueryDef("q56_asof_join", Some(s"""
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts)//1000000000 AS es FROM events),
+      u AS (SELECT user_id, es, event_id, 1 AS side,
+                   CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_es
+            FROM e WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, es, event_id, 0 AS side, event_id, es
+            FROM e WHERE event_type = 'view'),
+      w AS (SELECT *,
+              last_value(r_id IGNORE NULLS) OVER win AS view_id,
+              last_value(r_es IGNORE NULLS) OVER win AS view_es
+            FROM u WINDOW win AS (PARTITION BY user_id ORDER BY es, side, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id AS purchase_id, user_id, CAST(es AS BIGINT) AS es,
+             view_id, view_es
+      FROM w WHERE side = 1 ORDER BY purchase_id"""),
+      (s, dir) => {
+        val e = T(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000000000").as("es"))
+        val out = graft.operators.AsOfJoin.asOf(
+          left = e.filter(col("event_type") === "purchase").drop("event_type"),
+          right = e.filter(col("event_type") === "view").drop("event_type"),
+          keys = Seq("user_id"), tsCol = "es", tieCol = "event_id",
+          payload = Seq("event_id"))
+        out.select(col("event_id").as("purchase_id"), col("user_id"), col("es"),
+            col("asof.event_id").as("view_id"), col("asof.es").as("view_es"))
+          .orderBy(col("purchase_id"))
+      }),
+
     // -- SQL surface: the engine's functions callable from pure spark.sql ----
     // (registered via SparkSessionExtensions / GraftExtensions.register).
     QueryDef("q52_sql_functions", Some("""
