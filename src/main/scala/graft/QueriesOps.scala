@@ -17,6 +17,12 @@ object QueriesOps {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Engine-agnostic rounding in DuckDB SQL (mirrors [[F.qround]]). */
+  private def dkQround(e: String, decimals: Int): String = {
+    val s = "1" + "0" * decimals
+    s"CAST(floor(($e) * $s.0 + 0.5) AS DOUBLE) / $s.0"
+  }
+
   val all: Vector[QueryDef] = Vector(
 
     // -- §7 design rule: one parameterized grouping replaces the reference's
@@ -184,6 +190,25 @@ object QueriesOps {
             col("asof.event_id").as("view_id"), col("asof.es").as("view_es"))
           .orderBy(col("purchase_id"))
       }),
+
+    // -- percentiles: exact interpolated quantiles per group. At 100 TB use
+    //    approx_percentile (t-digest, mergeable partial agg) — exact here so
+    //    the oracle can reproduce the value.
+    QueryDef("q57_quantiles", Some(s"""
+      SELECT event_type,
+             ${dkQround("quantile_cont(CAST(value AS DOUBLE), 0.5)", 4)} AS p50,
+             ${dkQround("quantile_cont(CAST(value AS DOUBLE), 0.9)", 4)} AS p90,
+             ${dkQround("quantile_cont(CAST(value AS DOUBLE), 0.99)", 4)} AS p99,
+             count(*) AS cnt
+      FROM events GROUP BY 1 ORDER BY event_type"""),
+      (s, dir) => T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          F.qround(expr("percentile(CAST(value AS DOUBLE), 0.5)"), 4).as("p50"),
+          F.qround(expr("percentile(CAST(value AS DOUBLE), 0.9)"), 4).as("p90"),
+          F.qround(expr("percentile(CAST(value AS DOUBLE), 0.99)"), 4).as("p99"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))),
 
     // -- SQL surface: the engine's functions callable from pure spark.sql ----
     // (registered via SparkSessionExtensions / GraftExtensions.register).
