@@ -175,6 +175,23 @@ object QueriesML {
           col("doc_id"), col("text"), shingleN = 3, numHashes = 8, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- dedup: MinHash over CHARACTER shingles (robust to tokenization) -----
+    QueryDef("q58_char_shingle_minhash", Some {
+      val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+      val sh = s"CASE WHEN len(nm) >= 5 THEN list_transform(range(0, len(nm) - 4), " +
+        "i -> substring(nm, i + 1, 5)) ELSE CAST([] AS VARCHAR[]) END"
+      val hs = (0 until 4).map(j => s"${dkMinhash("sh", j)} AS h$j").mkString(", ")
+      s"""
+      WITH t AS (SELECT doc_id, $norm AS nm FROM documents),
+      s AS (SELECT doc_id, $sh AS sh FROM t)
+      SELECT doc_id, $hs FROM s ORDER BY doc_id"""
+    },
+      (s, dir) => T(s, dir, "documents")
+        .withColumn("sig", Dedup.minhashSignature(TF.char_shingles(col("text"), 5), 4))
+        .select(col("doc_id") +: (0 until 4).map(j =>
+          element_at(col("sig"), j + 1).as(s"h$j")): _*)
+        .orderBy(col("doc_id"))),
+
     // -- dedup: 60-bit SimHash signature -------------------------------------
     QueryDef("q31_simhash", Some {
       val terms = (0 until 60).map { i =>
