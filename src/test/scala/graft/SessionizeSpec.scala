@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, SessionSummary}
+
+/** Stateful streaming sessionization: inline close on gap, event-time
+  * timeout close via watermark, micro-batch-boundary independence. */
+class SessionizeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[Event]], gapSec: Long): Seq[SessionSummary] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Sessionize.sessions(
+      Sessionize.withEventTime(mem.toDS(), "0 seconds"), gapSec)
+    val name = s"sessions_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[SessionSummary].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("gap inside one batch closes the earlier session inline") {
+    val got = run(Seq(
+      Seq(Event(1, 100), Event(1, 150), Event(1, 5000)),
+      Seq(Event(9, 99999))), gapSec = 60) // later batch advances watermark
+    val u1 = got.filter(_.userId == 1).sortBy(_.startSec)
+    assert(u1.map(s => (s.startSec, s.endSec, s.events)) ==
+      Seq((100L, 150L, 2L), (5000L, 5000L, 1L)))
+  }
+
+  test("watermark-driven timeout closes an idle session across batches") {
+    val got = run(Seq(
+      Seq(Event(2, 100), Event(2, 130)),   // open session [100,130]
+      Seq(Event(3, 10000)),                // watermark -> 130; then 10000
+      Seq(Event(3, 20000))),               // push watermark past 130+60
+      gapSec = 60)
+    val u2 = got.filter(_.userId == 2)
+    assert(u2.map(s => (s.startSec, s.endSec, s.events, s.durationSec)) ==
+      Seq((100L, 130L, 2L, 30L)))
+  }
+
+  test("batch-boundary independence: same events, different batching") {
+    val evs = Seq(Event(5, 10), Event(5, 40), Event(5, 300), Event(5, 320))
+    val flush = Seq(Event(6, 50000), Event(6, 99999))
+    val a = run(Seq(evs, flush, flush.map(e => e.copy(tsSec = e.tsSec + 1))), 60)
+    val b = run(Seq(evs.take(1), evs.drop(1), flush,
+      flush.map(e => e.copy(tsSec = e.tsSec + 1))), 60)
+    def u5(x: Seq[SessionSummary]) =
+      x.filter(_.userId == 5).map(s => (s.startSec, s.endSec, s.events)).sorted
+    assert(u5(a) == Seq((10L, 40L, 2L), (300L, 320L, 2L)))
+    assert(u5(a) == u5(b))
+  }
+}
