@@ -21,6 +21,17 @@ object Ingest {
       .filter(col("r").isNotNull && col("r.Domain").isNotNull)
       .select(col("r.*"))
 
+  /** [[parse]] plus an operational metric: increments `badRecords` once per
+    * dropped (malformed / domain-less) line, counted in the same pass as the
+    * parse — no second scan of the input. */
+  def parseCounting(lines: DataFrame, badRecords: org.apache.spark.util.LongAccumulator,
+                    lineCol: String = "value"): DataFrame = {
+    val incBad = udf { (ok: Boolean) => if (!ok) badRecords.add(1L); ok }
+    lines.select(from_json(col(lineCol), DnsModel.rawSchema).as("r"))
+      .filter(incBad(col("r").isNotNull && col("r.Domain").isNotNull))
+      .select(col("r.*"))
+  }
+
   /** P2: garbage-domain filter (DnsRptCH.scala:879-887). The reference's
     * DHCP clause `!(contains && endsWith)` only drops domains that both
     * contain and end with "DHCP" — preserved verbatim. */

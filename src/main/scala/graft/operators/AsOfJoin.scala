@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param keys      equi-join key columns (both sides)
-    * @param tsCol     event-time column (both sides, same type)
+    * @param tsCol     event-time column (both sides, same numeric type)
     * @param tieCol    deterministic order among right rows sharing
     *                  (key, ts) — highest wins; must exist on the right
     * @param payload   right columns to attach (exposed as `asof.<name>`)
+    * @param tolerance max allowed `left.ts - right.ts` (same unit as tsCol);
+    *                  matches older than this are nulled (merge-asof
+    *                  semantics). None = unbounded lookback.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-           tieCol: String, payload: Seq[String]): DataFrame = {
+           tieCol: String, payload: Seq[String],
+           tolerance: Option[Long] = None): DataFrame = {
     val payloadStruct = struct((Seq(tsCol, tieCol) ++ payload).distinct.map(col): _*)
     val r = right
       .withColumn("__rp", payloadStruct)
@@ -36,8 +40,13 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col(tieCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    u.withColumn("asof", last(col("__rp"), ignoreNulls = true).over(w))
+    val matched = u.withColumn("asof", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__side", "__rp")
+    tolerance match {
+      case None => matched
+      case Some(t) => matched.withColumn("asof",
+        when(col(tsCol) - col(s"asof.$tsCol") <= t, col("asof")))
+    }
   }
 }

@@ -26,4 +26,15 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(102L).contains(202L)) // latest <= 20
     assert(out(101L).isEmpty)        // no view at-or-before ts 5
   }
+
+  test("tolerance nulls matches older than the bound") {
+    val left = Seq((1L, 100L, 20L)).toDF("k", "event_id", "es")
+    val right = Seq((1L, 200L, 5L)).toDF("k", "event_id", "es") // 15 older
+    def rid(tol: Option[Long]) = AsOfJoin.asOf(left, right,
+        Seq("k"), "es", "event_id", Seq("event_id"), tol)
+      .select(col("asof.event_id")).as[Option[Long]].head()
+    assert(rid(None).contains(200L))
+    assert(rid(Some(20L)).contains(200L))
+    assert(rid(Some(10L)).isEmpty)
+  }
 }

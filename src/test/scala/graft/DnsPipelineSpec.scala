@@ -78,6 +78,17 @@ class DnsPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows("www.taobao.com") == 1L) // unboosted back to true count
   }
 
+
+  test("parseCounting tallies dropped lines in the same pass") {
+    val acc = spark.sparkContext.longAccumulator("badRecords")
+    val out = Ingest.parseCounting(rawLines.toDF("value"), acc)
+    val kept = out.count()
+    // 7 fixture lines: 1 garbage JSON + 0 domain-less; QR/window/domain
+    // filters run AFTER parse, so only the non-JSON line is "bad" here.
+    assert(kept == 6L)
+    assert(acc.value == 1L)
+  }
+
   private object Ipv4 {
     def apply(s: String): Long =
       s.split('.').foldLeft(0L)((acc, o) => acc * 256 + o.toInt)
