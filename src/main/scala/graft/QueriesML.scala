@@ -175,6 +175,37 @@ object QueriesML {
           col("doc_id"), col("text"), shingleN = 3, numHashes = 8, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- dedup: LSH candidate pairs → duplicate clusters (connected comps) ---
+    QueryDef("q59_dedup_clusters", Some {
+      val sigList = (0 until 8).map(j => dkMinhash("sh", j)).mkString("[", ", ", "]")
+      val bandList = (0 until 4).map(b =>
+        s"'$b:' || md5(array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_'))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH RECURSIVE t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      sh AS (SELECT doc_id, ${dkShingles("toks", 3)} AS sh FROM t),
+      sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+      bands AS (SELECT doc_id, unnest($bandList) AS band FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT id AS doc_id, min(label) AS cluster
+      FROM reach GROUP BY id ORDER BY doc_id"""
+    },
+      (s, dir) => {
+        val pairs = Dedup.minhashCandidates(T(s, dir, "documents"),
+          col("doc_id"), col("text"), shingleN = 3, numHashes = 8, bands = 4)
+        Dedup.duplicateClusters(pairs)
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy(col("doc_id"))
+      }),
+
     // -- dedup: MinHash over CHARACTER shingles (robust to tokenization) -----
     QueryDef("q58_char_shingle_minhash", Some {
       val norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"

@@ -81,6 +81,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * near-dup PAIRS become duplicate CLUSTERS (cluster id = min member id),
+    * the step that turns LSH output into a keep-one-per-cluster decision.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; converged when no label
+    * changes. Rounds = graph diameter (dup clusters are near-cliques, so
+    * 2-3 in practice). Each iteration is one shuffle; `localCheckpoint`
+    * truncates the lineage so plans do not grow with iterations — the
+    * classic failure mode of iterative DataFrame algorithms at scale.
+    * Nodes absent from `pairs` are singletons and not emitted.
+    *
+    * Output: (id, cluster). */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("newLabel") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("newLabel").as("label"))
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash over the document's tokens: bit i of the signature is 1
     * iff the sum over tokens of ±1 (sign of bit i of the token hash) is
     * positive. Pure higher-order column expressions — no UDF, no shuffle. */

@@ -111,4 +111,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .select("neighbor_id").as[Long].collect()
     assert(out.contains(2L)) // twin always lands in the same bucket
   }
+
+  test("duplicateClusters: chains merge transitively, min id labels cluster") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}; 99 absent (singleton)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
 }
