@@ -139,13 +139,15 @@ object Reports {
         Seq(col("cnt").desc, col("authorityDomain").asc))
     }
 
-  /** A14/T6: per-user top-N domains as an array-of-struct column.
-    * UserRpt.scala:109-128. */
+  /** A14/T6: per-user top-N domains as a RANK-ORDERED array-of-struct
+    * column (collect_list alone has no order guarantee after the shuffle —
+    * sort on the rank inside the array). UserRpt.scala:109-128. */
   def userDomainTopN(userDomainCounts: DataFrame, n: Int = 10): DataFrame =
     TopK.perGroup(userDomainCounts, n, Seq(col("userName")),
         Seq(col("cnt").desc, col("domain").asc))
       .groupBy(col("userName"))
-      .agg(collect_list(struct(col("domain"), col("cnt"))).as("domains"))
+      .agg(expr("transform(array_sort(collect_list(struct(rn, domain, cnt))), " +
+        "x -> struct(x.domain AS domain, x.cnt AS cnt))").as("domains"))
 
   /** A15: per-user total resolves. UserRpt.scala:133-136. */
   def userTotals(userDomainCounts: DataFrame): DataFrame =
