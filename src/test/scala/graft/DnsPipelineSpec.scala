@@ -8,7 +8,7 @@ import graft.dns._
 class DnsPipelineSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  // FIXTURES.md §1 — window starts 2021-03-25 00:50:00.123 UTC ~ 1616631000000
+  // FIXTURES.md §1 fixture lines; window starts 2021-03-25 00:10:00 UTC (epoch-ms 1616631000000)
   private val windowStart = 1616631000000L
   private val rawLines = Seq(
     """{"Domain":"www.taobao.com","Timestamp":1616631000123,"ServerIP":"218.108.248.200","ClientIP":"100.104.103.190","QR":true,"Type":"A","ResponseCode":0,"Answers":[{"Type":"CNAME","Value":"www.taobao.com.danuoyi.tbcache.com"},{"Type":"A","Value":"115.238.23.2"},{"Type":"A","Value":"115.238.23.12"}]}""",
