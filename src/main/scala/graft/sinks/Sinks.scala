@@ -31,6 +31,16 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Co-located lake layout for repeated fact/fact joins at scale: bucket +
+    * sort both tables by the join key (same bucket count) and joins plan
+    * WITHOUT a shuffle exchange on either side (see BucketedJoinSpec). */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+                    buckets: Int, keys: String*): Unit =
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** K2: middle-data text save — ``-separated, `numFiles` output files
     * (reference coalesce(12).saveAsTextFile, DnsRptCH.scala:131-139). */
   def middleData(df: DataFrame, path: String, numFiles: Int = 12): Unit =
