@@ -12,10 +12,11 @@ import sys, json, glob, math, os
 import duckdb
 
 def norm(v):
+    # always a (tag, payload) tuple so mixed null/str/num columns still sort
     if v is None:
-        return None
+        return ('_', '')
     if isinstance(v, bool):
-        return bool(v)
+        return ('b', v)
     if isinstance(v, float):
         return ('f', repr(v))
     if isinstance(v, int):
@@ -26,8 +27,8 @@ def norm(v):
     if isinstance(v, datetime.datetime):
         return ('t', v.isoformat())
     if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return str(v)
+        return ('l', tuple(norm(x) for x in v))
+    return ('s', str(v))
 
 def main():
     out, sf = sys.argv[1], sys.argv[2]

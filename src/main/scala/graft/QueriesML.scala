@@ -345,18 +345,26 @@ object QueriesML {
     // -- aggregate: native vec_mean (TypedImperativeAggregate) ---------------
     // Element-wise q6 mean of quantized embeddings per label = the centroid
     // step of IVF. DuckDB mirrors via a lateral unnest of element indices.
+    // centroid rendered as '|'-joined micro-units (q6 value * 1e6, an exact
+    // integer on both engines): the driver's pandas compare cannot sort/hash
+    // list-typed columns — see VERDICT r1 "What's wrong" #1.
     QueryDef("q53_vec_mean_centroids", Some(s"""
       WITH q AS (SELECT label, ${dkQuant("embedding")} AS qv FROM embeddings),
       u AS (SELECT label, i, sum(qv[i]) AS s, count(*) AS c
             FROM q, range(1, 65) t(i) GROUP BY 1, 2)
-      SELECT label, list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i) AS centroid,
+      SELECT label,
+             array_to_string(list(CAST(floor(${dkQround("CAST(s AS DOUBLE) / c", 6)} * 1000000 + 0.5) AS BIGINT) ORDER BY i), '|') AS centroid,
              CAST(min(c) AS BIGINT) AS n_vectors
       FROM u GROUP BY label ORDER BY label"""),
       (s, dir) => T(s, dir, "embeddings")
         .select(col("label"), F.vec_quantize(col("embedding"), 1000).as("qv"))
         .groupBy(col("label"))
-        .agg(graft.functions.KernelAggs.vec_mean(col("qv")).as("centroid"),
+        .agg(graft.functions.KernelAggs.vec_mean(col("qv")).as("cmean"),
           count(lit(1)).as("n_vectors"))
+        .select(col("label"),
+          concat_ws("|", transform(col("cmean"),
+            x => floor(x * 1000000 + lit(0.5)).cast("string"))).as("centroid"),
+          col("n_vectors"))
         .orderBy(col("label"))),
 
     // -- similarity: IVF ANN (assign → refine → probe one cell) --------------
@@ -397,15 +405,59 @@ object QueriesML {
       }),
 
     // -- multimodal: batched feature extraction over binary payloads ---------
-    // No SQL oracle (the decode stub is engine code); driver records a
-    // rows-only check.
-    QueryDef("q37_multimodal_features", None,
+    // The decode stub (Multimodal.decodeStub) is a deterministic rolling hash
+    // over the payload = md5-digest bytes of the id: reproduced here in
+    // DuckDB with HUGEINT mod-2^64 wrapping arithmetic, so the query is
+    // hash-verified end to end (VERDICT r1 "Next round" #7).
+    QueryDef("q37_multimodal_features", Some(s"""
+      WITH m AS (SELECT vec_id AS media_id,
+              (['image','audio','video'])[CAST(vec_id % 3 + 1 AS INT)] AS kind,
+              md5(CAST(vec_id AS VARCHAR)) AS hx
+            FROM embeddings),
+      h AS (SELECT media_id, kind,
+              list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+                list_transform(range(0, 16), i ->
+                  CAST(CASE WHEN CAST(('0x' || substring(hx, 2*i+1, 2)) AS INT) >= 128
+                       THEN CAST(('0x' || substring(hx, 2*i+1, 2)) AS INT) - 256
+                       ELSE CAST(('0x' || substring(hx, 2*i+1, 2)) AS INT) END AS HUGEINT))),
+                (a, b) -> (31*a + b + 18446744073709551616) % 18446744073709551616) AS h0
+            FROM m),
+      f AS (SELECT media_id, kind,
+              (((h0 * 6364136223846793005 + 1442695040888963407)
+                 % 18446744073709551616) // 2048) % 2000 AS mm
+            FROM h)
+      SELECT media_id, kind, CAST(16 AS INT) AS feature_dim, true AS decode_ok,
+             ${dkQround("CAST(mm - 1000 AS DOUBLE) / 1000.0", 6)} AS f0
+      FROM f ORDER BY media_id"""),
       (s, dir) => {
         val media = Multimodal.syntheticMedia(s, T(s, dir, "embeddings"), "vec_id")
         Multimodal.extractFeatures(media, dim = 16).toDF()
           .select(col("media_id"), col("kind"), col("featureDim").as("feature_dim"),
             col("decodeOk").as("decode_ok"),
             F.qround(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          .orderBy(col("media_id"))
+      }),
+
+    // -- multimodal: typed-metadata plan math (resize spec + frame sampling) -
+    QueryDef("q63_multimodal_plan", Some(s"""
+      WITH m AS (SELECT vec_id AS media_id,
+              (['image','audio','video'])[CAST(vec_id % 3 + 1 AS INT)] AS kind,
+              CAST(vec_id % 640 + 1 AS INT) AS width,
+              CAST(vec_id % 480 + 1 AS INT) AS height,
+              vec_id % 10000 AS duration_ms
+            FROM embeddings)
+      SELECT media_id, kind, width, height,
+             ${dkQround("CASE WHEN greatest(width, height) > 320 " +
+               "THEN 320.0 / greatest(width, height) ELSE 1.0 END", 6)} AS resize_scale,
+             CAST(CASE WHEN duration_ms > 0 THEN (duration_ms + 249) // 250 ELSE 0 END AS BIGINT) AS n_frames
+      FROM m ORDER BY media_id"""),
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(s, T(s, dir, "embeddings"), "vec_id").toDF()
+        Multimodal.frameSamplePlan(Multimodal.withResizeSpec(media, maxSide = 320),
+            everyMs = 250)
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            F.qround(col("resize_scale"), 6).as("resize_scale"),
+            size(col("frame_ts")).cast("long").as("n_frames"))
           .orderBy(col("media_id"))
       }),
 

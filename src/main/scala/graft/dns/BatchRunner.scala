@@ -51,15 +51,15 @@ object BatchRunner {
           topDetailK: Int = 70000, perCodeK: Int = 5000,
           trendThreshold: Long = 100L): ReportSet = {
     val cleaned = Ingest.clean(spark, lines, windowStartMs, windowSec).toDF()
-      .withColumn("__row_id", monotonically_increasing_id())
       .withColumn("authorityDomain",
         graft.functions.Functions.authority_domain(col("domain")))
+    // Every enrichment below is shuffle-free on the fact side: interval-index
+    // probes + broadcast hash joins only (plan-asserted in BatchRunnerSpec).
     val enriched = Dims.enrichAuthDomain(
-      Dims.enrichInNet(
-        Dims.enrichClientName(cleaned, dims.clientRules, col("__row_id")),
+      Dims.enrichInNetIndexed(spark,
+        Dims.enrichClientName(cleaned, dims.clientRules),
         dims.mediaRules, dims.businessRules),
       dims.authDomains)
-      .drop("__row_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val stamp = lit(new java.sql.Timestamp(windowStartMs))

@@ -21,14 +21,20 @@ object Ingest {
       .filter(col("r").isNotNull && col("r.Domain").isNotNull)
       .select(col("r.*"))
 
-  /** [[parse]] plus an operational metric: increments `badRecords` once per
-    * dropped (malformed / domain-less) line, counted in the same pass as the
-    * parse — no second scan of the input. */
-  def parseCounting(lines: DataFrame, badRecords: org.apache.spark.util.LongAccumulator,
+  /** [[parse]] plus an operational metric: `bad_records` = dropped
+    * (malformed / domain-less) lines, counted in the same pass as the parse —
+    * no second scan of the input. Uses `Dataset.observe`, whose metrics are
+    * EXACTLY-ONCE per completed action (task retries / speculative execution
+    * don't double-count, unlike an accumulator updated in a filter UDF).
+    * Read the count with `obs.get("bad_records")` after an action. */
+  def parseCounting(lines: DataFrame, obs: org.apache.spark.sql.Observation,
                     lineCol: String = "value"): DataFrame = {
-    val incBad = udf { (ok: Boolean) => if (!ok) badRecords.add(1L); ok }
+    val bad = col("r").isNull || col("r.Domain").isNull
+    // observe() sits between parse and filter: CollectMetrics is a pushdown
+    // barrier, so the dropped rows are still visible to the metric.
     lines.select(from_json(col(lineCol), DnsModel.rawSchema).as("r"))
-      .filter(incBad(col("r").isNotNull && col("r.Domain").isNotNull))
+      .observe(obs, sum(when(bad, 1L).otherwise(0L)).as("bad_records"))
+      .filter(!bad)
       .select(col("r.*"))
   }
 
@@ -87,6 +93,10 @@ object Ingest {
       .filter(col("QR") === true)                            // P4
       .filter(garbageDomainFilter(col("Domain")))            // P2
       .filter(inWindow(col("Timestamp"), windowStartMs, windowSec)) // P3
+      // Reference parity: a missing ResponseCode kills the row via the
+      // getInteger NPE catch (DnsRptCH.scala:914-917) — drop, don't default,
+      // so error accounting matches.
+      .filter(col("ResponseCode").isNotNull)
     withAnswerDerivation(parsed)                             // P6-P7
       .select(                                               // P5 projection
         col("Type").as("requestType"),

@@ -107,6 +107,54 @@ object Reports {
       .drop("isWhitelisted")
   }
 
+  /** T1 detail enrichment (reference `Tuple2Es`, DnsRptCH.scala:204-291) —
+    * completes the `dns_flow_top` row shape over [[topDetail]] output:
+    *
+    *  - protocol strip + authority domain (DnsRptCH.scala:216-220);
+    *  - inNet membership over media ∪ business ranges (:222-235, sane union
+    *    semantics — see [[Dims.enrichInNet]]);
+    *  - business resource attrs, last match wins (:590-596 shape);
+    *  - auth-domain company attrs: websiteName/creditCode/companyName/
+    *    companyAddr/onRecord/soft stay null on miss, companyType/websiteType
+    *    default "未知" (:237-258);
+    *  - geo-derived counters (:261-289): abroadNum (country ≠ 中国),
+    *    telecomNum (operator has 电信), linkNum (operator has 联通), gatNum
+    *    (province has 香港/澳门/台湾), and aIpAddr = country ++
+    *    (province==city ? province : province++city) ++ operator; all 0/null
+    *    when the ip is outside the geo db.
+    *
+    * Every step is an interval-index probe or broadcast hash join — the fact
+    * side is never shuffled. `geoDim` must carry country/province/city/
+    * operator ([[Dims.enrichGeoFull]] attaches whatever else it has). */
+  def topDetailEnriched(spark: org.apache.spark.sql.SparkSession, top: DataFrame,
+                        geoDim: DataFrame, authDim: DataFrame,
+                        mediaRules: DataFrame, businessRules: DataFrame): DataFrame = {
+    val stripped = top
+      .withColumn("domain", F.strip_protocol(col("domain")))
+      .withColumn("authorityDomain", F.authority_domain(col("domain")))
+    val withInNet = Dims.enrichInNetIndexed(spark, stripped, mediaRules, businessRules)
+    val withBiz = Dims.enrichBusiness(withInNet, businessRules)
+    val withAuth = withBiz.join(broadcast(authDim), Seq("authorityDomain"), "left")
+      .withColumn("companyType", coalesce(col("companyType"), lit("未知")))
+      .withColumn("websiteType", coalesce(col("websiteType"), lit("未知")))
+    Dims.enrichGeoFull(spark, withAuth, geoDim, F.ip_to_long(col("aip")))
+      .withColumn("abroadNum",
+        when(col("country").isNotNull && col("country") =!= "中国", col("resolver"))
+          .otherwise(0L))
+      .withColumn("telecomNum",
+        when(col("operator").contains("电信"), col("resolver")).otherwise(0L))
+      .withColumn("linkNum",
+        when(col("operator").contains("联通"), col("resolver")).otherwise(0L))
+      .withColumn("gatNum",
+        when(col("province").rlike("香港|澳门|台湾"), col("resolver")).otherwise(0L))
+      .withColumn("aIpAddr",
+        when(col("country").isNotNull,
+          concat(col("country"),
+            when(col("city") === col("province"), col("province"))
+              .otherwise(concat(col("province"), col("city"))),
+            col("operator"))))
+  }
+
   /** T2: top users — resolver-desc top `k1`, then error-desc top `k2`.
     * DnsRptCH.scala:371-397. */
   def topUsers(df: DataFrame, k1: Int = 20000, k2: Int = 2000): DataFrame = {

@@ -66,8 +66,16 @@ object Dedup {
     // shuffle is added.
     val input = df.select(id.as("doc_id"), text.as("__text"))
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // Rebalance decision from optimizer STATS, not `.rdd.getNumPartitions`
+    // (which materializes the whole RDD lineage just to read a number): an
+    // input smaller than one target split per core can't keep every core
+    // busy through the CPU-bound shingle+hash stage — spread it. A large
+    // input already scans with >= `parallelism` splits; leave it alone.
+    val targetSplitBytes = 64L << 20
+    val sizeInBytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
     val balanced =
-      if (input.rdd.getNumPartitions < parallelism) input.repartition(parallelism)
+      if (sizeInBytes < BigInt(parallelism) * targetSplitBytes)
+        input.repartition(parallelism)
       else input
     val sigs = balanced.select(col("doc_id"),
         minhashSignature(TF.word_shingles(col("__text"), shingleN), numHashes).as("sig"))

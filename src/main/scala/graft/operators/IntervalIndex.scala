@@ -96,4 +96,38 @@ object IntervalIndex {
       .join(broadcast(dimSmall), col("__rule_id") === dimSmall(idCol), "left")
       .drop("__rule_id")
   }
+
+  /** Like [[enrich]] but synthesizes rule ids from the collected row order —
+    * for dims without a unique id column. The dim is collected ONCE so the
+    * index and the attribute table cannot drift when the dim plan's row order
+    * is nondeterministic. This is the default J1/J2 path: no window, no
+    * shuffle, no NLJ on the fact side — the fact keeps its partitioning and
+    * pays one O(log rules) probe per row plus a broadcast hash join against
+    * the (tiny) attribute table. */
+  def enrichAuto(spark: SparkSession, fact: DataFrame, point: Column,
+                 dim: DataFrame, loCol: String, hiCol: String,
+                 priorityCol: String, lastWins: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val rows = dim.collect()
+    val li = dim.schema.fieldIndex(loCol)
+    val hiI = dim.schema.fieldIndex(hiCol)
+    val pi = dim.schema.fieldIndex(priorityCol)
+    def lng(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue()
+    val rules = rows.toSeq.zipWithIndex.map { case (r, i) =>
+      (lng(r, li), lng(r, hiI), lng(r, pi), i)
+    }
+    val idx = build(rules, lastWins)
+    val attrSchema = StructType(dim.schema.fields :+
+      StructField("__rule_id", IntegerType, nullable = false))
+    val attrRows = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val attrs = spark.createDataFrame(
+        java.util.Arrays.asList(attrRows: _*), attrSchema)
+      .drop(loCol, hiCol)
+    fact.withColumn("__rule_id", lookupColumn(spark, idx)(point))
+      .join(broadcast(attrs), Seq("__rule_id"), "left")
+      .drop("__rule_id")
+  }
 }

@@ -53,6 +53,8 @@ object Similarity {
                  centroids: Array[(Int, Array[Long])])(qvec: Column): Column = {
     val bc = spark.sparkContext.broadcast(centroids)
     val fn = udf((v: Seq[Long]) => {
+      if (v == null) -1 // null/unparseable embedding → no cell, row skipped
+      else {
       val arr = v.toArray
       var bestId = Int.MaxValue
       var bestCos = Double.NegativeInfinity
@@ -63,6 +65,7 @@ object Similarity {
         }
       }
       bestId
+      }
     })
     fn(qvec)
   }

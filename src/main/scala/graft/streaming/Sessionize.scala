@@ -44,25 +44,28 @@ object Sessionize {
             state.remove()
             out
           } else {
-            val sorted = rows.map(_._2).toArray.sorted
-            var open = state.getOption
-            val closed = Iterator.newBuilder[SessionSummary]
-            sorted.foreach { ts =>
-              open match {
-                case Some(s) if ts - s.endSec <= gapSec =>
-                  open = Some(OpenSession(s.startSec, math.max(s.endSec, ts), s.events + 1))
-                case Some(s) =>
-                  closed += summary(uid, s)
-                  open = Some(OpenSession(ts, ts, 1))
-                case None =>
-                  open = Some(OpenSession(ts, ts, 1))
+            // Merge the open session and this batch's events as INTERVALS
+            // sorted by start: a late (within-watermark) event preceding the
+            // open session either extends it downward (startSec = min) or —
+            // if more than gapSec earlier — closes as its own earlier
+            // session. Result is independent of micro-batch boundaries and
+            // matches the batch q45 lag/gap formulation.
+            val incoming = rows.map(_._2).toArray.sorted.map(ts => OpenSession(ts, ts, 1))
+            val items = (state.getOption.toSeq ++ incoming)
+              .sortBy(s => (s.startSec, s.endSec))
+            val merged = collection.mutable.ArrayBuffer[OpenSession]()
+            items.foreach { s =>
+              merged.lastOption match {
+                case Some(p) if s.startSec - p.endSec <= gapSec =>
+                  merged(merged.length - 1) =
+                    OpenSession(p.startSec, math.max(p.endSec, s.endSec), p.events + s.events)
+                case _ => merged += s
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.endSec + gapSec) * 1000L)
-            }
-            closed.result().iterator
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp((open.endSec + gapSec) * 1000L)
+            merged.init.map(summary(uid, _)).iterator
           }
       }
   }

@@ -80,4 +80,47 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
       try assert(strict.trend.count() == 0L) finally strict.unpersist()
     } finally rs.unpersist()
   }
+
+  test("the J1+J3+J4 enrichment stage is shuffle-free on the fact side") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dims = BatchRunner.DimTables(
+      clientRules = Seq((ip("30.250.11.0"), ip("30.250.11.255"), 1))
+        .toDF("min_long_ip", "max_long_ip", "client_type_id"),
+      businessRules = Seq((ip("115.238.0.0"), ip("115.238.255.255")))
+        .toDF("min_long_ip", "max_long_ip"),
+      mediaRules = Seq((ip("10.0.0.0"), ip("10.255.255.255")))
+        .toDF("min_long_ip", "max_long_ip"),
+      authDomains = Seq(("taobao.com", "淘宝", "电商", "淘宝网", "电商", "web"))
+        .toDF("authorityDomain", "companyName", "companyType",
+          "websiteName", "websiteType", "soft"),
+      whitelist = Seq("www.taobao.com").toDF("domain"),
+      users = Seq(("30.250.11.7", "user7")).toDF("clientIp", "userName"),
+      userInfo = Seq(("user7", "addr7", "137")).toDF("userName", "address", "phone"))
+    val fact = Seq(
+      ("www.taobao.com", "100.104.103.190", "115.238.23.2", 1L),
+      ("nx.example.org", "30.250.11.7", "0.0.0.0", 1L))
+      .toDF("domain", "clientIp", "aip", "resolver")
+      .withColumn("authorityDomain",
+        graft.functions.Functions.authority_domain(col("domain")))
+    // the r1 windowed J1 exchanged+sorted the whole fact table on a per-row
+    // key; the IntervalIndex default must not shuffle the fact side at all
+    val enriched = Dims.enrichAuthDomain(
+      Dims.enrichInNetIndexed(spark,
+        Dims.enrichClientName(fact, dims.clientRules),
+        dims.mediaRules, dims.businessRules),
+      dims.authDomains)
+    enriched.collect() // force AQE to finalize the plan
+    val executed = enriched.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = executed.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"enrichment stage must be shuffle-free, found: $shuffles")
+    // and the semantics still hold
+    val byDomain = enriched.select("domain", "clientName")
+      .as[(String, Int)].collect().toMap
+    assert(byDomain("nx.example.org") == 1 && byDomain("www.taobao.com") == 5)
+  }
 }

@@ -48,7 +48,7 @@ class DnsPipelineSpec extends AnyFunSuite with SparkSpec {
   test("dims: clientName range join with default 5") {
     val rules = Seq((Ipv4("30.250.11.0"), Ipv4("30.250.11.255"), 1))
       .toDF("min_long_ip", "max_long_ip", "client_type_id")
-    val out = Dims.enrichClientName(cleaned.toDF(), rules, col("domain"))
+    val out = Dims.enrichClientName(cleaned.toDF(), rules)
     val byDomain = out.select("domain", "clientName").as[(String, Int)].collect().toMap
     assert(byDomain("nx.example.org") == 1)     // in range
     assert(byDomain("www.taobao.com") == 5)     // default
@@ -79,14 +79,14 @@ class DnsPipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
 
-  test("parseCounting tallies dropped lines in the same pass") {
-    val acc = spark.sparkContext.longAccumulator("badRecords")
-    val out = Ingest.parseCounting(rawLines.toDF("value"), acc)
+  test("parseCounting tallies dropped lines in the same pass (observe)") {
+    val obs = new org.apache.spark.sql.Observation("ingest")
+    val out = Ingest.parseCounting(rawLines.toDF("value"), obs)
     val kept = out.count()
     // 7 fixture lines: 1 garbage JSON + 0 domain-less; QR/window/domain
     // filters run AFTER parse, so only the non-JSON line is "bad" here.
     assert(kept == 6L)
-    assert(acc.value == 1L)
+    assert(obs.get("bad_records") == 1L)
   }
 
   private object Ipv4 {

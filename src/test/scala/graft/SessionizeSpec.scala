@@ -44,6 +44,53 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
       Seq((100L, 130L, 2L, 30L)))
   }
 
+  test("late within-watermark event in a later batch extends startSec downward") {
+    // ADVICE r1: an event preceding the open session's start used to leave
+    // startSec unchanged (batching-dependent duration). Watermark delay 1000s
+    // keeps ts=80 admissible in batch 2; it is within gap of [100,130]'s
+    // start, so the session must become [80,130].
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Sessionize.sessions(
+      Sessionize.withEventTime(mem.toDS(), "1000 seconds"), gapSec = 60)
+    val name = s"sessions_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      mem.addData(Event(7, 100), Event(7, 130)); q.processAllAvailable()
+      mem.addData(Event(7, 80)); q.processAllAvailable()       // late, in-gap
+      mem.addData(Event(7, 5000)); q.processAllAvailable()     // close by gap
+      mem.addData(Event(8, 99999)); q.processAllAvailable()    // flush
+      val u7 = spark.table(name).as[SessionSummary].collect().toSeq
+        .filter(_.userId == 7).sortBy(_.startSec)
+      assert(u7.map(s => (s.startSec, s.endSec, s.events, s.durationSec))
+        .headOption.contains((80L, 130L, 3L, 50L)))
+    } finally q.stop()
+  }
+
+  test("late event more than gap before the open session closes as its own earlier session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Sessionize.sessions(
+      Sessionize.withEventTime(mem.toDS(), "10000 seconds"), gapSec = 60)
+    val name = s"sessions_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      mem.addData(Event(9, 1000), Event(9, 1030)); q.processAllAvailable()
+      mem.addData(Event(9, 200)); q.processAllAvailable() // >gap earlier: own session
+      mem.addData(Event(10, 99999)); q.processAllAvailable()
+      val u9 = spark.table(name).as[SessionSummary].collect().toSeq
+        .filter(_.userId == 9).sortBy(_.startSec)
+        .map(s => (s.startSec, s.endSec, s.events))
+      // the earlier singleton closes immediately as its own session (NOT
+      // folded into [1000,1030]); the open session may or may not have been
+      // timeout-flushed by the final watermark advance — either is correct
+      assert(u9.headOption.contains((200L, 200L, 1L)))
+      assert(u9.toSet.subsetOf(Set((200L, 200L, 1L), (1000L, 1030L, 2L))))
+    } finally q.stop()
+  }
+
   test("batch-boundary independence: same events, different batching") {
     val evs = Seq(Event(5, 10), Event(5, 40), Event(5, 300), Event(5, 320))
     val flush = Seq(Event(6, 50000), Event(6, 99999))

@@ -24,4 +24,18 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
       .sortBy(_._1).toSeq
     assert(back == Seq(("user1", "a.com", 3L), ("user2", "b.com", 5L)))
   }
+
+  test("K1 jdbcAppend drives a real JDBC endpoint (embedded Derby) with append semantics") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val rows = Seq(("a.com", 3L), ("b.com", 5L)).toDF("domain", "resolver")
+    // first append creates the table; batchsize=1 exercises multi-batch flush
+    Sinks.jdbcAppend(rows, url, "dns_flow_top", batchSize = 1)
+    // second append must add, not replace (ClickUtils.scala:24-27 semantics)
+    Sinks.jdbcAppend(rows, url, "dns_flow_top")
+    val back = spark.read.jdbc(url, "dns_flow_top", new java.util.Properties())
+    assert(back.count() == 4L)
+    import org.apache.spark.sql.functions.sum
+    assert(back.agg(sum("resolver")).head().getLong(0) == 16L)
+  }
 }
