@@ -206,7 +206,8 @@ object QueriesDns {
               ORDER BY bres DESC, domain, client_name, dns_ip, aip LIMIT 300),
       unb AS (SELECT client_name, dns_ip, aip, ipl,
                      CAST(bres - CASE WHEN is_wl THEN 10 ELSE 0 END AS BIGINT) AS resolver,
-                     error, regexp_replace(domain, '^https?://', '') AS domain
+                     error, domain AS raw_domain,
+                     regexp_replace(domain, '^https?://', '') AS domain
               FROM top),
       au AS (SELECT *, CASE WHEN length(regexp_extract(domain, '${F.authorityDomainRegex}', 1)) > 0
                             THEN regexp_extract(domain, '${F.authorityDomainRegex}', 1)
@@ -221,8 +222,12 @@ object QueriesDns {
                   CASE WHEN EXISTS (SELECT 1 FROM media m WHERE a.ipl BETWEEN m.lo AND m.hi)
                          OR EXISTS (SELECT 1 FROM biz b WHERE a.ipl BETWEEN b.lo AND b.hi)
                        THEN a.resolver ELSE 0 END AS in_net FROM au a),
+      -- partition by the PRE-strip domain: after protocol strip two distinct
+      -- top rows can share (client_name, domain, dns_ip, aip), and the
+      -- reference maps top rows independently — the window must only pick
+      -- the last-match biz rule per row, never collapse rows
       bizr AS (SELECT i.*, b.resource_name AS rn0, b.resource_type AS rt0, b.resource_props AS rp0,
-                      row_number() OVER (PARTITION BY i.client_name, i.domain, i.dns_ip, i.aip
+                      row_number() OVER (PARTITION BY i.client_name, i.raw_domain, i.dns_ip, i.aip
                                          ORDER BY b.lo DESC) AS rn
                FROM innet i LEFT JOIN biz b ON i.ipl BETWEEN b.lo AND b.hi),
       bizj AS (SELECT * EXCLUDE (rn0, rt0, rp0, rn),

@@ -91,6 +91,45 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals the batch gap formulation on real data") {
+    // the boundary-independence claim, proven against data: the stateful
+    // streaming operator fed in arbitrary chunks must emit exactly the
+    // sessions the batch q45 lag/gap formulation computes
+    implicit val sqlCtx = spark.sqlContext
+    val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("user_id AS userId", "ts div 1000000000 AS tsSec")
+      .as[Event].collect().sortBy(e => (e.tsSec, e.userId)).toSeq
+    val expected = evs.groupBy(_.userId).flatMap { case (uid, es) =>
+      val ts = es.map(_.tsSec).sorted
+      val out = collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var start = ts.head; var end = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - end <= 1800) { end = t; n += 1 }
+        else { out += ((uid, start, end, n)); start = t; end = t; n = 1 }
+      }
+      out += ((uid, start, end, n)); out
+    }.toSet
+
+    val mem = MemoryStream[Event]
+    val out = Sessionize.sessions(
+      Sessionize.withEventTime(mem.toDS(), "0 seconds"), gapSec = 1800)
+    val name = s"sessions_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      evs.grouped(math.max(1, evs.size / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+      val maxTs = evs.map(_.tsSec).max
+      mem.addData(Event(-1L, maxTs + 10000)); q.processAllAvailable()
+      mem.addData(Event(-1L, maxTs + 20000)); q.processAllAvailable() // fire timers
+      val got = spark.table(name).as[SessionSummary].collect()
+        .filter(_.userId >= 0)
+        .map(s => (s.userId, s.startSec, s.endSec, s.events)).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("batch-boundary independence: same events, different batching") {
     val evs = Seq(Event(5, 10), Event(5, 40), Event(5, 300), Event(5, 320))
     val flush = Seq(Event(6, 50000), Event(6, 99999))
