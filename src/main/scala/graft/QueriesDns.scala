@@ -383,6 +383,108 @@ object QueriesDns {
             col("admin_code"))
       }),
 
+    // -- P2: garbage-domain filter, quirk verbatim (DnsRptCH.scala:879-887) --
+    // Eight synthesized domain classes: empty, bad-token hits, the DHCP
+    // contains+endsWith pair (dropped) vs contains-only (KEPT — the
+    // reference's exact quirk), and clean.
+    QueryDef("q65_garbage_filter", Some("""
+      WITH d AS (SELECT p_partkey,
+        CASE CAST(p_partkey % 8 AS INT)
+          WHEN 0 THEN ''
+          WHEN 1 THEN nm || 'HOST'
+          WHEN 2 THEN nm || 'DHCP'
+          WHEN 3 THEN 'DHCP' || nm
+          WHEN 4 THEN nm || '.localdomain'
+          WHEN 5 THEN 'master01' || nm
+          WHEN 6 THEN nm || ' x'
+          ELSE nm END AS domain
+        FROM (SELECT p_partkey, lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS nm
+              FROM part))
+      SELECT p_partkey, domain FROM d
+      WHERE length(domain) > 0
+        AND NOT contains(domain, 'master01') AND NOT contains(domain, '.localdomain')
+        AND NOT contains(domain, ' ') AND NOT contains(domain, 'HOST')
+        AND NOT contains(domain, 'Relteak') AND NOT contains(domain, 'getCached')
+        AND NOT contains(domain, 'BlinkAP')
+        AND NOT (contains(domain, 'DHCP') AND ends_with(domain, 'DHCP'))
+      ORDER BY p_partkey"""),
+      (s, dir) => {
+        val nm = lower(regexp_replace(col("p_name"), "[^a-zA-Z0-9]", ""))
+        val domain = element_at(array(
+          lit(""), concat(nm, lit("HOST")), concat(nm, lit("DHCP")),
+          concat(lit("DHCP"), nm), concat(nm, lit(".localdomain")),
+          concat(lit("master01"), nm), concat(nm, lit(" x")), nm),
+          (col("p_partkey") % 8 + 1).cast("int"))
+        T(s, dir, "part").select(col("p_partkey"), domain.as("domain"))
+          .filter(graft.dns.Ingest.garbageDomainFilter(col("domain")))
+          .orderBy(col("p_partkey"))
+      }),
+
+    // -- P1-P7 end to end: raw JSON lines → Ingest.clean, oracle mirrors the
+    // SEMANTICS directly (QR filter, garbage domain, window, null-rcode drop,
+    // first-A aip, last-answer responseType, error derivation). The Spark
+    // side does a real from_json round-trip; the JSON itself is synthesized
+    // deterministically from events.user_id on both engines.
+    QueryDef("q66_ingest_chain", Some("""
+      WITH d AS (SELECT user_id,
+          (['A','A','MX','AAAA'])[CAST(user_id % 4 + 1 AS INT)] AS request_type,
+          CAST(user_id % 4 AS INT) AS rcode,
+          'www.d' || CAST(user_id % 30 AS VARCHAR) || '.com' AS domain,
+          '218.0.0.' || CAST(user_id % 3 AS VARCHAR) AS dns_ip,
+          '10.0.0.' || CAST(user_id % 7 AS VARCHAR) AS client_ip,
+          CAST(1616631000000 + (user_id % 600) * 1000 AS BIGINT) AS ts_ms,
+          CAST(user_id % 5 AS INT) AS ac
+        FROM events
+        WHERE user_id % 13 <> 0
+          AND user_id % 11 <> 0
+          AND user_id % 17 <> 0
+          AND user_id % 600 < 300),
+      f AS (SELECT *,
+          CASE WHEN request_type = 'A' AND ac IN (1, 2, 4)
+               THEN CASE ac WHEN 1 THEN '1.2.3.4' WHEN 2 THEN '5.6.7.8' ELSE '8.8.4.4' END
+               ELSE '0.0.0.0' END AS aip,
+          CASE WHEN request_type = 'A' AND ac <> 0
+               THEN CASE ac WHEN 1 THEN 'A' WHEN 2 THEN 'CNAME' WHEN 3 THEN 'CNAME' ELSE 'A' END
+               ELSE 'other' END AS response_type
+        FROM d)
+      SELECT request_type, rcode AS response_code, domain, dns_ip, client_ip, ts_ms,
+             aip, response_type,
+             CAST(CASE WHEN rcode <> 0 OR ac = 0 OR aip = '0.0.0.0' THEN 1 ELSE 0 END AS BIGINT) AS error,
+             CAST(1 AS BIGINT) AS resolver, CAST(5 AS INT) AS client_name
+      FROM f
+      ORDER BY ts_ms, client_ip, domain, request_type, response_code, aip"""),
+      (s, dir) => {
+        val raw = T(s, dir, "events").select(expr("""to_json(named_struct(
+            'Type', element_at(array('A','A','MX','AAAA'), CAST(user_id % 4 + 1 AS INT)),
+            'ResponseCode', CASE WHEN user_id % 11 = 0 THEN CAST(NULL AS INT)
+                                 ELSE CAST(user_id % 4 AS INT) END,
+            'Domain', CASE WHEN user_id % 17 = 0 THEN 'host.localdomain'
+                           ELSE concat('www.d', CAST(user_id % 30 AS STRING), '.com') END,
+            'ServerIP', concat('218.0.0.', CAST(user_id % 3 AS STRING)),
+            'ClientIP', concat('10.0.0.', CAST(user_id % 7 AS STRING)),
+            'Timestamp', CAST(1616631000000 + (user_id % 600) * 1000 AS BIGINT),
+            'QR', user_id % 13 != 0,
+            'Answers', CASE CAST(user_id % 5 AS INT)
+              WHEN 0 THEN CAST(array() AS ARRAY<STRUCT<Type: STRING, Value: STRING>>)
+              WHEN 1 THEN array(named_struct('Type', 'CNAME', 'Value', 'c.example'),
+                                named_struct('Type', 'A', 'Value', '1.2.3.4'))
+              WHEN 2 THEN array(named_struct('Type', 'A', 'Value', '5.6.7.8'),
+                                named_struct('Type', 'A', 'Value', '9.9.9.9'),
+                                named_struct('Type', 'CNAME', 'Value', 'x'))
+              WHEN 3 THEN array(named_struct('Type', 'CNAME', 'Value', 'y'))
+              ELSE array(named_struct('Type', 'A', 'Value', '8.8.4.4'))
+            END)) AS value"""))
+        graft.dns.Ingest.clean(s, raw, 1616631000000L).toDF()
+          .select(col("requestType").as("request_type"),
+            col("responseCode").as("response_code"), col("domain"),
+            col("dnsIp").as("dns_ip"), col("clientIp").as("client_ip"),
+            unix_millis(col("ts")).as("ts_ms"), col("aip"),
+            col("responseType").as("response_type"),
+            col("error"), col("resolver"), col("clientName").as("client_name"))
+          .orderBy(col("ts_ms"), col("client_ip"), col("domain"),
+            col("request_type"), col("response_code"), col("aip"))
+      }),
+
     // -- J2 scale path: LAST match wins over OVERLAPPING intervals via the
     // flattened IntervalIndex (oracle: the windowed range-join formulation —
     // same result, different algorithm) ---------------------------------------

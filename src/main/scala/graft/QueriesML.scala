@@ -461,6 +461,34 @@ object QueriesML {
           .orderBy(col("media_id"))
       }),
 
+    // -- decontamination: candidate n-gram overlap vs a benchmark corpus -----
+    // Benchmark = docs with doc_id % 20 == 0; candidates = the rest. The
+    // benchmark's distinct 3-gram set is broadcast; candidates explode and
+    // probe it — the candidate side is never shuffled by the join.
+    QueryDef("q64_decontamination", Some(s"""
+      WITH b0 AS (SELECT ${dkToks("text")} AS toks FROM documents WHERE doc_id % 20 = 0),
+      bench AS (SELECT DISTINCT unnest(${dkShingles("toks", 3)}) AS sh FROM b0),
+      c0 AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents WHERE doc_id % 20 <> 0),
+      cand AS (SELECT doc_id, list_distinct(${dkShingles("toks", 3)}) AS shs FROM c0),
+      ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM cand),
+      j AS (SELECT e.doc_id, e.n_sh, CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM ex e LEFT JOIN bench b USING (sh)),
+      agg AS (SELECT doc_id, CAST(max(n_sh) AS BIGINT) AS n_sh, CAST(sum(hit) AS BIGINT) AS hits
+              FROM j GROUP BY doc_id)
+      SELECT c.doc_id, coalesce(a.n_sh, 0) AS n_sh, coalesce(a.hits, 0) AS hits,
+             ${dkQround("CAST(coalesce(a.hits, 0) AS DOUBLE) / greatest(coalesce(a.n_sh, 0), 1)", 6)} AS overlap,
+             (${dkQround("CAST(coalesce(a.hits, 0) AS DOUBLE) / greatest(coalesce(a.n_sh, 0), 1)", 6)} >= 0.1) AS contaminated
+      FROM cand c LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        graft.operators.Decontamination.overlapScores(
+            docs.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 20 === 0), col("text"),
+            shingleN = 3, threshold = 0.1)
+          .orderBy(col("doc_id"))
+      }),
+
     // -- composite: filter → quality gate → exact-dedup training pipeline ----
     QueryDef("q38_text_pipeline", Some {
       val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** Benchmark decontamination for training-data pipelines: score each
+  * candidate document by the fraction of its distinct word n-grams that
+  * appear in a benchmark/eval corpus, and flag overlap above a threshold.
+  *
+  * Scale shape: the benchmark side is small (eval suites are thousands of
+  * documents) — its distinct shingle set is BROADCAST; candidates explode to
+  * (doc, shingle) pairs that probe the broadcast hash relation, so the
+  * 100 TB candidate side is never shuffled by the join. The per-doc ratio is
+  * one hash aggregation on doc_id.
+  */
+object Decontamination {
+
+  /** Per-candidate overlap against the benchmark shingle set.
+    * Output: (doc_id, n_sh, hits, overlap q6, contaminated). */
+  def overlapScores(candidates: DataFrame, candId: Column, candText: Column,
+                    benchmark: DataFrame, benchText: Column,
+                    shingleN: Int, threshold: Double): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TF.word_shingles(benchText, shingleN)).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val cand = candidates
+      .select(candId.as("doc_id"),
+        array_distinct(TF.word_shingles(candText, shingleN)).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .withColumn("sh", explode_outer(col("shs"))) // keep shingle-less docs
+    cand.join(broadcast(benchShingles), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_sh")).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("overlap", graft.functions.Functions.qround(
+        col("hits").cast("double") / greatest(col("n_sh"), lit(1L)), 6))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+}
