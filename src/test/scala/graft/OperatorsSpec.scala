@@ -46,6 +46,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(run(RangeJoin.LastMatch) == Seq((1L, "b"), (2L, "c"), (3L, null)))
   }
 
+  test("enrichAuto (flattened index) agrees with the windowed RangeJoin on random rules") {
+    // the two J1/J2 implementations — full-fact window vs broadcast interval
+    // index — must never drift; seeded random overlapping rule sets
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      // distinct lo values: equal priorities would make the WINDOW variant's
+      // tie-break nondeterministic (not a semantics difference)
+      val los = rnd.shuffle((0 until 1000).toList).take(20)
+      val dim = los.zipWithIndex.map { case (lo, i) =>
+        (lo.toLong, lo.toLong + rnd.nextInt(300), s"tag${trial}_$i")
+      }.toDF("lo", "hi", "tag")
+      val fact = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(1600).toLong - 100))
+        .toDF("id", "pt")
+      def windowed(policy: RangeJoin.MatchPolicy) =
+        RangeJoin.pointInInterval(fact, dim, col("pt"), col("lo"), col("hi"),
+            policy, col("lo"), Seq(col("id")))
+          .select(col("id"), col("tag")).as[(Long, String)].collect().sortBy(_._1).toSeq
+      def indexed(lastWins: Boolean) =
+        graft.operators.IntervalIndex.enrichAuto(spark, fact, col("pt"), dim,
+            "lo", "hi", "lo", lastWins)
+          .select(col("id"), col("tag")).as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(windowed(RangeJoin.FirstMatch) == indexed(lastWins = false), s"first, trial $trial")
+      assert(windowed(RangeJoin.LastMatch) == indexed(lastWins = true), s"last, trial $trial")
+    }
+  }
+
   // ---- TopK ----------------------------------------------------------------
   test("TopK global and per-group") {
     val df = Seq(("a", 5L), ("a", 3L), ("a", 9L), ("b", 7L), ("b", 1L))
