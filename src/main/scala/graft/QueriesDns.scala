@@ -16,6 +16,83 @@ object QueriesDns {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic raw DNS JSON lines synthesized from events.user_id —
+    * shared by the ingest-chain (q66) and full-window (q67/q68) parity
+    * queries; the oracles mirror the generation arithmetic directly. */
+  private def rawDnsJson(events: DataFrame): DataFrame =
+    events.select(expr("""to_json(named_struct(
+        'Type', element_at(array('A','A','MX','AAAA'), CAST(user_id % 4 + 1 AS INT)),
+        'ResponseCode', CASE WHEN user_id % 11 = 0 THEN CAST(NULL AS INT)
+                             ELSE CAST(user_id % 4 AS INT) END,
+        'Domain', CASE WHEN user_id % 17 = 0 THEN 'host.localdomain'
+                       ELSE concat('www.d', CAST(user_id % 30 AS STRING), '.com') END,
+        'ServerIP', concat('218.0.0.', CAST(user_id % 3 AS STRING)),
+        'ClientIP', concat('10.0.0.', CAST(user_id % 7 AS STRING)),
+        'Timestamp', CAST(1616631000000 + (user_id % 600) * 1000 AS BIGINT),
+        'QR', user_id % 13 != 0,
+        'Answers', CASE CAST(user_id % 5 AS INT)
+          WHEN 0 THEN CAST(array() AS ARRAY<STRUCT<Type: STRING, Value: STRING>>)
+          WHEN 1 THEN array(named_struct('Type', 'CNAME', 'Value', 'c.example'),
+                            named_struct('Type', 'A', 'Value', '1.2.3.4'))
+          WHEN 2 THEN array(named_struct('Type', 'A', 'Value', '5.6.7.8'),
+                            named_struct('Type', 'A', 'Value', '9.9.9.9'),
+                            named_struct('Type', 'CNAME', 'Value', 'x'))
+          WHEN 3 THEN array(named_struct('Type', 'CNAME', 'Value', 'y'))
+          ELSE array(named_struct('Type', 'A', 'Value', '8.8.4.4'))
+        END)) AS value"""))
+
+  /** Dimension bundle for the q67/q68 full-window parity queries: client-IP
+    * rules over 10.0.0.{0-6} (types 1/2, default 5), inNet = {1.2.3.4 (biz),
+    * 5.6.7.8 (media)}, auth-domain attrs for every third dN.com. */
+  private def windowDims(s: SparkSession): graft.dns.BatchRunner.DimTables = {
+    import s.implicits._
+    val base = 167772160L // ip_to_long("10.0.0.0")
+    graft.dns.BatchRunner.DimTables(
+      clientRules = Seq((base, base + 2, 1), (base + 3, base + 4, 2))
+        .toDF("min_long_ip", "max_long_ip", "client_type_id"),
+      businessRules = Seq((16909060L, 16909060L))
+        .toDF("min_long_ip", "max_long_ip"), // 1.2.3.4
+      mediaRules = Seq((84281096L, 84281096L))
+        .toDF("min_long_ip", "max_long_ip"), // 5.6.7.8
+      authDomains = (0 until 30 by 3).map(n =>
+          (s"d$n.com", s"cn$n", "ct", s"wn$n", "wt", s"sf$n"))
+        .toDF("authorityDomain", "companyName", "companyType",
+          "websiteName", "websiteType", "soft"),
+      whitelist = Seq("www.d0.com").toDF("domain"),
+      users = Seq(("10.0.0.1", "u1")).toDF("clientIp", "userName"),
+      userInfo = Seq(("u1", "a", "p")).toDF("userName", "address", "phone"))
+  }
+
+  /** The q66/q67/q68 oracle's shared kept-row CTE (mirrors [[rawDnsJson]]
+    * through Ingest.clean's P1-P7 semantics). */
+  private val keptRowsSql: String = """
+      WITH d AS (SELECT user_id,
+          (['A','A','MX','AAAA'])[CAST(user_id % 4 + 1 AS INT)] AS request_type,
+          CAST(user_id % 4 AS INT) AS rcode,
+          'www.d' || CAST(user_id % 30 AS VARCHAR) || '.com' AS domain,
+          '218.0.0.' || CAST(user_id % 3 AS VARCHAR) AS dns_ip,
+          '10.0.0.' || CAST(user_id % 7 AS VARCHAR) AS client_ip,
+          CAST(1616631000000 + (user_id % 600) * 1000 AS BIGINT) AS ts_ms,
+          CAST(user_id % 5 AS INT) AS ac,
+          CAST(user_id % 7 AS INT) AS k
+        FROM events
+        WHERE user_id % 13 <> 0
+          AND user_id % 11 <> 0
+          AND user_id % 17 <> 0
+          AND user_id % 600 < 300),
+      f AS (SELECT *,
+          CASE WHEN request_type = 'A' AND ac IN (1, 2, 4)
+               THEN CASE ac WHEN 1 THEN '1.2.3.4' WHEN 2 THEN '5.6.7.8' ELSE '8.8.4.4' END
+               ELSE '0.0.0.0' END AS aip,
+          CASE WHEN request_type = 'A' AND ac <> 0
+               THEN CASE ac WHEN 1 THEN 'A' WHEN 2 THEN 'CNAME' WHEN 3 THEN 'CNAME' ELSE 'A' END
+               ELSE 'other' END AS response_type
+        FROM d),
+      kept AS (SELECT *,
+          CAST(CASE WHEN rcode <> 0 OR ac = 0 OR aip = '0.0.0.0' THEN 1 ELSE 0 END AS BIGINT) AS error,
+          CASE WHEN k <= 2 THEN 1 WHEN k IN (3, 4) THEN 2 ELSE 5 END AS client_name
+        FROM f)"""
+
   val all: Vector[QueryDef] = Vector(
 
     // -- A6: multi-dim trend aggregate with HAVING ---------------------------
@@ -425,56 +502,14 @@ object QueriesDns {
     // first-A aip, last-answer responseType, error derivation). The Spark
     // side does a real from_json round-trip; the JSON itself is synthesized
     // deterministically from events.user_id on both engines.
-    QueryDef("q66_ingest_chain", Some("""
-      WITH d AS (SELECT user_id,
-          (['A','A','MX','AAAA'])[CAST(user_id % 4 + 1 AS INT)] AS request_type,
-          CAST(user_id % 4 AS INT) AS rcode,
-          'www.d' || CAST(user_id % 30 AS VARCHAR) || '.com' AS domain,
-          '218.0.0.' || CAST(user_id % 3 AS VARCHAR) AS dns_ip,
-          '10.0.0.' || CAST(user_id % 7 AS VARCHAR) AS client_ip,
-          CAST(1616631000000 + (user_id % 600) * 1000 AS BIGINT) AS ts_ms,
-          CAST(user_id % 5 AS INT) AS ac
-        FROM events
-        WHERE user_id % 13 <> 0
-          AND user_id % 11 <> 0
-          AND user_id % 17 <> 0
-          AND user_id % 600 < 300),
-      f AS (SELECT *,
-          CASE WHEN request_type = 'A' AND ac IN (1, 2, 4)
-               THEN CASE ac WHEN 1 THEN '1.2.3.4' WHEN 2 THEN '5.6.7.8' ELSE '8.8.4.4' END
-               ELSE '0.0.0.0' END AS aip,
-          CASE WHEN request_type = 'A' AND ac <> 0
-               THEN CASE ac WHEN 1 THEN 'A' WHEN 2 THEN 'CNAME' WHEN 3 THEN 'CNAME' ELSE 'A' END
-               ELSE 'other' END AS response_type
-        FROM d)
+    QueryDef("q66_ingest_chain", Some(s"""$keptRowsSql
       SELECT request_type, rcode AS response_code, domain, dns_ip, client_ip, ts_ms,
-             aip, response_type,
-             CAST(CASE WHEN rcode <> 0 OR ac = 0 OR aip = '0.0.0.0' THEN 1 ELSE 0 END AS BIGINT) AS error,
+             aip, response_type, error,
              CAST(1 AS BIGINT) AS resolver, CAST(5 AS INT) AS client_name
-      FROM f
+      FROM kept
       ORDER BY ts_ms, client_ip, domain, request_type, response_code, aip"""),
       (s, dir) => {
-        val raw = T(s, dir, "events").select(expr("""to_json(named_struct(
-            'Type', element_at(array('A','A','MX','AAAA'), CAST(user_id % 4 + 1 AS INT)),
-            'ResponseCode', CASE WHEN user_id % 11 = 0 THEN CAST(NULL AS INT)
-                                 ELSE CAST(user_id % 4 AS INT) END,
-            'Domain', CASE WHEN user_id % 17 = 0 THEN 'host.localdomain'
-                           ELSE concat('www.d', CAST(user_id % 30 AS STRING), '.com') END,
-            'ServerIP', concat('218.0.0.', CAST(user_id % 3 AS STRING)),
-            'ClientIP', concat('10.0.0.', CAST(user_id % 7 AS STRING)),
-            'Timestamp', CAST(1616631000000 + (user_id % 600) * 1000 AS BIGINT),
-            'QR', user_id % 13 != 0,
-            'Answers', CASE CAST(user_id % 5 AS INT)
-              WHEN 0 THEN CAST(array() AS ARRAY<STRUCT<Type: STRING, Value: STRING>>)
-              WHEN 1 THEN array(named_struct('Type', 'CNAME', 'Value', 'c.example'),
-                                named_struct('Type', 'A', 'Value', '1.2.3.4'))
-              WHEN 2 THEN array(named_struct('Type', 'A', 'Value', '5.6.7.8'),
-                                named_struct('Type', 'A', 'Value', '9.9.9.9'),
-                                named_struct('Type', 'CNAME', 'Value', 'x'))
-              WHEN 3 THEN array(named_struct('Type', 'CNAME', 'Value', 'y'))
-              ELSE array(named_struct('Type', 'A', 'Value', '8.8.4.4'))
-            END)) AS value"""))
-        graft.dns.Ingest.clean(s, raw, 1616631000000L).toDF()
+        graft.dns.Ingest.clean(s, rawDnsJson(T(s, dir, "events")), 1616631000000L).toDF()
           .select(col("requestType").as("request_type"),
             col("responseCode").as("response_code"), col("domain"),
             col("dnsIp").as("dns_ip"), col("clientIp").as("client_ip"),
@@ -483,6 +518,71 @@ object QueriesDns {
             col("error"), col("resolver"), col("clientName").as("client_name"))
           .orderBy(col("ts_ms"), col("client_ip"), col("domain"),
             col("request_type"), col("response_code"), col("aip"))
+      }),
+
+    // -- Full-window parity 1/2: BatchRunner.run end to end → the `clear`
+    // (QPS) sink table, raw JSON lines + client-IP rule dim in, all-clients
+    // row (client_name=0) plus per-client rows out (DnsRptCH.scala:981-1161).
+    QueryDef("q67_batch_window_clear", Some(s"""$keptRowsSql,
+      g AS (SELECT client_name, count(*) AS sample_num,
+                   CAST(sum(error) AS BIGINT) AS error_num
+            FROM kept GROUP BY 1)
+      SELECT CAST(0 AS INT) AS client_name, count(*) AS sample_num,
+             CAST(sum(error) AS BIGINT) AS error_num,
+             CAST(floor(count(*) / 300) AS BIGINT) AS avg_num,
+             CAST(1616631000000 AS BIGINT) AS accesstime_ms
+      FROM kept
+      UNION ALL
+      SELECT CAST(client_name AS INT), sample_num, error_num,
+             CAST(floor(sample_num / 300) AS BIGINT) AS avg_num,
+             CAST(1616631000000 AS BIGINT) AS accesstime_ms
+      FROM g
+      ORDER BY client_name"""),
+      (s, dir) => {
+        val rs = graft.dns.BatchRunner.run(s, rawDnsJson(T(s, dir, "events")),
+          windowDims(s), 1616631000000L)
+        rs.clear.select(col("clientName").cast("int").as("client_name"),
+            col("sampleNum").as("sample_num"), col("errorNum").as("error_num"),
+            col("avgNum").as("avg_num"),
+            unix_millis(col("accesstime")).as("accesstime_ms"))
+          .orderBy(col("client_name"))
+      }),
+
+    // -- Full-window parity 2/2: the `trend` sink table (A6 8-dim aggregate
+    // with auth-domain company attrs, inNet membership and HAVING) ----------
+    QueryDef("q68_batch_window_trend", Some(s"""$keptRowsSql,
+      au AS (SELECT *, CASE WHEN length(regexp_extract(domain, '${F.authorityDomainRegex}', 1)) > 0
+                            THEN regexp_extract(domain, '${F.authorityDomainRegex}', 1)
+                            ELSE domain END AS authority_domain FROM kept),
+      auth AS (SELECT 'd' || CAST(n*3 AS VARCHAR) || '.com' AS authority_domain,
+                      'cn' || CAST(n*3 AS VARCHAR) AS company_name, 'ct' AS company_type,
+                      'wn' || CAST(n*3 AS VARCHAR) AS website_name, 'wt' AS website_type,
+                      'sf' || CAST(n*3 AS VARCHAR) AS soft
+               FROM range(0, 10) t(n)),
+      e AS (SELECT k.client_name, k.domain, k.aip, k.authority_domain, k.error,
+                   coalesce(a.company_name, '未知') AS company_name,
+                   coalesce(a.soft, '未知') AS soft,
+                   coalesce(a.website_name, '未知') AS website_name,
+                   coalesce(a.website_type, '未知') AS website_type,
+                   CASE WHEN k.aip IN ('1.2.3.4', '5.6.7.8') THEN 1 ELSE 0 END AS in_net
+            FROM au k LEFT JOIN auth a USING (authority_domain))
+      SELECT CAST(client_name AS INT) AS client_name, domain, aip, company_name,
+             authority_domain, soft, website_name, website_type,
+             CAST(count(*) AS BIGINT) AS resolver,
+             CAST(sum(in_net) AS BIGINT) AS in_net,
+             CAST(sum(error) AS BIGINT) AS error
+      FROM e
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 HAVING count(*) > 10
+      ORDER BY client_name, domain, aip"""),
+      (s, dir) => {
+        val rs = graft.dns.BatchRunner.run(s, rawDnsJson(T(s, dir, "events")),
+          windowDims(s), 1616631000000L, trendThreshold = 10L)
+        rs.trend.select(col("clientName").cast("int").as("client_name"),
+            col("domain"), col("aip"), col("companyName").as("company_name"),
+            col("authorityDomain").as("authority_domain"), col("soft"),
+            col("websiteName").as("website_name"), col("websiteType").as("website_type"),
+            col("resolver"), col("inNet").as("in_net"), col("error"))
+          .orderBy(col("client_name"), col("domain"), col("aip"))
       }),
 
     // -- J2 scale path: LAST match wins over OVERLAPPING intervals via the
