@@ -585,6 +585,79 @@ object QueriesDns {
           .orderBy(col("client_name"), col("domain"), col("aip"))
       }),
 
+    // -- Full-window parity 3/5: the `ratios` sink table (request-type and
+    // response-code ratio union with the kind tag, all + per-client) --------
+    QueryDef("q69_batch_window_ratios", Some(s"""$keptRowsSql,
+      r1 AS (SELECT CAST(0 AS INT) AS client_name, request_type, count(*) AS sample_num
+             FROM kept GROUP BY 2
+             UNION ALL
+             SELECT CAST(client_name AS INT), request_type, count(*) FROM kept GROUP BY 1, 2),
+      r2 AS (SELECT CAST(0 AS INT) AS client_name, CAST(rcode AS VARCHAR) AS request_type,
+                    count(*) AS sample_num
+             FROM kept GROUP BY 2
+             UNION ALL
+             SELECT CAST(client_name AS INT), CAST(rcode AS VARCHAR), count(*) FROM kept GROUP BY 1, 2)
+      SELECT client_name, request_type, sample_num, 'request' AS kind,
+             CAST(1616631000000 AS BIGINT) AS accesstime_ms FROM r1
+      UNION ALL
+      SELECT client_name, request_type, sample_num, 'code' AS kind,
+             CAST(1616631000000 AS BIGINT) AS accesstime_ms FROM r2
+      ORDER BY kind, client_name, request_type"""),
+      (s, dir) => {
+        val rs = graft.dns.BatchRunner.run(s, rawDnsJson(T(s, dir, "events")),
+          windowDims(s), 1616631000000L)
+        rs.ratios.select(col("clientName").cast("int").as("client_name"),
+            col("requestType").as("request_type"), col("sampleNum").as("sample_num"),
+            col("kind"), unix_millis(col("accesstime")).as("accesstime_ms"))
+          .orderBy(col("kind"), col("client_name"), col("request_type"))
+      }),
+
+    // -- Full-window parity 4/5: the `per_code_top` sink table (per-response-
+    // code ranked domains, all + per-client; K exceeds group sizes so the
+    // rank column itself is verified) ---------------------------------------
+    QueryDef("q70_batch_window_percode", Some(s"""$keptRowsSql,
+      c AS (SELECT CAST(0 AS INT) AS client_name, rcode, domain, count(*) AS cnt
+            FROM kept GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(client_name AS INT), rcode, domain, count(*) FROM kept GROUP BY 1, 2, 3),
+      r AS (SELECT *, row_number() OVER (PARTITION BY client_name, rcode
+                      ORDER BY cnt DESC, domain) AS rn FROM c)
+      SELECT client_name, CAST(rcode AS INT) AS response_code, domain, cnt,
+             CAST(rn AS BIGINT) AS rn
+      FROM r ORDER BY client_name, response_code, rn"""),
+      (s, dir) => {
+        val rs = graft.dns.BatchRunner.run(s, rawDnsJson(T(s, dir, "events")),
+          windowDims(s), 1616631000000L)
+        rs.perCodeTop.select(col("clientName").cast("int").as("client_name"),
+            col("responseCode").as("response_code"), col("domain"), col("cnt"),
+            col("rn").cast("long").as("rn"))
+          .orderBy(col("client_name"), col("response_code"), col("rn"))
+      }),
+
+    // -- Full-window parity 5/5: the `top_user` sink table (J6 inner user
+    // join -> per-user 4-dim agg -> two-stage top-K) ------------------------
+    QueryDef("q71_batch_window_topusers", Some(s"""$keptRowsSql,
+      u AS (SELECT client_name, client_ip, domain, aip,
+                   count(*) AS resolver, CAST(sum(error) AS BIGINT) AS error
+            FROM kept WHERE client_ip = '10.0.0.1'
+            GROUP BY 1, 2, 3, 4
+            HAVING client_name = 1 AND count(*) > 3),
+      s1 AS (SELECT * FROM u ORDER BY resolver DESC, client_ip, domain, aip LIMIT 50)
+      SELECT CAST(client_name AS INT) AS client_name, client_ip, domain, aip,
+             resolver, error
+      FROM s1 ORDER BY error DESC, client_ip, domain, aip LIMIT 20"""),
+      (s, dir) => {
+        val rs = graft.dns.BatchRunner.run(s, rawDnsJson(T(s, dir, "events")),
+          windowDims(s), 1616631000000L)
+        graft.dns.Reports.topUsers(
+            graft.dns.Dims.enrichUser(rs.facts, windowDims(s).users,
+              windowDims(s).userInfo),
+            k1 = 50, k2 = 20, minResolver = 3)
+          .select(col("clientName").cast("int").as("client_name"),
+            col("clientIp").as("client_ip"), col("domain"), col("aip"),
+            col("resolver"), col("error"))
+      }),
+
     // -- J2 scale path: LAST match wins over OVERLAPPING intervals via the
     // flattened IntervalIndex (oracle: the windowed range-join formulation —
     // same result, different algorithm) ---------------------------------------

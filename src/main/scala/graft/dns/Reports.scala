@@ -157,8 +157,9 @@ object Reports {
 
   /** T2: top users — resolver-desc top `k1`, then error-desc top `k2`.
     * DnsRptCH.scala:371-397. */
-  def topUsers(df: DataFrame, k1: Int = 20000, k2: Int = 2000): DataFrame = {
-    val stage1 = TopK.global(userAgg(df), k1,
+  def topUsers(df: DataFrame, k1: Int = 20000, k2: Int = 2000,
+               minResolver: Long = 50): DataFrame = {
+    val stage1 = TopK.global(userAgg(df, minResolver), k1,
       col("resolver").desc, col("clientIp").asc, col("domain").asc, col("aip").asc)
     TopK.global(stage1, k2,
       col("error").desc, col("clientIp").asc, col("domain").asc, col("aip").asc)
