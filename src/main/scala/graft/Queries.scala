@@ -447,12 +447,14 @@ object Queries {
   /** Headline queries timed by [[Bench]] — one per operator family: scan+agg,
     * range join, equi join, global and per-group top-K, scalar kernels,
     * MinHash LSH dedup, blocked embedding near-dup, ANN, grouping sets,
-    * sessionization windows. */
+    * sessionization windows, plus the full per-window pipeline (parse →
+    * clean → enrich → 8-dim trend) end to end. */
   val benchNames: Seq[String] = Seq(
     "q01_pricing_summary", "q06_range_join_first", "q09_equi_join_default",
     "q12_topk_boost", "q14_pergroup_topk", "q18_hash_functions",
     "q30_minhash_candidates", "q34_embedding_neardup", "q35_ann_bruteforce",
-    "q54_ann_ivf", "q46_grouping_sets", "q45_sessionize")
+    "q54_ann_ivf", "q46_grouping_sets", "q45_sessionize",
+    "q68_batch_window_trend")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }
