@@ -53,9 +53,12 @@ object GraftExtensions {
     "graft_cosine_q6" -> ((a: Seq[Expression]) => KernelExprs.CosineQ6(a(0), a(1))),
     "graft_srp_bucket" -> ((a: Seq[Expression]) =>
       KernelExprs.SrpBucket(a(0), intArg(a(1), "planes"))),
-    // aggregate: the analyzer wraps a bare AggregateFunction automatically
+    // aggregates: the analyzer wraps a bare AggregateFunction automatically
     "graft_vec_mean" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.VecMeanAgg(a.head)),
+    "graft_cms_sketch" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.CmsAgg(a(0),
+        intArg(a(1), "depth"), intArg(a(2), "width"))),
     // column compositions
     "graft_ip_to_long" -> c1(F.ip_to_long) _,
     "graft_long_to_ip" -> c1(F.long_to_ip) _,

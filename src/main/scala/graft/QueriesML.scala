@@ -489,6 +489,44 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- sketch: Count-Min heavy-hitter estimates (native CmsAgg) ------------
+    // The sketch is deterministic (hash60 family), so DuckDB reproduces every
+    // cell and estimate exactly; the CMS guarantee est >= exact is asserted
+    // as a verified output column.
+    QueryDef("q72_cms_heavy_hitters", Some {
+      val w = 32; val d = 4
+      s"""
+      WITH keys AS (SELECT event_type, count(*) AS exact FROM events GROUP BY 1),
+      cells AS (SELECT j, ${dkHash60("event_type || '#' || CAST(j AS VARCHAR)")} % $w AS b,
+                       count(*) AS c
+                FROM events, range(0, $d) t(j) GROUP BY 1, 2),
+      kb AS (SELECT event_type, exact, j,
+                    ${dkHash60("event_type || '#' || CAST(j AS VARCHAR)")} % $w AS b
+             FROM keys, range(0, $d) t(j)),
+      e AS (SELECT kb.event_type, kb.exact, min(coalesce(c.c, 0)) AS est
+            FROM kb LEFT JOIN cells c USING (j, b) GROUP BY 1, 2)
+      SELECT event_type, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+             CAST(est - exact AS BIGINT) AS overcount, (est >= exact) AS sound
+      FROM e ORDER BY event_type"""
+    },
+      (s, dir) => {
+        val w = 32; val d = 4
+        val ev = T(s, dir, "events")
+        val sketch = ev.agg(
+          graft.functions.KernelAggs.cms_sketch(col("event_type"), d, w).as("sk"))
+        val keys = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact"))
+        val est = (0 until d).map { j =>
+          element_at(col("sk"),
+            (lit(j * w) + F.hash60(concat(col("event_type"), lit(s"#$j"))) % w + 1)
+              .cast("int"))
+        }.reduce(least(_, _))
+        keys.crossJoin(broadcast(sketch))
+          .select(col("event_type"), col("exact"), est.as("est"))
+          .withColumn("overcount", col("est") - col("exact"))
+          .withColumn("sound", col("est") >= col("exact"))
+          .orderBy(col("event_type"))
+      }),
+
     // -- composite: filter → quality gate → exact-dedup training pipeline ----
     QueryDef("q38_text_pipeline", Some {
       val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

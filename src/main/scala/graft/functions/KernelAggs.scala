@@ -111,4 +111,83 @@ object KernelAggs {
   /** Column wrapper: element-wise mean of an array<long> column. */
   def vec_mean(c: Column): Column =
     ColumnBridge.column(VecMeanAgg(ColumnBridge.expression(c)).toAggregateExpression())
+
+  // ---------------------------------------------------------------------------
+
+  /** Count-Min Sketch buffer: `depth × width` long counters, flattened. */
+  final class CmsBuf(val cells: Array[Long]) {
+    def add(key: String, depth: Int, width: Int): Unit = {
+      var j = 0
+      while (j < depth) {
+        val b = (Kernels.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(key + "#" + j)) % width).toInt
+        cells(j * width + b) += 1L
+        j += 1
+      }
+    }
+    def merge(o: CmsBuf): Unit = {
+      var i = 0
+      while (i < cells.length) { cells(i) += o.cells(i); i += 1 }
+    }
+  }
+
+  /** Count-Min Sketch over a string column (SURVEY §2.11 extension surface —
+    * the approximate-heavy-hitters sketch for 100 TB cardinalities where an
+    * exact per-key count is too wide to hold).
+    *
+    * Hash family = [[Kernels.hash60]] of `key || '#' || row` — the same
+    * construction as the MinHash family, so a SQL oracle reproduces every
+    * cell and every estimate exactly (the SKETCH is deterministic; only its
+    * error vs the true count is probabilistic). Counters are exact longs:
+    * merge order cannot change the result. Estimate of a key = min over
+    * rows of its cells; always an overcount, never an undercount. */
+  case class CmsAgg(
+      child: Expression, depth: Int, width: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmsBuf] with UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): CmsBuf = new CmsBuf(new Array[Long](depth * width))
+
+    override def update(b: CmsBuf, input: InternalRow): CmsBuf = {
+      val v = child.eval(input)
+      if (v != null) b.add(v.toString, depth, width)
+      b
+    }
+
+    override def merge(b: CmsBuf, o: CmsBuf): CmsBuf = { b.merge(o); b }
+
+    override def eval(b: CmsBuf): Any = new GenericArrayData(b.cells)
+
+    override def serialize(b: CmsBuf): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * b.cells.length)
+      var i = 0
+      while (i < b.cells.length) { bb.putLong(b.cells(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): CmsBuf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val cells = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < cells.length) { cells(i) = bb.getLong(); i += 1 }
+      new CmsBuf(cells)
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): CmsAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): CmsAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): CmsAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_cms_sketch"
+  }
+
+  /** Column wrapper: CMS of a string column as a flat depth×width long array. */
+  def cms_sketch(c: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CmsAgg(ColumnBridge.expression(c), depth, width).toAggregateExpression())
 }

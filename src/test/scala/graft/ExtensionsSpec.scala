@@ -28,6 +28,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("aggregate functions resolve in SQL (vec_mean, cms_sketch)") {
+    GraftExtensions.register(spark)
+    Seq(Seq(1L, 3L), Seq(3L, 5L)).toDF("v").createOrReplaceTempView("ext_vecs")
+    assert(spark.sql("SELECT graft_vec_mean(v) FROM ext_vecs")
+      .head().getSeq[Double](0) == Seq(2.0, 4.0))
+    Seq("a", "a", "b").toDF("k").createOrReplaceTempView("ext_keys")
+    val cells = spark.sql("SELECT graft_cms_sketch(k, 2, 8) FROM ext_keys")
+      .head().getSeq[Long](0)
+    assert(cells.length == 16 && cells.sum == 3L * 2)
+  }
+
   test("extensions class applies cleanly and its builders resolve") {
     // Applying to a fresh SparkSessionExtensions must not throw (the
     // spark.sql.extensions=graft.GraftExtensions path at session build).

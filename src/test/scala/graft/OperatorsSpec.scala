@@ -72,6 +72,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cms_sketch: estimates never undercount and are partitioning-invariant") {
+    import graft.functions.{Functions => F, KernelAggs}
+    val keys = (0 until 500).map(i => s"k${i % 37}")
+    def sketchOf(parts: Int): Seq[Long] = {
+      val df = keys.toDF("k").repartition(parts)
+      df.agg(KernelAggs.cms_sketch(col("k"), 4, 16).as("sk"))
+        .head().getSeq[Long](0)
+    }
+    // exact long counters: merge order / partitioning cannot change the sketch
+    assert(sketchOf(1) == sketchOf(7))
+    val sk = sketchOf(3)
+    assert(sk.sum == 500L * 4) // every row increments one cell per hash row
+    // CMS soundness: estimate >= exact for every key
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, cnt) =>
+      val est = (0 until 4).map { j =>
+        val b = (graft.functions.Kernels.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k + "#" + j)) % 16).toInt
+        sk(j * 16 + b)
+      }.min
+      assert(est >= cnt, s"undercount for $k: $est < $cnt")
+    }
+  }
+
   // ---- TopK ----------------------------------------------------------------
   test("TopK global and per-group") {
     val df = Seq(("a", 5L), ("a", 3L), ("a", 9L), ("b", 7L), ("b", 1L))
