@@ -59,6 +59,8 @@ object GraftExtensions {
     "graft_cms_sketch" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.CmsAgg(a(0),
         intArg(a(1), "depth"), intArg(a(2), "width"))),
+    "graft_hll_registers" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.HllAgg(a(0), intArg(a(1), "m"))),
     // column compositions
     "graft_ip_to_long" -> c1(F.ip_to_long) _,
     "graft_long_to_ip" -> c1(F.long_to_ip) _,

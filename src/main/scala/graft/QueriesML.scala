@@ -527,6 +527,50 @@ object QueriesML {
           .orderBy(col("event_type"))
       }),
 
+    // -- sketch: HyperLogLog approximate-distinct registers (native HllAgg) --
+    // Registers are deterministic (hash60 + trailing-zero rank) so the oracle
+    // reproduces them bit-for-bit; the raw harmonic estimate uses only exact
+    // powers of two folded in index order → IEEE-identical across engines.
+    QueryDef("q73_hll_distinct", Some {
+      val m = 16
+      s"""
+      WITH h AS (SELECT event_type, ${dkHash60("CAST(user_id AS VARCHAR)")} AS hh FROM events),
+      b AS (SELECT event_type, hh % $m AS bucket, hh // $m AS w FROM h),
+      r AS (SELECT event_type, bucket,
+              max(CASE WHEN w = 0 THEN 57 ELSE bit_count((w & -w) - 1) + 1 END) AS rank
+            FROM b GROUP BY 1, 2),
+      grid AS (SELECT k.event_type, g.bucket
+               FROM (SELECT DISTINCT event_type FROM events) k,
+                    (SELECT unnest(range(0, $m)) AS bucket) g),
+      filled AS (SELECT g.event_type, g.bucket, CAST(coalesce(r.rank, 0) AS BIGINT) AS rank
+                 FROM grid g LEFT JOIN r USING (event_type, bucket)),
+      regs AS (SELECT event_type, list(rank ORDER BY bucket) AS regs
+               FROM filled GROUP BY 1),
+      est AS (SELECT event_type, array_to_string(regs, '|') AS reg_str,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(regs, x -> power(2.0, -x))), (a, b) -> a + b) AS inv_sum
+              FROM regs),
+      ex AS (SELECT event_type, count(DISTINCT user_id) AS exact FROM events GROUP BY 1)
+      SELECT e.event_type, e.reg_str,
+             ${dkQround(s"0.673 * $m * $m / e.inv_sum", 6)} AS est_raw,
+             CAST(x.exact AS BIGINT) AS exact
+      FROM est e JOIN ex x USING (event_type) ORDER BY event_type"""
+    },
+      (s, dir) => {
+        val m = 16
+        T(s, dir, "events").groupBy(col("event_type"))
+          .agg(graft.functions.KernelAggs
+              .hll_registers(col("user_id").cast("string"), m).as("regs"),
+            countDistinct(col("user_id")).as("exact"))
+          .withColumn("reg_str", concat_ws("|", transform(col("regs"), _.cast("string"))))
+          .withColumn("inv_sum",
+            expr("aggregate(regs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + power(2.0, -x))"))
+          .select(col("event_type"), col("reg_str"),
+            F.qround(lit(0.673 * m * m) / col("inv_sum"), 6).as("est_raw"),
+            col("exact"))
+          .orderBy(col("event_type"))
+      }),
+
     // -- composite: filter → quality gate → exact-dedup training pipeline ----
     QueryDef("q38_text_pipeline", Some {
       val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -190,4 +190,74 @@ object KernelAggs {
   def cms_sketch(c: Column, depth: Int, width: Int): Column =
     ColumnBridge.column(
       CmsAgg(ColumnBridge.expression(c), depth, width).toAggregateExpression())
+
+  // ---------------------------------------------------------------------------
+
+  /** HyperLogLog register vector over a string column: bucket = hash60 low
+    * bits, rank = trailing-zero run of the remaining 56 bits + 1 (capped 57
+    * when they are all zero), register = max rank. Deterministic (hash60) and
+    * merge = element-wise max, so partitioning cannot change the registers
+    * and a SQL oracle reproduces them bit-for-bit; the caller derives the
+    * harmonic estimate (see q73). The 100 TB shape: a fixed 8·m-byte state
+    * per group replaces a count-distinct shuffle of the raw keys. */
+  case class HllAgg(
+      child: Expression, m: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
+
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = Kernels.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
+        val bucket = (h % m).toInt
+        val w = h / m
+        val rank = if (w == 0L) 57L else java.lang.Long.numberOfTrailingZeros(w) + 1L
+        if (rank > b(bucket)) b(bucket) = rank
+      }
+      b
+    }
+
+    override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < m) { if (o(i) > b(i)) b(i) = o(i); i += 1 }
+      b
+    }
+
+    override def eval(b: Array[Long]): Any = new GenericArrayData(b)
+
+    override def serialize(b: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * m)
+      var i = 0
+      while (i < m) { bb.putLong(b(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val out = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): HllAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): HllAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): HllAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_hll_registers"
+  }
+
+  /** Column wrapper: HLL registers (array<long> of length m) per group. */
+  def hll_registers(c: Column, m: Int): Column =
+    ColumnBridge.column(HllAgg(ColumnBridge.expression(c), m).toAggregateExpression())
 }

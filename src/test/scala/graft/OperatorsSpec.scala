@@ -96,6 +96,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hll_registers: partitioning-invariant, estimate within HLL error of exact") {
+    import graft.functions.KernelAggs
+    val keys = (0 until 2000).map(i => s"user${i % 700}")
+    def regsOf(parts: Int): Seq[Long] = keys.toDF("k").repartition(parts)
+      .agg(KernelAggs.hll_registers(col("k"), 64).as("r")).head().getSeq[Long](0)
+    assert(regsOf(1) == regsOf(13)) // merge = element-wise max, order-free
+    val regs = regsOf(4)
+    // raw harmonic estimate with alpha_64 ≈ 0.709: within ~3σ of 1.04/√64
+    val invSum = regs.map(r => math.pow(2.0, -r)).sum
+    val est = 0.709 * 64 * 64 / invSum
+    assert(math.abs(est - 700.0) / 700.0 < 0.4, s"est=$est")
+  }
+
   // ---- TopK ----------------------------------------------------------------
   test("TopK global and per-group") {
     val df = Seq(("a", 5L), ("a", 3L), ("a", 9L), ("b", 7L), ("b", 1L))
