@@ -115,9 +115,18 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val shuffles = executed.collect { case s: ShuffleExchangeExec => s }
+    // match materialized AQE stages too — a ShuffleQueryStageExec is a LEAF
+    // wrapper, so collecting only ShuffleExchangeExec would be vacuous
+    val shuffles = executed.collect {
+      case s: ShuffleExchangeExec => s
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+    }
     assert(shuffles.isEmpty,
       s"enrichment stage must be shuffle-free, found: $shuffles")
+    // BroadcastExchange is expected (dims broadcast); SHUFFLE exchanges not
+    assert(!executed.toString.contains("ShuffleExchange")
+      && !executed.toString.contains("ShuffleQueryStage"),
+      s"no shuffle exchange may appear anywhere in:\n$executed")
     // and the semantics still hold
     val byDomain = enriched.select("domain", "clientName")
       .as[(String, Int)].collect().toMap

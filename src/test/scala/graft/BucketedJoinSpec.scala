@@ -31,8 +31,14 @@ class BucketedJoinSpec extends AnyFunSuite with SparkSpec {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
-      val shuffles = executed.collect { case s: ShuffleExchangeExec => s }
-      assert(shuffles.isEmpty,
+      // include materialized AQE stages: ShuffleQueryStageExec is a leaf
+      // wrapper, so matching only ShuffleExchangeExec can assert nothing
+      val shuffles = executed.collect {
+        case s: ShuffleExchangeExec => s
+        case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+      }
+      assert(shuffles.isEmpty && !executed.toString.contains("ShuffleExchange")
+          && !executed.toString.contains("ShuffleQueryStage"),
         s"expected bucket-co-located join without exchanges, got:\n$executed")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)

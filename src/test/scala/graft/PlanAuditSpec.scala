@@ -28,6 +28,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
   private def planString(df: DataFrame): String = finalPlan(df).toString
 
+  /** Every shuffle in the finalized plan — including materialized AQE stages
+    * (ShuffleQueryStageExec is a LEAF wrapper; collecting only
+    * ShuffleExchangeExec under AQE would assert nothing). */
+  private def shuffleNodes(plan: SparkPlan): Seq[SparkPlan] = plan.collect {
+    case s: ShuffleExchangeExec => s
+    case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+  }
+
   test("q02: predicate pushdown and column pruning reach the parquet scan") {
     val p = planString(Queries.byName("q02_scan_pushdown").fn(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)]")
@@ -50,16 +58,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("dimension equi-join broadcasts: no shuffle on the fact side") {
-    val df = Queries.byName("q09_equi_join_default").fn(spark, sf)
-    val plan = finalPlan(df)
+    // the q09 join WITHOUT its presentation orderBy: the join itself must
+    // plan as a broadcast hash join with ZERO shuffles of any kind
+    import org.apache.spark.sql.functions._
+    val dim = spark.read.parquet(s"$sf/part.parquet").filter(col("p_size") >= 26)
+      .select(col("p_partkey"), col("p_brand"))
+    val joined = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"), "left")
+      .select(col("l_orderkey"), coalesce(col("p_brand"), lit("unk")).as("brand"))
+    val plan = finalPlan(joined)
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
-    // the only exchanges allowed are for the final orderBy, not the join
-    val shufflesBeforeJoin = plan.collect {
-      case s: ShuffleExchangeExec
-        if s.find(_.toString.contains("BroadcastHashJoin")).isDefined => s
-    }
-    assert(shufflesBeforeJoin.isEmpty,
-      s"join input must not be shuffled: $shufflesBeforeJoin")
+    assert(shuffleNodes(plan).isEmpty, s"join must not shuffle:\n$plan")
   }
 
   test("LSH candidate self-join is an equi-join on the band key, never cartesian") {
@@ -67,12 +76,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("interval-index enrichment (q06) adds no exchange beyond the final sort") {
-    val df = Queries.byName("q06_range_join_first").fn(spark, sf)
-    val plan = finalPlan(df)
-    // exactly the orderBy's range-partitioning exchange; the enrichment
-    // itself (index probe + broadcast attr join) must be shuffle-free
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.size <= 1, s"expected at most the sort exchange: $shuffles")
+  test("interval-index enrichment is entirely shuffle-free (q06 minus its sort)") {
+    import org.apache.spark.sql.functions._
+    val dim = spark.read.parquet(s"$sf/nation.parquet").select(
+      col("n_nationkey").cast("long").as("rid"),
+      (col("n_nationkey").cast("long") * 400).as("lo"),
+      (col("n_nationkey").cast("long") * 400 + 599).as("hi"))
+    val fact = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), (col("c_custkey") * 7 % 10000).as("pt"))
+    val enriched = graft.operators.IntervalIndex.enrichAuto(
+      spark, fact, col("pt"), dim, "lo", "hi", "lo", lastWins = false)
+    val plan = finalPlan(enriched)
+    assert(shuffleNodes(plan).isEmpty, s"enrichment must not shuffle:\n$plan")
+    // BroadcastExchange (attr join) is expected; shuffle exchanges are not
+    assert(!plan.toString.contains("ShuffleExchange")
+      && !plan.toString.contains("ShuffleQueryStage"), plan.toString)
   }
 }
