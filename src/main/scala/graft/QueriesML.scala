@@ -571,6 +571,20 @@ object QueriesML {
           .orderBy(col("event_type"))
       }),
 
+    // -- deterministic hash sampling: reproducible train/eval splits ---------
+    // Same keys selected on every run/engine/cluster size (exact integer
+    // threshold on hash60) — rand()-free subsampling a pipeline can replay.
+    QueryDef("q74_deterministic_sample", Some(s"""
+      SELECT doc_id, lang,
+             (${dkHash60("CAST(doc_id AS VARCHAR) || '#0'")} < ${(1L << 60) / 1000L * 200}) AS in_train,
+             (${dkHash60("CAST(doc_id AS VARCHAR) || '#1'")} < ${(1L << 60) / 1000L * 100}) AS in_eval
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          F.sample_hash(col("doc_id").cast("string"), 200).as("in_train"),
+          F.sample_hash(col("doc_id").cast("string"), 100, seed = 1).as("in_eval"))
+        .orderBy(col("doc_id"))),
+
     // -- composite: filter → quality gate → exact-dedup training pipeline ----
     QueryDef("q38_text_pipeline", Some {
       val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

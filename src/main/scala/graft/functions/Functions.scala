@@ -47,6 +47,18 @@ object Functions {
   def hash60(c: Column, seed: Int): Column =
     hash60(concat(c, lit("#" + seed)))
 
+  /** Deterministic hash sampling: true for ~`permille`/1000 of keys, the
+    * SAME keys on every run, engine, and cluster size — the reproducible
+    * train/eval-split and subsampling primitive a pipeline needs instead of
+    * `rand()` (which breaks retries, backfills and oracle comparison). The
+    * threshold is an exact integer (2^60·permille/1000 truncated), so any
+    * engine computing hash60 draws the identical subset. */
+  def sample_hash(key: Column, permille: Int, seed: Int = 0): Column = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    val threshold = (1L << 60) / 1000L * permille
+    hash60(key, seed) < lit(threshold)
+  }
+
   // --------------------------------------------------------------------------
   // IPv4 helpers (reference: Utils.scala:82-99, IpUtil.java:304-313).
   // Malformed input → 0L, matching the reference's exception-to-default.
