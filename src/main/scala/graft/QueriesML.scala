@@ -576,8 +576,8 @@ object QueriesML {
     // threshold on hash60) — rand()-free subsampling a pipeline can replay.
     QueryDef("q74_deterministic_sample", Some(s"""
       SELECT doc_id, lang,
-             (${dkHash60("CAST(doc_id AS VARCHAR) || '#0'")} < ${(1L << 60) / 1000L * 200}) AS in_train,
-             (${dkHash60("CAST(doc_id AS VARCHAR) || '#1'")} < ${(1L << 60) / 1000L * 100}) AS in_eval
+             (${dkHash60("CAST(doc_id AS VARCHAR) || '#0'")} < ${F.sampleThreshold(200)}) AS in_train,
+             (${dkHash60("CAST(doc_id AS VARCHAR) || '#1'")} < ${F.sampleThreshold(100)}) AS in_eval
       FROM documents ORDER BY doc_id"""),
       (s, dir) => T(s, dir, "documents")
         .select(col("doc_id"), col("lang"),

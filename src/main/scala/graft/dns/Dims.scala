@@ -47,11 +47,20 @@ object Dims {
       .withColumn("resourceProps", coalesce(col("resource_props"), lit("未知")))
       .drop("__aipl", "resource_name", "resource_type", "resource_props")
 
-  /** J3: aip ∈ (media ∪ business ranges) ⇒ inNet = resolver else 0.
-    * The reference's nested-loop precedence quirk (big table empty ⇒ small
-    * never consulted, DnsRptCH.scala:222-235) reduces to a union-membership
-    * test for all non-degenerate inputs; we implement the sane union
-    * semantics and document the divergence. */
+  /** J3, fallback path — NOT the default: prefer [[enrichInNetIndexed]],
+    * which probes one broadcast index per row with no join operator and a
+    * single fact scan. This variant exists ONLY for rule sets too large to
+    * collect to the driver ([[IntervalIndex.maxCollectedRules]]): it never
+    * materializes the dim driver-side, at the cost of a broadcast
+    * nested-loop semi+anti pair that scans the fact twice. Every default
+    * pipeline path (BatchRunner, reports) uses the indexed variant;
+    * InNetAndPathsSpec keeps this one equivalence-tested.
+    *
+    * Semantics (both variants): aip ∈ (media ∪ business ranges) ⇒ inNet =
+    * resolver else 0. The reference's nested-loop precedence quirk (big
+    * table empty ⇒ small never consulted, DnsRptCH.scala:222-235) reduces
+    * to a union-membership test for all non-degenerate inputs; we implement
+    * the sane union semantics and document the divergence. */
   def enrichInNet(fact: DataFrame, mediaRules: DataFrame,
                   businessRules: DataFrame): DataFrame = {
     val union = mediaRules.select(col("min_long_ip"), col("max_long_ip"))

@@ -47,16 +47,23 @@ object Functions {
   def hash60(c: Column, seed: Int): Column =
     hash60(concat(c, lit("#" + seed)))
 
+  /** Exact sampling threshold: ⌊2^60·permille/1000⌋. Multiply-then-divide in
+    * BigInt — the truncate-then-multiply form loses up to 976 keys per
+    * permille bucket and excludes keys even at permille=1000. */
+  def sampleThreshold(permille: Int): Long =
+    ((BigInt(1) << 60) * permille / 1000).toLong
+
   /** Deterministic hash sampling: true for ~`permille`/1000 of keys, the
     * SAME keys on every run, engine, and cluster size — the reproducible
     * train/eval-split and subsampling primitive a pipeline needs instead of
     * `rand()` (which breaks retries, backfills and oracle comparison). The
-    * threshold is an exact integer (2^60·permille/1000 truncated), so any
-    * engine computing hash60 draws the identical subset. */
+    * threshold is an exact integer ([[sampleThreshold]]), so any engine
+    * computing hash60 draws the identical subset; permille=1000 is
+    * literally all keys. */
   def sample_hash(key: Column, permille: Int, seed: Int = 0): Column = {
     require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
-    val threshold = (1L << 60) / 1000L * permille
-    hash60(key, seed) < lit(threshold)
+    if (permille == 1000) lit(true)
+    else hash60(key, seed) < lit(sampleThreshold(permille))
   }
 
   // --------------------------------------------------------------------------

@@ -147,6 +147,12 @@ object KernelAggs {
       override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CmsBuf] with UnaryLike[Expression] {
 
+    // Fail at plan time with a clear message — the SQL surface
+    // (graft_cms_sketch(k, d, w)) hands these straight to query authors, and
+    // width<=0 would otherwise surface as an executor ArithmeticException.
+    require(depth > 0 && width > 0,
+      s"graft_cms_sketch: depth and width must be positive (got depth=$depth, width=$width)")
+
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
 

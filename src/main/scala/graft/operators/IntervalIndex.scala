@@ -81,15 +81,41 @@ object IntervalIndex {
     fn(point)
   }
 
+  /** Ceiling on dim rows the enrich paths will pull to the driver. The index
+    * is a DIM-side structure: the reference's rule tables are 10²-10⁵ rows;
+    * this bound (2M rows ≈ tens of MB collected + broadcast) is 10× headroom
+    * beyond any sane rule table while failing fast — instead of OOMing the
+    * driver — when a caller hands a fact-sized table to the dim parameter. */
+  val maxCollectedRules: Int = 2000000
+
+  /** Collect `dim` with a hard row cap: `limit(max+1).collect()` is one
+    * bounded pass (never materializes more than max+1 rows driver-side), and
+    * exceeding the cap raises a descriptive error naming the fallback. */
+  private def guardedCollect(dim: DataFrame, maxRules: Int): Array[org.apache.spark.sql.Row] = {
+    val rows = dim.limit(maxRules + 1).collect()
+    require(rows.length <= maxRules,
+      s"IntervalIndex: dimension has more than $maxRules rows — this operator " +
+        "collects the dim to the driver and is meant for rule tables, not facts. " +
+        "Use RangeJoin.pointInInterval (distributed range join) for large dims.")
+    rows
+  }
+
   /** End-to-end enrichment: compute rule id for `point`, then broadcast-hash
     * join the rule attribute table on its `idCol`. Left-outer: unmatched fact
     * rows keep nulls for dim attributes (caller applies `coalesce` defaults). */
   def enrich(spark: SparkSession, fact: DataFrame, point: Column,
              dim: DataFrame, loCol: String, hiCol: String, idCol: String,
-             priorityCol: String, lastWins: Boolean): DataFrame = {
-    val rules = dim.select(col(loCol).cast("long"), col(hiCol).cast("long"),
-        col(priorityCol).cast("long"), col(idCol).cast("int"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+             priorityCol: String, lastWins: Boolean,
+             maxRules: Int = maxCollectedRules): DataFrame = {
+    val rules = guardedCollect(
+        dim.select(col(loCol).cast("long"), col(hiCol).cast("long"),
+          col(priorityCol).cast("long"), col(idCol).cast("int")), maxRules)
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3),
+          s"IntervalIndex: dim row has a null $loCol/$hiCol/$priorityCol/$idCol " +
+            s"— filter null-bound rules before building the index ($r)")
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      }.toSeq
     val idx = build(rules, lastWins)
     val dimSmall = dim.drop(loCol, hiCol, priorityCol)
     fact.withColumn("__rule_id", lookupColumn(spark, idx)(point))
@@ -106,14 +132,20 @@ object IntervalIndex {
     * the (tiny) attribute table. */
   def enrichAuto(spark: SparkSession, fact: DataFrame, point: Column,
                  dim: DataFrame, loCol: String, hiCol: String,
-                 priorityCol: String, lastWins: Boolean): DataFrame = {
+                 priorityCol: String, lastWins: Boolean,
+                 maxRules: Int = maxCollectedRules): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-    val rows = dim.collect()
+    val rows = guardedCollect(dim, maxRules)
     val li = dim.schema.fieldIndex(loCol)
     val hiI = dim.schema.fieldIndex(hiCol)
     val pi = dim.schema.fieldIndex(priorityCol)
-    def lng(r: org.apache.spark.sql.Row, i: Int): Long =
-      r.get(i).asInstanceOf[Number].longValue()
+    def lng(r: org.apache.spark.sql.Row, i: Int): Long = {
+      val v = r.get(i)
+      require(v != null,
+        s"IntervalIndex: dim row has a null ${dim.columns(i)} bound — filter " +
+          s"null-bound rules before building the index ($r)")
+      v.asInstanceOf[Number].longValue()
+    }
     val rules = rows.toSeq.zipWithIndex.map { case (r, i) =>
       (lng(r, li), lng(r, hiI), lng(r, pi), i)
     }

@@ -79,4 +79,21 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
       .toDF("t").select(TF.quality_score(col("t"))).as[Double].collect()
     assert(rows.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("sample_hash: permille=1000 selects every key, threshold is exact") {
+    val keys = (0 until 200).map(i => s"key$i").toDF("k")
+    assert(keys.filter(!F.sample_hash(col("k"), 1000)).isEmpty)
+    assert(keys.filter(F.sample_hash(col("k"), 0)).isEmpty)
+    // multiply-then-divide: buckets sum exactly to the full range
+    assert(F.sampleThreshold(1000) == (1L << 60))
+    assert(F.sampleThreshold(500) == (1L << 59))
+  }
+
+  test("cms_sketch rejects non-positive depth/width at plan time") {
+    val df = Seq("a").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      df.agg(graft.functions.KernelAggs.cms_sketch(col("k"), 4, 0)).collect()
+    }
+    assert(e.getMessage.contains("width"))
+  }
 }

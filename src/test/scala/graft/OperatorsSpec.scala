@@ -72,6 +72,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IntervalIndex.enrichAuto fails fast on fact-sized and null-bound dims") {
+    val fact = Seq((1L, 5L)).toDF("id", "pt")
+    // a "dim" bigger than the collect cap must error with the fallback named,
+    // not OOM the driver (cap lowered via maxRules to keep the test small)
+    val big = spark.range(50)
+      .selectExpr("id AS lo", "id + 1 AS hi", "CAST(id AS STRING) AS tag")
+    val eBig = intercept[IllegalArgumentException] {
+      graft.operators.IntervalIndex.enrichAuto(spark, fact, col("pt"), big,
+        "lo", "hi", "lo", lastWins = false, maxRules = 10)
+    }
+    assert(eBig.getMessage.contains("RangeJoin.pointInInterval"))
+    // a null lo/hi bound must raise a descriptive error, not an opaque NPE
+    val nullDim = Seq((Some(1L), None: Option[Long], "x"))
+      .toDF("lo", "hi", "tag")
+    val eNull = intercept[IllegalArgumentException] {
+      graft.operators.IntervalIndex.enrichAuto(spark, fact, col("pt"), nullDim,
+        "lo", "hi", "lo", lastWins = false)
+    }
+    assert(eNull.getMessage.contains("null"))
+  }
+
   test("cms_sketch: estimates never undercount and are partitioning-invariant") {
     import graft.functions.{Functions => F, KernelAggs}
     val keys = (0 until 500).map(i => s"k${i % 37}")
