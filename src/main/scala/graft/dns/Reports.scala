@@ -20,37 +20,44 @@ import graft.operators.TopK
   */
 object Reports {
 
-  private def allAndPerClient(df: DataFrame)(report: DataFrame => DataFrame): DataFrame = {
-    val all = report(df.withColumn("clientName", lit(0)))
-    val per = report(df)
-    all.unionByName(per)
+  /** One fact pass for an "all + per-client" report pair: GROUPING SETS
+    * ((clientName, dims…), (dims…)) in a SINGLE hash aggregate — the grand
+    * set's rows render clientName as 0, the reference's all-clients id
+    * (SURVEY §7.1's design rule; the r2 shape was two aggregates + a union,
+    * i.e. two full fact scans per report — 5 such pairs per window).
+    * `grouping(clientName)` disambiguates the set, so a null clientName in
+    * the data could not masquerade as the all row; clientName=0 itself is
+    * reserved by the reference for "all" and never occurs in facts
+    * (Ingest defaults unmatched clients to 5). */
+  private def allAndPerClient(df: DataFrame, dims: Seq[Column])
+                             (aggs: Seq[Column]): DataFrame = {
+    val cn = col("clientName")
+    df.groupingSets(Seq(cn +: dims, dims), (cn +: dims): _*)
+      .agg(aggs.head, (aggs.tail :+ grouping(cn).as("__all")): _*)
+      .withColumn("clientName", when(col("__all") === 1, lit(0)).otherwise(cn))
+      .drop("__all")
   }
 
   /** A1: QPS — count + error count per clientName (clientName=0 row = all
     * clients); avgNum = floor(count/windowSec). DnsRptCH.scala:522-553. */
   def qps(df: DataFrame, windowSec: Int = 300): DataFrame =
-    allAndPerClient(df) {
-      _.groupBy(col("clientName"))
-        .agg(count(lit(1)).as("sampleNum"), sum(col("error")).as("errorNum"))
-        .withColumn("avgNum", floor(col("sampleNum") / windowSec))
-    }
+    allAndPerClient(df, Nil)(
+        Seq(count(lit(1)).as("sampleNum"), sum(col("error")).as("errorNum")))
+      .withColumn("avgNum", floor(col("sampleNum") / windowSec))
 
   /** A2: request-type ratio (all + per-client). DnsRptCH.scala:774-791. */
   def requestTypeRatio(df: DataFrame): DataFrame =
-    allAndPerClient(df)(_.groupBy(col("clientName"), col("requestType"))
-      .agg(count(lit(1)).as("sampleNum")))
+    allAndPerClient(df, Seq(col("requestType")))(Seq(count(lit(1)).as("sampleNum")))
 
   /** A3: response-type ratio (all + per-client). The reference salts the key
     * by rand(0,100) then re-reduces (DnsRptCH.scala:747-768) — Catalyst's
     * partial aggregation makes that redundant. */
   def responseTypeRatio(df: DataFrame): DataFrame =
-    allAndPerClient(df)(_.groupBy(col("clientName"), col("responseType"))
-      .agg(count(lit(1)).as("sampleNum")))
+    allAndPerClient(df, Seq(col("responseType")))(Seq(count(lit(1)).as("sampleNum")))
 
   /** A4: response-code ratio (all + per-client). DnsRptCH.scala:608-625. */
   def responseCodeRatio(df: DataFrame): DataFrame =
-    allAndPerClient(df)(_.groupBy(col("clientName"), col("responseCode"))
-      .agg(count(lit(1)).as("sampleNum")))
+    allAndPerClient(df, Seq(col("responseCode")))(Seq(count(lit(1)).as("sampleNum")))
 
   /** A5: 4-dim base aggregate. DnsRptCH.scala:560-562. */
   def baseAgg(df: DataFrame): DataFrame =
@@ -75,15 +82,14 @@ object Reports {
 
   /** A8: business rollup (all + per-client). DnsRptCH.scala:421-440. */
   def businessRollup(df: DataFrame): DataFrame =
-    allAndPerClient(df)(_.groupBy(col("clientName"), col("resourceName"),
-        col("resourceType"), col("resourceProps"))
-      .agg(sum(col("resolver")).as("resolver")))
+    allAndPerClient(df,
+        Seq(col("resourceName"), col("resourceType"), col("resourceProps")))(
+      Seq(sum(col("resolver")).as("resolver")))
 
   /** A9-A11: single-dimension counts (dnsIp / province / operator),
     * all + per-client. DnsRptCH.scala:446-516. */
   def dimensionCount(df: DataFrame, dim: String): DataFrame =
-    allAndPerClient(df)(_.groupBy(col("clientName"), col(dim))
-      .agg(count(lit(1)).as("sampleNum")))
+    allAndPerClient(df, Seq(col(dim)))(Seq(count(lit(1)).as("sampleNum")))
 
   /** A12: (clientIp, domain) counts. DnsRptCH.scala:112-122. */
   def clientDomainCount(df: DataFrame): DataFrame =
@@ -168,25 +174,23 @@ object Reports {
   /** T3/T5 pattern: per-response-code top-K of `dim` by count
     * (all + per-client). DnsRptCH.scala:640-654 (domains, K=5000),
     * :707-741 (client IPs, K=500). */
-  def perCodeTopK(df: DataFrame, dim: String, k: Int): DataFrame =
-    allAndPerClient(df) { d =>
-      val counted = d.groupBy(col("clientName"), col("responseCode"), col(dim))
-        .agg(count(lit(1)).as("cnt"))
-      TopK.perGroup(counted, k, Seq(col("clientName"), col("responseCode")),
-        Seq(col("cnt").desc, col(dim).asc))
-    }
+  def perCodeTopK(df: DataFrame, dim: String, k: Int): DataFrame = {
+    val counted = allAndPerClient(df, Seq(col("responseCode"), col(dim)))(
+      Seq(count(lit(1)).as("cnt")))
+    TopK.perGroup(counted, k, Seq(col("clientName"), col("responseCode")),
+      Seq(col("cnt").desc, col(dim).asc))
+  }
 
   /** T4: per-code top-K AUTHORITY domains — rolls [[perCodeTopK]] output up
     * by authority_domain then ranks again. DnsRptCH.scala:656-667. */
-  def perCodeTopAuthority(df: DataFrame, k: Int = 5000): DataFrame =
-    allAndPerClient(df) { d =>
-      val counted = d
-        .withColumn("authorityDomain", F.authority_domain(col("domain")))
-        .groupBy(col("clientName"), col("responseCode"), col("authorityDomain"))
-        .agg(count(lit(1)).as("cnt"))
-      TopK.perGroup(counted, k, Seq(col("clientName"), col("responseCode")),
-        Seq(col("cnt").desc, col("authorityDomain").asc))
-    }
+  def perCodeTopAuthority(df: DataFrame, k: Int = 5000): DataFrame = {
+    val counted = allAndPerClient(
+        df.withColumn("authorityDomain", F.authority_domain(col("domain"))),
+        Seq(col("responseCode"), col("authorityDomain")))(
+      Seq(count(lit(1)).as("cnt")))
+    TopK.perGroup(counted, k, Seq(col("clientName"), col("responseCode")),
+      Seq(col("cnt").desc, col("authorityDomain").asc))
+  }
 
   /** A14/T6: per-user top-N domains as a RANK-ORDERED array-of-struct
     * column (collect_list alone has no order guarantee after the shuffle —

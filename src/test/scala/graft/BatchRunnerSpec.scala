@@ -132,4 +132,22 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Int)].collect().toMap
     assert(byDomain("nx.example.org") == 1 && byDomain("www.taobao.com") == 5)
   }
+
+  test("all+per-client reports are a single fact pass (grouping sets)") {
+    val fact = Seq((1, "A", 0L), (1, "MX", 1L), (2, "A", 0L))
+      .toDF("clientName", "requestType", "error")
+      .withColumn("responseCode", lit(0))
+    val qps = Reports.qps(fact)
+    // exactly ONE scan of the fact and ONE Expand (the grouping-sets node) —
+    // the r2 shape unioned two independent aggregates, i.e. two scans
+    val plan = qps.queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1,
+      s"expected one fact scan, plan:\n$plan")
+    assert(plan.contains("Expand"), s"expected a grouping-sets Expand:\n$plan")
+    // the grand set renders as clientName=0 with the all-clients totals
+    val byClient = qps.select("clientName", "sampleNum", "errorNum")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byClient(0) == ((3L, 1L)) && byClient(1) == ((2L, 1L))
+      && byClient(2) == ((1L, 0L)))
+  }
 }
