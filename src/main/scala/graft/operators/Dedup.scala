@@ -114,11 +114,19 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      // convergence check rides the SAME action as the materialization: an
+      // observe() metric counts changed labels during the eager checkpoint
+      // job, so each iteration is exactly one Spark action (the r2 shape ran
+      // a second filter/isEmpty job per round)
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("newLabel"))
+        .observe(obs, coalesce(
+          sum(when(col("newLabel") < col("label"), 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
         .localCheckpoint(true)
-      converged = updated.filter(col("newLabel") < col("label")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = updated.select(col("id"), col("newLabel").as("label"))
       i += 1
     }
