@@ -41,17 +41,20 @@ object QueriesDns {
           ELSE array(named_struct('Type', 'A', 'Value', '8.8.4.4'))
         END)) AS value"""))
 
-  /** Dimension bundle for the q67/q68 full-window parity queries: client-IP
-    * rules over 10.0.0.{0-6} (types 1/2, default 5), inNet = {1.2.3.4 (biz),
-    * 5.6.7.8 (media)}, auth-domain attrs for every third dN.com. */
+  /** Dimension bundle for the q67-q71/q75 full-window parity queries:
+    * client-IP rules over 10.0.0.{0-6} (types 1/2, default 5), inNet =
+    * {1.2.3.4 (biz, attrs resA/tA/pA), 5.6.7.8 (media)}, auth-domain attrs
+    * for every third dN.com, and a geo dim covering the three real answer
+    * IPs (0.0.0.0 deliberately outside it). */
   private def windowDims(s: SparkSession): graft.dns.BatchRunner.DimTables = {
     import s.implicits._
     val base = 167772160L // ip_to_long("10.0.0.0")
     graft.dns.BatchRunner.DimTables(
       clientRules = Seq((base, base + 2, 1), (base + 3, base + 4, 2))
         .toDF("min_long_ip", "max_long_ip", "client_type_id"),
-      businessRules = Seq((16909060L, 16909060L))
-        .toDF("min_long_ip", "max_long_ip"), // 1.2.3.4
+      businessRules = Seq((16909060L, 16909060L, "resA", "tA", "pA")) // 1.2.3.4
+        .toDF("min_long_ip", "max_long_ip",
+          "resource_name", "resource_type", "resource_props"),
       mediaRules = Seq((84281096L, 84281096L))
         .toDF("min_long_ip", "max_long_ip"), // 5.6.7.8
       authDomains = (0 until 30 by 3).map(n =>
@@ -60,7 +63,13 @@ object QueriesDns {
           "websiteName", "websiteType", "soft"),
       whitelist = Seq("www.d0.com").toDF("domain"),
       users = Seq(("10.0.0.1", "u1")).toDF("clientIp", "userName"),
-      userInfo = Seq(("u1", "a", "p")).toDF("userName", "address", "phone"))
+      userInfo = Seq(("u1", "a", "p")).toDF("userName", "address", "phone"),
+      geoDim = Seq(
+          (16909060L, 16909060L, "中国", "P1", "C1", "中国电信"),   // 1.2.3.4
+          (84281096L, 84281096L, "US", "P2", "P2", "中国联通"),     // 5.6.7.8
+          (134743044L, 134743044L, "中国", "香港", "香港", "移动")) // 8.8.4.4 → gat, not abroad
+        .toDF("min_long_ip", "max_long_ip", "country", "province", "city",
+          "operator"))
   }
 
   /** The q66/q67/q68 oracle's shared kept-row CTE (mirrors [[rawDnsJson]]
@@ -681,6 +690,91 @@ object QueriesDns {
           .select(col("c_custkey"), col("pt"),
             coalesce(col("r_name"), lit("unknown")).as("band_name"))
           .orderBy(col("c_custkey"))
+      }),
+
+    // -- Full-window parity 6/6: the `top_detail` sink table — raw JSON in,
+    // the COMPLETE dns_flow_top row shape out of one BatchRunner.run call:
+    // base agg → whitelist boost → top-K → unboost → protocol strip →
+    // authority domain → inNet → business attrs → auth-domain attrs → geo
+    // counters (abroad/telecom/link/gat) + aIpAddr (DnsRptCH.scala:204-291,
+    // 558-601). The one reference sink previously not end-to-end.
+    QueryDef("q75_batch_window_top", Some(s"""$keptRowsSql,
+      base AS (SELECT client_name, domain, dns_ip, aip,
+                      CAST(count(*) AS BIGINT) AS resolver,
+                      CAST(sum(error) AS BIGINT) AS error
+               FROM kept GROUP BY 1, 2, 3, 4),
+      boosted AS (SELECT *, (domain = 'www.d0.com') AS is_wl,
+                         resolver + CASE WHEN domain = 'www.d0.com' THEN 10 ELSE 0 END AS bres
+                  FROM base),
+      top AS (SELECT * FROM boosted WHERE bres >= 10
+              ORDER BY bres DESC, domain, client_name, dns_ip, aip LIMIT 70000),
+      unb AS (SELECT client_name, domain, dns_ip, aip,
+                     CAST(bres - CASE WHEN is_wl THEN 10 ELSE 0 END AS BIGINT) AS resolver,
+                     error
+              FROM top),
+      au AS (SELECT *, CASE WHEN length(regexp_extract(domain, '${F.authorityDomainRegex}', 1)) > 0
+                            THEN regexp_extract(domain, '${F.authorityDomainRegex}', 1)
+                            ELSE domain END AS authority_domain FROM unb),
+      innet AS (SELECT *, CASE WHEN aip IN ('1.2.3.4', '5.6.7.8')
+                               THEN resolver ELSE CAST(0 AS BIGINT) END AS in_net,
+                       CASE WHEN aip = '1.2.3.4' THEN 'resA' ELSE '未知' END AS resource_name,
+                       CASE WHEN aip = '1.2.3.4' THEN 'tA' ELSE '未知' END AS resource_type,
+                       CASE WHEN aip = '1.2.3.4' THEN 'pA' ELSE '未知' END AS resource_props
+                FROM au),
+      auth AS (SELECT 'd' || CAST(n*3 AS VARCHAR) || '.com' AS authority_domain,
+                      'cn' || CAST(n*3 AS VARCHAR) AS company_name, 'ct' AS company_type,
+                      'wn' || CAST(n*3 AS VARCHAR) AS website_name, 'wt' AS website_type,
+                      'sf' || CAST(n*3 AS VARCHAR) AS soft
+               FROM range(0, 10) t(n)),
+      authj AS (SELECT i.*, a.company_name,
+                       coalesce(a.company_type, '未知') AS company_type,
+                       a.website_name,
+                       coalesce(a.website_type, '未知') AS website_type, a.soft
+                FROM innet i LEFT JOIN auth a USING (authority_domain)),
+      geo AS (SELECT * FROM (VALUES
+                ('1.2.3.4', '中国', 'P1', 'C1', '中国电信'),
+                ('5.6.7.8', 'US', 'P2', 'P2', '中国联通'),
+                ('8.8.4.4', '中国', '香港', '香港', '移动'))
+              AS v(aip, country, province, city, operator)),
+      geoj AS (SELECT a.*, g.country, g.province, g.city, g.operator
+               FROM authj a LEFT JOIN geo g USING (aip))
+      SELECT CAST(client_name AS INT) AS client_name, domain, authority_domain,
+             dns_ip, aip, resolver, error, in_net,
+             coalesce(company_name, '') AS company_name, company_type,
+             coalesce(website_name, '') AS website_name, website_type,
+             coalesce(soft, '') AS soft,
+             resource_name, resource_type, resource_props,
+             CAST(CASE WHEN country IS NOT NULL AND country <> '中国' THEN resolver ELSE 0 END AS BIGINT) AS abroad_num,
+             CAST(CASE WHEN operator LIKE '%电信%' THEN resolver ELSE 0 END AS BIGINT) AS telecom_num,
+             CAST(CASE WHEN operator LIKE '%联通%' THEN resolver ELSE 0 END AS BIGINT) AS link_num,
+             CAST(CASE WHEN province LIKE '%香港%' OR province LIKE '%澳门%' OR province LIKE '%台湾%'
+                  THEN resolver ELSE 0 END AS BIGINT) AS gat_num,
+             coalesce(CASE WHEN country IS NOT NULL
+                  THEN country || (CASE WHEN city = province THEN province ELSE province || city END) || operator
+                  END, '') AS a_ip_addr,
+             CAST(1616631000000 AS BIGINT) AS accesstime_ms
+      FROM geoj ORDER BY client_name, domain, dns_ip, aip"""),
+      (s, dir) => {
+        val rs = graft.dns.BatchRunner.run(s, rawDnsJson(T(s, dir, "events")),
+          windowDims(s), 1616631000000L)
+        rs.topDetail.select(
+            col("clientName").cast("int").as("client_name"), col("domain"),
+            col("authorityDomain").as("authority_domain"),
+            col("dnsIp").as("dns_ip"), col("aip"),
+            col("resolver"), col("error"), col("inNet").as("in_net"),
+            coalesce(col("companyName"), lit("")).as("company_name"),
+            col("companyType").as("company_type"),
+            coalesce(col("websiteName"), lit("")).as("website_name"),
+            col("websiteType").as("website_type"),
+            coalesce(col("soft"), lit("")).as("soft"),
+            col("resourceName").as("resource_name"),
+            col("resourceType").as("resource_type"),
+            col("resourceProps").as("resource_props"),
+            col("abroadNum").as("abroad_num"), col("telecomNum").as("telecom_num"),
+            col("linkNum").as("link_num"), col("gatNum").as("gat_num"),
+            coalesce(col("aIpAddr"), lit("")).as("a_ip_addr"),
+            unix_millis(col("accesstime")).as("accesstime_ms"))
+          .orderBy(col("client_name"), col("domain"), col("dns_ip"), col("aip"))
       })
   )
 }

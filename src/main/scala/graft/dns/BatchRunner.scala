@@ -16,15 +16,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object BatchRunner {
 
-  /** Dimension bundle (S4-S12): all plain DataFrames, source-agnostic. */
+  /** Dimension bundle (S4-S12, S15): all plain DataFrames, source-agnostic. */
   final case class DimTables(
       clientRules: DataFrame,   // (minIp, maxIp, clientTypeId)     J1
-      businessRules: DataFrame, // (minIp, maxIp, prio, id, attrs…) J2
+      businessRules: DataFrame, // (minIp, maxIp, resource_name/_type/_props) J2
       mediaRules: DataFrame,    // (minIp, maxIp)                   J3
       authDomains: DataFrame,   // (authorityDomain, attrs…)        J4
       whitelist: DataFrame,     // (domain)                         J8
       users: DataFrame,         // (clientIp, userName)             J6
-      userInfo: DataFrame)      // (userName, address, phone)       J7
+      userInfo: DataFrame,      // (userName, address, phone)       J7
+      geoDim: DataFrame)        // (minIp, maxIp, country, province, city, operator) J5/S15
 
   /** The six sink tables of one 5-minute window (SURVEY §2.2 K1 targets). */
   final case class ReportSet(
@@ -69,7 +70,12 @@ object BatchRunner {
       facts = enriched,
       clear = stamped(Reports.qps(enriched, windowSec.toInt)),
       trend = stamped(Reports.trendAgg(enriched, trendThreshold)),
-      topDetail = stamped(Reports.topDetail(enriched, dims.whitelist, topDetailK)),
+      // the full dns_flow_top shape: top-K + Tuple2Es enrichment (protocol
+      // strip, inNet, business attrs, auth-domain attrs, geo counters) —
+      // every step an index probe or broadcast join over the K-sized top set
+      topDetail = stamped(Reports.topDetailEnriched(spark,
+        Reports.topDetail(enriched, dims.whitelist, topDetailK),
+        dims.geoDim, dims.authDomains, dims.mediaRules, dims.businessRules)),
       ratios = stamped(
         Reports.requestTypeRatio(enriched).withColumn("kind", lit("request"))
           .unionByName(Reports.responseCodeRatio(enriched)

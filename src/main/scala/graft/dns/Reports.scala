@@ -130,8 +130,10 @@ object Reports {
     *    when the ip is outside the geo db.
     *
     * Every step is an interval-index probe or broadcast hash join — the fact
-    * side is never shuffled. `geoDim` must carry country/province/city/
-    * operator ([[Dims.enrichGeoFull]] attaches whatever else it has). */
+    * side is never shuffled (plan-asserted, BatchRunnerSpec). `geoDim` must
+    * carry country/province/city/operator; its raw attribute columns are
+    * consumed into the counters and aIpAddr, then dropped — the output is
+    * the reference's dns_flow_top row shape. */
   def topDetailEnriched(spark: org.apache.spark.sql.SparkSession, top: DataFrame,
                         geoDim: DataFrame, authDim: DataFrame,
                         mediaRules: DataFrame, businessRules: DataFrame): DataFrame = {
@@ -143,6 +145,7 @@ object Reports {
     val withAuth = withBiz.join(broadcast(authDim), Seq("authorityDomain"), "left")
       .withColumn("companyType", coalesce(col("companyType"), lit("未知")))
       .withColumn("websiteType", coalesce(col("websiteType"), lit("未知")))
+    val geoAttrCols = geoDim.columns.filterNot(Set("min_long_ip", "max_long_ip"))
     Dims.enrichGeoFull(spark, withAuth, geoDim, F.ip_to_long(col("aip")))
       .withColumn("abroadNum",
         when(col("country").isNotNull && col("country") =!= "中国", col("resolver"))
@@ -159,6 +162,7 @@ object Reports {
             when(col("city") === col("province"), col("province"))
               .otherwise(concat(col("province"), col("city"))),
             col("operator"))))
+      .drop(geoAttrCols: _*)
   }
 
   /** T2: top users — resolver-desc top `k1`, then error-desc top `k2`.

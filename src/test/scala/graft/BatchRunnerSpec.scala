@@ -23,10 +23,10 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
     val dims = BatchRunner.DimTables(
       clientRules = Seq((ip("30.250.11.0"), ip("30.250.11.255"), 1))
         .toDF("min_long_ip", "max_long_ip", "client_type_id"),
-      businessRules = Seq((ip("115.238.0.0"), ip("115.238.255.255"), 0L, 1,
+      businessRules = Seq((ip("115.238.0.0"), ip("115.238.255.255"),
         "cdn", "cache", "prod"))
-        .toDF("min_long_ip", "max_long_ip", "prio", "rid",
-          "resourceName", "resourceType", "resourceProps"),
+        .toDF("min_long_ip", "max_long_ip",
+          "resource_name", "resource_type", "resource_props"),
       mediaRules = Seq((ip("10.0.0.0"), ip("10.255.255.255")))
         .toDF("min_long_ip", "max_long_ip"),
       authDomains = Seq(("taobao.com", "淘宝", "电商", "淘宝网", "电商", "web"))
@@ -34,7 +34,11 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
           "websiteName", "websiteType", "soft"),
       whitelist = Seq("www.taobao.com").toDF("domain"),
       users = Seq(("30.250.11.7", "user7")).toDF("clientIp", "userName"),
-      userInfo = Seq(("user7", "addr7", "137")).toDF("userName", "address", "phone"))
+      userInfo = Seq(("user7", "addr7", "137")).toDF("userName", "address", "phone"),
+      geoDim = Seq((ip("115.238.0.0"), ip("115.238.255.255"),
+        "中国", "浙江", "杭州", "中国电信"))
+        .toDF("min_long_ip", "max_long_ip", "country", "province", "city",
+          "operator"))
 
     val rs = BatchRunner.run(spark, rawLines.toDF("value"), dims, windowStart,
       trendThreshold = 0L)
@@ -54,7 +58,19 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
       // and its resolver is un-boosted back to the true count afterwards
       assert(rs.topDetail.select("domain").as[String].collect().toSeq ==
         Seq("www.taobao.com"))
-      assert(rs.topDetail.head().getAs[Long]("resolver") == 1L)
+      val td = rs.topDetail.head()
+      assert(td.getAs[Long]("resolver") == 1L)
+      // ...and the row carries the full Tuple2Es enrichment: inNet from the
+      // business range, resource attrs (last match), auth-domain company
+      // attrs, and the geo-derived counters + aIpAddr
+      assert(td.getAs[Long]("inNet") == 1L)
+      assert(td.getAs[String]("resourceName") == "cdn")
+      assert(td.getAs[String]("companyName") == "淘宝")
+      assert(td.getAs[String]("authorityDomain") == "taobao.com")
+      assert(td.getAs[Long]("telecomNum") == 1L)
+      assert(td.getAs[Long]("abroadNum") == 0L)
+      assert(td.getAs[Long]("gatNum") == 0L)
+      assert(td.getAs[String]("aIpAddr") == "中国浙江杭州中国电信")
 
       // ratios: request-kind rows + code-kind rows
       assert(rs.ratios.filter(col("kind") === "request").count() > 0)
@@ -87,8 +103,10 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
     val dims = BatchRunner.DimTables(
       clientRules = Seq((ip("30.250.11.0"), ip("30.250.11.255"), 1))
         .toDF("min_long_ip", "max_long_ip", "client_type_id"),
-      businessRules = Seq((ip("115.238.0.0"), ip("115.238.255.255")))
-        .toDF("min_long_ip", "max_long_ip"),
+      businessRules = Seq((ip("115.238.0.0"), ip("115.238.255.255"),
+        "cdn", "cache", "prod"))
+        .toDF("min_long_ip", "max_long_ip",
+          "resource_name", "resource_type", "resource_props"),
       mediaRules = Seq((ip("10.0.0.0"), ip("10.255.255.255")))
         .toDF("min_long_ip", "max_long_ip"),
       authDomains = Seq(("taobao.com", "淘宝", "电商", "淘宝网", "电商", "web"))
@@ -96,7 +114,11 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
           "websiteName", "websiteType", "soft"),
       whitelist = Seq("www.taobao.com").toDF("domain"),
       users = Seq(("30.250.11.7", "user7")).toDF("clientIp", "userName"),
-      userInfo = Seq(("user7", "addr7", "137")).toDF("userName", "address", "phone"))
+      userInfo = Seq(("user7", "addr7", "137")).toDF("userName", "address", "phone"),
+      geoDim = Seq((ip("115.238.0.0"), ip("115.238.255.255"),
+        "中国", "浙江", "杭州", "中国电信"))
+        .toDF("min_long_ip", "max_long_ip", "country", "province", "city",
+          "operator"))
     val fact = Seq(
       ("www.taobao.com", "100.104.103.190", "115.238.23.2", 1L),
       ("nx.example.org", "30.250.11.7", "0.0.0.0", 1L))
@@ -131,6 +153,42 @@ class BatchRunnerSpec extends AnyFunSuite with SparkSpec {
     val byDomain = enriched.select("domain", "clientName")
       .as[(String, Int)].collect().toMap
     assert(byDomain("nx.example.org") == 1 && byDomain("www.taobao.com") == 5)
+  }
+
+  test("topDetail Tuple2Es enrichment is shuffle-free after the top-K") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val top = Seq(
+      (5, "http://www.taobao.com", "218.108.248.200", "115.238.23.2", 5L, 1L),
+      (1, "nx.example.org", "218.108.248.201", "0.0.0.0", 3L, 3L))
+      .toDF("clientName", "domain", "dnsIp", "aip", "resolver", "error")
+    val media = Seq((ip("10.0.0.0"), ip("10.255.255.255")))
+      .toDF("min_long_ip", "max_long_ip")
+    val biz = Seq((ip("115.238.0.0"), ip("115.238.255.255"), "cdn", "cache", "prod"))
+      .toDF("min_long_ip", "max_long_ip",
+        "resource_name", "resource_type", "resource_props")
+    val auth = Seq(("taobao.com", "淘宝", "电商", "淘宝网", "电商", "web"))
+      .toDF("authorityDomain", "companyName", "companyType",
+        "websiteName", "websiteType", "soft")
+    val geo = Seq((ip("115.238.0.0"), ip("115.238.255.255"),
+      "中国", "浙江", "杭州", "中国电信"))
+      .toDF("min_long_ip", "max_long_ip", "country", "province", "city", "operator")
+    val enriched = Reports.topDetailEnriched(spark, top, geo, auth, media, biz)
+    enriched.collect()
+    val executed = enriched.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = executed.collect {
+      case s: ShuffleExchangeExec => s
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"Tuple2Es enrichment must be shuffle-free, found: $shuffles")
+    // protocol strip + counters survive the plan
+    val tb = enriched.filter(col("aip") === "115.238.23.2").head()
+    assert(tb.getAs[String]("domain") == "www.taobao.com")
+    assert(tb.getAs[Long]("telecomNum") == 5L && tb.getAs[Long]("inNet") == 5L)
   }
 
   test("all+per-client reports are a single fact pass (grouping sets)") {

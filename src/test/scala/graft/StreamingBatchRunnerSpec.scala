@@ -28,10 +28,10 @@ class StreamingBatchRunnerSpec extends AnyFunSuite with SparkSpec {
     val dims = BatchRunner.DimTables(
       clientRules = Seq((ip("30.250.11.0"), ip("30.250.11.255"), 1))
         .toDF("min_long_ip", "max_long_ip", "client_type_id"),
-      businessRules = Seq((ip("115.238.0.0"), ip("115.238.255.255"), 0L, 1,
+      businessRules = Seq((ip("115.238.0.0"), ip("115.238.255.255"),
         "cdn", "cache", "prod"))
-        .toDF("min_long_ip", "max_long_ip", "prio", "rid",
-          "resourceName", "resourceType", "resourceProps"),
+        .toDF("min_long_ip", "max_long_ip",
+          "resource_name", "resource_type", "resource_props"),
       mediaRules = Seq((ip("10.0.0.0"), ip("10.255.255.255")))
         .toDF("min_long_ip", "max_long_ip"),
       authDomains = Seq(("taobao.com", "淘宝", "电商", "淘宝网", "电商", "web"))
@@ -39,7 +39,11 @@ class StreamingBatchRunnerSpec extends AnyFunSuite with SparkSpec {
           "websiteName", "websiteType", "soft"),
       whitelist = Seq("www.taobao.com").toDF("domain"),
       users = Seq(("30.250.11.7", "user7")).toDF("clientIp", "userName"),
-      userInfo = Seq(("user7", "addr7", "137")).toDF("userName", "address", "phone"))
+      userInfo = Seq(("user7", "addr7", "137")).toDF("userName", "address", "phone"),
+      geoDim = Seq((ip("115.238.0.0"), ip("115.238.255.255"),
+        "中国", "浙江", "杭州", "中国电信"))
+        .toDF("min_long_ip", "max_long_ip", "country", "province", "city",
+          "operator"))
 
     val results = scala.collection.mutable.Map[String, Long]()
     val q = StreamRunner.reportEvery(
