@@ -72,6 +72,22 @@ object QueriesDns {
           "operator"))
   }
 
+  /** Bench support: materialize the synthesized raw JSON window to parquet.
+    * This is FIXTURE cost (the to_json round-trip exists only in the bench),
+    * timed separately from the engine (BENCH q68_synth vs q68_pipeline —
+    * the r2 headline billed both to one number; VERDICT r2 #6). */
+  def synthesizeRawWindow(s: SparkSession, dir: String, outPath: String): Unit =
+    rawDnsJson(T(s, dir, "events")).write.mode("overwrite").parquet(outPath)
+
+  /** Bench support: one full window cycle (parse → clean → enrich → all six
+    * reports) from pre-materialized raw lines; counts the trend sink and
+    * releases the persisted fact set. */
+  def runWindowFromRaw(s: SparkSession, rawPath: String): Unit = {
+    val rs = graft.dns.BatchRunner.run(s, s.read.parquet(rawPath),
+      windowDims(s), 1616631000000L, trendThreshold = 10L)
+    try rs.trend.count() finally rs.unpersist()
+  }
+
   /** The q66/q67/q68 oracle's shared kept-row CTE (mirrors [[rawDnsJson]]
     * through Ingest.clean's P1-P7 semantics). */
   private val keptRowsSql: String = """
