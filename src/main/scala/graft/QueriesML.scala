@@ -461,6 +461,28 @@ object QueriesML {
           .orderBy(col("media_id"))
       }),
 
+    // -- multimodal: REAL image decode (javax.imageio) -----------------------
+    // Payloads are genuine PNGs synthesized distributed-side (uniform color +
+    // size derived from the id), decoded back through the real codec; the
+    // oracle reproduces every decoded statistic in closed form. Exact long
+    // pixel sums — a lossless round-trip is the assertion.
+    QueryDef("q76_image_decode", Some("""
+      WITH d AS (SELECT vec_id AS media_id,
+              CAST(vec_id % 16 + 1 AS INT) AS width,
+              CAST(vec_id % 12 + 1 AS INT) AS height,
+              vec_id % 256 AS r, (vec_id*7) % 256 AS g, (vec_id*13) % 256 AS b
+            FROM embeddings)
+      SELECT media_id, width, height, CAST(3 AS INT) AS bands,
+             CAST(width*height*r AS BIGINT) AS r_sum,
+             CAST(width*height*g AS BIGINT) AS g_sum,
+             CAST(width*height*b AS BIGINT) AS b_sum,
+             true AS decode_ok
+      FROM d ORDER BY media_id"""),
+      (s, dir) => {
+        val pngs = Multimodal.syntheticPngs(s, T(s, dir, "embeddings"), "vec_id")
+        Multimodal.imageStats(pngs).toDF().orderBy(col("media_id"))
+      }),
+
     // -- decontamination: candidate n-gram overlap vs a benchmark corpus -----
     // Benchmark = docs with doc_id % 20 == 0; candidates = the rest. The
     // benchmark's distinct 3-gram set is broadcast; candidates explode and

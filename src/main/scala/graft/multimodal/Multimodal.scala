@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * analogue of `mapInPandas`): one library context per partition, vectorized
   * batches inside, never a per-row UDF crossing the serialization wall.
   *
-  * The actual codec calls are STUBBED with a deterministic fake (this
-  * container carries no image/audio libs — see `decodeStub`); everything
-  * Spark-side — schemas, batch iteration, partition sizing, output shape —
-  * is real and tested, so swapping the stub for javacpp-ffmpeg/ImageIO is a
-  * one-function change.
+  * The IMAGE path is a real codec: `javax.imageio` (JDK built-in —
+  * PNG/JPEG/BMP/GIF) decodes payload bytes to exact per-channel pixel sums
+  * and dimensions ([[decodeImage]], [[imageStats]]), oracle-verified on
+  * deterministically synthesized PNGs (q76). Audio/video decode remains a
+  * deterministic STUB (`decodeStub` — no ffmpeg in this container), and is
+  * also the fallback for undecodable image bytes; schemas, batch iteration,
+  * partition sizing and output shape are identical for both, so swapping
+  * the stub for javacpp-ffmpeg is a one-function change.
   */
 object Multimodal {
 
@@ -46,16 +49,80 @@ object Multimodal {
     out
   }
 
+  /** Exact decoded-image statistics: dimensions, band count, and the
+    * per-channel pixel sums (exact longs — order-independent, oracle-
+    * comparable; means are sums/(w·h) and would float-drift). */
+  final case class ImageStats(media_id: Long, width: Int, height: Int,
+                              bands: Int, r_sum: Long, g_sum: Long, b_sum: Long,
+                              decode_ok: Boolean)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF):
+    * payload bytes → (width, height, bands, Σr, Σg, Σb), reading pixels
+    * through `getRGB` so the sums are sRGB-canonical regardless of the
+    * decoder's internal raster layout. None when the bytes are not a
+    * supported image (callers fall back to [[decodeStub]]). */
+  private[multimodal] def decodeImage(payload: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents, rs, gs, bs))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batched real decode → [[ImageStats]]: per-partition iteration (one
+    * ImageIO context per task), undecodable payloads flagged, never thrown.
+    * Partition count is the parallelism knob — repartition upstream so each
+    * task holds O(100 MB) of payload, not O(heap). */
+  def imageStats(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeImage(if (m.payload == null) Array.empty else m.payload) match {
+          case Some((w, h, b, rs, gs, bs)) =>
+            ImageStats(m.media_id, w, h, b, rs, gs, bs, decode_ok = true)
+          case None => ImageStats(m.media_id, 0, 0, 0, 0L, 0L, 0L, decode_ok = false)
+        }
+      }
+    }
+  }
+
   /** Batched feature extraction: per-partition context, fixed-size feature
-    * output. Partition count is the parallelism knob — at scale, repartition
-    * upstream so each task holds O(100 MB) of payload, not O(heap). */
+    * output. Image payloads go through the REAL codec ([[decodeImage]]):
+    * features = [r̄, ḡ, b̄ (normalized), w/h aspect] ++ 0s. Non-images and
+    * undecodable bytes take the deterministic stub. Partition count is the
+    * parallelism knob — at scale, repartition upstream so each task holds
+    * O(100 MB) of payload, not O(heap). */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init of the (stubbed) codec context happens here
+      // per-partition codec context init happens here
       it.map { m =>
         val ok = m.payload != null && m.payload.nonEmpty
-        val feats = if (ok) decodeStub(m.payload, dim) else new Array[Float](dim)
+        val decoded = if (ok && m.kind == "image") decodeImage(m.payload) else None
+        val feats = decoded match {
+          case Some((w, h, _, rs, gs, bs)) =>
+            val out = new Array[Float](dim)
+            val n = (w.toLong * h).toFloat
+            out(0) = rs / n / 255.0f; out(1) = gs / n / 255.0f; out(2) = bs / n / 255.0f
+            if (dim > 3) out(3) = w.toFloat / h
+            out
+          case None =>
+            if (ok) decodeStub(m.payload, dim) else new Array[Float](dim)
+        }
         MediaFeatures(m.media_id, m.kind, dim, feats, ok)
       }
     }
@@ -76,6 +143,40 @@ object Multimodal {
       when(greatest(col("width"), col("height")) > maxSide,
         lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
         .otherwise(lit(1.0)))
+
+  /** Encode one uniform-color RGB PNG (headless-safe: BufferedImage +
+    * ImageIO need no display). Lossless, so a decode round-trip recovers
+    * the exact color — the property q76's oracle checks arithmetically. */
+  private[multimodal] def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize REAL (decodable) PNG payloads from an id column: size
+    * (id%16+1)×(id%12+1), uniform color (id, 7·id, 13·id) mod 256 — every
+    * decoded statistic is reproducible in closed form by a SQL oracle,
+    * while the payload itself exercises the genuine encode→decode codec
+    * path. Encoding runs distributed in mapPartitions. */
+  def syntheticPngs(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
+          val rgb = (((id % 256) << 16) | ((id * 7 % 256) << 8) | (id * 13 % 256)).toInt
+          MediaRecord(id, "image", pngBytes(w, h, rgb), w, h, 0L)
+        }
+      }
+  }
 
   /** Synthesize a deterministic media table from any id column — test/bench
     * input in lieu of real blobs. */

@@ -19,6 +19,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!out(2).decodeOk && out(2).features.forall(_ == 0.0f))
   }
 
+  test("imageStats: real PNG encode→decode round-trip recovers exact pixels") {
+    val ids = Seq(5L, 300L, 1023L).toDF("id")
+    val stats = Multimodal.imageStats(Multimodal.syntheticPngs(spark, ids, "id"))
+      .collect().map(s => s.media_id -> s).toMap
+    Seq(5L, 300L, 1023L).foreach { id =>
+      val s = stats(id)
+      val (w, h) = ((id % 16 + 1).toInt, (id % 12 + 1).toInt)
+      assert(s.decode_ok && s.width == w && s.height == h && s.bands == 3)
+      assert(s.r_sum == w.toLong * h * (id % 256))
+      assert(s.g_sum == w.toLong * h * (id * 7 % 256))
+      assert(s.b_sum == w.toLong * h * (id * 13 % 256))
+    }
+  }
+
+  test("imageStats flags undecodable payloads instead of throwing") {
+    val junk = Seq(
+      MediaRecord(1L, "image", Array[Byte](1, 2, 3), 0, 0, 0L),
+      MediaRecord(2L, "image", Array.empty[Byte], 0, 0, 0L),
+      MediaRecord(3L, "image", null, 0, 0, 0L)).toDS()
+    val out = Multimodal.imageStats(junk).collect()
+    assert(out.length == 3 && out.forall(s => !s.decode_ok && s.width == 0))
+  }
+
+  test("extractFeatures uses the real codec for images, stub elsewhere") {
+    val ids = Seq(77L).toDF("id")
+    val real = Multimodal.extractFeatures(
+      Multimodal.syntheticPngs(spark, ids, "id"), dim = 8).head()
+    // uniform color → normalized channel means are exactly color/255
+    assert(real.decodeOk)
+    assert(math.abs(real.features(0) - (77 % 256) / 255.0f) < 1e-6)
+    assert(math.abs(real.features(1) - (77 * 7 % 256) / 255.0f) < 1e-6)
+    assert(math.abs(real.features(3) - (77 % 16 + 1).toFloat / (77 % 12 + 1)) < 1e-6)
+  }
+
   test("frameSamplePlan emits every-N-ms plan bounded by duration") {
     val df = Seq((1L, 950L), (2L, 0L)).toDF("media_id", "durationMs")
     val plans = Multimodal.frameSamplePlan(df, everyMs = 300)
