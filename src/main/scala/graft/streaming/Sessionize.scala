@@ -8,22 +8,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sessions over an unbounded event stream, the streaming counterpart of the
   * batch q45 window formulation.
   *
-  * State per user is O(1) (open-session bounds + count), sharded by the
-  * stream's key partitioning; sessions close either inline (an event arrives
-  * more than `gapSec` after the open session's end) or via event-time
-  * timeout once the watermark passes end + gap. That bounds state size and
-  * makes results independent of micro-batch boundaries — the properties that
-  * matter on an unbounded 100 TB stream.
+  * State per user is the list of OPEN sessions: the current one plus any
+  * earlier sessions whose close boundary (endSec + gapSec) the watermark has
+  * not yet passed — those may still absorb a late-but-admissible event from
+  * a later micro-batch, so emitting them eagerly would produce overlapping
+  * sessions the batch formulation merges (ADVICE r2). A session is emitted
+  * exactly when the watermark passes its boundary — inline when a later
+  * batch's data arrives for the user, or via event-time timeout otherwise.
+  * State size is bounded by watermarkDelay/gapSec + 1 sessions per user;
+  * with the customary delay ≤ gap it is a single open session. Results are
+  * independent of micro-batch boundaries (proven against the batch
+  * formulation in SessionizeSpec).
   */
 object Sessionize {
 
   final case class Event(userId: Long, tsSec: Long)
   final case class OpenSession(startSec: Long, endSec: Long, events: Long)
+  final case class SessionsState(open: Seq[OpenSession])
   final case class SessionSummary(userId: Long, startSec: Long, endSec: Long,
                                   events: Long, durationSec: Long)
 
   private def summary(uid: Long, s: OpenSession): SessionSummary =
     SessionSummary(uid, s.startSec, s.endSec, s.events, s.endSec - s.startSec)
+
+  /** Fire when the earliest open boundary passes; never at-or-before the
+    * current watermark (Spark rejects a timeout the watermark already
+    * passed). */
+  private def armTimeout(state: GroupState[SessionsState], open: Seq[OpenSession],
+                         gapSec: Long, wmMs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(open.map(s => (s.endSec + gapSec) * 1000L).min, wmMs + 1000L))
 
   /** Sessionize a (possibly streaming) dataset of [[Event]]s.
     *
@@ -34,24 +48,28 @@ object Sessionize {
   def sessions(events: Dataset[(Long, Long, java.sql.Timestamp)], gapSec: Long):
       Dataset[SessionSummary] = {
     implicit val outEnc = Encoders.product[SessionSummary]
-    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val stEnc = Encoders.product[SessionsState]
     events.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[OpenSession, SessionSummary](
+      .flatMapGroupsWithState[SessionsState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid, rows, state: GroupState[OpenSession]) =>
+        (uid, rows, state: GroupState[SessionsState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          // closable = no admissible event (ts >= watermark) can still land
+          // within gap of the session's end
+          def closable(s: OpenSession): Boolean = (s.endSec + gapSec) * 1000L < wmMs
           if (state.hasTimedOut) {
-            val out = state.getOption.map(summary(uid, _)).iterator
-            state.remove()
-            out
+            val (done, keep) = state.get.open.partition(closable)
+            if (keep.isEmpty) state.remove()
+            else { state.update(SessionsState(keep)); armTimeout(state, keep, gapSec, wmMs) }
+            done.map(summary(uid, _)).iterator
           } else {
-            // Merge the open session and this batch's events as INTERVALS
-            // sorted by start: a late (within-watermark) event preceding the
-            // open session either extends it downward (startSec = min) or —
-            // if more than gapSec earlier — closes as its own earlier
-            // session. Result is independent of micro-batch boundaries and
-            // matches the batch q45 lag/gap formulation.
+            // Merge the open sessions and this batch's events as INTERVALS
+            // sorted by start: a late (within-watermark) event either extends
+            // an open session (possibly downward) or starts its own. Result
+            // is independent of micro-batch boundaries and matches the batch
+            // q45 lag/gap formulation.
             val incoming = rows.map(_._2).toArray.sorted.map(ts => OpenSession(ts, ts, 1))
-            val items = (state.getOption.toSeq ++ incoming)
+            val items = (state.getOption.map(_.open).getOrElse(Seq.empty) ++ incoming)
               .sortBy(s => (s.startSec, s.endSec))
             val merged = collection.mutable.ArrayBuffer[OpenSession]()
             items.foreach { s =>
@@ -62,10 +80,13 @@ object Sessionize {
                 case _ => merged += s
               }
             }
-            val open = merged.last
-            state.update(open)
-            state.setTimeoutTimestamp((open.endSec + gapSec) * 1000L)
-            merged.init.map(summary(uid, _)).iterator
+            // only watermark-passed sessions close; the rest (always at least
+            // the newest) stay in state and may still merge with late events
+            val (done, keepInit) = merged.init.partition(closable)
+            val keep = (keepInit :+ merged.last).toSeq
+            state.update(SessionsState(keep))
+            armTimeout(state, keep, gapSec, wmMs)
+            done.map(summary(uid, _)).iterator
           }
       }
   }

@@ -83,11 +83,38 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
       val u9 = spark.table(name).as[SessionSummary].collect().toSeq
         .filter(_.userId == 9).sortBy(_.startSec)
         .map(s => (s.startSec, s.endSec, s.events))
-      // the earlier singleton closes immediately as its own session (NOT
-      // folded into [1000,1030]); the open session may or may not have been
-      // timeout-flushed by the final watermark advance — either is correct
+      // the earlier singleton closes as its OWN session (never folded into
+      // [1000,1030]) once the watermark passes its boundary; the open
+      // session may or may not have been timeout-flushed by the final
+      // watermark advance — either is correct
       assert(u9.headOption.contains((200L, 200L, 1L)))
       assert(u9.toSet.subsetOf(Set((200L, 200L, 1L), (1000L, 1030L, 2L))))
+    } finally q.stop()
+  }
+
+  test("late events merging with an earlier NON-OPEN session fold into one session") {
+    // ADVICE r2: sessions preceding the open one used to close eagerly, so
+    // gap=60, open=[1000,1030]; batch2 ts=200; batch3 ts=250 emitted two
+    // overlapping sessions [200,200]+[250,250] where the batch formulation
+    // yields one [200,250]. Within-watermark sessions must stay in state.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Sessionize.sessions(
+      Sessionize.withEventTime(mem.toDS(), "100000 seconds"), gapSec = 60)
+    val name = s"sessions_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      mem.addData(Event(11, 1000), Event(11, 1030)); q.processAllAvailable()
+      mem.addData(Event(11, 200)); q.processAllAvailable()
+      mem.addData(Event(11, 250)); q.processAllAvailable()
+      // flush: advance the watermark far past every boundary
+      mem.addData(Event(12, 500000)); q.processAllAvailable()
+      mem.addData(Event(12, 999999)); q.processAllAvailable()
+      val u11 = spark.table(name).as[SessionSummary].collect().toSeq
+        .filter(_.userId == 11).sortBy(_.startSec)
+        .map(s => (s.startSec, s.endSec, s.events))
+      assert(u11 == Seq((200L, 250L, 2L), (1000L, 1030L, 2L)))
     } finally q.stop()
   }
 
