@@ -31,6 +31,22 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Lake layout for a window's report set: every sink table appends under
+    * `root/<table>/win=<yyyyMMdd_HHmm>/`, the 5-minute bucket derived from
+    * the window stamp BatchRunner puts on each row. Downstream window reads
+    * prune to one partition at planning time — the scale replacement for
+    * the reference's filename-encoded 10-second files (DnsRptCH.scala:
+    * 983-1012); see LakeLayoutSpec. */
+  def lakeAppend(tables: Map[String, DataFrame], root: String,
+                 stampCol: String = "accesstime"): Unit =
+    tables.foreach { case (name, df) =>
+      parquetAppend(
+        df.withColumn("win",
+          org.apache.spark.sql.functions.date_format(
+            org.apache.spark.sql.functions.col(stampCol), "yyyyMMdd_HHmm")),
+        s"$root/$name", Seq("win"))
+    }
+
   /** Co-located lake layout for repeated fact/fact joins at scale: bucket +
     * sort both tables by the join key (same bucket count) and joins plan
     * WITHOUT a shuffle exchange on either side (see BucketedJoinSpec). */

@@ -44,7 +44,11 @@ object StreamRunner {
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) report(batch, id) // empty-batch skip (:1009-1012)
+        // empty-batch skip (reference :1009-1012). Cost: isEmpty is one
+        // executeTake(1) job per trigger — a single near-empty task every 5
+        // minutes, paid deliberately so the report never runs (and never
+        // appends sink rows) for an empty window.
+        if (!batch.isEmpty) report(batch, id)
       }
 
   /** Backfill = the same report over a bounded time range, one 5-min window
