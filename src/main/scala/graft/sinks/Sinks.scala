@@ -47,6 +47,25 @@ object Sinks {
         s"$root/$name", Seq("win"))
     }
 
+  /** Idempotent lake write for exactly-once streaming: same layout as
+    * [[lakeAppend]], but the window stamp is the idempotency key — dynamic
+    * partition overwrite replaces ONLY the `win=` partitions present in the
+    * incoming data, so a foreachBatch epoch replayed after a crash (sink
+    * written, commit log not) converges to one copy per window instead of
+    * appending a duplicate. Different windows' partitions are untouched.
+    * Exercised under an injected crash in StreamingBatchRunnerSpec. */
+  def lakeWrite(tables: Map[String, DataFrame], root: String,
+                stampCol: String = "accesstime"): Unit =
+    tables.foreach { case (name, df) =>
+      df.withColumn("win",
+          org.apache.spark.sql.functions.date_format(
+            org.apache.spark.sql.functions.col(stampCol), "yyyyMMdd_HHmm"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("win")
+        .parquet(s"$root/$name")
+    }
+
   /** Co-located lake layout for repeated fact/fact joins at scale: bucket +
     * sort both tables by the join key (same bucket count) and joins plan
     * WITHOUT a shuffle exchange on either side (see BucketedJoinSpec). */
