@@ -50,7 +50,8 @@ object BatchRunner {
   def run(spark: SparkSession, lines: DataFrame, dims: DimTables,
           windowStartMs: Long, windowSec: Long = 300L,
           topDetailK: Int = 70000, perCodeK: Int = 5000,
-          trendThreshold: Long = 100L): ReportSet = {
+          trendThreshold: Long = 100L,
+          topUserMinResolver: Long = 50L): ReportSet = {
     val cleaned = Ingest.clean(spark, lines, windowStartMs, windowSec).toDF()
       .withColumn("authorityDomain",
         graft.functions.Functions.authority_domain(col("domain")))
@@ -84,6 +85,7 @@ object BatchRunner {
             .withColumn("kind", lit("code")))),
       perCodeTop = stamped(Reports.perCodeTopK(enriched, "domain", perCodeK)),
       topUsers = stamped(Reports.topUsers(
-        Dims.enrichUser(enriched, dims.users, dims.userInfo))))
+        Dims.enrichUser(enriched, dims.users, dims.userInfo),
+        minResolver = topUserMinResolver)))
   }
 }

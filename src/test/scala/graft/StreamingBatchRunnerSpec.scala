@@ -92,7 +92,8 @@ class StreamingBatchRunnerSpec extends AnyFunSuite with SparkSpec {
       val minTs = batch.select(min(get_json_object(col("value"), "$.Timestamp")
         .cast("long"))).head().getLong(0)
       val ws = minTs / 300000L * 300000L
-      val rs = BatchRunner.run(spark, batch, dims, ws, trendThreshold = 0L)
+      val rs = BatchRunner.run(spark, batch, dims, ws, trendThreshold = 0L,
+        topUserMinResolver = 0L)
       try Sinks.lakeWrite(rs.all, root) finally rs.unpersist()
       if (ws == w2 && failOnce.getAndSet(false))
         throw new RuntimeException("crash after sink write, before commit")
@@ -114,7 +115,7 @@ class StreamingBatchRunnerSpec extends AnyFunSuite with SparkSpec {
     val expected = Seq((windowStart, w1Lines), (w2, w2Lines)).map {
       case (ws, ls) =>
         val rs = BatchRunner.run(spark, ls.toDF("value"), dims, ws,
-          trendThreshold = 0L)
+          trendThreshold = 0L, topUserMinResolver = 0L)
         try rs.all.map { case (n, df) => n -> df.count() }
         finally rs.unpersist()
     }.reduce((a, b) => a.map { case (n, c) => n -> (c + b(n)) })
