@@ -17,10 +17,13 @@ import graft.functions.{Functions => F, KernelExprs, TextFunctions => TF}
   * as the Scala API `Functions.ip_to_long(col("ip"))`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), GraftExtensions.info(name), builder))
     }
+    // whole-operator extension: BETWEEN-join → broadcast interval-index probe
+    ext.injectPlannerStrategy(sp => new graft.plans.IntervalJoinStrategy(sp))
+  }
 }
 
 object GraftExtensions {
@@ -84,8 +87,13 @@ object GraftExtensions {
   )
 
   /** Register all functions on a live session (idempotent overwrite). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       FunctionBridge.register(spark, name, info(name), builder)
     }
+    if (!spark.experimental.extraStrategies
+        .exists(_.isInstanceOf[graft.plans.IntervalJoinStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new graft.plans.IntervalJoinStrategy(spark)
+  }
 }

@@ -225,6 +225,37 @@ object QueriesOps {
           SELECT doc_id, graft_hash60(text) AS h60,
                  CAST(graft_token_count(text) AS BIGINT) AS tok_cnt
           FROM parquet.`$p` ORDER BY doc_id""")
+      }),
+
+    // -- SQL surface: plain BETWEEN join planned as the broadcast interval-
+    //    index probe (graft.plans.IntervalJoinStrategy). Join semantics —
+    //    EVERY overlapping rule row matches, unmatched facts null-extend —
+    //    so the oracle is the literal same join in DuckDB. The plan shape
+    //    (IntervalJoinExec, no shuffle, no BroadcastNestedLoopJoin) is
+    //    machine-asserted in IntervalJoinSpec.
+    QueryDef("q77_interval_join_sql", Some("""
+      WITH dim AS (SELECT n_nationkey AS rid,
+                          CAST(n_nationkey*37 % 150 AS BIGINT) AS lo,
+                          CAST(n_nationkey*37 % 150 + 30 AS BIGINT) AS hi
+                   FROM nation),
+      f AS (SELECT c_custkey, CAST(c_custkey*11 % 200 AS BIGINT) AS pt
+            FROM customer)
+      SELECT f.c_custkey, f.pt, CAST(coalesce(d.rid, -1) AS BIGINT) AS rule_id
+      FROM f LEFT JOIN dim d ON f.pt BETWEEN d.lo AND d.hi
+      ORDER BY c_custkey, rule_id"""),
+      (s, dir) => {
+        GraftExtensions.register(s)
+        T(s, dir, "nation").selectExpr("n_nationkey AS rid",
+            "CAST(n_nationkey*37 % 150 AS BIGINT) AS lo",
+            "CAST(n_nationkey*37 % 150 + 30 AS BIGINT) AS hi")
+          .createOrReplaceTempView("q77_dim")
+        T(s, dir, "customer").selectExpr("c_custkey",
+            "CAST(c_custkey*11 % 200 AS BIGINT) AS pt")
+          .createOrReplaceTempView("q77_fact")
+        s.sql("""
+          SELECT f.c_custkey, f.pt, CAST(coalesce(d.rid, -1) AS BIGINT) AS rule_id
+          FROM q77_fact f LEFT JOIN q77_dim d ON f.pt BETWEEN d.lo AND d.hi
+          ORDER BY c_custkey, rule_id""")
       })
   )
 }
