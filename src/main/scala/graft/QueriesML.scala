@@ -404,6 +404,43 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- similarity: product-quantization ANN (asymmetric distance) ----------
+    // Codebook = sub-vectors of the 16 lowest-id corpus rows (deterministic
+    // sampling — k-means refinement would follow the q54 vec_mean pattern);
+    // corpus stored as 8 codes/row, queries score via an m·numCodes distance
+    // table. Every step is integer arithmetic over scale-1000 quantized
+    // vectors, so DuckDB reproduces codes, tables, and ranks bit-for-bit.
+    QueryDef("q78_ann_pq", Some(s"""
+      WITH c AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r, qv
+             FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)),
+      d2 AS (SELECT c.vec_id, j.j, cb.r,
+                    list_sum(list_transform(range(1, 9), i ->
+                      (c.qv[CAST(j.j*8+i AS INT)] - cb.qv[CAST(j.j*8+i AS INT)]) *
+                      (c.qv[CAST(j.j*8+i AS INT)] - cb.qv[CAST(j.j*8+i AS INT)]))) AS d2
+             FROM c, range(0, 8) j(j), cb),
+      codes AS (SELECT vec_id, j, r AS code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                              ORDER BY d2, r) AS rn FROM d2)
+                WHERE rn = 1),
+      adc AS (SELECT qd.vec_id AS query_id, dc.vec_id AS neighbor_id,
+                     CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+              FROM codes dc JOIN d2 qd ON qd.j = dc.j AND qd.r = dc.code
+              WHERE qd.vec_id < 5 AND dc.vec_id <> qd.vec_id
+              GROUP BY 1, 2),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn FROM adc)
+      SELECT query_id, neighbor_id, adc_dist, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            m = 8, numCodes = 16, k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- multimodal: batched feature extraction over binary payloads ---------
     // The decode stub (Multimodal.decodeStub) is a deterministic rolling hash
     // over the payload = md5-digest bytes of the id: reproduced here in

@@ -108,6 +108,90 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("neighbor_id"), col("cosine"), col("rn"))
   }
 
+  /** Product-quantization ANN (asymmetric distance): the memory-scale path.
+    *
+    * At 100 TB the corpus' raw vectors do not fit executor memory or a
+    * reasonable scan budget; PQ stores each vector as `m` small codes (one
+    * byte-ish each instead of `dim` floats — a 32× compression at dim=64,
+    * m=8) and scores a query against codes only:
+    *
+    *  1. codebook: per subspace j (dim/m components), `numCodes` codewords —
+    *     deterministically sampled as the sub-vectors of the `numCodes`
+    *     lowest-id corpus rows (k-means refinement would follow the
+    *     [[ivfTopK]] vec_mean pattern; sampling keeps every step exactly
+    *     reproducible in the ANSI-SQL oracle);
+    *  2. encode: corpus row → codes[j] = argmin_r L2²(subvec_j, codeword_r)
+    *     (tie → lowest r) — a projection over a broadcast codebook, no
+    *     shuffle, the corpus is scanned once and reduced to its codes;
+    *  3. ADC: each query precomputes its distance table dt[j][r] = L2²
+    *     (query subvec_j, codeword_r) once (m·numCodes entries), and a
+    *     corpus row's approximate distance is m table lookups
+    *     Σ_j dt[j][codes[j]] — no vector arithmetic on the big side.
+    *
+    * All arithmetic is integer over scale-1000 quantized vectors — exact and
+    * engine-independent. Output: (query_id, neighbor_id, adc_dist, rn),
+    * ascending distance, ties by neighbor id. */
+  def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             m: Int, numCodes: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv")).filter(col("cv").isNotNull)
+    val cb: Array[Array[Long]] = c.orderBy(col("neighbor_id")).limit(numCodes)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cb.length == numCodes, s"corpus has fewer than $numCodes rows")
+    val dim = cb.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val bc = spark.sparkContext.broadcast(cb)
+
+    def l2(a: Array[Long], ao: Int, b: Array[Long], bo: Int): Long = {
+      var s = 0L; var i = 0
+      while (i < sub) { val d = a(ao + i) - b(bo + i); s += d * d; i += 1 }
+      s
+    }
+    val codesU = udf((v: Seq[Long]) => {
+      val av = v.toArray; val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        var best = 0; var bestD = Long.MaxValue; var r = 0
+        while (r < numCodes) {
+          val d = l2(av, j * sub, bc.value(r), j * sub)
+          if (d < bestD) { bestD = d; best = r }
+          r += 1
+        }
+        codes(j) = best; j += 1
+      }
+      codes
+    })
+    val dtU = udf((v: Seq[Long]) => {
+      val av = v.toArray; val dt = new Array[Long](m * numCodes)
+      var j = 0
+      while (j < m) {
+        var r = 0
+        while (r < numCodes) {
+          dt(j * numCodes + r) = l2(av, j * sub, bc.value(r), j * sub); r += 1
+        }
+        j += 1
+      }
+      dt
+    })
+    val adcU = udf((codes: Seq[Int], dt: Seq[Long]) => {
+      var s = 0L; var j = 0
+      while (j < m) { s += dt(j * numCodes + codes(j)); j += 1 }
+      s
+    })
+    val encoded = c.select(col("neighbor_id"), codesU(col("cv")).as("codes"))
+    val q = queries.select(queryId.as("query_id"),
+        F.vec_quantize(queryVec, 1000).as("qv")).filter(col("qv").isNotNull)
+      .select(col("query_id"), dtU(col("qv")).as("dt"))
+    val scored = encoded.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcU(col("codes"), col("dt")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("adc_dist").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rn"))
+  }
+
   /** LSH-bucketed ANN: probe only the query's SRP bucket. Recall < 1 by
     * construction; bucket collision ⇒ similar direction. Output as
     * [[bruteForceTopK]] plus the bucket id. */
