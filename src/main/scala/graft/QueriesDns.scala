@@ -791,6 +791,42 @@ object QueriesDns {
             coalesce(col("aIpAddr"), lit("")).as("a_ip_addr"),
             unix_millis(col("accesstime")).as("accesstime_ms"))
           .orderBy(col("client_name"), col("domain"), col("dns_ip"), col("aip"))
+      }),
+
+    // -- S15 as a first-class source: the reference's binary geo DB format
+    //    written and read back through the graft-geo DataSource V2
+    //    (GeoDatSource). The oracle recomputes the same dim rows straight
+    //    from nation — equality proves the binary codec + scan round-trip
+    //    byte-exactly. Pruning/split behavior is machine-asserted in
+    //    GeoDatSourceSpec.
+    QueryDef("q79_geo_dat_source", Some("""
+      WITH geo AS (SELECT CAST(n_nationkey*1000 AS BIGINT) AS start_ip,
+                          CAST(n_nationkey*1000+499 AS BIGINT) AS end_ip,
+                          (['电信','联通','移动'])[CAST(n_nationkey % 3 + 1 AS INT)] AS operator,
+                          'CT' || CAST(n_nationkey % 7 AS VARCHAR) AS city
+                   FROM nation)
+      SELECT operator, count(*) AS cnt,
+             CAST(sum(end_ip - start_ip + 1) AS BIGINT) AS covered,
+             min(city) AS min_city
+      FROM geo GROUP BY 1 ORDER BY operator"""),
+      (s, dir) => {
+        val keys = T(s, dir, "nation").select(col("n_nationkey").cast("int"))
+          .collect().map(_.getInt(0)).sorted
+        val ops = Seq("电信", "联通", "移动")
+        val rows = keys.map { k =>
+          (k * 1000L, k * 1000L + 499L,
+            Seq("Asia", s"C$k", s"P$k", s"CT${k % 7}", s"D$k", ops(k % 3),
+              (100000 + k).toString, s"E$k", s"ISO$k", "73.0", "18.0"))
+        }.toSeq
+        val path = java.nio.file.Files.createTempDirectory("graft-q79")
+          .resolve("geo.dat").toString
+        graft.sources.GeoDat.write(rows, path)
+        s.read.format("graft-geo").load(path)
+          .groupBy(col("operator"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("end_ip") - col("start_ip") + 1).cast("bigint").as("covered"),
+            min(col("city")).as("min_city"))
+          .orderBy(col("operator"))
       })
   )
 }
