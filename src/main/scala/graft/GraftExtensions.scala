@@ -64,6 +64,10 @@ object GraftExtensions {
         intArg(a(1), "depth"), intArg(a(2), "width"))),
     "graft_hll_registers" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.HllAgg(a(0), intArg(a(1), "m"))),
+    "graft_sketch_merge_max" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.SketchMergeAgg(a.head, isMax = true)),
+    "graft_sketch_merge_sum" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.SketchMergeAgg(a.head, isMax = false)),
     // column compositions
     "graft_ip_to_long" -> c1(F.ip_to_long) _,
     "graft_long_to_ip" -> c1(F.long_to_ip) _,

@@ -630,6 +630,61 @@ object QueriesML {
           .orderBy(col("event_type"))
       }),
 
+    // -- sketch re-aggregation: merged per-window partials == union sketch ---
+    // The incremental pattern at 100 TB: HLL registers / CMS cells computed
+    // per hourly window (what the lake stores), then re-combined across
+    // windows with SketchMergeAgg (element max / element sum). The oracle
+    // computes the UNION sketch directly from raw events — hash equality IS
+    // the mergeability proof, cross-checked engine-to-engine.
+    QueryDef("q80_sketch_reaggregation", Some {
+      val m = 16; val d = 4; val w = 32
+      s"""
+      WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid,
+                         CAST(user_id % 97 AS VARCHAR) AS ckey FROM events),
+      hh AS (SELECT event_type, ${dkHash60("uid")} AS h FROM ev),
+      hb AS (SELECT event_type, h % $m AS bucket, h // $m AS wd FROM hh),
+      hr AS (SELECT event_type, bucket,
+               max(CASE WHEN wd = 0 THEN 57 ELSE bit_count((wd & -wd) - 1) + 1 END) AS rank
+             FROM hb GROUP BY 1, 2),
+      hgrid AS (SELECT k.event_type, g.bucket
+                FROM (SELECT DISTINCT event_type FROM ev) k,
+                     (SELECT unnest(range(0, $m)) AS bucket) g),
+      hfill AS (SELECT g.event_type, g.bucket, CAST(coalesce(r.rank, 0) AS BIGINT) AS rank
+                FROM hgrid g LEFT JOIN hr r USING (event_type, bucket)),
+      regs AS (SELECT event_type, array_to_string(list(rank ORDER BY bucket), '|') AS reg_str
+               FROM hfill GROUP BY 1),
+      cc AS (SELECT event_type, j, ${dkHash60("ckey || '#' || CAST(j AS VARCHAR)")} % $w AS b,
+                    count(*) AS c
+             FROM ev, range(0, $d) t(j) GROUP BY 1, 2, 3),
+      cgrid AS (SELECT k.event_type, g.j, g2.b
+                FROM (SELECT DISTINCT event_type FROM ev) k,
+                     (SELECT unnest(range(0, $d)) AS j) g,
+                     (SELECT unnest(range(0, $w)) AS b) g2),
+      cfill AS (SELECT g.event_type, g.j, g.b, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+                FROM cgrid g LEFT JOIN cc c USING (event_type, j, b)),
+      cells AS (SELECT event_type, array_to_string(list(c ORDER BY j, b), '|') AS cell_str
+                FROM cfill GROUP BY 1)
+      SELECT r.event_type, r.reg_str, c.cell_str
+      FROM regs r JOIN cells c USING (event_type) ORDER BY event_type"""
+    },
+      (s, dir) => {
+        import graft.functions.KernelAggs
+        val m = 16; val d = 4; val w = 32
+        val perWindow = T(s, dir, "events")
+          .withColumn("win", expr("(ts div 1000000000) div 3600"))
+          .groupBy(col("event_type"), col("win"))
+          .agg(
+            KernelAggs.hll_registers(col("user_id").cast("string"), m).as("regs"),
+            KernelAggs.cms_sketch((col("user_id") % 97).cast("string"), d, w).as("cells"))
+        perWindow.groupBy(col("event_type"))
+          .agg(KernelAggs.sketch_merge_max(col("regs")).as("mregs"),
+            KernelAggs.sketch_merge_sum(col("cells")).as("mcells"))
+          .select(col("event_type"),
+            concat_ws("|", transform(col("mregs"), _.cast("string"))).as("reg_str"),
+            concat_ws("|", transform(col("mcells"), _.cast("string"))).as("cell_str"))
+          .orderBy(col("event_type"))
+      }),
+
     // -- deterministic hash sampling: reproducible train/eval splits ---------
     // Same keys selected on every run/engine/cluster size (exact integer
     // threshold on hash60) — rand()-free subsampling a pipeline can replay.

@@ -266,4 +266,86 @@ object KernelAggs {
   /** Column wrapper: HLL registers (array<long> of length m) per group. */
   def hll_registers(c: Column, m: Int): Column =
     ColumnBridge.column(HllAgg(ColumnBridge.expression(c), m).toAggregateExpression())
+
+  // ---------------------------------------------------------------------------
+
+  /** Element-wise re-aggregation of PRE-COMPUTED sketch vectors across rows —
+    * the merge half of the sketch contract and the 100 TB incremental-
+    * aggregation pattern: per-window partials land in the lake (a few KB per
+    * group-window) and any coarser rollup — day over 5-min windows, global
+    * over days — re-combines the vectors without touching raw data again.
+    * `isMax=true` merges HLL register vectors (element max), `isMax=false`
+    * merges CMS cell grids (element sum; counters are exact longs). The
+    * buffer adopts the first vector's length; mismatched widths fail fast
+    * (merging sketches of different geometry is meaningless). Mergeability
+    * is oracle-proven: merged per-window sketches hash-equal the sketch of
+    * the union (q80). */
+  case class SketchMergeAgg(
+      child: Expression, isMax: Boolean,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true // empty group → null, like sum
+
+    override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+    private def combine(b: Array[Long], v: Array[Long]): Array[Long] =
+      if (b.isEmpty) v.clone()
+      else {
+        require(b.length == v.length,
+          s"${prettyName}: sketch widths differ (${b.length} vs ${v.length})")
+        var i = 0
+        while (i < b.length) {
+          b(i) = if (isMax) math.max(b(i), v(i)) else b(i) + v(i); i += 1
+        }
+        b
+      }
+
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v == null) b else combine(b, v.asInstanceOf[ArrayData].toLongArray())
+    }
+
+    override def merge(b: Array[Long], o: Array[Long]): Array[Long] =
+      if (o.isEmpty) b else combine(b, o)
+
+    override def eval(b: Array[Long]): Any =
+      if (b.isEmpty) null else new GenericArrayData(b)
+
+    override def serialize(b: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * b.length)
+      var i = 0
+      while (i < b.length) { bb.putLong(b(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val out = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): SketchMergeAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): SketchMergeAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): SketchMergeAgg =
+      copy(child = newChild)
+    override def prettyName: String =
+      if (isMax) "graft_sketch_merge_max" else "graft_sketch_merge_sum"
+  }
+
+  /** Merge HLL register vectors across rows (element-wise max). */
+  def sketch_merge_max(c: Column): Column =
+    ColumnBridge.column(
+      SketchMergeAgg(ColumnBridge.expression(c), isMax = true).toAggregateExpression())
+
+  /** Merge CMS cell grids across rows (element-wise sum). */
+  def sketch_merge_sum(c: Column): Column =
+    ColumnBridge.column(
+      SketchMergeAgg(ColumnBridge.expression(c), isMax = false).toAggregateExpression())
 }
