@@ -520,6 +520,28 @@ object QueriesML {
         Multimodal.imageStats(pngs).toDF().orderBy(col("media_id"))
       }),
 
+    // -- multimodal: REAL audio decode (javax.sound.sampled, JDK built-in) --
+    // WAV payloads synthesized through the real AudioSystem encoder from an
+    // integer closed-form waveform; decode recovers exact PCM16 samples, so
+    // frame counts and amplitude aggregates are hash-verified end to end —
+    // the audio analogue of q76.
+    QueryDef("q81_audio_decode", Some("""
+      WITH ids AS (SELECT vec_id AS media_id FROM embeddings WHERE vec_id < 200),
+      st AS (SELECT media_id, media_id % 50 + 10 AS frames FROM ids)
+      SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+             CAST(frames AS BIGINT) AS frames,
+             CAST(list_sum(list_transform(range(0, CAST(frames AS INT)), i ->
+                  abs(((media_id*31 + i*7) % 2003 - 1001) * 16))) AS BIGINT) AS sum_abs,
+             CAST(list_max(list_transform(range(0, CAST(frames AS INT)), i ->
+                  abs(((media_id*31 + i*7) % 2003 - 1001) * 16))) AS BIGINT) AS max_abs,
+             true AS decode_ok
+      FROM st ORDER BY media_id"""),
+      (s, dir) => {
+        val wavs = Multimodal.syntheticWavs(
+          s, T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id")
+        Multimodal.audioStats(wavs).toDF().orderBy(col("media_id"))
+      }),
+
     // -- decontamination: candidate n-gram overlap vs a benchmark corpus -----
     // Benchmark = docs with doc_id % 20 == 0; candidates = the rest. The
     // benchmark's distinct 3-gram set is broadcast; candidates explode and

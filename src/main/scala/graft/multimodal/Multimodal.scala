@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is a real codec: `javax.imageio` (JDK built-in —
   * PNG/JPEG/BMP/GIF) decodes payload bytes to exact per-channel pixel sums
   * and dimensions ([[decodeImage]], [[imageStats]]), oracle-verified on
-  * deterministically synthesized PNGs (q76). Audio/video decode remains a
-  * deterministic STUB (`decodeStub` — no ffmpeg in this container), and is
-  * also the fallback for undecodable image bytes; schemas, batch iteration,
-  * partition sizing and output shape are identical for both, so swapping
-  * the stub for javacpp-ffmpeg is a one-function change.
+  * deterministically synthesized PNGs (q76). The AUDIO path is likewise
+  * real: `javax.sound.sampled` (JDK built-in — WAV/AIFF/AU PCM) decodes to
+  * exact frame counts and integer amplitude aggregates ([[decodeAudio]],
+  * [[audioStats]]), oracle-verified on synthesized WAVs (q81). Only VIDEO
+  * decode remains a deterministic STUB (`decodeStub` — no ffmpeg in this
+  * container), which is also the fallback for undecodable bytes; schemas,
+  * batch iteration, partition sizing and output shape are identical across
+  * all three, so swapping the stub for javacpp-ffmpeg is a one-function
+  * change.
   */
 object Multimodal {
 
@@ -126,6 +130,101 @@ object Multimodal {
         MediaFeatures(m.media_id, m.kind, dim, feats, ok)
       }
     }
+  }
+
+  /** Exact decoded-audio statistics: format, frame count, and integer
+    * amplitude aggregates (Σ|s| and max|s| over all channel samples — exact
+    * longs, order-independent, oracle-comparable). */
+  final case class AudioStats(media_id: Long, sample_rate: Int, channels: Int,
+                              frames: Long, sum_abs: Long, max_abs: Long,
+                              decode_ok: Boolean)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM payloads — no ffmpeg needed for the bread-and-butter
+    * speech-corpus format): payload bytes → (sampleRate, channels, frames,
+    * Σ|sample|, max|sample|) over signed 16-bit samples. None when the
+    * bytes are not a supported audio stream. */
+  private[multimodal] def decodeAudio(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sumAbs = 0L; var maxAbs = 0L
+          var i = 0
+          while (i < n) {
+            val s: Int =
+              if (f.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xFF)
+              else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)
+            val a = math.abs(s.toShort.toLong)
+            sumAbs += a; if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          Some((f.getSampleRate.toInt, f.getChannels,
+            n.toLong / f.getChannels, sumAbs, maxAbs))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batched real audio decode → [[AudioStats]]: same per-partition batch
+    * shape as [[imageStats]] — one codec context per task, undecodable
+    * payloads flagged, never thrown. */
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeAudio(if (m.payload == null) Array.empty else m.payload) match {
+          case Some((sr, ch, fr, sa, ma)) =>
+            AudioStats(m.media_id, sr, ch, fr, sa, ma, decode_ok = true)
+          case None => AudioStats(m.media_id, 0, 0, 0L, 0L, 0L, decode_ok = false)
+        }
+      }
+    }
+  }
+
+  /** Encode signed 16-bit mono PCM samples as a WAV file through the real
+    * `AudioSystem` writer — the decode round-trip recovers the exact
+    * samples (PCM is lossless), the property q81's oracle checks. */
+  private[multimodal] def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize REAL (decodable) WAV payloads from an id column: mono 8 kHz,
+    * id%50+10 frames, sample(i) = ((id·31 + i·7) mod 2003 − 1001)·16 —
+    * integer closed form, so every decoded statistic is reproducible by a
+    * SQL oracle while the payload exercises the genuine encode→decode
+    * path. Encoding runs distributed in mapPartitions. */
+  def syntheticWavs(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 50 + 10).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 7) % 2003 - 1001) * 16).toShort)
+          MediaRecord(id, "audio", wavBytes(samples, 8000), 0, 0,
+            n * 1000L / 8000L)
+        }
+      }
   }
 
   /** Frame sampling plan for video payloads: every `everyMs` until

@@ -42,6 +42,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 3 && out.forall(s => !s.decode_ok && s.width == 0))
   }
 
+  test("audioStats: real WAV encode→decode round-trip recovers exact samples") {
+    val ids = Seq(3L, 47L, 199L).toDF("id")
+    val stats = Multimodal.audioStats(Multimodal.syntheticWavs(spark, ids, "id"))
+      .collect().map(s => s.media_id -> s).toMap
+    Seq(3L, 47L, 199L).foreach { id =>
+      val s = stats(id)
+      val n = (id % 50 + 10).toInt
+      val samples = (0 until n).map(i => ((id * 31 + i * 7) % 2003 - 1001) * 16)
+      assert(s.decode_ok && s.sample_rate == 8000 && s.channels == 1)
+      assert(s.frames == n.toLong)
+      assert(s.sum_abs == samples.map(math.abs).sum)
+      assert(s.max_abs == samples.map(math.abs).max)
+    }
+  }
+
+  test("audioStats flags undecodable payloads instead of throwing") {
+    val junk = Seq(
+      MediaRecord(1L, "audio", Array[Byte](9, 9, 9), 0, 0, 0L),
+      MediaRecord(2L, "audio", null, 0, 0, 0L)).toDS()
+    val out = Multimodal.audioStats(junk).collect()
+    assert(out.length == 2 && out.forall(s => !s.decode_ok && s.frames == 0L))
+  }
+
   test("extractFeatures uses the real codec for images, stub elsewhere") {
     val ids = Seq(77L).toDF("id")
     val real = Multimodal.extractFeatures(
