@@ -454,7 +454,9 @@ object Queries {
     "q12_topk_boost", "q14_pergroup_topk", "q18_hash_functions",
     "q30_minhash_candidates", "q34_embedding_neardup", "q35_ann_bruteforce",
     "q54_ann_ivf", "q46_grouping_sets", "q45_sessionize",
-    "q68_batch_window_trend")
+    "q68_batch_window_trend",
+    // round-4 operators: SQL BETWEEN join via IntervalJoinExec; PQ-ANN
+    "q77_interval_join_sql", "q78_ann_pq")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

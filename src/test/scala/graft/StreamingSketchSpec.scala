@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.KernelAggs
+
+/** The native sketch aggregates under Structured Streaming: HLL registers
+  * and CMS cells accumulate across micro-batches through the state store
+  * (TypedImperativeAggregate buffer serialization), and the streamed result
+  * equals the batch sketch of the same rows — the per-window partials the
+  * lake stores (q80's re-aggregation input) can be produced by a live query
+  * rather than a batch sweep. */
+class StreamingSketchSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed HLL/CMS equals the batch sketch of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = 16; val d = 2; val w = 16
+    // (userId, tsSec) — two 60s windows, fed across three micro-batches
+    val rows = (0 until 300).map(i => (i.toLong % 37, (i % 2) * 60L + i % 50))
+    val mem = MemoryStream[(Long, Long)]
+    val name = s"sksk_${System.nanoTime()}"
+    val q = mem.toDS().toDF("userId", "tsSec")
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .groupBy(window(col("eventTime"), "60 seconds").as("win"))
+      .agg(KernelAggs.hll_registers(col("userId").cast("string"), m).as("regs"),
+        KernelAggs.cms_sketch((col("userId") % 7).cast("string"), d, w).as("cells"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      rows.grouped(110).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table(name)
+        .select(col("win.start").cast("long").as("ws"), col("regs"), col("cells"))
+        .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+      val batch = rows.toDF("userId", "tsSec")
+        .withColumn("ws", expr("tsSec div 60 * 60"))
+        .groupBy(col("ws"))
+        .agg(KernelAggs.hll_registers(col("userId").cast("string"), m).as("regs"),
+          KernelAggs.cms_sketch((col("userId") % 7).cast("string"), d, w).as("cells"))
+        .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+      assert(streamed.length == 2)
+      assert(streamed.toSeq == batch.toSeq,
+        "streamed sketch state diverged from the batch sketch")
+    } finally q.stop()
+  }
+}
