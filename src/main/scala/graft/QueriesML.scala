@@ -240,6 +240,35 @@ object QueriesML {
         .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // -- dedup: SimHash LSH banding — bucketed candidate pairs ---------------
+    // The banded analogue of q30 for the signature space: 6 bands of 10 bits;
+    // only chunk-sharing documents pair (pigeonhole: any pair under 6 bits of
+    // Hamming distance is guaranteed caught). Exact Hamming annotated.
+    QueryDef("q82_simhash_candidates", Some {
+      val terms = (0 until 60).map { i =>
+        s"(CASE WHEN coalesce(list_sum(list_transform(hs, x -> " +
+          s"CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      val bands = 6; val w = 10; val mask = (1L << w) - 1
+      s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      h AS (SELECT doc_id, list_transform(toks, tk -> ${dkHash60("tk")}) AS hs FROM t),
+      s AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h),
+      k AS (SELECT doc_id, simhash,
+                   unnest(list_transform(range(0, $bands), b ->
+                     CAST(b AS VARCHAR) || ':' ||
+                     CAST((simhash >> (b*$w)) & $mask AS VARCHAR))) AS band
+            FROM s),
+      p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM k a JOIN k b USING (band) WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM p ORDER BY id_a, id_b"""
+    },
+      (s, dir) => Dedup.simhashCandidates(
+          T(s, dir, "documents"), col("doc_id"), col("text"), bands = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // -- dedup: SimHash Hamming distance between successive docs -------------
     QueryDef("q32_simhash_hamming", Some {
       val terms = (0 until 60).map { i =>

@@ -32,4 +32,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's SQL surface is default-on: graft_* functions plus the
+      // BETWEEN-join planner strategy (production wiring would set the same
+      // key in spark-defaults.conf)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 }

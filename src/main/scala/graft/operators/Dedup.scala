@@ -149,6 +149,35 @@ object Dedup {
   /** Hamming distance between two long columns (bit-counting). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash LSH band keys: the 60-bit signature split into `bands` chunks
+    * of 60/bands bits, each rendered "b:chunk". Pigeonhole guarantee: two
+    * signatures within Hamming distance < bands share at least one chunk. */
+  def simhashBandKeys(sim: Column, bands: Int): Column = {
+    require(60 % bands == 0, "bands must divide 60")
+    val w = 60 / bands
+    val mask = (1L << w) - 1
+    array((0 until bands).map(b => concat(lit(s"$b:"),
+      shiftright(sim, b * w).bitwiseAND(mask).cast("string"))): _*)
+  }
+
+  /** SimHash near-dup candidates — the banded analogue of
+    * [[minhashCandidates]] for the 60-bit signature space: only documents
+    * sharing a band chunk are paired (bucketed self-join on the chunk key,
+    * never all-pairs), each candidate annotated with its exact Hamming
+    * distance. Any pair closer than `bands` bits is guaranteed caught.
+    * Output: (id_a, id_b, hamming) distinct, id_a < id_b. */
+  def simhashCandidates(df: DataFrame, id: Column, text: Column,
+                        bands: Int): DataFrame = {
+    val sigs = df.select(id.as("doc_id"), simhash64(text).as("sh"))
+      .withColumn("band", explode(simhashBandKeys(col("sh"), bands)))
+    val a = sigs.select(col("band"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sigs.select(col("band"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. Shingle sets
     * and the intersection size are let-bound — each is referenced more than
     * once below, and would otherwise be re-derived per reference. */
