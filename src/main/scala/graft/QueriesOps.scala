@@ -256,6 +256,66 @@ object QueriesOps {
           SELECT f.c_custkey, f.pt, CAST(coalesce(d.rid, -1) AS BIGINT) AS rule_id
           FROM q77_fact f LEFT JOIN q77_dim d ON f.pt BETWEEN d.lo AND d.hi
           ORDER BY c_custkey, rule_id""")
+      }),
+
+    // -- as-of join, forward + nearest directions: for each purchase, the
+    //    earliest 'view' at-or-after it (forward, unbounded) and the closer
+    //    of the two adjacent views within a 200 000 s tolerance (nearest;
+    //    exact tie prefers backward). Both directions come from ONE key
+    //    shuffle each (descending-ts running last() = the forward scan) —
+    //    no per-row range probe, no pair explosion at 100 TB.
+    QueryDef("q83_asof_directions", Some(s"""
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts)//1000000000 AS es FROM events),
+      u AS (SELECT user_id, es, event_id, 1 AS side,
+                   CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_es
+            FROM e WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, es, event_id, 0 AS side, event_id, es
+            FROM e WHERE event_type = 'view'),
+      w AS (SELECT *,
+              last_value(r_id IGNORE NULLS) OVER wb AS b_id,
+              last_value(r_es IGNORE NULLS) OVER wb AS b_es,
+              last_value(r_id IGNORE NULLS) OVER wf AS f_id,
+              last_value(r_es IGNORE NULLS) OVER wf AS f_es
+            FROM u WINDOW
+              wb AS (PARTITION BY user_id ORDER BY es, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wf AS (PARTITION BY user_id ORDER BY es DESC, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      c AS (SELECT event_id AS purchase_id, user_id, CAST(es AS BIGINT) AS es,
+              f_id AS fwd_id, f_es AS fwd_es,
+              CASE WHEN es - b_es <= 200000 THEN b_id END AS cb_id,
+              CASE WHEN es - b_es <= 200000 THEN b_es END AS cb_es,
+              CASE WHEN f_es - es <= 200000 THEN f_id END AS cf_id,
+              CASE WHEN f_es - es <= 200000 THEN f_es END AS cf_es
+            FROM w WHERE side = 1)
+      SELECT purchase_id, user_id, es, fwd_id, fwd_es,
+             CASE WHEN cb_id IS NULL THEN cf_id
+                  WHEN cf_id IS NULL THEN cb_id
+                  WHEN es - cb_es <= cf_es - es THEN cb_id
+                  ELSE cf_id END AS near_id,
+             CASE WHEN cb_id IS NULL THEN cf_es
+                  WHEN cf_id IS NULL THEN cb_es
+                  WHEN es - cb_es <= cf_es - es THEN cb_es
+                  ELSE cf_es END AS near_es
+      FROM c ORDER BY purchase_id"""),
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val e = T(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000000000").as("es"))
+        val p = e.filter(col("event_type") === "purchase").drop("event_type")
+        val v = e.filter(col("event_type") === "view").drop("event_type")
+        val fwd = AsOfJoin.asOf(p, v, Seq("user_id"), "es", "event_id",
+            Seq("event_id"), None, AsOfJoin.Forward)
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("es"),
+            col("asof.event_id").as("fwd_id"), col("asof.es").as("fwd_es"))
+        val near = AsOfJoin.asOf(p, v, Seq("user_id"), "es", "event_id",
+            Seq("event_id"), Some(200000L), AsOfJoin.Nearest)
+          .select(col("event_id").as("purchase_id"),
+            col("asof.event_id").as("near_id"), col("asof.es").as("near_es"))
+        fwd.join(near, Seq("purchase_id")).orderBy(col("purchase_id"))
       })
   )
 }

@@ -37,4 +37,96 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(rid(Some(20L)).contains(200L))
     assert(rid(Some(10L)).isEmpty)
   }
+
+  test("forward: earliest right at-or-after; equal ts eligible; no later -> null") {
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 16L), (2L, 102L, 30L))
+      .toDF("k", "event_id", "es")
+    val right = Seq(
+      (1L, 200L, 10L),  // equal ts -> eligible for left 100 (inclusive)
+      (1L, 201L, 10L),  // tie on (k, ts): higher id wins
+      (1L, 202L, 15L),  // BEFORE left 101 -> not eligible forward
+      (1L, 203L, 20L),  // earliest at-or-after 16
+      (2L, 204L, 25L))  // before left 102 -> no forward match for key 2
+      .toDF("k", "event_id", "es")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "es", "event_id",
+        Seq("event_id"), direction = AsOfJoin.Forward)
+      .select(col("event_id"), col("asof.event_id").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).contains(201L)) // tie at ts=10 -> id 201
+    assert(out(101L).contains(203L)) // earliest >= 16 is ts 20
+    assert(out(102L).isEmpty)        // nothing at-or-after ts 30
+  }
+
+  test("forward tolerance nulls matches farther than the bound") {
+    val left = Seq((1L, 100L, 20L)).toDF("k", "event_id", "es")
+    val right = Seq((1L, 200L, 35L)).toDF("k", "event_id", "es") // 15 ahead
+    def rid(tol: Option[Long]) = AsOfJoin.asOf(left, right,
+        Seq("k"), "es", "event_id", Seq("event_id"), tol, AsOfJoin.Forward)
+      .select(col("asof.event_id")).as[Option[Long]].head()
+    assert(rid(None).contains(200L))
+    assert(rid(Some(15L)).contains(200L))
+    assert(rid(Some(14L)).isEmpty)
+  }
+
+  test("nearest: closer side wins; exact tie prefers backward; one-sided fallback") {
+    val left = Seq(
+      (1L, 100L, 20L),  // back at 18 (d=2), fwd at 25 (d=5) -> back
+      (1L, 101L, 28L),  // back at 25 (d=3), fwd at 30 (d=2) -> fwd
+      (1L, 102L, 35L),  // back at 30 (d=5), fwd at 40 (d=5) -> tie -> back
+      (2L, 103L, 10L),  // only a forward candidate exists
+      (3L, 104L, 10L))  // no candidates at all
+      .toDF("k", "event_id", "es")
+    val right = Seq(
+      (1L, 200L, 18L), (1L, 201L, 25L), (1L, 202L, 30L), (1L, 203L, 40L),
+      (2L, 204L, 50L))
+      .toDF("k", "event_id", "es")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "es", "event_id",
+        Seq("event_id"), direction = AsOfJoin.Nearest)
+      .select(col("event_id"), col("asof.event_id").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).contains(200L))
+    assert(out(101L).contains(202L))
+    assert(out(102L).contains(202L)) // tie -> backward
+    assert(out(103L).contains(204L)) // backward null -> forward
+    assert(out(104L).isEmpty)
+  }
+
+  test("nearest tolerance clips each side independently") {
+    // back at d=3, fwd at d=8: tolerance 5 clips fwd, keeps back;
+    // tolerance 2 clips both.
+    val left = Seq((1L, 100L, 20L)).toDF("k", "event_id", "es")
+    val right = Seq((1L, 200L, 17L), (1L, 201L, 28L)).toDF("k", "event_id", "es")
+    def rid(tol: Option[Long]) = AsOfJoin.asOf(left, right,
+        Seq("k"), "es", "event_id", Seq("event_id"), tol, AsOfJoin.Nearest)
+      .select(col("asof.event_id")).as[Option[Long]].head()
+    assert(rid(None).contains(200L))     // d=3 beats d=8
+    assert(rid(Some(5L)).contains(200L))
+    assert(rid(Some(2L)).isEmpty)
+    // and the other side survives when only backward is clipped
+    val left2 = Seq((1L, 100L, 20L)).toDF("k", "event_id", "es")
+    val right2 = Seq((1L, 200L, 5L), (1L, 201L, 24L)).toDF("k", "event_id", "es")
+    val r2 = AsOfJoin.asOf(left2, right2, Seq("k"), "es", "event_id",
+        Seq("event_id"), Some(10L), AsOfJoin.Nearest)
+      .select(col("asof.event_id")).as[Option[Long]].head()
+    assert(r2.contains(201L)) // backward d=15 clipped; forward d=4 kept
+  }
+
+  test("nearest evaluates both directions over a single shuffle") {
+    val left = Seq((1L, 100L, 20L)).toDF("k", "event_id", "es")
+    val right = Seq((1L, 200L, 18L)).toDF("k", "event_id", "es")
+    val df = AsOfJoin.asOf(left, right, Seq("k"), "es", "event_id",
+        Seq("event_id"), direction = AsOfJoin.Nearest)
+    df.collect() // force AQE to finalize
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+    }
+    assert(shuffles.size <= 1,
+      s"nearest as-of should reuse one key exchange, saw ${shuffles.size}")
+  }
 }
