@@ -68,6 +68,11 @@ object GraftExtensions {
       graft.functions.KernelAggs.SketchMergeAgg(a.head, isMax = true)),
     "graft_sketch_merge_sum" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.SketchMergeAgg(a.head, isMax = false)),
+    "graft_bloom_sketch" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.BloomAgg(a(0),
+        intArg(a(1), "numBits"), intArg(a(2), "numHashes"))),
+    "graft_bloom_contains" -> ((a: Seq[Expression]) =>
+      KernelExprs.BloomContains(a(0), a(1), intArg(a(2), "numHashes"))),
     // column compositions
     "graft_ip_to_long" -> c1(F.ip_to_long) _,
     "graft_long_to_ip" -> c1(F.long_to_ip) _,

@@ -599,6 +599,42 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- decontamination at bloom scale: the benchmark shingle set folds into
+    //    a fixed 65536-bit sketch (no pre-distinct — duplicate inserts are
+    //    no-ops) and candidates probe it as a per-row expression over their
+    //    shingle arrays: no explode, no join, NO shuffle of the candidate
+    //    side. Deterministic hash60 positions mean DuckDB reproduces every
+    //    probe — false positives included — by rebuilding the set-bit set.
+    QueryDef("q84_bloom_decontaminate", Some(s"""
+      WITH b0 AS (SELECT ${dkToks("text")} AS toks FROM documents WHERE doc_id % 97 = 0),
+      bsh AS (SELECT DISTINCT unnest(${dkShingles("toks", 3)}) AS sh FROM b0),
+      bits AS (SELECT DISTINCT ${dkHash60("sh || '#' || CAST(j AS VARCHAR)")} % 65536 AS pos
+               FROM bsh, range(0, 3) t(j)),
+      c0 AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      cand AS (SELECT doc_id, list_distinct(${dkShingles("toks", 3)}) AS shs FROM c0),
+      ex AS (SELECT doc_id, unnest(shs) AS sh FROM cand),
+      pp AS (SELECT doc_id, sh, ${dkHash60("sh || '#' || CAST(j AS VARCHAR)")} % 65536 AS pos
+             FROM ex, range(0, 3) t(j)),
+      probe AS (SELECT doc_id, sh,
+                       sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS found
+                FROM pp LEFT JOIN bits b USING (pos) GROUP BY doc_id, sh),
+      agg AS (SELECT doc_id, CAST(sum(CASE WHEN found = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              FROM probe GROUP BY doc_id)
+      SELECT c.doc_id, CAST(len(c.shs) AS BIGINT) AS n_sh,
+             coalesce(a.hits, 0) AS hits,
+             ${dkQround("CAST(coalesce(a.hits,0) AS DOUBLE) / greatest(len(c.shs), 1)", 6)} AS overlap,
+             (${dkQround("CAST(coalesce(a.hits,0) AS DOUBLE) / greatest(len(c.shs), 1)", 6)} >= 0.5) AS contaminated
+      FROM cand c LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        graft.operators.Decontamination.bloomScores(
+            docs, col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 97 === 0), col("text"),
+            shingleN = 3, numBits = 65536, numHashes = 3, threshold = 0.5)
+          .orderBy(col("doc_id"))
+      }),
+
     // -- sketch: Count-Min heavy-hitter estimates (native CmsAgg) ------------
     // The sketch is deterministic (hash60 family), so DuckDB reproduces every
     // cell and estimate exactly; the CMS guarantee est >= exact is asserted

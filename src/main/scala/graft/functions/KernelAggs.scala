@@ -269,6 +269,80 @@ object KernelAggs {
 
   // ---------------------------------------------------------------------------
 
+  /** Bloom filter over a string column: `numBits` bits as numBits/64 long
+    * words, key positions from the seeded hash60 family
+    * ([[Kernels.bloomPos]]). Deterministic bits, merge = bitwise OR —
+    * partitioning, duplicates and merge order cannot change the result, so
+    * the update side needs NO pre-distinct (duplicate inserts are no-ops)
+    * and a SQL oracle reproduces every probe, false positives included.
+    *
+    * The 100 TB shape this unlocks: membership of a 10^8-key set as a
+    * fixed few-MB value that broadcasts to every executor — a probe is a
+    * per-row expression, so the probing side is never shuffled, never
+    * joined, never explodes (vs. carrying the full distinct key set of a
+    * broadcast semi-join). */
+  case class BloomAgg(
+      child: Expression, numBits: Int, numHashes: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+    require(numBits > 0 && numBits % 64 == 0,
+      s"graft_bloom_sketch: numBits must be a positive multiple of 64 (got $numBits)")
+    require(numHashes > 0,
+      s"graft_bloom_sketch: numHashes must be positive (got $numHashes)")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null)
+        Kernels.bloomUpdate(b,
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString), numHashes)
+      b
+    }
+
+    override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b.length) { b(i) |= o(i); i += 1 }
+      b
+    }
+
+    override def eval(b: Array[Long]): Any = new GenericArrayData(b)
+
+    override def serialize(b: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * b.length)
+      var i = 0
+      while (i < b.length) { bb.putLong(b(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val out = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): BloomAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): BloomAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_bloom_sketch"
+  }
+
+  /** Column wrapper: bloom bit words (array<long> of length numBits/64). */
+  def bloom_sketch(c: Column, numBits: Int, numHashes: Int): Column =
+    ColumnBridge.column(
+      BloomAgg(ColumnBridge.expression(c), numBits, numHashes).toAggregateExpression())
+
+  // ---------------------------------------------------------------------------
+
   /** Element-wise re-aggregation of PRE-COMPUTED sketch vectors across rows —
     * the merge half of the sketch contract and the 100 TB incremental-
     * aggregation pattern: per-window partials land in the lake (a few KB per

@@ -78,6 +78,23 @@ object KernelExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Bloom membership probe: true iff all `numHashes` seeded-hash60
+    * positions of the key are set in the bit-word array (see
+    * [[KernelAggs.BloomAgg]]). Per-row expression — the probing side of a
+    * bloom semi-filter never joins or shuffles. */
+  case class BloomContains(left: Expression, right: Expression, numHashes: Int)
+    extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(bloom: Any, key: Any): Any =
+      Kernels.bloomContains(
+        bloom.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        key.asInstanceOf[UTF8String], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, k) => s"graft.functions.Kernels.bloomContains($b, $k, $numHashes)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomContains =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** SRP-LSH bucket id of a quantized vector (array<long>). */
   case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -101,4 +118,6 @@ object KernelExprs {
   def cosine_q6(a: Column, b: Column): Column = ColumnBridge.column(CosineQ6(e(a), e(b)))
   def srp_bucket(qv: Column, planes: Int): Column =
     ColumnBridge.column(SrpBucket(e(qv), planes))
+  def bloom_contains(bloom: Column, key: Column, numHashes: Int): Column =
+    ColumnBridge.column(BloomContains(e(bloom), e(key), numHashes))
 }

@@ -156,6 +156,45 @@ object Kernels {
     }
   }
 
+  /** Bloom position j of `key`: hash60(key || "#" || j) mod numBits — the
+    * same seeded-suffix family as the MinHash/CMS sketches, so a SQL oracle
+    * reproduces every set bit. */
+  def bloomPos(d: MessageDigest, keyBytes: Array[Byte], j: Int, numBits: Int): Int = {
+    d.reset()
+    d.update(keyBytes)
+    d.update(("#" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (hash60Bytes(d) % numBits).toInt
+  }
+
+  /** Set `key`'s `numHashes` bit positions in the word array (64 bits/word,
+    * bit i of word w = position 64*w + i). */
+  def bloomUpdate(bits: Array[Long], key: UTF8String, numHashes: Int): Unit = {
+    val numBits = bits.length * 64
+    val keyBytes = key.getBytes
+    val d = md5Local.get()
+    var j = 0
+    while (j < numHashes) {
+      val pos = bloomPos(d, keyBytes, j, numBits)
+      bits(pos >>> 6) |= (1L << (pos & 63))
+      j += 1
+    }
+  }
+
+  /** Probe: true iff ALL `numHashes` positions of `key` are set — no false
+    * negatives, false positives at the sketch's design rate. */
+  def bloomContains(bloom: ArrayData, key: UTF8String, numHashes: Int): Boolean = {
+    val numBits = bloom.numElements() * 64
+    val keyBytes = key.getBytes
+    val d = md5Local.get()
+    var j = 0
+    while (j < numHashes) {
+      val pos = bloomPos(d, keyBytes, j, numBits)
+      if ((bloom.getLong(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
   /** Sign-random-projection bucket id (0 .. 2^planes-1) of a quantized
     * vector: bit p = sign of the exact integer projection onto plane p. */
   def srpBucket(qv: ArrayData, planes: Int): Long = {

@@ -38,4 +38,39 @@ object Decontamination {
         col("hits").cast("double") / greatest(col("n_sh"), lit(1L)), 6))
       .withColumn("contaminated", col("overlap") >= threshold)
   }
+
+  /** [[overlapScores]] with a bloom filter in place of the exact shingle
+    * set — the shape that holds when the benchmark side outgrows a
+    * broadcastable hash relation. The benchmark's shingles fold into a
+    * fixed `numBits`-bit sketch (duplicate inserts are no-ops, so NO
+    * pre-distinct shuffle); candidates probe it as a per-row expression
+    * over their shingle array — no explode, no join, no shuffle of the
+    * candidate side at all. Probes have no false negatives; false
+    * positives at the sketch's design rate can only OVERCOUNT overlap
+    * (contamination screening errs toward quarantine). Deterministic
+    * hashes make even the false positives oracle-reproducible.
+    *
+    * Output: (doc_id, n_sh, hits, overlap q6, contaminated). */
+  def bloomScores(candidates: DataFrame, candId: Column, candText: Column,
+                  benchmark: DataFrame, benchText: Column,
+                  shingleN: Int, numBits: Int, numHashes: Int,
+                  threshold: Double): DataFrame = {
+    import graft.functions.KernelExprs
+    val bloom = benchmark
+      .select(explode(TF.word_shingles(benchText, shingleN)).as("sh"))
+      .agg(graft.functions.KernelAggs.bloom_sketch(
+        col("sh"), numBits, numHashes).as("__bloom"))
+    candidates
+      .select(candId.as("doc_id"),
+        array_distinct(TF.word_shingles(candText, shingleN)).as("shs"))
+      .crossJoin(broadcast(bloom))
+      .select(col("doc_id"),
+        size(col("shs")).cast("long").as("n_sh"),
+        size(filter(col("shs"),
+          sh => KernelExprs.bloom_contains(col("__bloom"), sh, numHashes)))
+          .cast("long").as("hits"))
+      .withColumn("overlap", graft.functions.Functions.qround(
+        col("hits").cast("double") / greatest(col("n_sh"), lit(1L)), 6))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
 }

@@ -109,6 +109,47 @@ class KernelsSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 16))
   }
 
+  test("bloom sketch: no false negatives, duplicate/partitioning invariant") {
+    import graft.functions.{KernelAggs, KernelExprs}
+    val keys = (0 until 500).map(i => s"key_$i")
+    val in = (keys ++ keys.take(100)).toDF("k") // duplicates are no-ops
+    def words(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(KernelAggs.bloom_sketch(col("k"), 4096, 3).as("b"))
+        .head().getSeq[Long](0)
+    val b1 = words(in.repartition(1))
+    val b8 = words(in.repartition(8, col("k")))
+    val bd = words(keys.toDF("k")) // distinct-only input
+    assert(b1 == b8 && b1 == bd, "bits must not depend on partitioning or dups")
+    // every inserted key probes true
+    val bloomDf = in.agg(KernelAggs.bloom_sketch(col("k"), 4096, 3).as("b"))
+    val misses = keys.toDF("k").crossJoin(broadcast(bloomDf))
+      .filter(!KernelExprs.bloom_contains(col("b"), col("k"), 3))
+      .count()
+    assert(misses == 0, "bloom filters admit no false negatives")
+    // non-members mostly reject (4096 bits / 1500 set positions -> fp ~ 5%)
+    val fp = (1000 until 2000).map(i => s"other_$i").toDF("k")
+      .crossJoin(broadcast(bloomDf))
+      .filter(KernelExprs.bloom_contains(col("b"), col("k"), 3))
+      .count()
+    assert(fp < 200, s"false-positive rate out of family: $fp/1000")
+  }
+
+  test("bloom sketch: SQL surface + geometry validation") {
+    GraftExtensions.register(spark)
+    Seq("a", "b", "c").toDF("k").createOrReplaceTempView("bloom_in")
+    val row = spark.sql("""
+      WITH s AS (SELECT graft_bloom_sketch(k, 256, 2) AS b FROM bloom_in)
+      SELECT graft_bloom_contains(b, 'a', 2) AS hit_a,
+             graft_bloom_contains(b, 'zzz_not_inserted', 2) AS hit_z
+      FROM s""").head()
+    assert(row.getBoolean(0))
+    assert(!row.getBoolean(1)) // 6 of 256 bits set: a zzz fp would be ~1e-3
+    val bad = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_sketch(k, 100, 2) FROM bloom_in").collect()
+    }
+    assert(bad.getMessage.contains("multiple of 64"))
+  }
+
   test("kernels survive whole-stage codegen and interpreted eval equally") {
     // force both paths: codegen on (default) vs off
     val base = docs.select(F.hash60(col("text")).as("h")).collect().map(_.getLong(0))

@@ -92,4 +92,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.toString.contains("ShuffleExchange")
       && !plan.toString.contains("ShuffleQueryStage"), plan.toString)
   }
+
+  test("bloom decontamination never shuffles the candidate side") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.operators.Decontamination.bloomScores(
+      docs, col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 97 === 0), col("text"),
+      shingleN = 3, numBits = 65536, numHashes = 3, threshold = 0.5)
+    val plan = finalPlan(scored)
+    // the ONLY admissible shuffle is the single-row benchmark bloom agg;
+    // candidates scan -> probe -> score with their input partitioning intact
+    assert(shuffleNodes(plan).size <= 1,
+      s"candidate side must not shuffle:\n$plan")
+    assert(!plan.toString.contains("SortMergeJoin"), plan.toString)
+  }
 }
