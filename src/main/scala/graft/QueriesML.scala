@@ -599,6 +599,31 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- multimodal: REAL video container demux (RIFF/AVI chunk walk,
+    //    uncompressed 24-bit BI_RGB frames — the codec-free JVM video
+    //    format). Payloads are muxed distributed from a closed-form frame
+    //    spec, so every demuxed statistic is arithmetic to the oracle while
+    //    the bytes exercise the genuine mux→demux path.
+    QueryDef("q85_video_decode", Some("""
+      WITH ids AS (SELECT vec_id AS media_id FROM embeddings WHERE vec_id < 200),
+      st AS (SELECT media_id, media_id % 8 + 2 AS w, media_id % 6 + 2 AS h,
+                    media_id % 5 + 2 AS nf FROM ids)
+      SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST(nf AS BIGINT) AS frames, CAST(40000 AS BIGINT) AS us_per_frame,
+             CAST(w * h * list_sum(list_transform(range(0, CAST(nf AS INT)),
+                  f -> (media_id + f) % 256)) AS BIGINT) AS r_sum,
+             CAST(w * h * list_sum(list_transform(range(0, CAST(nf AS INT)),
+                  f -> (media_id*7 + f*11) % 256)) AS BIGINT) AS g_sum,
+             CAST(w * h * list_sum(list_transform(range(0, CAST(nf AS INT)),
+                  f -> (media_id*13 + f*17) % 256)) AS BIGINT) AS b_sum,
+             true AS decode_ok
+      FROM st ORDER BY media_id"""),
+      (s, dir) => {
+        val avis = Multimodal.syntheticAvis(
+          s, T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id")
+        Multimodal.videoStats(avis).toDF().orderBy(col("media_id"))
+      }),
+
     // -- decontamination at bloom scale: the benchmark shingle set folds into
     //    a fixed 65536-bit sketch (no pre-distinct — duplicate inserts are
     //    no-ops) and candidates probe it as a per-row expression over their

@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   * deterministically synthesized PNGs (q76). The AUDIO path is likewise
   * real: `javax.sound.sampled` (JDK built-in — WAV/AIFF/AU PCM) decodes to
   * exact frame counts and integer amplitude aggregates ([[decodeAudio]],
-  * [[audioStats]]), oracle-verified on synthesized WAVs (q81). Only VIDEO
-  * decode remains a deterministic STUB (`decodeStub` — no ffmpeg in this
-  * container), which is also the fallback for undecodable bytes; schemas,
+  * [[audioStats]]), oracle-verified on synthesized WAVs (q81). The VIDEO
+  * path is a real RIFF/AVI container demux ([[decodeVideo]],
+  * [[videoStats]]) over uncompressed 24-bit BI_RGB frames — the one video
+  * format a codec-free JVM can honestly decode — oracle-verified on
+  * synthesized AVIs (q85); compressed codecs (H.264 etc.) fall back to the
+  * deterministic `decodeStub` (no ffmpeg in this container), and swapping
+  * that fallback for javacpp-ffmpeg is a one-function change. Schemas,
   * batch iteration, partition sizing and output shape are identical across
-  * all three, so swapping the stub for javacpp-ffmpeg is a one-function
-  * change.
+  * all three modalities.
   */
 object Multimodal {
 
@@ -223,6 +226,176 @@ object Multimodal {
             (((id * 31 + i * 7) % 2003 - 1001) * 16).toShort)
           MediaRecord(id, "audio", wavBytes(samples, 8000), 0, 0,
             n * 1000L / 8000L)
+        }
+      }
+  }
+
+  /** Exact decoded-video statistics: container geometry, frame count, frame
+    * interval, and per-channel pixel sums over ALL frames (exact longs —
+    * order-independent, oracle-comparable). */
+  final case class VideoStats(media_id: Long, width: Int, height: Int,
+                              frames: Long, us_per_frame: Long,
+                              r_sum: Long, g_sum: Long, b_sum: Long,
+                              decode_ok: Boolean)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL video demux: a RIFF/AVI container parser (chunk walk with sizes,
+    * word alignment, nested LISTs) over uncompressed 24-bit BI_RGB ('DIB ')
+    * frames — the one video format decodable without external codec
+    * libraries, and the honest statement of what pure-JVM video support is.
+    * payload bytes → (width, height, frames, µs/frame, Σr, Σg, Σb); None
+    * for non-AVI bytes or compressed streams (callers fall back to
+    * [[decodeStub]]). Row stride is 4-byte padded per the DIB spec; pixel
+    * order in a frame is BGR bottom-up, irrelevant to channel sums. */
+  private[multimodal] def decodeVideo(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long, Long, Long)] =
+    try {
+      if (payload.length < 12 || fourcc(payload, 0) != "RIFF"
+        || fourcc(payload, 8) != "AVI ") return None
+      var width = 0; var height = 0; var usPerFrame = 0L
+      var bitCount = -1; var compression = -1
+      var frames = 0L; var rs = 0L; var gs = 0L; var bs = 0L
+
+      def frameSums(off: Int): Unit = {
+        val stride = (width * 3 + 3) & ~3
+        var y = 0
+        while (y < height) {
+          var x = 0
+          val row = off + y * stride
+          while (x < width) {
+            bs += payload(row + 3 * x) & 0xFF
+            gs += payload(row + 3 * x + 1) & 0xFF
+            rs += payload(row + 3 * x + 2) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+      }
+
+      // walk [from, to) as a sequence of (fourcc, size, data) chunks
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val cc = fourcc(payload, p)
+          val size = le32(payload, p + 4)
+          val data = p + 8
+          if (size < 0 || data + size > to) return // malformed: stop cleanly
+          cc match {
+            case "LIST" => walk(data + 4, data + size) // skip list subtype
+            case "avih" =>
+              usPerFrame = le32(payload, data).toLong
+              width = le32(payload, data + 32)
+              height = le32(payload, data + 36)
+            case "strf" =>
+              bitCount = le32(payload, data + 12) >>> 16 // biPlanes|biBitCount
+              compression = le32(payload, data + 16)
+            case "00db" | "00dc" =>
+              if (bitCount == 24 && compression == 0 && width > 0 && height > 0
+                && size >= ((width * 3 + 3) & ~3) * height) {
+                frames += 1
+                frameSums(data)
+              }
+            case _ => ()
+          }
+          p = data + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(payload.length, 8 + le32(payload, 4)))
+      if (width > 0 && height > 0 && bitCount == 24 && compression == 0)
+        Some((width, height, frames, usPerFrame, rs, gs, bs))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batched real video demux → [[VideoStats]]: same per-partition batch
+    * shape as [[imageStats]]/[[audioStats]] — undecodable payloads flagged,
+    * never thrown. */
+  def videoStats(media: Dataset[MediaRecord]): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeVideo(if (m.payload == null) Array.empty else m.payload) match {
+          case Some((w, h, fr, us, r, g, b)) =>
+            VideoStats(m.media_id, w, h, fr, us, r, g, b, decode_ok = true)
+          case None =>
+            VideoStats(m.media_id, 0, 0, 0L, 0L, 0L, 0L, 0L, decode_ok = false)
+        }
+      }
+    }
+  }
+
+  /** Mux packed top-down BGR frames (w·h·3 bytes each, no padding) into a
+    * RIFF/AVI container with uncompressed 24-bit BI_RGB frames — the
+    * encode half of the [[decodeVideo]] round trip. Rows are written
+    * bottom-up with 4-byte stride padding per the DIB spec. */
+  private[multimodal] def aviBytes(w: Int, h: Int, frames: Array[Array[Byte]],
+                                   usPerFrame: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val stride = (w * 3 + 3) & ~3
+    val frameSize = stride * h
+
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ i32(body.length) ++ body ++ pad
+    }
+    def list(subtype: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ i32(body.length + 4) ++ cc(subtype) ++ body
+
+    val avih = i32(usPerFrame) ++ i32(frameSize * 1000000 / math.max(usPerFrame, 1)) ++
+      i32(0) ++ i32(0) ++ i32(frames.length) ++ i32(0) ++ i32(1) ++
+      i32(frameSize) ++ i32(w) ++ i32(h) ++ i32(0) ++ i32(0) ++ i32(0) ++ i32(0)
+    val strh = cc("vids") ++ cc("DIB ") ++ i32(0) ++ i32(0) ++ i32(0) ++
+      i32(usPerFrame) ++ i32(1000000) ++ i32(0) ++ i32(frames.length) ++
+      i32(frameSize) ++ i32(-1) ++ i32(0) ++
+      Array(0, 0, 0, 0).map(_.toByte) ++ i32((h << 16) | w)
+    val strf = i32(40) ++ i32(w) ++ i32(h) ++ i32((24 << 16) | 1) ++ i32(0) ++
+      i32(frameSize) ++ i32(0) ++ i32(0) ++ i32(0) ++ i32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+
+    val movi = list("movi", frames.flatMap { f =>
+      val dib = new Array[Byte](frameSize)
+      var y = 0
+      while (y < h) { // top-down packed -> bottom-up padded
+        System.arraycopy(f, y * w * 3, dib, (h - 1 - y) * stride, w * 3)
+        y += 1
+      }
+      chunk("00db", dib)
+    })
+    val body = cc("AVI ") ++ hdrl ++ movi
+    bos.write(cc("RIFF")); bos.write(i32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Synthesize REAL (demuxable) AVI payloads from an id column: size
+    * (id%8+2)×(id%6+2), id%5+2 uniform-color frames, frame f color
+    * ((id+f)%256, (7id+11f)%256, (13id+17f)%256), 40 ms/frame — integer
+    * closed form, so every demuxed statistic is reproducible by a SQL
+    * oracle while the payload exercises the genuine mux→demux container
+    * path. Muxing runs distributed in mapPartitions. */
+  def syntheticAvis(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 8 + 2).toInt; val h = (id % 6 + 2).toInt
+          val nf = (id % 5 + 2).toInt
+          val frames = Array.tabulate(nf) { f =>
+            val (r, g, b) = (((id + f) % 256).toByte,
+              ((id * 7 + f * 11) % 256).toByte, ((id * 13 + f * 17) % 256).toByte)
+            val px = Array(b, g, r) // BGR
+            Array.fill(w * h)(px).flatten
+          }
+          MediaRecord(id, "video", aviBytes(w, h, frames, 40000), w, h,
+            nf * 40L)
         }
       }
   }
