@@ -811,6 +811,26 @@ object QueriesML {
           F.sample_hash(col("doc_id").cast("string"), 100, seed = 1).as("in_eval"))
         .orderBy(col("doc_id"))),
 
+    // -- stratified deterministic sampling: per-stratum permille rates over
+    //    the sample_hash order — downsample dominant strata, keep rare ones
+    //    whole (1000), drop poison ones (0) — one hash + threshold per row,
+    //    no join, no shuffle, replayable on any engine or cluster size.
+    QueryDef("q86_stratified_sample", Some(s"""
+      SELECT event_id, event_type FROM events
+      WHERE ${dkHash60("CAST(event_id AS VARCHAR) || '#2'")} <
+        CASE event_type WHEN 'view' THEN ${F.sampleThreshold(150)}
+                        WHEN 'purchase' THEN ${F.sampleThreshold(1000)}
+                        WHEN 'error' THEN ${F.sampleThreshold(0)}
+                        ELSE ${F.sampleThreshold(50)} END
+      ORDER BY event_id"""),
+      (s, dir) => T(s, dir, "events")
+        .filter(F.stratified_sample(col("event_id").cast("string"),
+          col("event_type"),
+          Map("view" -> 150, "purchase" -> 1000, "error" -> 0),
+          defaultPermille = 50, seed = 2))
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))),
+
     // -- composite: filter → quality gate → exact-dedup training pipeline ----
     QueryDef("q38_text_pipeline", Some {
       val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -66,6 +66,23 @@ object Functions {
     else hash60(key, seed) < lit(sampleThreshold(permille))
   }
 
+  /** Stratified deterministic sampling: a per-stratum permille rate over the
+    * [[sample_hash]] hash order — THE curriculum/rebalancing primitive of a
+    * training-data pipeline (downsample boilerplate strata, keep rare ones
+    * whole) with [[sample_hash]]'s replay guarantees. One hash + one chained
+    * threshold per row: no join, no shuffle, the stratum column never needs
+    * to leave the row. `sampleThreshold(1000)` = 2^60 exceeds every 60-bit
+    * hash, so a 1000-permille stratum passes whole with no special case. */
+  def stratified_sample(key: Column, strata: Column, rates: Map[String, Int],
+                        defaultPermille: Int, seed: Int = 0): Column = {
+    require((rates.values ++ Seq(defaultPermille)).forall(p => p >= 0 && p <= 1000),
+      "permille in [0, 1000]")
+    val thr = rates.foldLeft(lit(sampleThreshold(defaultPermille))) {
+      case (acc, (s, p)) => when(strata === s, lit(sampleThreshold(p))).otherwise(acc)
+    }
+    hash60(key, seed) < thr
+  }
+
   // --------------------------------------------------------------------------
   // IPv4 helpers (reference: Utils.scala:82-99, IpUtil.java:304-313).
   // Malformed input → 0L, matching the reference's exception-to-default.

@@ -89,6 +89,21 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(F.sampleThreshold(500) == (1L << 59))
   }
 
+  test("stratified_sample: rate-0 drops, rate-1000 keeps, subset of flat sample") {
+    val rows = (0 until 3000)
+      .map(i => (s"id$i", Seq("a", "b", "c")(i % 3))).toDF("k", "s")
+    val kept = rows.filter(F.stratified_sample(col("k"), col("s"),
+        Map("a" -> 0, "b" -> 1000, "c" -> 200), defaultPermille = 50))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("a"))
+    assert(kept("b") == 1000L) // whole stratum
+    assert(kept("c") > 100 && kept("c") < 300) // ~200/1000 of 1000
+    // stratum rate r selects exactly the keys a flat r-permille sample would
+    val viaFlat = rows.filter(col("s") === "c" && F.sample_hash(col("k"), 200))
+      .count()
+    assert(kept("c") == viaFlat)
+  }
+
   test("cms_sketch rejects non-positive depth/width at plan time") {
     val df = Seq("a").toDF("k")
     val e = intercept[IllegalArgumentException] {

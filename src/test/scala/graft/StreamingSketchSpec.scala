@@ -43,4 +43,30 @@ class StreamingSketchSpec extends AnyFunSuite with SparkSpec {
         "streamed sketch state diverged from the batch sketch")
     } finally q.stop()
   }
+
+  test("streaming bloom state equals the batch sketch and admits no false negatives") {
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (0 until 400).map(i => s"k_${i % 151}") // duplicates across batches
+    val mem = MemoryStream[String]
+    val name = s"skbl_${System.nanoTime()}"
+    val q = mem.toDS().toDF("k")
+      .agg(KernelAggs.bloom_sketch(col("k"), 2048, 3).as("bloom"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      keys.grouped(130).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table(name).select(col("bloom"))
+        .as[Seq[Long]].head()
+      val batch = keys.toDF("k")
+        .agg(KernelAggs.bloom_sketch(col("k"), 2048, 3).as("bloom"))
+        .as[Seq[Long]].head()
+      assert(streamed == batch,
+        "streamed bloom state diverged from the batch sketch")
+      // every streamed-in key probes true against the streamed state
+      val bloomDf = spark.table(name)
+      val misses = keys.distinct.toDF("k").crossJoin(broadcast(bloomDf))
+        .filter(!graft.functions.KernelExprs.bloom_contains(col("bloom"), col("k"), 3))
+        .count()
+      assert(misses == 0)
+    } finally q.stop()
+  }
 }
