@@ -456,7 +456,9 @@ object Queries {
     "q54_ann_ivf", "q46_grouping_sets", "q45_sessionize",
     "q68_batch_window_trend",
     // round-4 operators: SQL BETWEEN join via IntervalJoinExec; PQ-ANN
-    "q77_interval_join_sql", "q78_ann_pq")
+    "q77_interval_join_sql", "q78_ann_pq",
+    // round-5 operators: bidirectional as-of join; bloom decontamination
+    "q83_asof_directions", "q84_bloom_decontaminate")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }
