@@ -433,6 +433,47 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- ANN: multi-probe IVF — the recall/cost knob. Identical pipeline to
+    //    q54 but each query probes its 3 nearest cells (recall@10 on these
+    //    embeddings: 0.345 at nprobe=1 -> 0.63 at nprobe=3, IvfSpec); the
+    //    candidate set is the union of the probed cells, still
+    //    nprobe/nlist of the corpus instead of all of it.
+    QueryDef("q87_ann_ivf_multiprobe", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, sid) AS rn FROM a1),
+      cell1 AS (SELECT vec_id, qv, sid AS cell FROM r1 WHERE rn = 1),
+      sums AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+               FROM cell1, range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+               FROM sums GROUP BY cell),
+      a2 AS (SELECT q.vec_id, q.qv, cent.cell, ${dkCos("q.qv", "cent.cq")} AS cos FROM q, cent),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) AS rn FROM a2),
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+      qa AS (SELECT query_id, qv, cent.cell, ${dkCos("qv", "cent.cq")} AS cos FROM qs, cent),
+      qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell) AS rn FROM qa),
+      qcell AS (SELECT query_id, qv, cell FROM qr WHERE rn <= 3),
+      cand AS (SELECT query_id, cell, neighbor_id, ${dkCos("cv", "qv")} AS cosine
+               FROM cell2 JOIN qcell USING (cell) WHERE neighbor_id <> query_id),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM cand)
+      SELECT query_id, cell, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            k = 5, nprobe = 3)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- similarity: product-quantization ANN (asymmetric distance) ----------
     // Codebook = sub-vectors of the 16 lowest-id corpus rows (deterministic
     // sampling — k-means refinement would follow the q54 vec_mean pattern);

@@ -70,6 +70,27 @@ object Similarity {
     fn(qvec)
   }
 
+  /** The `nprobe` nearest centroid ids (descending q6 cosine, ties → lowest
+    * id) for a quantized-vector column — the multi-probe side of
+    * [[ivfTopK]]. Same broadcast-projection shape as [[assignCell]]. */
+  def assignCells(spark: org.apache.spark.sql.SparkSession,
+                  centroids: Array[(Int, Array[Long])], nprobe: Int)
+                 (qvec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val fn = udf((v: Seq[Long]) => {
+      if (v == null) Seq.empty[Int]
+      else {
+        val arr = v.toArray
+        bc.value
+          .map { case (id, c) =>
+            (id, graft.functions.Kernels.cosineQ6Arrays(arr, c)) }
+          .sortBy { case (id, cos) => (-cos, id) }
+          .take(nprobe).map(_._1).toSeq
+      }
+    })
+    fn(qvec)
+  }
+
   /** IVF (inverted-file) ANN — the scale path beyond [[lshTopK]]:
     *
     *  1. seed centroids (caller-chosen small set, e.g. a data sample);
@@ -81,12 +102,16 @@ object Similarity {
     *
     * One Lloyd iteration — deterministic end-to-end (quantized integer dots,
     * q6 rounding), so the ANSI-SQL oracle reproduces every step. Candidate
-    * cost per query: corpus/nlist instead of corpus.
+    * cost per query: nprobe·corpus/nlist instead of corpus — `nprobe` is
+    * the recall/cost knob (queries probe their nprobe nearest cells; on the
+    * sf0.001 embeddings recall@10 measures 0.345 at nprobe=1 vs 0.63 at
+    * nprobe=3, see IvfSpec).
     * Output: (query_id, cell, neighbor_id, cosine, rn). */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               seeds: DataFrame, seedId: Column, seedVec: Column,
-              k: Int): DataFrame = {
+              k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"), F.vec_quantize(corpusVec, 1000).as("cv"))
     val sd = seeds.select(seedId.cast("int").as("sid"), F.vec_quantize(seedVec, 1000).as("sv"))
@@ -99,7 +124,7 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
     val assigned2 = c.withColumn("cell", assignCell(spark, refined)(col("cv")))
     val q = queries.select(queryId.as("query_id"), F.vec_quantize(queryVec, 1000).as("qv"))
-      .withColumn("cell", assignCell(spark, refined)(col("qv")))
+      .withColumn("cell", explode(assignCells(spark, refined, nprobe)(col("qv"))))
     val scored = assigned2.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("qv")))

@@ -111,6 +111,47 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(r2.contains(201L)) // backward d=15 clipped; forward d=4 kept
   }
 
+  test("all directions equal a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(20260812L)
+    val left = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, 1000L + i, rnd.nextInt(60).toLong))
+    val right = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, 2000L + i, rnd.nextInt(60).toLong))
+    val lDf = left.toDF("k", "event_id", "es")
+    val rDf = right.toDF("k", "event_id", "es")
+
+    // brute force: scan all right rows per left row
+    def brute(direction: String, tol: Option[Long]): Map[Long, Option[Long]] =
+      left.map { case (k, lid, les) =>
+        val back = right.filter(r => r._1 == k && r._3 <= les
+            && tol.forall(t => les - r._3 <= t))
+          .sortBy(r => (r._3, r._2)).lastOption
+        val fwd = right.filter(r => r._1 == k && r._3 >= les
+            && tol.forall(t => r._3 - les <= t))
+          .sortBy(r => (-r._3, r._2)).lastOption // min ts, then max id
+        val pick = direction match {
+          case AsOfJoin.Backward => back
+          case AsOfJoin.Forward => fwd
+          case AsOfJoin.Nearest => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (les - b._3 <= f._3 - les) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        lid -> pick.map(_._2)
+      }.toMap
+
+    for (direction <- Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest);
+         tol <- Seq(None, Some(7L), Some(0L))) {
+      val got = AsOfJoin.asOf(lDf, rDf, Seq("k"), "es", "event_id",
+          Seq("event_id"), tol, direction)
+        .select(col("event_id"), col("asof.event_id").as("rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got == brute(direction, tol),
+        s"divergence at direction=$direction tolerance=$tol")
+    }
+  }
+
   test("nearest evaluates both directions over a single shuffle") {
     val left = Seq((1L, 100L, 20L)).toDF("k", "event_id", "es")
     val right = Seq((1L, 200L, 18L)).toDF("k", "event_id", "es")

@@ -51,6 +51,42 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivf recall@10 vs brute force clears a floor on real embeddings") {
+    // the approximate path must be APPROXIMATELY RIGHT, not merely fast:
+    // measure recall@k against the exact scan on the real embeddings table
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val seeds = emb.filter(col("vec_id") % 37 === 0).limit(8)
+    val k = 10
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1).map { case (q, ns) =>
+          q -> ns.map(_._2).toSet
+        }
+    val exact = topSet(Similarity.bruteForceTopK(
+      emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k))
+    def meanRecall(nprobe: Int): Double = {
+      val approx = topSet(Similarity.ivfTopK(
+        emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        seeds, col("vec_id"), col("embedding"), k, nprobe))
+      val recalls = exact.map { case (q, ex) =>
+        approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      recalls.sum / recalls.size
+    }
+    // single probe scans ~1/8 of the corpus; measured 0.345 on these
+    // (weakly clustered) embeddings. nprobe is the recall/cost knob: 3
+    // probes must clear a real floor AND beat 1 probe by a margin.
+    val r1 = meanRecall(1)
+    val r3 = meanRecall(3)
+    info(s"mean recall@$k: nprobe=1 -> $r1, nprobe=3 -> $r3")
+    assert(r1 >= 0.2, s"nprobe=1 recall@$k degraded to $r1")
+    assert(r3 >= 0.6, s"nprobe=3 recall@$k degraded to $r3")
+    assert(r3 > r1 + 0.1, s"multi-probe gained nothing: $r1 -> $r3")
+  }
+
   test("vec_mean via SQL registration") {
     GraftExtensions.register(spark)
     Seq((1, Array(2L, 4L)), (1, Array(4L, 8L))).toDF("g", "v")

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+import graft.streaming.StreamingAsOf
+import graft.streaming.StreamingAsOf.{Enriched, Evt}
+
+/** Stream-stream temporal (as-of) join: watermark-final emission, arrival-
+  * order robustness within the watermark, micro-batch independence, and
+  * equality with the batch AsOfJoin over the same events. */
+class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[Evt]], watermarkDelay: String,
+                  tol: Option[Long] = None): Seq[Enriched] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val tagged = mem.toDS()
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[Evt]
+    val name = s"asof_${System.nanoTime()}"
+    val q = StreamingAsOf.enrich(tagged, tol)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[Enriched].collect().toSeq
+    } finally q.stop()
+  }
+
+  private def L(k: Long, ts: Long, id: Long) = Evt(k, ts, id, 1)
+  private def R(k: Long, ts: Long, id: Long) = Evt(k, ts, id, 0)
+  private val flush = Seq(Evt(999L, 9_999_999L, 0L, 0))
+
+  test("left emits once the watermark passes it, matched to the latest prior right") {
+    val got = run(Seq(
+      Seq(R(1, 10, 200), R(1, 20, 201), L(1, 15, 100), L(1, 25, 101)),
+      flush), "0 seconds")
+    val byLeft = got.filter(_.key == 1).map(e => e.leftId -> e.rightId).toMap
+    assert(byLeft == Map(100L -> Some(200L), 101L -> Some(201L)))
+  }
+
+  test("a right arriving AFTER the left (within watermark) still wins") {
+    val got = run(Seq(
+      Seq(L(1, 50, 100)),          // left first; watermark still far behind
+      Seq(R(1, 40, 200)),          // its match arrives a batch later
+      flush), "1000 seconds")
+    assert(got.find(_.leftId == 100L).flatMap(_.rightId).contains(200L))
+  }
+
+  test("no prior right -> null match; tolerance nulls distant matches") {
+    val got = run(Seq(
+      Seq(L(2, 5, 100), R(2, 50, 200), L(2, 60, 101), L(2, 90, 102)),
+      flush), "0 seconds", tol = Some(20L))
+    val byLeft = got.filter(_.key == 2).map(e => e.leftId -> e.rightId).toMap
+    assert(byLeft == Map(100L -> None, 101L -> Some(200L), 102L -> None))
+  }
+
+  test("rights prune to the dominating row without changing future matches") {
+    val got = run(Seq(
+      Seq(R(3, 10, 200), R(3, 20, 201)),
+      Seq(Evt(998, 5000, 0, 0)),   // watermark passes both rights -> prune
+      Seq(L(3, 6000, 100)),        // future left must still see right 201
+      flush), "0 seconds")
+    assert(got.find(_.leftId == 100L).flatMap(_.rightId).contains(201L))
+  }
+
+  test("streamed == batch AsOfJoin on seeded random data, any chunking") {
+    val rnd = new scala.util.Random(55L)
+    val events = Seq.tabulate(300) { i =>
+      Evt(rnd.nextInt(6).toLong, rnd.nextInt(500).toLong, 1000L + i,
+        if (rnd.nextBoolean()) 1 else 0)
+    }
+    // watermark 0s: feed in ts order so nothing is late; chunk randomly but
+    // never split a run of equal timestamps across a boundary — Spark's
+    // late filter drops eventTime <= watermark, so an event equal to the
+    // previous batch's max would be (correctly) discarded as late
+    val sorted = events.sortBy(_.tsSec)
+    val chunks = collection.mutable.ArrayBuffer[Seq[Evt]]()
+    var rest = sorted
+    while (rest.nonEmpty) {
+      var n = math.min(1 + rnd.nextInt(60), rest.length)
+      val boundary = rest(n - 1).tsSec
+      while (n < rest.length && rest(n).tsSec == boundary) n += 1
+      chunks += rest.take(n); rest = rest.drop(n)
+    }
+    val streamed = run(chunks.toSeq :+ flush, "0 seconds", tol = Some(100L))
+      .filter(_.key != 999L)
+      .map(e => (e.key, e.leftId, e.rightId)).toSet
+
+    val lDf = events.filter(_.side == 1).map(e => (e.key, e.id, e.tsSec))
+      .toDF("k", "event_id", "es")
+    val rDf = events.filter(_.side == 0).map(e => (e.key, e.id, e.tsSec))
+      .toDF("k", "event_id", "es")
+    val batch = AsOfJoin.asOf(lDf, rDf, Seq("k"), "es", "event_id",
+        Seq("event_id"), Some(100L))
+      .select(col("k"), col("event_id"),
+        col("asof.event_id").as("rid"))
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (k, lid, rid) => (k, lid, rid) }.toSet
+    assert(streamed == batch, "streamed as-of diverged from batch AsOfJoin")
+  }
+}
