@@ -65,9 +65,13 @@ object GraftExtensions {
     "graft_hll_registers" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.HllAgg(a(0), intArg(a(1), "m"))),
     "graft_sketch_merge_max" -> ((a: Seq[Expression]) =>
-      graft.functions.KernelAggs.SketchMergeAgg(a.head, isMax = true)),
+      graft.functions.KernelAggs.SketchMergeAgg(a.head, "max")),
     "graft_sketch_merge_sum" -> ((a: Seq[Expression]) =>
-      graft.functions.KernelAggs.SketchMergeAgg(a.head, isMax = false)),
+      graft.functions.KernelAggs.SketchMergeAgg(a.head, "sum")),
+    "graft_sketch_merge_or" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.SketchMergeAgg(a.head, "or")),
+    "graft_bottomk_sample" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.BottomKAgg(a(0), a(1), intArg(a(2), "k"))),
     "graft_bloom_sketch" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.BloomAgg(a(0),
         intArg(a(1), "numBits"), intArg(a(2), "numHashes"))),

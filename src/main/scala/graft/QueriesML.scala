@@ -872,6 +872,38 @@ object QueriesML {
         .select(col("event_id"), col("event_type"))
         .orderBy(col("event_id"))),
 
+    // -- sketch: bottom-k deterministic sample — the quantile/distribution
+    //    member of the sketch family (CMS counts, HLL distinct, bloom
+    //    membership). The k rows with smallest hash60(event_id) are a
+    //    uniform sample ANY engine re-draws identically; per-group state is
+    //    8k bytes instead of a sort of the group. Quantiles read the
+    //    sorted sample; the oracle reproduces every element.
+    QueryDef("q88_bottomk_quantiles", Some(s"""
+      WITH ranked AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ${dkHash60("CAST(event_id AS VARCHAR)")}, CAST(value AS DOUBLE)) AS rn
+           FROM events),
+      samp AS (SELECT event_type, v FROM ranked WHERE rn <= 256),
+      agg AS (SELECT event_type, count(*) AS n, list(v ORDER BY v) AS vs
+              FROM samp GROUP BY 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+             ${dkQround("vs[CAST(floor((n-1)*0.5) AS INT)+1]", 4)} AS p50_est,
+             ${dkQround("vs[CAST(floor((n-1)*0.9) AS INT)+1]", 4)} AS p90_est
+      FROM agg ORDER BY event_type"""),
+      (s, dir) => {
+        def pick(q: Double) = F.qround(element_at(col("svs"),
+          floor((col("n_sample") - 1) * q).cast("int") + 1), 4)
+        T(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(graft.functions.KernelAggs.bottomk_sample(
+            col("event_id").cast("string"), col("value").cast("double"), 256).as("vs"))
+          .withColumn("n_sample", size(col("vs")).cast("long"))
+          .withColumn("svs", sort_array(col("vs")))
+          .select(col("event_type"), col("n_sample"),
+            pick(0.5).as("p50_est"), pick(0.9).as("p90_est"))
+          .orderBy(col("event_type"))
+      }),
+
     // -- composite: filter → quality gate → exact-dedup training pipeline ----
     QueryDef("q38_text_pipeline", Some {
       val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

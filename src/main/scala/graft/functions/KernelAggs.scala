@@ -348,17 +348,20 @@ object KernelAggs {
     * aggregation pattern: per-window partials land in the lake (a few KB per
     * group-window) and any coarser rollup — day over 5-min windows, global
     * over days — re-combines the vectors without touching raw data again.
-    * `isMax=true` merges HLL register vectors (element max), `isMax=false`
-    * merges CMS cell grids (element sum; counters are exact longs). The
+    * `mode="max"` merges HLL register vectors (element max), `mode="sum"`
+    * merges CMS cell grids (element sum; counters are exact longs), and
+    * `mode="or"` merges bloom bit words (bitwise OR). The
     * buffer adopts the first vector's length; mismatched widths fail fast
     * (merging sketches of different geometry is meaningless). Mergeability
     * is oracle-proven: merged per-window sketches hash-equal the sketch of
     * the union (q80). */
   case class SketchMergeAgg(
-      child: Expression, isMax: Boolean,
+      child: Expression, mode: String,
       override val mutableAggBufferOffset: Int = 0,
       override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+    require(Seq("max", "sum", "or").contains(mode),
+      s"graft_sketch_merge: mode must be max|sum|or (got $mode)")
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true // empty group → null, like sum
@@ -372,7 +375,12 @@ object KernelAggs {
           s"${prettyName}: sketch widths differ (${b.length} vs ${v.length})")
         var i = 0
         while (i < b.length) {
-          b(i) = if (isMax) math.max(b(i), v(i)) else b(i) + v(i); i += 1
+          b(i) = mode match {
+            case "max" => math.max(b(i), v(i))
+            case "sum" => b(i) + v(i)
+            case "or" => b(i) | v(i)
+          }
+          i += 1
         }
         b
       }
@@ -409,17 +417,106 @@ object KernelAggs {
       copy(inputAggBufferOffset = n)
     override protected def withNewChildInternal(newChild: Expression): SketchMergeAgg =
       copy(child = newChild)
-    override def prettyName: String =
-      if (isMax) "graft_sketch_merge_max" else "graft_sketch_merge_sum"
+    override def prettyName: String = s"graft_sketch_merge_$mode"
   }
 
   /** Merge HLL register vectors across rows (element-wise max). */
   def sketch_merge_max(c: Column): Column =
     ColumnBridge.column(
-      SketchMergeAgg(ColumnBridge.expression(c), isMax = true).toAggregateExpression())
+      SketchMergeAgg(ColumnBridge.expression(c), "max").toAggregateExpression())
 
   /** Merge CMS cell grids across rows (element-wise sum). */
   def sketch_merge_sum(c: Column): Column =
     ColumnBridge.column(
-      SketchMergeAgg(ColumnBridge.expression(c), isMax = false).toAggregateExpression())
+      SketchMergeAgg(ColumnBridge.expression(c), "sum").toAggregateExpression())
+
+  /** Merge bloom bit-word vectors across rows (element-wise bitwise OR). */
+  def sketch_merge_or(c: Column): Column =
+    ColumnBridge.column(
+      SketchMergeAgg(ColumnBridge.expression(c), "or").toAggregateExpression())
+
+  // ---------------------------------------------------------------------------
+
+  /** Bottom-k sample sketch: the values of the `k` rows whose hash60(key) is
+    * smallest, ordered by (hash, value) — a DETERMINISTIC uniform row sample
+    * as a fixed-size mergeable value, the quantile/distribution member of
+    * the sketch family (CMS = counts, HLL = distinct, bloom = membership).
+    * Merge = union then re-take the k smallest, so partitioning and merge
+    * order cannot change the result and any engine hashing the same keys
+    * draws the identical sample — a SQL oracle reproduces every element
+    * (q88). Quantile estimates read the sorted sample; at 100 TB the state
+    * is 8·k bytes per group instead of a sort of the group's rows. */
+  case class BottomKAgg(
+      left: Expression, right: Expression, k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[collection.mutable.ArrayBuffer[(Long, Double)]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    require(k > 0, s"graft_bottomk_sample: k must be positive (got $k)")
+
+    private type Buf = collection.mutable.ArrayBuffer[(Long, Double)]
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): Buf = collection.mutable.ArrayBuffer.empty
+
+    /** Keep the buffer small without sorting per row: compact at 4k. */
+    private def compact(b: Buf): Buf = {
+      if (b.length > k) {
+        val kept = b.sorted.take(k)
+        b.clear(); b ++= kept
+      }
+      b
+    }
+
+    override def update(b: Buf, input: InternalRow): Buf = {
+      val kv = left.eval(input)
+      val vv = right.eval(input)
+      if (kv != null && vv != null) {
+        b += ((Kernels.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(kv.toString)),
+          vv.asInstanceOf[Double]))
+        if (b.length >= 4 * k) compact(b)
+      }
+      b
+    }
+
+    override def merge(b: Buf, o: Buf): Buf = { b ++= o; compact(b) }
+
+    override def eval(b: Buf): Any =
+      new GenericArrayData(b.sorted.take(k).map(_._2).toArray)
+
+    override def serialize(b: Buf): Array[Byte] = {
+      compact(b)
+      val bb = ByteBuffer.allocate(4 + 16 * b.length)
+      bb.putInt(b.length)
+      b.foreach { case (h, v) => bb.putLong(h).putDouble(v) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val out: Buf = collection.mutable.ArrayBuffer.empty
+      var i = 0
+      while (i < n) { out += ((bb.getLong(), bb.getDouble())); i += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): BottomKAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): BottomKAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BottomKAgg =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_bottomk_sample"
+  }
+
+  /** Column wrapper: bottom-k sample of `value` keyed by hash60(`key`),
+    * as array<double> ordered by (hash, value). */
+  def bottomk_sample(key: Column, value: Column, k: Int): Column =
+    ColumnBridge.column(BottomKAgg(ColumnBridge.expression(key),
+      ColumnBridge.expression(value), k).toAggregateExpression())
 }

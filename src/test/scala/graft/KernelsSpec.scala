@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{Functions => F, Kernels, TextFunctions => TF}
 import graft.operators.{Dedup, Similarity}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Parity guard: the native kernel expressions must produce bit-identical
   * values to the SQL-composable formulas they replaced (which the DuckDB
@@ -132,6 +133,38 @@ class KernelsSpec extends AnyFunSuite with SparkSpec {
       .filter(KernelExprs.bloom_contains(col("b"), col("k"), 3))
       .count()
     assert(fp < 200, s"false-positive rate out of family: $fp/1000")
+    // lake rollup: per-partition bloom partials OR-merge to the union bloom
+    val partials = keys.zipWithIndex.toDF("k", "i")
+      .groupBy(col("i") % 4)
+      .agg(KernelAggs.bloom_sketch(col("k"), 4096, 3).as("b"))
+    val merged = partials
+      .agg(KernelAggs.sketch_merge_or(col("b")).as("b"))
+      .head().getSeq[Long](0)
+    assert(merged == bd, "OR-merged partials must equal the union sketch")
+  }
+
+  test("bottom-k sample: partitioning invariant, merge = union re-take, SQL surface") {
+    import graft.functions.KernelAggs
+    val rows = (0 until 2000).map(i => (s"row_$i", (i * 37 % 1000).toDouble))
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(KernelAggs.bottomk_sample(col("k"), col("v"), 64).as("s"))
+        .head().getSeq[Double](0)
+    val s1 = sample(rows.toDF("k", "v").repartition(1))
+    val s16 = sample(rows.toDF("k", "v").repartition(16, col("k")))
+    assert(s1 == s16, "sample must not depend on partitioning")
+    assert(s1.length == 64)
+    // the sample is exactly the values of the 64 smallest-hash keys
+    val expect = rows
+      .map { case (k, v) =>
+        (Kernels.hash60(UTF8String.fromString(k)), v) }
+      .sorted.take(64).map(_._2)
+    assert(s1 == expect)
+    // SQL surface
+    GraftExtensions.register(spark)
+    rows.toDF("k", "v").createOrReplaceTempView("bk_in")
+    val viaSql = spark.sql("SELECT graft_bottomk_sample(k, v, 64) AS s FROM bk_in")
+      .head().getSeq[Double](0)
+    assert(viaSql == s1)
   }
 
   test("bloom sketch: SQL surface + geometry validation") {
