@@ -77,7 +77,12 @@ object QueriesDns {
     * timed separately from the engine (BENCH q68_synth vs q68_pipeline —
     * the r2 headline billed both to one number; VERDICT r2 #6). */
   def synthesizeRawWindow(s: SparkSession, dir: String, outPath: String): Unit =
-    rawDnsJson(T(s, dir, "events")).write.mode("overwrite").parquet(outPath)
+    // ~30 files = the reference's window layout (one per 10 s, BASELINE.md)
+    // AND the scan parallelism a real window has — one monolithic file would
+    // bottleneck the parse stage on a single task (r5 finding: cpu/wall ~2
+    // on a 32-thread host)
+    rawDnsJson(T(s, dir, "events")).repartition(30)
+      .write.mode("overwrite").parquet(outPath)
 
   /** Bench support: one full window cycle (parse → clean → enrich → all six
     * reports) from pre-materialized raw lines; counts the trend sink and
