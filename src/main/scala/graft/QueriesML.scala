@@ -904,6 +904,99 @@ object QueriesML {
           .orderBy(col("event_type"))
       }),
 
+    // -- PII redaction: the scrubbing pass before a corpus reaches training.
+    //    PII is synthesized into the text (closed form, both sides) so the
+    //    patterns have real work; the same RE2-compatible expressions run in
+    //    both engines and the full redacted text is hash-compared.
+    QueryDef("q89_pii_redaction", Some(s"""
+      WITH pii AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7 call +1 555 0100 ' || CAST(doc_id % 100 AS VARCHAR) AS t
+           FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '${TF.emailRe}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(t, '${TF.ipv4Re}')) AS BIGINT) AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '${TF.emailRe}', '<EMAIL>', 'g'),
+               '${TF.ipv4Re}', '<IP>', 'g'),
+               '${TF.phoneRe}', '<PHONE>', 'g') AS redacted
+      FROM pii ORDER BY doc_id"""),
+      (s, dir) => {
+        val pii = T(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 call +1 555 0100 "), (col("doc_id") % 100).cast("string")).as("t"))
+        pii.select(col("doc_id"),
+            TF.pii_count(col("t"), TF.emailRe).as("n_email"),
+            TF.pii_count(col("t"), TF.ipv4Re).as("n_ip"),
+            TF.redact_pii(col("t")).as("redacted"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- composite curation: near-dup clusters keep their best document.
+    //    quality gate → MinHash LSH clusters (q59 machinery) → per-cluster
+    //    argmax(quality, tie → lowest doc_id); unclustered docs keep
+    //    themselves. The canonical-selection step every dedup pipeline runs
+    //    after clustering.
+    QueryDef("q90_curation_keep_best", Some {
+      val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val sigList = (0 until 8).map(j => dkMinhash("sh", j)).mkString("[", ", ", "]")
+      val bandList = (0 until 4).map(b =>
+        s"'$b:' || md5(array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_'))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH RECURSIVE t AS (SELECT doc_id, text, lang, ${dkToks("text")} AS toks FROM documents),
+      c AS (SELECT doc_id, text, lang, toks,
+              CAST(len(text) AS DOUBLE) AS n_chars,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n_tok,
+              CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) AS n_stop,
+              CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+            FROM t WHERE lang = 'en'),
+      sc AS (SELECT doc_id, toks,
+               ${dkQround("least(n_chars / 500.0, 1.0) * 0.4 + " +
+                 "least(n_stop / n_tok / 0.10, 1.0) * 0.3 + " +
+                 "(1.0 - least(n_punct / greatest(n_chars, 1.0), 1.0)) * 0.3", 4)} AS quality
+             FROM c),
+      filt AS (SELECT * FROM sc WHERE quality >= 0.3),
+      sh AS (SELECT doc_id, ${dkShingles("toks", 3)} AS sh FROM filt),
+      sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+      bands AS (SELECT doc_id, unnest($bandList) AS band FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      lab AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id),
+      withc AS (SELECT f.doc_id, CAST(coalesce(l.cluster, f.doc_id) AS BIGINT) AS cluster,
+                       f.quality
+                FROM filt f LEFT JOIN lab l USING (doc_id)),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                       ORDER BY quality DESC, doc_id) AS rn FROM withc)
+      SELECT doc_id, cluster, quality FROM rk WHERE rn = 1 ORDER BY doc_id"""
+    },
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val filt = T(s, dir, "documents")
+          .withColumn("quality", TF.quality_score(col("text")))
+          .filter(col("lang") === "en" && col("quality") >= 0.3)
+        val pairs = Dedup.minhashCandidates(filt,
+          col("doc_id"), col("text"), shingleN = 3, numHashes = 8, bands = 4)
+        val clusters = Dedup.duplicateClusters(pairs).withColumnRenamed("id", "doc_id")
+        val withC = filt.join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster",
+            coalesce(col("cluster"), col("doc_id")).cast("long"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        withC.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("cluster"), col("quality"))
+          .orderBy(col("doc_id"))
+      }),
+
     // -- composite: filter → quality gate → exact-dedup training pipeline ----
     QueryDef("q38_text_pipeline", Some {
       val stops = TF.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -106,4 +106,30 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (h, t) => (h * 31L + Functions.hash60(t) % 1000000L) % 1000000007L)
+
+  // --------------------------------------------------------------------------
+  // PII redaction: the scrubbing pass a training corpus takes before the
+  // model sees it. Pure regexp_replace chains (codegen'd, shuffle-free);
+  // the patterns are RE2-compatible so the DuckDB oracle applies the SAME
+  // expressions (q89). Order matters: emails first (their local parts may
+  // contain digits), then IPs (dotted digits a phone pattern would chew),
+  // then phone-ish digit runs.
+  // --------------------------------------------------------------------------
+
+  /** Public so the SQL-oracle generator uses the identical patterns. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phoneRe = "\\+?\\d[\\d -]{6,}\\d"
+
+  /** Replace emails, IPv4s and phone-like digit runs with typed tags. */
+  def redact_pii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of matches of `pattern` in `text` (pre-redaction audit column). */
+  def pii_count(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 }
