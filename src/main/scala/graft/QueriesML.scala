@@ -934,6 +934,56 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- repetition signals (Gopher/MassiveText quality gates): duplicate-
+    //    token fraction and top-bigram fraction, per-row folds with no
+    //    explode/shuffle on the corpus side; the oracle recomputes them via
+    //    an explicit unnest + group-by.
+    QueryDef("q91_repetition_signals", Some(s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(${dkShingles("toks", 2)}) AS sh FROM t),
+      cnt AS (SELECT doc_id, sh, count(*) AS c FROM ex GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CASE WHEN len(toks) > 0 THEN ${dkQround(
+               "1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)", 6)}
+                  ELSE 0.0 END AS dup_token_frac,
+             coalesce(${dkQround("CAST(top.mx AS DOUBLE) / top.tot", 6)}, 0.0)
+               AS top_bigram_frac
+      FROM t LEFT JOIN top USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.token_count(col("text")).cast("long").as("n_tok"),
+          TF.dup_token_fraction(col("text")).as("dup_token_frac"),
+          TF.top_ngram_fraction(col("text"), 2).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // -- vocabulary build: corpus-wide token counts, min-frequency floor,
+    //    top-V by (count desc, token) — the tokenizer-training precursor.
+    //    Partial aggregation combines map-side, so the shuffle carries one
+    //    row per (partition, token), not per occurrence.
+    QueryDef("q92_vocabulary", Some(s"""
+      WITH toks AS (SELECT unnest(${dkToks("text")}) AS token FROM documents),
+      cnt AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+      flo AS (SELECT token, freq FROM cnt WHERE freq >= 5),
+      rk AS (SELECT token, freq, row_number() OVER
+               (ORDER BY freq DESC, token) AS rank FROM flo)
+      SELECT CAST(rank AS BIGINT) AS rank, token, CAST(freq AS BIGINT) AS freq
+      FROM rk WHERE rank <= 500 ORDER BY rank"""),
+      (s, dir) => {
+        val counts = T(s, dir, "documents")
+          .select(explode(TF.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+          .filter(col("freq") >= 5)
+        counts.orderBy(col("freq").desc, col("token").asc).limit(500)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("freq").desc, col("token").asc)).cast("long"))
+          .select(col("rank"), col("token"), col("freq"))
+          .orderBy(col("rank"))
+      }),
+
     // -- composite curation: near-dup clusters keep their best document.
     //    quality gate → MinHash LSH clusters (q59 machinery) → per-cluster
     //    argmax(quality, tie → lowest doc_id); unclustered docs keep

@@ -132,4 +132,42 @@ object TextFunctions {
   /** Count of matches of `pattern` in `text` (pre-redaction audit column). */
   def pii_count(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  // --------------------------------------------------------------------------
+  // Repetition signals (the Gopher/MassiveText-style quality gates): highly
+  // repetitive documents are low-value training data. Both signals are
+  // per-row column folds — O(len·log len) per document, no explode, no
+  // shuffle, so the 100 TB corpus keeps its partitioning.
+  // --------------------------------------------------------------------------
+
+  /** Fraction of token occurrences that are repeats: 1 − distinct/total
+    * (0 for empty docs), q6-rounded. */
+  def dup_token_fraction(text: Column): Column =
+    Functions.bind(tokens(text)) { ts =>
+      when(size(ts) > 0,
+        Functions.qround(lit(1.0) -
+          size(array_distinct(ts)).cast("double") / size(ts), 6))
+        .otherwise(lit(0.0))
+    }
+
+  /** Fraction of word n-gram occurrences taken by the single most frequent
+    * n-gram (0 when the doc has no n-grams), q6-rounded. Computed as the
+    * longest equal run of the SORTED shingle array — one sort + one fold
+    * per row instead of a per-doc group-by. */
+  def top_ngram_fraction(text: Column, n: Int): Column =
+    Functions.bind(word_shingles(text, n)) { shs =>
+      val best = aggregate(
+        sort_array(shs),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      when(size(shs) > 0,
+        Functions.qround(best.cast("double") / size(shs), 6))
+        .otherwise(lit(0.0))
+    }
 }
