@@ -72,6 +72,8 @@ object GraftExtensions {
       graft.functions.KernelAggs.SketchMergeAgg(a.head, "or")),
     "graft_bottomk_sample" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.BottomKAgg(a(0), a(1), intArg(a(2), "k"))),
+    "graft_kmv_sketch" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.KmvAgg(a(0), intArg(a(1), "k"))),
     "graft_bloom_sketch" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.BloomAgg(a(0),
         intArg(a(1), "numBits"), intArg(a(2), "numHashes"))),

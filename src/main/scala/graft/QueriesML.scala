@@ -959,6 +959,70 @@ object QueriesML {
           TF.top_ngram_fraction(col("text"), 2).as("top_bigram_frac"))
         .orderBy(col("doc_id"))),
 
+    // -- KMV set analytics: distinct-count and Jaccard-overlap ESTIMATES for
+    //    two shingle corpora from two 1 KB sketches — no global distinct
+    //    shuffle is ever paid (the exact columns exist for error context and
+    //    are test-scale only). h ∈ M ∧ h ∈ sketch_A is sound membership: M
+    //    holds the union's k smallest, so an A-element of M is among A's k
+    //    smallest too.
+    QueryDef("q93_kmv_overlap", Some {
+      val k = 128; val pow60 = "1152921504606846976"
+      def est(sk: String) =
+        s"CASE WHEN len($sk) < $k THEN CAST(len($sk) AS DOUBLE) ELSE " +
+          dkQround(s"${k - 1}.0 * CAST($pow60 AS DOUBLE) / CAST(($sk)[$k] AS DOUBLE)", 4) +
+          " END"
+      s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      ea AS (SELECT DISTINCT unnest(${dkShingles("toks", 3)}) AS s FROM t WHERE doc_id % 2 = 0),
+      eb AS (SELECT DISTINCT unnest(${dkShingles("toks", 3)}) AS s FROM t WHERE doc_id % 3 = 0),
+      ka AS (SELECT list(h ORDER BY h) AS a FROM
+               (SELECT ${dkHash60("s")} AS h FROM ea ORDER BY 1 LIMIT $k)),
+      kb AS (SELECT list(h ORDER BY h) AS b FROM
+               (SELECT ${dkHash60("s")} AS h FROM eb ORDER BY 1 LIMIT $k)),
+      m AS (SELECT list_sort(list_distinct(a || b))[1:$k] AS m, a, b FROM ka, kb)
+      SELECT CAST($k AS BIGINT) AS k,
+             ${est("a")} AS est_a, ${est("b")} AS est_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM ea) AS exact_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM eb) AS exact_b,
+             ${dkQround(s"CAST(len(list_filter(m, h -> list_contains(a, h) " +
+               s"AND list_contains(b, h))) AS DOUBLE) / len(m)", 4)} AS jacc_est,
+             ${dkQround("(SELECT CAST(count(*) AS DOUBLE) FROM ea JOIN eb USING (s)) / " +
+               "((SELECT count(*) FROM ea) + (SELECT count(*) FROM eb) - " +
+               "(SELECT count(*) FROM ea JOIN eb USING (s)))", 4)} AS jacc_exact
+      FROM m"""
+    },
+      (s, dir) => {
+        import graft.functions.KernelAggs
+        val k = 128
+        val t = T(s, dir, "documents")
+          .select(col("doc_id"), TF.word_shingles(col("text"), 3).as("shs"))
+        def shingles(m: Int) = t.filter(col("doc_id") % m === 0)
+          .select(explode(col("shs")).as("s"))
+        val ka = shingles(2).agg(KernelAggs.kmv_sketch(col("s"), k).as("a"))
+        val kb = shingles(3).agg(KernelAggs.kmv_sketch(col("s"), k).as("b"))
+        val ea = shingles(2).distinct()
+        val eb = shingles(3).distinct()
+        val exacts = ea.agg(count(lit(1)).as("exact_a"))
+          .crossJoin(eb.agg(count(lit(1)).as("exact_b")))
+          .crossJoin(ea.join(eb, "s").agg(count(lit(1)).as("inter")))
+        def est(sk: Column) = when(size(sk) < k, size(sk).cast("double"))
+          .otherwise(F.qround(lit((k - 1).toDouble) *
+            lit(1152921504606846976L).cast("double") /
+            element_at(sk, k).cast("double"), 4))
+        ka.crossJoin(kb).crossJoin(exacts)
+          .withColumn("m", slice(array_sort(array_distinct(
+            concat(col("a"), col("b")))), 1, k))
+          .select(lit(k.toLong).as("k"),
+            est(col("a")).as("est_a"), est(col("b")).as("est_b"),
+            col("exact_a"), col("exact_b"),
+            F.qround(size(filter(col("m"), h =>
+                array_contains(col("a"), h) && array_contains(col("b"), h)))
+              .cast("double") / size(col("m")), 4).as("jacc_est"),
+            F.qround(col("inter").cast("double") /
+              (col("exact_a") + col("exact_b") - col("inter")), 4)
+              .as("jacc_exact"))
+      }),
+
     // -- vocabulary build: corpus-wide token counts, min-frequency floor,
     //    top-V by (count desc, token) — the tokenizer-training precursor.
     //    Partial aggregation combines map-side, so the shuffle carries one

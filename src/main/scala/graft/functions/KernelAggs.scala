@@ -519,4 +519,81 @@ object KernelAggs {
   def bottomk_sample(key: Column, value: Column, k: Int): Column =
     ColumnBridge.column(BottomKAgg(ColumnBridge.expression(key),
       ColumnBridge.expression(value), k).toAggregateExpression())
+
+  // ---------------------------------------------------------------------------
+
+  /** KMV (k-minimum-values / bottom-k theta) sketch: the k smallest DISTINCT
+    * hash60 values of a key column, sorted ascending — the set-analytics
+    * sketch: distinct-count estimate (k−1)·2^60/kth-value, and set
+    * union/intersection/Jaccard estimates by combining two sketches'
+    * arrays (q93). Deterministic (hash60, exact distinct longs), merge =
+    * distinct-union re-take-k: partitioning, duplicates and merge order
+    * cannot change the result, and NO global distinct shuffle is ever
+    * paid — the 100 TB overlap question costs 8k bytes per corpus. */
+  case class KmvAgg(
+      child: Expression, k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[collection.mutable.ArrayBuffer[Long]]
+    with UnaryLike[Expression] {
+    require(k > 0, s"graft_kmv_sketch: k must be positive (got $k)")
+
+    private type Buf = collection.mutable.ArrayBuffer[Long]
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def createAggregationBuffer(): Buf = collection.mutable.ArrayBuffer.empty
+
+    /** Sorted-distinct insert, dropping the max when past k. */
+    private def insert(b: Buf, h: Long): Unit = {
+      val i = b.search(h)(Ordering.Long) match {
+        case scala.collection.Searching.Found(_) => return // already present
+        case scala.collection.Searching.InsertionPoint(p) => p
+      }
+      if (b.length < k) b.insert(i, h)
+      else if (i < k) { b.insert(i, h); b.remove(k) }
+    }
+
+    override def update(b: Buf, input: InternalRow): Buf = {
+      val v = child.eval(input)
+      if (v != null)
+        insert(b, Kernels.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)))
+      b
+    }
+
+    override def merge(b: Buf, o: Buf): Buf = { o.foreach(insert(b, _)); b }
+
+    override def eval(b: Buf): Any = new GenericArrayData(b.toArray)
+
+    override def serialize(b: Buf): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 8 * b.length)
+      bb.putInt(b.length)
+      b.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val out: Buf = collection.mutable.ArrayBuffer.empty
+      var i = 0
+      while (i < n) { out += bb.getLong(); i += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): KmvAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): KmvAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_kmv_sketch"
+  }
+
+  /** Column wrapper: KMV sketch (sorted array<long> of ≤ k distinct hashes). */
+  def kmv_sketch(key: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvAgg(ColumnBridge.expression(key), k).toAggregateExpression())
 }

@@ -167,6 +167,23 @@ class KernelsSpec extends AnyFunSuite with SparkSpec {
     assert(viaSql == s1)
   }
 
+  test("kmv sketch: k smallest distinct hashes, partitioning/dup invariant") {
+    import graft.functions.KernelAggs
+    val keys = (0 until 800).map(i => s"kmv_${i % 301}") // dups across range
+    def sk(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(KernelAggs.kmv_sketch(col("k"), 32).as("s")).head().getSeq[Long](0)
+    val s1 = sk(keys.toDF("k").repartition(1))
+    val s8 = sk(keys.toDF("k").repartition(8, col("k")))
+    assert(s1 == s8)
+    val expect = keys.distinct
+      .map(k => Kernels.hash60(UTF8String.fromString(k)))
+      .distinct.sorted.take(32)
+    assert(s1 == expect, "sketch must be the 32 smallest distinct hashes")
+    // under-full sketch holds ALL distinct hashes (exact regime)
+    val tiny = sk(keys.take(10).toDF("k"))
+    assert(tiny.length == keys.take(10).distinct.length)
+  }
+
   test("bloom sketch: SQL surface + geometry validation") {
     GraftExtensions.register(spark)
     Seq("a", "b", "c").toDF("k").createOrReplaceTempView("bloom_in")

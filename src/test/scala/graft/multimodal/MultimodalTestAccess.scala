@@ -1,7 +1,13 @@
 package graft.multimodal
 
-/** Test-side access to the package-private AVI muxer. */
+/** Test-side access to the package-private codecs. */
 object MultimodalTestAccess {
   def avi(w: Int, h: Int, frames: Array[Array[Byte]], usPerFrame: Int): Array[Byte] =
     Multimodal.aviBytes(w, h, frames, usPerFrame)
+  def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long, Long)] =
+    Multimodal.decodeVideo(payload)
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] =
+    Multimodal.decodeImage(payload)
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    Multimodal.decodeAudio(payload)
 }
