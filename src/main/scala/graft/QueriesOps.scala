@@ -258,6 +258,27 @@ object QueriesOps {
           ORDER BY c_custkey, rule_id""")
       }),
 
+    // -- z-order (Morton) clustering value: the layout key Sinks.zorderedWrite
+    //    range-partitions by, giving every lake file a tight min/max envelope
+    //    on BOTH filter columns (measured in ZOrderLayoutSpec: mean per-file
+    //    envelope 0.40/0.29 of the range vs 0.06/1.00 for a single-column
+    //    sort). The oracle rebuilds the interleave bit by bit.
+    QueryDef("q94_zorder_values", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a, (c_custkey * 7) % 256 AS b
+                 FROM customer)
+      SELECT c_custkey, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1))))
+               AS BIGINT) AS z
+      FROM f ORDER BY c_custkey"""),
+      (s, dir) => T(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"))
+        .withColumn("z",
+          graft.functions.KernelExprs.zorder2(col("a"), col("b"), 8))
+        .orderBy(col("c_custkey"))),
+
     // -- as-of join, forward + nearest directions: for each purchase, the
     //    earliest 'view' at-or-after it (forward, unbounded) and the closer
     //    of the two adjacent views within a 200 000 s tolerance (nearest;

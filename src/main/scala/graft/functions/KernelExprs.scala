@@ -95,6 +95,22 @@ object KernelExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Z-order (Morton) interleave of two integral columns' low `bits` bits
+    * (int children widen to long — in eval via Number, in codegen via Java's
+    * implicit int→long widening at the static call). */
+  case class ZOrder2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+    require(bits > 0 && bits <= 30, s"zorder2: bits in [1, 30] (got $bits)")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.zorder2(a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue(), bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.zorder2($a, $b, $bits)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ZOrder2 =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** SRP-LSH bucket id of a quantized vector (array<long>). */
   case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -120,4 +136,6 @@ object KernelExprs {
     ColumnBridge.column(SrpBucket(e(qv), planes))
   def bloom_contains(bloom: Column, key: Column, numHashes: Int): Column =
     ColumnBridge.column(BloomContains(e(bloom), e(key), numHashes))
+  def zorder2(a: Column, b: Column, bits: Int): Column =
+    ColumnBridge.column(ZOrder2(e(a), e(b), bits))
 }

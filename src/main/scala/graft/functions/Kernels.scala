@@ -156,6 +156,22 @@ object Kernels {
     }
   }
 
+  /** Z-order (Morton) interleave of the low `bits` bits of two non-negative
+    * coordinates: a's bit i lands at position 2i, b's at 2i+1. Locality-
+    * preserving in BOTH dimensions, so range-partitioning a table by this
+    * value gives every output file a tight min/max envelope on BOTH
+    * columns — the multi-column pruning a single-column sort cannot give. */
+  def zorder2(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Bloom position j of `key`: hash60(key || "#" || j) mod numBits — the
     * same seeded-suffix family as the MinHash/CMS sketches, so a SQL oracle
     * reproduces every set bit. */

@@ -78,6 +78,27 @@ object Sinks {
 
   /** K2: middle-data text save — ``-separated, `numFiles` output files
     * (reference coalesce(12).saveAsTextFile, DnsRptCH.scala:131-139). */
+  /** Z-order-clustered lake layout: range-partition and sort the table by
+    * the Morton interleave of two filter columns, so EVERY output file (and
+    * row group) carries a tight min/max envelope on BOTH columns — parquet
+    * row-group skipping and file-level stats pruning then work for
+    * predicates on either column, which a single-column sort gives to only
+    * one of them. The interleave is a pure codegen'd expression
+    * ([[graft.functions.KernelExprs.ZOrder2]]); the write is one range
+    * exchange — the layout cost is paid once, every later scan benefits.
+    * Clustering tightness is measured (not assumed) in ZOrderLayoutSpec. */
+  def zorderedWrite(df: DataFrame, colA: String, colB: String,
+                    path: String, numFiles: Int, bits: Int = 20): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.KernelExprs.zorder2(
+      col(colA).cast("long"), col(colB).cast("long"), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def middleData(df: DataFrame, path: String, numFiles: Int = 12): Unit =
     df.coalesce(numFiles).write.mode("overwrite")
       .option("sep", "").csv(path)
