@@ -3,31 +3,33 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.AsOfJoin
 
 /** Streaming as-of enrichment (`flatMapGroupsWithState`) — each left event
-  * joined to the latest right event at-or-before its event time on the same
-  * key: the stream-stream TEMPORAL join Structured Streaming lacks natively
-  * (its stream-stream joins are range-condition equi-joins that emit every
-  * pair, not "the latest one"), and the streaming counterpart of the batch
-  * [[graft.operators.AsOfJoin]] backward direction.
+  * joined to the temporally adjacent right event on the same key: the
+  * stream-stream TEMPORAL join Structured Streaming lacks natively (its
+  * stream-stream joins are range-condition equi-joins that emit every pair,
+  * not "the adjacent one"), and the streaming counterpart of the batch
+  * [[graft.operators.AsOfJoin]] — all three directions.
   *
   * Determinism: BOTH sides buffer in state and a left row is emitted only
-  * once the watermark passes its event time — at that point every right row
-  * that could still precede it (right.ts <= left.ts < watermark) has either
-  * arrived or is watermark-dropped as late, so the match is final. Results
-  * are therefore independent of micro-batch boundaries and arrival order
-  * (left-before-right within the watermark is fine) and equal the batch
+  * once the watermark FINALIZES it — for `backward` when the watermark
+  * passes the left's event time (no admissible right at-or-before it can
+  * still arrive), for `forward`/`nearest` when it passes event time +
+  * tolerance (the whole candidate window is sealed — which is why those
+  * directions REQUIRE a tolerance in streaming: an unbounded forward wait
+  * could never emit). Results are therefore independent of micro-batch
+  * boundaries and arrival order within the watermark, and equal the batch
   * AsOfJoin over the union of all admissible events — proven against the
   * batch operator on randomized chunkings in StreamingAsOfSpec.
   *
-  * State per key stays bounded: pending lefts live only until the watermark
-  * passes them, and buffered rights are pruned to the single dominating row
-  * at-or-below the watermark (any future left has ts >= watermark, so among
-  * watermark-passed rights only the max-(ts, id) one can ever win — and if
-  * it is farther than `toleranceSec`, every earlier right is farther still)
-  * plus the still-mutable rights above it. The floor is ONE right row per
-  * key — the irreducible state of "latest value so far", same as any
-  * stream-stream join's key floor.
+  * State per key stays bounded: pending lefts live only until finalized;
+  * buffered rights prune — with a tolerance — to those at-or-after
+  * (earliest pending or future left) − tolerance (older ones are clipped
+  * for every remaining consumer), and without one to the single dominating
+  * row below the watermark plus the still-mutable rows above it. The floor
+  * is ONE right row per key — the irreducible "latest value so far", same
+  * as any stream-stream join's key floor.
   */
 object StreamingAsOf {
 
@@ -50,19 +52,52 @@ object StreamingAsOf {
       .as[Evt]
   }
 
-  /** Latest right (ts, id) at-or-before `ts` under the tolerance, among
-    * rights sorted however — max by (ts, id), the batch AsOfJoin tie rule. */
+  /** The batch [[AsOfJoin]] match rule over a buffered right list:
+    * backward = max (ts, id) at-or-before; forward = min ts (tie → max id)
+    * at-or-after; nearest = the closer of the two, exact tie → backward. */
   private def matchFor(ts: Long, rights: Seq[(Long, Long)],
-                       toleranceSec: Option[Long]): Option[(Long, Long)] = {
-    val eligible = rights.filter(r => r._1 <= ts
-      && toleranceSec.forall(t => ts - r._1 <= t))
-    if (eligible.isEmpty) None else Some(eligible.max)
+                       toleranceSec: Option[Long],
+                       direction: String): Option[(Long, Long)] = {
+    def back = {
+      val e = rights.filter(r => r._1 <= ts
+        && toleranceSec.forall(t => ts - r._1 <= t))
+      if (e.isEmpty) None else Some(e.max)
+    }
+    def fwd = {
+      val e = rights.filter(r => r._1 >= ts
+        && toleranceSec.forall(t => r._1 - ts <= t))
+      if (e.isEmpty) None
+      else {
+        val mt = e.map(_._1).min
+        Some((mt, e.collect { case (t, id) if t == mt => id }.max))
+      }
+    }
+    direction match {
+      case AsOfJoin.Backward => back
+      case AsOfJoin.Forward => fwd
+      case AsOfJoin.Nearest => (back, fwd) match {
+        case (Some(b), Some(f)) => if (ts - b._1 <= f._1 - ts) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+    }
   }
 
   /** Enrich the tagged stream: emits one [[Enriched]] row per left event,
-    * exactly when the watermark passes its event time. */
-  def enrich(events: Dataset[Evt], toleranceSec: Option[Long] = None):
-      Dataset[Enriched] = {
+    * exactly when the watermark finalizes it (event time for backward,
+    * event time + tolerance for forward/nearest). */
+  def enrich(events: Dataset[Evt], toleranceSec: Option[Long] = None,
+             direction: String = AsOfJoin.Backward): Dataset[Enriched] = {
+    require(Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)
+      .contains(direction), s"direction must be backward|forward|nearest")
+    require(direction == AsOfJoin.Backward || toleranceSec.nonEmpty,
+      s"streaming $direction as-of requires a tolerance: without one a left " +
+        "row waits forever for a possible future right and can never emit")
+    // a left is final once no admissible right can still change its match:
+    // backward sees rights <= its ts; forward/nearest up to ts + tolerance
+    val horizon: Long = direction match {
+      case AsOfJoin.Backward => 0L
+      case _ => toleranceSec.get
+    }
     implicit val outEnc = Encoders.product[Enriched]
     implicit val stEnc = Encoders.product[AsOfState]
     events.groupByKey(_.key)(Encoders.scalaLong)
@@ -79,24 +114,34 @@ object StreamingAsOf {
                 in.filter(_.side == 0).map(e => (e.tsSec, e.id)))
             }
           val rights = (prev.rights ++ inR).sorted
-          // a left is final once the watermark passes it: no admissible
-          // right at-or-before it can still arrive
-          val (done, pending) = (prev.lefts ++ inL).partition(_._1 * 1000 < wmMs)
-          // prune rights: the max watermark-passed row dominates all others
-          // below the watermark for every future (ts >= watermark) left
-          val (passed, live) = rights.partition(_._1 * 1000 < wmMs)
-          val kept = (passed.lastOption.toSeq ++ live)
+          val (done, pending) = (prev.lefts ++ inL)
+            .partition(l => (l._1 + horizon) * 1000 < wmMs)
+          val kept = toleranceSec match {
+            case Some(t) =>
+              // every remaining consumer (pending lefts, or future lefts at
+              // ts >= watermark) clips rights older than its ts - tolerance;
+              // -1 absorbs the ms->sec floor of the watermark
+              val floorSec = math.min(
+                pending.map(_._1).minOption.getOrElse(Long.MaxValue),
+                wmMs / 1000) - t - 1
+              rights.filter(_._1 >= floorSec)
+            case None =>
+              // the max watermark-passed row dominates all others below the
+              // watermark for every future (ts >= watermark) left
+              val (passed, live) = rights.partition(_._1 * 1000 < wmMs)
+              passed.lastOption.toSeq ++ live
+          }
           if (pending.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(AsOfState(pending, kept))
             // a callback is only needed to flush pending lefts; "latest
             // right" state alone just waits for the key's next event
             if (pending.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max((pending.map(_._1).min + 1) * 1000, wmMs + 1000))
+              state.setTimeoutTimestamp(math.max(
+                (pending.map(_._1).min + horizon + 1) * 1000, wmMs + 1000))
           }
           done.sorted.map { case (ts, lid) =>
-            val m = matchFor(ts, rights, toleranceSec)
+            val m = matchFor(ts, rights, toleranceSec, direction)
             Enriched(key, lid, ts, m.map(_._2), m.map(_._1))
           }.iterator
       }

@@ -14,7 +14,8 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   private def run(batches: Seq[Seq[Evt]], watermarkDelay: String,
-                  tol: Option[Long] = None): Seq[Enriched] = {
+                  tol: Option[Long] = None,
+                  direction: String = AsOfJoin.Backward): Seq[Enriched] = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Evt]
     val tagged = mem.toDS()
@@ -22,7 +23,7 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
       .withWatermark("eventTime", watermarkDelay)
       .as[Evt]
     val name = s"asof_${System.nanoTime()}"
-    val q = StreamingAsOf.enrich(tagged, tol)
+    val q = StreamingAsOf.enrich(tagged, tol, direction)
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     try {
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
@@ -67,6 +68,29 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
     assert(got.find(_.leftId == 100L).flatMap(_.rightId).contains(201L))
   }
 
+  test("forward: a left waits for its window to seal, then takes the earliest later right") {
+    val got = run(Seq(
+      Seq(L(1, 100, 100)),
+      Seq(R(1, 105, 200), R(1, 108, 201)), // both in [100, 100+10]
+      Seq(Evt(998, 111, 0, 0)),  // wm=111 > 100+10 -> left finalizes
+      flush), "0 seconds", tol = Some(10L), direction = AsOfJoin.Forward)
+    assert(got.find(_.leftId == 100L).flatMap(_.rightId).contains(200L))
+    // and a right beyond the tolerance never matches
+    val got2 = run(Seq(
+      Seq(L(2, 100, 100), R(2, 120, 200)),
+      flush), "0 seconds", tol = Some(10L), direction = AsOfJoin.Forward)
+    assert(got2.find(_.leftId == 100L).exists(_.rightId.isEmpty))
+  }
+
+  test("streaming forward/nearest without a tolerance is rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val e = intercept[IllegalArgumentException] {
+      StreamingAsOf.enrich(mem.toDS(), None, AsOfJoin.Forward)
+    }
+    assert(e.getMessage.contains("tolerance"))
+  }
+
   test("streamed == batch AsOfJoin on seeded random data, any chunking") {
     val rnd = new scala.util.Random(55L)
     val events = Seq.tabulate(300) { i =>
@@ -86,20 +110,23 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
       while (n < rest.length && rest(n).tsSec == boundary) n += 1
       chunks += rest.take(n); rest = rest.drop(n)
     }
-    val streamed = run(chunks.toSeq :+ flush, "0 seconds", tol = Some(100L))
-      .filter(_.key != 999L)
-      .map(e => (e.key, e.leftId, e.rightId)).toSet
-
     val lDf = events.filter(_.side == 1).map(e => (e.key, e.id, e.tsSec))
       .toDF("k", "event_id", "es")
     val rDf = events.filter(_.side == 0).map(e => (e.key, e.id, e.tsSec))
       .toDF("k", "event_id", "es")
-    val batch = AsOfJoin.asOf(lDf, rDf, Seq("k"), "es", "event_id",
-        Seq("event_id"), Some(100L))
-      .select(col("k"), col("event_id"),
-        col("asof.event_id").as("rid"))
-      .as[(Long, Long, Option[Long])].collect()
-      .map { case (k, lid, rid) => (k, lid, rid) }.toSet
-    assert(streamed == batch, "streamed as-of diverged from batch AsOfJoin")
+    for (direction <- Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)) {
+      val streamed = run(chunks.toSeq :+ flush, "0 seconds",
+          tol = Some(100L), direction = direction)
+        .filter(_.key != 999L)
+        .map(e => (e.key, e.leftId, e.rightId)).toSet
+      val batch = AsOfJoin.asOf(lDf, rDf, Seq("k"), "es", "event_id",
+          Seq("event_id"), Some(100L), direction)
+        .select(col("k"), col("event_id"),
+          col("asof.event_id").as("rid"))
+        .as[(Long, Long, Option[Long])].collect()
+        .map { case (k, lid, rid) => (k, lid, rid) }.toSet
+      assert(streamed == batch,
+        s"streamed $direction as-of diverged from batch AsOfJoin")
+    }
   }
 }
