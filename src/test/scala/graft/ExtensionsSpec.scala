@@ -55,6 +55,52 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out == "example.com")
   }
 
+  test("EVERY registered function resolves and evaluates from SQL") {
+    GraftExtensions.register(spark)
+    Seq(("a.example.com contact the of to 10.0.0.1", "1.2.3.4"))
+      .toDF("t", "ip").createOrReplaceTempView("ext_all")
+    // one runnable SQL invocation per registered name — a registration or
+    // arity drift fails here, not in a user's session
+    val calls = Map(
+      "graft_hash60" -> "graft_hash60(t)",
+      "graft_minhash" -> "graft_minhash(graft_word_shingles(t, 2), 4)",
+      "graft_simhash60" -> "graft_simhash60(transform(graft_tokens(t), x -> graft_hash60(x)))",
+      "graft_dot_long" -> "graft_dot_long(array(1L, 2L), array(3L, 4L))",
+      "graft_cosine_q6" -> "graft_cosine_q6(array(1L, 2L), array(3L, 4L))",
+      "graft_srp_bucket" -> "graft_srp_bucket(array(1L, 2L), 4)",
+      "graft_vec_mean" -> "(SELECT graft_vec_mean(v) FROM (SELECT array(1L, 2L) AS v))",
+      "graft_cms_sketch" -> "(SELECT graft_cms_sketch(x, 2, 8) FROM (SELECT 'a' AS x))",
+      "graft_hll_registers" -> "(SELECT graft_hll_registers(x, 16) FROM (SELECT 'a' AS x))",
+      "graft_sketch_merge_max" -> "(SELECT graft_sketch_merge_max(v) FROM (SELECT array(1L) AS v))",
+      "graft_sketch_merge_sum" -> "(SELECT graft_sketch_merge_sum(v) FROM (SELECT array(1L) AS v))",
+      "graft_sketch_merge_or" -> "(SELECT graft_sketch_merge_or(v) FROM (SELECT array(1L) AS v))",
+      "graft_bloom_sketch" -> "(SELECT graft_bloom_sketch(x, 64, 2) FROM (SELECT 'a' AS x))",
+      "graft_bloom_contains" -> "(SELECT graft_bloom_contains(graft_bloom_sketch(x, 64, 2), 'a', 2) FROM (SELECT 'a' AS x))",
+      "graft_bottomk_sample" -> "(SELECT graft_bottomk_sample(x, 1.0D, 4) FROM (SELECT 'a' AS x))",
+      "graft_kmv_sketch" -> "(SELECT graft_kmv_sketch(x, 4) FROM (SELECT 'a' AS x))",
+      "graft_zorder2" -> "graft_zorder2(3, 5, 8)",
+      "graft_ip_to_long" -> "graft_ip_to_long(ip)",
+      "graft_long_to_ip" -> "graft_long_to_ip(16909060L)",
+      "graft_ip_in_cidr" -> "graft_ip_in_cidr(ip, '1.2.3.0/24')",
+      "graft_authority_domain" -> "graft_authority_domain(t)",
+      "graft_strip_protocol" -> "graft_strip_protocol(t)",
+      "graft_tokens" -> "graft_tokens(t)",
+      "graft_token_count" -> "graft_token_count(t)",
+      "graft_lang_id" -> "graft_lang_id(t)",
+      "graft_quality_score" -> "graft_quality_score(t)",
+      "graft_fingerprint" -> "graft_fingerprint(t)",
+      "graft_word_shingles" -> "graft_word_shingles(t, 2)",
+      "graft_qround" -> "graft_qround(1.23456D, 2)",
+      "graft_vec_quantize" -> "graft_vec_quantize(array(CAST(0.5 AS FLOAT)), 1000)")
+    val missing = GraftExtensions.all.map(_._1).filterNot(calls.contains)
+    assert(missing.isEmpty,
+      s"registered functions without a sweep invocation: $missing")
+    calls.foreach { case (name, expr) =>
+      val r = spark.sql(s"SELECT $expr AS v FROM ext_all").head()
+      assert(!r.isNullAt(0) || name.contains("merge"), s"$name returned null")
+    }
+  }
+
   test("minhash rejects a non-literal hash count") {
     GraftExtensions.register(spark)
     Seq(Tuple1("x")).toDF("t").createOrReplaceTempView("ext_probe2")

@@ -91,6 +91,40 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("tolerance"))
   }
 
+  test("checkpointed as-of state survives a query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-asof-ck").toString
+    val mem = MemoryStream[Evt]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Enriched]()
+    def start() = {
+      // 100s delay keeps the post-restart right (ts 40 < the left's 50)
+      // admissible — the point is state restoration, not late-drop
+      val tagged = mem.toDS()
+        .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+        .withWatermark("eventTime", "100 seconds")
+        .as[Evt]
+      StreamingAsOf.enrich(tagged)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Enriched], _: Long) =>
+          b.collect().foreach(got.add); ()
+        }.start()
+    }
+    // batch 1: a right and a pending left land in state, then CRASH
+    val q1 = start()
+    mem.addData(R(1, 10, 200), L(1, 50, 100)); q1.processAllAvailable(); q1.stop()
+    // batch 2 after restart: a better right (ts 40 <= 50) and the flush —
+    // the restored state must still hold left 100 AND right 200
+    val q2 = start()
+    mem.addData(R(1, 40, 201)); q2.processAllAvailable()
+    mem.addData(flush: _*); q2.processAllAvailable()
+    try {
+      val m = got.toArray(Array.empty[Enriched]).find(_.leftId == 100L)
+      assert(m.exists(_.rightId.contains(201L)),
+        s"restart lost buffered as-of state: $m")
+    } finally q2.stop()
+  }
+
   test("streamed == batch AsOfJoin on seeded random data, any chunking") {
     val rnd = new scala.util.Random(55L)
     val events = Seq.tabulate(300) { i =>
