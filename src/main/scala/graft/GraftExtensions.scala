@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: BETWEEN-join → broadcast interval-index probe
     ext.injectPlannerStrategy(sp => new graft.plans.IntervalJoinStrategy(sp))
+    // SQL LATERAL ... ORDER BY ts DESC LIMIT 1 → AsOfJoin union+window plan
+    // (before analyzer decorrelation turns it into a BroadcastNestedLoopJoin)
+    ext.injectPostHocResolutionRule(sp => graft.plans.AsOfLateralRewrite(sp))
   }
 }
 

@@ -258,6 +258,43 @@ object QueriesOps {
           ORDER BY c_custkey, rule_id""")
       }),
 
+    // -- SQL surface: the LATERAL spelling of an as-of join, planned by
+    //    AsOfLateralRewrite as the AsOfJoin union+window (one key shuffle)
+    //    instead of Spark's native BroadcastNestedLoopJoin decorrelation
+    //    (LateralProbeSpec measures both; PlanAuditSpec asserts this query's
+    //    plan). DuckDB runs the IDENTICAL SQL text as the oracle.
+    QueryDef("q95_asof_lateral_sql", Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS es
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS es
+            FROM events WHERE event_type = 'view')
+      SELECT p.event_id AS purchase_id, p.user_id, CAST(p.es AS BIGINT) AS es,
+             m.event_id AS view_id
+      FROM p LEFT JOIN LATERAL (
+        SELECT v.event_id FROM v
+        WHERE v.user_id = p.user_id AND v.es <= p.es
+        ORDER BY v.es DESC, v.event_id DESC LIMIT 1
+      ) m ON true
+      ORDER BY purchase_id"""),
+      (s, dir) => {
+        val e = T(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000000000").as("es"))
+        e.filter(col("event_type") === "purchase").drop("event_type")
+          .createOrReplaceTempView("q95_p")
+        e.filter(col("event_type") === "view").drop("event_type")
+          .createOrReplaceTempView("q95_v")
+        s.sql("""
+          SELECT p.event_id AS purchase_id, p.user_id, p.es,
+                 m.event_id AS view_id
+          FROM q95_p p LEFT JOIN LATERAL (
+            SELECT v.event_id FROM q95_v v
+            WHERE v.user_id = p.user_id AND v.es <= p.es
+            ORDER BY v.es DESC, v.event_id DESC LIMIT 1
+          ) m ON true
+          ORDER BY purchase_id""")
+      }),
+
     // -- z-order (Morton) clustering value: the layout key Sinks.zorderedWrite
     //    range-partitions by, giving every lake file a tight min/max envelope
     //    on BOTH filter columns (measured in ZOrderLayoutSpec: mean per-file

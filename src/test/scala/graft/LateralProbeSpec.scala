@@ -1,39 +1,87 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-/** Documents WHY graft.operators.AsOfJoin exists: the SQL spelling of an
-  * as-of join (LEFT JOIN LATERAL ... ORDER BY ts DESC LIMIT 1) is correct
-  * on Spark 4.1 but decorrelates to a BroadcastNestedLoopJoin on the range
-  * predicate — every right row pairs with every distinct left timestamp
-  * at-or-after it, O(|left ts| · |right|) work and a broadcast of a
-  * fact-sized side. AsOfJoin.asOf computes the same rows with one key
-  * shuffle + running window. If a future Spark version plans this shape
-  * sanely, this test will flag it and the guidance can be revisited. */
+/** The SQL spelling of an as-of join (LEFT JOIN LATERAL … ORDER BY ts DESC
+  * LIMIT 1): Spark 4.1's own decorrelation plans it as a
+  * BroadcastNestedLoopJoin on the range predicate — every right row pairs
+  * with every distinct left timestamp at-or-after it, O(|left ts|·|right|)
+  * work and a broadcast of a fact-sized side. `AsOfLateralRewrite`
+  * (injected by GraftExtensions, toggled by spark.graft.asofLateralRewrite)
+  * intercepts the LateralJoin before decorrelation and plans the
+  * [[graft.operators.AsOfJoin]] union+window shape instead: same rows, one
+  * key shuffle, no nested loop. */
 class LateralProbeSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("native lateral as-of decorrelates to a nested-loop pair explosion") {
-    Seq((1L, 10L), (1L, 20L)).toDF("k", "ts").createOrReplaceTempView("lp_l")
-    Seq((1L, 5L, 100L), (1L, 15L, 101L)).toDF("k", "ts", "id")
-      .createOrReplaceTempView("lp_r")
-    val df = spark.sql("""
-      SELECT l.k, l.ts, m.id
-      FROM lp_l l LEFT JOIN LATERAL (
-        SELECT r.id FROM lp_r r
-        WHERE r.k = l.k AND r.ts <= l.ts
-        ORDER BY r.ts DESC, r.id DESC LIMIT 1
-      ) m ON true""")
-    // correct results...
-    val rows = df.as[(Long, Long, Long)].collect().toSet
-    assert(rows == Set((1L, 10L, 100L), (1L, 20L, 101L)))
-    // ...from a plan that cannot scale
-    val plan = df.queryExecution.executedPlan match {
+  private val sql = """
+    SELECT l.k, l.ts, m.id
+    FROM lp_l l LEFT JOIN LATERAL (
+      SELECT r.id FROM lp_r r
+      WHERE r.k = l.k AND r.ts <= l.ts
+      ORDER BY r.ts DESC, r.id DESC LIMIT 1
+    ) m ON true"""
+
+  private def mkViews(): Unit = {
+    Seq((1L, 10L), (1L, 20L), (2L, 7L), (3L, 5L))
+      .toDF("k", "ts").createOrReplaceTempView("lp_l")
+    Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 10L, 102L), (1L, 15L, 103L),
+      (2L, 9L, 104L))
+      .toDF("k", "ts", "id").createOrReplaceTempView("lp_r")
+  }
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+  }
+
+  private def withRewrite[T](on: Boolean)(f: => T): T = {
+    spark.conf.set("spark.graft.asofLateralRewrite", on.toString)
+    try f finally spark.conf.unset("spark.graft.asofLateralRewrite")
+  }
+
+  test("native decorrelation pays a nested-loop pair explosion (baseline)") {
+    mkViews()
+    val plan = withRewrite(on = false) { finalPlan(spark.sql(sql)) }
     assert(plan.toString.contains("BroadcastNestedLoopJoin"),
       s"Spark now plans lateral as-of without a nested loop — revisit:\n$plan")
+  }
+
+  test("AsOfLateralRewrite plans the same query nested-loop-free, same rows") {
+    mkViews()
+    val expected = withRewrite(on = false) {
+      spark.sql(sql).as[(Long, Long, Option[Long])].collect().toSet
+    }
+    withRewrite(on = true) {
+      val df = spark.sql(sql)
+      val got = df.as[(Long, Long, Option[Long])].collect().toSet
+      assert(got == expected, "rewrite changed the query's rows")
+      val plan = finalPlan(df)
+      assert(!plan.toString.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not remove the nested loop:\n$plan")
+      assert(plan.toString.contains("Window"), s"expected the as-of window:\n$plan")
+    }
+  }
+
+  test("the rewrite leaves non-as-of lateral shapes to Spark") {
+    mkViews()
+    // LIMIT 2 (not an as-of), ascending sort, no tie-break: all must fall
+    // through to native planning and stay correct
+    val shapes = Seq(
+      sql.replace("LIMIT 1", "LIMIT 2"),
+      sql.replace("ORDER BY r.ts DESC, r.id DESC", "ORDER BY r.ts ASC, r.id ASC"),
+      sql.replace(", r.id DESC", ""))
+    withRewrite(on = true) {
+      shapes.foreach { q =>
+        val rows = spark.sql(q).collect()
+        assert(rows.nonEmpty, s"shape failed under the rule: $q")
+      }
+    }
   }
 }

@@ -93,6 +93,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       && !plan.toString.contains("ShuffleQueryStage"), plan.toString)
   }
 
+  test("the SQL lateral as-of (q95) plans as the window rewrite, no nested loop") {
+    val p = planString(Queries.byName("q95_asof_lateral_sql").fn(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"lateral as-of fell back to the decorrelated nested loop:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("bloom decontamination never shuffles the candidate side") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
