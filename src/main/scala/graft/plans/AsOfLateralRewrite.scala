@@ -61,14 +61,35 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** Walk Project(attrs-only)/SubqueryAlias layers down to a Filter. */
-  private def downToFilter(p: LogicalPlan): Option[Filter] = p match {
-    case f: Filter => Some(f)
-    case SubqueryAlias(_, c) => downToFilter(c)
-    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      downToFilter(c)
+  /** A rename-only project's exprId → underlying attribute map; None when
+    * any entry computes (then the shape is not a pure as-of). */
+  private def renameMap(list: Seq[NamedExpression]): Option[Map[ExprId, Attribute]] = {
+    val entries = list.flatMap {
+      case a: AttributeReference => Some(a.exprId -> a)
+      case al @ Alias(child: AttributeReference, _) => Some(al.exprId -> child)
+      case _ => None
+    }
+    if (entries.length == list.length) Some(entries.toMap) else None
+  }
+
+  /** Walk rename-only Project/SubqueryAlias layers down to a Filter,
+    * collecting the rename maps top→bottom. */
+  private def downToFilter(p: LogicalPlan,
+      maps: List[Map[ExprId, Attribute]] = Nil)
+      : Option[(Filter, List[Map[ExprId, Attribute]])] = p match {
+    case f: Filter => Some((f, maps))
+    case SubqueryAlias(_, c) => downToFilter(c, maps)
+    case Project(projList, c) =>
+      renameMap(projList) match {
+        case Some(m) => downToFilter(c, maps :+ m)
+        case None => None
+      }
     case _ => None
   }
+
+  /** Resolve an attribute through the rename layers to the filter level. */
+  private def resolve(a: Attribute, maps: List[Map[ExprId, Attribute]]): Attribute =
+    maps.foldLeft(a)((cur, m) => m.getOrElse(cur.exprId, cur))
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
@@ -80,20 +101,27 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val payloadAttrs = sub.output // the lateral's visible columns
 
     // ---- match: GlobalLimit 1 over a global Sort over a Filter ----------
-    val (sortOrders: Seq[SortOrder], filter: Option[Filter]) =
+    // rename-only Projects may sit above and below the Sort; their maps
+    // resolve subquery-output and sort attributes to filter-level ones
+    type Layers = List[Map[ExprId, Attribute]]
+    val (topMaps: Layers, sortOrders: Seq[SortOrder], inner: LogicalPlan) =
       stripAliases(sub) match {
         case GlobalLimit(Literal(1, IntegerType),
             LocalLimit(Literal(1, IntegerType), body)) =>
           stripAliases(body) match {
-            case Project(projList, Sort(orders, true, inner, _))
-                if projList.forall(_.isInstanceOf[AttributeReference]) =>
-              (orders, downToFilter(inner))
-            case Sort(orders, true, inner, _) => (orders, downToFilter(inner))
+            case Project(projList, Sort(orders, true, in, _)) =>
+              renameMap(projList) match {
+                case Some(m) => (List(m), orders, in)
+                case None => return None
+              }
+            case Sort(orders, true, in, _) => (Nil: Layers, orders, in)
             case _ => return None
           }
         case _ => return None
       }
-    val Filter(cond, rightPlan) = filter.getOrElse(return None)
+    val (theFilter, innerMaps) = downToFilter(inner).getOrElse(return None)
+    val Filter(cond, rightPlan) = theFilter
+    val allMaps = topMaps ++ innerMaps
     if (rightPlan.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))))
       return None // correlation below the filter — not our shape
 
@@ -127,19 +155,23 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val tieOk = (sortOrders.head, sortOrders(1)) match {
       case (SortOrder(first: AttributeReference, Descending, _, _),
             SortOrder(_: AttributeReference, Descending, _, _)) =>
-        first.exprId == rts.exprId
+        resolve(first, innerMaps).exprId == rts.exprId
       case _ => false
     }
     if (!tieOk) return None
-    val tie = sortOrders(1).child.asInstanceOf[AttributeReference]
+    val tie = resolve(
+      sortOrders(1).child.asInstanceOf[AttributeReference], innerMaps)
+    if (!rightPlan.outputSet.contains(tie)) return None
 
-    // payload must be right-side attributes
-    if (!payloadAttrs.forall(a => rightPlan.outputSet.contains(a))) return None
+    // payload must resolve (through the rename layers) to right attributes
+    val payloadUnder = payloadAttrs.map(a => resolve(a, allMaps))
+    if (!payloadUnder.forall(a => rightPlan.outputSet.contains(a))) return None
 
     // ---- build the replacement with the Dataset API ----------------------
     var l2 = PlanBridge.dataFrame(spark, lj.left)
     var r2 = PlanBridge.dataFrame(spark, rightPlan)
     val reserved = (0 until equi.size).map(i => s"__asof_k$i") ++
+      (0 until payloadUnder.size).map(i => s"__asof_p$i") ++
       Seq("__asof_ts", "__asof_tie", "asof", "__side", "__rp")
     if ((l2.columns ++ r2.columns).exists(reserved.contains)) return None
     equi.zipWithIndex.foreach { case ((la, ra), i) =>
@@ -149,19 +181,20 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     l2 = l2.withColumn("__asof_ts", ColumnBridge.column(lts))
     r2 = r2.withColumn("__asof_ts", ColumnBridge.column(rts))
       .withColumn("__asof_tie", ColumnBridge.column(tie))
-    // unique payload names required for struct-field extraction
-    if (r2.select(payloadAttrs.map(ColumnBridge.column): _*)
-        .columns.distinct.length != payloadAttrs.length) return None
+    // payloads travel under collision-free synthetic names
+    payloadUnder.zipWithIndex.foreach { case (pa, i) =>
+      r2 = r2.withColumn(s"__asof_p$i", ColumnBridge.column(pa))
+    }
 
     val joined = graft.operators.AsOfJoin.asOf(
       l2, r2, keys = (0 until equi.size).map(i => s"__asof_k$i"),
       tsCol = "__asof_ts", tieCol = "__asof_tie",
-      payload = payloadAttrs.map(_.name))
+      payload = (0 until payloadUnder.size).map(i => s"__asof_p$i"))
     val filtered =
       if (lj.joinType == Inner) joined.filter(col("asof").isNotNull) else joined
     val projected = filtered.select(
       lj.left.output.map(a => ColumnBridge.column(a)) ++
-        payloadAttrs.map(a => col(s"asof.${a.name}")): _*)
+        payloadUnder.indices.map(i => col(s"asof.__asof_p$i")): _*)
 
     // re-alias to the original output attribute ids so parents resolve
     val newPlan = PlanBridge.plan(projected)

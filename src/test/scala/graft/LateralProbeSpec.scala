@@ -69,6 +69,31 @@ class LateralProbeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("inner lateral join and multi-column payloads rewrite correctly") {
+    mkViews()
+    val q = """
+      SELECT l.k, l.ts, m.id, m.es
+      FROM lp_l l JOIN LATERAL (
+        SELECT r.id, r.ts AS es FROM lp_r r
+        WHERE r.k = l.k AND r.ts <= l.ts
+        ORDER BY r.ts DESC, r.id DESC LIMIT 1
+      ) m ON true
+      ORDER BY l.k, l.ts"""
+    val expected = withRewrite(on = false) {
+      spark.sql(q).as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    withRewrite(on = true) {
+      val df = spark.sql(q)
+      val got = df.as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, "inner-join rewrite changed the rows")
+      // INNER drops the unmatched lefts (keys 2 pre-right and 3 no-right)
+      assert(got.map(_._1).toSet == Set(1L))
+      // the aliased payload (r.ts AS es) must not defeat the matcher
+      assert(!finalPlan(df).toString.contains("BroadcastNestedLoopJoin"),
+        "rewrite did not fire on an aliased payload")
+    }
+  }
+
   test("the rewrite leaves non-as-of lateral shapes to Spark") {
     mkViews()
     // LIMIT 2 (not an as-of), ascending sort, no tie-break: all must fall
