@@ -457,8 +457,9 @@ object Queries {
     "q68_batch_window_trend",
     // round-4 operators: SQL BETWEEN join via IntervalJoinExec; PQ-ANN
     "q77_interval_join_sql", "q78_ann_pq",
-    // round-5 operators: bidirectional as-of join; bloom decontamination
-    "q83_asof_directions", "q84_bloom_decontaminate")
+    // round-5 operators: bidirectional as-of join; bloom decontamination;
+    // the SQL lateral as-of planned through AsOfLateralRewrite
+    "q83_asof_directions", "q84_bloom_decontaminate", "q95_asof_lateral_sql")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }
