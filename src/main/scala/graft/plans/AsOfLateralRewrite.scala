@@ -26,11 +26,14 @@ import org.apache.spark.sql.types.IntegerType
   * of a fact-sized relation (see LateralProbeSpec). The rewrite computes
   * the same rows with ONE shuffle on the join key.
   *
+  * The forward spelling (`r.ts >= l.ts ... ORDER BY r.ts ASC, tie DESC`)
+  * rewrites to the forward as-of direction the same way.
+  *
   * The rule is surgical: it fires only on the exact shape above — limit 1,
-  * a descending sort on the range column with at least one deterministic
-  * descending tie-break, one `<=` range conjunct on outer attributes,
-  * equi-conjuncts on outer attributes, attribute-only projections in
-  * between, and no other outer references. Anything else is left for
+  * a sort on the range column pointing toward the left row with exactly one
+  * deterministic descending tie-break, one range conjunct on outer
+  * attributes, equi-conjuncts on outer attributes, rename-only projections
+  * in between, and no other outer references. Anything else is left for
   * Spark's own lateral decorrelation. It runs post-hoc in the analyzer —
   * before `PullupCorrelatedPredicates` destroys the LateralJoin node.
   */
@@ -125,21 +128,27 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (rightPlan.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))))
       return None // correlation below the filter — not our shape
 
-    // ---- split the condition: equi conjuncts + ONE <= range conjunct ----
+    // ---- split the condition: equi conjuncts + ONE range conjunct ------
+    // r.ts <= l.ts = the backward direction, r.ts >= l.ts = forward
     var equi = Vector.empty[(Attribute, Attribute)] // (left outer, right)
-    var range: Option[(Attribute, Attribute)] = None // (left ts, right ts)
+    var range: Option[(Attribute, Attribute, String)] = None // (lts, rts, dir)
+    import graft.operators.AsOfJoin.{Backward, Forward}
     splitConjuncts(cond).foreach {
       case EqualTo(r: AttributeReference, OuterReference(l: AttributeReference)) =>
         equi :+= (l, r)
       case EqualTo(OuterReference(l: AttributeReference), r: AttributeReference) =>
         equi :+= (l, r)
       case LessThanOrEqual(r: AttributeReference, OuterReference(l: AttributeReference))
-          if range.isEmpty => range = Some((l, r))
+          if range.isEmpty => range = Some((l, r, Backward))
       case GreaterThanOrEqual(OuterReference(l: AttributeReference), r: AttributeReference)
-          if range.isEmpty => range = Some((l, r))
+          if range.isEmpty => range = Some((l, r, Backward))
+      case GreaterThanOrEqual(r: AttributeReference, OuterReference(l: AttributeReference))
+          if range.isEmpty => range = Some((l, r, Forward))
+      case LessThanOrEqual(OuterReference(l: AttributeReference), r: AttributeReference)
+          if range.isEmpty => range = Some((l, r, Forward))
       case _ => return None
     }
-    val (lts, rts) = range.getOrElse(return None)
+    val (lts, rts, direction) = range.getOrElse(return None)
     if (equi.isEmpty) return None
     // no outer references anywhere else in the subquery
     val outerUsed = (equi.map(_._1) :+ lts).map(_.exprId).toSet
@@ -148,14 +157,16 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.toSet
     if (outerDeclared != outerUsed) return None
 
-    // ---- sort: range col DESC, then exactly one DESC tie-break ----------
-    // (no tie-break would make LIMIT 1 nondeterministic; AsOfJoin carries
-    // one tie column)
+    // ---- sort: range col toward the left row (DESC for backward, ASC for
+    // forward), then exactly one DESC tie-break (no tie-break would make
+    // LIMIT 1 nondeterministic; AsOfJoin carries one tie column, highest
+    // wins)
     if (sortOrders.size != 2) return None
+    val wantDir = if (direction == Backward) Descending else Ascending
     val tieOk = (sortOrders.head, sortOrders(1)) match {
-      case (SortOrder(first: AttributeReference, Descending, _, _),
+      case (SortOrder(first: AttributeReference, d, _, _),
             SortOrder(_: AttributeReference, Descending, _, _)) =>
-        resolve(first, innerMaps).exprId == rts.exprId
+        d == wantDir && resolve(first, innerMaps).exprId == rts.exprId
       case _ => false
     }
     if (!tieOk) return None
@@ -189,7 +200,8 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val joined = graft.operators.AsOfJoin.asOf(
       l2, r2, keys = (0 until equi.size).map(i => s"__asof_k$i"),
       tsCol = "__asof_ts", tieCol = "__asof_tie",
-      payload = (0 until payloadUnder.size).map(i => s"__asof_p$i"))
+      payload = (0 until payloadUnder.size).map(i => s"__asof_p$i"),
+      tolerance = None, direction = direction)
     val filtered =
       if (lj.joinType == Inner) joined.filter(col("asof").isNotNull) else joined
     val projected = filtered.select(
@@ -201,7 +213,7 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val aliased = lj.output.zip(newPlan.output).map { case (orig, now) =>
       Alias(now, orig.name)(exprId = orig.exprId)
     }
-    logInfo(s"graft: rewrote lateral as-of join on " +
+    logInfo(s"graft: rewrote lateral $direction as-of join on " +
       s"${equi.map(_._2.name).mkString(",")} / ${rts.name}")
     Some(Project(aliased, newPlan))
   }

@@ -94,6 +94,22 @@ class LateralProbeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the forward shape (>= with ASC sort) rewrites nested-loop-free too") {
+    mkViews()
+    val q = sql.replace("r.ts <= l.ts", "r.ts >= l.ts")
+      .replace("ORDER BY r.ts DESC", "ORDER BY r.ts ASC")
+    val expected = withRewrite(on = false) {
+      spark.sql(q).as[(Long, Long, Option[Long])].collect().toSet
+    }
+    withRewrite(on = true) {
+      val df = spark.sql(q)
+      assert(df.as[(Long, Long, Option[Long])].collect().toSet == expected,
+        "forward rewrite changed the rows")
+      assert(!finalPlan(df).toString.contains("BroadcastNestedLoopJoin"),
+        "forward shape fell back to the nested loop")
+    }
+  }
+
   test("the rewrite leaves non-as-of lateral shapes to Spark") {
     mkViews()
     // LIMIT 2 (not an as-of), ascending sort, no tie-break: all must fall

@@ -44,6 +44,28 @@ class StreamingSketchSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV and bottom-k state equal the batch sketches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 500).map(i => (s"key_${i % 211}", (i * 13 % 997).toDouble))
+    val mem = MemoryStream[(String, Double)]
+    val name = s"skkm_${System.nanoTime()}"
+    def aggs(df: org.apache.spark.sql.DataFrame) = df
+      .agg(KernelAggs.kmv_sketch(col("k"), 32).as("kmv"),
+        KernelAggs.bottomk_sample(col("k"), col("v"), 16).as("bk"))
+    val q = aggs(mem.toDS().toDF("k", "v"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      rows.grouped(170).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table(name)
+        .select(col("kmv"), col("bk"))
+        .as[(Seq[Long], Seq[Double])].head()
+      val batch = aggs(rows.toDF("k", "v"))
+        .as[(Seq[Long], Seq[Double])].head()
+      assert(streamed == batch,
+        "streamed KMV/bottom-k state diverged from the batch sketches")
+    } finally q.stop()
+  }
+
   test("streaming bloom state equals the batch sketch and admits no false negatives") {
     implicit val sqlCtx = spark.sqlContext
     val keys = (0 until 400).map(i => s"k_${i % 151}") // duplicates across batches
