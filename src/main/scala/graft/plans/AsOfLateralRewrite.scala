@@ -128,11 +128,21 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (rightPlan.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))))
       return None // correlation below the filter — not our shape
 
-    // ---- split the condition: equi conjuncts + ONE range conjunct ------
-    // r.ts <= l.ts = the backward direction, r.ts >= l.ts = forward
+    // ---- split the condition: equi conjuncts + ONE range conjunct + an
+    // optional tolerance bound (the merge_asof spelling) ------------------
+    // r.ts <= l.ts = the backward direction (tolerance: r.ts >= l.ts - T),
+    // r.ts >= l.ts = forward               (tolerance: r.ts <= l.ts + T)
     var equi = Vector.empty[(Attribute, Attribute)] // (left outer, right)
     var range: Option[(Attribute, Attribute, String)] = None // (lts, rts, dir)
+    var tolB: Option[(Attribute, Attribute, Long)] = None // backward bound
+    var tolF: Option[(Attribute, Attribute, Long)] = None // forward bound
     import graft.operators.AsOfJoin.{Backward, Forward}
+    def longOf(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
     splitConjuncts(cond).foreach {
       case EqualTo(r: AttributeReference, OuterReference(l: AttributeReference)) =>
         equi :+= (l, r)
@@ -146,12 +156,41 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if range.isEmpty => range = Some((l, r, Forward))
       case LessThanOrEqual(OuterReference(l: AttributeReference), r: AttributeReference)
           if range.isEmpty => range = Some((l, r, Forward))
+      case GreaterThanOrEqual(r: AttributeReference,
+          Subtract(OuterReference(l: AttributeReference), Literal(t, _), _))
+          if tolB.isEmpty && longOf(t).isDefined =>
+        tolB = Some((l, r, longOf(t).get))
+      case LessThanOrEqual(
+          Subtract(OuterReference(l: AttributeReference), Literal(t, _), _),
+          r: AttributeReference)
+          if tolB.isEmpty && longOf(t).isDefined =>
+        tolB = Some((l, r, longOf(t).get))
+      case LessThanOrEqual(r: AttributeReference,
+          Add(OuterReference(l: AttributeReference), Literal(t, _), _))
+          if tolF.isEmpty && longOf(t).isDefined =>
+        tolF = Some((l, r, longOf(t).get))
+      case GreaterThanOrEqual(
+          Add(OuterReference(l: AttributeReference), Literal(t, _), _),
+          r: AttributeReference)
+          if tolF.isEmpty && longOf(t).isDefined =>
+        tolF = Some((l, r, longOf(t).get))
       case _ => return None
     }
     val (lts, rts, direction) = range.getOrElse(return None)
     if (equi.isEmpty) return None
+    // the tolerance bound must pair with the range conjunct's direction
+    // and columns; a stray bound means the shape is not a pure as-of
+    val tolerance: Option[Long] = (direction, tolB, tolF) match {
+      case (_, None, None) => None
+      case (Backward, Some((l, r, t)), None)
+          if l.exprId == lts.exprId && r.exprId == rts.exprId => Some(t)
+      case (Forward, None, Some((l, r, t)))
+          if l.exprId == lts.exprId && r.exprId == rts.exprId => Some(t)
+      case _ => return None
+    }
     // no outer references anywhere else in the subquery
-    val outerUsed = (equi.map(_._1) :+ lts).map(_.exprId).toSet
+    val outerUsed = (equi.map(_._1) :+ lts).map(_.exprId).toSet ++
+      (tolB.toSeq ++ tolF.toSeq).map(_._1.exprId)
     val outerDeclared = lj.right.outerAttrs.collect {
       case a: AttributeReference => a.exprId
     }.toSet
@@ -201,7 +240,7 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       l2, r2, keys = (0 until equi.size).map(i => s"__asof_k$i"),
       tsCol = "__asof_ts", tieCol = "__asof_tie",
       payload = (0 until payloadUnder.size).map(i => s"__asof_p$i"),
-      tolerance = None, direction = direction)
+      tolerance = tolerance, direction = direction)
     val filtered =
       if (lj.joinType == Inner) joined.filter(col("asof").isNotNull) else joined
     val projected = filtered.select(

@@ -110,6 +110,24 @@ class LateralProbeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a tolerance bound (merge_asof spelling) rewrites and clips matches") {
+    mkViews()
+    val q = sql.replace("r.ts <= l.ts", "r.ts <= l.ts AND r.ts >= l.ts - 3")
+    val expected = withRewrite(on = false) {
+      spark.sql(q).as[(Long, Long, Option[Long])].collect().toSet
+    }
+    withRewrite(on = true) {
+      val df = spark.sql(q)
+      val got = df.as[(Long, Long, Option[Long])].collect().toSet
+      assert(got == expected, "tolerance rewrite changed the rows")
+      // key 2's left (ts 7) has a right only at ts 9 > 7: no match; left 1
+      // at ts 20 is 5 past its latest right (ts 15) -> clipped by tol 3
+      assert(got.contains((1L, 20L, None)) && got.contains((2L, 7L, None)))
+      assert(!finalPlan(df).toString.contains("BroadcastNestedLoopJoin"),
+        "tolerance shape fell back to the nested loop")
+    }
+  }
+
   test("the rewrite leaves non-as-of lateral shapes to Spark") {
     mkViews()
     // LIMIT 2 (not an as-of), ascending sort, no tie-break: all must fall
