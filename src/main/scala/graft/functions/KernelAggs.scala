@@ -474,9 +474,17 @@ object KernelAggs {
       val kv = left.eval(input)
       val vv = right.eval(input)
       if (kv != null && vv != null) {
+        // accept any numeric value column (INT/BIGINT/DECIMAL/...), not
+        // just DOUBLE — SQL callers pass whatever the column's type is
+        val d = vv match {
+          case n: java.lang.Number => n.doubleValue()
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_bottomk_sample: value must be numeric, got " +
+              s"${other.getClass.getSimpleName}")
+        }
         b += ((Kernels.hash60(
-          org.apache.spark.unsafe.types.UTF8String.fromString(kv.toString)),
-          vv.asInstanceOf[Double]))
+          org.apache.spark.unsafe.types.UTF8String.fromString(kv.toString)), d))
         if (b.length >= 4 * k) compact(b)
       }
       b

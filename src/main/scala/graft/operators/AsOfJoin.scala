@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * the cost profile of a sort-merge join, which is what survives 100 TB of
   * events. Spark has no native as-of join (pandas-on-Spark `merge_asof`
   * exists; this is the pure DataFrame shape of the same plan).
+  *
+  * Null semantics are the WINDOW's, not SQL's: NULL keys group together
+  * (a NULL-key left row can match a NULL-key right row) and NULL-ts rows
+  * participate in the scan order. Callers that need SQL's null-rejecting
+  * join semantics must pre-filter the right side on key/ts IS NOT NULL and
+  * null out matches for NULL-ts left rows — exactly what
+  * [[graft.plans.AsOfLateralRewrite]] does before delegating here.
   */
 object AsOfJoin {
 

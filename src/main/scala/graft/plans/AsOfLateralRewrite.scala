@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 import org.apache.spark.sql.types.IntegerType
 
@@ -236,11 +236,30 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       r2 = r2.withColumn(s"__asof_p$i", ColumnBridge.column(pa))
     }
 
+    // The lateral SQL's correlated predicates (r.k = l.k, r.ts <= l.ts) are
+    // null-REJECTING, but AsOfJoin's window plan is not: partitionBy groups
+    // NULL keys together, and the running scan would let NULL-ts rows
+    // participate in the ordering. Restore SQL semantics exactly:
+    //  - a right row with a NULL key or NULL range value can never satisfy
+    //    the predicates -> drop it before the join;
+    //  - a left row with a NULL key then sits in a partition with no rights
+    //    (no match, as SQL), and a left row with a NULL range value matches
+    //    nothing -> null its asof after the join (the forward window's
+    //    nulls-last desc sort would otherwise hand it the earliest right).
+    // NULL tie-break values are NOT filtered: SQL keeps such rows and they
+    // merely lose the ordering, identically in both plans (ORDER BY tie
+    // DESC is nulls-last natively; the running-last here takes the highest
+    // tie with asc_nulls_first).
+    r2 = r2.filter(
+      ((0 until equi.size).map(i => col(s"__asof_k$i")) :+ col("__asof_ts"))
+        .map(_.isNotNull).reduce(_ && _))
+
     val joined = graft.operators.AsOfJoin.asOf(
       l2, r2, keys = (0 until equi.size).map(i => s"__asof_k$i"),
       tsCol = "__asof_ts", tieCol = "__asof_tie",
       payload = (0 until payloadUnder.size).map(i => s"__asof_p$i"),
       tolerance = tolerance, direction = direction)
+      .withColumn("asof", when(col("__asof_ts").isNotNull, col("asof")))
     val filtered =
       if (lj.joinType == Inner) joined.filter(col("asof").isNotNull) else joined
     val projected = filtered.select(

@@ -76,8 +76,6 @@ object Sinks {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
-  /** K2: middle-data text save — ``-separated, `numFiles` output files
-    * (reference coalesce(12).saveAsTextFile, DnsRptCH.scala:131-139). */
   /** Z-order-clustered lake layout: range-partition and sort the table by
     * the Morton interleave of two filter columns, so EVERY output file (and
     * row group) carries a tight min/max envelope on BOTH columns — parquet
@@ -99,6 +97,8 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** K2: middle-data text save — ``-separated, `numFiles` output files
+    * (reference coalesce(12).saveAsTextFile, DnsRptCH.scala:131-139). */
   def middleData(df: DataFrame, path: String, numFiles: Int = 12): Unit =
     df.coalesce(numFiles).write.mode("overwrite")
       .option("sep", "").csv(path)

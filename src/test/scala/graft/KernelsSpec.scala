@@ -165,6 +165,16 @@ class KernelsSpec extends AnyFunSuite with SparkSpec {
     val viaSql = spark.sql("SELECT graft_bottomk_sample(k, v, 64) AS s FROM bk_in")
       .head().getSeq[Double](0)
     assert(viaSql == s1)
+    // non-DOUBLE value columns from SQL must work, not ClassCastException:
+    // INT and DECIMAL values convert, and a decimal literal expression too
+    val viaInt = spark.sql(
+      "SELECT graft_bottomk_sample(k, cast(v AS int), 64) AS s FROM bk_in")
+      .head().getSeq[Double](0)
+    assert(viaInt == s1, "int-typed values must sample identically")
+    val viaDec = spark.sql(
+      "SELECT graft_bottomk_sample(k, cast(v AS decimal(10,2)), 64) AS s FROM bk_in")
+      .head().getSeq[Double](0)
+    assert(viaDec == s1, "decimal-typed values must sample identically")
   }
 
   test("kmv sketch: k smallest distinct hashes, partitioning/dup invariant") {

@@ -128,6 +128,61 @@ class LateralProbeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nullable keys/ts/ties keep SQL null semantics in both directions") {
+    // the correlated predicates are null-rejecting; the window plan is not.
+    // NULL-key rows must never match each other, a NULL-ts left must match
+    // nothing (the forward window's nulls-last desc sort is the trap), and
+    // a NULL tie must stay matchABLE (it only loses the ordering). The
+    // payload v is separate from the tie so a matched-NULL-tie row is
+    // distinguishable from no match.
+    Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(10L)), // normal: matches
+      (Some(1L), None),      // NULL ts: no match either direction
+      (None, Some(20L)),     // NULL key: no match (rights with NULL k dropped)
+      (Some(2L), Some(7L)),  // its only candidate right has a NULL tie
+      (Some(3L), Some(9L)))  // rights at same ts: NULL tie loses to id 300
+      .toDF("k", "ts").createOrReplaceTempView("lp_nl")
+    Seq[(Option[Long], Option[Long], Option[Long], Long)](
+      (Some(1L), Some(5L), Some(100L), 1005L),
+      (Some(1L), None, Some(101L), 9999L),     // NULL ts right: never matches
+      (None, Some(1L), Some(102L), 9998L),     // NULL key right: never matches
+      (Some(2L), Some(6L), None, 2006L),       // NULL tie, sole candidate: matches
+      (Some(3L), Some(4L), None, 9997L),       // NULL tie loses to...
+      (Some(3L), Some(4L), Some(300L), 3004L)) // ...this one at the same ts
+      .toDF("k", "ts", "id", "v").createOrReplaceTempView("lp_nr")
+    val bwd = """
+      SELECT l.k, l.ts, m.v
+      FROM lp_nl l LEFT JOIN LATERAL (
+        SELECT r.v FROM lp_nr r
+        WHERE r.k = l.k AND r.ts <= l.ts
+        ORDER BY r.ts DESC, r.id DESC LIMIT 1
+      ) m ON true"""
+    val fwd = bwd.replace("r.ts <= l.ts", "r.ts >= l.ts")
+      .replace("ORDER BY r.ts DESC", "ORDER BY r.ts ASC")
+    for (q <- Seq(bwd, fwd)) {
+      val expected = withRewrite(on = false) {
+        spark.sql(q).as[(Option[Long], Option[Long], Option[Long])].collect().toSet
+      }
+      withRewrite(on = true) {
+        val df = spark.sql(q)
+        val got = df.as[(Option[Long], Option[Long], Option[Long])].collect().toSet
+        assert(got == expected, s"null semantics diverged for: $q")
+        assert(!finalPlan(df).toString.contains("BroadcastNestedLoopJoin"),
+          "nullable attributes made the rewrite fall back")
+      }
+    }
+    // pin the backward rows (independent of native execution)
+    val pinned = withRewrite(on = true) {
+      spark.sql(bwd).as[(Option[Long], Option[Long], Option[Long])].collect().toSet
+    }
+    assert(pinned == Set(
+      (Some(1L), Some(10L), Some(1005L)), // normal match
+      (Some(1L), None, None),             // NULL-ts left: unmatched
+      (None, Some(20L), None),            // NULL-key left: unmatched
+      (Some(2L), Some(7L), Some(2006L)),  // NULL-tie sole candidate DID match
+      (Some(3L), Some(9L), Some(3004L)))) // NULL tie lost to id 300 at equal ts
+  }
+
   test("the rewrite leaves non-as-of lateral shapes to Spark") {
     mkViews()
     // LIMIT 2 (not an as-of), ascending sort, no tie-break: all must fall
