@@ -316,6 +316,41 @@ object QueriesOps {
           graft.functions.KernelExprs.zorder2(col("a"), col("b"), 8))
         .orderBy(col("c_custkey"))),
 
+    // -- z-order read side: the SAME rows come back through ZLake's
+    //    stats-pruning FileIndex as through a full scan — while the scan
+    //    plans only the files whose footer envelope intersects the
+    //    predicate (6/16-ish, measured in ZOrderPruneSpec). The oracle
+    //    computes the filter+aggregate over the raw table; the Spark side
+    //    must agree through the z-ordered lake copy AND the pruned read.
+    QueryDef("q96_zorder_pruned_read", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
+                        (c_custkey * 7) % 256 AS b, c_acctbal
+                 FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+      FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
+      ORDER BY n"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-zlake").toString + "/customer"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 256).cast("long").as("a"),
+            (col("c_custkey") * 7 % 256).cast("long").as("b"),
+            col("c_acctbal")),
+          "a", "b", lake, numFiles = 16, bits = 8)
+        graft.sources.ZLake.read(s, lake)
+          .filter(col("a").between(32, 63) && col("b").between(64, 127))
+          .agg(count("*").cast("long").as("n"),
+            sum("a").cast("long").as("sum_a"),
+            sum("b").cast("long").as("sum_b"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("bal"))
+          .orderBy("n")
+      }),
+
     // -- as-of join, forward + nearest directions: for each purchase, the
     //    earliest 'view' at-or-after it (forward, unbounded) and the closer
     //    of the two adjacent views within a 200 000 s tolerance (nearest;

@@ -84,9 +84,14 @@ object Sinks {
     * one of them. The interleave is a pure codegen'd expression
     * ([[graft.functions.KernelExprs.ZOrder2]]); the write is one range
     * exchange — the layout cost is paid once, every later scan benefits.
-    * Clustering tightness is measured (not assumed) in ZOrderLayoutSpec. */
+    * Clustering tightness is measured (not assumed) in ZOrderLayoutSpec;
+    * the read-side skipping it buys is asserted in ZOrderPruneSpec via
+    * [[graft.sources.ZLake]]. `writerOptions` pass through to the parquet
+    * writer (e.g. `parquet.block.size` to bound row-group size so skipping
+    * works at sub-file granularity too). */
   def zorderedWrite(df: DataFrame, colA: String, colB: String,
-                    path: String, numFiles: Int, bits: Int = 20): Unit = {
+                    path: String, numFiles: Int, bits: Int = 20,
+                    writerOptions: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.col
     val z = graft.functions.KernelExprs.zorder2(
       col(colA).cast("long"), col(colB).cast("long"), bits)
@@ -94,7 +99,7 @@ object Sinks {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").options(writerOptions).parquet(path)
   }
 
   /** K2: middle-data text save — ``-separated, `numFiles` output files

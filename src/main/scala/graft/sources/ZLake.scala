@@ -1,0 +1,219 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.{Decimal, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Stats-carrying lake read: per-file min/max envelopes harvested from the
+  * parquet FOOTERS (a metadata-only pass — no data pages touched) drive
+  * file-level skipping at PLANNING time, before a single task is launched.
+  *
+  * This is the read-side payoff of [[graft.sinks.Sinks.zorderedWrite]]: the
+  * z-order layout makes every file's envelope tight on BOTH clustered
+  * columns (measured in ZOrderLayoutSpec), so a predicate on either column
+  * eliminates most files here — at 100 TB that is the difference between
+  * launching tasks for ~3% of the lake and scanning all of it. Row groups
+  * inside the files that DO survive are further skipped by parquet's own
+  * row-group statistics once Spark pushes the filters down (asserted via
+  * scan metrics in ZOrderPruneSpec).
+  *
+  * Spark-first shape: a [[FileIndex]] — the same seam Spark's own catalog
+  * file listing and open-lakehouse formats use for data skipping — feeding
+  * a plain parquet `HadoopFsRelation`, so the scan keeps the vectorized
+  * reader, whole-stage codegen, filter pushdown, and every downstream
+  * optimization. Pruning consumes the `dataFilters` Spark already hands to
+  * `listFiles`; nothing is re-implemented on the read path itself.
+  *
+  * The envelope test is conservative: unsupported predicates, columns
+  * without usable stats (logical types beyond int/float/string), and
+  * non-literal comparisons keep the file. Comparisons are null-rejecting,
+  * so null-laden chunks are safe: rows with NULL never satisfy the pushed
+  * predicate, and a chunk with no non-null values carries no envelope and
+  * is kept only when some other conjunct cannot rule it out.
+  */
+object ZLake {
+
+  /** [lo, hi] of a column within one file; values are Double (numerics)
+    * or String (UTF8-annotated binary). */
+  final case class ColEnvelope(lo: Any, hi: Any)
+
+  final case class FileEnvelope(status: FileStatus, rowGroups: Int,
+                                cols: Map[String, ColEnvelope])
+
+  /** Read every footer under `path` (driver-side, metadata-only) into
+    * per-file envelopes. One call per table per query plan — at 1000
+    * executors this is the only centralized step, and it reads ~KBs/file. */
+  def envelopes(spark: SparkSession, path: String): Seq[FileEnvelope] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    files.toSeq.map { st =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val perChunk: Seq[(String, ColEnvelope)] = for {
+          b <- blocks
+          c <- b.getColumns.asScala
+          env <- chunkEnvelope(c)
+        } yield c.getPath.toDotString.toLowerCase -> env
+        // file envelope = union of its row-group envelopes; a column missing
+        // stats in ANY row group gets no file envelope (cannot prune on it)
+        val byCol = perChunk.groupBy(_._1).collect {
+          case (name, es) if es.size == blocks.size =>
+            name -> es.map(_._2).reduce((a, b) =>
+              ColEnvelope(minOf(a.lo, b.lo), maxOf(a.hi, b.hi)))
+        }
+        FileEnvelope(st, blocks.size, byCol.toMap)
+      } finally rd.close()
+    }
+  }
+
+  private def chunkEnvelope(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[ColEnvelope] = {
+    val stats = c.getStatistics
+    if (stats == null || !stats.hasNonNullValue) return None
+    val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+    def num(v: Any): Option[Double] = v match {
+      case i: java.lang.Integer => Some(i.doubleValue)
+      case l: java.lang.Long => Some(l.doubleValue)
+      case f: java.lang.Float => Some(f.doubleValue)
+      case d: java.lang.Double => Some(d.doubleValue)
+      case _ => None
+    }
+    (stats.genericGetMin, stats.genericGetMax) match {
+      // plain numerics, or explicitly-annotated signed ints
+      case (lo, hi) if ann == null ||
+          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        for (l <- num(lo); h <- num(hi)) yield ColEnvelope(l, h)
+      case (lo: Binary, hi: Binary)
+          if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(ColEnvelope(lo.toStringUsingUTF8, hi.toStringUsingUTF8))
+      case _ => None // decimal/date/timestamp annotations: stats not comparable here
+    }
+  }
+
+  private def minOf(a: Any, b: Any): Any = (a, b) match {
+    case (x: Double, y: Double) => math.min(x, y)
+    case (x: String, y: String) => if (x <= y) x else y
+    case _ => a
+  }
+  private def maxOf(a: Any, b: Any): Any = (a, b) match {
+    case (x: Double, y: Double) => math.max(x, y)
+    case (x: String, y: String) => if (x >= y) x else y
+    case _ => a
+  }
+
+  /** Catalyst literal → envelope-comparable value. */
+  private def litVal(v: Any): Option[Any] = v match {
+    case null => None
+    case b: Byte => Some(b.toDouble)
+    case s: Short => Some(s.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case d: Decimal => Some(d.toDouble)
+    case s: UTF8String => Some(s.toString)
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** May any row of the file satisfy `e`? Sound over-approximation: every
+    * unsupported shape answers true (keep the file). */
+  def mayMatch(e: Expression, fe: FileEnvelope): Boolean = {
+    def env(a: AttributeReference): Option[ColEnvelope] =
+      fe.cols.get(a.name.toLowerCase)
+    // test(attr, lit)(f): false only when stats PROVE no row matches
+    def test(a: AttributeReference, l: Any)(
+        rule: (ColEnvelope, Any) => Option[Boolean]): Boolean =
+      (for (ce <- env(a); v <- litVal(l); r <- rule(ce, v)) yield r)
+        .getOrElse(true)
+    e match {
+      case And(l, r) => mayMatch(l, fe) && mayMatch(r, fe)
+      case Or(l, r) => mayMatch(l, fe) || mayMatch(r, fe)
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        test(a, v)((ce, x) =>
+          for (cl <- cmp(x, ce.lo); ch <- cmp(x, ce.hi)) yield cl >= 0 && ch <= 0)
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        mayMatch(EqualTo(a, Literal(v)), fe)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        test(a, v)((ce, x) => cmp(ce.hi, x).map(_ > 0))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        test(a, v)((ce, x) => cmp(ce.hi, x).map(_ >= 0))
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        test(a, v)((ce, x) => cmp(ce.lo, x).map(_ < 0))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        test(a, v)((ce, x) => cmp(ce.lo, x).map(_ <= 0))
+      // flipped operand order: lit OP attr == attr FLIP(OP) lit
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        mayMatch(LessThan(a, Literal(v)), fe)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        mayMatch(LessThanOrEqual(a, Literal(v)), fe)
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        mayMatch(GreaterThan(a, Literal(v)), fe)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        mayMatch(GreaterThanOrEqual(a, Literal(v)), fe)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v =>
+          mayMatch(EqualTo(a, v.asInstanceOf[Literal]), fe))
+      case _ => true
+    }
+  }
+
+  /** The pruning [[FileIndex]]. `lastPrune` records (kept, total) of the
+    * most recent planning pass for observability/specs. */
+  final class StatsFileIndex(root: Path, fes: Seq[FileEnvelope])
+      extends FileIndex {
+    val lastPrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, fes.size))
+    override def rootPaths: Seq[Path] = Seq(root)
+    override def partitionSchema: StructType = new StructType()
+    override def inputFiles: Array[String] =
+      fes.map(_.status.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = fes.map(_.status.getLen).sum
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val kept = fes.filter(fe => dataFilters.forall(f => mayMatch(f, fe)))
+      lastPrune.set((kept.size, fes.size))
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_.status).toArray))
+    }
+  }
+
+  def index(spark: SparkSession, path: String): StatsFileIndex =
+    new StatsFileIndex(new Path(path), envelopes(spark, path))
+
+  /** Parquet read through the stats-pruning index: identical rows to
+    * `spark.read.parquet(path)`, but predicates prune FILES at planning. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readWith(spark, path, index(spark, path))
+
+  def readWith(spark: SparkSession, path: String,
+               idx: StatsFileIndex): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val rel = HadoopFsRelation(idx, new StructType(), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    PlanBridge.dataFrame(spark, LogicalRelation(rel))
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Functions => F}
+import graft.sinks.Sinks
+import graft.sources.ZLake
+
+/** The read-side payoff of the z-order layout: files are SKIPPED at
+  * planning time (ZLake's stats-pruning FileIndex), and row groups inside
+  * surviving files are skipped by parquet's own statistics once Spark
+  * pushes the filter — both measured from the executed plan's scan
+  * metrics, not inferred from envelopes. */
+class ZOrderPruneSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Uniform grid over (a, b) in [0, 256)^2, shuffled row order — the
+    * adversarial case for any single-column sort. */
+  private def grid(): DataFrame = {
+    val n = 1 << 16
+    spark.range(n.toLong)
+      .withColumn("r", F.hash60(col("id").cast("string")))
+      .select((col("id") % 256).as("a"), (col("id") / 256 % 256).as("b"),
+        (col("r") % 1000000).as("payload"))
+      .orderBy("payload")
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  private def scanMetric(df: DataFrame, name: String): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+    scans.map(_.metrics(name).value).sum
+  }
+
+  test("ZLake prunes FILES at planning time on predicates on EACH column") {
+    val files = 16
+    val zPath = tmp("zprune")
+    Sinks.zorderedWrite(grid(), "a", "b", zPath, files, bits = 8)
+
+    val idx = ZLake.index(spark, zPath)
+    assert(idx.inputFiles.length == files)
+    val plain = spark.read.parquet(zPath)
+
+    for (c <- Seq("a", "b")) {
+      val pred = col(c) >= 32 && col(c) <= 63 // 1/8 of the range
+      val pruned = ZLake.readWith(spark, zPath, idx).filter(pred)
+      // correctness first: pruning must not change the answer
+      val got = pruned.agg(count("*"), sum("a"), sum("b"), sum("payload"))
+        .head().toSeq
+      val want = plain.filter(pred).agg(count("*"), sum("a"), sum("b"),
+        sum("payload")).head().toSeq
+      assert(got == want, s"pruned read changed the answer on $c")
+      // the scan's OWN metric: far fewer files than the table holds
+      val numFiles = scanMetric(
+        ZLake.readWith(spark, zPath, idx).filter(pred), "numFiles")
+      val (kept, total) = idx.lastPrune.get()
+      info(s"predicate on $c: scan read $numFiles/$files files " +
+        s"(index kept $kept/$total)")
+      assert(numFiles < files / 2,
+        s"predicate on $c pruned too little: $numFiles of $files files")
+      assert(kept.toLong == numFiles && total == files)
+    }
+
+    // no filter -> nothing pruned, full table intact through the index
+    assert(ZLake.readWith(spark, zPath, idx).count() == (1 << 16))
+    assert(scanMetric(ZLake.readWith(spark, zPath, idx), "numFiles") == files)
+  }
+
+  test("single-column sort cannot prune the second column; z-order can both") {
+    val files = 16
+    val sPath = tmp("ssort")
+    grid().repartitionByRange(files, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(sPath)
+    val zPath = tmp("zboth")
+    Sinks.zorderedWrite(grid(), "a", "b", zPath, files, bits = 8)
+
+    def kept(path: String, c: String): Int = {
+      val idx = ZLake.index(spark, path)
+      ZLake.readWith(spark, path, idx)
+        .filter(col(c) >= 32 && col(c) <= 63).collect()
+      idx.lastPrune.get()._1
+    }
+    val (sa, sb) = (kept(sPath, "a"), kept(sPath, "b"))
+    val (za, zb) = (kept(zPath, "a"), kept(zPath, "b"))
+    info(s"files kept of $files: single-sort a=$sa b=$sb; z-order a=$za b=$zb")
+    assert(sa <= 3, "sorted column should prune nearly everything")
+    assert(sb >= files - 1, "unsorted column cannot prune a single-sort layout")
+    assert(za < files / 2 && zb < files / 2,
+      "z-order must prune on BOTH columns")
+  }
+
+  test("row groups inside kept files are skipped by pushed parquet stats") {
+    // small row groups -> many per file; parquet's row-group stats then
+    // skip at sub-file granularity inside the files planning kept
+    val zPath = tmp("zrg")
+    Sinks.zorderedWrite(grid(), "a", "b", zPath, numFiles = 4, bits = 8,
+      writerOptions = Map("parquet.block.size" -> "65536"))
+    val rowGroups = ZLake.envelopes(spark, zPath).map(_.rowGroups).sum
+    assert(rowGroups > 16, s"fixture too coarse: $rowGroups row groups")
+
+    val total = 1L << 16
+    val pred = col("a") >= 32 && col("a") <= 63 && col("b") >= 64 && col("b") <= 127
+    val exact = spark.read.parquet(zPath).filter(pred).count()
+    // scan numOutputRows = rows the reader actually DECODED = rows of row
+    // groups (and pages) that survived the pushed filter
+    val decoded = scanMetric(spark.read.parquet(zPath).filter(pred),
+      "numOutputRows")
+    info(s"decoded $decoded of $total rows for $exact matches " +
+      s"($rowGroups row groups over 4 files)")
+    assert(decoded < total / 4,
+      s"row-group skipping ineffective: decoded $decoded of $total")
+    assert(decoded >= exact)
+  }
+
+  test("envelope pruning is conservative: unsupported predicates keep files") {
+    val zPath = tmp("zcons")
+    Sinks.zorderedWrite(grid(), "a", "b", zPath, numFiles = 8, bits = 8)
+    val idx = ZLake.index(spark, zPath)
+    // a non-literal, non-range predicate the envelope test cannot decide
+    ZLake.readWith(spark, zPath, idx)
+      .filter((col("a") + col("b")) % 97 === 5).collect()
+    assert(idx.lastPrune.get()._1 == 8, "undecidable predicate must keep all")
+    // string-typed IN on a numeric column: no envelope comparison, keep all
+    val rows = ZLake.readWith(spark, zPath, idx)
+      .filter(col("a").isin(1, 2, 3)).count()
+    assert(rows == spark.read.parquet(zPath)
+      .filter(col("a").isin(1, 2, 3)).count())
+  }
+}
