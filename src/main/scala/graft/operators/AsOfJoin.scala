@@ -95,4 +95,144 @@ object AsOfJoin {
     }
     matched.filter(col("__side") === 1).drop("__side", "__rp")
   }
+
+  /** Hot-key-safe as-of join: [[asOf]] windows by the join key alone, so one
+    * pathological key (a null/default IP, a monitoring heartbeat) funnels
+    * its entire timeline through ONE task — and window exchanges get no AQE
+    * skew splitting the way joins do. This variant is the parallel
+    * prefix-scan fix: the timeline is cut into `ts div bucketWidth` buckets,
+    * the running scan partitions by (key, bucket) — a hot key now spreads
+    * over range/bucketWidth tasks — and each bucket's carry-in (the match a
+    * row would have taken from EARLIER buckets) arrives as one synthetic
+    * right row per (key, bucket), computed by a prefix scan over the
+    * bucket-summary table (|keys|·|buckets| rows, negligible) and unioned
+    * into the main scan where it sorts first in its bucket by construction
+    * (its ts precedes the bucket's range). Same rows as [[asOf]] for every
+    * direction/tolerance (proven exhaustively in AsOfSkewSpec), same
+    * single-shuffle cost profile on the fact table — one extra tiny
+    * aggregation + window over bucket summaries.
+    *
+    * `tsCol` and `tieCol` must be numeric here (the bucket arithmetic and
+    * the forward-first ordering negate them); rows with a NULL ts land in a
+    * NULL bucket — pre-filter them (asOf's window semantics for NULL ts do
+    * not carry over to the stitched scan).
+    *
+    * WHEN to use it: the stitch pays one extra pass over the union (the
+    * bucket markers) plus summary-sized jobs — measured ~1.8x the wall of
+    * [[asOf]] at local toy scale (400k rows, 90% one key), where a single
+    * in-memory sort is unbeatable. It is the 100 TB insurance, not a local
+    * speedup: a key holding 90% of a cluster-scale table serializes asOf
+    * onto ONE task (spill, straggle, or OOM), while this plan spreads that
+    * key over range/bucketWidth tasks and every stage stays bounded.
+    */
+  def asOfSkewed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 tsCol: String, tieCol: String, payload: Seq[String],
+                 bucketWidth: Long, tolerance: Option[Long] = None,
+                 direction: String = Backward): DataFrame = {
+    require(Seq(Backward, Forward, Nearest).contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    val payloadStruct = struct((Seq(tsCol, tieCol) ++ payload).distinct.map(col): _*)
+    val r = right
+      .withColumn("__rp", payloadStruct)
+      .select((keys ++ Seq(tsCol, tieCol)).distinct.map(col) :+ col("__rp"): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__bk", floor(col(tsCol).cast("double") / bucketWidth).cast("long"))
+    val kb = (keys :+ "__bk").map(col)
+
+    // ---- carry computation: one prefix scan over bucket summaries --------
+    // per (key, bucket): the best right a LATER (backward) / EARLIER
+    // (forward) bucket would inherit. max_by orders (ts, tie) for backward
+    // (latest wins) and (-ts, tie) for forward (earliest ts, highest tie).
+    val rb = r.withColumn("__bk",
+      floor(col(tsCol).cast("double") / bucketWidth).cast("long"))
+    def carryRows(forward: Boolean): DataFrame = {
+      val best = rb.groupBy(kb: _*).agg(
+        max_by(col("__rp"), if (forward)
+          struct((-col(tsCol)).as("o1"), col(tieCol).as("o2"))
+        else struct(col(tsCol).as("o1"), col(tieCol).as("o2"))).as("__last"))
+      // markers = every (key, bucket) the scan will contain; they sort
+      // BEFORE their own bucket's summary so the running value at a marker
+      // covers strictly-earlier (or strictly-later, forward) buckets only
+      val markers = u.select(kb: _*).distinct()
+        .withColumn("__last", lit(null).cast(best.schema("__last").dataType))
+        .withColumn("__m", lit(0))
+      val ord = if (forward) Seq(col("__bk").desc, col("__m").asc)
+        else Seq(col("__bk").asc, col("__m").asc)
+      val wc = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      markers.unionByName(best.withColumn("__m", lit(1)))
+        .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wc))
+        .filter(col("__m") === 0 && col("__carry").isNotNull)
+        .select((keys.map(col) :+ col("__bk") :+
+          col("__carry").as("__rp") :+
+          col(s"__carry.$tsCol").as(tsCol) :+
+          col(s"__carry.$tieCol").as(tieCol) :+ lit(0).as("__side")): _*)
+    }
+
+    def stitched(forward: Boolean): (DataFrame => DataFrame) = { base =>
+      val withCarry = base.unionByName(carryRows(forward),
+        allowMissingColumns = true)
+      val ord = if (forward)
+        Seq(col(tsCol).desc, col("__side").asc, col(tieCol).asc_nulls_first)
+      else Seq(col(tsCol).asc, col("__side").asc, col(tieCol).asc_nulls_first)
+      val w = Window.partitionBy(kb: _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val colName = if (forward) "__f" else "__b"
+      withCarry.withColumn(colName,
+        last(col("__rp"), ignoreNulls = true).over(w))
+    }
+    def clip(m: Column, delta: Column): Column = tolerance match {
+      case None => m
+      case Some(t) => when(delta <= t, m)
+    }
+
+    val matched = direction match {
+      case Backward =>
+        stitched(forward = false)(u)
+          .withColumn("asof",
+            clip(col("__b"), col(tsCol) - col(s"__b.$tsCol")))
+      case Forward =>
+        stitched(forward = true)(u)
+          .withColumn("asof",
+            clip(col("__f"), col(s"__f.$tsCol") - col(tsCol)))
+      case Nearest =>
+        // forward carries are extra rows the backward scan must not see
+        // (and vice versa): mark each carry with its direction and null the
+        // other scan's view of it
+        val cb = carryRows(forward = false).withColumn("__cdir", lit("b"))
+        val cf = carryRows(forward = true).withColumn("__cdir", lit("f"))
+        val all = u.withColumn("__cdir", lit(null).cast("string"))
+          .unionByName(cb, allowMissingColumns = true)
+          .unionByName(cf, allowMissingColumns = true)
+          .withColumn("__rpb",
+            when(col("__cdir").isNull || col("__cdir") === "b", col("__rp")))
+          .withColumn("__rpf",
+            when(col("__cdir").isNull || col("__cdir") === "f", col("__rp")))
+        val wb2 = Window.partitionBy(kb: _*)
+          .orderBy(col(tsCol).asc, col("__side").asc, col(tieCol).asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wf2 = Window.partitionBy(kb: _*)
+          .orderBy(col(tsCol).desc, col("__side").asc, col(tieCol).asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val scanned = all
+          .withColumn("__b", last(col("__rpb"), ignoreNulls = true).over(wb2))
+          .withColumn("__f", last(col("__rpf"), ignoreNulls = true).over(wf2))
+        val b = clip(col("__b"), col(tsCol) - col(s"__b.$tsCol"))
+        val f = clip(col("__f"), col(s"__f.$tsCol") - col(tsCol))
+        scanned
+          .withColumn("__bc", b).withColumn("__fc", f)
+          .withColumn("asof",
+            when(col("__bc").isNull, col("__fc"))
+              .when(col("__fc").isNull, col("__bc"))
+              .when(col(tsCol) - col(s"__bc.$tsCol") <=
+                    col(s"__fc.$tsCol") - col(tsCol), col("__bc"))
+              .otherwise(col("__fc")))
+          .drop("__cdir", "__rpb", "__rpf", "__b", "__f", "__bc", "__fc")
+    }
+    matched.filter(col("__side") === 1)
+      .drop("__side", "__rp", "__bk", "__b", "__f")
+  }
 }

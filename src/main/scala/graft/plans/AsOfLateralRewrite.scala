@@ -32,11 +32,24 @@ import org.apache.spark.sql.types.IntegerType
   * The rule is surgical: it fires only on the exact shape above — limit 1,
   * a sort on the range column pointing toward the left row with exactly one
   * deterministic descending tie-break, one range conjunct on outer
-  * attributes, equi-conjuncts on outer attributes, rename-only projections
-  * in between, and no other outer references. Anything else is left for
-  * Spark's own lateral decorrelation. It runs post-hoc in the analyzer —
-  * before `PullupCorrelatedPredicates` destroys the LateralJoin node.
+  * attributes, equi-conjuncts on outer attributes, and no other outer
+  * references. Payload projections may be rename-only OR deterministic
+  * computations over right columns (`SELECT r.v * 2` — evaluated on the
+  * right side before the join, same values). Anything else is left for
+  * Spark's own lateral decorrelation — but a subquery that matched the
+  * limit-1-over-sort-over-correlated-filter silhouette and was disqualified
+  * by ONE detail logs a warning naming that detail (and records it in
+  * [[AsOfLateralRewrite.lastMiss]]), because the fallback is the
+  * pair-explosion plan this rule exists to avoid. It runs post-hoc in the
+  * analyzer — before `PullupCorrelatedPredicates` destroys the LateralJoin
+  * node.
   */
+object AsOfLateralRewrite {
+  /** Most recent near-miss disqualifier (observability + LateralProbeSpec);
+    * null when the last lateral either rewrote or wasn't an as-of shape. */
+  val lastMiss = new java.util.concurrent.atomic.AtomicReference[String](null)
+}
+
 case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Runtime kill-switch (default on): lets operators compare against
@@ -64,35 +77,36 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** A rename-only project's exprId → underlying attribute map; None when
-    * any entry computes (then the shape is not a pure as-of). */
-  private def renameMap(list: Seq[NamedExpression]): Option[Map[ExprId, Attribute]] = {
-    val entries = list.flatMap {
-      case a: AttributeReference => Some(a.exprId -> a)
-      case al @ Alias(child: AttributeReference, _) => Some(al.exprId -> child)
-      case _ => None
-    }
-    if (entries.length == list.length) Some(entries.toMap) else None
-  }
-
-  /** Walk rename-only Project/SubqueryAlias layers down to a Filter,
-    * collecting the rename maps top→bottom. */
+  /** Walk Project/SubqueryAlias layers down to a Filter, collecting each
+    * project's exprId→expression map top→bottom. Computed entries are
+    * allowed — the analyzer itself plants a computing Project below the
+    * Sort when the SELECT list doesn't carry the sort columns — and their
+    * eligibility is checked where the resolved expressions are used.
+    * None = no correlated filter under the sort (silent fall-through). */
   private def downToFilter(p: LogicalPlan,
-      maps: List[Map[ExprId, Attribute]] = Nil)
-      : Option[(Filter, List[Map[ExprId, Attribute]])] = p match {
+      maps: List[Map[ExprId, Expression]] = Nil)
+      : Option[(Filter, List[Map[ExprId, Expression]])] = p match {
     case f: Filter => Some((f, maps))
     case SubqueryAlias(_, c) => downToFilter(c, maps)
-    case Project(projList, c) =>
-      renameMap(projList) match {
-        case Some(m) => downToFilter(c, maps :+ m)
-        case None => None
-      }
+    case Project(projList, c) => downToFilter(c, maps :+ exprMap(projList))
     case _ => None
   }
 
-  /** Resolve an attribute through the rename layers to the filter level. */
-  private def resolve(a: Attribute, maps: List[Map[ExprId, Attribute]]): Attribute =
-    maps.foldLeft(a)((cur, m) => m.getOrElse(cur.exprId, cur))
+  /** Output exprId → defining expression for ANY project list (computed
+    * entries allowed — payload eligibility is checked at the use site). */
+  private def exprMap(list: Seq[NamedExpression]): Map[ExprId, Expression] =
+    list.map {
+      case a: AttributeReference => a.exprId -> (a: Expression)
+      case al: Alias => al.exprId -> al.child
+      case other => other.exprId -> (other: Expression)
+    }.toMap
+
+  /** Substitute attributes through expression layers down to filter level. */
+  private def resolveExpr(e: Expression,
+      maps: List[Map[ExprId, Expression]]): Expression =
+    maps.foldLeft(e)((cur, m) => cur.transform {
+      case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+    })
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
@@ -100,33 +114,45 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(lj: LateralJoin): Option[LogicalPlan] = {
+    AsOfLateralRewrite.lastMiss.set(null)
+    /** A subquery that matched the as-of silhouette but is disqualified by
+      * one detail: be LOUD — the fallback is the pair-explosion plan. */
+    def miss(reason: String): Option[LogicalPlan] = {
+      AsOfLateralRewrite.lastMiss.set(reason)
+      logWarning("graft: lateral subquery matches the as-of silhouette but " +
+        s"was disqualified — $reason. Falling back to Spark's decorrelation " +
+        "(BroadcastNestedLoopJoin pair explosion); adjust the subquery to " +
+        "the exact as-of shape to get the union+window plan.")
+      None
+    }
     val sub = lj.right.plan
     val payloadAttrs = sub.output // the lateral's visible columns
 
     // ---- match: GlobalLimit 1 over a global Sort over a Filter ----------
-    // rename-only Projects may sit above and below the Sort; their maps
-    // resolve subquery-output and sort attributes to filter-level ones
-    type Layers = List[Map[ExprId, Attribute]]
-    val (topMaps: Layers, sortOrders: Seq[SortOrder], inner: LogicalPlan) =
+    // Projects may sit above the Sort (renames or computed payloads) and
+    // rename-only ones below it; their maps resolve subquery-output and
+    // sort attributes to filter-level ones
+    type ELayers = List[Map[ExprId, Expression]]
+    val (topMaps: ELayers, sortOrders: Seq[SortOrder], inner: LogicalPlan) =
       stripAliases(sub) match {
         case GlobalLimit(Literal(1, IntegerType),
             LocalLimit(Literal(1, IntegerType), body)) =>
           stripAliases(body) match {
             case Project(projList, Sort(orders, true, in, _)) =>
-              renameMap(projList) match {
-                case Some(m) => (List(m), orders, in)
-                case None => return None
-              }
-            case Sort(orders, true, in, _) => (Nil: Layers, orders, in)
+              (List(exprMap(projList)), orders, in)
+            case Sort(orders, true, in, _) => (Nil: ELayers, orders, in)
             case _ => return None
           }
         case _ => return None
       }
-    val (theFilter, innerMaps) = downToFilter(inner).getOrElse(return None)
+    val (theFilter, innerMaps) = downToFilter(inner)
+      .getOrElse(return None) // no correlated filter: not an as-of try
     val Filter(cond, rightPlan) = theFilter
     val allMaps = topMaps ++ innerMaps
+    if (!cond.exists(_.isInstanceOf[OuterReference]))
+      return None // uncorrelated subquery: nothing as-of about it
     if (rightPlan.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))))
-      return None // correlation below the filter — not our shape
+      return miss("correlation below the WHERE filter")
 
     // ---- split the condition: equi conjuncts + ONE range conjunct + an
     // optional tolerance bound (the merge_asof spelling) ------------------
@@ -136,6 +162,7 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     var range: Option[(Attribute, Attribute, String)] = None // (lts, rts, dir)
     var tolB: Option[(Attribute, Attribute, Long)] = None // backward bound
     var tolF: Option[(Attribute, Attribute, Long)] = None // forward bound
+    var localPreds = Vector.empty[Expression] // right-only extra conjuncts
     import graft.operators.AsOfJoin.{Backward, Forward}
     def longOf(v: Any): Option[Long] = v match {
       case i: Int => Some(i.toLong)
@@ -174,10 +201,18 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           r: AttributeReference)
           if tolF.isEmpty && longOf(t).isDefined =>
         tolF = Some((l, r, longOf(t).get))
-      case _ => return None
+      case other if !other.exists(_.isInstanceOf[OuterReference]) &&
+          other.deterministic &&
+          other.references.subsetOf(rightPlan.outputSet) =>
+        // a right-only predicate (r.flag = 1): pre-filter the right side —
+        // identical to evaluating it inside the subquery
+        localPreds :+= other
+      case other => return miss(s"unsupported correlated conjunct: $other")
     }
-    val (lts, rts, direction) = range.getOrElse(return None)
-    if (equi.isEmpty) return None
+    val (lts, rts, direction) = range.getOrElse(
+      return miss("no range conjunct (r.ts <= l.ts or r.ts >= l.ts)"))
+    if (equi.isEmpty)
+      return miss("no equi-join conjunct on an outer attribute")
     // the tolerance bound must pair with the range conjunct's direction
     // and columns; a stray bound means the shape is not a pure as-of
     val tolerance: Option[Long] = (direction, tolB, tolF) match {
@@ -186,7 +221,8 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if l.exprId == lts.exprId && r.exprId == rts.exprId => Some(t)
       case (Forward, None, Some((l, r, t)))
           if l.exprId == lts.exprId && r.exprId == rts.exprId => Some(t)
-      case _ => return None
+      case _ =>
+        return miss("tolerance bound does not pair with the range conjunct")
     }
     // no outer references anywhere else in the subquery
     val outerUsed = (equi.map(_._1) :+ lts).map(_.exprId).toSet ++
@@ -194,36 +230,59 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val outerDeclared = lj.right.outerAttrs.collect {
       case a: AttributeReference => a.exprId
     }.toSet
-    if (outerDeclared != outerUsed) return None
+    if (outerDeclared != outerUsed)
+      return miss("outer columns referenced beyond the equi keys and range column")
 
     // ---- sort: range col toward the left row (DESC for backward, ASC for
     // forward), then exactly one DESC tie-break (no tie-break would make
     // LIMIT 1 nondeterministic; AsOfJoin carries one tie column, highest
     // wins)
-    if (sortOrders.size != 2) return None
+    if (sortOrders.size != 2)
+      return miss(if (sortOrders.size < 2)
+        "missing tie-break (ORDER BY needs the range column plus one DESC tie-break)"
+      else "more than one tie-break in the ORDER BY")
     val wantDir = if (direction == Backward) Descending else Ascending
-    val tieOk = (sortOrders.head, sortOrders(1)) match {
-      case (SortOrder(first: AttributeReference, d, _, _),
-            SortOrder(_: AttributeReference, Descending, _, _)) =>
-        d == wantDir && resolve(first, innerMaps).exprId == rts.exprId
-      case _ => false
+    val headAttr = sortOrders.head.child match {
+      case a: AttributeReference => resolveExpr(a, innerMaps) match {
+        case ra: AttributeReference => Some(ra)
+        case _ => None
+      }
+      case _ => None
     }
-    if (!tieOk) return None
-    val tie = resolve(
-      sortOrders(1).child.asInstanceOf[AttributeReference], innerMaps)
-    if (!rightPlan.outputSet.contains(tie)) return None
+    if (sortOrders.head.direction != wantDir || headAttr.isEmpty ||
+        headAttr.get.exprId != rts.exprId ||
+        sortOrders(1).direction != Descending)
+      return miss("ORDER BY must sort the range column toward the left row " +
+        "with one descending tie-break")
+    val tie = sortOrders(1).child match {
+      case a: AttributeReference => resolveExpr(a, innerMaps)
+      case _ => return miss("tie-break is not a plain sort column")
+    }
+    if (!tie.deterministic || !tie.references.subsetOf(rightPlan.outputSet) ||
+        tie.exists(x => x.isInstanceOf[OuterReference] ||
+          x.isInstanceOf[SubqueryExpression]))
+      return miss("tie-break is not computable from right-side columns")
 
-    // payload must resolve (through the rename layers) to right attributes
-    val payloadUnder = payloadAttrs.map(a => resolve(a, allMaps))
-    if (!payloadUnder.forall(a => rightPlan.outputSet.contains(a))) return None
+    // payload must resolve (through the projection layers) to deterministic
+    // expressions over right attributes — plain renames or computations
+    val payloadUnder = payloadAttrs.map(a => resolveExpr(a, allMaps))
+    val payloadOk = payloadUnder.forall { e =>
+      e.deterministic && e.references.subsetOf(rightPlan.outputSet) &&
+        !e.exists(x => x.isInstanceOf[OuterReference] ||
+          x.isInstanceOf[SubqueryExpression])
+    }
+    if (!payloadOk)
+      return miss("payload not computable deterministically from right columns")
 
     // ---- build the replacement with the Dataset API ----------------------
     var l2 = PlanBridge.dataFrame(spark, lj.left)
     var r2 = PlanBridge.dataFrame(spark, rightPlan)
+    localPreds.foreach(p => r2 = r2.filter(ColumnBridge.column(p)))
     val reserved = (0 until equi.size).map(i => s"__asof_k$i") ++
       (0 until payloadUnder.size).map(i => s"__asof_p$i") ++
       Seq("__asof_ts", "__asof_tie", "asof", "__side", "__rp")
-    if ((l2.columns ++ r2.columns).exists(reserved.contains)) return None
+    if ((l2.columns ++ r2.columns).exists(reserved.contains))
+      return miss("reserved __asof_* column names present in the tables")
     equi.zipWithIndex.foreach { case ((la, ra), i) =>
       l2 = l2.withColumn(s"__asof_k$i", ColumnBridge.column(la))
       r2 = r2.withColumn(s"__asof_k$i", ColumnBridge.column(ra))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.operators.AsOfJoin
@@ -50,6 +50,23 @@ object StreamingAsOf {
       .withColumn("eventTime", timestamp_seconds(col("tsSec")))
       .withWatermark("eventTime", watermarkDelay)
       .as[Evt]
+  }
+
+  /** Merge two individually-sorted sequences in O(n) — the state hot path
+    * re-sorted the whole buffer per trigger before. */
+  private def mergeSorted[T](a: Seq[T], b: Seq[T])(
+      implicit ord: Ordering[T]): Seq[T] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new collection.mutable.ArrayBuffer[T](a.length + b.length)
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (ord.lteq(a(i), b(j))) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+    }
+    while (i < a.length) { out += a(i); i += 1 }
+    while (j < b.length) { out += b(j); j += 1 }
+    out.toSeq
   }
 
   /** The batch [[AsOfJoin]] match rule over a buffered right list:
@@ -113,7 +130,9 @@ object StreamingAsOf {
               (in.filter(_.side == 1).map(e => (e.tsSec, e.id)),
                 in.filter(_.side == 0).map(e => (e.tsSec, e.id)))
             }
-          val rights = (prev.rights ++ inR).sorted
+          // prev.rights is stored sorted (pruning preserves order), so only
+          // the new arrivals pay a sort; the tails merge in O(n)
+          val rights = mergeSorted(prev.rights, inR.sorted)
           val (done, pending) = (prev.lefts ++ inL)
             .partition(l => (l._1 + horizon) * 1000 < wmMs)
           val kept = toleranceSec match {
@@ -145,5 +164,141 @@ object StreamingAsOf {
             Enriched(key, lid, ts, m.map(_._2), m.map(_._1))
           }.iterator
       }
+  }
+
+  // ---- generic surface: arbitrary key and payload schemas ----------------
+
+  /** Internal tagged row: key/left-row/right-struct travel as canonical
+    * JSON so ONE typed state shape serves every user schema. */
+  final case class GEvt(gk: String, gts: Long, gtie: Long,
+                        gdata: String, gside: Int)
+  final case class GState(lefts: Seq[(Long, String)],
+                          rights: Seq[(Long, Long, String)])
+  final case class GOut(ldata: String, rdata: Option[String])
+
+  /** Streaming as-of join with the batch [[AsOfJoin.asOf]] signature:
+    * arbitrary equi-key columns (any types — they group by their canonical
+    * JSON form), a numeric epoch-seconds `tsCol`, a numeric `tieCol`
+    * (highest wins among equal timestamps), and any payload columns. The
+    * output is the batch shape — every left column plus an `asof` struct
+    * of `(tsCol, tieCol, payload…)`, null when nothing matched — emitted
+    * exactly when the watermark finalizes each left row (see [[enrich]]
+    * for the finalization/state-pruning contract; this surface shares the
+    * same state machine).
+    *
+    * Left rows and right structs buffer in state as canonical JSON and are
+    * rehydrated with the original schemas on emit (`to_json`/`from_json`
+    * round-trip; binary columns travel base64). Proven streamed ≡ batch on
+    * randomized chunkings with string keys + multi-column payloads in
+    * StreamingAsOfSpec.
+    */
+  def asOfStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 tsCol: String, tieCol: String, payload: Seq[String],
+                 watermarkDelay: String, tolerance: Option[Long] = None,
+                 direction: String = AsOfJoin.Backward): DataFrame = {
+    require(Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)
+      .contains(direction), s"direction must be backward|forward|nearest")
+    require(direction == AsOfJoin.Backward || tolerance.nonEmpty,
+      s"streaming $direction as-of requires a tolerance: without one a left " +
+        "row waits forever for a possible future right and can never emit")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val leftSchema = left.schema
+    val rCols = (Seq(tsCol, tieCol) ++ payload).distinct
+    val rSchema = org.apache.spark.sql.types.StructType(
+      rCols.map(c => right.schema(right.schema.fieldIndex(c))))
+    val horizon: Long = if (direction == AsOfJoin.Backward) 0L
+      else tolerance.get
+
+    val l2 = left.select(
+      to_json(struct(keys.map(col): _*)).as("gk"),
+      col(tsCol).cast("long").as("gts"),
+      lit(0L).as("gtie"),
+      to_json(struct(left.columns.map(col).toSeq: _*)).as("gdata"),
+      lit(1).as("gside"))
+    val r2 = right.select(
+      to_json(struct(keys.map(col): _*)).as("gk"),
+      col(tsCol).cast("long").as("gts"),
+      col(tieCol).cast("long").as("gtie"),
+      to_json(struct(rCols.map(col): _*)).as("gdata"),
+      lit(0).as("gside"))
+    val tagged = l2.unionByName(r2)
+      .withColumn("eventTime", timestamp_seconds(col("gts")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[GEvt]
+
+    // the same match rule as matchFor, over (ts, tie, json) triples
+    def matchG(ts: Long, rights: Seq[(Long, Long, String)])
+        : Option[(Long, Long, String)] = {
+      def back = {
+        val e = rights.filter(r => r._1 <= ts
+          && tolerance.forall(t => ts - r._1 <= t))
+        if (e.isEmpty) None else Some(e.maxBy(r => (r._1, r._2)))
+      }
+      def fwd = {
+        val e = rights.filter(r => r._1 >= ts
+          && tolerance.forall(t => r._1 - ts <= t))
+        if (e.isEmpty) None
+        else {
+          val mt = e.map(_._1).min
+          Some(e.filter(_._1 == mt).maxBy(_._2))
+        }
+      }
+      direction match {
+        case AsOfJoin.Backward => back
+        case AsOfJoin.Forward => fwd
+        case AsOfJoin.Nearest => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (ts - b._1 <= f._1 - ts) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+    }
+
+    implicit val outEnc = Encoders.product[GOut]
+    implicit val stEnc = Encoders.product[GState]
+    val matched = tagged.groupByKey(_.gk)
+      .flatMapGroupsWithState[GState, GOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[GState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(GState(Nil, Nil))
+          val (inL, inR) =
+            if (state.hasTimedOut) (Nil, Nil)
+            else {
+              val in = rows.toSeq
+              (in.filter(_.gside == 1).map(e => (e.gts, e.gdata)),
+                in.filter(_.gside == 0).map(e => (e.gts, e.gtie, e.gdata)))
+            }
+          val rights = mergeSorted(prev.rights, inR.sorted)
+          val (done, pending) = (prev.lefts ++ inL)
+            .partition(l => (l._1 + horizon) * 1000 < wmMs)
+          val kept = tolerance match {
+            case Some(t) =>
+              val floorSec = math.min(
+                pending.map(_._1).minOption.getOrElse(Long.MaxValue),
+                wmMs / 1000) - t - 1
+              rights.filter(_._1 >= floorSec)
+            case None =>
+              val (passed, live) = rights.partition(_._1 * 1000 < wmMs)
+              passed.lastOption.toSeq ++ live
+          }
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(GState(pending, kept))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                (pending.map(_._1).min + horizon + 1) * 1000, wmMs + 1000))
+          }
+          done.sorted.map { case (ts, ldata) =>
+            GOut(ldata, matchG(ts, rights).map(_._3))
+          }.iterator
+      }
+
+    matched
+      .select(from_json(col("ldata"), leftSchema).as("__l"),
+        from_json(col("rdata"), rSchema).as("asof"))
+      .select((leftSchema.fieldNames.map(f => col(s"__l.$f")) :+ col("asof"))
+        .toSeq: _*)
   }
 }

@@ -198,4 +198,53 @@ class LateralProbeSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("computed payloads and right-only predicates rewrite nested-loop-free") {
+    mkViews()
+    // SELECT r.id * 2 (computed payload) + r.id > 100 (right-only conjunct):
+    // both previously fell back to the pair explosion
+    val q = """
+      SELECT l.k, l.ts, m.did
+      FROM lp_l l LEFT JOIN LATERAL (
+        SELECT r.id * 2 AS did FROM lp_r r
+        WHERE r.k = l.k AND r.ts <= l.ts AND r.id > 100
+        ORDER BY r.ts DESC, r.id DESC LIMIT 1
+      ) m ON true"""
+    val expected = withRewrite(on = false) {
+      spark.sql(q).as[(Long, Long, Option[Long])].collect().toSet
+    }
+    withRewrite(on = true) {
+      val df = spark.sql(q)
+      val got = df.as[(Long, Long, Option[Long])].collect().toSet
+      assert(got == expected, "computed-payload rewrite changed the rows")
+      assert(!finalPlan(df).toString.contains("BroadcastNestedLoopJoin"),
+        "computed payload / right-only predicate fell back to the nested loop")
+      assert(graft.plans.AsOfLateralRewrite.lastMiss.get() == null,
+        "a successful rewrite must clear lastMiss")
+    }
+  }
+
+  test("a near-miss as-of shape names its disqualifier before falling back") {
+    mkViews()
+    withRewrite(on = true) {
+      // missing tie-break: the one-detail-off shape the warning exists for
+      val q1 = sql.replace(", r.id DESC", "")
+      spark.sql(q1).collect()
+      val m1 = graft.plans.AsOfLateralRewrite.lastMiss.get()
+      assert(m1 != null && m1.contains("tie-break"), s"got: $m1")
+      // payload referencing an OUTER column cannot be evaluated pre-join
+      // (Spark rejects nondeterministic laterals outright, so outer-ref
+      // payloads are the realistic payload disqualifier)
+      val q2 = sql.replace("SELECT r.id", "SELECT r.id + l.k AS id")
+      spark.sql(q2).collect()
+      val m2 = graft.plans.AsOfLateralRewrite.lastMiss.get()
+      assert(m2 != null && (m2.contains("payload") || m2.contains("outer")),
+        s"got: $m2")
+      // and a genuinely non-as-of lateral stays SILENT (no silhouette)
+      val q3 = sql.replace("ORDER BY r.ts DESC, r.id DESC LIMIT 1", "LIMIT 1")
+      spark.sql(q3).collect()
+      assert(graft.plans.AsOfLateralRewrite.lastMiss.get() == null,
+        "non-silhouette shapes must not warn")
+    }
+  }
 }

@@ -7,6 +7,10 @@ import graft.operators.AsOfJoin
 import graft.streaming.StreamingAsOf
 import graft.streaming.StreamingAsOf.{Enriched, Evt}
 
+/** Fixture rows for the generic (arbitrary-schema) asOfStream surface. */
+case class GLRow(sym: String, es: Long, qty: Long, note: String)
+case class GRRow(sym: String, es: Long, seq: Long, px: Double, src: String)
+
 /** Stream-stream temporal (as-of) join: watermark-final emission, arrival-
   * order robustness within the watermark, micro-batch independence, and
   * equality with the batch AsOfJoin over the same events. */
@@ -123,6 +127,70 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
       assert(m.exists(_.rightId.contains(201L)),
         s"restart lost buffered as-of state: $m")
     } finally q2.stop()
+  }
+
+  test("generic asOfStream: string keys + multi-column payloads == batch, all directions") {
+    // the batch-signature surface: arbitrary key/payload schemas travel
+    // through the same state machine as Evt-shaped enrich
+    val rnd = new scala.util.Random(77L)
+    val syms = Vector("ACME", "BETA", "CHI", "DELTA")
+    val lefts = Seq.tabulate(120) { i =>
+      GLRow(syms(rnd.nextInt(syms.size)), rnd.nextInt(400).toLong,
+        10L + i, s"n$i")
+    }
+    val rights = Seq.tabulate(150) { i =>
+      GRRow(syms(rnd.nextInt(syms.size)), rnd.nextInt(400).toLong,
+        1000L + i, (rnd.nextInt(9000) + 1000) / 100.0, s"s${i % 7}")
+    }
+    // chunk the UNION in ts order, never splitting an equal-ts run (the
+    // late filter drops eventTime <= watermark)
+    val tsOrder = (lefts.map(l => (l.es, Left(l))) ++
+      rights.map(r => (r.es, Right(r)))).sortBy(_._1)
+    val chunks = collection.mutable.ArrayBuffer[Seq[(Long, Either[GLRow, GRRow])]]()
+    var rest = tsOrder
+    while (rest.nonEmpty) {
+      var n = math.min(1 + rnd.nextInt(40), rest.length)
+      val boundary = rest(n - 1)._1
+      while (n < rest.length && rest(n)._1 == boundary) n += 1
+      chunks += rest.take(n); rest = rest.drop(n)
+    }
+    val lDf = lefts.toDF()
+    val rDf = rights.toDF()
+    for (direction <- Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)) {
+      implicit val sqlCtx = spark.sqlContext
+      val memL = MemoryStream[GLRow]
+      val memR = MemoryStream[GRRow]
+      val name = s"gasof_${System.nanoTime()}"
+      val out = graft.streaming.StreamingAsOf.asOfStream(
+        memL.toDS().toDF(), memR.toDS().toDF(), Seq("sym"), "es", "seq",
+        Seq("px", "src"), "0 seconds", Some(100L), direction)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        chunks.foreach { c =>
+          memL.addData(c.collect { case (_, Left(l)) => l }: _*)
+          memR.addData(c.collect { case (_, Right(r)) => r }: _*)
+          q.processAllAvailable()
+        }
+        // flush both sources so every pending left finalizes
+        memL.addData(GLRow("~flush", 9_999_999L, 0L, ""))
+        memR.addData(GRRow("~flush", 9_999_999L, 0L, 0.0, ""))
+        q.processAllAvailable()
+        val streamed = spark.table(name)
+          .select(col("sym"), col("es"), col("qty"), col("note"),
+            col("asof.px"), col("asof.src"))
+          .as[(String, Long, Long, String, Option[Double], Option[String])].collect().toSet
+          .filterNot(_._1 == "~flush")
+        val batch = AsOfJoin.asOf(lDf, rDf, Seq("sym"), "es", "seq",
+            Seq("px", "src"), Some(100L), direction)
+          .select(col("sym"), col("es"), col("qty"), col("note"),
+            col("asof.px"), col("asof.src"))
+          .as[(String, Long, Long, String, Option[Double], Option[String])].collect().toSet
+        assert(streamed == batch,
+          s"generic streamed $direction diverged from batch " +
+            s"(${streamed.size} vs ${batch.size} rows)")
+      } finally q.stop()
+    }
   }
 
   test("streamed == batch AsOfJoin on seeded random data, any chunking") {
