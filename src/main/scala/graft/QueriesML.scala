@@ -511,6 +511,120 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- ANN: PQ with a k-means-REFINED codebook — one exact Lloyd step per
+    //    subspace (assign to seed codewords → element-wise vec_mean of the
+    //    assignees, q6-rounded, re-rounded to the integer grid; empty codes
+    //    keep their seed). Every codeword is integer-reproducible, so the
+    //    oracle rebuilds the refined codebook and the full ADC ranking.
+    QueryDef("q98_ann_pq_refined", Some(s"""
+      WITH c AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r, qv
+              FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)),
+      d20 AS (SELECT c.vec_id, j.j, cb0.r,
+                     list_sum(list_transform(range(1, 9), i ->
+                       (c.qv[CAST(j.j*8+i AS INT)] - cb0.qv[CAST(j.j*8+i AS INT)]) *
+                       (c.qv[CAST(j.j*8+i AS INT)] - cb0.qv[CAST(j.j*8+i AS INT)]))) AS d2
+              FROM c, range(0, 8) j(j), cb0),
+      codes0 AS (SELECT vec_id, j, r AS code FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                               ORDER BY d2, r) AS rn FROM d20)
+                 WHERE rn = 1),
+      el AS (SELECT c0.j, c0.code, t.i, c.qv[CAST(c0.j*8 + t.i AS INT)] AS v
+             FROM codes0 c0 JOIN c USING (vec_id), range(1, 9) t(i)),
+      mw AS (SELECT j, code, i,
+                    CAST(floor(${dkQround("CAST(sum(v) AS DOUBLE) / count(*)", 6)} + 0.5) AS BIGINT) AS w
+             FROM el GROUP BY j, code, i),
+      cb1 AS (SELECT j, code AS r, list(w ORDER BY i) AS sq FROM mw GROUP BY j, code),
+      cb AS (SELECT g.j, g.r,
+                    coalesce(cb1.sq, list_transform(range(1, 9), i ->
+                      cb0.qv[CAST(g.j*8+i AS INT)])) AS sq
+             FROM (SELECT j.j, cb0.r FROM range(0, 8) j(j), cb0) g
+             JOIN cb0 ON cb0.r = g.r
+             LEFT JOIN cb1 ON cb1.j = g.j AND cb1.r = g.r),
+      d2 AS (SELECT c.vec_id, cb.j, cb.r,
+                    list_sum(list_transform(range(1, 9), i ->
+                      (c.qv[CAST(cb.j*8+i AS INT)] - cb.sq[CAST(i AS INT)]) *
+                      (c.qv[CAST(cb.j*8+i AS INT)] - cb.sq[CAST(i AS INT)]))) AS d2
+             FROM c, cb),
+      codes AS (SELECT vec_id, j, r AS code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                              ORDER BY d2, r) AS rn FROM d2)
+                WHERE rn = 1),
+      adc AS (SELECT qd.vec_id AS query_id, dc.vec_id AS neighbor_id,
+                     CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+              FROM codes dc JOIN d2 qd ON qd.j = dc.j AND qd.r = dc.code
+              WHERE qd.vec_id < 5 AND dc.vec_id <> qd.vec_id
+              GROUP BY 1, 2),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn FROM adc)
+      SELECT query_id, neighbor_id, adc_dist, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            m = 8, numCodes = 16, k = 5, refineCodebook = true)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
+    // -- ANN: IVF-PQ — both scale levers composed: IVF prunes the candidate
+    //    SET (probe nprobe of nlist cells), PQ prunes the candidate BYTES
+    //    (cell members scored by ADC over m codes, never raw vectors). The
+    //    oracle rebuilds the cell pipeline (q54) AND the code pipeline (q78)
+    //    and joins them on the cell.
+    QueryDef("q99_ann_ivfpq", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, sid) AS rn FROM a1),
+      cell1 AS (SELECT vec_id, qv, sid AS cell FROM r1 WHERE rn = 1),
+      sums AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+               FROM cell1, range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+               FROM sums GROUP BY cell),
+      a2 AS (SELECT q.vec_id, q.qv, cent.cell, ${dkCos("q.qv", "cent.cq")} AS cos FROM q, cent),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) AS rn FROM a2),
+      cell2 AS (SELECT vec_id AS neighbor_id, cell FROM r2 WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+      qa AS (SELECT query_id, cent.cell, ${dkCos("qv", "cent.cq")} AS cos FROM qs, cent),
+      qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell) AS rn FROM qa),
+      qcell AS (SELECT query_id, cell FROM qr WHERE rn = 1),
+      cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r, qv
+             FROM (SELECT * FROM q ORDER BY vec_id LIMIT 16)),
+      d2 AS (SELECT q.vec_id, j.j, cb.r,
+                    list_sum(list_transform(range(1, 9), i ->
+                      (q.qv[CAST(j.j*8+i AS INT)] - cb.qv[CAST(j.j*8+i AS INT)]) *
+                      (q.qv[CAST(j.j*8+i AS INT)] - cb.qv[CAST(j.j*8+i AS INT)]))) AS d2
+             FROM q, range(0, 8) j(j), cb),
+      codes AS (SELECT vec_id, j, r AS code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                              ORDER BY d2, r) AS rn FROM d2)
+                WHERE rn = 1),
+      adc AS (SELECT qc.query_id, qc.cell, c2.neighbor_id,
+                     CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+              FROM qcell qc
+              JOIN cell2 c2 ON c2.cell = qc.cell AND c2.neighbor_id <> qc.query_id
+              JOIN codes dc ON dc.vec_id = c2.neighbor_id
+              JOIN d2 qd ON qd.vec_id = qc.query_id AND qd.j = dc.j AND qd.r = dc.code
+              GROUP BY 1, 2, 3),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn FROM adc)
+      SELECT query_id, cell, neighbor_id, adc_dist, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            m = 8, numCodes = 16, k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- multimodal: batched feature extraction over binary payloads ---------
     // The decode stub (Multimodal.decodeStub) is a deterministic rolling hash
     // over the payload = md5-digest bytes of the id: reproduced here in
@@ -663,6 +777,39 @@ object QueriesML {
         val avis = Multimodal.syntheticAvis(
           s, T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id")
         Multimodal.videoStats(avis).toDF().orderBy(col("media_id"))
+      }),
+
+    // -- multimodal: REAL compressed video — motion-JPEG in AVI, composed
+    //    from parts the JVM owns (the RIFF muxer + imageio's JPEG codec; the
+    //    demux hands 00dc chunks to the same decodeImage the image path
+    //    uses). Structural stats are integer-exact for the oracle; pixel
+    //    means are JPEG-lossy, so the oracle checks them against the
+    //    closed-form frame colors within a tolerance of 4 (measured max
+    //    error 1.5 across 40 AVIs, MultimodalSpec).
+    QueryDef("q97_mjpeg_decode", Some("""
+      WITH ids AS (SELECT vec_id AS media_id FROM embeddings WHERE vec_id < 150)
+      SELECT media_id,
+             CAST((media_id % 8 + 2) * 8 AS INT) AS width,
+             CAST((media_id % 6 + 2) * 8 AS INT) AS height,
+             CAST(media_id % 5 + 2 AS BIGINT) AS frames,
+             CAST(40000 AS BIGINT) AS us_per_frame,
+             true AS decode_ok, true AS r_ok, true AS g_ok, true AS b_ok
+      FROM ids ORDER BY media_id"""),
+      (s, dir) => {
+        val st = Multimodal.videoStats(Multimodal.syntheticMjpegAvis(
+          s, T(s, dir, "embeddings").filter(col("vec_id") < 150), "vec_id")).toDF()
+        def close(sumCol: String, perFrame: String) = {
+          val n = col("width").cast("double") * col("height") * col("frames")
+          val expSum = expr(
+            s"aggregate(sequence(0L, media_id % 5 + 1), 0L, (acc, f) -> acc + ($perFrame))")
+          abs(col(sumCol) / n - expSum * col("width") * col("height") / n) <= 4.0
+        }
+        st.select(col("media_id"), col("width"), col("height"), col("frames"),
+            col("us_per_frame"), col("decode_ok"),
+            close("r_sum", "(media_id + f) % 256").as("r_ok"),
+            close("g_sum", "(media_id * 7 + f * 11) % 256").as("g_ok"),
+            close("b_sum", "(media_id * 13 + f * 17) % 256").as("b_ok"))
+          .orderBy(col("media_id"))
       }),
 
     // -- decontamination at bloom scale: the benchmark shingle set folds into

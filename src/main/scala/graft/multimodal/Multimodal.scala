@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * exact frame counts and integer amplitude aggregates ([[decodeAudio]],
   * [[audioStats]]), oracle-verified on synthesized WAVs (q81). The VIDEO
   * path is a real RIFF/AVI container demux ([[decodeVideo]],
-  * [[videoStats]]) over uncompressed 24-bit BI_RGB frames — the one video
-  * format a codec-free JVM can honestly decode — oracle-verified on
-  * synthesized AVIs (q85); compressed codecs (H.264 etc.) fall back to the
-  * deterministic `decodeStub` (no ffmpeg in this container), and swapping
+  * [[videoStats]]) over TWO codecs: uncompressed 24-bit BI_RGB frames
+  * (oracle-verified on synthesized AVIs, q85) and motion-JPEG — a REAL
+  * compressed format whose frames are plain JPEGs decoded by the same
+  * imageio path the image modality uses (oracle-verified with closed-form
+  * tolerance on synthesized MJPEG AVIs, q97). Only genuinely external
+  * codecs (H.264 etc.) fall back to the deterministic `decodeStub` (no
+  * ffmpeg in this container), and swapping
   * that fallback for javacpp-ffmpeg is a one-function change. Schemas,
   * batch iteration, partition sizing and output shape are identical across
   * all three modalities.
@@ -244,14 +247,19 @@ object Multimodal {
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** biCompression fourcc for motion-JPEG streams ('MJPG', little-endian). */
+  private val MJPG: Int = 'M' | ('J' << 8) | ('P' << 16) | ('G' << 24)
+
   /** REAL video demux: a RIFF/AVI container parser (chunk walk with sizes,
-    * word alignment, nested LISTs) over uncompressed 24-bit BI_RGB ('DIB ')
-    * frames — the one video format decodable without external codec
-    * libraries, and the honest statement of what pure-JVM video support is.
-    * payload bytes → (width, height, frames, µs/frame, Σr, Σg, Σb); None
-    * for non-AVI bytes or compressed streams (callers fall back to
-    * [[decodeStub]]). Row stride is 4-byte padded per the DIB spec; pixel
-    * order in a frame is BGR bottom-up, irrelevant to channel sums. */
+    * word alignment, nested LISTs) over TWO codecs decodable without
+    * external libraries — uncompressed 24-bit BI_RGB ('DIB ') frames, and
+    * motion-JPEG ('MJPG') frames whose chunks are plain JPEG images handed
+    * to the SAME `javax.imageio` path [[decodeImage]] uses. That makes
+    * MJPEG the honest compressed-video story of a pure-JVM engine; other
+    * codecs (H.264…) still return None (callers fall back to
+    * [[decodeStub]]). payload bytes → (width, height, frames, µs/frame,
+    * Σr, Σg, Σb). DIB row stride is 4-byte padded per spec; pixel order in
+    * a DIB frame is BGR bottom-up, irrelevant to channel sums. */
   private[multimodal] def decodeVideo(payload: Array[Byte])
       : Option[(Int, Int, Long, Long, Long, Long, Long)] =
     try {
@@ -299,6 +307,14 @@ object Multimodal {
                 && size >= ((width * 3 + 3) & ~3) * height) {
                 frames += 1
                 frameSums(data)
+              } else if (compression == MJPG && width > 0 && height > 0) {
+                // an MJPEG chunk IS a JPEG image: same imageio decode the
+                // image path uses; a bad frame is skipped, not thrown
+                decodeImage(java.util.Arrays.copyOfRange(
+                  payload, data, data + size)).foreach {
+                  case (_, _, _, fr, fg, fb) =>
+                    frames += 1; rs += fr; gs += fg; bs += fb
+                }
               }
             case _ => ()
           }
@@ -306,7 +322,8 @@ object Multimodal {
         }
       }
       walk(12, math.min(payload.length, 8 + le32(payload, 4)))
-      if (width > 0 && height > 0 && bitCount == 24 && compression == 0)
+      if (width > 0 && height > 0 &&
+          ((bitCount == 24 && compression == 0) || compression == MJPG))
         Some((width, height, frames, usPerFrame, rs, gs, bs))
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -328,19 +345,18 @@ object Multimodal {
     }
   }
 
-  /** Mux packed top-down BGR frames (w·h·3 bytes each, no padding) into a
-    * RIFF/AVI container with uncompressed 24-bit BI_RGB frames — the
-    * encode half of the [[decodeVideo]] round trip. Rows are written
-    * bottom-up with 4-byte stride padding per the DIB spec. */
-  private[multimodal] def aviBytes(w: Int, h: Int, frames: Array[Array[Byte]],
-                                   usPerFrame: Int): Array[Byte] = {
+  /** Shared RIFF/AVI container writer: wraps pre-encoded frame chunks in
+    * hdrl (+avih/strh/strf) and movi lists for the given codec fourcc /
+    * biCompression. Used by [[aviBytes]] (DIB) and [[aviMjpegBytes]]. */
+  private def aviContainer(w: Int, h: Int, frameChunks: Array[Array[Byte]],
+                           usPerFrame: Int, handler: String,
+                           biCompression: Int, chunkId: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def i32(v: Int): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
         ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
     def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-    val stride = (w * 3 + 3) & ~3
-    val frameSize = stride * h
+    val frameSize = frameChunks.map(_.length).maxOption.getOrElse(0)
 
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
@@ -350,30 +366,66 @@ object Multimodal {
       cc("LIST") ++ i32(body.length + 4) ++ cc(subtype) ++ body
 
     val avih = i32(usPerFrame) ++ i32(frameSize * 1000000 / math.max(usPerFrame, 1)) ++
-      i32(0) ++ i32(0) ++ i32(frames.length) ++ i32(0) ++ i32(1) ++
+      i32(0) ++ i32(0) ++ i32(frameChunks.length) ++ i32(0) ++ i32(1) ++
       i32(frameSize) ++ i32(w) ++ i32(h) ++ i32(0) ++ i32(0) ++ i32(0) ++ i32(0)
-    val strh = cc("vids") ++ cc("DIB ") ++ i32(0) ++ i32(0) ++ i32(0) ++
-      i32(usPerFrame) ++ i32(1000000) ++ i32(0) ++ i32(frames.length) ++
+    val strh = cc("vids") ++ cc(handler) ++ i32(0) ++ i32(0) ++ i32(0) ++
+      i32(usPerFrame) ++ i32(1000000) ++ i32(0) ++ i32(frameChunks.length) ++
       i32(frameSize) ++ i32(-1) ++ i32(0) ++
       Array(0, 0, 0, 0).map(_.toByte) ++ i32((h << 16) | w)
-    val strf = i32(40) ++ i32(w) ++ i32(h) ++ i32((24 << 16) | 1) ++ i32(0) ++
+    val strf = i32(40) ++ i32(w) ++ i32(h) ++ i32((24 << 16) | 1) ++
+      i32(biCompression) ++
       i32(frameSize) ++ i32(0) ++ i32(0) ++ i32(0) ++ i32(0)
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frameChunks.flatMap(chunk(chunkId, _)))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    bos.write(cc("RIFF")); bos.write(i32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
 
-    val movi = list("movi", frames.flatMap { f =>
-      val dib = new Array[Byte](frameSize)
+  /** Mux packed top-down BGR frames (w·h·3 bytes each, no padding) into a
+    * RIFF/AVI container with uncompressed 24-bit BI_RGB frames — the
+    * encode half of the [[decodeVideo]] round trip. Rows are written
+    * bottom-up with 4-byte stride padding per the DIB spec. */
+  private[multimodal] def aviBytes(w: Int, h: Int, frames: Array[Array[Byte]],
+                                   usPerFrame: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val dibs = frames.map { f =>
+      val dib = new Array[Byte](stride * h)
       var y = 0
       while (y < h) { // top-down packed -> bottom-up padded
         System.arraycopy(f, y * w * 3, dib, (h - 1 - y) * stride, w * 3)
         y += 1
       }
-      chunk("00db", dib)
-    })
-    val body = cc("AVI ") ++ hdrl ++ movi
-    bos.write(cc("RIFF")); bos.write(i32(body.length)); bos.write(body)
+      dib
+    }
+    aviContainer(w, h, dibs, usPerFrame, "DIB ", 0, "00db")
+  }
+
+  /** Encode one uniform-color (r,g,b) w×h frame as JPEG via `javax.imageio`
+    * — the encode half of the MJPEG round trip. */
+  private[multimodal] def jpegBytes(w: Int, h: Int, r: Int, g: Int, b: Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
   }
+
+  /** Mux pre-encoded JPEG frames into a RIFF/AVI 'MJPG' container — a REAL
+    * compressed video format assembled from parts the JVM already owns
+    * (the RIFF writer above + imageio's JPEG codec). */
+  private[multimodal] def aviMjpegBytes(w: Int, h: Int,
+      jpegFrames: Array[Array[Byte]], usPerFrame: Int): Array[Byte] =
+    aviContainer(w, h, jpegFrames, usPerFrame, "MJPG", MJPG, "00dc")
 
   /** Synthesize REAL (demuxable) AVI payloads from an id column: size
     * (id%8+2)×(id%6+2), id%5+2 uniform-color frames, frame f color
@@ -395,6 +447,31 @@ object Multimodal {
             Array.fill(w * h)(px).flatten
           }
           MediaRecord(id, "video", aviBytes(w, h, frames, 40000), w, h,
+            nf * 40L)
+        }
+      }
+  }
+
+  /** Synthesize REAL motion-JPEG AVI payloads from an id column: size
+    * (id%8+2)·8 × (id%6+2)·8 (multiples of the JPEG 8×8 block so uniform
+    * frames stay uniform through the DCT), id%5+2 frames, frame f uniform
+    * color ((id+f)%256, (7id+11f)%256, (13id+17f)%256), 40 ms/frame. The
+    * structural stats (dims, frame count, rate) are integer-exact for a
+    * SQL oracle; pixel sums are JPEG-lossy, so oracles compare them with a
+    * closed-form tolerance. Muxing runs distributed in mapPartitions. */
+  def syntheticMjpegAvis(spark: SparkSession, ids: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 8 + 2).toInt * 8; val h = (id % 6 + 2).toInt * 8
+          val nf = (id % 5 + 2).toInt
+          val frames = Array.tabulate(nf) { f =>
+            jpegBytes(w, h, ((id + f) % 256).toInt,
+              ((id * 7 + f * 11) % 256).toInt, ((id * 13 + f * 17) % 256).toInt)
+          }
+          MediaRecord(id, "video", aviMjpegBytes(w, h, frames, 40000), w, h,
             nf * 40L)
         }
       }

@@ -133,6 +133,110 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("neighbor_id"), col("cosine"), col("rn"))
   }
 
+  /** Per-subspace PQ scoring kernels over a broadcast codebook. Built by
+    * [[pqOps]] so every UDF closure captures only locals + the broadcast
+    * handle — never a SparkSession. */
+  private final case class PqOps(
+      dim: Int, sub: Int,
+      codesU: org.apache.spark.sql.expressions.UserDefinedFunction,
+      dtU: org.apache.spark.sql.expressions.UserDefinedFunction,
+      adcU: org.apache.spark.sql.expressions.UserDefinedFunction)
+
+  private def pqOps(spark: org.apache.spark.sql.SparkSession,
+                    cb: Array[Array[Long]], m: Int, numCodes: Int): PqOps = {
+    val dim = cb.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val bc = spark.sparkContext.broadcast(cb)
+    val (mL, nL, sL) = (m, numCodes, sub)
+
+    // a function literal (Serializable) so the udf closures capture it by
+    // value instead of referencing an enclosing-object method
+    val l2: (Array[Long], Int, Array[Long], Int, Int) => Long =
+      (a, ao, b, bo, n) => {
+        var s = 0L; var i = 0
+        while (i < n) { val d = a(ao + i) - b(bo + i); s += d * d; i += 1 }
+        s
+      }
+    // corpus row → m codes (argmin L2² per subspace, tie → lowest)
+    val codesU = udf((v: Seq[Long]) => {
+      val av = v.toArray; val codes = new Array[Int](mL)
+      var j = 0
+      while (j < mL) {
+        var best = 0; var bestD = Long.MaxValue; var r = 0
+        while (r < nL) {
+          val d = l2(av, j * sL, bc.value(r), j * sL, sL)
+          if (d < bestD) { bestD = d; best = r }
+          r += 1
+        }
+        codes(j) = best; j += 1
+      }
+      codes
+    })
+    // query row → m·numCodes distance table
+    val dtU = udf((v: Seq[Long]) => {
+      val av = v.toArray; val dt = new Array[Long](mL * nL)
+      var j = 0
+      while (j < mL) {
+        var r = 0
+        while (r < nL) {
+          dt(j * nL + r) = l2(av, j * sL, bc.value(r), j * sL, sL); r += 1
+        }
+        j += 1
+      }
+      dt
+    })
+    // ADC distance = m table lookups
+    val adcU = udf((codes: Seq[Int], dt: Seq[Long]) => {
+      var s = 0L; var j = 0
+      while (j < mL) { s += dt(j * nL + codes(j)); j += 1 }
+      s
+    })
+    PqOps(dim, sub, codesU, dtU, adcU)
+  }
+
+  /** Build the PQ codebook over quantized corpus `c` (neighbor_id, cv):
+    * seeds = the `numCodes` lowest-id rows' subvectors; with `refine`, one
+    * k-means (Lloyd) step per subspace — every corpus subvector is assigned
+    * to its nearest seed codeword and each codeword becomes the EXACT
+    * element-wise mean of its assignees ([[graft.functions.KernelAggs
+    * .vec_mean]], q6-rounded, re-rounded to the integer grid; codewords
+    * with no assignees keep their seed). The same deterministic refinement
+    * pattern [[ivfTopK]] uses for cells, so the ANSI-SQL oracle reproduces
+    * every codeword (q98). One extra corpus pass + an m·numCodes-row
+    * aggregate — the codebook build stays a driver-sized collect. */
+  private[operators] def pqCodebook(c: DataFrame, m: Int, numCodes: Int,
+                                    refine: Boolean): Array[Array[Long]] = {
+    val spark = c.sparkSession
+    val cb0: Array[Array[Long]] = c.orderBy(col("neighbor_id")).limit(numCodes)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cb0.length == numCodes, s"corpus has fewer than $numCodes rows")
+    if (!refine) return cb0
+    val ops = pqOps(spark, cb0, m, numCodes)
+    val sub = ops.sub
+    val means = c.withColumn("codes", ops.codesU(col("cv")))
+      .select(explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"j -> struct(j AS j, codes[j] AS code, " +
+          s"slice(cv, j * $sub + 1, $sub) AS sv))")).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.code").as("code"))
+      .agg(graft.functions.KernelAggs.vec_mean(col("e.sv")).as("mean"))
+      .select(col("j"), col("code"), F.vec_quantize(col("mean"), 1).as("cw"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toArray)).toMap
+    Array.tabulate(numCodes) { r =>
+      val out = new Array[Long](ops.dim)
+      var j = 0
+      while (j < m) {
+        val cw = means.getOrElse((j, r),
+          java.util.Arrays.copyOfRange(cb0(r), j * sub, (j + 1) * sub))
+        System.arraycopy(cw, 0, out, j * sub, sub)
+        j += 1
+      }
+      out
+    }
+  }
+
   /** Product-quantization ANN (asymmetric distance): the memory-scale path.
     *
     * At 100 TB the corpus' raw vectors do not fit executor memory or a
@@ -141,10 +245,10 @@ object Similarity {
     * m=8) and scores a query against codes only:
     *
     *  1. codebook: per subspace j (dim/m components), `numCodes` codewords —
-    *     deterministically sampled as the sub-vectors of the `numCodes`
-    *     lowest-id corpus rows (k-means refinement would follow the
-    *     [[ivfTopK]] vec_mean pattern; sampling keeps every step exactly
-    *     reproducible in the ANSI-SQL oracle);
+    *     deterministically seeded from the sub-vectors of the `numCodes`
+    *     lowest-id corpus rows; `refineCodebook = true` runs one exact
+    *     k-means step on top ([[pqCodebook]] — still fully reproducible in
+    *     the ANSI-SQL oracle, q98);
     *  2. encode: corpus row → codes[j] = argmin_r L2²(subvec_j, codeword_r)
     *     (tie → lowest r) — a projection over a broadcast codebook, no
     *     shuffle, the corpus is scanned once and reduced to its codes;
@@ -158,63 +262,69 @@ object Similarity {
     * ascending distance, ties by neighbor id. */
   def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
              queries: DataFrame, queryId: Column, queryVec: Column,
-             m: Int, numCodes: Int, k: Int): DataFrame = {
+             m: Int, numCodes: Int, k: Int,
+             refineCodebook: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"),
       F.vec_quantize(corpusVec, 1000).as("cv")).filter(col("cv").isNotNull)
-    val cb: Array[Array[Long]] = c.orderBy(col("neighbor_id")).limit(numCodes)
-      .collect().map(_.getSeq[Long](1).toArray)
-    require(cb.length == numCodes, s"corpus has fewer than $numCodes rows")
-    val dim = cb.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    val bc = spark.sparkContext.broadcast(cb)
-
-    def l2(a: Array[Long], ao: Int, b: Array[Long], bo: Int): Long = {
-      var s = 0L; var i = 0
-      while (i < sub) { val d = a(ao + i) - b(bo + i); s += d * d; i += 1 }
-      s
-    }
-    val codesU = udf((v: Seq[Long]) => {
-      val av = v.toArray; val codes = new Array[Int](m)
-      var j = 0
-      while (j < m) {
-        var best = 0; var bestD = Long.MaxValue; var r = 0
-        while (r < numCodes) {
-          val d = l2(av, j * sub, bc.value(r), j * sub)
-          if (d < bestD) { bestD = d; best = r }
-          r += 1
-        }
-        codes(j) = best; j += 1
-      }
-      codes
-    })
-    val dtU = udf((v: Seq[Long]) => {
-      val av = v.toArray; val dt = new Array[Long](m * numCodes)
-      var j = 0
-      while (j < m) {
-        var r = 0
-        while (r < numCodes) {
-          dt(j * numCodes + r) = l2(av, j * sub, bc.value(r), j * sub); r += 1
-        }
-        j += 1
-      }
-      dt
-    })
-    val adcU = udf((codes: Seq[Int], dt: Seq[Long]) => {
-      var s = 0L; var j = 0
-      while (j < m) { s += dt(j * numCodes + codes(j)); j += 1 }
-      s
-    })
-    val encoded = c.select(col("neighbor_id"), codesU(col("cv")).as("codes"))
+    val ops = pqOps(spark,
+      pqCodebook(c, m, numCodes, refineCodebook), m, numCodes)
+    val encoded = c.select(col("neighbor_id"), ops.codesU(col("cv")).as("codes"))
     val q = queries.select(queryId.as("query_id"),
         F.vec_quantize(queryVec, 1000).as("qv")).filter(col("qv").isNotNull)
-      .select(col("query_id"), dtU(col("qv")).as("dt"))
+      .select(col("query_id"), ops.dtU(col("qv")).as("dt"))
     val scored = encoded.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc_dist", adcU(col("codes"), col("dt")))
+      .withColumn("adc_dist", ops.adcU(col("codes"), col("dt")))
     TopK.perGroup(scored, k, Seq(col("query_id")),
         Seq(col("adc_dist").asc, col("neighbor_id").asc))
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rn"))
+  }
+
+  /** IVF-PQ — the two scale levers composed: IVF prunes the candidate SET
+    * (each query probes `nprobe` of the `nlist` cells, exactly [[ivfTopK]]'s
+    * cell pipeline) while PQ prunes the candidate BYTES (cell members are
+    * scored by ADC over their m codes, never their raw vectors). At 100 TB
+    * this is the standard shape: the corpus lives as (cell, codes) — ~32×
+    * smaller than raw — and a query touches nprobe/nlist of it with m table
+    * lookups per candidate. The equi-join on `cell` broadcasts the query
+    * side; the corpus is never shuffled. Recall: IvfPqSpec gates IVF-PQ at
+    * equal candidate budget against PQ over a blind sample — the cells must
+    * EARN their pruning. Output: (query_id, cell, neighbor_id, adc_dist,
+    * rn), ascending distance, ties by neighbor id. */
+  def ivfPqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                seeds: DataFrame, seedId: Column, seedVec: Column,
+                m: Int, numCodes: Int, k: Int, nprobe: Int = 1,
+                refineCodebook: Boolean = false): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv")).filter(col("cv").isNotNull)
+    // IVF side: identical cell pipeline to ivfTopK (seed → refine → assign)
+    val sd = seeds.select(seedId.cast("int").as("sid"), F.vec_quantize(seedVec, 1000).as("sv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val assigned1 = c.withColumn("cell", assignCell(spark, sd)(col("cv")))
+    val refined = assigned1.groupBy(col("cell"))
+      .agg(graft.functions.KernelAggs.vec_mean(col("cv")).as("cmean"))
+      .select(col("cell"), F.vec_quantize(col("cmean"), 1000).as("cq"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    // PQ side: global codebook; the corpus is reduced to (cell, codes)
+    val ops = pqOps(spark,
+      pqCodebook(c, m, numCodes, refineCodebook), m, numCodes)
+    val encoded = c
+      .withColumn("cell", assignCell(spark, refined)(col("cv")))
+      .select(col("neighbor_id"), col("cell"), ops.codesU(col("cv")).as("codes"))
+    val q = queries.select(queryId.as("query_id"),
+        F.vec_quantize(queryVec, 1000).as("qv")).filter(col("qv").isNotNull)
+      .withColumn("cell", explode(assignCells(spark, refined, nprobe)(col("qv"))))
+      .select(col("query_id"), col("cell"), ops.dtU(col("qv")).as("dt"))
+    val scored = encoded.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", ops.adcU(col("codes"), col("dt")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("adc_dist").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("adc_dist"), col("rn"))
   }
 
   /** LSH-bucketed ANN: probe only the query's SRP bucket. Recall < 1 by

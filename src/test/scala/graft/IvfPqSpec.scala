@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** IVF-PQ and the k-means-refined codebook must EARN their structure:
+  * recall is gated against exact L2 ground truth on the real embeddings
+  * table, and IVF's cells are compared against a blind sample of the same
+  * candidate budget — pruning that does no better than random sampling
+  * would be wasted machinery. */
+class IvfPqSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private val queries = emb.filter(col("vec_id") < 20)
+  private val k = 10
+
+  /** Exact L2 top-k per query over the quantized vectors, in memory (500
+    * rows) — the PQ family ranks by L2, so cosine ground truth would
+    * gate the wrong thing. */
+  private lazy val exactL2: Map[Long, Set[Long]] = {
+    val all = emb
+      .select(col("vec_id"), graft.functions.Functions
+        .vec_quantize(col("embedding"), 1000).as("qv"))
+      .as[(Long, Seq[Long])].collect()
+    val qs = all.filter(_._1 < 20)
+    qs.map { case (qid, qv) =>
+      val top = all.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          var s = 0L; var i = 0
+          while (i < qv.length) { val d = qv(i) - nv(i); s += d * d; i += 1 }
+          (s, nid)
+        }
+        .sortBy(identity).take(k).map(_._2).toSet
+      qid -> top
+    }.toMap
+  }
+
+  private def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+
+  private def recall(approx: Map[Long, Set[Long]]): Double = {
+    val rs = exactL2.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("k-means-refined codebook does not degrade PQ recall vs exact L2") {
+    val plain = recall(topSet(Similarity.pqTopK(
+      emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), m = 8, numCodes = 16, k = k)))
+    val refined = recall(topSet(Similarity.pqTopK(
+      emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), m = 8, numCodes = 16, k = k,
+      refineCodebook = true)))
+    info(f"PQ recall@$k vs exact L2: seed codebook $plain%.3f, refined $refined%.3f")
+    // measured 0.295 -> 0.325 on these embeddings: the Lloyd step is a
+    // real improvement, not just determinism-preserving decoration
+    assert(plain >= 0.25, s"seed-codebook PQ recall degraded to $plain")
+    assert(refined >= plain,
+      f"refinement must not lose recall: $plain%.3f -> $refined%.3f")
+  }
+
+  test("IVF-PQ beats PQ over a blind sample at equal candidate budget") {
+    val seeds = emb.filter(col("vec_id") % 37 === 0).limit(8)
+    val nprobe = 3 // candidates ~ 3/8 of the corpus
+    val ivfpq = recall(topSet(Similarity.ivfPqTopK(
+      emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"),
+      seeds, col("vec_id"), col("embedding"),
+      m = 8, numCodes = 16, k = k, nprobe = nprobe, refineCodebook = true)))
+    // the blind control: PQ over a deterministic 3/8 sample — same ADC
+    // scoring, same candidate COUNT in expectation, no cell structure
+    val sampled = emb.filter(
+      graft.functions.Functions.hash60(col("vec_id").cast("string")) % 8 < 3)
+    val blind = recall(topSet(Similarity.pqTopK(
+      sampled, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"),
+      m = 8, numCodes = 16, k = k, refineCodebook = true)))
+    info(f"recall@$k at a 3/8 candidate budget: IVF-PQ $ivfpq%.3f, blind sample $blind%.3f")
+    assert(ivfpq > blind + 0.05,
+      f"IVF cells earned nothing over blind sampling: $blind%.3f vs $ivfpq%.3f")
+  }
+
+  test("IVF-PQ probing every cell equals plain PQ exactly") {
+    val seeds = emb.filter(col("vec_id") % 37 === 0).limit(8)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rn"))
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val all = canon(Similarity.ivfPqTopK(
+      emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"),
+      seeds, col("vec_id"), col("embedding"),
+      m = 8, numCodes = 16, k = k, nprobe = 8))
+    val pq = canon(Similarity.pqTopK(
+      emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), m = 8, numCodes = 16, k = k))
+    assert(all == pq, "nprobe = nlist must reduce IVF-PQ to plain PQ")
+  }
+}

@@ -10,4 +10,8 @@ object MultimodalTestAccess {
     Multimodal.decodeImage(payload)
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
     Multimodal.decodeAudio(payload)
+  def jpeg(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    Multimodal.jpegBytes(w, h, r, g, b)
+  def aviMjpeg(w: Int, h: Int, jpegFrames: Array[Array[Byte]], usPerFrame: Int): Array[Byte] =
+    Multimodal.aviMjpegBytes(w, h, jpegFrames, usPerFrame)
 }
