@@ -67,7 +67,11 @@ object Bench {
       engineNames.map(n => new Timed(n, Queries.byName(n).fn(spark, sfDir).count())) ++ Seq(
         new Timed("q68_synth", QueriesDns.synthesizeRawWindow(spark, sfDir, rawPath),
           fixture = true),
-        new Timed("q68_pipeline", QueriesDns.runWindowFromRaw(spark, rawPath)))
+        new Timed("q68_pipeline", QueriesDns.runWindowFromRaw(spark, rawPath)),
+        // the same window through Structured Streaming (file source +
+        // AvailableNow + foreachBatch): the delta vs q68_pipeline is the
+        // streaming machinery's own cost
+        new Timed("q68_stream", QueriesDns.runWindowStreaming(spark, rawPath)))
 
     // q68_synth must be warmed before q68_pipeline can run at all, and the
     // round-robin passes keep that order too (synth is listed first).

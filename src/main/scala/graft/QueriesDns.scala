@@ -93,6 +93,32 @@ object QueriesDns {
     try rs.trend.count() finally rs.unpersist()
   }
 
+  /** Bench support: the SAME window cycle through Structured Streaming —
+    * a file-source `readStream` over the 30-file raw fixture driving
+    * [[graft.dns.BatchRunner]] inside one `foreachBatch` epoch
+    * (Trigger.AvailableNow), i.e. the production S3 scheduling path rather
+    * than a direct batch call. Benched as `q68_stream` so regressions in
+    * the streaming scaffolding (source listing, epoch planning, sink
+    * commit) surface round over round; the delta vs `q68_pipeline` is the
+    * streaming machinery's own cost. */
+  def runWindowStreaming(s: SparkSession, rawPath: String): Unit = {
+    val schema = s.read.parquet(rawPath).schema
+    val trendCount = new java.util.concurrent.atomic.AtomicLong(-1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ck").toString
+    val q = s.readStream.schema(schema).parquet(rawPath)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rs = graft.dns.BatchRunner.run(s, b, windowDims(s),
+          1616631000000L, trendThreshold = 10L)
+        try trendCount.set(rs.trend.count()) finally rs.unpersist()
+        ()
+      }.start()
+    q.awaitTermination()
+    require(trendCount.get() > 0, "streaming window produced no trend rows")
+  }
+
   /** The q66/q67/q68 oracle's shared kept-row CTE (mirrors [[rawDnsJson]]
     * through Ingest.clean's P1-P7 semantics). */
   private val keptRowsSql: String = """

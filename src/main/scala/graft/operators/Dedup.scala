@@ -50,15 +50,30 @@ object Dedup {
   /** Candidate near-duplicate pairs (idA < idB) from MinHash LSH, with the
     * estimated Jaccard (fraction of agreeing signature components).
     *
+    * Degenerate-bucket guard: a pathological corpus (every document
+    * identical, a boilerplate page repeated millions of times) collapses
+    * into ONE band bucket, and the all-pairs self-join would put O(n²)
+    * pairs in a single task. Buckets above `maxBucket` members therefore
+    * degrade to STAR-shaped candidates — every member pairs with the
+    * bucket's minimum id only. That bounds each bucket's output to O(n)
+    * while PRESERVING duplicate clusters exactly (a star connects the same
+    * component the clique would), which is what downstream
+    * [[duplicateClusters]]/keep-one consume; only the non-hub pair edges
+    * (redundant for clustering) are dropped, and only above the cap.
+    * Buckets at or under the cap are emitted all-pairs, unchanged.
+    *
     * @param df        input
     * @param id        unique document id (long)
     * @param shingleN  word-shingle width
     * @param numHashes signature length
     * @param bands     LSH bands (rows/band = numHashes/bands)
+    * @param maxBucket all-pairs cap per band bucket (star degradation above)
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
-                        shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+                        shingleN: Int, numHashes: Int, bands: Int,
+                        maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucket >= 1, s"maxBucket must be >= 1 (got $maxBucket)")
     val r = numHashes / bands
     // The shingle+hash stage is CPU-bound; a small input (one parquet file =
     // one split) would pin it to a single core. Balance up to the cluster's
@@ -80,13 +95,29 @@ object Dedup {
     val sigs = balanced.select(col("doc_id"),
         minhashSignature(TF.word_shingles(col("__text"), shingleN), numHashes).as("sig"))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
-    val a = sigs.select(col("band"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("band"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
-          .cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
+    // bucket cardinalities: map-side-combined agg, co-partitioned with the
+    // join below (same key) — the guard costs one small aggregate
+    val counts = sigs.groupBy(col("band"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__hub"))
+    val annotated = sigs.join(counts, Seq("band"))
+    def estJaccard = (size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
+      .cast("double") / numHashes).as("est_jaccard")
+    // at-or-under the cap: all pairs, exactly as before
+    val normal = annotated.filter(col("__n") <= maxBucket)
+    val a = normal.select(col("band"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = normal.select(col("band"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val pairsN = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), estJaccard)
+    // above the cap: member → hub stars (hub = min id, so id_a < id_b holds)
+    val hot = annotated.filter(col("__n") > maxBucket)
+    val hubs = hot.filter(col("doc_id") === col("__hub"))
+      .select(col("band"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val pairsH = hot.filter(col("doc_id") =!= col("__hub"))
+      .select(col("band"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      .join(hubs, Seq("band"))
+      .select(col("id_a"), col("id_b"), estJaccard)
+    pairsN.unionByName(pairsH).distinct()
   }
 
   /** Connected components over an undirected candidate-pair edge list —

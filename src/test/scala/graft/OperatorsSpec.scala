@@ -158,6 +158,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L && p._3 == 1.0))
   }
 
+  test("degenerate LSH bucket degrades to stars: bounded pairs, same clusters") {
+    // 2000 identical docs collapse into ONE bucket per band: unguarded,
+    // that is ~2M pairs in one task; the guard caps it at O(n) star edges
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, "same exact boilerplate text every time"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(df, col("id"), col("text"),
+      shingleN = 3, numHashes = 8, bands = 4, maxBucket = 100)
+    val cnt = pairs.count()
+    assert(cnt == (n - 1).toLong,
+      s"guarded bucket emitted $cnt pairs, want ${n - 1} star edges")
+    // the star preserves the duplicate CLUSTER exactly: every doc in one
+    // component labeled by the min id
+    val clusters = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size == n && clusters.values.forall(_ == 0L),
+      "star degradation broke the duplicate cluster")
+    // and a NON-degenerate corpus is untouched by the guard: tiny cap vs
+    // default cap give identical pairs when no bucket exceeds either
+    val mixed = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "other words entirely unrelated here")).toDF("id", "text")
+    def ps(cap: Int) = Dedup.minhashCandidates(mixed, col("id"), col("text"),
+        3, 8, 4, maxBucket = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ps(4096) == ps(10), "guard changed results below the cap")
+  }
+
   test("simhash: identical docs distance 0, different docs positive") {
     val df = Seq("one two three four five", "one two three four five",
       "totally unrelated content words").toDF("text")
