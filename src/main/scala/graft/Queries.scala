@@ -459,7 +459,10 @@ object Queries {
     "q77_interval_join_sql", "q78_ann_pq",
     // round-5 operators: bidirectional as-of join; bloom decontamination;
     // the SQL lateral as-of planned through AsOfLateralRewrite
-    "q83_asof_directions", "q84_bloom_decontaminate", "q95_asof_lateral_sql")
+    "q83_asof_directions", "q84_bloom_decontaminate", "q95_asof_lateral_sql",
+    // round-6 operators: stats-pruned z-order lake read (write + footer
+    // harvest + pruned scan); IVF-PQ; the nearest lateral spelling
+    "q96_zorder_pruned_read", "q99_ann_ivfpq", "q100_asof_lateral_nearest")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

@@ -295,6 +295,47 @@ object QueriesOps {
           ORDER BY purchase_id""")
       }),
 
+    // -- as-of in SQL, NEAREST spelling: `ORDER BY abs(v.es - p.es)` with a
+    //    symmetric tolerance. Native Spark REJECTS outer references in a
+    //    lateral ORDER BY outright (CORRELATED_REFERENCE) — this spelling
+    //    runs ONLY through AsOfLateralRewrite, which plans it as the
+    //    nearest union+window (equal-distance ties resolve by the tie
+    //    column across directions, = the SQL abs ordering). DuckDB executes
+    //    the IDENTICAL lateral SQL natively as the oracle.
+    QueryDef("q100_asof_lateral_nearest", Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS es
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS es
+            FROM events WHERE event_type = 'view')
+      SELECT p.event_id AS purchase_id, p.user_id, CAST(p.es AS BIGINT) AS es,
+             m.event_id AS view_id
+      FROM p LEFT JOIN LATERAL (
+        SELECT v.event_id FROM v
+        WHERE v.user_id = p.user_id
+          AND v.es >= p.es - 200000 AND v.es <= p.es + 200000
+        ORDER BY abs(v.es - p.es) ASC, v.event_id DESC LIMIT 1
+      ) m ON true
+      ORDER BY purchase_id"""),
+      (s, dir) => {
+        val e = T(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000000000").as("es"))
+        e.filter(col("event_type") === "purchase").drop("event_type")
+          .createOrReplaceTempView("q100_p")
+        e.filter(col("event_type") === "view").drop("event_type")
+          .createOrReplaceTempView("q100_v")
+        s.sql("""
+          SELECT p.event_id AS purchase_id, p.user_id, p.es,
+                 m.event_id AS view_id
+          FROM q100_p p LEFT JOIN LATERAL (
+            SELECT v.event_id FROM q100_v v
+            WHERE v.user_id = p.user_id
+              AND v.es >= p.es - 200000 AND v.es <= p.es + 200000
+            ORDER BY abs(v.es - p.es) ASC, v.event_id DESC LIMIT 1
+          ) m ON true
+          ORDER BY purchase_id""")
+      }),
+
     // -- z-order (Morton) clustering value: the layout key Sinks.zorderedWrite
     //    range-partitions by, giving every lake file a tight min/max envelope
     //    on BOTH filter columns (measured in ZOrderLayoutSpec: mean per-file

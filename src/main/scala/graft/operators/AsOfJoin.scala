@@ -34,6 +34,13 @@ object AsOfJoin {
   val Forward = "forward"
   val Nearest = "nearest"
 
+  /** Equal-distance resolution for [[Nearest]]: prefer the backward match
+    * (merge_asof semantics, the default), or the higher tie value across
+    * the two directions (SQL `ORDER BY abs(r.ts-l.ts), tie DESC` parity —
+    * what [[graft.plans.AsOfLateralRewrite]] needs). */
+  val TieBackward = "backward"
+  val TieHighest = "highest"
+
   /** @param keys      equi-join key columns (both sides)
     * @param tsCol     event-time column (both sides, same numeric type)
     * @param tieCol    deterministic order among right rows sharing
@@ -42,14 +49,19 @@ object AsOfJoin {
     * @param tolerance max allowed |left.ts - right.ts| (same unit as tsCol);
     *                  matches farther than this are nulled (merge-asof
     *                  semantics). None = unbounded.
-    * @param direction [[Backward]] (default), [[Forward]], or [[Nearest]]
+    * @param direction  [[Backward]] (default), [[Forward]], or [[Nearest]]
+    * @param nearestTie [[TieBackward]] (default) or [[TieHighest]] —
+    *                   equal-distance resolution for [[Nearest]] only
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
            tieCol: String, payload: Seq[String],
            tolerance: Option[Long] = None,
-           direction: String = Backward): DataFrame = {
+           direction: String = Backward,
+           nearestTie: String = TieBackward): DataFrame = {
     require(Seq(Backward, Forward, Nearest).contains(direction),
       s"direction must be backward|forward|nearest, got $direction")
+    require(Seq(TieBackward, TieHighest).contains(nearestTie),
+      s"nearestTie must be backward|highest, got $nearestTie")
     val payloadStruct = struct((Seq(tsCol, tieCol) ++ payload).distinct.map(col): _*)
     val r = right
       .withColumn("__rp", payloadStruct)
@@ -83,14 +95,22 @@ object AsOfJoin {
         val withBF = u.withColumn("__b", running(wb)).withColumn("__f", running(wf))
         val b = clip(col("__b"), col(tsCol) - col(s"__b.$tsCol"))
         val f = clip(col("__f"), col(s"__f.$tsCol") - col(tsCol))
+        val db = col(tsCol) - col(s"__bc.$tsCol")
+        val df = col(s"__fc.$tsCol") - col(tsCol)
+        val onTie = // equal |delta|: merge_asof keeps backward; SQL-abs keeps
+          // max tie (NULL tie loses, as DESC nulls-last ordering would)
+          if (nearestTie == TieBackward) col("__bc")
+          else when(col(s"__fc.$tieCol").isNull ||
+              col(s"__bc.$tieCol") >= col(s"__fc.$tieCol"), col("__bc"))
+            .otherwise(col("__fc"))
         withBF
           .withColumn("__bc", b).withColumn("__fc", f)
           .withColumn("asof",
             when(col("__bc").isNull, col("__fc"))
               .when(col("__fc").isNull, col("__bc"))
-              .when(col(tsCol) - col(s"__bc.$tsCol") <=
-                    col(s"__fc.$tsCol") - col(tsCol), col("__bc")) // tie → backward
-              .otherwise(col("__fc")))
+              .when(db < df, col("__bc"))
+              .when(df < db, col("__fc"))
+              .otherwise(onTie))
           .drop("__b", "__f", "__bc", "__fc")
     }
     matched.filter(col("__side") === 1).drop("__side", "__rp")

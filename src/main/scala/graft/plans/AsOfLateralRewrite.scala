@@ -170,6 +170,15 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case s: Short => Some(s.toLong)
       case _ => None
     }
+    // integral literal, possibly behind the type-coercion Cast the analyzer
+    // inserts (e.g. `l.ts - 4` arrives as Subtract(ts, cast(4 as bigint)))
+    object LitLong {
+      def unapply(e: Expression): Option[Long] = e match {
+        case Literal(v, _) => longOf(v)
+        case Cast(Literal(v, _), _, _, _) => longOf(v)
+        case _ => None
+      }
+    }
     splitConjuncts(cond).foreach {
       case EqualTo(r: AttributeReference, OuterReference(l: AttributeReference)) =>
         equi :+= (l, r)
@@ -184,23 +193,23 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case LessThanOrEqual(OuterReference(l: AttributeReference), r: AttributeReference)
           if range.isEmpty => range = Some((l, r, Forward))
       case GreaterThanOrEqual(r: AttributeReference,
-          Subtract(OuterReference(l: AttributeReference), Literal(t, _), _))
-          if tolB.isEmpty && longOf(t).isDefined =>
-        tolB = Some((l, r, longOf(t).get))
+          Subtract(OuterReference(l: AttributeReference), LitLong(t), _))
+          if tolB.isEmpty =>
+        tolB = Some((l, r, t))
       case LessThanOrEqual(
-          Subtract(OuterReference(l: AttributeReference), Literal(t, _), _),
+          Subtract(OuterReference(l: AttributeReference), LitLong(t), _),
           r: AttributeReference)
-          if tolB.isEmpty && longOf(t).isDefined =>
-        tolB = Some((l, r, longOf(t).get))
+          if tolB.isEmpty =>
+        tolB = Some((l, r, t))
       case LessThanOrEqual(r: AttributeReference,
-          Add(OuterReference(l: AttributeReference), Literal(t, _), _))
-          if tolF.isEmpty && longOf(t).isDefined =>
-        tolF = Some((l, r, longOf(t).get))
+          Add(OuterReference(l: AttributeReference), LitLong(t), _))
+          if tolF.isEmpty =>
+        tolF = Some((l, r, t))
       case GreaterThanOrEqual(
-          Add(OuterReference(l: AttributeReference), Literal(t, _), _),
+          Add(OuterReference(l: AttributeReference), LitLong(t), _),
           r: AttributeReference)
-          if tolF.isEmpty && longOf(t).isDefined =>
-        tolF = Some((l, r, longOf(t).get))
+          if tolF.isEmpty =>
+        tolF = Some((l, r, t))
       case other if !other.exists(_.isInstanceOf[OuterReference]) &&
           other.deterministic &&
           other.references.subsetOf(rightPlan.outputSet) =>
@@ -209,18 +218,64 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         localPreds :+= other
       case other => return miss(s"unsupported correlated conjunct: $other")
     }
-    val (lts, rts, direction) = range.getOrElse(
-      return miss("no range conjunct (r.ts <= l.ts or r.ts >= l.ts)"))
     if (equi.isEmpty)
       return miss("no equi-join conjunct on an outer attribute")
-    // the tolerance bound must pair with the range conjunct's direction
-    // and columns; a stray bound means the shape is not a pure as-of
+
+    // ---- sort: either the range column toward the left row (DESC for
+    // backward, ASC for forward), or — with NO range conjunct — the
+    // NEAREST spelling `abs(r.ts - l.ts) ASC`; then exactly one DESC
+    // tie-break (no tie-break would make LIMIT 1 nondeterministic)
+    if (sortOrders.size != 2)
+      return miss(if (sortOrders.size < 2)
+        "missing tie-break (ORDER BY needs the range column plus one DESC tie-break)"
+      else "more than one tie-break in the ORDER BY")
+    if (sortOrders(1).direction != Descending)
+      return miss("the tie-break must sort DESC (highest wins)")
+    val headExpr = sortOrders.head.child match {
+      case a: AttributeReference => resolveExpr(a, innerMaps)
+      case other => resolveExpr(other, innerMaps)
+    }
+    val (lts: Attribute, rts: Attribute, direction: String) = range match {
+      case Some((l, r, dir)) =>
+        val wantDir = if (dir == Backward) Descending else Ascending
+        val headOk = headExpr match {
+          case ra: AttributeReference => ra.exprId == r.exprId
+          case _ => false
+        }
+        if (sortOrders.head.direction != wantDir || !headOk)
+          return miss("ORDER BY must sort the range column toward the left " +
+            "row with one descending tie-break")
+        (l, r, dir)
+      case None =>
+        // nearest: ORDER BY abs(r.ts - l.ts) ASC (either operand order)
+        val head = headExpr match {
+          case Abs(Subtract(r: AttributeReference,
+              OuterReference(l: AttributeReference), _), _) => Some((l, r))
+          case Abs(Subtract(OuterReference(l: AttributeReference),
+              r: AttributeReference, _), _) => Some((l, r))
+          case _ => None
+        }
+        head match {
+          case Some((l, r)) if sortOrders.head.direction == Ascending &&
+              rightPlan.outputSet.contains(r) =>
+            (l, r, graft.operators.AsOfJoin.Nearest)
+          case _ => return miss("no range conjunct and the sort head is not " +
+            "abs(r.ts - l.ts) ASC — neither a directional nor a nearest as-of")
+        }
+    }
+    // the tolerance bound(s) must pair with the shape: one bound matching
+    // the directional range, or a symmetric pair (or none) for nearest
     val tolerance: Option[Long] = (direction, tolB, tolF) match {
       case (_, None, None) => None
       case (Backward, Some((l, r, t)), None)
           if l.exprId == lts.exprId && r.exprId == rts.exprId => Some(t)
       case (Forward, None, Some((l, r, t)))
           if l.exprId == lts.exprId && r.exprId == rts.exprId => Some(t)
+      case (graft.operators.AsOfJoin.Nearest,
+            Some((lb, rb, tb)), Some((lf, rf, tf)))
+          if lb.exprId == lts.exprId && rb.exprId == rts.exprId &&
+            lf.exprId == lts.exprId && rf.exprId == rts.exprId && tb == tf =>
+        Some(tb)
       case _ =>
         return miss("tolerance bound does not pair with the range conjunct")
     }
@@ -232,28 +287,6 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.toSet
     if (outerDeclared != outerUsed)
       return miss("outer columns referenced beyond the equi keys and range column")
-
-    // ---- sort: range col toward the left row (DESC for backward, ASC for
-    // forward), then exactly one DESC tie-break (no tie-break would make
-    // LIMIT 1 nondeterministic; AsOfJoin carries one tie column, highest
-    // wins)
-    if (sortOrders.size != 2)
-      return miss(if (sortOrders.size < 2)
-        "missing tie-break (ORDER BY needs the range column plus one DESC tie-break)"
-      else "more than one tie-break in the ORDER BY")
-    val wantDir = if (direction == Backward) Descending else Ascending
-    val headAttr = sortOrders.head.child match {
-      case a: AttributeReference => resolveExpr(a, innerMaps) match {
-        case ra: AttributeReference => Some(ra)
-        case _ => None
-      }
-      case _ => None
-    }
-    if (sortOrders.head.direction != wantDir || headAttr.isEmpty ||
-        headAttr.get.exprId != rts.exprId ||
-        sortOrders(1).direction != Descending)
-      return miss("ORDER BY must sort the range column toward the left row " +
-        "with one descending tie-break")
     val tie = sortOrders(1).child match {
       case a: AttributeReference => resolveExpr(a, innerMaps)
       case _ => return miss("tie-break is not a plain sort column")
@@ -317,7 +350,10 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       l2, r2, keys = (0 until equi.size).map(i => s"__asof_k$i"),
       tsCol = "__asof_ts", tieCol = "__asof_tie",
       payload = (0 until payloadUnder.size).map(i => s"__asof_p$i"),
-      tolerance = tolerance, direction = direction)
+      tolerance = tolerance, direction = direction,
+      // SQL's abs ordering resolves an equal-distance tie by the tie
+      // column across BOTH directions, not by preferring backward
+      nearestTie = graft.operators.AsOfJoin.TieHighest)
       .withColumn("asof", when(col("__asof_ts").isNotNull, col("asof")))
     val filtered =
       if (lj.joinType == Inner) joined.filter(col("asof").isNotNull) else joined

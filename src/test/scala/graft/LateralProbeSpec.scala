@@ -199,6 +199,56 @@ class LateralProbeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the nearest spelling (ORDER BY abs) runs ONLY through the rewrite") {
+    mkViews()
+    val unbounded = """
+      SELECT l.k, l.ts, m.id
+      FROM lp_l l LEFT JOIN LATERAL (
+        SELECT r.id FROM lp_r r
+        WHERE r.k = l.k
+        ORDER BY abs(r.ts - l.ts) ASC, r.id DESC LIMIT 1
+      ) m ON true"""
+    val bounded = unbounded.replace("WHERE r.k = l.k",
+      "WHERE r.k = l.k AND r.ts >= l.ts - 4 AND r.ts <= l.ts + 4")
+    // native Spark REJECTS outer references in a lateral ORDER BY — the
+    // nearest spelling is a capability the rewrite ADDS, not a speedup
+    withRewrite(on = false) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(unbounded).collect()
+      }
+      assert(e.getMessage.contains("outer"), e.getMessage)
+    }
+    withRewrite(on = true) {
+      for (q <- Seq(unbounded, bounded)) {
+        val df = spark.sql(q)
+        df.collect()
+        assert(!finalPlan(df).toString.contains("BroadcastNestedLoopJoin"))
+        assert(graft.plans.AsOfLateralRewrite.lastMiss.get() == null)
+      }
+      // rows must equal the batch operator with SQL tie semantics
+      // (equal |delta| -> max tie across directions)
+      import graft.operators.AsOfJoin
+      def viaOp(tol: Option[Long]) = AsOfJoin.asOf(
+          spark.table("lp_l"), spark.table("lp_r"), Seq("k"), "ts", "id",
+          Seq("id"), tol, AsOfJoin.Nearest, AsOfJoin.TieHighest)
+        .selectExpr("k", "ts", "asof.id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      val gotU = spark.sql(unbounded)
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(gotU == viaOp(None), "unbounded nearest != batch AsOfJoin")
+      // pins: left (1,10) is 0 from both id 101 and 102 -> max tie 102;
+      // (1,20) is 5 from ts 15 -> 103; (2,7) is 2 from ts 9 -> 104;
+      // (3,5) has no rights -> null
+      assert(gotU == Set((1L, 10L, Some(102L)), (1L, 20L, Some(103L)),
+        (2L, 7L, Some(104L)), (3L, 5L, None)), s"got $gotU")
+      val gotB = spark.sql(bounded)
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(gotB == viaOp(Some(4L)), "bounded nearest != batch AsOfJoin")
+      // tolerance 4 clips (1,20)'s distance-5 match
+      assert(gotB.contains((1L, 20L, None)), s"got $gotB")
+    }
+  }
+
   test("computed payloads and right-only predicates rewrite nested-loop-free") {
     mkViews()
     // SELECT r.id * 2 (computed payload) + r.id > 100 (right-only conjunct):
