@@ -50,8 +50,31 @@ object ZLake {
     * or String (UTF8-annotated binary). */
   final case class ColEnvelope(lo: Any, hi: Any)
 
+  /** `partitionValues`: `col=value` path segments between the table root
+    * and the file (the lake's `win=...` layout), in directory order. */
   final case class FileEnvelope(status: FileStatus, rowGroups: Int,
-                                cols: Map[String, ColEnvelope])
+                                cols: Map[String, ColEnvelope],
+                                partitionValues: Seq[(String, String)] = Nil)
+
+  /** Recursively list data files under `root`, carrying the `col=value`
+    * segments each file sits beneath. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+      : Seq[(FileStatus, Seq[(String, String)])] = {
+    def walk(dir: Path, parts: Seq[(String, String)])
+        : Seq[(FileStatus, Seq[(String, String)])] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val part = name.split("=", 2) match {
+            case Array(k, v) => Seq(k.toLowerCase -> v)
+            case _ => Nil
+          }
+          walk(st.getPath, parts ++ part)
+        } else if (name.endsWith(".parquet")) Seq((st, parts))
+        else Nil
+      }
+    walk(root, Nil).sortBy(_._1.getPath.toString)
+  }
 
   /** Read every footer under `path` (driver-side, metadata-only) into
     * per-file envelopes. One call per table per query plan — at 1000
@@ -60,10 +83,16 @@ object ZLake {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-    files.toSeq.map { st =>
+    val files = listDataFiles(fs, root)
+    files.map { case (st, parts) =>
+      envelopeOf(st, parts, conf)
+    }
+  }
+
+  private def envelopeOf(st: FileStatus, parts: Seq[(String, String)],
+                         conf: org.apache.hadoop.conf.Configuration)
+      : FileEnvelope = {
+    {
       val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
@@ -79,7 +108,7 @@ object ZLake {
             name -> es.map(_._2).reduce((a, b) =>
               ColEnvelope(minOf(a.lo, b.lo), maxOf(a.hi, b.hi)))
         }
-        FileEnvelope(st, blocks.size, byCol.toMap)
+        FileEnvelope(st, blocks.size, byCol.toMap, parts)
       } finally rd.close()
     }
   }
@@ -182,22 +211,58 @@ object ZLake {
     }
   }
 
-  /** The pruning [[FileIndex]]. `lastPrune` records (kept, total) of the
-    * most recent planning pass for observability/specs. */
+  /** The pruning [[FileIndex]]. Hive-style `col=value` directories become
+    * STRING partition columns: partition filters prune whole directories
+    * exactly, footer stats prune the surviving files — partition pruning
+    * and stat pruning compose on the lake's own `win=` layout. `lastPrune`
+    * records (kept, total) of the most recent planning pass. */
   final class StatsFileIndex(root: Path, fes: Seq[FileEnvelope])
       extends FileIndex {
     val lastPrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, fes.size))
+    /** Partition column names (lowercase), from the first file's path. */
+    val partitionCols: Seq[String] =
+      fes.headOption.map(_.partitionValues.map(_._1)).getOrElse(Nil)
     override def rootPaths: Seq[Path] = Seq(root)
-    override def partitionSchema: StructType = new StructType()
+    override def partitionSchema: StructType =
+      StructType(partitionCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType, nullable = true)))
     override def inputFiles: Array[String] =
       fes.map(_.status.getPath.toString).toArray
     override def refresh(): Unit = ()
     override def sizeInBytes: Long = fes.map(_.status.getLen).sum
+
+    /** Exact partition-filter evaluation against one directory's values;
+      * undecidable shapes keep the directory. */
+    private def partMatch(e: Expression, row: InternalRow): Boolean =
+      try {
+        val bound = e.transform {
+          case a: AttributeReference =>
+            val i = partitionCols.indexOf(a.name.toLowerCase)
+            if (i < 0) return true // references something else: keep
+            BoundReference(i, org.apache.spark.sql.types.StringType,
+              nullable = true)
+        }
+        bound.eval(row) == true
+      } catch { case scala.util.control.NonFatal(_) => true }
+
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      val kept = fes.filter(fe => dataFilters.forall(f => mayMatch(f, fe)))
-      lastPrune.set((kept.size, fes.size))
-      Seq(PartitionDirectory(InternalRow.empty, kept.map(_.status).toArray))
+      val groups = fes.groupBy(_.partitionValues).toSeq.sortBy(_._1.toString)
+      var kept = 0
+      val dirs = groups.flatMap { case (parts, group) =>
+        val row = InternalRow.fromSeq(
+          parts.map(p => UTF8String.fromString(p._2)))
+        if (!partitionFilters.forall(f => partMatch(f, row))) None
+        else {
+          val files = group.filter(fe => dataFilters.forall(mayMatch(_, fe)))
+          kept += files.size
+          if (files.isEmpty) None
+          else Some(PartitionDirectory(row, files.map(_.status).toArray))
+        }
+      }
+      lastPrune.set((kept, fes.size))
+      dirs
     }
   }
 
@@ -205,14 +270,19 @@ object ZLake {
     new StatsFileIndex(new Path(path), envelopes(spark, path))
 
   /** Parquet read through the stats-pruning index: identical rows to
-    * `spark.read.parquet(path)`, but predicates prune FILES at planning. */
+    * `spark.read.parquet(path)` (plus string-typed partition columns for a
+    * Hive-layout lake), but predicates prune partitions AND files at
+    * planning time. */
   def read(spark: SparkSession, path: String): DataFrame =
     readWith(spark, path, index(spark, path))
 
   def readWith(spark: SparkSession, path: String,
                idx: StatsFileIndex): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val rel = HadoopFsRelation(idx, new StructType(), schema, None,
+    // data schema from one FILE (partition dirs carry no parquet columns)
+    val dataSchema = idx.inputFiles.headOption
+      .map(f => spark.read.parquet(f).schema)
+      .getOrElse(spark.read.parquet(path).schema)
+    val rel = HadoopFsRelation(idx, idx.partitionSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     PlanBridge.dataFrame(spark, LogicalRelation(rel))
   }

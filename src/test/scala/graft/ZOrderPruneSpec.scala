@@ -123,6 +123,42 @@ class ZOrderPruneSpec extends AnyFunSuite with SparkSpec {
     assert(decoded >= exact)
   }
 
+  test("partition dirs and footer stats compose on the lake's win= layout") {
+    // the real lake shape: win=<stamp> partition dirs, z-ordered files
+    // inside — partition filters must prune whole DIRECTORIES exactly and
+    // data filters must still stat-prune the files inside survivors
+    val root = tmp("zpart")
+    for (win <- Seq("w_a", "w_b", "w_c")) {
+      Sinks.zorderedWrite(grid(), "a", "b", s"$root/win=$win", 8, bits = 8)
+    }
+    val idx = ZLake.index(spark, root)
+    assert(idx.inputFiles.length == 24 && idx.partitionCols == Seq("win"))
+
+    val zdf = ZLake.readWith(spark, root, idx)
+    // partition column is part of the output
+    assert(zdf.columns.contains("win"))
+    assert(zdf.count() == 3L * (1 << 16))
+
+    // partition filter alone: exactly one directory's files listed
+    zdf.filter(col("win") === "w_b").collect()
+    assert(idx.lastPrune.get() == ((8, 24)),
+      s"partition filter pruned wrong: ${idx.lastPrune.get()}")
+    // data filter alone: stat pruning inside EVERY partition
+    zdf.filter(col("a") >= 32 && col("a") <= 63).collect()
+    val dataKept = idx.lastPrune.get()._1
+    assert(dataKept <= 12, s"stat pruning weak across partitions: $dataKept/24")
+    // composed: both prunings multiply
+    val both = zdf.filter(col("win") === "w_b" && col("a") >= 32 && col("a") <= 63)
+    val rows = both.agg(count("*"), sum("payload")).head().toSeq
+    assert(idx.lastPrune.get()._1 <= dataKept / 3 + 1,
+      s"composed pruning weak: ${idx.lastPrune.get()}")
+    // correctness: equals the plain partition-discovering read
+    val want = spark.read.parquet(root)
+      .filter(col("win") === "w_b" && col("a") >= 32 && col("a") <= 63)
+      .agg(count("*"), sum("payload")).head().toSeq
+    assert(rows == want, "partitioned pruned read changed the answer")
+  }
+
   test("envelope pruning is conservative: unsupported predicates keep files") {
     val zPath = tmp("zcons")
     Sinks.zorderedWrite(grid(), "a", "b", zPath, numFiles = 8, bits = 8)
