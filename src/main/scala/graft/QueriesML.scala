@@ -625,6 +625,78 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- ANN: RESIDUAL IVF-PQ — codes quantize (vector − cell centroid)
+    //    residuals, the standard refinement: residuals concentrate near the
+    //    origin so the same codebook budget quantizes tighter; the query's
+    //    ADC table is built from its per-cell residual. Every step integer/
+    //    q6-deterministic — the oracle rebuilds cells, centroids, residuals,
+    //    codebook, codes, and the full ADC ranking.
+    QueryDef("q101_ann_ivfpq_residual", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, sid) AS rn FROM a1),
+      cell1 AS (SELECT vec_id, qv, sid AS cell FROM r1 WHERE rn = 1),
+      sums AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+               FROM cell1, range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+               FROM sums GROUP BY cell),
+      a2 AS (SELECT q.vec_id, q.qv, cent.cell, ${dkCos("q.qv", "cent.cq")} AS cos FROM q, cent),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) AS rn FROM a2),
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      rc AS (SELECT c2.neighbor_id, c2.cell,
+                    list_transform(range(1, 65), i ->
+                      c2.cv[CAST(i AS INT)] - cent.cq[CAST(i AS INT)]) AS rv
+             FROM cell2 c2 JOIN cent USING (cell)),
+      cb AS (SELECT CAST(row_number() OVER (ORDER BY neighbor_id) - 1 AS BIGINT) AS r, rv
+             FROM (SELECT * FROM rc ORDER BY neighbor_id LIMIT 16)),
+      d2 AS (SELECT rc.neighbor_id, j.j, cb.r,
+                    list_sum(list_transform(range(1, 9), i ->
+                      (rc.rv[CAST(j.j*8+i AS INT)] - cb.rv[CAST(j.j*8+i AS INT)]) *
+                      (rc.rv[CAST(j.j*8+i AS INT)] - cb.rv[CAST(j.j*8+i AS INT)]))) AS d2
+             FROM rc, range(0, 8) j(j), cb),
+      codes AS (SELECT neighbor_id, j, r AS code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY neighbor_id, j
+                                              ORDER BY d2, r) AS rn FROM d2)
+                WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+      qa AS (SELECT query_id, qv, cent.cell, cent.cq,
+                    ${dkCos("qv", "cent.cq")} AS cos FROM qs, cent),
+      qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell) AS rn FROM qa),
+      qcell AS (SELECT query_id, cell,
+                       list_transform(range(1, 65), i ->
+                         qv[CAST(i AS INT)] - cq[CAST(i AS INT)]) AS qrv
+                FROM qr WHERE rn = 1),
+      qd2 AS (SELECT qc.query_id, qc.cell, j.j, cb.r,
+                     list_sum(list_transform(range(1, 9), i ->
+                       (qc.qrv[CAST(j.j*8+i AS INT)] - cb.rv[CAST(j.j*8+i AS INT)]) *
+                       (qc.qrv[CAST(j.j*8+i AS INT)] - cb.rv[CAST(j.j*8+i AS INT)]))) AS d2
+              FROM qcell qc, range(0, 8) j(j), cb),
+      adc AS (SELECT qc.query_id, qc.cell, c2.neighbor_id,
+                     CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+              FROM qcell qc
+              JOIN cell2 c2 ON c2.cell = qc.cell AND c2.neighbor_id <> qc.query_id
+              JOIN codes dc ON dc.neighbor_id = c2.neighbor_id
+              JOIN qd2 qd ON qd.query_id = qc.query_id AND qd.cell = qc.cell
+                         AND qd.j = dc.j AND qd.r = dc.code
+              GROUP BY 1, 2, 3),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn FROM adc)
+      SELECT query_id, cell, neighbor_id, adc_dist, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfPqResidualTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            m = 8, numCodes = 16, k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- multimodal: batched feature extraction over binary payloads ---------
     // The decode stub (Multimodal.decodeStub) is a deterministic rolling hash
     // over the payload = md5-digest bytes of the id: reproduced here in

@@ -327,6 +327,70 @@ object Similarity {
         col("adc_dist"), col("rn"))
   }
 
+  /** Residual IVF-PQ — the standard refinement over [[ivfPqTopK]]: codes
+    * quantize RESIDUALS (vector − its cell's centroid) instead of raw
+    * vectors, exploiting d(q,x) = d(q−c, x−c) for same-cell pairs; ADC
+    * builds the query's distance table from its PER-CELL residual (one
+    * small table per probed cell, still m lookups per candidate). The
+    * codebook is seeded from the `numCodes` lowest-id rows' residuals —
+    * deterministic, so the ANSI-SQL oracle rebuilds every step (q101).
+    *
+    * MEASURED caveat (IvfPqSpec): residual coding pays off when cells are
+    * tight (centroids close to members → residuals concentrate). On the
+    * weakly-clustered synthetic embeddings, recall@10 at nprobe=3 is 0.190
+    * residual vs 0.275 raw — residuals are no tighter than the raw
+    * distribution there, so the identity buys nothing and the sampled
+    * residual codebook quantizes worse. Prefer [[ivfPqTopK]] unless the
+    * corpus clusters well; the spec records both numbers every run.
+    * Output: (query_id, cell, neighbor_id, adc_dist, rn). */
+  def ivfPqResidualTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                        queries: DataFrame, queryId: Column, queryVec: Column,
+                        seeds: DataFrame, seedId: Column, seedVec: Column,
+                        m: Int, numCodes: Int, k: Int, nprobe: Int = 1)
+      : DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv")).filter(col("cv").isNotNull)
+    val sd = seeds.select(seedId.cast("int").as("sid"), F.vec_quantize(seedVec, 1000).as("sv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val assigned1 = c.withColumn("cell", assignCell(spark, sd)(col("cv")))
+    val refined = assigned1.groupBy(col("cell"))
+      .agg(graft.functions.KernelAggs.vec_mean(col("cv")).as("cmean"))
+      .select(col("cell"), F.vec_quantize(col("cmean"), 1000).as("cq"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val centBc = spark.sparkContext.broadcast(refined.toMap)
+    val residU = udf((v: Seq[Long], cell: Int) => {
+      val cent = centBc.value(cell)
+      val out = new Array[Long](cent.length)
+      var i = 0
+      while (i < cent.length) { out(i) = v(i) - cent(i); i += 1 }
+      out
+    })
+    val withCell = c
+      .withColumn("cell", assignCell(spark, refined)(col("cv")))
+      .withColumn("rv", residU(col("cv"), col("cell")))
+    val cb0: Array[Array[Long]] = withCell.orderBy(col("neighbor_id"))
+      .limit(numCodes).select(col("rv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cb0.length == numCodes, s"corpus has fewer than $numCodes rows")
+    val ops = pqOps(spark, cb0, m, numCodes)
+    val encoded = withCell.select(col("neighbor_id"), col("cell"),
+      ops.codesU(col("rv")).as("codes"))
+    val q = queries.select(queryId.as("query_id"),
+        F.vec_quantize(queryVec, 1000).as("qv")).filter(col("qv").isNotNull)
+      .withColumn("cell", explode(assignCells(spark, refined, nprobe)(col("qv"))))
+      .withColumn("qrv", residU(col("qv"), col("cell")))
+      .select(col("query_id"), col("cell"), ops.dtU(col("qrv")).as("dt"))
+    val scored = encoded.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", ops.adcU(col("codes"), col("dt")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("adc_dist").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("adc_dist"), col("rn"))
+  }
+
   /** LSH-bucketed ANN: probe only the query's SRP bucket. Recall < 1 by
     * construction; bucket collision ⇒ similar direction. Output as
     * [[bruteForceTopK]] plus the bucket id. */

@@ -86,6 +86,32 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
       f"IVF cells earned nothing over blind sampling: $blind%.3f vs $ivfpq%.3f")
   }
 
+  test("residual IVF-PQ: measured vs raw codes, floors pinned") {
+    val seeds = emb.filter(col("vec_id") % 37 === 0).limit(8)
+    def run(residual: Boolean): Double = recall(topSet(
+      if (residual) Similarity.ivfPqResidualTopK(
+        emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        seeds, col("vec_id"), col("embedding"),
+        m = 8, numCodes = 16, k = k, nprobe = 3)
+      else Similarity.ivfPqTopK(
+        emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        seeds, col("vec_id"), col("embedding"),
+        m = 8, numCodes = 16, k = k, nprobe = 3)))
+    val raw = run(residual = false)
+    val res = run(residual = true)
+    // honest measurement, recorded every run: on these weakly-clustered
+    // embeddings residuals are NOT tighter than the raw distribution, so
+    // residual coding underperforms raw codes (0.190 vs 0.275) — the
+    // identity d(q,x) = d(q-c, x-c) only pays when centroids are close to
+    // their members. The operator is oracle-verified correct (q101); this
+    // gate pins the measured floor so a real regression still surfaces.
+    info(f"IVF-PQ recall@$k at nprobe=3: raw codes $raw%.3f, residual codes $res%.3f")
+    assert(res >= 0.12, f"residual IVF-PQ collapsed: $res%.3f")
+    assert(raw >= 0.2, f"raw IVF-PQ collapsed: $raw%.3f")
+  }
+
   test("IVF-PQ probing every cell equals plain PQ exactly") {
     val seeds = emb.filter(col("vec_id") % 37 === 0).limit(8)
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -114,4 +114,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"candidate side must not shuffle:\n$plan")
     assert(!plan.toString.contains("SortMergeJoin"), plan.toString)
   }
+
+  test("ZLake's relation still pushes filters to the parquet reader") {
+    import org.apache.spark.sql.functions._
+    // file pruning happens at the index; ROW-GROUP pruning inside the kept
+    // files depends on the pushed filters reaching the reader — a custom
+    // relation that silently lost pushdown would still be correct but would
+    // decode every surviving row group
+    val path = java.nio.file.Files.createTempDirectory("graft-zpush").toString + "/t"
+    graft.sinks.Sinks.zorderedWrite(
+      spark.range(1L << 14).select((col("id") % 256).as("a"),
+        (col("id") / 64 % 256).as("b")), "a", "b", path, 4, bits = 8)
+    val p = planString(graft.sources.ZLake.read(spark, path)
+      .filter(col("a") >= 10 && col("a") <= 20))
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThanOrEqual\\(a,10\\).*"),
+      s"ZLake scan lost filter pushdown:\n$p")
+  }
+
+  test("IVF-PQ is equi-joined on the cell, never cartesian; queries broadcast") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = planString(graft.operators.Similarity.ivfPqTopK(
+      emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+      m = 8, numCodes = 16, k = 5, nprobe = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+  }
 }
