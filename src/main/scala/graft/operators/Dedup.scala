@@ -53,14 +53,19 @@ object Dedup {
     * Degenerate-bucket guard: a pathological corpus (every document
     * identical, a boilerplate page repeated millions of times) collapses
     * into ONE band bucket, and the all-pairs self-join would put O(n²)
-    * pairs in a single task. Buckets above `maxBucket` members therefore
-    * degrade to STAR-shaped candidates — every member pairs with the
-    * bucket's minimum id only. That bounds each bucket's output to O(n)
-    * while PRESERVING duplicate clusters exactly (a star connects the same
-    * component the clique would), which is what downstream
-    * [[duplicateClusters]]/keep-one consume; only the non-hub pair edges
-    * (redundant for clustering) are dropped, and only above the cap.
-    * Buckets at or under the cap are emitted all-pairs, unchanged.
+    * pairs in a single task. Buckets above `maxBucket` members degrade to
+    * SIGNATURE-GROUP stars: members sharing the full MinHash signature are
+    * certain candidates (est_jaccard exactly 1.0), so each signature group
+    * stars to its min id — identical-document floods keep their
+    * above-threshold edges AND their clusters — and the (far fewer) group
+    * hubs then pair with each other (all-pairs while hubs ≤ `maxBucket`,
+    * else a hub star), preserving cross-group connectivity at hub
+    * granularity. Work per bucket is bounded by O(members) + one
+    * cap-sized all-pairs — never the raw clique. The only loss vs
+    * all-pairs: a cross-group member pair whose est clears a caller's
+    * threshold while its HUBS' pair does not — third-order, and only
+    * above the cap. Buckets at or under the cap are emitted all-pairs,
+    * unchanged.
     *
     * @param df        input
     * @param id        unique document id (long)
@@ -109,15 +114,37 @@ object Dedup {
     val b = normal.select(col("band"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     val pairsN = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), estJaccard)
-    // above the cap: member → hub stars (hub = min id, so id_a < id_b holds)
+    // above the cap: signature-group stars + hub-level pairs
     val hot = annotated.filter(col("__n") > maxBucket)
-    val hubs = hot.filter(col("doc_id") === col("__hub"))
-      .select(col("band"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val pairsH = hot.filter(col("doc_id") =!= col("__hub"))
-      .select(col("band"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      .join(hubs, Seq("band"))
+    val sigGroups = hot.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("ghub"))
+    // member → its signature-group hub: same signature, est exactly 1.0
+    val pairsG = hot.join(sigGroups, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("ghub"))
+      .select(col("ghub").as("id_a"), col("doc_id").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    // hub-level candidates: all-pairs while the hub count fits the cap,
+    // else a star onto the bucket's min hub
+    val hubCounts = sigGroups.groupBy(col("band"))
+      .agg(count(lit(1)).as("__hn"), min(col("ghub")).as("__minh"))
+    val hubs = sigGroups.join(hubCounts, Seq("band"))
+    val hubNormal = hubs.filter(col("__hn") <= maxBucket)
+    val hubPairs = hubNormal
+      .select(col("band"), col("ghub").as("id_a"), col("sig").as("sig_a"))
+      .join(hubNormal
+        .select(col("band"), col("ghub").as("id_b"), col("sig").as("sig_b")),
+        Seq("band"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), estJaccard)
-    pairsN.unionByName(pairsH).distinct()
+    val hubHot = hubs.filter(col("__hn") > maxBucket)
+    val hubStars = hubHot.filter(col("ghub") =!= col("__minh"))
+      .select(col("band"), col("ghub").as("id_b"), col("sig").as("sig_b"))
+      .join(hubHot.filter(col("ghub") === col("__minh"))
+        .select(col("band"), col("ghub").as("id_a"), col("sig").as("sig_a")),
+        Seq("band"))
+      .select(col("id_a"), col("id_b"), estJaccard)
+    pairsN.unionByName(pairsG).unionByName(hubPairs).unionByName(hubStars)
+      .distinct()
   }
 
   /** Connected components over an undirected candidate-pair edge list —

@@ -91,6 +91,23 @@ object Similarity {
     fn(qvec)
   }
 
+  /** Shared IVF cell pipeline: seed centroids → assign the quantized
+    * corpus → one exact Lloyd step (vec_mean, requantized) → refined
+    * centroid array. Used by [[ivfTopK]], [[ivfPqTopK]], and
+    * [[ivfPqResidualTopK]] so the three entry points cannot drift. */
+  private def ivfCentroids(c: DataFrame, seeds: DataFrame, seedId: Column,
+      seedVec: Column): Array[(Int, Array[Long])] = {
+    val spark = c.sparkSession
+    val sd = seeds.select(seedId.cast("int").as("sid"),
+        F.vec_quantize(seedVec, 1000).as("sv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val assigned1 = c.withColumn("cell", assignCell(spark, sd)(col("cv")))
+    assigned1.groupBy(col("cell"))
+      .agg(graft.functions.KernelAggs.vec_mean(col("cv")).as("cmean"))
+      .select(col("cell"), F.vec_quantize(col("cmean"), 1000).as("cq"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+  }
+
   /** IVF (inverted-file) ANN — the scale path beyond [[lshTopK]]:
     *
     *  1. seed centroids (caller-chosen small set, e.g. a data sample);
@@ -114,14 +131,7 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"), F.vec_quantize(corpusVec, 1000).as("cv"))
-    val sd = seeds.select(seedId.cast("int").as("sid"), F.vec_quantize(seedVec, 1000).as("sv"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
-    // one Lloyd step: cells under seed centroids → refined means → requantized
-    val assigned1 = c.withColumn("cell", assignCell(spark, sd)(col("cv")))
-    val refined = assigned1.groupBy(col("cell"))
-      .agg(graft.functions.KernelAggs.vec_mean(col("cv")).as("cmean"))
-      .select(col("cell"), F.vec_quantize(col("cmean"), 1000).as("cq"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val refined = ivfCentroids(c, seeds, seedId, seedVec)
     val assigned2 = c.withColumn("cell", assignCell(spark, refined)(col("cv")))
     val q = queries.select(queryId.as("query_id"), F.vec_quantize(queryVec, 1000).as("qv"))
       .withColumn("cell", explode(assignCells(spark, refined, nprobe)(col("qv"))))
@@ -301,13 +311,7 @@ object Similarity {
     val c = corpus.select(corpusId.as("neighbor_id"),
       F.vec_quantize(corpusVec, 1000).as("cv")).filter(col("cv").isNotNull)
     // IVF side: identical cell pipeline to ivfTopK (seed → refine → assign)
-    val sd = seeds.select(seedId.cast("int").as("sid"), F.vec_quantize(seedVec, 1000).as("sv"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
-    val assigned1 = c.withColumn("cell", assignCell(spark, sd)(col("cv")))
-    val refined = assigned1.groupBy(col("cell"))
-      .agg(graft.functions.KernelAggs.vec_mean(col("cv")).as("cmean"))
-      .select(col("cell"), F.vec_quantize(col("cmean"), 1000).as("cq"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val refined = ivfCentroids(c, seeds, seedId, seedVec)
     // PQ side: global codebook; the corpus is reduced to (cell, codes)
     val ops = pqOps(spark,
       pqCodebook(c, m, numCodes, refineCodebook), m, numCodes)
@@ -352,13 +356,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"),
       F.vec_quantize(corpusVec, 1000).as("cv")).filter(col("cv").isNotNull)
-    val sd = seeds.select(seedId.cast("int").as("sid"), F.vec_quantize(seedVec, 1000).as("sv"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
-    val assigned1 = c.withColumn("cell", assignCell(spark, sd)(col("cv")))
-    val refined = assigned1.groupBy(col("cell"))
-      .agg(graft.functions.KernelAggs.vec_mean(col("cv")).as("cmean"))
-      .select(col("cell"), F.vec_quantize(col("cmean"), 1000).as("cq"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val refined = ivfCentroids(c, seeds, seedId, seedVec)
     val centBc = spark.sparkContext.broadcast(refined.toMap)
     val residU = udf((v: Seq[Long], cell: Int) => {
       val cent = centBc.value(cell)
@@ -370,10 +368,9 @@ object Similarity {
     val withCell = c
       .withColumn("cell", assignCell(spark, refined)(col("cv")))
       .withColumn("rv", residU(col("cv"), col("cell")))
-    val cb0: Array[Array[Long]] = withCell.orderBy(col("neighbor_id"))
-      .limit(numCodes).select(col("rv")).collect()
-      .map(_.getSeq[Long](0).toArray)
-    require(cb0.length == numCodes, s"corpus has fewer than $numCodes rows")
+    val cb0 = pqCodebook(
+      withCell.select(col("neighbor_id"), col("rv").as("cv")),
+      m, numCodes, refine = false)
     val ops = pqOps(spark, cb0, m, numCodes)
     val encoded = withCell.select(col("neighbor_id"), col("cell"),
       ops.codesU(col("rv")).as("codes"))

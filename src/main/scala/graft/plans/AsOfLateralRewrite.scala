@@ -210,11 +210,14 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           r: AttributeReference)
           if tolF.isEmpty =>
         tolF = Some((l, r, t))
-      case other if !other.exists(_.isInstanceOf[OuterReference]) &&
+      case other if !other.exists(x => x.isInstanceOf[OuterReference] ||
+            x.isInstanceOf[SubqueryExpression]) &&
           other.deterministic &&
           other.references.subsetOf(rightPlan.outputSet) =>
         // a right-only predicate (r.flag = 1): pre-filter the right side —
-        // identical to evaluating it inside the subquery
+        // identical to evaluating it inside the subquery. Nested subquery
+        // expressions are excluded: replaying an analyzed subquery plan
+        // through the Dataset API mid-analysis is not safe
         localPreds :+= other
       case other => return miss(s"unsupported correlated conjunct: $other")
     }

@@ -119,17 +119,24 @@ object ZLake {
     val stats = c.getStatistics
     if (stats == null || !stats.hasNonNullValue) return None
     val ann = c.getPrimitiveType.getLogicalTypeAnnotation
-    def num(v: Any): Option[Double] = v match {
-      case i: java.lang.Integer => Some(i.doubleValue)
-      case l: java.lang.Long => Some(l.doubleValue)
-      case f: java.lang.Float => Some(f.doubleValue)
-      case d: java.lang.Double => Some(d.doubleValue)
+    // EXACT numeric envelopes: a Double lane would collapse BIGINTs above
+    // 2^53 (hash60-derived ids reach 2^60 in this repo) and could prune a
+    // file that holds a matching row — the one unforgivable direction
+    def num(v: Any): Option[BigDecimal] = v match {
+      case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+      case l: java.lang.Long => Some(BigDecimal(l.longValue))
+      case f: java.lang.Float if !f.isNaN && !f.isInfinite =>
+        Some(BigDecimal.decimal(f.floatValue))
+      case d: java.lang.Double if !d.isNaN && !d.isInfinite =>
+        Some(BigDecimal(d.doubleValue))
       case _ => None
     }
+    val signedInt = ann match {
+      case ia: LogicalTypeAnnotation.IntLogicalTypeAnnotation => ia.isSigned
+      case _ => false // unsigned annotations: raw stats are misordered
+    }
     (stats.genericGetMin, stats.genericGetMax) match {
-      // plain numerics, or explicitly-annotated signed ints
-      case (lo, hi) if ann == null ||
-          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+      case (lo, hi) if ann == null || signedInt =>
         for (l <- num(lo); h <- num(hi)) yield ColEnvelope(l, h)
       case (lo: Binary, hi: Binary)
           if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
@@ -139,32 +146,32 @@ object ZLake {
   }
 
   private def minOf(a: Any, b: Any): Any = (a, b) match {
-    case (x: Double, y: Double) => math.min(x, y)
+    case (x: BigDecimal, y: BigDecimal) => x.min(y)
     case (x: String, y: String) => if (x <= y) x else y
     case _ => a
   }
   private def maxOf(a: Any, b: Any): Any = (a, b) match {
-    case (x: Double, y: Double) => math.max(x, y)
+    case (x: BigDecimal, y: BigDecimal) => x.max(y)
     case (x: String, y: String) => if (x >= y) x else y
     case _ => a
   }
 
-  /** Catalyst literal → envelope-comparable value. */
+  /** Catalyst literal → envelope-comparable value (numerics exact). */
   private def litVal(v: Any): Option[Any] = v match {
     case null => None
-    case b: Byte => Some(b.toDouble)
-    case s: Short => Some(s.toDouble)
-    case i: Int => Some(i.toDouble)
-    case l: Long => Some(l.toDouble)
-    case f: Float => Some(f.toDouble)
-    case d: Double => Some(d)
-    case d: Decimal => Some(d.toDouble)
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case f: Float if !f.isNaN && !f.isInfinite => Some(BigDecimal.decimal(f))
+    case d: Double if !d.isNaN && !d.isInfinite => Some(BigDecimal(d))
+    case d: Decimal => Some(d.toBigDecimal)
     case s: UTF8String => Some(s.toString)
     case _ => None
   }
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
     case (x: String, y: String) => Some(x.compareTo(y))
     case _ => None
   }

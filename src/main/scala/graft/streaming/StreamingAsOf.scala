@@ -153,11 +153,19 @@ object StreamingAsOf {
           if (pending.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(AsOfState(pending, kept))
-            // a callback is only needed to flush pending lefts; "latest
-            // right" state alone just waits for the key's next event
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(math.max(
                 (pending.map(_._1).min + horizon + 1) * 1000, wmMs + 1000))
+            else if (toleranceSec.isDefined)
+              // rights-only key: with a tolerance the buffered rights stop
+              // being admissible once the watermark passes maxTs+tolerance —
+              // schedule a cleanup callback so the key's state is REMOVED
+              // instead of leaking one entry per dormant key. (Without a
+              // tolerance the single dominating right is the documented
+              // irreducible floor: a future left may need it at any time.)
+              state.setTimeoutTimestamp(math.max(
+                (kept.map(_._1).max + toleranceSec.get + 2) * 1000,
+                wmMs + 1000))
           }
           done.sorted.map { case (ts, lid) =>
             val m = matchFor(ts, rights, toleranceSec, direction)
@@ -216,8 +224,14 @@ object StreamingAsOf {
       lit(0L).as("gtie"),
       to_json(struct(left.columns.map(col).toSeq: _*)).as("gdata"),
       lit(1).as("gside"))
+    // right keys are CAST to the left's key types before canonicalization:
+    // the batch operator's unionByName coerces both sides to a common type
+    // (INT 1 joins DOUBLE 1.0); serializing each side's native type would
+    // render "1" vs "1.0" and silently never match
+    val rKeyCols = keys.map(k =>
+      col(k).cast(left.schema(left.schema.fieldIndex(k)).dataType).as(k))
     val r2 = right.select(
-      to_json(struct(keys.map(col): _*)).as("gk"),
+      to_json(struct(rKeyCols: _*)).as("gk"),
       col(tsCol).cast("long").as("gts"),
       col(tieCol).cast("long").as("gtie"),
       to_json(struct(rCols.map(col): _*)).as("gdata"),
@@ -289,6 +303,11 @@ object StreamingAsOf {
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(math.max(
                 (pending.map(_._1).min + horizon + 1) * 1000, wmMs + 1000))
+            else if (tolerance.isDefined)
+              // rights-only cleanup, as in enrich: see the comment there
+              state.setTimeoutTimestamp(math.max(
+                (kept.map(_._1).max + tolerance.get + 2) * 1000,
+                wmMs + 1000))
           }
           done.sorted.map { case (ts, ldata) =>
             GOut(ldata, matchG(ts, rights).map(_._3))

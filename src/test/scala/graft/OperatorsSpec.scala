@@ -169,6 +169,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val cnt = pairs.count()
     assert(cnt == (n - 1).toLong,
       s"guarded bucket emitted $cnt pairs, want ${n - 1} star edges")
+    // identical docs share the full signature: every star edge carries
+    // est_jaccard exactly 1.0, so threshold-filtering callers (est >= tau)
+    // keep the duplicate cluster intact under the cap
+    assert(pairs.filter(col("est_jaccard") < 1.0).count() == 0,
+      "signature-group star edges must be est 1.0")
     // the star preserves the duplicate CLUSTER exactly: every doc in one
     // component labeled by the min id
     val clusters = Dedup.duplicateClusters(pairs)

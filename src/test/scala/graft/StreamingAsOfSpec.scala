@@ -129,6 +129,33 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  test("rights-only keys clean their state up once a tolerance seals them") {
+    // a key that only ever receives rights must not leak one state entry
+    // forever when a tolerance bounds how long its rights stay admissible
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val tagged = mem.toDS()
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[Evt]
+    val name = s"asofgc_${System.nanoTime()}"
+    val q = StreamingAsOf.enrich(tagged, toleranceSec = Some(10L))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      def stateRows: Long = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      mem.addData(R(1, 100, 200)); q.processAllAvailable() // rights-only key 1
+      mem.addData(R(2, 10000, 201)); q.processAllAvailable() // wm -> 10000
+      // key 1's cleanup callback fires on the next trigger after the
+      // watermark passed 100 + tolerance
+      mem.addData(R(2, 20000, 202)); q.processAllAvailable()
+      mem.addData(R(2, 30000, 203)); q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"rights-only key state not cleaned: $stateRows entries (want only key 2)")
+    } finally q.stop()
+  }
+
   test("generic asOfStream: string keys + multi-column payloads == batch, all directions") {
     // the batch-signature surface: arbitrary key/payload schemas travel
     // through the same state machine as Evt-shaped enrich
