@@ -51,10 +51,15 @@ object ZLake {
   final case class ColEnvelope(lo: Any, hi: Any)
 
   /** `partitionValues`: `col=value` path segments between the table root
-    * and the file (the lake's `win=...` layout), in directory order. */
+    * and the file (the lake's `win=...` layout), in directory order.
+    * `rows`/`nullCounts` drive IsNull/IsNotNull pruning: a column with a
+    * KNOWN zero null count can never satisfy IS NULL, and a known
+    * all-null column never satisfies IS NOT NULL (or any comparison). */
   final case class FileEnvelope(status: FileStatus, rowGroups: Int,
                                 cols: Map[String, ColEnvelope],
-                                partitionValues: Seq[(String, String)] = Nil)
+                                partitionValues: Seq[(String, String)] = Nil,
+                                rows: Long = -1L,
+                                nullCounts: Map[String, Long] = Map.empty)
 
   /** Recursively list data files under `root`, carrying the `col=value`
     * segments each file sits beneath. */
@@ -108,7 +113,19 @@ object ZLake {
             name -> es.map(_._2).reduce((a, b) =>
               ColEnvelope(minOf(a.lo, b.lo), maxOf(a.hi, b.hi)))
         }
-        FileEnvelope(st, blocks.size, byCol.toMap, parts)
+        // null counts: only when every row group reports one for the column
+        val perNulls: Seq[(String, Long)] = for {
+          b <- blocks
+          c <- b.getColumns.asScala
+          s = c.getStatistics
+          if s != null && s.isNumNullsSet
+        } yield c.getPath.toDotString.toLowerCase -> s.getNumNulls
+        val nulls = perNulls.groupBy(_._1).collect {
+          case (name, es) if es.size == blocks.size =>
+            name -> es.map(_._2).sum
+        }
+        FileEnvelope(st, blocks.size, byCol.toMap, parts,
+          blocks.map(_.getRowCount).sum, nulls.toMap)
       } finally rd.close()
     }
   }
@@ -189,6 +206,13 @@ object ZLake {
     e match {
       case And(l, r) => mayMatch(l, fe) && mayMatch(r, fe)
       case Or(l, r) => mayMatch(l, fe) || mayMatch(r, fe)
+      case IsNull(a: AttributeReference) =>
+        // prunable only with a KNOWN zero null count
+        fe.nullCounts.get(a.name.toLowerCase).forall(_ > 0L)
+      case IsNotNull(a: AttributeReference) =>
+        // prunable only when the column is KNOWN all-null
+        fe.rows < 0L ||
+          fe.nullCounts.get(a.name.toLowerCase).forall(_ < fe.rows)
       case EqualTo(a: AttributeReference, Literal(v, _)) =>
         test(a, v)((ce, x) =>
           for (cl <- cmp(x, ce.lo); ch <- cmp(x, ce.hi)) yield cl >= 0 && ch <= 0)
