@@ -82,24 +82,93 @@ object Sinks {
     * row-group skipping and file-level stats pruning then work for
     * predicates on either column, which a single-column sort gives to only
     * one of them. The interleave is a pure codegen'd expression
-    * ([[graft.functions.KernelExprs.ZOrder2]]); the write is one range
-    * exchange — the layout cost is paid once, every later scan benefits.
+    * ([[graft.functions.KernelExprs.ZOrder2]]); the write is one exchange —
+    * the layout cost is paid once, every later scan benefits.
+    *
+    * DETERMINISTIC layout: the z-range boundaries come from an EXACT
+    * histogram over coarse z prefixes (one map-side-combined aggregate, at
+    * most 2^16 buckets collected), not from `repartitionByRange`'s sampled
+    * boundaries (whose seed follows the JVM's RDD-id sequence — the same
+    * input wrote a different file layout every run). The same input now
+    * always yields the same files, so downstream results that touch layout
+    * (stat pruning, scan metrics) are reproducible run to run; rows are
+    * fully sorted inside each file (z first, then every payload column) so
+    * even file BYTES are stable. Balance: each file holds one contiguous
+    * z-range cut at exact 1/numFiles cumulative-count quantiles of the
+    * histogram (bucket-granular; a single z-prefix hotter than a whole
+    * stride keeps its rows together — contiguity is what the envelope
+    * needs, exact balance is not).
+    *
     * Clustering tightness is measured (not assumed) in ZOrderLayoutSpec;
     * the read-side skipping it buys is asserted in ZOrderPruneSpec via
-    * [[graft.sources.ZLake]]. `writerOptions` pass through to the parquet
-    * writer (e.g. `parquet.block.size` to bound row-group size so skipping
-    * works at sub-file granularity too). */
+    * [[graft.sources.ZLake]]. A stats MANIFEST (per-file envelopes +
+    * schema, [[graft.sources.ZLake.writeManifest]]) is emitted beside the
+    * data so reads never re-open footers — at a 100 TB lake the per-query
+    * driver-side footer sweep, not the scan, is the planning bottleneck.
+    * `writerOptions` pass through to the parquet writer (e.g.
+    * `parquet.block.size` to bound row-group size so skipping works at
+    * sub-file granularity too). */
   def zorderedWrite(df: DataFrame, colA: String, colB: String,
                     path: String, numFiles: Int, bits: Int = 20,
                     writerOptions: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.col
     val z = graft.functions.KernelExprs.zorder2(
       col(colA).cast("long"), col(colB).cast("long"), bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
+    val withZ = df.withColumn("__z", z)
+    val sortCols = col("__z") +: df.columns.map(col).toSeq
+    zPartitioned(withZ, "__z", numFiles, bits)
+      .sortWithinPartitions(sortCols: _*)
       .drop("__z")
       .write.mode("overwrite").options(writerOptions).parquet(path)
+    graft.sources.ZLake.writeManifest(df.sparkSession, path, Some(df.schema))
+  }
+
+  /** Deterministically spread `zf` over up to `numFiles` partitions of
+    * contiguous `zCol` ranges. Boundaries: exact histogram over z prefixes
+    * (≤ 2^16 driver rows), cut at cumulative 1/numFiles quantiles; each
+    * range is routed to its own partition through Spark's own hash
+    * partitioning by pre-images found on the driver (`v` such that
+    * `pmod(murmur3(v), n) == fid` — a few probes per file), so the plan
+    * stays pure DataFrame API end to end. */
+  private def zPartitioned(zf: DataFrame, zCol: String, numFiles: Int,
+                           bits: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val shift = math.max(0, 2 * bits - 16)
+    // null z (null cluster columns) sorts below every real prefix
+    def zb = coalesce(shiftright(col(zCol), shift), lit(Long.MinValue))
+    val hist = zf.groupBy(zb.as("zb"))
+      .agg(count(lit(1)).as("n")).orderBy("zb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    if (total == 0 || numFiles <= 1) return zf.coalesce(1)
+    // cut AFTER the bucket whose cumulative count first reaches the k-th
+    // exact quantile; a bucket crossing several quantiles yields one cut
+    // (buckets are atomic — the file is larger, never split mid-prefix)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cum = 0L
+    var k = 1
+    for ((zb, n) <- hist) {
+      cum += n
+      while (k < numFiles && cum * numFiles >= k.toLong * total &&
+          cum < total) {
+        if (cuts.isEmpty || cuts.last != zb) cuts += zb
+        k += 1
+      }
+    }
+    val nParts = cuts.size + 1
+    // fid = number of cuts strictly below this row's bucket
+    val cutArr = lit(cuts.toArray)
+    val fid = size(filter(cutArr, c => c < zb))
+    // pre-image per fid under HashPartitioning's pmod(murmur3(int), n)
+    val preimages = Array.tabulate(nParts) { f =>
+      var v = 0
+      while (((org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashInt(v, 42) % nParts) + nParts) % nParts != f) v += 1
+      v
+    }
+    zf.withColumn("__zpv", element_at(lit(preimages), fid + 1))
+      .repartition(nParts, col("__zpv"))
+      .drop("__zpv")
   }
 
   /** K2: middle-data text save — ``-separated, `numFiles` output files

@@ -81,16 +81,186 @@ object ZLake {
     walk(root, Nil).sortBy(_._1.getPath.toString)
   }
 
-  /** Read every footer under `path` (driver-side, metadata-only) into
-    * per-file envelopes. One call per table per query plan — at 1000
-    * executors this is the only centralized step, and it reads ~KBs/file. */
-  def envelopes(spark: SparkSession, path: String): Seq[FileEnvelope] = {
+  /** Manifest file written beside the data (underscore prefix: invisible
+    * to Spark's data-file listing and to [[listDataFiles]]). One manifest
+    * per DIRECTORY of data files, so a partitioned lake carries one per
+    * `win=` dir and dynamic partition overwrite naturally replaces it with
+    * its partition. */
+  val ManifestName = "_graft_manifest.json"
+
+  /** Parquet footers opened by the harvest path — a test seam: a read over
+    * a manifest-covered lake must not move this counter (asserted in
+    * ZLakeManifestSpec). */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Envelopes + the write-time data schema (union-merged across
+    * manifests), `None` when some directory had no usable manifest. */
+  private final case class Harvest(fes: Seq[FileEnvelope],
+                                   schema: Option[StructType])
+
+  /** Read every file's envelope under `path`. Stats come from the
+    * write-time MANIFEST when present (one ~KB sidecar open per
+    * DIRECTORY); only files a manifest does not cover (no sidecar, or a
+    * length mismatch from a foreign writer) fall back to a footer open.
+    * At a 100 TB lake (~10^5 files) this turns the per-query driver-side
+    * planning cost from O(files) footer RPCs into O(partition dirs)
+    * sidecar reads — the footer sweep was the centralized bottleneck. */
+  def envelopes(spark: SparkSession, path: String): Seq[FileEnvelope] =
+    harvest(spark, path).fes
+
+  private def harvest(spark: SparkSession, path: String): Harvest = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files = listDataFiles(fs, root)
-    files.map { case (st, parts) =>
-      envelopeOf(st, parts, conf)
+    val dirs = files.map(_._1.getPath.getParent).distinct
+    val manifests: Map[Path, Manifest] = dirs.flatMap { d =>
+      readManifest(fs, d).map(d -> _)
+    }.toMap
+    val fes = files.map { case (st, parts) =>
+      manifests.get(st.getPath.getParent)
+        .flatMap(_.files.get(st.getPath.getName))
+        .filter(_.len == st.getLen)
+        .map(e => FileEnvelope(st, e.rowGroups, e.cols, parts, e.rows, e.nulls))
+        .getOrElse(envelopeOf(st, parts, conf))
+    }
+    val covered = files.nonEmpty && files.forall { case (st, _) =>
+      manifests.get(st.getPath.getParent)
+        .exists(_.files.get(st.getPath.getName).exists(_.len == st.getLen))
+    }
+    val schema =
+      if (!covered) None
+      else {
+        // union-merge across per-dir manifests (schema evolution between
+        // windows): first occurrence of a field name wins its type
+        val schemas = dirs.flatMap(manifests.get).map(_.schema)
+        schemas.headOption.map { first =>
+          val merged = schemas.drop(1).foldLeft(first) { (acc, s) =>
+            val have = acc.fieldNames.map(_.toLowerCase).toSet
+            StructType(acc.fields ++ s.fields.filterNot(f =>
+              have.contains(f.name.toLowerCase)))
+          }
+          merged
+        }
+      }
+    Harvest(fes, schema)
+  }
+
+  // ---- manifest serialization (Jackson, shipped with Spark) --------------
+
+  private final case class ManifestEntry(len: Long, rowGroups: Int, rows: Long,
+      cols: Map[String, ColEnvelope], nulls: Map[String, Long])
+  private final case class Manifest(schema: StructType,
+      files: Map[String, ManifestEntry])
+
+  /** Harvest the footers under `path` ONCE (write time) and persist the
+    * per-file envelopes + data schema as one sidecar per directory, so
+    * every later [[read]] plans without touching a footer. Idempotent;
+    * atomically replaced (temp file + rename). `dataSchema` defaults to the
+    * parquet files' own schema; writers that partition (columns absent from
+    * the files) pass the file schema explicitly. */
+  def writeManifest(spark: SparkSession, path: String,
+                    dataSchema: Option[StructType] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = listDataFiles(fs, root)
+    if (files.isEmpty) return
+    val schema = dataSchema.getOrElse(
+      spark.read.parquet(files.head._1.getPath.toString).schema)
+    files.groupBy(_._1.getPath.getParent).foreach { case (dir, inDir) =>
+      val entries = inDir.map { case (st, parts) =>
+        st.getPath.getName -> envelopeOf(st, parts, conf)
+      }
+      writeManifestFile(fs, dir, schema, entries)
+    }
+  }
+
+  private def writeManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, schema: StructType,
+      entries: Seq[(String, FileEnvelope)]): Unit = {
+    // relax to nullable (recursively): files written by OTHER windows of an
+    // evolved lake legitimately lack newer columns, and the vectorized
+    // reader refuses a missing column unless the read schema allows null —
+    // the same relaxation Spark's own mergeSchema applies
+    def nullable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = nullable(m.valueType), valueContainsNull = true)
+      case x => x
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = om.createObjectNode()
+    rootNode.put("version", 1)
+    rootNode.put("schema", nullable(schema).asInstanceOf[StructType].toDDL)
+    val filesNode = rootNode.putObject("files")
+    entries.foreach { case (name, fe) =>
+      val f = filesNode.putObject(name)
+      f.put("len", fe.status.getLen)
+      f.put("rowGroups", fe.rowGroups)
+      f.put("rows", fe.rows)
+      val cols = f.putObject("cols")
+      fe.cols.toSeq.sortBy(_._1).foreach { case (c, ce) =>
+        val cn = cols.putObject(c)
+        (ce.lo, ce.hi) match {
+          case (lo: BigDecimal, hi: BigDecimal) =>
+            cn.put("t", "n"); cn.put("lo", lo.toString); cn.put("hi", hi.toString)
+          case (lo: String, hi: String) =>
+            cn.put("t", "s"); cn.put("lo", lo); cn.put("hi", hi)
+          case _ => // unserializable envelope: omit (conservative on read)
+            cols.remove(c); ()
+        }
+      }
+      val nulls = f.putObject("nulls")
+      fe.nullCounts.toSeq.sortBy(_._1).foreach { case (c, n) =>
+        nulls.put(c, n); ()
+      }
+    }
+    val tmp = new Path(dir, s".$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(om.writeValueAsBytes(rootNode)) finally out.close()
+    val dst = new Path(dir, ManifestName)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"could not publish manifest at $dst")
+    }
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: Path): Option[Manifest] = {
+    val p = new Path(dir, ManifestName)
+    if (!fs.exists(p)) return None
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val in = fs.open(p)
+      val node = try om.readTree(in) finally in.close()
+      if (node.path("version").asInt(-1) != 1) return None
+      val schema = StructType.fromDDL(node.path("schema").asText())
+      val files = node.path("files").fields().asScala.map { e =>
+        val f = e.getValue
+        val cols = f.path("cols").fields().asScala.map { c =>
+          val cn = c.getValue
+          val (lo: Any, hi: Any) = cn.path("t").asText() match {
+            case "n" => (BigDecimal(cn.path("lo").asText()),
+              BigDecimal(cn.path("hi").asText()))
+            case _ => (cn.path("lo").asText(), cn.path("hi").asText())
+          }
+          c.getKey -> ColEnvelope(lo, hi)
+        }.toMap
+        val nulls = f.path("nulls").fields().asScala.map { n =>
+          n.getKey -> n.getValue.asLong()
+        }.toMap
+        e.getKey -> ManifestEntry(f.path("len").asLong(),
+          f.path("rowGroups").asInt(), f.path("rows").asLong(-1L), cols, nulls)
+      }.toMap
+      Some(Manifest(schema, files))
+    } catch {
+      case scala.util.control.NonFatal(_) => None // corrupt: harvest footers
     }
   }
 
@@ -98,6 +268,7 @@ object ZLake {
                          conf: org.apache.hadoop.conf.Configuration)
       : FileEnvelope = {
     {
+      footerOpens.incrementAndGet()
       val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
@@ -247,7 +418,10 @@ object ZLake {
     * exactly, footer stats prune the surviving files — partition pruning
     * and stat pruning compose on the lake's own `win=` layout. `lastPrune`
     * records (kept, total) of the most recent planning pass. */
-  final class StatsFileIndex(root: Path, fes: Seq[FileEnvelope])
+  final class StatsFileIndex(root: Path, fes: Seq[FileEnvelope],
+      /** Write-time data schema from the lake's manifests; None when some
+        * file lacked manifest coverage (read falls back to one footer). */
+      val manifestSchema: Option[StructType] = None)
       extends FileIndex {
     val lastPrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, fes.size))
     /** Partition column names (lowercase), from the first file's path. */
@@ -264,18 +438,23 @@ object ZLake {
     override def sizeInBytes: Long = fes.map(_.status.getLen).sum
 
     /** Exact partition-filter evaluation against one directory's values;
-      * undecidable shapes keep the directory. */
-    private def partMatch(e: Expression, row: InternalRow): Boolean =
-      try {
-        val bound = e.transform {
-          case a: AttributeReference =>
-            val i = partitionCols.indexOf(a.name.toLowerCase)
-            if (i < 0) return true // references something else: keep
-            BoundReference(i, org.apache.spark.sql.types.StringType,
-              nullable = true)
-        }
-        bound.eval(row) == true
-      } catch { case scala.util.control.NonFatal(_) => true }
+      * filters referencing non-partition attributes keep the directory.
+      * Eval failures PROPAGATE: Spark's FileSourceStrategy strips
+      * partition-only filters from the post-scan filters on the assumption
+      * that listFiles enforced them exactly, so swallowing an error here
+      * (e.g. an ANSI cast failing on a non-numeric directory value) would
+      * silently return rows with the partition filter unapplied — native
+      * Spark raises that cast error, and so do we. */
+    private def partMatch(e: Expression, row: InternalRow): Boolean = {
+      val bound = e.transform {
+        case a: AttributeReference =>
+          val i = partitionCols.indexOf(a.name.toLowerCase)
+          if (i < 0) return true // references something else: keep
+          BoundReference(i, org.apache.spark.sql.types.StringType,
+            nullable = true)
+      }
+      bound.eval(row) == true
+    }
 
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -297,22 +476,30 @@ object ZLake {
     }
   }
 
-  def index(spark: SparkSession, path: String): StatsFileIndex =
-    new StatsFileIndex(new Path(path), envelopes(spark, path))
+  def index(spark: SparkSession, path: String): StatsFileIndex = {
+    val h = harvest(spark, path)
+    new StatsFileIndex(new Path(path), h.fes, h.schema)
+  }
 
   /** Parquet read through the stats-pruning index: identical rows to
     * `spark.read.parquet(path)` (plus string-typed partition columns for a
     * Hive-layout lake), but predicates prune partitions AND files at
-    * planning time. */
+    * planning time. On a manifest-covered lake the whole plan touches ZERO
+    * parquet footers (schema included — it rides the manifest). */
   def read(spark: SparkSession, path: String): DataFrame =
     readWith(spark, path, index(spark, path))
 
   def readWith(spark: SparkSession, path: String,
                idx: StatsFileIndex): DataFrame = {
-    // data schema from one FILE (partition dirs carry no parquet columns)
-    val dataSchema = idx.inputFiles.headOption
-      .map(f => spark.read.parquet(f).schema)
-      .getOrElse(spark.read.parquet(path).schema)
+    // data schema: write-time manifest schema when every file is covered;
+    // otherwise one footer via the FIRST file (partition dirs carry no
+    // parquet columns — documented uniform-schema assumption on the
+    // fallback path; heterogeneous lakes get the merged manifest schema)
+    val dataSchema = idx.manifestSchema.getOrElse {
+      idx.inputFiles.headOption
+        .map(f => spark.read.parquet(f).schema)
+        .getOrElse(spark.read.parquet(path).schema)
+    }
     val rel = HadoopFsRelation(idx, idx.partitionSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     PlanBridge.dataFrame(spark, LogicalRelation(rel))

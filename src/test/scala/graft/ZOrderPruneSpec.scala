@@ -67,11 +67,10 @@ class ZOrderPruneSpec extends AnyFunSuite with SparkSpec {
       val (kept, total) = idx.lastPrune.get()
       info(s"predicate on $c: scan read $numFiles/$files files " +
         s"(index kept $kept/$total)")
-      // repartitionByRange SAMPLES its boundaries (seed varies with the
-      // JVM's RDD id sequence), so envelope tightness wobbles run to run:
-      // measured 5-8 of 16 kept. The bound asserts real skipping, not a
-      // lucky layout.
-      assert(numFiles <= 10,
+      // the write's exact-quantile boundaries are DETERMINISTIC (same
+      // input -> same layout every run): a 1/8-range predicate on either
+      // interleaved column keeps exactly 4 of 16 files on this grid
+      assert(numFiles <= 6,
         s"predicate on $c pruned too little: $numFiles of $files files")
       assert(kept.toLong == numFiles && total == files)
     }
@@ -100,8 +99,22 @@ class ZOrderPruneSpec extends AnyFunSuite with SparkSpec {
     info(s"files kept of $files: single-sort a=$sa b=$sb; z-order a=$za b=$zb")
     assert(sa <= 4, "sorted column should prune nearly everything")
     assert(sb >= files - 1, "unsorted column cannot prune a single-sort layout")
-    // range-sampling wobble: measured 5-8 of 16 kept per column
-    assert(za <= 10 && zb <= 10, "z-order must prune on BOTH columns")
+    // deterministic exact-quantile layout: 4 of 16 per column on this grid
+    assert(za <= 6 && zb <= 6, "z-order must prune on BOTH columns")
+  }
+
+  test("zorderedWrite is deterministic: same input, same layout, same stats") {
+    val p1 = tmp("zdet1")
+    val p2 = tmp("zdet2")
+    Sinks.zorderedWrite(grid(), "a", "b", p1, 16, bits = 8)
+    Sinks.zorderedWrite(grid(), "a", "b", p2, 16, bits = 8)
+    def shape(p: String) = ZLake.envelopes(spark, p)
+      .map(fe => (fe.rows, fe.cols.toSeq.sortBy(_._1)
+        .map { case (c, e) => (c, e.lo.toString, e.hi.toString) }))
+      .sortBy(_.toString)
+    val (s1, s2) = (shape(p1), shape(p2))
+    assert(s1 == s2, "two writes of the same input produced different layouts")
+    assert(s1.size == 16)
   }
 
   test("row groups inside kept files are skipped by pushed parquet stats") {
