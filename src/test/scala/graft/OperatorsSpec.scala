@@ -191,6 +191,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(ps(4096) == ps(10), "guard changed results below the cap")
   }
 
+  test("degenerate SimHash chunk degrades to stars: bounded pairs, same clusters") {
+    // the same boilerplate flood that [[minhashCandidates]] survives: every
+    // doc shares every 15-bit chunk, so unguarded the self-join is ~2M
+    // pairs in ONE task; guarded it is n-1 Hamming-0 star edges
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, "same exact boilerplate text every time"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashCandidates(df, col("id"), col("text"),
+      bands = 4, maxBucket = 100)
+    val rows = pairs.as[(Long, Long, Int)].collect()
+    assert(rows.length == n - 1,
+      s"guarded chunk emitted ${rows.length} pairs, want ${n - 1} star edges")
+    assert(rows.forall(r => r._1 == 0L && r._3 == 0),
+      "star edges must be Hamming 0 onto the min id")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size == n && clusters.values.forall(_ == 0L),
+      "star degradation broke the duplicate cluster")
+    // below the cap the guard is invisible: tiny cap vs default give the
+    // same candidate set on a non-degenerate corpus
+    val mixed = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "other words entirely unrelated here")).toDF("id", "text")
+    def ps(cap: Int) = Dedup.simhashCandidates(mixed, col("id"), col("text"),
+        bands = 4, maxBucket = cap)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ps(4096) == ps(10), "guard changed results below the cap")
+  }
+
   test("simhash: identical docs distance 0, different docs positive") {
     val df = Seq("one two three four five", "one two three four five",
       "totally unrelated content words").toDF("text")
