@@ -135,7 +135,11 @@ object AsOfJoin {
     * `tsCol` and `tieCol` must be numeric here (the bucket arithmetic and
     * the forward-first ordering negate them); rows with a NULL ts land in a
     * NULL bucket — pre-filter them (asOf's window semantics for NULL ts do
-    * not carry over to the stitched scan).
+    * not carry over to the stitched scan). Bucket assignment is exact long
+    * arithmetic (`(ts - pmod(ts, w)) div w`), never a double round-trip —
+    * doubles collapse longs past 2^53 and this repo's event timestamps are
+    * epoch NANOS (~2^60.6), where a rounded bucket near a boundary would
+    * silently mis-stitch the carry.
     *
     * WHEN to use it: the stitch pays one extra pass over the union (the
     * bucket markers) plus summary-sized jobs — measured ~1.8x the wall of
@@ -148,26 +152,32 @@ object AsOfJoin {
   def asOfSkewed(left: DataFrame, right: DataFrame, keys: Seq[String],
                  tsCol: String, tieCol: String, payload: Seq[String],
                  bucketWidth: Long, tolerance: Option[Long] = None,
-                 direction: String = Backward): DataFrame = {
+                 direction: String = Backward,
+                 nearestTie: String = TieBackward): DataFrame = {
     require(Seq(Backward, Forward, Nearest).contains(direction),
       s"direction must be backward|forward|nearest, got $direction")
+    require(Seq(TieBackward, TieHighest).contains(nearestTie),
+      s"nearestTie must be backward|highest, got $nearestTie")
     require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    // exact long floor-division: ts - pmod(ts, w) is the floor multiple of w
+    // (pmod is non-negative), and `div` divides it exactly as longs — no
+    // double in the path, so epoch-nanos (> 2^53) bucket correctly
+    def bucketed(df: DataFrame): DataFrame = df.withColumn("__bk",
+      expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) div ${bucketWidth}L"))
     val payloadStruct = struct((Seq(tsCol, tieCol) ++ payload).distinct.map(col): _*)
     val r = right
       .withColumn("__rp", payloadStruct)
       .select((keys ++ Seq(tsCol, tieCol)).distinct.map(col) :+ col("__rp"): _*)
       .withColumn("__side", lit(0))
     val l = left.withColumn("__side", lit(1))
-    val u = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__bk", floor(col(tsCol).cast("double") / bucketWidth).cast("long"))
+    val u = bucketed(l.unionByName(r, allowMissingColumns = true))
     val kb = (keys :+ "__bk").map(col)
 
     // ---- carry computation: one prefix scan over bucket summaries --------
     // per (key, bucket): the best right a LATER (backward) / EARLIER
     // (forward) bucket would inherit. max_by orders (ts, tie) for backward
     // (latest wins) and (-ts, tie) for forward (earliest ts, highest tie).
-    val rb = r.withColumn("__bk",
-      floor(col(tsCol).cast("double") / bucketWidth).cast("long"))
+    val rb = bucketed(r)
     def carryRows(forward: Boolean): DataFrame = {
       val best = rb.groupBy(kb: _*).agg(
         max_by(col("__rp"), if (forward)
@@ -242,14 +252,21 @@ object AsOfJoin {
           .withColumn("__f", last(col("__rpf"), ignoreNulls = true).over(wf2))
         val b = clip(col("__b"), col(tsCol) - col(s"__b.$tsCol"))
         val f = clip(col("__f"), col(s"__f.$tsCol") - col(tsCol))
+        val onTie = // same equal-distance resolution as [[asOf]]
+          if (nearestTie == TieBackward) col("__bc")
+          else when(col(s"__fc.$tieCol").isNull ||
+              col(s"__bc.$tieCol") >= col(s"__fc.$tieCol"), col("__bc"))
+            .otherwise(col("__fc"))
         scanned
           .withColumn("__bc", b).withColumn("__fc", f)
           .withColumn("asof",
             when(col("__bc").isNull, col("__fc"))
               .when(col("__fc").isNull, col("__bc"))
-              .when(col(tsCol) - col(s"__bc.$tsCol") <=
+              .when(col(tsCol) - col(s"__bc.$tsCol") <
                     col(s"__fc.$tsCol") - col(tsCol), col("__bc"))
-              .otherwise(col("__fc")))
+              .when(col(s"__fc.$tsCol") - col(tsCol) <
+                    col(tsCol) - col(s"__bc.$tsCol"), col("__fc"))
+              .otherwise(onTie))
           .drop("__cdir", "__rpb", "__rpf", "__b", "__f", "__bc", "__fc")
     }
     matched.filter(col("__side") === 1)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, when}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, NumericType}
 
 /** Rewrites the SQL spelling of an as-of join —
   *
@@ -48,6 +48,17 @@ object AsOfLateralRewrite {
   /** Most recent near-miss disqualifier (observability + LateralProbeSpec);
     * null when the last lateral either rewrote or wasn't an as-of shape. */
   val lastMiss = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Hot-key hardening: when set to a positive long, rewritten laterals plan
+    * [[graft.operators.AsOfJoin.asOfSkewed]] with this bucket width (same
+    * unit as the range column) instead of the plain key-partitioned window —
+    * a key holding a pathological share of the table (NULL/default IP,
+    * heartbeat) then spreads over range/bucketWidth tasks instead of
+    * serializing through one. Requires a numeric range column and tie-break
+    * (the bucket arithmetic needs longs); non-numeric shapes fall back to
+    * the plain plan with a log line. Default 0 = off: the stitch pays ~1.8x
+    * at uniform toy scale and only wins under real skew. */
+  val skewWidthKey = "spark.graft.asofSkewBucketWidth"
 }
 
 case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -349,14 +360,30 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       ((0 until equi.size).map(i => col(s"__asof_k$i")) :+ col("__asof_ts"))
         .map(_.isNotNull).reduce(_ && _))
 
-    val joined = graft.operators.AsOfJoin.asOf(
-      l2, r2, keys = (0 until equi.size).map(i => s"__asof_k$i"),
-      tsCol = "__asof_ts", tieCol = "__asof_tie",
-      payload = (0 until payloadUnder.size).map(i => s"__asof_p$i"),
-      tolerance = tolerance, direction = direction,
-      // SQL's abs ordering resolves an equal-distance tie by the tie
-      // column across BOTH directions, not by preferring backward
-      nearestTie = graft.operators.AsOfJoin.TieHighest)
+    // hot-key dispatch: a positive bucket width plans the skew-hardened
+    // stitched scan (row-identical to asOf — AsOfSkewSpec/LateralProbeSpec)
+    // when the bucket arithmetic is expressible, i.e. numeric ts + tie
+    val skewWidth = spark.conf.get(AsOfLateralRewrite.skewWidthKey, "0").toLong
+    val numericTs = Seq(r2.schema("__asof_ts"), r2.schema("__asof_tie"))
+      .forall(_.dataType.isInstanceOf[NumericType])
+    if (skewWidth > 0 && !numericTs)
+      logWarning(s"graft: ${AsOfLateralRewrite.skewWidthKey}=$skewWidth set " +
+        "but the range/tie columns are not numeric — planning the plain " +
+        "key-partitioned as-of window instead of the skew-hardened scan")
+    val asOfKeys = (0 until equi.size).map(i => s"__asof_k$i")
+    val asOfPayload = (0 until payloadUnder.size).map(i => s"__asof_p$i")
+    // SQL's abs ordering resolves an equal-distance tie by the tie
+    // column across BOTH directions, not by preferring backward
+    val joined = (if (skewWidth > 0 && numericTs)
+      graft.operators.AsOfJoin.asOfSkewed(
+        l2, r2, keys = asOfKeys, tsCol = "__asof_ts", tieCol = "__asof_tie",
+        payload = asOfPayload, bucketWidth = skewWidth,
+        tolerance = tolerance, direction = direction,
+        nearestTie = graft.operators.AsOfJoin.TieHighest)
+    else graft.operators.AsOfJoin.asOf(
+      l2, r2, keys = asOfKeys, tsCol = "__asof_ts", tieCol = "__asof_tie",
+      payload = asOfPayload, tolerance = tolerance, direction = direction,
+      nearestTie = graft.operators.AsOfJoin.TieHighest))
       .withColumn("asof", when(col("__asof_ts").isNotNull, col("asof")))
     val filtered =
       if (lj.joinType == Inner) joined.filter(col("asof").isNotNull) else joined
@@ -370,7 +397,9 @@ case class AsOfLateralRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(now, orig.name)(exprId = orig.exprId)
     }
     logInfo(s"graft: rewrote lateral $direction as-of join on " +
-      s"${equi.map(_._2.name).mkString(",")} / ${rts.name}")
+      s"${equi.map(_._2.name).mkString(",")} / ${rts.name}" +
+      (if (skewWidth > 0 && numericTs) s" (skew-hardened, bucket=$skewWidth)"
+       else ""))
     Some(Project(aliased, newPlan))
   }
 }

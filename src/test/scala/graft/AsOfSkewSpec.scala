@@ -74,6 +74,54 @@ class AsOfSkewSpec extends AnyFunSuite with SparkSpec {
     assert(skewed == plain, "hot-key stitched rows diverged")
   }
 
+  test("epoch-nanos timestamps (> 2^53) bucket exactly — no double collapse") {
+    // at 1.7e18 a double's ulp is 256 ns: the old floor(ts/width as double)
+    // bucketing collapsed neighboring timestamps onto the same double and
+    // mis-bucketed rows near boundaries, silently breaking the carry stitch.
+    // Integer floor-division must keep skewed == plain at ns magnitudes.
+    val base = 1_700_000_000_000_000_000L // this repo's events.ts scale
+    val rnd = new scala.util.Random(23L)
+    val lefts = mk(Seq.tabulate(300)(i =>
+      (rnd.nextInt(3).toLong, base + rnd.nextInt(100000), 10L + i)),
+      ("k", "ts", "lid"))
+    val rights = mk(Seq.tabulate(300)(i =>
+      (rnd.nextInt(3).toLong, base + rnd.nextInt(100000), 1000L + i)),
+      ("k", "ts", "rid"))
+    for {
+      direction <- Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)
+      width <- Seq(257L, 1000L) // 257 > the 256-ns ulp: misbucketing visible
+    } {
+      val plain = canon(AsOfJoin.asOf(
+        lefts, rights, Seq("k"), "ts", "rid", Seq("rid"), None, direction))
+      val skewed = canon(AsOfJoin.asOfSkewed(
+        lefts, rights, Seq("k"), "ts", "rid", Seq("rid"), width, None, direction))
+      assert(skewed == plain,
+        s"ns-scale bucketing diverged: direction=$direction width=$width")
+    }
+  }
+
+  test("nearest with tie=highest matches asOf's SQL-abs tie resolution") {
+    // equal-distance ties: rights at ts-5 and ts+5 for every left; the
+    // higher tie value must win in BOTH plans (the lateral rewrite's shape)
+    val lefts = mk(Seq.tabulate(50)(i =>
+      (i.toLong % 3, 100L + 10L * i, 10L + i)), ("k", "ts", "lid"))
+    val rights = lefts.select(col("k"), col("ts"), col("lid")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1) - 5, r.getLong(2) * 2),
+        (r.getLong(0), r.getLong(1) + 5, r.getLong(2) * 2 + 1)))
+    val rdf = mk(rights.toSeq, ("k", "ts", "rid"))
+    for (width <- Seq(7L, 1000L)) {
+      val plain = canon(AsOfJoin.asOf(lefts, rdf, Seq("k"), "ts", "rid",
+        Seq("rid"), None, AsOfJoin.Nearest, AsOfJoin.TieHighest))
+      val skewed = canon(AsOfJoin.asOfSkewed(lefts, rdf, Seq("k"), "ts", "rid",
+        Seq("rid"), width, None, AsOfJoin.Nearest, AsOfJoin.TieHighest))
+      assert(skewed == plain, s"tie=highest diverged at width=$width")
+      // and the ties really resolved to the forward row (odd rid) — the
+      // backward-preferring default would pick the even one
+      assert(plain.forall(_._3.exists(_ % 2 == 1)),
+        "tie=highest did not prefer the higher tie value")
+    }
+  }
+
   test("empty buckets still inherit the carry from far-earlier buckets") {
     // one right at ts=5, lefts far later with empty buckets between: the
     // prefix scan must chain the carry across the gap, not just one step

@@ -274,6 +274,62 @@ class LateralProbeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("skew config plans the bucketed stitched scan, same rows") {
+    // a 90%-hot key through the SAME lateral SQL: with
+    // spark.graft.asofSkewBucketWidth set, the rewrite must dispatch to
+    // asOfSkewed (the window exchange hashes on __bk too) and return
+    // row-identical results to the plain rewrite — for the backward AND
+    // the nearest (abs) spellings, which exercise TieHighest under skew
+    val rnd = new scala.util.Random(41L)
+    def key() = if (rnd.nextInt(10) < 9) 0L else 1L + rnd.nextInt(3)
+    Seq.tabulate(2000)(i => (key(), rnd.nextInt(5000).toLong))
+      .toDF("k", "ts").createOrReplaceTempView("lp_l")
+    Seq.tabulate(2000)(i => (key(), rnd.nextInt(5000).toLong, 100L + i))
+      .toDF("k", "ts", "id").createOrReplaceTempView("lp_r")
+    val nearestSql = """
+      SELECT l.k, l.ts, m.id
+      FROM lp_l l LEFT JOIN LATERAL (
+        SELECT r.id FROM lp_r r
+        WHERE r.k = l.k
+        ORDER BY abs(r.ts - l.ts) ASC, r.id DESC LIMIT 1
+      ) m ON true"""
+    val skewKey = graft.plans.AsOfLateralRewrite.skewWidthKey
+    withRewrite(on = true) {
+      for (q <- Seq(sql, nearestSql)) {
+        val plain = spark.sql(q).as[(Long, Long, Option[Long])].collect().toSet
+        spark.conf.set(skewKey, "250")
+        try {
+          val df = spark.sql(q)
+          val got = df.as[(Long, Long, Option[Long])].collect().toSet
+          assert(got == plain, "skew-dispatched lateral changed the rows")
+          val plan = finalPlan(df)
+          assert(plan.toString.contains("__bk"),
+            s"skew config did not plan the bucketed scan:\n$plan")
+          assert(!plan.toString.contains("BroadcastNestedLoopJoin"))
+        } finally spark.conf.unset(skewKey)
+      }
+      // non-numeric tie: falls back to the plain window plan, still correct
+      Seq((1L, 10L, "a"), (1L, 5L, "b")).toDF("k", "ts", "sid")
+        .createOrReplaceTempView("lp_rs")
+      val qs = """
+        SELECT l.k, l.ts, m.sid
+        FROM lp_l l LEFT JOIN LATERAL (
+          SELECT r.sid FROM lp_rs r
+          WHERE r.k = l.k AND r.ts <= l.ts
+          ORDER BY r.ts DESC, r.sid DESC LIMIT 1
+        ) m ON true"""
+      val plainS = spark.sql(qs).as[(Long, Long, Option[String])].collect().toSet
+      spark.conf.set(skewKey, "250")
+      try {
+        val df = spark.sql(qs)
+        val got = df.as[(Long, Long, Option[String])].collect().toSet
+        assert(got == plainS, "non-numeric fallback changed the rows")
+        assert(!finalPlan(df).toString.contains("__bk"),
+          "non-numeric tie must fall back to the plain as-of window")
+      } finally spark.conf.unset(skewKey)
+    }
+  }
+
   test("a near-miss as-of shape names its disqualifier before falling back") {
     mkViews()
     withRewrite(on = true) {
