@@ -53,17 +53,44 @@ object Sinks {
     * incoming data, so a foreachBatch epoch replayed after a crash (sink
     * written, commit log not) converges to one copy per window instead of
     * appending a duplicate. Different windows' partitions are untouched.
-    * Exercised under an injected crash in StreamingBatchRunnerSpec. */
+    * Exercised under an injected crash in StreamingBatchRunnerSpec.
+    *
+    * `zorderBy = Some((colA, colB))` z-orders WITHIN each `win=` partition:
+    * every window's directory gets [[zorderedWrite]]'s deterministic
+    * clustered layout plus its stats manifest, so the STREAMING lake gains
+    * the same planning-time file skipping the batch z-lake proves (q96) —
+    * partition pruning on `win` composes with per-file envelope pruning on
+    * the clustered columns, and reads plan with zero footer opens. Each
+    * window's directory is replaced whole (same idempotency as dynamic
+    * overwrite: a replayed epoch rewrites the identical files). The caller
+    * feeds window-complete batches, as with the plain path. */
   def lakeWrite(tables: Map[String, DataFrame], root: String,
-                stampCol: String = "accesstime"): Unit =
+                stampCol: String = "accesstime",
+                zorderBy: Option[(String, String)] = None,
+                filesPerWindow: Int = 4,
+                zorderBits: Int = 20): Unit =
     tables.foreach { case (name, df) =>
-      df.withColumn("win",
-          org.apache.spark.sql.functions.date_format(
-            org.apache.spark.sql.functions.col(stampCol), "yyyyMMdd_HHmm"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("win")
-        .parquet(s"$root/$name")
+      import org.apache.spark.sql.functions.{col, date_format}
+      val stamped = df.withColumn("win",
+        date_format(col(stampCol), "yyyyMMdd_HHmm"))
+      zorderBy match {
+        case None =>
+          stamped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("win")
+            .parquet(s"$root/$name")
+        case Some((a, b)) =>
+          // one pass finds the batch's windows, one clustered write each;
+          // the input is cached so the per-window filters don't recompute
+          // the (possibly expensive) upstream of a foreachBatch DataFrame
+          val cached = stamped.cache()
+          try cached.select("win").distinct().collect().map(_.getString(0))
+            .sorted.foreach { w =>
+              zorderedWrite(cached.filter(col("win") === w).drop("win"),
+                a, b, s"$root/$name/win=$w", filesPerWindow, zorderBits)
+            }
+          finally { cached.unpersist(); () }
+      }
     }
 
   /** Co-located lake layout for repeated fact/fact joins at scale: bucket +
