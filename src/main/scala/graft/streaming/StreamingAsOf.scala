@@ -184,6 +184,45 @@ object StreamingAsOf {
                           rights: Seq[(Long, Long, String)])
   final case class GOut(ldata: String, rdata: Option[String])
 
+  /** JSON is only a sound grouping form for types it renders CANONICALLY.
+    * Map entries serialize in storage order, so two equal maps can render
+    * differently and silently never group — reject them loudly (a struct
+    * or sorted array key expresses the same thing canonically). */
+  private def assertJsonCanonicalKey(
+      dt: org.apache.spark.sql.types.DataType, at: String): Unit = dt match {
+    case _: org.apache.spark.sql.types.MapType =>
+      throw new IllegalArgumentException(
+        s"asOfStream key component '$at' is map-typed: JSON map entry " +
+          "order is not canonical, so keys the batch AsOfJoin treats as " +
+          "equal could serialize differently and never match in " +
+          "streaming. Use a struct or a sorted array as the key instead.")
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.foreach(f => assertJsonCanonicalKey(f.dataType, s"$at.${f.name}"))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      assertJsonCanonicalKey(a.elementType, s"$at[]")
+    case _ => ()
+  }
+
+  /** Normalize the one atomic non-canonical JSON case: IEEE signed zero
+    * (-0.0 and 0.0 compare equal — and group together in the batch
+    * operator, which groups by VALUE — but render differently). Rewrites
+    * float/double leaves recursively through structs and arrays; all other
+    * types pass through untouched. */
+  private def canonKey(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.DoubleType =>
+        when(c === lit(0.0d), lit(0.0d)).otherwise(c)
+      case org.apache.spark.sql.types.FloatType =>
+        when(c === lit(0.0f), lit(0.0f)).otherwise(c)
+      case s: org.apache.spark.sql.types.StructType =>
+        when(c.isNull, lit(null).cast(s)).otherwise(struct(
+          s.fields.toSeq.map(f => canonKey(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        transform(c, x => canonKey(x, a.elementType))
+      case _ => c
+    }
+
   /** Streaming as-of join with the batch [[AsOfJoin.asOf]] signature:
     * arbitrary equi-key columns (any types — they group by their canonical
     * JSON form), a numeric epoch-seconds `tsCol`, a numeric `tieCol`
@@ -199,7 +238,14 @@ object StreamingAsOf {
     * round-trip; binary columns travel base64). Proven streamed ≡ batch on
     * randomized chunkings with string keys + multi-column payloads in
     * StreamingAsOfSpec.
-    */
+    *
+    * Canonicality guard: the JSON grouping form is only sound for types it
+    * renders canonically, so MAP-typed key components are rejected with a
+    * clear error (entry order is storage order — equal maps can render
+    * differently and silently never match), and IEEE signed zero in
+    * float/double key leaves is normalized to +0.0 on both sides (the
+    * batch operator groups -0.0 with 0.0 by value; "-0.0" vs "0.0" text
+    * would not). Atomic, struct, and array keys are all safe. */
   def asOfStream(left: DataFrame, right: DataFrame, keys: Seq[String],
                  tsCol: String, tieCol: String, payload: Seq[String],
                  watermarkDelay: String, tolerance: Option[Long] = None,
@@ -218,8 +264,15 @@ object StreamingAsOf {
     val horizon: Long = if (direction == AsOfJoin.Backward) 0L
       else tolerance.get
 
+    keys.foreach(k =>
+      assertJsonCanonicalKey(leftSchema(leftSchema.fieldIndex(k)).dataType, k))
+
+    val lKeyCols = keys.map { k =>
+      val dt = leftSchema(leftSchema.fieldIndex(k)).dataType
+      canonKey(col(k), dt).as(k)
+    }
     val l2 = left.select(
-      to_json(struct(keys.map(col): _*)).as("gk"),
+      to_json(struct(lKeyCols: _*)).as("gk"),
       col(tsCol).cast("long").as("gts"),
       lit(0L).as("gtie"),
       to_json(struct(left.columns.map(col).toSeq: _*)).as("gdata"),
@@ -228,8 +281,10 @@ object StreamingAsOf {
     // the batch operator's unionByName coerces both sides to a common type
     // (INT 1 joins DOUBLE 1.0); serializing each side's native type would
     // render "1" vs "1.0" and silently never match
-    val rKeyCols = keys.map(k =>
-      col(k).cast(left.schema(left.schema.fieldIndex(k)).dataType).as(k))
+    val rKeyCols = keys.map { k =>
+      val dt = left.schema(left.schema.fieldIndex(k)).dataType
+      canonKey(col(k).cast(dt), dt).as(k)
+    }
     val r2 = right.select(
       to_json(struct(rKeyCols: _*)).as("gk"),
       col(tsCol).cast("long").as("gts"),

@@ -10,6 +10,10 @@ import graft.streaming.StreamingAsOf.{Enriched, Evt}
 /** Fixture rows for the generic (arbitrary-schema) asOfStream surface. */
 case class GLRow(sym: String, es: Long, qty: Long, note: String)
 case class GRRow(sym: String, es: Long, seq: Long, px: Double, src: String)
+case class DKLRow(lvl: Double, es: Long, note: String)
+case class DKRRow(lvl: Double, es: Long, seq: Long, px: Double)
+case class MKLRow(tags: Map[String, Long], es: Long, note: String)
+case class MKRRow(tags: Map[String, Long], es: Long, seq: Long, px: Double)
 
 /** Stream-stream temporal (as-of) join: watermark-final emission, arrival-
   * order robustness within the watermark, micro-batch independence, and
@@ -218,6 +222,57 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
             s"(${streamed.size} vs ${batch.size} rows)")
       } finally q.stop()
     }
+  }
+
+  test("signed-zero double keys: streamed == batch (-0.0 groups with 0.0)") {
+    // the batch operator groups by VALUE, where -0.0 == 0.0; the JSON
+    // grouping form renders them "-0.0" vs "0.0" — without normalization
+    // these keys silently never match in streaming
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = Seq(DKLRow(-0.0, 10L, "neg-zero-left"),
+      DKLRow(0.0, 20L, "pos-zero-left"), DKLRow(1.5, 30L, "other"))
+    val rights = Seq(DKRRow(0.0, 5L, 1L, 42.0),
+      DKRRow(-0.0, 15L, 2L, 43.0), DKRRow(1.5, 25L, 3L, 44.0))
+    val memL = MemoryStream[DKLRow]
+    val memR = MemoryStream[DKRRow]
+    val name = s"zasof_${System.nanoTime()}"
+    val out = StreamingAsOf.asOfStream(
+      memL.toDS().toDF(), memR.toDS().toDF(), Seq("lvl"), "es", "seq",
+      Seq("px"), "0 seconds", Some(100L), AsOfJoin.Backward)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      memL.addData(lefts: _*); memR.addData(rights: _*)
+      q.processAllAvailable()
+      memL.addData(DKLRow(999.0, 9_999_999L, "~flush"))
+      memR.addData(DKRRow(999.0, 9_999_999L, 0L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .select(col("es"), col("note"), col("asof.px"))
+        .as[(Long, String, Option[Double])].collect().toSet
+        .filterNot(_._2 == "~flush")
+      val batch = AsOfJoin.asOf(lefts.toDF(), rights.toDF(), Seq("lvl"),
+          "es", "seq", Seq("px"), Some(100L), AsOfJoin.Backward)
+        .select(col("es"), col("note"), col("asof.px"))
+        .as[(Long, String, Option[Double])].collect().toSet
+      assert(streamed == batch,
+        s"signed-zero keys diverged: $streamed vs $batch")
+      // and the zero-key lefts really did match across the sign divide
+      assert(batch.forall(_._3.nonEmpty), s"batch missed a match: $batch")
+    } finally q.stop()
+  }
+
+  test("map-typed keys are rejected loudly, not silently mismatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[MKLRow]
+    val memR = MemoryStream[MKRRow]
+    val e = intercept[IllegalArgumentException] {
+      StreamingAsOf.asOfStream(
+        memL.toDS().toDF(), memR.toDS().toDF(), Seq("tags"), "es", "seq",
+        Seq("px"), "0 seconds", Some(100L), AsOfJoin.Backward)
+    }
+    assert(e.getMessage.contains("map-typed"))
+    assert(e.getMessage.contains("tags"))
   }
 
   test("streamed == batch AsOfJoin on seeded random data, any chunking") {
