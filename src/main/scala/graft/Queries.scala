@@ -462,7 +462,9 @@ object Queries {
     "q83_asof_directions", "q84_bloom_decontaminate", "q95_asof_lateral_sql",
     // round-6 operators: stats-pruned z-order lake read (write + footer
     // harvest + pruned scan); IVF-PQ; the nearest lateral spelling
-    "q96_zorder_pruned_read", "q99_ann_ivfpq", "q100_asof_lateral_nearest")
+    "q96_zorder_pruned_read", "q99_ann_ivfpq", "q100_asof_lateral_nearest",
+    // round-7: append-grown lake compacted in place, then pruned-read
+    "q103_compacted_lake")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

@@ -392,6 +392,51 @@ object QueriesOps {
           .orderBy("n")
       }),
 
+    // -- small-file compaction: an APPEND-grown lake (4 fragmented appends
+    //    per window x 2 windows) compacted in place by Sinks.compactLake
+    //    into the z-ordered manifest-covered layout, then read back through
+    //    ZLake's pruning index with a predicate on a cluster column AND the
+    //    win partition. The oracle computes the same filter+aggregate over
+    //    the raw table: compaction must be row-identical — every row lands
+    //    in exactly one rewritten file, none lost to the atomic swap, none
+    //    doubled by the append layout it replaced.
+    QueryDef("q103_compacted_lake", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
+                        (c_custkey * 7) % 256 AS b, c_acctbal,
+                        c_custkey % 2 AS w
+                 FROM customer)
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+      FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
+      GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-compact-lake").toString
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"),
+          col("c_acctbal"),
+          // two windows keyed off the custkey parity, minutes 0 and 1
+          timestamp_seconds(col("c_custkey") % 2 * 60).as("accesstime"))
+        // fragment: four appends, several files each
+        for (part <- 0 until 4)
+          graft.sinks.Sinks.lakeAppend(
+            Map("customer" -> base.filter(col("c_custkey") % 4 === part)
+              .repartition(3)), root)
+        graft.sinks.Sinks.compactLake(s, s"$root/customer", "a", "b",
+          filesPerPartition = 4, bits = 8)
+        graft.sources.ZLake.read(s, s"$root/customer")
+          .filter(col("a").between(32, 63) && col("b").between(64, 127))
+          .withColumn("w", (unix_seconds(col("accesstime")) / 60).cast("long"))
+          .groupBy(col("w"))
+          .agg(count("*").cast("long").as("n"),
+            sum("a").cast("long").as("sum_a"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("bal"))
+          .orderBy("w")
+      }),
+
     // -- as-of join, forward + nearest directions: for each purchase, the
     //    earliest 'view' at-or-after it (forward, unbounded) and the closer
     //    of the two adjacent views within a 200 000 s tolerance (nearest;

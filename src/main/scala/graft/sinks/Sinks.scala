@@ -198,6 +198,102 @@ object Sinks {
       .drop("__zpv")
   }
 
+  /** One partition's compaction outcome. */
+  final case class CompactReport(dir: String, filesBefore: Int,
+                                 filesAfter: Int, recovered: Boolean)
+
+  /** Small-file compaction for an append-grown lake — the OPTIMIZE step of
+    * the ingest pattern "land fast with [[lakeAppend]], compact into the
+    * z-ordered stats-pruned layout behind the readers":
+    *
+    * each `win=` partition directory under `root` holding more than
+    * `filesPerPartition` parquet files (or lacking a stats manifest) is
+    * rewritten IN PLACE into [[zorderedWrite]]'s deterministic clustered
+    * layout + manifest, so the whole lake becomes readable through
+    * [[graft.sources.ZLake]] with zero planning-time footer opens and
+    * per-file envelope pruning on both cluster columns. Partitions already
+    * compact and manifest-covered are skipped, so re-running is a no-op.
+    *
+    * ATOMIC per partition, crash-safe: the new layout is written under
+    * `root/_compacting/<dir>` — a '_'-prefixed path every reader (Spark's
+    * InMemoryFileIndex and ZLake alike) ignores — and only when the write
+    * AND its manifest are complete does the swap happen: delete the old
+    * directory, rename the tmp in (rename is atomic per partition dir).
+    * The manifest doubles as the completeness marker: a crash
+    *  - mid-write / before the delete leaves the old dir intact; the stale
+    *    tmp is discarded and redone on the next run;
+    *  - between delete and rename leaves a COMPLETE tmp (manifest present)
+    *    and no final dir; the next run renames it in, no data loss, no
+    *    recompute.
+    * Recovery runs first on every invocation, so a compaction that died at
+    * any point heals by simply running compactLake again.
+    *
+    * At 100 TB: each partition's rewrite is one distributed job over that
+    * partition only (the driver loop is per-PARTITION, not per-file — at
+    * most one histogram collect of ≤2^16 rows each); different partitions
+    * are independent, so a scheduler may shard the partition list across
+    * invocations. Readers are never blocked — they see the old files until
+    * the atomic swap, the new ones after. */
+  def compactLake(spark: org.apache.spark.sql.SparkSession, root: String,
+                  colA: String, colB: String, filesPerPartition: Int = 4,
+                  bits: Int = 20): Seq[CompactReport] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    val tmpRoot = new Path(rootPath, "_compacting")
+    def parquets(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    def hasManifest(dir: Path): Boolean =
+      fs.exists(new Path(dir, graft.sources.ZLake.ManifestName))
+    val partDirs = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.getName)
+
+    // ---- recovery: heal a compaction that died mid-swap ------------------
+    val recovered = scala.collection.mutable.Set.empty[String]
+    if (fs.exists(tmpRoot)) fs.listStatus(tmpRoot).toSeq.foreach { st =>
+      val finalDir = new Path(rootPath, st.getPath.getName)
+      if (!fs.exists(finalDir) && hasManifest(st.getPath)) {
+        // died between delete and rename: the tmp IS the window — swap it in
+        require(fs.rename(st.getPath, finalDir),
+          s"compaction recovery failed to rename ${st.getPath} to $finalDir")
+        recovered += finalDir.getName; ()
+      } else {
+        // stale or incomplete (no manifest = write never finished): discard
+        fs.delete(st.getPath, true); ()
+      }
+    }
+
+    val dirsNow = (partDirs.filterNot(d => recovered(d.getName)) ++
+      recovered.toSeq.sorted.map(new Path(rootPath, _))).sortBy(_.getName)
+    dirsNow.flatMap { dir =>
+      val before = parquets(dir).size
+      if (recovered(dir.getName))
+        Some(CompactReport(dir.toString, before, before, recovered = true))
+      else if (before <= filesPerPartition && hasManifest(dir)) None
+      else {
+        val tmp = new Path(tmpRoot, dir.getName)
+        if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+        // both zorderedWrite actions (histogram + write) finish before the
+        // swap below touches the source files
+        zorderedWrite(spark.read.parquet(dir.toString), colA, colB,
+          tmp.toString, filesPerPartition, bits)
+        require(fs.delete(dir, true),
+          s"compaction failed to remove the old partition $dir")
+        require(fs.rename(tmp, dir),
+          s"compaction failed to swap $tmp into $dir — " +
+            "the window lives under _compacting until compactLake reruns")
+        Some(CompactReport(dir.toString, before, parquets(dir).size,
+          recovered = false))
+      }
+    }
+  }
+
   /** K2: middle-data text save — ``-separated, `numFiles` output files
     * (reference coalesce(12).saveAsTextFile, DnsRptCH.scala:131-139). */
   def middleData(df: DataFrame, path: String, numFiles: Int = 12): Unit =

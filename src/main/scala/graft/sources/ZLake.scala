@@ -69,7 +69,12 @@ object ZLake {
         : Seq[(FileStatus, Seq[(String, String)])] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName
-        if (st.isDirectory) {
+        // '_'/'.' prefixes are metadata by Hadoop convention (Spark's own
+        // InMemoryFileIndex skips them) — and [[graft.sinks.Sinks
+        // .compactLake]] relies on it: an in-flight compaction writes
+        // under `_compacting/`, invisible to every reader until the swap
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) {
           val part = name.split("=", 2) match {
             case Array(k, v) => Seq(k.toLowerCase -> v)
             case _ => Nil
