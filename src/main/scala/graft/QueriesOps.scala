@@ -437,6 +437,40 @@ object QueriesOps {
           .orderBy("w")
       }),
 
+    // -- string-prefix pruned lake read: a name-sorted lake (8 files of
+    //    contiguous c_custkey ranges, so every file carries a tight c_name
+    //    min/max envelope) read through ZLake with a LIKE-prefix predicate
+    //    — pruned in UTF-8 byte order against [p, succ(p)) at planning
+    //    time (7 of 8 files skipped; scan-metric-asserted in
+    //    ZOrderPruneSpec). The oracle computes the same filter+aggregate
+    //    over the raw table: prefix pruning must be invisible to results.
+    QueryDef("q104_zlake_prefix_read", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+             min(c_name) AS lo_name, max(c_name) AS hi_name
+      FROM customer WHERE c_name LIKE 'Customer#00000014%'
+      ORDER BY n"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-prefix-lake").toString + "/customer"
+        val base = T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        // deterministic name-clustered layout: one file per contiguous
+        // custkey range (names are zero-padded keys, so name order ==
+        // key order and each file's name envelope is tight)
+        for (b <- 0 until 8)
+          base.filter(col("c_custkey") % 1600 >= b * 200 &&
+              col("c_custkey") % 1600 < (b + 1) * 200)
+            .coalesce(1).sortWithinPartitions("c_name")
+            .write.mode("append").parquet(root)
+        graft.sources.ZLake.read(s, root)
+          .filter(col("c_name").startsWith("Customer#00000014"))
+          .agg(count("*").cast("long").as("n"),
+            sum("c_custkey").cast("long").as("sum_key"),
+            min("c_name").as("lo_name"), max("c_name").as("hi_name"))
+          .orderBy("n")
+      }),
+
     // -- as-of join, forward + nearest directions: for each purchase, the
     //    earliest 'view' at-or-after it (forward, unbounded) and the closer
     //    of the two adjacent views within a 200 000 s tolerance (nearest;

@@ -363,10 +363,59 @@ object ZLake {
     case _ => None
   }
 
+  /** Unsigned UTF-8 byte order — the order parquet computes string
+    * min/max stats in (and UTF8String compares by). Java's String
+    * compareTo is UTF-16 code-unit order, which DISAGREES above the BMP
+    * (supplementary characters sort below U+E000..U+FFFF there): deciding
+    * a prune in a different order than the stats were computed in is how
+    * a file with matching rows gets skipped. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
     case _ => None
+  }
+
+  /** The least string strictly greater than EVERY string with prefix `p`,
+    * in UTF-8 byte order — i.e. `p`'s byte successor: strip trailing 0xff
+    * bytes, then increment the last remaining byte. None when p is all
+    * 0xff (no upper bound exists). The result need not be valid UTF-8 —
+    * it is only ever compared byte-wise via [[utf8Cmp]]'s byte order, so
+    * it is carried as bytes. */
+  private def prefixSucc(p: String): Option[Array[Byte]] = {
+    val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = b.length - 1
+    while (i >= 0 && b(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(b, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  private def utf8CmpBytes(a: String, y: Array[Byte]): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** May any row of the file satisfy `e`? Sound over-approximation: every
@@ -414,6 +463,19 @@ object ZLake {
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v =>
           mayMatch(EqualTo(a, v.asInstanceOf[Literal]), fe))
+      // prefix predicate (`domain LIKE 'x%'` / startswith): a file may hold
+      // a string with prefix p iff its [lo, hi] envelope intersects
+      // [p, succ(p)) in UTF-8 byte order — hi >= p AND lo < succ(p)
+      case StartsWith(a: AttributeReference, Literal(v, _)) =>
+        (for {
+          ce <- env(a)
+          p <- litVal(v)
+          ps <- Some(p).collect { case s: String => s }
+          lo <- Some(ce.lo).collect { case s: String => s }
+          hi <- Some(ce.hi).collect { case s: String => s }
+        } yield utf8Cmp(hi, ps) >= 0 &&
+          prefixSucc(ps).forall(u => utf8CmpBytes(lo, u) < 0)
+        ).getOrElse(true)
       case _ => true
     }
   }

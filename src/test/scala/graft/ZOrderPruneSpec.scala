@@ -103,6 +103,42 @@ class ZOrderPruneSpec extends AnyFunSuite with SparkSpec {
     assert(za <= 6 && zb <= 6, "z-order must prune on BOTH columns")
   }
 
+  test("string-prefix predicates (LIKE 'x%') prune files on string envelopes") {
+    // four files, each a tight sorted domain range — the natural shape of
+    // a domain-sorted lake partition; a prefix filter must plan only the
+    // file whose [lo, hi] envelope intersects [p, succ(p))
+    val path = tmp("prefix")
+    val domains = for {
+      c <- Seq("a", "g", "n", "t")
+      i <- 0 until 256
+    } yield (s"$c${"%03d".format(i)}.example.com", c, i.toLong)
+    domains.groupBy(_._2).foreach { case (_, rows) =>
+      rows.toSeq.toDF("domain", "grp", "n").drop("grp")
+        .coalesce(1).sortWithinPartitions("domain")
+        .write.mode("append").parquet(path)
+    }
+    val idx = ZLake.index(spark, path)
+    assert(idx.inputFiles.length == 4)
+    val plain = spark.read.parquet(path)
+    for ((pfx, expectFiles) <- Seq(("g0", 1L), ("n25", 1L), ("zz", 0L),
+        ("t", 1L))) {
+      val pred = col("domain").startsWith(pfx)
+      val got = ZLake.readWith(spark, path, idx).filter(pred)
+        .agg(count(lit(1)), sum("n")).head().toSeq
+      val want = plain.filter(pred).agg(count(lit(1)), sum("n")).head().toSeq
+      assert(got == want, s"prefix '$pfx' pruning changed the answer")
+      if (expectFiles == 0L) {
+        val (kept, total) = idx.lastPrune.get()
+        assert(kept == 0 && total == 4, s"prefix '$pfx' kept $kept files")
+      } else {
+        val n = scanMetric(
+          ZLake.readWith(spark, path, idx).filter(pred), "numFiles")
+        assert(n == expectFiles,
+          s"prefix '$pfx' planned $n of 4 files (wanted $expectFiles)")
+      }
+    }
+  }
+
   test("zorderedWrite is deterministic: same input, same layout, same stats") {
     val p1 = tmp("zdet1")
     val p2 = tmp("zdet2")
