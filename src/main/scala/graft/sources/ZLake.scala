@@ -113,32 +113,57 @@ object ZLake {
   def envelopes(spark: SparkSession, path: String): Seq[FileEnvelope] =
     harvest(spark, path).fes
 
+  /** `p` relative to `root`, as the key a consolidated manifest stores. */
+  private def relPath(root: Path, p: Path): String = {
+    val r = root.toUri.getPath.stripSuffix("/")
+    p.toUri.getPath.stripPrefix(r).stripPrefix("/")
+  }
+
   private def harvest(spark: SparkSession, path: String): Harvest = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files = listDataFiles(fs, root)
-    val dirs = files.map(_._1.getPath.getParent).distinct
-    val manifests: Map[Path, Manifest] = dirs.flatMap { d =>
+    // CONSOLIDATED manifest first: one sidecar at the lake root keyed by
+    // root-relative path covers every partition in a single driver read
+    // (at 10^5 win= dirs the per-dir sidecar sweep is itself the next
+    // O(dirs) planning bottleneck — see [[consolidateManifests]]); for an
+    // unpartitioned lake the root manifest IS the dir manifest (relative
+    // path == file name), one lookup model for both.
+    val rootMan = readManifest(fs, root)
+    def fromRoot(st: FileStatus): Option[ManifestEntry] =
+      rootMan.flatMap(_.files.get(relPath(root, st.getPath)))
+        .filter(_.len == st.getLen)
+    // per-dir sidecars are read ONLY for files the root manifest does not
+    // cover (windows landed after consolidation, or no consolidation yet)
+    val uncoveredDirs = files.collect {
+      case (st, _) if fromRoot(st).isEmpty => st.getPath.getParent
+    }.distinct.filterNot(_ == root)
+    val manifests: Map[Path, Manifest] = uncoveredDirs.flatMap { d =>
       readManifest(fs, d).map(d -> _)
     }.toMap
+    def entryFor(st: FileStatus): Option[ManifestEntry] =
+      fromRoot(st).orElse(
+        manifests.get(st.getPath.getParent)
+          .flatMap(_.files.get(st.getPath.getName))
+          .filter(_.len == st.getLen))
     val fes = files.map { case (st, parts) =>
-      manifests.get(st.getPath.getParent)
-        .flatMap(_.files.get(st.getPath.getName))
-        .filter(_.len == st.getLen)
+      entryFor(st)
         .map(e => FileEnvelope(st, e.rowGroups, e.cols, parts, e.rows, e.nulls))
         .getOrElse(envelopeOf(st, parts, conf))
     }
     val covered = files.nonEmpty && files.forall { case (st, _) =>
-      manifests.get(st.getPath.getParent)
-        .exists(_.files.get(st.getPath.getName).exists(_.len == st.getLen))
+      entryFor(st).isDefined
     }
     val schema =
       if (!covered) None
       else {
-        // union-merge across per-dir manifests (schema evolution between
-        // windows): first occurrence of a field name wins its type
-        val schemas = dirs.flatMap(manifests.get).map(_.schema)
+        // union-merge across the manifests actually used (schema evolution
+        // between windows): first occurrence of a field name wins its type
+        val usedRoot = rootMan.toSeq
+          .filter(_ => files.exists { case (st, _) => fromRoot(st).isDefined })
+        val schemas = (usedRoot ++
+          uncoveredDirs.flatMap(manifests.get)).map(_.schema)
         schemas.headOption.map { first =>
           val merged = schemas.drop(1).foldLeft(first) { (acc, s) =>
             val have = acc.fieldNames.map(_.toLowerCase).toSet
@@ -149,6 +174,30 @@ object ZLake {
         }
       }
     Harvest(fes, schema)
+  }
+
+  /** Collapse a partitioned lake's per-directory manifests into ONE
+    * consolidated sidecar at the lake root, keyed by root-relative path.
+    * Planning then costs a single driver-side read regardless of how many
+    * `win=` partitions the lake has grown — the per-dir sidecar sweep is
+    * O(dirs), the next planning bottleneck after footers at a 10^5-window
+    * lake. Envelopes come from the existing manifests (footers open only
+    * for files no sidecar covers); per-dir sidecars stay behind as the
+    * incremental layer: windows landed AFTER consolidation fall back to
+    * their own sidecar (the root entry's length check rejects stale rows),
+    * so a periodic re-consolidation — e.g. after [[graft.sinks.Sinks
+    * .compactLake]] — keeps planning at one read without ever blocking
+    * ingest. Idempotent; atomically replaced. */
+  def consolidateManifests(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val h = harvest(spark, path)
+    if (h.fes.isEmpty) return
+    val schema = h.schema.getOrElse(
+      spark.read.parquet(h.fes.head.status.getPath.toString).schema)
+    val entries = h.fes.map(fe => relPath(root, fe.status.getPath) -> fe)
+    writeManifestFile(fs, root, schema, entries)
   }
 
   // ---- manifest serialization (Jackson, shipped with Spark) --------------
@@ -557,7 +606,14 @@ object ZLake {
     readWith(spark, path, index(spark, path))
 
   def readWith(spark: SparkSession, path: String,
-               idx: StatsFileIndex): DataFrame = {
+               idx: StatsFileIndex): DataFrame =
+    PlanBridge.dataFrame(spark, LogicalRelation(relationWith(spark, path, idx)))
+
+  /** The stats-pruning lake as a Spark `BaseRelation` — the object
+    * [[ZLakeSource]] serves for `spark.read.format("zlake")` and
+    * `CREATE ... USING zlake` (same relation [[readWith]] wraps). */
+  def relationWith(spark: SparkSession, path: String,
+                   idx: StatsFileIndex): HadoopFsRelation = {
     // data schema: write-time manifest schema when every file is covered;
     // otherwise one footer via the FIRST file (partition dirs carry no
     // parquet columns — documented uniform-schema assumption on the
@@ -567,8 +623,7 @@ object ZLake {
         .map(f => spark.read.parquet(f).schema)
         .getOrElse(spark.read.parquet(path).schema)
     }
-    val rel = HadoopFsRelation(idx, idx.partitionSchema, dataSchema, None,
+    HadoopFsRelation(idx, idx.partitionSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
-    PlanBridge.dataFrame(spark, LogicalRelation(rel))
   }
 }

@@ -68,6 +68,58 @@ class ZLakeManifestSpec extends AnyFunSuite with SparkSpec {
     assert(got == want, "mixed-coverage lake changed the answer")
   }
 
+  test("consolidated root manifest: one driver read covers every partition") {
+    val root = tmp("zcons")
+    for (w <- 1 to 3)
+      Sinks.zorderedWrite(data(), "a", "b", s"$root/win=w$w", 4, bits = 6)
+    ZLake.consolidateManifests(spark, root)
+    // delete the per-dir sidecars: the ROOT manifest alone must cover
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (w <- 1 to 3)
+      require(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/win=w$w/${ZLake.ManifestName}"), false))
+    val before = ZLake.footerOpens.get()
+    val idx = ZLake.index(spark, root)
+    val got = ZLake.readWith(spark, root, idx)
+      .filter(col("win") === "w2" && col("a").between(8, 15))
+      .agg(count(lit(1)), sum("payload")).head().toSeq
+    assert(ZLake.footerOpens.get() == before,
+      "consolidated manifest still opened footers")
+    val want = spark.read.parquet(root)
+      .filter(col("win") === "w2" && col("a").between(8, 15))
+      .agg(count(lit(1)), sum("payload")).head().toSeq
+    assert(got == want, "consolidated read changed the answer")
+    // pruning still happens through the consolidated envelopes
+    val (kept, total) = idx.lastPrune.get()
+    assert(total == 12 && kept < 12,
+      s"expected pruning through the root manifest, kept $kept/$total")
+  }
+
+  test("windows landed after consolidation fall back to their own sidecar") {
+    val root = tmp("zcons2")
+    for (w <- 1 to 2)
+      Sinks.zorderedWrite(data(), "a", "b", s"$root/win=w$w", 4, bits = 6)
+    ZLake.consolidateManifests(spark, root)
+    // a NEW window lands afterwards, with its own per-dir sidecar
+    Sinks.zorderedWrite(data(), "a", "b", s"$root/win=w3", 4, bits = 6)
+    val before = ZLake.footerOpens.get()
+    val got = ZLake.read(spark, root).groupBy("win").count()
+      .orderBy("win").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ZLake.footerOpens.get() == before,
+      "root + per-dir sidecars together must plan without footers")
+    assert(got == Seq(("w1", 4000L), ("w2", 4000L), ("w3", 4000L)))
+    // re-consolidating folds the new window into the root sidecar
+    ZLake.consolidateManifests(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/win=w3/${ZLake.ManifestName}"), false))
+    val again = ZLake.footerOpens.get()
+    assert(ZLake.read(spark, root).count() == 12000L)
+    assert(ZLake.footerOpens.get() == again)
+  }
+
   test("per-partition manifests union-merge evolved schemas") {
     val root = tmp("zevo")
     Sinks.zorderedWrite(data(), "a", "b", s"$root/win=w1", 4, bits = 6)
