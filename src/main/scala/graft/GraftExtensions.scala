@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL LATERAL ... ORDER BY ts DESC LIMIT 1 → AsOfJoin union+window plan
     // (before analyzer decorrelation turns it into a BroadcastNestedLoopJoin)
     ext.injectPostHocResolutionRule(sp => graft.plans.AsOfLateralRewrite(sp))
+    // count/min/max over a manifest-covered zlake → LocalRelation (no scan)
+    ext.injectOptimizerRule(sp => graft.plans.ManifestAggs(sp))
   }
 }
 

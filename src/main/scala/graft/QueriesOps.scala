@@ -471,6 +471,67 @@ object QueriesOps {
           .orderBy("n")
       }),
 
+    // -- the lake as a SQL source: CREATE ... USING zlake binds the
+    //    stats-pruning FileIndex to a plain SQL view — the query below
+    //    never touches the Scala API, yet plans the pruned scan (asserted
+    //    in ManifestAggsSpec via scan metrics). sum(a) forces a real scan,
+    //    so this exercises the pruned-read path, not the metadata rewrite.
+    QueryDef("q105_zlake_sql_view", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
+                        (c_custkey * 7) % 256 AS b FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      FROM f WHERE a BETWEEN 32 AND 63 ORDER BY n"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-zlake-sql").toString + "/customer"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 256).cast("long").as("a"),
+            (col("c_custkey") * 7 % 256).cast("long").as("b")),
+          "a", "b", lake, numFiles = 16, bits = 8)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW zlake_q105 " +
+          s"USING zlake OPTIONS (path '$lake')")
+        s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS sum_a,
+                 CAST(sum(c_custkey) AS BIGINT) AS sum_key
+          FROM zlake_q105 WHERE a BETWEEN 32 AND 63 ORDER BY n""")
+      }),
+
+    // -- metadata-only aggregates: count(*) / count(col) / integral
+    //    min/max grouped by the lake's partition column are answered from
+    //    the write-time manifest — the optimized plan is a LocalRelation,
+    //    zero files scanned (plan-asserted in ManifestAggsSpec; the oracle
+    //    here pins the VALUES). `phone` goes NULL on every 5th key to
+    //    exercise the null-count lane of count(col).
+    QueryDef("q106_metadata_agg", Some("""
+      WITH f AS (SELECT c_custkey, CAST(c_custkey % 4 AS VARCHAR) AS win,
+                        CASE WHEN c_custkey % 5 <> 0 THEN c_name END AS phone
+                 FROM customer)
+      SELECT win, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(phone) AS BIGINT) AS n_phone,
+             CAST(min(c_custkey) AS BIGINT) AS lo,
+             CAST(max(c_custkey) AS BIGINT) AS hi
+      FROM f WHERE win <> '3' GROUP BY win ORDER BY win"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-zlake-meta").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"),
+          when(col("c_custkey") % 5 =!= 0, col("c_name")).as("phone"))
+        for (w <- 0 until 4)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 4 === w),
+            "a", "b", s"$root/win=$w", numFiles = 4, bits = 8)
+        graft.sources.ZLake.read(s, root)
+          .filter(col("win") =!= "3")
+          .groupBy(col("win"))
+          .agg(count(lit(1)).as("n"), count(col("phone")).as("n_phone"),
+            min("c_custkey").as("lo"), max("c_custkey").as("hi"))
+          .orderBy("win")
+      }),
+
     // -- as-of join, forward + nearest directions: for each purchase, the
     //    earliest 'view' at-or-after it (forward, unbounded) and the closer
     //    of the two adjacent views within a 200 000 s tolerance (nearest;

@@ -534,7 +534,7 @@ object ZLake {
     * exactly, footer stats prune the surviving files — partition pruning
     * and stat pruning compose on the lake's own `win=` layout. `lastPrune`
     * records (kept, total) of the most recent planning pass. */
-  final class StatsFileIndex(root: Path, fes: Seq[FileEnvelope],
+  final class StatsFileIndex(root: Path, val fes: Seq[FileEnvelope],
       /** Write-time data schema from the lake's manifests; None when some
         * file lacked manifest coverage (read falls back to one footer). */
       val manifestSchema: Option[StructType] = None)
