@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.functions.{Functions => F, TextFunctions => TF}
-import graft.operators.{Dedup, Similarity, TopK}
+import graft.operators.{Dedup, Similarity, TopK, TrainPrep}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis /
@@ -1295,6 +1295,53 @@ object QueriesML {
               (col("exact_a") + col("exact_b") - col("inter")), 4)
               .as("jacc_exact"))
       }),
+
+    // -- sequence packing: documents laid end-to-end WITHIN HASH SHARDS and
+    //    cut every 2048 tokens (GPT-style concat-and-chunk); each doc gets
+    //    the (shard-local) chunk its first token lands in plus its offset.
+    //    The running sum is the sequential part, so it runs per shard — one
+    //    window task each; a single global order would serialize 100 TB
+    //    through one task. All arithmetic integral (div/pmod over longs).
+    QueryDef("q107_sequence_packing", Some(s"""
+      WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                        CAST(len(${dkToks("text")}) AS BIGINT) AS tok
+                 FROM documents),
+      c AS (SELECT doc_id, shard, tok,
+              sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start
+            FROM d)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard, tok,
+             CAST(start // 2048 AS BIGINT) AS chunk,
+             CAST(start % 2048 AS BIGINT) AS pos
+      FROM c ORDER BY doc_id"""),
+      (s, dir) => TrainPrep.packSequences(T(s, dir, "documents"),
+          col("doc_id"), TF.token_count(col("text")),
+          pmod(col("doc_id"), lit(8)), budget = 2048)
+        .orderBy(col("doc_id"))),
+
+    // -- unigram-NLL quality score: the KenLM-perplexity stand-in — every
+    //    token scored against the corpus's own top-2000 unigram
+    //    distribution (OOV floors at 1/total), each document keeps the mean
+    //    negative log-prob. Vocab is capped and BROADCAST: the token stream
+    //    is never shuffled for the lookup. logp quantized into
+    //    DECIMAL(18,6) pre-sum, so the mean is order-independent.
+    QueryDef("q108_unigram_nll", Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(${dkToks("text")}) AS token FROM documents),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+      cnt AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+      rk AS (SELECT token, freq, row_number() OVER
+               (ORDER BY freq DESC, token) AS rk FROM cnt),
+      vocab AS (SELECT token, freq FROM rk WHERE rk <= 2000),
+      lp AS (SELECT t.doc_id,
+               CAST(${dkQround("ln(CAST(coalesce(v.freq, 1) AS DOUBLE) / tot.total)", 6)}
+                 AS DECIMAL(18,6)) AS logp
+             FROM toks t LEFT JOIN vocab v USING (token), tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             ${dkQround("-(CAST(sum(logp) AS DOUBLE)) / count(*)", 4)} AS nll
+      FROM lp GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => TrainPrep.unigramNll(T(s, dir, "documents"),
+          col("doc_id"), col("text"), vocabSize = 2000)
+        .orderBy(col("doc_id"))),
 
     // -- vocabulary build: corpus-wide token counts, min-frequency floor,
     //    top-V by (count desc, token) — the tokenizer-training precursor.

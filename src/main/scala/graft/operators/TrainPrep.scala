@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functions => F, TextFunctions => TF}
+
+/** Training-set preparation operators: sequence packing and
+  * corpus-statistics quality scoring — the two steps that turn a cleaned,
+  * deduplicated document set into model-ready batches.
+  */
+object TrainPrep {
+
+  /** Concat-and-chunk sequence packing: documents are laid end-to-end and
+    * cut every `budget` tokens — each document is assigned the chunk its
+    * FIRST token lands in and its offset within that chunk (GPT-style
+    * packing, where a document may span a cut).
+    *
+    * Packing is a running sum, which is inherently sequential — so it runs
+    * WITHIN SHARDS (`shardBy`), the way production packers do: each shard
+    * packs its own documents in `orderBy` order independently, one window
+    * task per shard. The alternative — one global order — would serialize
+    * 100 TB through a single task; with hash shards the parallelism is the
+    * shard count and each task streams its shard once. Chunk ids are
+    * per-shard (a training loader reads (shard, chunk) pairs).
+    *
+    * All arithmetic is integral (window sum over longs, `div`/`pmod`) —
+    * no double lane to lose exactness past 2^53.
+    */
+  def packSequences(docs: DataFrame, id: Column, tokenCount: Column,
+                    shardBy: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(id.as("doc_id"), tokenCount.cast("long").as("tok"),
+        shardBy.cast("long").as("shard"))
+      .withColumn("start", sum(col("tok")).over(w) - col("tok"))
+      .withColumn("chunk", expr(s"start div $budget"))
+      .withColumn("pos", pmod(col("start"), lit(budget.toLong)))
+      .drop("start")
+  }
+
+  /** Unigram negative-log-likelihood quality score — the cheap stand-in
+    * for the KenLM-perplexity filters CCNet-style pipelines run: tokens
+    * are scored against the corpus's OWN top-`vocabSize` unigram
+    * distribution, and each document gets the mean negative log-prob of
+    * its tokens (low = ordinary prose, high = rare-token soup). Documents
+    * with zero tokens drop out.
+    *
+    * Scale shape: the vocabulary is capped at `vocabSize` rows and
+    * BROADCAST — the token stream is never shuffled for the lookup;
+    * out-of-vocabulary tokens take the floor probability 1/total. The only
+    * shuffles are the bounded vocab top-K and the per-document partial
+    * aggregation. Per-token log-probs are quantized (qround 6) into
+    * DECIMAL(18,6) before summing, so the per-document mean is
+    * order-independent — reproducible bit-for-bit in the DuckDB oracle
+    * (q108).
+    */
+  def unigramNll(docs: DataFrame, id: Column, text: Column,
+                 vocabSize: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(TF.tokens(text)).as("token"))
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    val vocab = TopK.global(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("freq")),
+      vocabSize, col("freq").desc, col("token").asc)
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total)) // single-row scalar, exact pattern as sketches
+      .withColumn("logp",
+        F.qround(log(coalesce(col("freq"), lit(1L)).cast("double") / col("total")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        F.qround(sum(col("logp")).cast("double") * -1 / count(lit(1)), 4).as("nll"))
+  }
+}

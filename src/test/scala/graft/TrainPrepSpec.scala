@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainPrep
+
+/** Training-prep operators: packing must CONSERVE the corpus (every doc
+  * exactly once, offsets in range, chunks contiguous per shard), and the
+  * NLL scorer must behave like a quality signal (rare-token soup scores
+  * high) while keeping its vocab lookup broadcast — never a shuffle of the
+  * token stream. */
+class TrainPrepSpec extends AnyFunSuite with SparkSpec
+    with AdaptiveSparkPlanHelper {
+
+  private val budget = 64
+
+  test("packSequences: conservation + shard-local chunk arithmetic") {
+    // token counts vary 1..40 so documents straddle chunk cuts
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", array_repeat(lit("tok"), (col("id") % 40 + 1).cast("int")))
+        .as("text"))
+    val out = TrainPrep.packSequences(docs, col("doc_id"),
+      graft.functions.TextFunctions.token_count(col("text")),
+      pmod(col("doc_id"), lit(4)), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))) // doc_id, tok, shard, chunk, pos
+      .sortBy(_._1)
+
+    assert(out.length == 200, "every document packs exactly once")
+    assert(out.forall { case (_, _, _, _, pos) => pos >= 0 && pos < budget })
+    // recompute the greedy fill per shard in plain Scala
+    out.groupBy(_._3).foreach { case (_, shardDocs) =>
+      var cursor = 0L
+      shardDocs.sortBy(_._1).foreach { case (id, tok, _, chunk, pos) =>
+        assert(chunk == cursor / budget, s"doc $id chunk")
+        assert(pos == cursor % budget, s"doc $id pos")
+        cursor += tok
+      }
+    }
+  }
+
+  test("unigramNll: rare-token soup scores high; vocab lookup is broadcast") {
+    val common = spark.range(50).select(col("id").as("doc_id"),
+      lit("the cat sat on the mat and the dog sat too").as("text"))
+    val rare = spark.range(50, 55).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(i =>
+        concat(lit(s"zxq$i"), col("id"))): _*).as("text"))
+    val scored = TrainPrep.unigramNll(common.union(rare),
+      col("doc_id"), col("text"), vocabSize = 20)
+    val rows = scored.collect().map(r =>
+      (r.getLong(0), r.getDouble(2))).toMap
+    val commonNll = rows(0L)
+    val rareNll = rows(52L)
+    assert(rareNll > commonNll + 1.0,
+      s"rare-token doc must score much worse: $rareNll vs $commonNll")
+    // every common doc scores identically (same text, order-independent sum)
+    assert((0L until 50L).map(rows).distinct.size == 1)
+    // plan: the token->vocab lookup broadcasts; no sort-merge join anywhere
+    val plan = scored.queryExecution.executedPlan
+    scored.collect()
+    assert(collectWithSubqueries(plan) {
+      case b: BroadcastHashJoinExec => b }.nonEmpty, "vocab join broadcasts")
+    assert(collectWithSubqueries(plan) {
+      case s: SortMergeJoinExec => s }.isEmpty, "no sort-merge join")
+  }
+
+  test("packSequences: one shuffle, keyed by shard") {
+    val docs = spark.range(100).select(col("id").as("doc_id"), lit(7L).as("tok"))
+    val out = TrainPrep.packSequences(docs, col("doc_id"), col("tok"),
+      pmod(col("doc_id"), lit(4)), budget)
+    out.collect()
+    val shuffles = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size == 1, s"expected exactly one shuffle, got ${shuffles.size}")
+  }
+}
