@@ -463,8 +463,11 @@ object Queries {
     // round-6 operators: stats-pruned z-order lake read (write + footer
     // harvest + pruned scan); IVF-PQ; the nearest lateral spelling
     "q96_zorder_pruned_read", "q99_ann_ivfpq", "q100_asof_lateral_nearest",
-    // round-7: append-grown lake compacted in place, then pruned-read
-    "q103_compacted_lake")
+    // round-7: append-grown lake compacted in place, then pruned-read;
+    // metadata-only aggregates (write + manifest + zero-scan answer);
+    // sequence packing; unigram-NLL scoring over the documents corpus
+    "q103_compacted_lake", "q106_metadata_agg",
+    "q107_sequence_packing", "q108_unigram_nll")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

@@ -1056,6 +1056,64 @@ object QueriesML {
           .orderBy(col("event_type"))
       }),
 
+    // -- manifest sketch stats: per-FILE HLL registers persisted at write
+    //    time answer approx COUNT(DISTINCT) over any pruned lake slice at
+    //    PLANNING time — zero data scanned (ZLake.approxDistinct merges
+    //    registers by elementwise max, which IS the union's sketch).
+    //    Partition predicates are row-exact (a win= dir matches whole), so
+    //    the oracle recomputes each scope's registers from the raw subset:
+    //    merged-file registers must equal them bit-for-bit, and the raw
+    //    harmonic estimate folds in index order → IEEE-identical.
+    QueryDef("q109_manifest_sketch", Some {
+      val m = 16
+      s"""
+      WITH f AS (SELECT c_custkey, CAST(c_custkey % 4 AS VARCHAR) AS win,
+                        CAST(c_custkey % 97 AS VARCHAR) AS u FROM customer),
+      scoped AS (SELECT '0' AS scope, u FROM f WHERE win = '0'
+                 UNION ALL SELECT '2', u FROM f WHERE win = '2'
+                 UNION ALL SELECT 'all', u FROM f),
+      h AS (SELECT scope, ${dkHash60("u")} AS hh FROM scoped),
+      b AS (SELECT scope, hh % $m AS bucket, hh // $m AS w FROM h),
+      r AS (SELECT scope, bucket,
+              max(CASE WHEN w = 0 THEN 57 ELSE bit_count((w & -w) - 1) + 1 END) AS rank
+            FROM b GROUP BY 1, 2),
+      grid AS (SELECT s.scope, g.bucket
+               FROM (SELECT DISTINCT scope FROM scoped) s,
+                    (SELECT unnest(range(0, $m)) AS bucket) g),
+      filled AS (SELECT g.scope, g.bucket, CAST(coalesce(r.rank, 0) AS BIGINT) AS rank
+                 FROM grid g LEFT JOIN r USING (scope, bucket)),
+      regs AS (SELECT scope, list(rank ORDER BY bucket) AS regs
+               FROM filled GROUP BY 1),
+      est AS (SELECT scope, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(regs, x -> power(2.0, -x))), (a, b) -> a + b) AS inv_sum
+              FROM regs)
+      SELECT scope, ${dkQround(s"0.673 * $m * $m / inv_sum", 6)} AS est_raw
+      FROM est ORDER BY scope"""
+    },
+      (s, dir) => {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sketch-lake").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"),
+          (col("c_custkey") % 97).cast("long").as("u"))
+        for (w <- 0 until 4)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 4 === w), "a", "b",
+            s"$root/win=$w", numFiles = 4, bits = 8,
+            sketchCols = Seq("u"), sketchM = 16)
+        val scopes = Seq("0" -> Seq("win = '0'"), "2" -> Seq("win = '2'"),
+          "all" -> Nil)
+        scopes.map { case (nm, preds) =>
+          val e = graft.sources.ZLake.approxDistinct(s, root, "u", preds)
+            .getOrElse(sys.error(s"sketches missing for scope $nm"))
+          (nm, e.estimate)
+        }.toDF("scope", "est_raw")
+          .select(col("scope"), F.qround(col("est_raw"), 6).as("est_raw"))
+          .orderBy(col("scope"))
+      }),
+
     // -- sketch re-aggregation: merged per-window partials == union sketch ---
     // The incremental pattern at 100 TB: HLL registers / CMS cells computed
     // per hourly window (what the lake stores), then re-combined across

@@ -137,7 +137,9 @@ object Sinks {
     * sub-file granularity too). */
   def zorderedWrite(df: DataFrame, colA: String, colB: String,
                     path: String, numFiles: Int, bits: Int = 20,
-                    writerOptions: Map[String, String] = Map.empty): Unit = {
+                    writerOptions: Map[String, String] = Map.empty,
+                    sketchCols: Seq[String] = Nil,
+                    sketchM: Int = 256): Unit = {
     import org.apache.spark.sql.functions.col
     val z = graft.functions.KernelExprs.zorder2(
       col(colA).cast("long"), col(colB).cast("long"), bits)
@@ -147,7 +149,8 @@ object Sinks {
       .sortWithinPartitions(sortCols: _*)
       .drop("__z")
       .write.mode("overwrite").options(writerOptions).parquet(path)
-    graft.sources.ZLake.writeManifest(df.sparkSession, path, Some(df.schema))
+    graft.sources.ZLake.writeManifest(df.sparkSession, path, Some(df.schema),
+      sketchCols, sketchM)
   }
 
   /** Deterministically spread `zf` over up to `numFiles` partitions of

@@ -54,12 +54,17 @@ object ZLake {
     * and the file (the lake's `win=...` layout), in directory order.
     * `rows`/`nullCounts` drive IsNull/IsNotNull pruning: a column with a
     * KNOWN zero null count can never satisfy IS NULL, and a known
-    * all-null column never satisfies IS NOT NULL (or any comparison). */
+    * all-null column never satisfies IS NOT NULL (or any comparison).
+    * `sketches`: optional per-column HLL registers computed at write time
+    * ([[graft.sinks.Sinks.zorderedWrite]] `sketchCols`) — elementwise-max
+    * mergeable, so any file subset's union distinct count estimates
+    * WITHOUT a scan ([[approxDistinct]]). */
   final case class FileEnvelope(status: FileStatus, rowGroups: Int,
                                 cols: Map[String, ColEnvelope],
                                 partitionValues: Seq[(String, String)] = Nil,
                                 rows: Long = -1L,
-                                nullCounts: Map[String, Long] = Map.empty)
+                                nullCounts: Map[String, Long] = Map.empty,
+                                sketches: Map[String, Array[Long]] = Map.empty)
 
   /** Recursively list data files under `root`, carrying the `col=value`
     * segments each file sits beneath. */
@@ -149,7 +154,8 @@ object ZLake {
           .filter(_.len == st.getLen))
     val fes = files.map { case (st, parts) =>
       entryFor(st)
-        .map(e => FileEnvelope(st, e.rowGroups, e.cols, parts, e.rows, e.nulls))
+        .map(e => FileEnvelope(st, e.rowGroups, e.cols, parts, e.rows,
+          e.nulls, e.sketches))
         .getOrElse(envelopeOf(st, parts, conf))
     }
     val covered = files.nonEmpty && files.forall { case (st, _) =>
@@ -200,10 +206,98 @@ object ZLake {
     writeManifestFile(fs, root, schema, entries)
   }
 
+  /** A planning-time sketch answer: `filesUsed` of `filesTotal` envelopes
+    * survived the predicates and contributed registers. */
+  final case class SketchEstimate(estimate: Double, filesUsed: Int,
+                                  filesTotal: Int)
+
+  /** Planning-time `approx COUNT(DISTINCT column)` over the lake — ZERO
+    * data scanned: per-file HLL registers from the write-time manifest
+    * (`sketchCols` on [[graft.sinks.Sinks.zorderedWrite]]/[[writeManifest]])
+    * merge by elementwise max, which is EXACTLY the union's sketch, so the
+    * estimate for any file subset equals the estimate a full scan of those
+    * files would sketch. At a 100 TB lake this answers "how many distinct
+    * users in this window / this z-range" in driver milliseconds.
+    *
+    * `predicates` (SQL conjunct strings) select the file subset:
+    * partition-column conjuncts evaluate EXACTLY per directory (eval
+    * errors keep the directory — conservative); data-column conjuncts
+    * prune files via the same envelope test the scan path uses. NOTE the
+    * granularity contract: data conjuncts select FILES that may contain
+    * matching rows — surviving files contribute their WHOLE sketch (zone-
+    * map granularity, like every file-stats system); partition-only
+    * predicates are row-exact because a directory matches entirely or not
+    * at all. None when any surviving file lacks a usable sketch for
+    * `column` (foreign append, mismatched m) — the caller falls back to a
+    * scan. Unknown attribute names throw. */
+  def approxDistinct(spark: SparkSession, path: String, column: String,
+                     predicates: Seq[String] = Nil): Option[SketchEstimate] = {
+    val h = harvest(spark, path)
+    if (h.fes.isEmpty) return None
+    val partCols = h.fes.headOption.map(_.partitionValues.map(_._1))
+      .getOrElse(Nil)
+    val known: Set[String] = {
+      val dataCols = h.schema.map(_.fieldNames.toSeq).getOrElse(
+        h.fes.flatMap(fe => fe.cols.keys ++ fe.nullCounts.keys ++
+          fe.sketches.keys).distinct)
+      (dataCols.map(_.toLowerCase) ++ partCols).toSet
+    }
+    val exprs = predicates.map { sql =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      parsed.transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          val n = u.name.toLowerCase
+          if (!known.contains(n)) throw new IllegalArgumentException(
+            s"approxDistinct predicate references unknown column '${u.name}'")
+          AttributeReference(n, org.apache.spark.sql.types.StringType)()
+      }
+    }
+    val (partPreds, dataPreds) = exprs.partition(
+      _.references.forall(a => partCols.contains(a.name.toLowerCase)))
+    def dirMatches(pv: Seq[(String, String)]): Boolean = {
+      val row = InternalRow.fromSeq(pv.map(p => UTF8String.fromString(p._2)))
+      partPreds.forall { p =>
+        val bound = p.transform {
+          case a: AttributeReference =>
+            BoundReference(partCols.indexOf(a.name.toLowerCase),
+              org.apache.spark.sql.types.StringType, nullable = true)
+        }
+        try bound.eval(row) == true
+        catch { case scala.util.control.NonFatal(_) => true } // keep: estimate stays an over-set
+      }
+    }
+    val survivors = h.fes.filter(fe => dirMatches(fe.partitionValues) &&
+      dataPreds.forall(mayMatch(_, fe)))
+    if (survivors.isEmpty) return Some(SketchEstimate(0.0, 0, h.fes.size))
+    val name = column.toLowerCase
+    val regsList = survivors.map(_.sketches.get(name))
+    if (regsList.exists(_.isEmpty)) return None
+    val regs = regsList.flatten
+    val m = regs.head.length
+    if (regs.exists(_.length != m) || m == 0) return None
+    val merged = new Array[Long](m)
+    regs.foreach { r =>
+      var i = 0
+      while (i < m) { if (r(i) > merged(i)) merged(i) = r(i); i += 1 }
+    }
+    val invSum = merged.map(r => math.pow(2.0, -r.toDouble)).sum
+    Some(SketchEstimate(hllAlpha(m) * m * m / invSum,
+      survivors.size, h.fes.size))
+  }
+
+  /** Standard HLL bias constant (q73 uses the m=16 value). */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
   // ---- manifest serialization (Jackson, shipped with Spark) --------------
 
   private final case class ManifestEntry(len: Long, rowGroups: Int, rows: Long,
-      cols: Map[String, ColEnvelope], nulls: Map[String, Long])
+      cols: Map[String, ColEnvelope], nulls: Map[String, Long],
+      sketches: Map[String, Array[Long]] = Map.empty)
   private final case class Manifest(schema: StructType,
       files: Map[String, ManifestEntry])
 
@@ -212,9 +306,18 @@ object ZLake {
     * every later [[read]] plans without touching a footer. Idempotent;
     * atomically replaced (temp file + rename). `dataSchema` defaults to the
     * parquet files' own schema; writers that partition (columns absent from
-    * the files) pass the file schema explicitly. */
+    * the files) pass the file schema explicitly.
+    *
+    * `sketchCols`: additionally compute per-file HLL registers
+    * (`sketchM` each, one distributed pass over the just-written files)
+    * and store them in the manifest — [[approxDistinct]] then answers
+    * union distinct-count estimates over ANY file subset at planning time,
+    * because HLL registers merge by elementwise max (the merged registers
+    * of a subset ARE the registers of its union, exactly). */
   def writeManifest(spark: SparkSession, path: String,
-                    dataSchema: Option[StructType] = None): Unit = {
+                    dataSchema: Option[StructType] = None,
+                    sketchCols: Seq[String] = Nil,
+                    sketchM: Int = 256): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -222,13 +325,38 @@ object ZLake {
     if (files.isEmpty) return
     val schema = dataSchema.getOrElse(
       spark.read.parquet(files.head._1.getPath.toString).schema)
+    // per-file sketches: ONE pass grouped by source file; keyed by the
+    // file's URI path so it matches FileStatus paths regardless of scheme
+    val sketchByFile: Map[String, Map[String, Array[Long]]] =
+      if (sketchCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name}
+        val aggs = sketchCols.map(c => graft.functions.KernelAggs
+          .hll_registers(col(c).cast("string"), sketchM).as(c))
+        spark.read.parquet(path).drop(partitionColsOf(files): _*)
+          .groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val regs = sketchCols.zipWithIndex.map { case (c, i) =>
+              c.toLowerCase -> r.getSeq[Long](i + 1).toArray
+            }.toMap
+            new Path(new java.net.URI(r.getString(0))).toUri.getPath -> regs
+          }.toMap
+      }
     files.groupBy(_._1.getPath.getParent).foreach { case (dir, inDir) =>
       val entries = inDir.map { case (st, parts) =>
-        st.getPath.getName -> envelopeOf(st, parts, conf)
+        val env = envelopeOf(st, parts, conf)
+        st.getPath.getName -> env.copy(sketches =
+          sketchByFile.getOrElse(st.getPath.toUri.getPath, Map.empty))
       }
       writeManifestFile(fs, dir, schema, entries)
     }
   }
+
+  /** Partition column names seen in the listed files' paths. */
+  private def partitionColsOf(
+      files: Seq[(FileStatus, Seq[(String, String)])]): Seq[String] =
+    files.headOption.map(_._2.map(_._1)).getOrElse(Nil)
 
   private def writeManifestFile(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path, schema: StructType,
@@ -273,6 +401,13 @@ object ZLake {
       fe.nullCounts.toSeq.sortBy(_._1).foreach { case (c, n) =>
         nulls.put(c, n); ()
       }
+      if (fe.sketches.nonEmpty) {
+        val sk = f.putObject("sketches")
+        fe.sketches.toSeq.sortBy(_._1).foreach { case (c, regs) =>
+          val arr = sk.putArray(c)
+          regs.foreach(arr.add)
+        }
+      }
     }
     val tmp = new Path(dir, s".$ManifestName.tmp")
     val out = fs.create(tmp, true)
@@ -309,8 +444,12 @@ object ZLake {
         val nulls = f.path("nulls").fields().asScala.map { n =>
           n.getKey -> n.getValue.asLong()
         }.toMap
+        val sketches = f.path("sketches").fields().asScala.map { s =>
+          s.getKey -> s.getValue.elements().asScala.map(_.asLong()).toArray
+        }.toMap
         e.getKey -> ManifestEntry(f.path("len").asLong(),
-          f.path("rowGroups").asInt(), f.path("rows").asLong(-1L), cols, nulls)
+          f.path("rowGroups").asInt(), f.path("rows").asLong(-1L), cols, nulls,
+          sketches)
       }.toMap
       Some(Manifest(schema, files))
     } catch {
