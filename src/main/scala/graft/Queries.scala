@@ -467,7 +467,9 @@ object Queries {
     // metadata-only aggregates (write + manifest + zero-scan answer);
     // sequence packing; unigram-NLL scoring over the documents corpus
     "q103_compacted_lake", "q106_metadata_agg",
-    "q107_sequence_packing", "q108_unigram_nll")
+    "q107_sequence_packing", "q108_unigram_nll",
+    // write + sketch manifest + zero-scan distinct-count answers
+    "q109_manifest_sketch")
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }
