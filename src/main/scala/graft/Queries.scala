@@ -469,7 +469,11 @@ object Queries {
     "q103_compacted_lake", "q106_metadata_agg",
     "q107_sequence_packing", "q108_unigram_nll",
     // write + sketch manifest + zero-scan distinct-count answers
-    "q109_manifest_sketch")
+    "q109_manifest_sketch",
+    // write + bloom manifest + point-lookup file skipping
+    "q110_bloom_point_lookup")
+  // (q110's lake write dominates its bench time, like the other lake
+  // fixtures — the point-lookup read itself plans 1-3 of 16 files)
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

@@ -498,6 +498,42 @@ object QueriesOps {
           FROM zlake_q105 WHERE a BETWEEN 32 AND 63 ORDER BY n""")
       }),
 
+    // -- bloom-pruned point lookup: the lake carries per-file BLOOM
+    //    filters in the write-time manifest (`bloomCols`), so equality /
+    //    IN predicates on a scattered high-cardinality column skip files
+    //    whose bloom proves the value absent — min/max envelopes are
+    //    useless here because every file's uid range overlaps (uid is
+    //    custkey mod a prime, decorrelated from the z-order keys). File
+    //    skipping is scan-metric-asserted in BloomPruneSpec; the oracle
+    //    computes the same point lookups over the raw table — a bloom
+    //    false negative (the unsound direction) would LOSE rows here.
+    //    'u99999' probes the absent-key path (no row may appear).
+    QueryDef("q110_bloom_point_lookup", Some("""
+      WITH f AS (SELECT c_custkey, 'u' || CAST(c_custkey % 9973 AS VARCHAR) AS uid
+                 FROM customer)
+      SELECT uid, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      FROM f WHERE uid IN ('u17', 'u1234', 'u99999')
+      GROUP BY uid ORDER BY uid"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-bloom-lake").toString + "/customer"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 256).cast("long").as("a"),
+            (col("c_custkey") * 7 % 256).cast("long").as("b"),
+            concat(lit("u"), (col("c_custkey") % 9973).cast("string"))
+              .as("uid")),
+          "a", "b", lake, numFiles = 16, bits = 8,
+          bloomCols = Seq("uid"))
+        graft.sources.ZLake.read(s, lake)
+          .filter(col("uid").isin("u17", "u1234", "u99999"))
+          .groupBy("uid")
+          .agg(count("*").cast("long").as("n"),
+            sum("c_custkey").cast("long").as("sum_key"))
+          .orderBy("uid")
+      }),
+
     // -- metadata-only aggregates: count(*) / count(col) / integral
     //    min/max grouped by the lake's partition column are answered from
     //    the write-time manifest — the optimized plan is a LocalRelation,

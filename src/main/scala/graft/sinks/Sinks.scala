@@ -139,7 +139,10 @@ object Sinks {
                     path: String, numFiles: Int, bits: Int = 20,
                     writerOptions: Map[String, String] = Map.empty,
                     sketchCols: Seq[String] = Nil,
-                    sketchM: Int = 256): Unit = {
+                    sketchM: Int = 256,
+                    bloomCols: Seq[String] = Nil,
+                    bloomBits: Int = 8192,
+                    bloomHashes: Int = 4): Unit = {
     import org.apache.spark.sql.functions.col
     val z = graft.functions.KernelExprs.zorder2(
       col(colA).cast("long"), col(colB).cast("long"), bits)
@@ -150,7 +153,7 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").options(writerOptions).parquet(path)
     graft.sources.ZLake.writeManifest(df.sparkSession, path, Some(df.schema),
-      sketchCols, sketchM)
+      sketchCols, sketchM, bloomCols, bloomBits, bloomHashes)
   }
 
   /** Deterministically spread `zf` over up to `numFiles` partitions of

@@ -58,13 +58,20 @@ object ZLake {
     * `sketches`: optional per-column HLL registers computed at write time
     * ([[graft.sinks.Sinks.zorderedWrite]] `sketchCols`) — elementwise-max
     * mergeable, so any file subset's union distinct count estimates
-    * WITHOUT a scan ([[approxDistinct]]). */
+    * WITHOUT a scan ([[approxDistinct]]).
+    * `blooms`: optional per-column bloom filters (`bloomCols` at write
+    * time), stored as `[numHashes, bitWord0, bitWord1, …]`. Point
+    * predicates (`col = 'x'`, `IN`) prune files whose bloom PROVES the
+    * value absent — the no-false-negative direction — reaching past
+    * min/max envelopes on high-cardinality columns whose per-file ranges
+    * all overlap (the Parquet-bloom / Iceberg pattern). */
   final case class FileEnvelope(status: FileStatus, rowGroups: Int,
                                 cols: Map[String, ColEnvelope],
                                 partitionValues: Seq[(String, String)] = Nil,
                                 rows: Long = -1L,
                                 nullCounts: Map[String, Long] = Map.empty,
-                                sketches: Map[String, Array[Long]] = Map.empty)
+                                sketches: Map[String, Array[Long]] = Map.empty,
+                                blooms: Map[String, Array[Long]] = Map.empty)
 
   /** Recursively list data files under `root`, carrying the `col=value`
     * segments each file sits beneath. */
@@ -155,7 +162,7 @@ object ZLake {
     val fes = files.map { case (st, parts) =>
       entryFor(st)
         .map(e => FileEnvelope(st, e.rowGroups, e.cols, parts, e.rows,
-          e.nulls, e.sketches))
+          e.nulls, e.sketches, e.blooms))
         .getOrElse(envelopeOf(st, parts, conf))
     }
     val covered = files.nonEmpty && files.forall { case (st, _) =>
@@ -297,7 +304,8 @@ object ZLake {
 
   private final case class ManifestEntry(len: Long, rowGroups: Int, rows: Long,
       cols: Map[String, ColEnvelope], nulls: Map[String, Long],
-      sketches: Map[String, Array[Long]] = Map.empty)
+      sketches: Map[String, Array[Long]] = Map.empty,
+      blooms: Map[String, Array[Long]] = Map.empty)
   private final case class Manifest(schema: StructType,
       files: Map[String, ManifestEntry])
 
@@ -313,11 +321,23 @@ object ZLake {
     * and store them in the manifest — [[approxDistinct]] then answers
     * union distinct-count estimates over ANY file subset at planning time,
     * because HLL registers merge by elementwise max (the merged registers
-    * of a subset ARE the registers of its union, exactly). */
+    * of a subset ARE the registers of its union, exactly).
+    *
+    * `bloomCols`: per-file BLOOM filters (`bloomBits` bits, `bloomHashes`
+    * hashes each, same single pass). [[mayMatch]] then prunes files on
+    * point predicates (`col = 'x'`, `IN (...)`) whose bloom proves the
+    * value absent — file skipping past min/max envelopes on
+    * high-cardinality columns whose per-file ranges all overlap. Sound
+    * because the bloom has NO false negatives (KernelsSpec): a pruned
+    * file cannot hold a matching row; false positives only cost an extra
+    * file read. */
   def writeManifest(spark: SparkSession, path: String,
                     dataSchema: Option[StructType] = None,
                     sketchCols: Seq[String] = Nil,
-                    sketchM: Int = 256): Unit = {
+                    sketchM: Int = 256,
+                    bloomCols: Seq[String] = Nil,
+                    bloomBits: Int = 8192,
+                    bloomHashes: Int = 4): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -325,14 +345,21 @@ object ZLake {
     if (files.isEmpty) return
     val schema = dataSchema.getOrElse(
       spark.read.parquet(files.head._1.getPath.toString).schema)
-    // per-file sketches: ONE pass grouped by source file; keyed by the
-    // file's URI path so it matches FileStatus paths regardless of scheme
-    val sketchByFile: Map[String, Map[String, Array[Long]]] =
-      if (sketchCols.isEmpty) Map.empty
+    // per-file sketches + blooms: ONE pass grouped by source file; keyed
+    // by the file's URI path so it matches FileStatus paths regardless of
+    // scheme. Bloom arrays carry their own probe arity as element 0
+    // (`[numHashes, bitWords…]`) so the read side never guesses k.
+    val statsByFile
+        : Map[String, (Map[String, Array[Long]], Map[String, Array[Long]])] =
+      if (sketchCols.isEmpty && bloomCols.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{col, input_file_name}
-        val aggs = sketchCols.map(c => graft.functions.KernelAggs
-          .hll_registers(col(c).cast("string"), sketchM).as(c))
+        val aggs =
+          sketchCols.map(c => graft.functions.KernelAggs
+            .hll_registers(col(c).cast("string"), sketchM).as(s"__hll_$c")) ++
+          bloomCols.map(c => graft.functions.KernelAggs
+            .bloom_sketch(col(c).cast("string"), bloomBits, bloomHashes)
+            .as(s"__bloom_$c"))
         spark.read.parquet(path).drop(partitionColsOf(files): _*)
           .groupBy(input_file_name().as("__file"))
           .agg(aggs.head, aggs.tail: _*)
@@ -340,14 +367,20 @@ object ZLake {
             val regs = sketchCols.zipWithIndex.map { case (c, i) =>
               c.toLowerCase -> r.getSeq[Long](i + 1).toArray
             }.toMap
-            new Path(new java.net.URI(r.getString(0))).toUri.getPath -> regs
+            val blooms = bloomCols.zipWithIndex.map { case (c, i) =>
+              c.toLowerCase -> (bloomHashes.toLong +:
+                r.getSeq[Long](i + 1 + sketchCols.size).toArray)
+            }.toMap
+            new Path(new java.net.URI(r.getString(0))).toUri.getPath ->
+              (regs, blooms)
           }.toMap
       }
     files.groupBy(_._1.getPath.getParent).foreach { case (dir, inDir) =>
       val entries = inDir.map { case (st, parts) =>
         val env = envelopeOf(st, parts, conf)
-        st.getPath.getName -> env.copy(sketches =
-          sketchByFile.getOrElse(st.getPath.toUri.getPath, Map.empty))
+        val (sk, bl) = statsByFile.getOrElse(st.getPath.toUri.getPath,
+          (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]]))
+        st.getPath.getName -> env.copy(sketches = sk, blooms = bl)
       }
       writeManifestFile(fs, dir, schema, entries)
     }
@@ -408,6 +441,13 @@ object ZLake {
           regs.foreach(arr.add)
         }
       }
+      if (fe.blooms.nonEmpty) {
+        val bl = f.putObject("blooms")
+        fe.blooms.toSeq.sortBy(_._1).foreach { case (c, words) =>
+          val arr = bl.putArray(c)
+          words.foreach(arr.add)
+        }
+      }
     }
     val tmp = new Path(dir, s".$ManifestName.tmp")
     val out = fs.create(tmp, true)
@@ -447,9 +487,12 @@ object ZLake {
         val sketches = f.path("sketches").fields().asScala.map { s =>
           s.getKey -> s.getValue.elements().asScala.map(_.asLong()).toArray
         }.toMap
+        val blooms = f.path("blooms").fields().asScala.map { s =>
+          s.getKey -> s.getValue.elements().asScala.map(_.asLong()).toArray
+        }.toMap
         e.getKey -> ManifestEntry(f.path("len").asLong(),
           f.path("rowGroups").asInt(), f.path("rows").asLong(-1L), cols, nulls,
-          sketches)
+          sketches, blooms)
       }.toMap
       Some(Manifest(schema, files))
     } catch {
@@ -606,6 +649,31 @@ object ZLake {
     x.length - y.length
   }
 
+  /** Bloom probe for a point predicate: false ONLY when the file carries
+    * a write-time bloom for the column and the probe proves the value
+    * absent (the bloom's no-false-negative direction — a pruned file can
+    * hold no matching row). The literal must render EXACTLY as the write
+    * side hashed it (`cast('string')` → `toString`): identity for
+    * strings, `Long.toString` for integrals; any other type answers true
+    * (keep — float/decimal/date renderings aren't guaranteed to agree
+    * with Spark's cast). Array layout is `[numHashes, bitWords…]`. */
+  private def bloomMayContain(fe: FileEnvelope, name: String, v: Any): Boolean =
+    fe.blooms.get(name.toLowerCase) match {
+      case Some(words) if words.length > 1 =>
+        val key = v match {
+          case s: UTF8String => s.toString
+          case _: Byte | _: Short | _: Int | _: Long => v.toString
+          case _ => return true
+        }
+        val k = words(0).toInt
+        if (k <= 0) return true
+        graft.functions.Kernels.bloomContains(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            java.util.Arrays.copyOfRange(words, 1, words.length)),
+          UTF8String.fromString(key), k)
+      case _ => true
+    }
+
   /** May any row of the file satisfy `e`? Sound over-approximation: every
     * unsupported shape answers true (keep the file). */
   def mayMatch(e: Expression, fe: FileEnvelope): Boolean = {
@@ -628,7 +696,8 @@ object ZLake {
           fe.nullCounts.get(a.name.toLowerCase).forall(_ < fe.rows)
       case EqualTo(a: AttributeReference, Literal(v, _)) =>
         test(a, v)((ce, x) =>
-          for (cl <- cmp(x, ce.lo); ch <- cmp(x, ce.hi)) yield cl >= 0 && ch <= 0)
+          for (cl <- cmp(x, ce.lo); ch <- cmp(x, ce.hi)) yield cl >= 0 && ch <= 0) &&
+          bloomMayContain(fe, a.name, v)
       case EqualTo(Literal(v, _), a: AttributeReference) =>
         mayMatch(EqualTo(a, Literal(v)), fe)
       case GreaterThan(a: AttributeReference, Literal(v, _)) =>
