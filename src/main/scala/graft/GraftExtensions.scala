@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(sp => graft.plans.AsOfLateralRewrite(sp))
     // count/min/max over a manifest-covered zlake → LocalRelation (no scan)
     ext.injectOptimizerRule(sp => graft.plans.ManifestAggs(sp))
+    // ORDER BY col LIMIT k over a zlake → scan only files that can hold
+    // a top-k row (zone-map top-k: envelope accumulation bound)
+    ext.injectOptimizerRule(sp => graft.plans.TopKFilePrune(sp))
   }
 }
 

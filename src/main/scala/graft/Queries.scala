@@ -28,9 +28,10 @@ object Queries {
   /** Exact decimal sum of a 2-dp double column, rendered as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) read as epoch-nanos long
-    * (spark.sql.legacy.parquet.nanosAsLong) — epoch seconds via integer div. */
-  private val tsSec = "ts div 1000000000"
+  /** events.ts is parquet TIMESTAMP(MICROS) read as TimestampType (UTC
+    * session) — epoch seconds via exact integer micros, matching the
+    * oracle's `epoch_ns(ts)//1000000000` on DuckDB's naive TIMESTAMP. */
+  private val tsSec = "unix_micros(ts) div 1000000"
   private val duckTsSec = "(epoch_ns(ts)//1000000000)"
 
   // ===========================================================================
@@ -384,7 +385,7 @@ object Queries {
       FROM events GROUP BY 1 ORDER BY hour_str"""),
       (s, dir) => T(s, dir, "events")
         .withColumn("hour_str",
-          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:00"))
+          date_format(col("ts"), "yyyy-MM-dd HH:00"))
         .groupBy(col("hour_str")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("hour_str"))),
 

@@ -296,7 +296,7 @@ object QueriesDns {
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
         T(s, dir, "events")
-          .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("es"))
+          .select(col("user_id"), col("event_id"), expr("unix_micros(ts) div 1000000").as("es"))
           .withColumn("prev", lag(col("es"), 1).over(w))
           .withColumn("new_session",
             when(col("prev").isNull || col("es") - col("prev") > 1800, 1).otherwise(0))

@@ -1155,7 +1155,7 @@ object QueriesML {
         import graft.functions.KernelAggs
         val m = 16; val d = 4; val w = 32
         val perWindow = T(s, dir, "events")
-          .withColumn("win", expr("(ts div 1000000000) div 3600"))
+          .withColumn("win", expr("(unix_micros(ts) div 1000000) div 3600"))
           .groupBy(col("event_type"), col("win"))
           .agg(
             KernelAggs.hll_registers(col("user_id").cast("string"), m).as("regs"),

@@ -180,7 +180,7 @@ object QueriesOps {
       (s, dir) => {
         val e = T(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("ts div 1000000000").as("es"))
+            expr("unix_micros(ts) div 1000000").as("es"))
         val out = graft.operators.AsOfJoin.asOf(
           left = e.filter(col("event_type") === "purchase").drop("event_type"),
           right = e.filter(col("event_type") === "view").drop("event_type"),
@@ -279,7 +279,7 @@ object QueriesOps {
       (s, dir) => {
         val e = T(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("ts div 1000000000").as("es"))
+            expr("unix_micros(ts) div 1000000").as("es"))
         e.filter(col("event_type") === "purchase").drop("event_type")
           .createOrReplaceTempView("q95_p")
         e.filter(col("event_type") === "view").drop("event_type")
@@ -319,7 +319,7 @@ object QueriesOps {
       (s, dir) => {
         val e = T(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("ts div 1000000000").as("es"))
+            expr("unix_micros(ts) div 1000000").as("es"))
         e.filter(col("event_type") === "purchase").drop("event_type")
           .createOrReplaceTempView("q100_p")
         e.filter(col("event_type") === "view").drop("event_type")
@@ -614,7 +614,7 @@ object QueriesOps {
         import graft.operators.AsOfJoin
         val e = T(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("ts div 1000000000").as("es"))
+            expr("unix_micros(ts) div 1000000").as("es"))
         val p = e.filter(col("event_type") === "purchase").drop("event_type")
         val v = e.filter(col("event_type") === "view").drop("event_type")
         val fwd = AsOfJoin.asOf(p, v, Seq("user_id"), "es", "event_id",

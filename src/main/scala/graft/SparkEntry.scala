@@ -31,6 +31,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false);
+      // read it as TimestampType (not NTZ) so unix_micros applies and the
+      // UTC session renders the same instants DuckDB's naive TIMESTAMP does
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // the engine's SQL surface is default-on: graft_* functions plus the
       // BETWEEN-join planner strategy (production wiring would set the same

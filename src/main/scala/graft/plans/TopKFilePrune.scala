@@ -1,0 +1,212 @@
+package graft.plans
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ZLake
+import graft.sources.ZLake.{FileEnvelope, StatsFileIndex}
+
+/** Top-K file pruning over the stats lake: `ORDER BY col [DESC] LIMIT k`
+  * scans ONLY the files that can contribute to the top-k — the zone-map
+  * top-k optimization. Static predicates already prune files through
+  * [[StatsFileIndex.listFiles]]; a bare sorted limit carries no predicate,
+  * so native Spark scans the WHOLE lake to return k rows. At 100 TB,
+  * `SELECT * FROM lake ORDER BY ts DESC LIMIT 100` — the single most
+  * common operational query over any event lake — must not be a full
+  * scan when the manifest already knows each file's [lo, hi].
+  *
+  * Sound bound, from file envelopes alone (DESC orientation; ASC mirrors):
+  * sort files by their envelope MIN descending and accumulate known
+  * non-null row counts until they reach k — every accumulated row is >=
+  * the last file's min `T`, so the true k-th value is >= T, and any file
+  * whose MAX < T cannot hold a top-k row. Ties at T are always KEPT (a
+  * file with max == T may hold rows interchangeable with the boundary).
+  * Only the first sort key decides — with lexicographic tiebreakers the
+  * first key still dominates, so the bound stays sound.
+  *
+  * Null ordering is honored exactly: under NULLS LAST, null rows are
+  * dominated by the k accumulated non-null rows, so provably-all-null
+  * files prune and unknown-null-count files still prune on their value
+  * envelope; under NULLS FIRST, files with (possible) nulls are
+  * unprunable, known null counts accumulate ahead of every value, and a
+  * bound met by nulls alone keeps exactly the files that may hold one.
+  *
+  * Exactness gates (any miss leaves the plan untouched — the normal scan
+  * answers): sort key must be an integral or string DATA column (float
+  * envelopes mis-order NaN vs Spark's sort, so they bail); a file
+  * contributes to the bound only with known rows + known null count + an
+  * envelope; files without usable stats are never pruned and never
+  * counted. Filters between the limit and the lake must be deterministic,
+  * partition-only conjuncts — evaluated exactly per directory (the same
+  * binding listFiles uses) so non-surviving directories neither count
+  * toward the bound nor block pruning; any data filter bails (it could
+  * drop arbitrarily many rows and the bound would overcount). An eval
+  * error bails the rewrite so the scan path raises it natively.
+  *
+  * Runtime kill-switch: `spark.graft.topkFilePrune` (default on).
+  * Registered via [[graft.GraftExtensions]] as an optimizer rule.
+  */
+case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import TopKFilePrune._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.get(confKey, "true").toBoolean) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(IntegerLiteral(k),
+          LocalLimit(IntegerLiteral(k2), s: Sort))
+          if k == k2 && k > 0 && s.global =>
+        prune(s, k).map(ns =>
+          GlobalLimit(gl.limitExpr, LocalLimit(gl.limitExpr, ns))).getOrElse(gl)
+    }
+  }
+
+  /** Peel the sort's child down to a ZLake relation, collecting filter
+    * conjuncts; None on any shape we do not fully understand. */
+  private def unwrap(p: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation, StatsFileIndex, Seq[Expression])] =
+    p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case idx: StatsFileIndex => Some((l, h, idx, Nil))
+          case _ => None
+        }
+        case _ => None
+      }
+      case f: Filter => unwrap(f.child).map { case (l, h, idx, cs) =>
+        (l, h, idx, splitConjunctivePredicates(f.condition) ++ cs)
+      }
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(pr.child)
+      case s: SubqueryAlias => unwrap(s.child)
+      case _ => None
+    }
+
+  private def prune(sort: Sort, k: Int): Option[Sort] = {
+    val (rel, fsRel, idx, filters) = unwrap(sort.child).getOrElse(return None)
+
+    val order = sort.order.headOption.getOrElse(return None)
+    val key = order.child match {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    key.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => ()
+      case _ => return None
+    }
+    val col = key.name.toLowerCase
+    val partCols = idx.partitionCols
+    if (partCols.contains(col)) return None // directory values: no envelopes
+    val descending = order.direction == Descending
+    val nullsFirst = order.nullOrdering == NullsFirst
+
+    // filters: deterministic, partition-only, evaluated exactly per
+    // directory; anything else bails (a data filter invalidates the bound)
+    if (!filters.forall(f => f.deterministic &&
+        f.references.nonEmpty &&
+        f.references.forall(a => partCols.contains(a.name.toLowerCase))))
+      return None
+    val candidates =
+      try idx.fes.filter { fe =>
+        val row = InternalRow.fromSeq(
+          fe.partitionValues.map(p => UTF8String.fromString(p._2)))
+        filters.forall { f =>
+          val bound = f.transform {
+            case a: AttributeReference =>
+              BoundReference(partCols.indexOf(a.name.toLowerCase),
+                StringType, nullable = true)
+          }
+          bound.eval(row) == true
+        }
+      } catch { case NonFatal(_) => return None }
+
+    // "best" row a file guarantees nn copies of = its envelope edge on the
+    // FAR side of the sort direction; "worst" = near side. DESC: rows all
+    // in [lo, hi], each >= lo, so lo is the guaranteed (worst) bound and
+    // hi decides prunability.
+    def worstOf(e: ZLake.ColEnvelope): Any = if (descending) e.lo else e.hi
+    def bestOf(e: ZLake.ColEnvelope): Any = if (descending) e.hi else e.lo
+    // better(a, b) > 0: a sorts strictly before b
+    def better(a: Any, b: Any): Option[Int] =
+      ZLake.cmp(a, b).map(c => if (descending) c else -c)
+
+    final case class Stats(fe: FileEnvelope, nn: Long, nulls: Option[Long],
+                           env: Option[ZLake.ColEnvelope])
+    val stats = candidates.map { fe =>
+      val nulls = if (fe.rows == 0L) Some(0L) else fe.nullCounts.get(col)
+      val nn = (fe.rows, nulls) match {
+        case (r, Some(n)) if r >= 0L => r - n
+        case _ => -1L // unknown
+      }
+      Stats(fe, nn, nulls, fe.cols.get(col))
+    }
+
+    // accumulate guaranteed at-or-better-than-T rows until >= k
+    val knownNulls = stats.map(_.nulls.getOrElse(0L)).sum
+    var remaining = k.toLong
+    if (nullsFirst) remaining -= knownNulls
+    val threshold: Option[Any] = // None = bound met by nulls alone
+      if (remaining <= 0L) None
+      else {
+        val contributors = stats
+          .filter(s => s.nn > 0L && s.env.isDefined)
+          .map(s => (worstOf(s.env.get), s.nn))
+          .sortWith((a, b) => better(a._1, b._1).exists(_ > 0))
+        var t: Option[Any] = None
+        val it = contributors.iterator
+        while (remaining > 0L && it.hasNext) {
+          val (w, nn) = it.next()
+          remaining -= nn
+          t = Some(w)
+        }
+        if (remaining > 0L) return None // cannot guarantee k rows: no prune
+        t
+      }
+
+    val kept = stats.filter { s =>
+      val mayHoldNull = s.nulls match {
+        case Some(n) => n > 0L
+        case None => s.fe.rows != 0L // unknown null count: assume possible
+      }
+      threshold match {
+        case None => mayHoldNull // top-k all nulls: keep possible-null files
+        case Some(t) =>
+          val valueSurvives = s.env match {
+            case Some(e) => !better(t, bestOf(e)).exists(_ > 0) // best >= T
+            case None => s.nulls match {
+              // no envelope: keep unless provably value-free
+              case Some(n) => s.fe.rows < 0L || n < s.fe.rows
+              case None => s.fe.rows != 0L
+            }
+          }
+          if (nullsFirst) valueSurvives || mayHoldNull
+          else valueSurvives // NULLS LAST: nulls dominated by the k bound
+      }
+    }.map(_.fe)
+
+    lastPrune.set((kept.size, idx.fes.size))
+    if (kept.size == idx.fes.size) return None // nothing pruned: fixed point
+
+    val newIdx = new StatsFileIndex(idx.rootPaths.head, kept, idx.manifestSchema)
+    val newRel = fsRel.copy(location = newIdx)(spark)
+    Some(sort.copy(child = sort.child.transformUp {
+      case l: LogicalRelation if l eq rel => l.copy(relation = newRel)
+    }))
+  }
+}
+
+object TopKFilePrune {
+  val confKey = "spark.graft.topkFilePrune"
+
+  /** (kept, total) of the most recent pruning decision — a test seam. */
+  val lastPrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, -1))
+}

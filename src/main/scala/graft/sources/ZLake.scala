@@ -613,7 +613,7 @@ object ZLake {
     x.length - y.length
   }
 
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+  private[graft] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
     case (x: String, y: String) => Some(utf8Cmp(x, y))
     case _ => None

@@ -124,7 +124,7 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
     // sessions the batch q45 lag/gap formulation computes
     implicit val sqlCtx = spark.sqlContext
     val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .selectExpr("user_id AS userId", "ts div 1000000000 AS tsSec")
+      .selectExpr("user_id AS userId", "unix_micros(ts) div 1000000 AS tsSec")
       .as[Event].collect().sortBy(e => (e.tsSec, e.userId)).toSeq
     val expected = evs.groupBy(_.userId).flatMap { case (uid, es) =>
       val ts = es.map(_.tsSec).sorted

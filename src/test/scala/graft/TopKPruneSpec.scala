@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKFilePrune
+import graft.sinks.Sinks
+import graft.sources.ZLake
+
+/** Zone-map top-k: `ORDER BY col LIMIT k` over a stats lake must scan only
+  * the files that can contribute to the top-k — asserted from the executed
+  * plan's scan metrics, with the result always compared row-for-row against
+  * the unpruned native sort (unique tiebreaker, so rows are deterministic). */
+class TopKPruneSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  /** 2^14 rows, unique id; a and b uniform in [0, 256), decorrelated. */
+  private def grid(): DataFrame =
+    spark.range(1 << 14).select(col("id"),
+      (col("id") % 256).as("a"), (col("id") * 7 % 256).as("b"))
+
+  private def scanFiles(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  private def sameRows(got: Array[Row], want: Array[Row]): Unit =
+    assert(got.toSeq == want.toSeq)
+
+  test("ORDER BY DESC LIMIT k scans only top-envelope files, same rows") {
+    val path = tmp("topk-desc")
+    Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
+    val want = spark.read.parquet(path)
+      .orderBy(col("a").desc, col("id")).limit(25).collect()
+
+    TopKFilePrune.lastPrune.set((-1, -1))
+    val pruned = ZLake.read(spark, path)
+      .orderBy(col("a").desc, col("id")).limit(25)
+    val files = scanFiles(pruned)
+    sameRows(pruned.collect(), want)
+    assert(files < 16, s"expected file pruning, scanned $files/16")
+    assert(TopKFilePrune.lastPrune.get()._2 == 16)
+    assert(TopKFilePrune.lastPrune.get()._1.toLong == files)
+  }
+
+  test("ORDER BY ASC LIMIT k mirrors: bottom-envelope files only") {
+    val path = tmp("topk-asc")
+    Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
+    val want = spark.read.parquet(path)
+      .orderBy(col("b"), col("id")).limit(25).collect()
+    val pruned = ZLake.read(spark, path).orderBy(col("b"), col("id")).limit(25)
+    val files = scanFiles(pruned)
+    sameRows(pruned.collect(), want)
+    assert(files < 16, s"expected file pruning, scanned $files/16")
+  }
+
+  test("range-clustered single file survives when k fits its rows") {
+    // id itself z-ordered against a copy: files are disjoint id ranges, so
+    // the top-25 by id live entirely in the last file
+    val path = tmp("topk-range")
+    val df = spark.range(1 << 14).select(col("id"), col("id").as("j"))
+    Sinks.zorderedWrite(df, "id", "j", path, numFiles = 16, bits = 16)
+    val pruned = ZLake.read(spark, path).orderBy(col("id").desc).limit(25)
+    val want = spark.read.parquet(path).orderBy(col("id").desc).limit(25)
+    sameRows(pruned.collect(), want.collect())
+    assert(scanFiles(pruned) == 1)
+  }
+
+  test("k past the lake's row count: no pruning, full result") {
+    val path = tmp("topk-all")
+    val df = spark.range(100).select(col("id"), col("id").as("j"))
+    Sinks.zorderedWrite(df, "id", "j", path, numFiles = 4, bits = 16)
+    val pruned = ZLake.read(spark, path).orderBy(col("id").desc).limit(1000)
+    sameRows(pruned.collect(),
+      spark.read.parquet(path).orderBy(col("id").desc).limit(1000).collect())
+    assert(scanFiles(pruned) == 4)
+  }
+
+  test("constant sort column: ties at the bound keep every file") {
+    val path = tmp("topk-ties")
+    val df = spark.range(1000).select(col("id"), lit(7L).as("c"))
+    Sinks.zorderedWrite(df, "id", "id", path, numFiles = 4, bits = 16)
+    val pruned = ZLake.read(spark, path).orderBy(col("c").desc, col("id")).limit(5)
+    sameRows(pruned.collect(),
+      spark.read.parquet(path).orderBy(col("c").desc, col("id")).limit(5).collect())
+    assert(scanFiles(pruned) == 4) // no file is STRICTLY below the bound
+  }
+
+  test("NULLS LAST (default desc): all-null files prune, result matches") {
+    val path = tmp("topk-nulls")
+    // files 0..3 by id range; ids in [0, 1000) carry NULL v — after the
+    // id-range write, low-id files are provably all-null in v
+    val df = spark.range(1 << 12).select(col("id"),
+      when(col("id") >= 1000, col("id")).as("v"))
+    Sinks.zorderedWrite(df, "id", "id", path, numFiles = 8, bits = 16)
+    val want = spark.read.parquet(path)
+      .orderBy(col("v").desc, col("id")).limit(10).collect()
+    val pruned = ZLake.read(spark, path).orderBy(col("v").desc, col("id")).limit(10)
+    val files = scanFiles(pruned)
+    sameRows(pruned.collect(), want)
+    assert(files < 8, s"expected pruning, scanned $files/8")
+  }
+
+  test("NULLS FIRST: files that may hold a null are unprunable") {
+    val path = tmp("topk-nullsfirst")
+    val df = spark.range(1 << 12).select(col("id"),
+      when(col("id") % 1024 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"))
+    Sinks.zorderedWrite(df, "id", "id", path, numFiles = 8, bits = 16)
+    val want = spark.read.parquet(path)
+      .orderBy(col("v").desc_nulls_first, col("id")).limit(3).collect()
+    val pruned = ZLake.read(spark, path)
+      .orderBy(col("v").desc_nulls_first, col("id")).limit(3)
+    val files = scanFiles(pruned)
+    sameRows(pruned.collect(), want)
+    // 4 nulls known (one per 1024-id file): the bound is met by nulls
+    // alone, so exactly the null-bearing files survive
+    assert(files == 4, s"scanned $files/8")
+  }
+
+  test("partition filter composes: bound counts only surviving dirs") {
+    val root = tmp("topk-part")
+    val df = grid()
+    for (w <- 0 until 4)
+      Sinks.zorderedWrite(df.filter(col("id") % 4 === w), "a", "b",
+        s"$root/win=$w", numFiles = 4, bits = 8)
+    val want = spark.read.parquet(root)
+      .filter(col("win") === "2")
+      .orderBy(col("a").desc, col("id")).limit(10)
+      .drop("win").collect()
+    val pruned = ZLake.read(spark, root)
+      .filter(col("win") === "2")
+      .orderBy(col("a").desc, col("id")).limit(10).drop("win")
+    val files = scanFiles(pruned)
+    sameRows(pruned.collect(), want)
+    assert(files < 4, s"expected pruning within win=2, scanned $files")
+  }
+
+  test("a data filter disables the rewrite (bound would overcount)") {
+    val path = tmp("topk-datafilter")
+    Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
+    TopKFilePrune.lastPrune.set((-1, -1))
+    val q = ZLake.read(spark, path).filter(col("b") < 8)
+      .orderBy(col("a").desc, col("id")).limit(5)
+    sameRows(q.collect(),
+      spark.read.parquet(path).filter(col("b") < 8)
+        .orderBy(col("a").desc, col("id")).limit(5).collect())
+    assert(TopKFilePrune.lastPrune.get() == ((-1, -1)),
+      "rule must not fire under a data filter")
+  }
+
+  test("SQL surface: ORDER BY ... LIMIT over a zlake view prunes too") {
+    val path = tmp("topk-sql")
+    Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW topk_sql_v " +
+      s"USING zlake OPTIONS (path '$path')")
+    val q = spark.sql(
+      "SELECT id, a FROM topk_sql_v ORDER BY a DESC, id LIMIT 25")
+    val want = spark.read.parquet(path)
+      .selectExpr("id", "a").orderBy(col("a").desc, col("id")).limit(25)
+    val files = scanFiles(q)
+    sameRows(q.collect(), want.collect())
+    assert(files < 16, s"expected file pruning via SQL, scanned $files/16")
+  }
+
+  test("kill-switch restores the full scan") {
+    val path = tmp("topk-off")
+    Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
+    spark.conf.set(TopKFilePrune.confKey, "false")
+    try {
+      val q = ZLake.read(spark, path).orderBy(col("a").desc, col("id")).limit(25)
+      q.collect()
+      assert(scanFiles(q) == 16)
+    } finally spark.conf.unset(TopKFilePrune.confKey)
+  }
+}
