@@ -472,7 +472,11 @@ object Queries {
     // write + sketch manifest + zero-scan distinct-count answers
     "q109_manifest_sketch",
     // write + bloom manifest + point-lookup file skipping
-    "q110_bloom_point_lookup")
+    "q110_bloom_point_lookup",
+    // round-8: zone-map top-k — ORDER BY ... LIMIT over the lake plans
+    // only the contributing files (write dominates the bench time; the
+    // read itself scans ~6/16 files, TopKPruneSpec)
+    "q111_topk_file_prune")
   // (q110's lake write dominates its bench time, like the other lake
   // fixtures — the point-lookup read itself plans 1-3 of 16 files)
 

@@ -12,6 +12,24 @@ import graft.operators.TopK
   * roll-up top-K (T4), deterministic salted two-phase aggregation (A3/F10),
   * and JSON round-trip (F11/F13).
   */
+/** Driver-gate evidence seam for the z-lake queries: q96's fn records the
+  * lake path + pruning index it planned through; [[Verify]] prints the
+  * per-file envelopes and the index's (kept, total) pruning decision to
+  * stderr AFTER the query executes, so a driver-environment red carries
+  * its own localization in the driver log. */
+object ZLakeDiag {
+  @volatile var lastIndex: Option[(String, graft.sources.ZLake.StatsFileIndex)] = None
+  def report(tag: String): Unit = lastIndex.foreach { case (lake, idx) =>
+    System.err.println(
+      s"[$tag] lake=$lake lastPrune=${idx.lastPrune.get()} files=${idx.fes.size}")
+    idx.fes.foreach { fe =>
+      System.err.println(s"[$tag] file=${fe.status.getPath.getName} " +
+        s"len=${fe.status.getLen} rows=${fe.rows} " +
+        s"a=${fe.cols.get("a")} b=${fe.cols.get("b")} nulls=${fe.nullCounts}")
+    }
+  }
+}
+
 object QueriesOps {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
@@ -363,6 +381,16 @@ object QueriesOps {
     //    predicate (6/16-ish, measured in ZOrderPruneSpec). The oracle
     //    computes the filter+aggregate over the raw table; the Spark side
     //    must agree through the z-ordered lake copy AND the pruned read.
+    //    SELF-DIAGNOSING since r8 (two driver-gate hash reds with zero
+    //    local reproductions): the output carries `d_n`/`d_bal` — the
+    //    pruned aggregate MINUS the identical full-scan aggregate over the
+    //    same lake files, computed Spark-side in the same job (oracle pins
+    //    both to 0). A future red now localizes itself: nonzero diffs =
+    //    the PRUNE dropped rows the full scan kept; zero diffs with wrong
+    //    n/bal = the WRITE itself lost rows in that environment. The
+    //    companion q96b runs the full-scan control through the driver gate
+    //    separately, and [[Verify]] prints this lake's per-file envelopes
+    //    + the index's lastPrune to stderr via [[ZLakeDiag]].
     QueryDef("q96_zorder_pruned_read", Some("""
       WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
                         (c_custkey * 7) % 256 AS b, c_acctbal
@@ -370,7 +398,9 @@ object QueriesOps {
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(a) AS BIGINT) AS sum_a,
              CAST(sum(b) AS BIGINT) AS sum_b,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal,
+             CAST(0 AS BIGINT) AS d_n,
+             CAST(0 AS DECIMAL(18,2)) AS d_bal
       FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
       ORDER BY n"""),
       (s, dir) => {
@@ -382,7 +412,50 @@ object QueriesOps {
             (col("c_custkey") * 7 % 256).cast("long").as("b"),
             col("c_acctbal")),
           "a", "b", lake, numFiles = 16, bits = 8)
-        graft.sources.ZLake.read(s, lake)
+        val idx = graft.sources.ZLake.index(s, lake)
+        ZLakeDiag.lastIndex = Some((lake, idx))
+        def aggOf(df: DataFrame): DataFrame = df
+          .filter(col("a").between(32, 63) && col("b").between(64, 127))
+          .agg(count("*").cast("long").as("n"),
+            sum("a").cast("long").as("sum_a"),
+            sum("b").cast("long").as("sum_b"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("bal"))
+        val pruned = aggOf(graft.sources.ZLake.readWith(s, lake, idx))
+        val full = aggOf(s.read.parquet(lake))
+          .select(col("n").as("f_n"), col("bal").as("f_bal"))
+        pruned.crossJoin(full)
+          .select(col("n"), col("sum_a"), col("sum_b"), col("bal"),
+            (col("n") - col("f_n")).cast("long").as("d_n"),
+            (col("bal") - col("f_bal")).cast("decimal(18,2)").as("d_bal"))
+          .orderBy("n")
+      }),
+
+    // -- q96's full-scan CONTROL: the IDENTICAL aggregate over the SAME
+    //    just-written lake via a plain parquet read (no pruning index).
+    //    The driver gate bisects a q96 red: q96 red + q96b green = unsound
+    //    prune; both red = the deterministic write itself diverges in that
+    //    environment; both green = no divergence.
+    QueryDef("q96b_zorder_full_scan", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
+                        (c_custkey * 7) % 256 AS b, c_acctbal
+                 FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+      FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
+      ORDER BY n"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-zlake-ctl").toString + "/customer"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 256).cast("long").as("a"),
+            (col("c_custkey") * 7 % 256).cast("long").as("b"),
+            col("c_acctbal")),
+          "a", "b", lake, numFiles = 16, bits = 8)
+        s.read.parquet(lake)
           .filter(col("a").between(32, 63) && col("b").between(64, 127))
           .agg(count("*").cast("long").as("n"),
             sum("a").cast("long").as("sum_a"),
@@ -532,6 +605,68 @@ object QueriesOps {
           .agg(count("*").cast("long").as("n"),
             sum("c_custkey").cast("long").as("sum_key"))
           .orderBy("uid")
+      }),
+
+    // -- zone-map top-k file pruning (TopKFilePrune): ORDER BY a DESC
+    //    LIMIT k over the z-lake scans only the files whose envelope can
+    //    contribute to the top-k (file counts asserted in TopKPruneSpec);
+    //    the unique (a DESC, c_custkey) tiebreaker makes the row SET
+    //    deterministic, and the oracle computes the same top-k over the
+    //    raw table — an unsound bound (the rule's failure mode) would
+    //    LOSE top-k rows here.
+    QueryDef("q111_topk_file_prune", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
+                        (c_custkey * 7) % 256 AS b FROM customer)
+      SELECT c_custkey, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+      FROM f ORDER BY a DESC, c_custkey LIMIT 25"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-topk-lake").toString + "/customer"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 256).cast("long").as("a"),
+            (col("c_custkey") * 7 % 256).cast("long").as("b")),
+          "a", "b", lake, numFiles = 16, bits = 8)
+        graft.sources.ZLake.read(s, lake)
+          .orderBy(col("a").desc, col("c_custkey"))
+          .limit(25)
+          .select(col("c_custkey"), col("a"), col("b"))
+      }),
+
+    // -- metadata-only SUM: the lake written with `sumCols` carries exact
+    //    per-file BigDecimal sums in its manifest, so the single most
+    //    common lake rollup — `SELECT win, sum(x) GROUP BY win` over a
+    //    partition-filtered slice — launches ZERO tasks (LocalRelation
+    //    plan-asserted in ManifestAggsSpec). Integral sum (c_custkey,
+    //    long lane) and decimal sum (bal, exact decimal lane) both ride
+    //    the oracle; overflow/all-null gates are spec-covered.
+    QueryDef("q112_metadata_sum", Some("""
+      WITH f AS (SELECT c_custkey, CAST(c_custkey % 4 AS VARCHAR) AS win,
+                        CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+                 FROM customer)
+      SELECT win, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+             CAST(sum(bal) AS DECIMAL(28,2)) AS sum_bal
+      FROM f WHERE win <> '3' GROUP BY win ORDER BY win"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-zlake-sum").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        for (w <- 0 until 4)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 4 === w),
+            "a", "b", s"$root/win=$w", numFiles = 4, bits = 8,
+            sumCols = Seq("c_custkey", "bal"))
+        graft.sources.ZLake.read(s, root)
+          .filter(col("win") =!= "3")
+          .groupBy(col("win"))
+          .agg(count(lit(1)).as("n"),
+            sum("c_custkey").as("sum_key"),
+            sum("bal").as("sum_bal"))
+          .orderBy("win")
       }),
 
     // -- metadata-only aggregates: count(*) / count(col) / integral

@@ -71,31 +71,52 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** Peel the sort's child down to a ZLake relation, collecting filter
-    * conjuncts; None on any shape we do not fully understand. */
+    * conjuncts and an alias map (output exprId → underlying relation
+    * attribute, fully resolved through nested Projects) so `SELECT x AS y …
+    * ORDER BY y LIMIT k` — the most common SQL spelling — prunes too.
+    * None on any shape we do not fully understand. */
   private def unwrap(p: LogicalPlan)
-      : Option[(LogicalRelation, HadoopFsRelation, StatsFileIndex, Seq[Expression])] =
+      : Option[(LogicalRelation, HadoopFsRelation, StatsFileIndex,
+          Seq[Expression], Map[ExprId, AttributeReference])] =
     p match {
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location match {
-          case idx: StatsFileIndex => Some((l, h, idx, Nil))
+          case idx: StatsFileIndex => Some((l, h, idx, Nil, Map.empty))
           case _ => None
         }
         case _ => None
       }
-      case f: Filter => unwrap(f.child).map { case (l, h, idx, cs) =>
-        (l, h, idx, splitConjunctivePredicates(f.condition) ++ cs)
+      case f: Filter => unwrap(f.child).map { case (l, h, idx, cs, m) =>
+        (l, h, idx, splitConjunctivePredicates(f.condition) ++ cs, m)
       }
-      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(pr.child)
+      case pr: Project if pr.projectList.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        } =>
+        unwrap(pr.child).map { case (l, h, idx, cs, m) =>
+          val aliases = pr.projectList.collect {
+            case al @ Alias(a: AttributeReference, _) =>
+              al.exprId -> m.getOrElse(a.exprId, a)
+          }
+          (l, h, idx, cs, m ++ aliases)
+        }
       case s: SubqueryAlias => unwrap(s.child)
       case _ => None
     }
 
   private def prune(sort: Sort, k: Int): Option[Sort] = {
-    val (rel, fsRel, idx, filters) = unwrap(sort.child).getOrElse(return None)
+    val (rel, fsRel, idx, rawFilters, aliasMap) =
+      unwrap(sort.child).getOrElse(return None)
+    // resolve aliases down to relation attributes — values in aliasMap are
+    // already fully resolved, so a single pass suffices
+    def resolve(e: Expression): Expression = e.transform {
+      case a: AttributeReference => aliasMap.getOrElse(a.exprId, a)
+    }
+    val filters = rawFilters.map(resolve)
 
     val order = sort.order.headOption.getOrElse(return None)
-    val key = order.child match {
+    val key = resolve(order.child) match {
       case a: AttributeReference => a
       case _ => return None
     }
@@ -156,7 +177,10 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     if (nullsFirst) remaining -= knownNulls
     val threshold: Option[Any] = // None = bound met by nulls alone
       if (remaining <= 0L) None
-      else {
+      else try {
+        // sortWith's comparator is non-total when envelopes mix types
+        // across files (per-file 't' tags) — TimSort may throw; bail to
+        // the full scan instead of failing the query
         val contributors = stats
           .filter(s => s.nn > 0L && s.env.isDefined)
           .map(s => (worstOf(s.env.get), s.nn))
@@ -170,7 +194,7 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
         }
         if (remaining > 0L) return None // cannot guarantee k rows: no prune
         t
-      }
+      } catch { case NonFatal(_) => return None }
 
     val kept = stats.filter { s =>
       val mayHoldNull = s.nulls match {
@@ -193,8 +217,11 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
       }
     }.map(_.fe)
 
-    lastPrune.set((kept.size, idx.fes.size))
     if (kept.size == idx.fes.size) return None // nothing pruned: fixed point
+    // seam set ONLY when pruning occurs: the optimizer re-runs the batch to
+    // fixed point, and the second pass over the already-pruned index must
+    // not overwrite the recorded decision with (n, n)
+    lastPrune.set((kept.size, idx.fes.size))
 
     val newIdx = new StatsFileIndex(idx.rootPaths.head, kept, idx.manifestSchema)
     val newRel = fsRel.copy(location = newIdx)(spark)

@@ -68,7 +68,10 @@ object Sinks {
                 stampCol: String = "accesstime",
                 zorderBy: Option[(String, String)] = None,
                 filesPerWindow: Int = 4,
-                zorderBits: Int = 20): Unit =
+                zorderBits: Int = 20,
+                sketchCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil,
+                sumCols: Seq[String] = Nil): Unit =
     tables.foreach { case (name, df) =>
       import org.apache.spark.sql.functions.{col, date_format}
       val stamped = df.withColumn("win",
@@ -82,12 +85,17 @@ object Sinks {
         case Some((a, b)) =>
           // one pass finds the batch's windows, one clustered write each;
           // the input is cached so the per-window filters don't recompute
-          // the (possibly expensive) upstream of a foreachBatch DataFrame
+          // the (possibly expensive) upstream of a foreachBatch DataFrame.
+          // sketch/bloom/sum cols ride each window's manifest, so STREAMED
+          // windows answer planning-time approx-distinct / point-skip /
+          // metadata-sum queries exactly like batch zorderedWrite lakes.
           val cached = stamped.cache()
           try cached.select("win").distinct().collect().map(_.getString(0))
             .sorted.foreach { w =>
               zorderedWrite(cached.filter(col("win") === w).drop("win"),
-                a, b, s"$root/$name/win=$w", filesPerWindow, zorderBits)
+                a, b, s"$root/$name/win=$w", filesPerWindow, zorderBits,
+                sketchCols = sketchCols, bloomCols = bloomCols,
+                sumCols = sumCols)
             }
           finally { cached.unpersist(); () }
       }
@@ -142,7 +150,8 @@ object Sinks {
                     sketchM: Int = 256,
                     bloomCols: Seq[String] = Nil,
                     bloomBits: Int = 8192,
-                    bloomHashes: Int = 4): Unit = {
+                    bloomHashes: Int = 4,
+                    sumCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     val z = graft.functions.KernelExprs.zorder2(
       col(colA).cast("long"), col(colB).cast("long"), bits)
@@ -153,7 +162,7 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").options(writerOptions).parquet(path)
     graft.sources.ZLake.writeManifest(df.sparkSession, path, Some(df.schema),
-      sketchCols, sketchM, bloomCols, bloomBits, bloomHashes)
+      sketchCols, sketchM, bloomCols, bloomBits, bloomHashes, sumCols)
   }
 
   /** Deterministically spread `zf` over up to `numFiles` partitions of
@@ -242,7 +251,8 @@ object Sinks {
     * the atomic swap, the new ones after. */
   def compactLake(spark: org.apache.spark.sql.SparkSession, root: String,
                   colA: String, colB: String, filesPerPartition: Int = 4,
-                  bits: Int = 20): Seq[CompactReport] = {
+                  bits: Int = 20,
+                  onlyBefore: Option[String] = None): Seq[CompactReport] = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -254,6 +264,17 @@ object Sinks {
           !p.getName.startsWith("_") && !p.getName.startsWith("."))
     def hasManifest(dir: Path): Boolean =
       fs.exists(new Path(dir, graft.sources.ZLake.ManifestName))
+    // `onlyBefore`: compact only partitions whose VALUE sorts strictly
+    // below it — the streaming maintenance hook passes the current batch's
+    // minimum window so the OPEN window (still receiving appends from
+    // later batches) is never rewritten mid-growth. Recovery below still
+    // heals every window unconditionally.
+    def closed(dir: Path): Boolean = onlyBefore.forall { b =>
+      dir.getName.split("=", 2) match {
+        case Array(_, v) => v < b
+        case _ => true
+      }
+    }
     val partDirs = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
         !st.getPath.getName.startsWith("_") &&
@@ -281,6 +302,7 @@ object Sinks {
       val before = parquets(dir).size
       if (recovered(dir.getName))
         Some(CompactReport(dir.toString, before, before, recovered = true))
+      else if (!closed(dir)) None
       else if (before <= filesPerPartition && hasManifest(dir)) None
       else {
         val tmp = new Path(tmpRoot, dir.getName)

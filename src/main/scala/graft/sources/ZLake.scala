@@ -65,13 +65,20 @@ object ZLake {
     * value absent — the no-false-negative direction — reaching past
     * min/max envelopes on high-cardinality columns whose per-file ranges
     * all overlap (the Parquet-bloom / Iceberg pattern). */
+  /** `sums`: optional per-column EXACT sums (`sumCols` at write time,
+    * BigDecimal — no double lane), present only for files whose sum is
+    * non-NULL. [[graft.plans.ManifestAggs]] then answers `sum`/`avg` over
+    * any partition-selected slice with zero tasks; a file missing its sum
+    * entry contributes nothing ONLY when provably all-NULL in the column
+    * (known nullCount == rows), else the rewrite bails to the scan. */
   final case class FileEnvelope(status: FileStatus, rowGroups: Int,
                                 cols: Map[String, ColEnvelope],
                                 partitionValues: Seq[(String, String)] = Nil,
                                 rows: Long = -1L,
                                 nullCounts: Map[String, Long] = Map.empty,
                                 sketches: Map[String, Array[Long]] = Map.empty,
-                                blooms: Map[String, Array[Long]] = Map.empty)
+                                blooms: Map[String, Array[Long]] = Map.empty,
+                                sums: Map[String, BigDecimal] = Map.empty)
 
   /** Recursively list data files under `root`, carrying the `col=value`
     * segments each file sits beneath. */
@@ -162,7 +169,7 @@ object ZLake {
     val fes = files.map { case (st, parts) =>
       entryFor(st)
         .map(e => FileEnvelope(st, e.rowGroups, e.cols, parts, e.rows,
-          e.nulls, e.sketches, e.blooms))
+          e.nulls, e.sketches, e.blooms, e.sums))
         .getOrElse(envelopeOf(st, parts, conf))
     }
     val covered = files.nonEmpty && files.forall { case (st, _) =>
@@ -305,7 +312,8 @@ object ZLake {
   private final case class ManifestEntry(len: Long, rowGroups: Int, rows: Long,
       cols: Map[String, ColEnvelope], nulls: Map[String, Long],
       sketches: Map[String, Array[Long]] = Map.empty,
-      blooms: Map[String, Array[Long]] = Map.empty)
+      blooms: Map[String, Array[Long]] = Map.empty,
+      sums: Map[String, BigDecimal] = Map.empty)
   private final case class Manifest(schema: StructType,
       files: Map[String, ManifestEntry])
 
@@ -337,7 +345,8 @@ object ZLake {
                     sketchM: Int = 256,
                     bloomCols: Seq[String] = Nil,
                     bloomBits: Int = 8192,
-                    bloomHashes: Int = 4): Unit = {
+                    bloomHashes: Int = 4,
+                    sumCols: Seq[String] = Nil): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -345,21 +354,31 @@ object ZLake {
     if (files.isEmpty) return
     val schema = dataSchema.getOrElse(
       spark.read.parquet(files.head._1.getPath.toString).schema)
-    // per-file sketches + blooms: ONE pass grouped by source file; keyed
-    // by the file's URI path so it matches FileStatus paths regardless of
-    // scheme. Bloom arrays carry their own probe arity as element 0
-    // (`[numHashes, bitWords…]`) so the read side never guesses k.
-    val statsByFile
-        : Map[String, (Map[String, Array[Long]], Map[String, Array[Long]])] =
-      if (sketchCols.isEmpty && bloomCols.isEmpty) Map.empty
+    // per-file sketches + blooms + exact sums: ONE pass grouped by source
+    // file; keyed by the file's URI path so it matches FileStatus paths
+    // regardless of scheme. Bloom arrays carry their own probe arity as
+    // element 0 (`[numHashes, bitWords…]`) so the read side never guesses
+    // k. Sums go through decimal(38, s) — exact for integral and decimal
+    // columns (no double lane), overflow → NULL → the entry is omitted
+    // and the query-time rewrite bails for files it cannot prove all-null.
+    def sumScale(c: String): Int =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+        case Some(d: org.apache.spark.sql.types.DecimalType) => d.scale
+        case _ => 0
+      }
+    val statsByFile: Map[String, (Map[String, Array[Long]],
+        Map[String, Array[Long]], Map[String, BigDecimal])] =
+      if (sketchCols.isEmpty && bloomCols.isEmpty && sumCols.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions.{col, input_file_name}
+        import org.apache.spark.sql.functions.{col, input_file_name, sum}
         val aggs =
           sketchCols.map(c => graft.functions.KernelAggs
             .hll_registers(col(c).cast("string"), sketchM).as(s"__hll_$c")) ++
           bloomCols.map(c => graft.functions.KernelAggs
             .bloom_sketch(col(c).cast("string"), bloomBits, bloomHashes)
-            .as(s"__bloom_$c"))
+            .as(s"__bloom_$c")) ++
+          sumCols.map(c => sum(col(c).cast(s"decimal(38,${sumScale(c)})"))
+            .as(s"__sum_$c"))
         spark.read.parquet(path).drop(partitionColsOf(files): _*)
           .groupBy(input_file_name().as("__file"))
           .agg(aggs.head, aggs.tail: _*)
@@ -371,16 +390,21 @@ object ZLake {
               c.toLowerCase -> (bloomHashes.toLong +:
                 r.getSeq[Long](i + 1 + sketchCols.size).toArray)
             }.toMap
+            val sums = sumCols.zipWithIndex.flatMap { case (c, i) =>
+              Option(r.getDecimal(i + 1 + sketchCols.size + bloomCols.size))
+                .map(d => c.toLowerCase -> BigDecimal(d))
+            }.toMap
             new Path(new java.net.URI(r.getString(0))).toUri.getPath ->
-              (regs, blooms)
+              (regs, blooms, sums)
           }.toMap
       }
     files.groupBy(_._1.getPath.getParent).foreach { case (dir, inDir) =>
       val entries = inDir.map { case (st, parts) =>
         val env = envelopeOf(st, parts, conf)
-        val (sk, bl) = statsByFile.getOrElse(st.getPath.toUri.getPath,
-          (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]]))
-        st.getPath.getName -> env.copy(sketches = sk, blooms = bl)
+        val (sk, bl, sm) = statsByFile.getOrElse(st.getPath.toUri.getPath,
+          (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]],
+            Map.empty[String, BigDecimal]))
+        st.getPath.getName -> env.copy(sketches = sk, blooms = bl, sums = sm)
       }
       writeManifestFile(fs, dir, schema, entries)
     }
@@ -448,6 +472,12 @@ object ZLake {
           words.foreach(arr.add)
         }
       }
+      if (fe.sums.nonEmpty) {
+        val sm = f.putObject("sums")
+        fe.sums.toSeq.sortBy(_._1).foreach { case (c, v) =>
+          sm.put(c, v.toString); ()
+        }
+      }
     }
     val tmp = new Path(dir, s".$ManifestName.tmp")
     val out = fs.create(tmp, true)
@@ -490,9 +520,12 @@ object ZLake {
         val blooms = f.path("blooms").fields().asScala.map { s =>
           s.getKey -> s.getValue.elements().asScala.map(_.asLong()).toArray
         }.toMap
+        val sums = f.path("sums").fields().asScala.map { s =>
+          s.getKey -> BigDecimal(s.getValue.asText())
+        }.toMap
         e.getKey -> ManifestEntry(f.path("len").asLong(),
           f.path("rowGroups").asInt(), f.path("rows").asLong(-1L), cols, nulls,
-          sketches, blooms)
+          sketches, blooms, sums)
       }.toMap
       Some(Manifest(schema, files))
     } catch {

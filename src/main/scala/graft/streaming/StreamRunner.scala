@@ -34,11 +34,33 @@ object StreamRunner {
       .groupBy(window(col("ts"), windowDur), col("clientName"))
       .agg(count(lit(1)).as("sampleNum"), sum(col("error")).as("errorNum"))
 
+  /** Periodic lake maintenance wired into the streaming loop — the piece a
+    * real streaming lake needs so it does not fragment until someone
+    * remembers (the reference's own 300 s cycle is the natural cadence
+    * hook, DnsRptCH.scala:1213-1219): every `every`-th non-empty batch,
+    * CLOSED windows (strictly before the batch's minimum window — the open
+    * window still receiving appends is never rewritten mid-growth) of each
+    * table under `root` are compacted into the z-ordered manifest-covered
+    * layout, and each table's root manifest is re-consolidated so planning
+    * stays one driver-side read however many windows the lake grows.
+    *
+    * Readers stay green throughout: compaction stages under `_compacting/`
+    * (invisible to every reader) and swaps atomically per partition
+    * (CompactionSpec kill-injection); a crash mid-maintenance fails the
+    * batch, the replay re-runs [[graft.sinks.Sinks.compactLake]], and its
+    * recovery pass heals any half-swapped window (LakeMaintenanceSpec). */
+  final case class LakeMaintenance(root: String, tables: Seq[String],
+      colA: String, colB: String, every: Int = 8,
+      filesPerPartition: Int = 4, bits: Int = 20,
+      stampCol: String = "accesstime")
+
   /** Wire a per-batch report function (the batch code path, reused verbatim)
     * into `foreachBatch` with a processing-time trigger. The caller starts
-    * the returned writer (`.start()` / tests use MemoryStream + awaitAny). */
+    * the returned writer (`.start()` / tests use MemoryStream + awaitAny).
+    * `maintenance` adds the periodic compact+consolidate cycle above. */
   def reportEvery(facts: DataFrame, interval: String = "5 minutes",
-                  checkpoint: String)(
+                  checkpoint: String,
+                  maintenance: Option[LakeMaintenance] = None)(
       report: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     facts.writeStream
       .trigger(Trigger.ProcessingTime(interval))
@@ -48,7 +70,23 @@ object StreamRunner {
         // executeTake(1) job per trigger — a single near-empty task every 5
         // minutes, paid deliberately so the report never runs (and never
         // appends sink rows) for an empty window.
-        if (!batch.isEmpty) report(batch, id)
+        if (!batch.isEmpty) {
+          report(batch, id)
+          maintenance.foreach { m =>
+            if ((id + 1) % m.every == 0) {
+              val minWin = batch
+                .agg(min(date_format(col(m.stampCol), "yyyyMMdd_HHmm")))
+                .head().getString(0)
+              m.tables.foreach { t =>
+                graft.sinks.Sinks.compactLake(batch.sparkSession,
+                  s"${m.root}/$t", m.colA, m.colB, m.filesPerPartition,
+                  m.bits, onlyBefore = Option(minWin))
+                graft.sources.ZLake.consolidateManifests(
+                  batch.sparkSession, s"${m.root}/$t")
+              }
+            }
+          }
+        }
       }
 
   /** Backfill = the same report over a bounded time range, one 5-min window

@@ -125,6 +125,64 @@ class ManifestAggsSpec extends AnyFunSuite with SparkSpec {
     assert(scansFiles(f4))
   }
 
+  /** 2 windows × 2 files with exact per-file sums in the manifest; `bal`
+    * is decimal(5,2), NULL on multiples of 7; `dead` is all-NULL. */
+  private def sumLake(): String = {
+    val root = tmp("maggs-sum")
+    for (w <- 1 to 2) {
+      val part = spark.range(w * 100L, w * 100L + 80)
+        .select(col("id"), (col("id") % 16).as("a"), (col("id") % 5).as("b"),
+          when(col("id") % 7 =!= 0,
+            (col("id") % 90).cast("decimal(5,2)")).as("bal"),
+          lit(null).cast("long").as("dead"))
+      Sinks.zorderedWrite(part, "a", "b", s"$root/win=w$w", 2, bits = 4,
+        sumCols = Seq("id", "bal", "dead"))
+    }
+    root
+  }
+
+  test("sum/avg from manifest sums: zero scan, scan-identical values") {
+    val root = sumLake()
+    val df = ZLake.read(spark, root)
+      .groupBy(col("win"))
+      .agg(sum("id").as("s_id"), sum("bal").as("s_bal"),
+        avg("bal").as("a_bal"), sum("dead").as("s_dead"))
+      .orderBy("win")
+    assert(answeredFromMetadata(df), df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = spark.read.parquet(root).groupBy(col("win"))
+      .agg(sum("id").as("s_id"), sum("bal").as("s_bal"),
+        avg("bal").as("a_bal"), sum("dead").as("s_dead"))
+      .orderBy("win").collect().map(_.toSeq).toSeq
+    assert(got == want) // incl. bit-identical decimal avg and NULL sum(dead)
+    // partition filter composes
+    val f = ZLake.read(spark, root).filter(col("win") === "w2")
+      .agg(sum("id").as("s"), avg("bal").as("m"))
+    assert(answeredFromMetadata(f))
+    assert(f.head().toSeq == spark.read.parquet(root)
+      .filter(col("win") === "w2")
+      .agg(sum("id").as("s"), avg("bal").as("m")).head().toSeq)
+  }
+
+  test("sum gates: no manifest sums, long overflow, non-decimal avg bail") {
+    // lake() writes WITHOUT sumCols: sum must fall back to the scan
+    val noSums = ZLake.read(spark, lake()).agg(sum("id"))
+    assert(scansFiles(noSums))
+    // long-sum overflow: exact total past Long range bails to the scan
+    // (which keeps Spark's native overflow behavior)
+    val root = tmp("maggs-ovf")
+    val part = spark.range(4).select(
+      lit(Long.MaxValue / 2).as("big"), (col("id") % 2).as("a"), col("id").as("b"))
+    Sinks.zorderedWrite(part, "a", "b", root, 2, bits = 2,
+      sumCols = Seq("big"))
+    val ovf = ZLake.read(spark, root).agg(sum("big"))
+    assert(scansFiles(ovf), ovf.queryExecution.optimizedPlan.toString)
+    // avg over a non-decimal column: double accumulation is row-order
+    // dependent, not reproducible from stats — bail
+    val avgLong = ZLake.read(spark, sumLake()).agg(avg("id"))
+    assert(scansFiles(avgLong))
+  }
+
   test("zlake is a SQL source: USING zlake keeps pruning and metadata aggs") {
     val root = lake()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW zlake_spec_v " +

@@ -25,6 +25,11 @@ class TopKPruneSpec extends AnyFunSuite with SparkSpec {
     spark.range(1 << 14).select(col("id"),
       (col("id") % 256).as("a"), (col("id") * 7 % 256).as("b"))
 
+  /** Files scanned by the query's FIRST execution. Must be called BEFORE
+    * any other action on `df`: `numFiles` is posted when the scan's lazy
+    * `selectedPartitions` first materializes, and a re-execution re-posts
+    * nothing (SQL metrics reset per action) — reading after a prior
+    * collect() observes 0. */
   private def scanFiles(df: DataFrame): Long = {
     df.collect()
     val plan = df.queryExecution.executedPlan match {
@@ -35,6 +40,13 @@ class TopKPruneSpec extends AnyFunSuite with SparkSpec {
     assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
     scans.map(_.metrics("numFiles").value).sum
   }
+
+  /** Parquet data files actually on disk under `path` (fixtures must not
+    * assume `numFiles` = file count: zPartitioned is bucket-granular at
+    * shift 2*bits-16, so a small z-domain can yield fewer files). */
+  private def diskFiles(path: String): Long =
+    new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
 
   private def sameRows(got: Array[Row], want: Array[Row]): Unit =
     assert(got.toSeq == want.toSeq)
@@ -74,28 +86,35 @@ class TopKPruneSpec extends AnyFunSuite with SparkSpec {
     Sinks.zorderedWrite(df, "id", "j", path, numFiles = 16, bits = 16)
     val pruned = ZLake.read(spark, path).orderBy(col("id").desc).limit(25)
     val want = spark.read.parquet(path).orderBy(col("id").desc).limit(25)
+    val files = scanFiles(pruned)
     sameRows(pruned.collect(), want.collect())
-    assert(scanFiles(pruned) == 1)
+    assert(files == 1)
   }
 
   test("k past the lake's row count: no pruning, full result") {
     val path = tmp("topk-all")
     val df = spark.range(100).select(col("id"), col("id").as("j"))
-    Sinks.zorderedWrite(df, "id", "j", path, numFiles = 4, bits = 16)
+    Sinks.zorderedWrite(df, "id", "j", path, numFiles = 4, bits = 8)
+    val onDisk = diskFiles(path)
+    assert(onDisk > 1, s"fixture needs several files, got $onDisk")
     val pruned = ZLake.read(spark, path).orderBy(col("id").desc).limit(1000)
+    val files = scanFiles(pruned)
     sameRows(pruned.collect(),
       spark.read.parquet(path).orderBy(col("id").desc).limit(1000).collect())
-    assert(scanFiles(pruned) == 4)
+    assert(files == onDisk)
   }
 
   test("constant sort column: ties at the bound keep every file") {
     val path = tmp("topk-ties")
     val df = spark.range(1000).select(col("id"), lit(7L).as("c"))
-    Sinks.zorderedWrite(df, "id", "id", path, numFiles = 4, bits = 16)
+    Sinks.zorderedWrite(df, "id", "id", path, numFiles = 4, bits = 8)
+    val onDisk = diskFiles(path)
+    assert(onDisk > 1, s"fixture needs several files, got $onDisk")
     val pruned = ZLake.read(spark, path).orderBy(col("c").desc, col("id")).limit(5)
+    val files = scanFiles(pruned)
     sameRows(pruned.collect(),
       spark.read.parquet(path).orderBy(col("c").desc, col("id")).limit(5).collect())
-    assert(scanFiles(pruned) == 4) // no file is STRICTLY below the bound
+    assert(files == onDisk) // no file is STRICTLY below the bound
   }
 
   test("NULLS LAST (default desc): all-null files prune, result matches") {
@@ -175,13 +194,26 @@ class TopKPruneSpec extends AnyFunSuite with SparkSpec {
     assert(files < 16, s"expected file pruning via SQL, scanned $files/16")
   }
 
+  test("aliased projection prunes: SELECT a AS s ... ORDER BY s LIMIT k") {
+    val path = tmp("topk-alias")
+    Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW topk_alias_v " +
+      s"USING zlake OPTIONS (path '$path')")
+    val q = spark.sql(
+      "SELECT id, a AS s FROM topk_alias_v ORDER BY s DESC, id LIMIT 25")
+    val want = spark.read.parquet(path).selectExpr("id", "a AS s")
+      .orderBy(col("s").desc, col("id")).limit(25)
+    val files = scanFiles(q)
+    sameRows(q.collect(), want.collect())
+    assert(files < 16, s"expected pruning through the alias, scanned $files/16")
+  }
+
   test("kill-switch restores the full scan") {
     val path = tmp("topk-off")
     Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
     spark.conf.set(TopKFilePrune.confKey, "false")
     try {
       val q = ZLake.read(spark, path).orderBy(col("a").desc, col("id")).limit(25)
-      q.collect()
       assert(scanFiles(q) == 16)
     } finally spark.conf.unset(TopKFilePrune.confKey)
   }
