@@ -669,6 +669,64 @@ object QueriesOps {
           .orderBy("win")
       }),
 
+    // -- partition-column metadata aggregates: min/max/count(DISTINCT) of
+    //    the lake's own window column come straight from the DIRECTORY
+    //    values — with the count, the full "what windows do I have" lake
+    //    inventory is a zero-task LocalRelation (plan-asserted in
+    //    ManifestAggsSpec; zero-row directories contribute no value).
+    QueryDef("q113_partition_metadata", Some("""
+      WITH f AS (SELECT c_custkey, CAST(c_custkey % 4 AS VARCHAR) AS win
+                 FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT win) AS BIGINT) AS wins,
+             min(win) AS lo_win, max(win) AS hi_win
+      FROM f WHERE win <> '3' ORDER BY n"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-zlake-pmeta").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"))
+        for (w <- 0 until 4)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 4 === w),
+            "a", "b", s"$root/win=$w", numFiles = 4, bits = 8)
+        graft.sources.ZLake.read(s, root)
+          .filter(col("win") =!= "3")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("win")).as("wins"),
+            min("win").as("lo_win"), max("win").as("hi_win"))
+          .orderBy("n")
+      }),
+
+    // -- partition-key top-k: `ORDER BY win DESC LIMIT k` — "the latest
+    //    windows' rows", the most common operational query over a windowed
+    //    lake — plans ONLY the directories that can contribute (row counts
+    //    accumulate down the window order; TopKFilePrune emits the cutoff
+    //    as an exact partition filter). The unique c_custkey tiebreaker
+    //    makes the row set deterministic; the oracle computes the same
+    //    top-k over the raw table — over-pruning would LOSE rows.
+    QueryDef("q114_partition_topk", Some("""
+      WITH f AS (SELECT c_custkey, CAST(c_custkey % 4 AS VARCHAR) AS win
+                 FROM customer)
+      SELECT win, c_custkey FROM f
+      ORDER BY win DESC, c_custkey LIMIT 20"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-zlake-ptopk").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"))
+        for (w <- 0 until 4)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 4 === w),
+            "a", "b", s"$root/win=$w", numFiles = 4, bits = 8)
+        graft.sources.ZLake.read(s, root)
+          .orderBy(col("win").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("win"), col("c_custkey"))
+      }),
+
     // -- metadata-only aggregates: count(*) / count(col) / integral
     //    min/max grouped by the lake's partition column are answered from
     //    the write-time manifest — the optimized plan is a LocalRelation,

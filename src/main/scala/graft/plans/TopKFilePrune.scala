@@ -63,10 +63,22 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     if (!spark.conf.get(confKey, "true").toBoolean) return plan
     plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k),
-          LocalLimit(IntegerLiteral(k2), s: Sort))
-          if k == k2 && k > 0 && s.global =>
-        prune(s, k).map(ns =>
-          GlobalLimit(gl.limitExpr, LocalLimit(gl.limitExpr, ns))).getOrElse(gl)
+          LocalLimit(IntegerLiteral(k2), inner)) if k == k2 && k > 0 =>
+        // column pruning wedges a bare-attribute Project BETWEEN the limit
+        // and the sort when a dropped column is itself a sort key (e.g.
+        // `ORDER BY win ... LIMIT k` then drop(win)); it only narrows
+        // columns, so seeing through it is sound
+        val peeled: Option[(Sort, Sort => LogicalPlan)] = inner match {
+          case s: Sort if s.global => Some((s, identity))
+          case p @ Project(pl, s: Sort)
+              if s.global && pl.forall(_.isInstanceOf[AttributeReference]) =>
+            Some((s, ns => p.copy(child = ns)))
+          case _ => None
+        }
+        peeled.flatMap { case (s, rebuild) =>
+          prune(s, k).map(ns =>
+            GlobalLimit(gl.limitExpr, LocalLimit(gl.limitExpr, rebuild(ns))))
+        }.getOrElse(gl)
     }
   }
 
@@ -126,7 +138,6 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     }
     val col = key.name.toLowerCase
     val partCols = idx.partitionCols
-    if (partCols.contains(col)) return None // directory values: no envelopes
     val descending = order.direction == Descending
     val nullsFirst = order.nullOrdering == NullsFirst
 
@@ -149,6 +160,65 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
           bound.eval(row) == true
         }
       } catch { case NonFatal(_) => return None }
+
+    // shared tail: fixed-point guard, seam, index swap, derived filter
+    // placed directly above the RELATION (the filter references the
+    // relation's own attribute — above an aliasing Project it would dangle)
+    def finish(kept: Seq[FileEnvelope], derived: Expression): Option[Sort] = {
+      if (kept.size == idx.fes.size) return None // nothing pruned: fixed point
+      // seam set ONLY when pruning occurs: the optimizer re-runs the batch
+      // to fixed point, and the second pass over the already-pruned index
+      // must not overwrite the recorded decision with (n, n)
+      lastPrune.set((kept.size, idx.fes.size))
+      val newIdx = new StatsFileIndex(idx.rootPaths.head, kept, idx.manifestSchema)
+      val newRel = fsRel.copy(location = newIdx)(spark)
+      Some(sort.copy(child = sort.child.transformUp {
+        case l: LogicalRelation if l eq rel =>
+          val nl = l.copy(relation = newRel)
+          if (derived == Literal.TrueLiteral) nl else Filter(derived, nl)
+      }))
+    }
+
+    if (partCols.contains(col)) {
+      // PARTITION-KEY top-k (`ORDER BY win DESC LIMIT k` — "the latest
+      // windows", the most common operational query over a windowed lake):
+      // directory values are known EXACTLY, so no envelopes are needed —
+      // accumulate known row counts down the value order until k, keep the
+      // directories at-or-before the cutoff (ties kept by >=), and emit
+      // the cutoff as an exact partition filter so the re-entered rule
+      // reaches its fixed point through the normal partition-filter path.
+      // Partition values are never NULL (`col=value` path segments), so
+      // null ordering cannot matter.
+      if (key.dataType != StringType) return None
+      val withVal = candidates.map { fe =>
+        (fe, fe.partitionValues.collectFirst { case (c, v) if c == col => v })
+      }
+      if (withVal.exists(w => w._2.isEmpty || w._1.rows < 0L)) return None
+      val rowsByVal = withVal.groupBy(_._2.get)
+        .map { case (v, fs) => v -> fs.map(_._1.rows).sum }
+      // both operands are strings: ZLake.cmp is total here (UTF-8 order —
+      // the same order Spark's string comparison and our partMatch use)
+      val ordered = rowsByVal.keys.toSeq.sortWith { (x, y) =>
+        val c = ZLake.cmp(x, y).get
+        if (descending) c > 0 else c < 0
+      }
+      var remaining = k.toLong
+      var cut: Option[String] = None
+      val it = ordered.iterator
+      while (remaining > 0L && it.hasNext) {
+        val v = it.next(); remaining -= rowsByVal(v); cut = Some(v)
+      }
+      if (remaining > 0L) return None // cannot guarantee k rows: no prune
+      val t = cut.getOrElse(return None)
+      val kept = withVal.collect { case (fe, Some(v))
+          if ZLake.cmp(v, t).exists(c => if (descending) c >= 0 else c <= 0) =>
+        fe
+      }
+      val lit = Literal(UTF8String.fromString(t), StringType)
+      return finish(kept,
+        if (descending) GreaterThanOrEqual(key, lit)
+        else LessThanOrEqual(key, lit))
+    }
 
     // "best" row a file guarantees nn copies of = its envelope edge on the
     // FAR side of the sort direction; "worst" = near side. DESC: rows all
@@ -217,17 +287,41 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
       }
     }.map(_.fe)
 
-    if (kept.size == idx.fes.size) return None // nothing pruned: fixed point
-    // seam set ONLY when pruning occurs: the optimizer re-runs the batch to
-    // fixed point, and the second pass over the already-pruned index must
-    // not overwrite the recorded decision with (n, n)
-    lastPrune.set((kept.size, idx.fes.size))
+    // DERIVED top-k predicate: the bound proves >= k rows sort at-or-before
+    // value T on the first key, so a row strictly past T cannot be in the
+    // top-k — `key >= T` (DESC; ASC mirrors) is a SOUND data filter. Pushed
+    // to the scan it buys what file pruning alone cannot: parquet ROW-GROUP
+    // stats skip within the kept files (a 1 GB file whose tail row groups
+    // are all past T reads only its head). Nulls: under NULLS FIRST null
+    // rows may outrank T, so they are kept via OR IS NULL; under NULLS
+    // LAST the k at-or-before-T rows dominate every null — dropping them
+    // is sound. threshold None (bound met by nulls alone) keeps exactly
+    // the possibly-null rows. The rewritten plan re-enters this rule with
+    // a data filter present, which bails — the natural fixed point.
+    val derived: Expression = threshold match {
+      case None => IsNull(key)
+      case Some(t) =>
+        val lit: Option[Literal] = t match {
+          case bd: BigDecimal => key.dataType match {
+            case ByteType if bd.isValidByte => Some(Literal(bd.toByteExact))
+            case ShortType if bd.isValidShort => Some(Literal(bd.toShortExact))
+            case IntegerType if bd.isValidInt => Some(Literal(bd.toIntExact))
+            case LongType if bd.isValidLong => Some(Literal(bd.toLongExact))
+            case _ => None
+          }
+          case s: String if key.dataType == StringType =>
+            Some(Literal(UTF8String.fromString(s), StringType))
+          case _ => None
+        }
+        lit.map { l =>
+          val cmpE: Expression =
+            if (descending) GreaterThanOrEqual(key, l)
+            else LessThanOrEqual(key, l)
+          if (nullsFirst) Or(cmpE, IsNull(key)) else cmpE
+        }.getOrElse(Literal.TrueLiteral)
+    }
 
-    val newIdx = new StatsFileIndex(idx.rootPaths.head, kept, idx.manifestSchema)
-    val newRel = fsRel.copy(location = newIdx)(spark)
-    Some(sort.copy(child = sort.child.transformUp {
-      case l: LogicalRelation if l eq rel => l.copy(relation = newRel)
-    }))
+    finish(kept, derived)
   }
 }
 

@@ -295,8 +295,19 @@ object ZLake {
       while (i < m) { if (r(i) > merged(i)) merged(i) = r(i); i += 1 }
     }
     val invSum = merged.map(r => math.pow(2.0, -r.toDouble)).sum
-    Some(SketchEstimate(hllAlpha(m) * m * m / invSum,
-      survivors.size, h.fes.size))
+    val raw = hllAlpha(m) * m * m / invSum
+    // standard small-range correction (Flajolet et al. §4): the raw
+    // harmonic estimate is biased high when n ≪ m (a tiny window slice of
+    // a big lake — exactly this API's common case); below 2.5m with empty
+    // registers, linear counting over the zero registers is the better
+    // estimator. q109's oracle replicates the RAW formula only — its
+    // cardinalities sit above the 2.5m threshold, so the correction never
+    // fires there (ManifestSketchSpec pins both regimes).
+    val zeros = merged.count(_ == 0L)
+    val estimate =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    Some(SketchEstimate(estimate, survivors.size, h.fes.size))
   }
 
   /** Standard HLL bias constant (q73 uses the m=16 value). */

@@ -125,6 +125,23 @@ class ManifestAggsSpec extends AnyFunSuite with SparkSpec {
     assert(scansFiles(f4))
   }
 
+  test("partition-column min/max/count-distinct from directory values") {
+    val root = lake()
+    val df = ZLake.read(spark, root).filter(col("win") =!= "w2")
+      .agg(min("win").as("lo"), max("win").as("hi"),
+        countDistinct("win").as("wins"), count(lit(1)).as("n"))
+    assert(answeredFromMetadata(df), df.queryExecution.optimizedPlan.toString)
+    val got = df.head().toSeq
+    val want = spark.read.parquet(root).filter(col("win") =!= "w2")
+      .agg(min("win").as("lo"), max("win").as("hi"),
+        countDistinct("win").as("wins"), count(lit(1)).as("n")).head().toSeq
+    assert(got == want)
+    assert(got == Seq("w1", "w3", 2L, 1200L))
+    // distinct over a DATA column still bails to the scan
+    val f = ZLake.read(spark, root).agg(countDistinct("b"))
+    assert(scansFiles(f))
+  }
+
   /** 2 windows × 2 files with exact per-file sums in the manifest; `bal`
     * is decimal(5,2), NULL on multiples of 7; `dead` is all-NULL. */
   private def sumLake(): String = {

@@ -52,6 +52,25 @@ class ManifestSketchSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.estimate - 5000.0) / 5000.0 < 0.15)
   }
 
+  test("small-range regime: linear counting replaces the biased raw estimate") {
+    // n ≪ m (40 distinct, m=256): the raw harmonic estimate runs ~3x high;
+    // the small-range correction (linear counting over zero registers)
+    // must bring the answer near truth — the common case of estimating a
+    // tiny window slice of a big lake
+    val root = tmp("sketch-small")
+    Sinks.zorderedWrite(
+      spark.range(4096).select(col("id"), (col("id") % 16).as("a"),
+        (col("id") % 7).as("b"), (col("id") % 40).as("uid")),
+      "a", "b", root, 4, bits = 4, sketchCols = Seq("uid"), sketchM = m)
+    val got = ZLake.approxDistinct(spark, root, "uid").get
+    assert(math.abs(got.estimate - 40.0) / 40.0 < 0.25,
+      s"small-range estimate off: ${got.estimate} vs 40 true")
+    // the raw formula really is in the biased regime here — the correction
+    // changed the answer (guards against silently losing the branch)
+    val raw = directEstimate(spark.read.parquet(root), "uid")
+    assert(raw > got.estimate * 1.5, s"raw $raw vs corrected ${got.estimate}")
+  }
+
   test("partition predicate: row-exact subset, registers merge per window") {
     val root = lake()
     val got = ZLake.approxDistinct(spark, root, "uid", Seq("win = 'w1'")).get

@@ -57,7 +57,8 @@ class ZLakeStreamSpec extends AnyFunSuite with SparkSpec {
       .foreachBatch { (b: DataFrame, _: Long) =>
         Sinks.lakeWrite(Map("events" -> b.drop("tsSec")), root,
           stampCol = "eventTime", zorderBy = Some(("a", "b")),
-          filesPerWindow = 4, zorderBits = 8)
+          filesPerWindow = 4, zorderBits = 8,
+          sketchCols = Seq("a"), sumCols = Seq("b"))
         if (injectCrash.get() && failOnce.getAndSet(false))
           throw new RuntimeException("crash after sink write, before commit")
         ()
@@ -119,5 +120,32 @@ class ZLakeStreamSpec extends AnyFunSuite with SparkSpec {
 
     // and the whole lake is intact through the index (nothing over-pruned)
     assert(ZLake.readWith(spark, path, idx).count() == 4L * rowsPerWin)
+
+    // streamed windows carry manifest SKETCHES: planning-time approx
+    // distinct over any window slice, still zero footer opens (a = 64
+    // distinct values per window and overall)
+    val opensBeforeSketch = ZLake.footerOpens.get()
+    val est = ZLake.approxDistinct(spark, path, "a").get
+    assert(est.filesUsed == 16 && est.filesTotal == 16)
+    assert(est.estimate > 64 * 0.8 && est.estimate < 64 * 1.25,
+      s"streamed-lake sketch estimate off: ${est.estimate} vs 64 true")
+    val estWin = ZLake.approxDistinct(spark, path, "a",
+      Seq(s"win = '${wins(1)}'")).get
+    assert(estWin.filesUsed == 4, s"window slice used ${estWin.filesUsed} files")
+    assert(estWin.estimate > 64 * 0.8 && estWin.estimate < 64 * 1.25)
+    assert(ZLake.footerOpens.get() == opensBeforeSketch,
+      "sketch answers must come from the manifest, not footers")
+
+    // and manifest SUMS: the grouped rollup answers from metadata with
+    // zero tasks (every optimized leaf a LocalRelation), scan-identical
+    val rollup = ZLake.read(spark, path)
+      .groupBy("win").agg(sum("b").as("sb")).orderBy("win")
+    assert(rollup.queryExecution.optimizedPlan.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }, rollup.queryExecution.optimizedPlan.toString)
+    val wantRollup = plain.groupBy("win").agg(sum("b").as("sb"))
+      .orderBy("win").collect().map(_.toSeq).toSeq
+    assert(rollup.collect().map(_.toSeq).toSeq == wantRollup)
   }
 }
