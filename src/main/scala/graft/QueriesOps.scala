@@ -727,6 +727,61 @@ object QueriesOps {
           .select(col("win"), col("c_custkey"))
       }),
 
+    // -- top-k UNDER a data filter: files whose b-envelope provably sits
+    //    inside the band count their rows toward the k-bound (mustMatch);
+    //    the rest stay scannable but contribute nothing, so the bound
+    //    never overcounts. The oracle computes the same filtered top-k
+    //    over the raw table — over-pruning would LOSE rows here.
+    QueryDef("q115_topk_filtered", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
+                        (c_custkey * 7) % 256 AS b FROM customer)
+      SELECT c_custkey, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+      FROM f WHERE b BETWEEN 64 AND 127
+      ORDER BY a DESC, c_custkey LIMIT 25"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-topk-filt").toString + "/customer"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 256).cast("long").as("a"),
+            (col("c_custkey") * 7 % 256).cast("long").as("b")),
+          "a", "b", lake, numFiles = 16, bits = 8)
+        graft.sources.ZLake.read(s, lake)
+          .filter(col("b").between(64, 127))
+          .orderBy(col("a").desc, col("c_custkey"))
+          .limit(25)
+          .select(col("c_custkey"), col("a"), col("b"))
+      }),
+
+    // -- corpus-wide paragraph/line exact dedup (the RefinedWeb/FineWeb
+    //    pre-MinHash step): every repeated unit keeps only its FIRST
+    //    occurrence (smallest (doc, position)) and documents reassemble
+    //    from survivors in original order. The synthetic docs are
+    //    single-line, so the oracle runs the same operator at WORD
+    //    granularity — the dedup/reassembly machinery is identical, and
+    //    the heavy duplication (small vocabulary) exercises the skew
+    //    path: first-occurrence is a map-side-combined min, never a
+    //    single-task window sort.
+    QueryDef("q116_paragraph_dedup", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts
+                 FROM documents),
+      p AS (SELECT doc_id, i - 1 AS pos, parts[i] AS para
+            FROM d, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)),
+      f AS (SELECT para, min(doc_id * 100000 + pos) AS fk FROM p GROUP BY para),
+      k AS (SELECT p.doc_id, p.pos, p.para,
+                   (p.doc_id * 100000 + p.pos) = f.fk AS keep
+            FROM p JOIN f USING (para))
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+                                 ORDER BY pos), '') AS text,
+             CAST(count(*) AS BIGINT) AS n_para,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM k GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) =>
+        graft.operators.TrainPrep.paragraphDedup(
+          T(s, dir, "documents"), col("doc_id"), col("text"), " ")
+          .orderBy("doc_id")),
+
     // -- metadata-only aggregates: count(*) / count(col) / integral
     //    min/max grouped by the lake's partition column are answered from
     //    the write-time manifest — the optimized plan is a LocalRelation,

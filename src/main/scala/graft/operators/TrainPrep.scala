@@ -40,6 +40,42 @@ object TrainPrep {
       .drop("start")
   }
 
+  /** Corpus-wide PARAGRAPH-level exact deduplication — the line/paragraph
+    * dedup step web-scale pipelines run before document-level MinHash
+    * (boilerplate navigation, cookie banners, repeated headers): every
+    * paragraph that appears anywhere else in the corpus keeps only its
+    * FIRST occurrence (smallest (doc, position)), and documents are
+    * reassembled from their surviving paragraphs in original order.
+    * Output: (doc_id, text, n_para, n_kept) — documents whose every
+    * paragraph was claimed elsewhere survive with empty text.
+    *
+    * Scale shape: first-occurrence is a map-side-combined `min(struct)`
+    * GROUP BY paragraph — NOT a row_number window — so a boilerplate
+    * paragraph appearing a billion times costs one combine-reduced key,
+    * never a single-task sort (the skew case IS the use case). Two
+    * shuffles total: the paragraph-key aggregate+join, and the per-doc
+    * reassembly; `sort_array(collect_list(struct(pos, para)))` keeps the
+    * rebuild order-exact without a per-doc window sort.
+    */
+  def paragraphDedup(docs: DataFrame, id: Column, text: Column,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = docs.select(id.as("doc_id"), text.as("__text"))
+      .select(col("doc_id"), posexplode(split(col("__text"),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+    val first = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("para"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    paras.join(first, Seq("para"))
+      .withColumn("keep", col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(sort_array(
+            collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+          p => p("para")), sep).as("text"),
+        count(lit(1)).as("n_para"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Unigram negative-log-likelihood quality score — the cheap stand-in
     * for the KenLM-perplexity filters CCNet-style pipelines run: tokens
     * are scored against the corpus's OWN top-`vocabSize` unigram

@@ -41,15 +41,19 @@ import graft.sources.ZLake.{FileEnvelope, StatsFileIndex}
   *
   * Exactness gates (any miss leaves the plan untouched — the normal scan
   * answers): sort key must be an integral or string DATA column (float
-  * envelopes mis-order NaN vs Spark's sort, so they bail); a file
-  * contributes to the bound only with known rows + known null count + an
-  * envelope; files without usable stats are never pruned and never
-  * counted. Filters between the limit and the lake must be deterministic,
-  * partition-only conjuncts — evaluated exactly per directory (the same
+  * envelopes mis-order NaN vs Spark's sort, so they bail) or a PARTITION
+  * column (directory values are exact — the "latest windows" query); a
+  * file contributes to the bound only with known rows + known null count
+  * + an envelope; files without usable stats are never pruned and never
+  * counted. Filters between the limit and the lake must be deterministic:
+  * partition-only conjuncts evaluate exactly per directory (the same
   * binding listFiles uses) so non-surviving directories neither count
-  * toward the bound nor block pruning; any data filter bails (it could
-  * drop arbitrarily many rows and the bound would overcount). An eval
-  * error bails the rewrite so the scan path raises it natively.
+  * toward the bound nor block pruning; DATA conjuncts are sound via the
+  * may/must envelope pair — a file counts toward the bound only when
+  * [[ZLake.mustMatch]] PROVES every row survives the filter (so the bound
+  * never overcounts), and stays scannable whenever [[ZLake.mayMatch]]
+  * cannot rule it out. An eval error bails the rewrite so the scan path
+  * raises it natively.
   *
   * Runtime kill-switch: `spark.graft.topkFilePrune` (default on).
   * Registered via [[graft.GraftExtensions]] as an optimizer rule.
@@ -141,25 +145,33 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     val descending = order.direction == Descending
     val nullsFirst = order.nullOrdering == NullsFirst
 
-    // filters: deterministic, partition-only, evaluated exactly per
-    // directory; anything else bails (a data filter invalidates the bound)
-    if (!filters.forall(f => f.deterministic &&
-        f.references.nonEmpty &&
-        f.references.forall(a => partCols.contains(a.name.toLowerCase))))
+    // filters: all conjuncts must be deterministic with references.
+    // Partition-only conjuncts evaluate exactly per directory (the same
+    // binding listFiles uses). DATA conjuncts no longer bail: a file
+    // counts rows toward the k-bound ONLY when its envelope PROVES every
+    // row satisfies them ([[ZLake.mustMatch]] — zero nulls + envelope
+    // fully inside); unprovable files contribute nothing to the bound but
+    // stay scannable (mayMatch), so the bound never overcounts.
+    if (!filters.forall(f => f.deterministic && f.references.nonEmpty))
       return None
+    val (partFilters, dataFilters) = filters.partition(
+      _.references.forall(a => partCols.contains(a.name.toLowerCase)))
     val candidates =
       try idx.fes.filter { fe =>
         val row = InternalRow.fromSeq(
           fe.partitionValues.map(p => UTF8String.fromString(p._2)))
-        filters.forall { f =>
+        partFilters.forall { f =>
           val bound = f.transform {
             case a: AttributeReference =>
               BoundReference(partCols.indexOf(a.name.toLowerCase),
                 StringType, nullable = true)
           }
           bound.eval(row) == true
-        }
+        } && dataFilters.forall(ZLake.mayMatch(_, fe))
       } catch { case NonFatal(_) => return None }
+    // rows of this file provably ALL survive the data filters?
+    def guaranteed(fe: FileEnvelope): Boolean =
+      dataFilters.forall(ZLake.mustMatch(_, fe))
 
     // shared tail: fixed-point guard, seam, index swap, derived filter
     // placed directly above the RELATION (the filter references the
@@ -194,8 +206,13 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
         (fe, fe.partitionValues.collectFirst { case (c, v) if c == col => v })
       }
       if (withVal.exists(w => w._2.isEmpty || w._1.rows < 0L)) return None
+      // only rows provably surviving the data filters count toward k
       val rowsByVal = withVal.groupBy(_._2.get)
-        .map { case (v, fs) => v -> fs.map(_._1.rows).sum }
+        .map { case (v, fs) =>
+          v -> fs.map { case (fe, _) =>
+            if (guaranteed(fe)) fe.rows else 0L
+          }.sum
+        }
       // both operands are strings: ZLake.cmp is total here (UTF-8 order —
       // the same order Spark's string comparison and our partMatch use)
       val ordered = rowsByVal.keys.toSeq.sortWith { (x, y) =>
@@ -230,19 +247,25 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     def better(a: Any, b: Any): Option[Int] =
       ZLake.cmp(a, b).map(c => if (descending) c else -c)
 
+    // `nulls` stays RAW for the kept-decision lanes (conservative); the
+    // BOUND lanes (nn, known nulls) count only files whose rows provably
+    // survive the data filters (`g`)
     final case class Stats(fe: FileEnvelope, nn: Long, nulls: Option[Long],
-                           env: Option[ZLake.ColEnvelope])
+                           env: Option[ZLake.ColEnvelope], g: Boolean)
     val stats = candidates.map { fe =>
       val nulls = if (fe.rows == 0L) Some(0L) else fe.nullCounts.get(col)
-      val nn = (fe.rows, nulls) match {
-        case (r, Some(n)) if r >= 0L => r - n
-        case _ => -1L // unknown
-      }
-      Stats(fe, nn, nulls, fe.cols.get(col))
+      val g = guaranteed(fe)
+      val nn =
+        if (!g) -1L
+        else (fe.rows, nulls) match {
+          case (r, Some(n)) if r >= 0L => r - n
+          case _ => -1L // unknown
+        }
+      Stats(fe, nn, nulls, fe.cols.get(col), g)
     }
 
     // accumulate guaranteed at-or-better-than-T rows until >= k
-    val knownNulls = stats.map(_.nulls.getOrElse(0L)).sum
+    val knownNulls = stats.filter(_.g).map(_.nulls.getOrElse(0L)).sum
     var remaining = k.toLong
     if (nullsFirst) remaining -= knownNulls
     val threshold: Option[Any] = // None = bound met by nulls alone

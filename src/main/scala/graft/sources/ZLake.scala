@@ -781,6 +781,67 @@ object ZLake {
     }
   }
 
+  /** Must EVERY row of the file satisfy `e`? Sound under-approximation —
+    * the dual of [[mayMatch]]: every unsupported shape answers false
+    * (cannot prove). Comparisons require the whole envelope inside the
+    * predicate range AND a known ZERO null count (a null row fails a
+    * null-rejecting predicate). [[graft.plans.TopKFilePrune]] uses this to
+    * count a file's rows toward the top-k bound under a data filter:
+    * over-claiming here would prune files that still hold top-k rows, so
+    * false is always the safe answer. */
+  def mustMatch(e: Expression, fe: FileEnvelope): Boolean = {
+    def env(a: AttributeReference): Option[ColEnvelope] =
+      fe.cols.get(a.name.toLowerCase)
+    def zeroNulls(a: AttributeReference): Boolean =
+      fe.rows == 0L || fe.nullCounts.get(a.name.toLowerCase).contains(0L)
+    // proof(attr, lit)(rule): true only when stats PROVE every row matches
+    def proof(a: AttributeReference, l: Any)(
+        rule: (ColEnvelope, Any) => Option[Boolean]): Boolean =
+      zeroNulls(a) &&
+        (for (ce <- env(a); v <- litVal(l); r <- rule(ce, v)) yield r)
+          .getOrElse(false)
+    e match {
+      case And(l, r) => mustMatch(l, fe) && mustMatch(r, fe)
+      case Or(l, r) => mustMatch(l, fe) || mustMatch(r, fe)
+      case IsNotNull(a: AttributeReference) => zeroNulls(a)
+      case IsNull(a: AttributeReference) =>
+        fe.rows == 0L || fe.nullCounts.get(a.name.toLowerCase)
+          .exists(n => n == fe.rows && fe.rows >= 0L)
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        proof(a, v)((ce, x) =>
+          for (cl <- cmp(ce.lo, x); ch <- cmp(ce.hi, x)) yield cl == 0 && ch == 0)
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        mustMatch(EqualTo(a, Literal(v)), fe)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        proof(a, v)((ce, x) => cmp(ce.lo, x).map(_ > 0))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        proof(a, v)((ce, x) => cmp(ce.lo, x).map(_ >= 0))
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        proof(a, v)((ce, x) => cmp(ce.hi, x).map(_ < 0))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        proof(a, v)((ce, x) => cmp(ce.hi, x).map(_ <= 0))
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        mustMatch(LessThan(a, Literal(v)), fe)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        mustMatch(LessThanOrEqual(a, Literal(v)), fe)
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        mustMatch(GreaterThan(a, Literal(v)), fe)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        mustMatch(GreaterThanOrEqual(a, Literal(v)), fe)
+      case StartsWith(a: AttributeReference, Literal(v, _)) =>
+        zeroNulls(a) && (for {
+          ce <- env(a)
+          p <- litVal(v).collect { case s: String => s }
+          lo <- Some(ce.lo).collect { case s: String => s }
+          hi <- Some(ce.hi).collect { case s: String => s }
+          // the prefix-p set IS the byte-order interval [p, succ(p)):
+          // lo and hi both inside it puts every value between them inside
+        } yield lo.startsWith(p) && hi.startsWith(p)
+        ).getOrElse(false)
+      case _ => false
+    }
+  }
+
   /** The pruning [[FileIndex]]. Hive-style `col=value` directories become
     * STRING partition columns: partition filters prune whole directories
     * exactly, footer stats prune the surviving files — partition pruning

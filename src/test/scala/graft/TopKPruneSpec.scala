@@ -167,7 +167,11 @@ class TopKPruneSpec extends AnyFunSuite with SparkSpec {
     assert(files < 4, s"expected pruning within win=2, scanned $files")
   }
 
-  test("a data filter disables the rewrite (bound would overcount)") {
+  test("data filter, no provably-inside file: bound unmet, no prune") {
+    // b < 8 covers no file's WHOLE b-envelope in this layout, so no file's
+    // rows are guaranteed to survive — the bound cannot reach k and the
+    // rule must leave the plan alone (an overcounting bound would prune
+    // files that still hold top-k survivors)
     val path = tmp("topk-datafilter")
     Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
     TopKFilePrune.lastPrune.set((-1, -1))
@@ -177,7 +181,25 @@ class TopKPruneSpec extends AnyFunSuite with SparkSpec {
       spark.read.parquet(path).filter(col("b") < 8)
         .orderBy(col("a").desc, col("id")).limit(5).collect())
     assert(TopKFilePrune.lastPrune.get() == ((-1, -1)),
-      "rule must not fire under a data filter")
+      "no guaranteed rows -> bound unmet -> rule must not fire")
+  }
+
+  test("data filter with provably-inside files: bound counts them, prunes") {
+    // b BETWEEN 64 AND 127 fully covers the z-cells whose b-envelope sits
+    // inside the band: those files' rows are PROVEN survivors, the bound
+    // reaches k, and files whose a-envelope cannot reach the threshold
+    // prune — top-k under a data filter composes
+    val path = tmp("topk-datafilter2")
+    Sinks.zorderedWrite(grid(), "a", "b", path, numFiles = 16, bits = 8)
+    val pred = col("b") >= 64 && col("b") <= 127
+    val pruned = ZLake.read(spark, path).filter(pred)
+      .orderBy(col("a").desc, col("id")).limit(25)
+    val files = scanFiles(pruned)
+    sameRows(pruned.collect(),
+      spark.read.parquet(path).filter(pred)
+        .orderBy(col("a").desc, col("id")).limit(25).collect())
+    assert(files < 16, s"expected pruning under the data filter, " +
+      s"scanned $files/16 (lastPrune=${TopKFilePrune.lastPrune.get()})")
   }
 
   test("SQL surface: ORDER BY ... LIMIT over a zlake view prunes too") {

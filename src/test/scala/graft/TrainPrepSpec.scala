@@ -68,6 +68,31 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
       case s: SortMergeJoinExec => s }.isEmpty, "no sort-merge join")
   }
 
+  test("paragraphDedup: first occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro\n\nbody one\n\nfooter"),
+      (2L, "intro\n\nbody two\n\nfooter"), // intro+footer claimed by doc 1
+      (3L, "body one\n\nunique"),          // body one claimed by doc 1
+      (4L, "intro\n\nfooter")              // nothing survives
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.paragraphDedup(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "intro\n\nbody one\n\nfooter", 3L, 3L),
+      (2L, "body two", 3L, 1L),
+      (3L, "unique", 2L, 1L),
+      (4L, "", 2L, 0L)))
+    // skew shape: first-occurrence is a map-side-combined aggregate —
+    // no window (single-task sort on a hot paragraph key) anywhere
+    val plan = TrainPrep.paragraphDedup(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "paragraphDedup must not plan a window")
+  }
+
   test("packSequences: one shuffle, keyed by shard") {
     val docs = spark.range(100).select(col("id").as("doc_id"), lit(7L).as("tok"))
     val out = TrainPrep.packSequences(docs, col("doc_id"), col("tok"),
