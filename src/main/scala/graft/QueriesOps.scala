@@ -782,6 +782,29 @@ object QueriesOps {
           T(s, dir, "documents"), col("doc_id"), col("text"), " ")
           .orderBy("doc_id")),
 
+    // -- latest-events top-k over a REAL timestamp column: the lake's
+    //    annotated TIMESTAMP(MICROS) stats give every file an exact time
+    //    envelope, so `ORDER BY t DESC LIMIT k` — the canonical
+    //    operational query over any event lake — plans only the files
+    //    whose envelope reaches the top (TimeEnvelopeSpec asserts the
+    //    scan metrics; the derived `t >= T` predicate also row-group
+    //    skips). Output in epoch micros so both engines compare exactly.
+    QueryDef("q117_time_topk", Some("""
+      WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS tus FROM events)
+      SELECT event_id, CAST(tus AS BIGINT) AS t_us
+      FROM e ORDER BY tus DESC, event_id LIMIT 50"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-time-topk").toString + "/events"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "events").select(col("event_id"), col("ts").as("t")),
+          "t", "event_id", lake, numFiles = 8, bits = 16)
+        graft.sources.ZLake.read(s, lake)
+          .orderBy(col("t").desc, col("event_id"))
+          .limit(50)
+          .select(col("event_id"), unix_micros(col("t")).as("t_us"))
+      }),
+
     // -- metadata-only aggregates: count(*) / count(col) / integral
     //    min/max grouped by the lake's partition column are answered from
     //    the write-time manifest — the optimized plan is a LocalRelation,

@@ -35,6 +35,12 @@ object GraftSession {
       // read it as TimestampType (not NTZ) so unix_micros applies and the
       // UTC session renders the same instants DuckDB's naive TIMESTAMP does
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // write ANNOTATED int64 micros, not legacy INT96: annotated
+      // timestamps carry ordered parquet stats, which is what gives lake
+      // timestamp columns their file envelopes (time-range pruning,
+      // ORDER BY ts DESC LIMIT k, zero-scan min/max — TimeEnvelopeSpec);
+      // INT96 files read fine but stay conservatively unpruned
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       // the engine's SQL surface is default-on: graft_* functions plus the
       // BETWEEN-join planner strategy (production wiring would set the same

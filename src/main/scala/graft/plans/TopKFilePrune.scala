@@ -138,6 +138,9 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     }
     key.dataType match {
       case ByteType | ShortType | IntegerType | LongType | StringType => ()
+      // internal values are raw int days / int64 micros — envelopes exact
+      // (legacy-rebase files carry no envelope, so they are never pruned)
+      case DateType | TimestampType | TimestampNTZType => ()
       case _ => return None
     }
     val col = key.name.toLowerCase
@@ -330,6 +333,12 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
             case ShortType if bd.isValidShort => Some(Literal(bd.toShortExact))
             case IntegerType if bd.isValidInt => Some(Literal(bd.toIntExact))
             case LongType if bd.isValidLong => Some(Literal(bd.toLongExact))
+            case DateType if bd.isValidInt =>
+              Some(Literal(bd.toIntExact, DateType))
+            case TimestampType if bd.isValidLong =>
+              Some(Literal(bd.toLongExact, TimestampType))
+            case TimestampNTZType if bd.isValidLong =>
+              Some(Literal(bd.toLongExact, TimestampNTZType))
             case _ => None
           }
           case s: String if key.dataType == StringType =>

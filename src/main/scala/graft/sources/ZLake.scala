@@ -552,10 +552,17 @@ object ZLake {
       val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        // Spark stamps this key on files written under LEGACY datetime
+        // rebase: their raw int64/int32 date-time values are julian-based
+        // and do NOT equal the proleptic values Spark reads back, so
+        // date/timestamp envelopes from such files would prune wrongly —
+        // the same marker Spark's own vectorized reader keys rebase on
+        val legacyDateTime = rd.getFooter.getFileMetaData
+          .getKeyValueMetaData.containsKey("org.apache.spark.legacyDateTime")
         val perChunk: Seq[(String, ColEnvelope)] = for {
           b <- blocks
           c <- b.getColumns.asScala
-          env <- chunkEnvelope(c)
+          env <- chunkEnvelope(c, legacyDateTime)
         } yield c.getPath.toDotString.toLowerCase -> env
         // file envelope = union of its row-group envelopes; a column missing
         // stats in ANY row group gets no file envelope (cannot prune on it)
@@ -582,7 +589,8 @@ object ZLake {
   }
 
   private def chunkEnvelope(
-      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      legacyDateTime: Boolean)
       : Option[ColEnvelope] = {
     val stats = c.getStatistics
     if (stats == null || !stats.hasNonNullValue) return None
@@ -603,13 +611,22 @@ object ZLake {
       case ia: LogicalTypeAnnotation.IntLogicalTypeAnnotation => ia.isSigned
       case _ => false // unsigned annotations: raw stats are misordered
     }
+    // TIMESTAMP/DATE: Spark's internal values ARE the raw parquet int64
+    // micros-or-nanos / int32 days (no conversion on read, UTC or NTZ
+    // alike), so the stats compare exactly against Catalyst literals —
+    // EXCEPT for files written under LEGACY julian rebase (marker checked
+    // above), whose raw values differ from what Spark reads back: those
+    // files keep no date-time envelope (conservative, never wrong)
+    val dateTime = !legacyDateTime &&
+      (ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] ||
+       ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation])
     (stats.genericGetMin, stats.genericGetMax) match {
-      case (lo, hi) if ann == null || signedInt =>
+      case (lo, hi) if ann == null || signedInt || dateTime =>
         for (l <- num(lo); h <- num(hi)) yield ColEnvelope(l, h)
       case (lo: Binary, hi: Binary)
           if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         Some(ColEnvelope(lo.toStringUsingUTF8, hi.toStringUsingUTF8))
-      case _ => None // decimal/date/timestamp annotations: stats not comparable here
+      case _ => None // decimal annotations: stats not comparable here
     }
   }
 
