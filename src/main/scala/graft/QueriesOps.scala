@@ -767,9 +767,12 @@ object QueriesOps {
                  FROM documents),
       p AS (SELECT doc_id, i - 1 AS pos, parts[i] AS para
             FROM d, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)),
-      f AS (SELECT para, min(doc_id * 100000 + pos) AS fk FROM p GROUP BY para),
+      f1 AS (SELECT para, min(doc_id) AS fd FROM p GROUP BY para),
+      f AS (SELECT p.para, f1.fd, min(p.pos) AS fp
+            FROM p JOIN f1 ON p.para = f1.para AND p.doc_id = f1.fd
+            GROUP BY 1, 2),
       k AS (SELECT p.doc_id, p.pos, p.para,
-                   (p.doc_id * 100000 + p.pos) = f.fk AS keep
+                   p.doc_id = f.fd AND p.pos = f.fp AS keep
             FROM p JOIN f USING (para))
       SELECT doc_id,
              coalesce(string_agg(CASE WHEN keep THEN para END, ' '

@@ -99,19 +99,23 @@ object Dedup {
       else input
     // The CPU-bound shingle+minhash stage runs ONCE: the banded signature
     // table (ids + numHashes longs + a band key — ~100x smaller than the
-    // text it came from) is cached LAZILY, so the guard probe's aggregate
-    // is the job that materializes it — probe and cache-fill share one
-    // pass (an eager localCheckpoint here cost a separate materialization
-    // job before the probe could run; measured ~0.3-0.5 s of q30's wall).
-    // The self-join then reads the cached blocks. At cluster scale this is
-    // the standard LSH shape — signatures are materialized, never
-    // recomputed per consumer; a 100 TB pipeline that must survive
-    // executor loss persists the signature table to its lake instead —
-    // same plan, durable store.
+    // text it came from) is checkpointed LAZILY, so the guard probe's
+    // aggregate is the job that materializes it — probe and fill share
+    // one pass (the eager localCheckpoint(true) here cost a separate
+    // materialization job before the probe could run; measured
+    // ~0.3-0.5 s of q30's wall). Lazy localCheckpoint, not persist():
+    // checkpoint blocks are reclaimed by the ContextCleaner when the RDD
+    // is GC'd, while a persist() registers in the session CacheManager
+    // and leaks a cached table per call without an unpersist no caller
+    // can safely place. The self-join then reads the stored blocks. At
+    // cluster scale this is the standard LSH shape — signatures are
+    // materialized, never recomputed per consumer; a 100 TB pipeline that
+    // must survive executor loss persists the signature table to its lake
+    // instead — same plan, durable store.
     val sigs = balanced.select(col("doc_id"),
         minhashSignature(TF.word_shingles(col("__text"), shingleN), numHashes).as("sig"))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
-      .persist()
+      .localCheckpoint(false)
     def estJaccard = (size(filter(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
       .cast("double") / numHashes).as("est_jaccard")

@@ -172,9 +172,11 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
           bound.eval(row) == true
         } && dataFilters.forall(ZLake.mayMatch(_, fe))
       } catch { case NonFatal(_) => return None }
-    // rows of this file provably ALL survive the data filters?
+    // rows of this file provably ALL survive the data filters? An eval
+    // error inside the proof means "not provable", never a failed query
     def guaranteed(fe: FileEnvelope): Boolean =
-      dataFilters.forall(ZLake.mustMatch(_, fe))
+      try dataFilters.forall(ZLake.mustMatch(_, fe))
+      catch { case NonFatal(_) => false }
 
     // shared tail: fixed-point guard, seam, index swap, derived filter
     // placed directly above the RELATION (the filter references the

@@ -31,6 +31,12 @@ object Sinks {
       .parquet(path)
   }
 
+  /** The `win=` directory value format shared by [[lakeAppend]],
+    * [[lakeWrite]] and [[graft.streaming.StreamRunner.LakeMaintenance]]'s
+    * closed-window cutoff — one constant, so the lexicographic
+    * `onlyBefore` comparison can never drift from the written layout. */
+  val WinFormat = "yyyyMMdd_HHmm"
+
   /** Lake layout for a window's report set: every sink table appends under
     * `root/<table>/win=<yyyyMMdd_HHmm>/`, the 5-minute bucket derived from
     * the window stamp BatchRunner puts on each row. Downstream window reads
@@ -43,7 +49,7 @@ object Sinks {
       parquetAppend(
         df.withColumn("win",
           org.apache.spark.sql.functions.date_format(
-            org.apache.spark.sql.functions.col(stampCol), "yyyyMMdd_HHmm")),
+            org.apache.spark.sql.functions.col(stampCol), WinFormat)),
         s"$root/$name", Seq("win"))
     }
 
@@ -75,7 +81,7 @@ object Sinks {
     tables.foreach { case (name, df) =>
       import org.apache.spark.sql.functions.{col, date_format}
       val stamped = df.withColumn("win",
-        date_format(col(stampCol), "yyyyMMdd_HHmm"))
+        date_format(col(stampCol), WinFormat))
       zorderBy match {
         case None =>
           stamped.write.mode("overwrite")
@@ -252,7 +258,10 @@ object Sinks {
   def compactLake(spark: org.apache.spark.sql.SparkSession, root: String,
                   colA: String, colB: String, filesPerPartition: Int = 4,
                   bits: Int = 20,
-                  onlyBefore: Option[String] = None): Seq[CompactReport] = {
+                  onlyBefore: Option[String] = None,
+                  sketchCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil,
+                  sumCols: Seq[String] = Nil): Seq[CompactReport] = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -308,9 +317,13 @@ object Sinks {
         val tmp = new Path(tmpRoot, dir.getName)
         if (fs.exists(tmp)) { fs.delete(tmp, true); () }
         // both zorderedWrite actions (histogram + write) finish before the
-        // swap below touches the source files
+        // swap below touches the source files. Stats columns pass through
+        // so compaction does not strip the manifest sketches/blooms/sums a
+        // stats-carrying lake was written with (the zero-scan queries
+        // would silently degrade to scans after the maintenance cycle)
         zorderedWrite(spark.read.parquet(dir.toString), colA, colB,
-          tmp.toString, filesPerPartition, bits)
+          tmp.toString, filesPerPartition, bits,
+          sketchCols = sketchCols, bloomCols = bloomCols, sumCols = sumCols)
         require(fs.delete(dir, true),
           s"compaction failed to remove the old partition $dir")
         require(fs.rename(tmp, dir),

@@ -614,12 +614,19 @@ object ZLake {
     // TIMESTAMP/DATE: Spark's internal values ARE the raw parquet int64
     // micros-or-nanos / int32 days (no conversion on read, UTC or NTZ
     // alike), so the stats compare exactly against Catalyst literals —
-    // EXCEPT for files written under LEGACY julian rebase (marker checked
-    // above), whose raw values differ from what Spark reads back: those
-    // files keep no date-time envelope (conservative, never wrong)
-    val dateTime = !legacyDateTime &&
-      (ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] ||
-       ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation])
+    // EXCEPT for (a) files written under LEGACY julian rebase (marker
+    // checked above), whose raw values differ from what Spark reads back,
+    // and (b) TIMESTAMP(MILLIS) files (Flink/Hive/Connect writers), which
+    // Spark converts to micros on read — their raw stats would be 1000x
+    // off and pruning on them would silently drop matching files. MICROS
+    // reads unconverted; NANOS is read raw too (nanosAsLong → LongType).
+    val dateTime = !legacyDateTime && (ann match {
+      case ta: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        ta.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS ||
+          ta.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+      case _ => false
+    })
     (stats.genericGetMin, stats.genericGetMax) match {
       case (lo, hi) if ann == null || signedInt || dateTime =>
         for (l <- num(lo); h <- num(hi)) yield ColEnvelope(l, h)
@@ -759,8 +766,11 @@ object ZLake {
         test(a, v)((ce, x) =>
           for (cl <- cmp(x, ce.lo); ch <- cmp(x, ce.hi)) yield cl >= 0 && ch <= 0) &&
           bloomMayContain(fe, a.name, v)
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        mayMatch(EqualTo(a, Literal(v)), fe)
+      // flipped operand order keeps the ORIGINAL Literal node — rebuilding
+      // one from the raw internal value throws for types Literal.apply
+      // does not recognize (UTF8String, struct/array internals)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        mayMatch(EqualTo(a, l), fe)
       case GreaterThan(a: AttributeReference, Literal(v, _)) =>
         test(a, v)((ce, x) => cmp(ce.hi, x).map(_ > 0))
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
@@ -770,14 +780,14 @@ object ZLake {
       case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
         test(a, v)((ce, x) => cmp(ce.lo, x).map(_ <= 0))
       // flipped operand order: lit OP attr == attr FLIP(OP) lit
-      case GreaterThan(Literal(v, _), a: AttributeReference) =>
-        mayMatch(LessThan(a, Literal(v)), fe)
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        mayMatch(LessThanOrEqual(a, Literal(v)), fe)
-      case LessThan(Literal(v, _), a: AttributeReference) =>
-        mayMatch(GreaterThan(a, Literal(v)), fe)
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        mayMatch(GreaterThanOrEqual(a, Literal(v)), fe)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        mayMatch(LessThan(a, l), fe)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        mayMatch(LessThanOrEqual(a, l), fe)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        mayMatch(GreaterThan(a, l), fe)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        mayMatch(GreaterThanOrEqual(a, l), fe)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v =>
           mayMatch(EqualTo(a, v.asInstanceOf[Literal]), fe))
@@ -827,8 +837,9 @@ object ZLake {
       case EqualTo(a: AttributeReference, Literal(v, _)) =>
         proof(a, v)((ce, x) =>
           for (cl <- cmp(ce.lo, x); ch <- cmp(ce.hi, x)) yield cl == 0 && ch == 0)
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        mustMatch(EqualTo(a, Literal(v)), fe)
+      // flipped operand order keeps the ORIGINAL Literal node (see mayMatch)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        mustMatch(EqualTo(a, l), fe)
       case GreaterThan(a: AttributeReference, Literal(v, _)) =>
         proof(a, v)((ce, x) => cmp(ce.lo, x).map(_ > 0))
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
@@ -837,14 +848,14 @@ object ZLake {
         proof(a, v)((ce, x) => cmp(ce.hi, x).map(_ < 0))
       case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
         proof(a, v)((ce, x) => cmp(ce.hi, x).map(_ <= 0))
-      case GreaterThan(Literal(v, _), a: AttributeReference) =>
-        mustMatch(LessThan(a, Literal(v)), fe)
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        mustMatch(LessThanOrEqual(a, Literal(v)), fe)
-      case LessThan(Literal(v, _), a: AttributeReference) =>
-        mustMatch(GreaterThan(a, Literal(v)), fe)
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        mustMatch(GreaterThanOrEqual(a, Literal(v)), fe)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        mustMatch(LessThan(a, l), fe)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        mustMatch(LessThanOrEqual(a, l), fe)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        mustMatch(GreaterThan(a, l), fe)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        mustMatch(GreaterThanOrEqual(a, l), fe)
       case StartsWith(a: AttributeReference, Literal(v, _)) =>
         zeroNulls(a) && (for {
           ce <- env(a)

@@ -52,7 +52,10 @@ object StreamRunner {
   final case class LakeMaintenance(root: String, tables: Seq[String],
       colA: String, colB: String, every: Int = 8,
       filesPerPartition: Int = 4, bits: Int = 20,
-      stampCol: String = "accesstime")
+      stampCol: String = "accesstime",
+      sketchCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil)
 
   /** Wire a per-batch report function (the batch code path, reused verbatim)
     * into `foreachBatch` with a processing-time trigger. The caller starts
@@ -61,7 +64,12 @@ object StreamRunner {
   def reportEvery(facts: DataFrame, interval: String = "5 minutes",
                   checkpoint: String,
                   maintenance: Option[LakeMaintenance] = None)(
-      report: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      report: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // maintenance cadence counts NON-EMPTY batches (the documented
+    // contract) — raw batch ids advance on empty triggers too, and a
+    // source that interleaves empty triggers would drift off cadence or
+    // never fire. Restart resets the counter; the cadence is best-effort.
+    val nonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
     facts.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
@@ -73,14 +81,17 @@ object StreamRunner {
         if (!batch.isEmpty) {
           report(batch, id)
           maintenance.foreach { m =>
-            if ((id + 1) % m.every == 0) {
+            if (nonEmpty.incrementAndGet() % m.every == 0L) {
               val minWin = batch
-                .agg(min(date_format(col(m.stampCol), "yyyyMMdd_HHmm")))
+                .agg(min(date_format(col(m.stampCol),
+                  graft.sinks.Sinks.WinFormat)))
                 .head().getString(0)
               m.tables.foreach { t =>
                 graft.sinks.Sinks.compactLake(batch.sparkSession,
                   s"${m.root}/$t", m.colA, m.colB, m.filesPerPartition,
-                  m.bits, onlyBefore = Option(minWin))
+                  m.bits, onlyBefore = Option(minWin),
+                  sketchCols = m.sketchCols, bloomCols = m.bloomCols,
+                  sumCols = m.sumCols)
                 graft.sources.ZLake.consolidateManifests(
                   batch.sparkSession, s"${m.root}/$t")
               }
@@ -88,6 +99,7 @@ object StreamRunner {
           }
         }
       }
+  }
 
   /** Backfill = the same report over a bounded time range, one 5-min window
     * per group (DnsRptOffline.scala:69-73 parity without the driver loop):

@@ -89,6 +89,26 @@ class TimeEnvelopeSpec extends AnyFunSuite with SparkSpec {
         .agg(min("ts"), max("ts"), min("d"), max("d")).head().toSeq)
   }
 
+  test("TIMESTAMP(MILLIS) files get no envelope: raw stats are not micros") {
+    // Spark converts millis to micros on read, so raw millis stats are
+    // 1000x off the internal values — an envelope from them would prune
+    // files that hold matching rows. Flink/Hive/Connect write MILLIS.
+    val path = tmp("tmillis")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try spark.range(1000).select(col("id"),
+        timestamp_seconds(col("id")).as("ts"), (col("id") % 7).as("v"))
+      .write.parquet(path)
+    finally spark.conf.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val fes = ZLake.envelopes(spark, path)
+    assert(fes.nonEmpty)
+    assert(fes.forall(!_.cols.contains("ts")),
+      "MILLIS-unit files must carry no timestamp envelope")
+    val pred = col("ts") >= timestamp_seconds(lit(500))
+    assert(ZLake.read(spark, path).filter(pred).count() ==
+      spark.read.parquet(path).filter(pred).count())
+  }
+
   test("LEGACY-rebase files get no date-time envelope, reads stay correct") {
     val path = tmp("tlegacy")
     spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
