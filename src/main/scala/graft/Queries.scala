@@ -461,24 +461,16 @@ object Queries {
     // round-5 operators: bidirectional as-of join; bloom decontamination;
     // the SQL lateral as-of planned through AsOfLateralRewrite
     "q83_asof_directions", "q84_bloom_decontaminate", "q95_asof_lateral_sql",
-    // round-6 operators: stats-pruned z-order lake read (write + footer
-    // harvest + pruned scan); IVF-PQ; the nearest lateral spelling
-    "q96_zorder_pruned_read", "q99_ann_ivfpq", "q100_asof_lateral_nearest",
-    // round-7: append-grown lake compacted in place, then pruned-read;
-    // metadata-only aggregates (write + manifest + zero-scan answer);
-    // sequence packing; unigram-NLL scoring over the documents corpus
-    "q103_compacted_lake", "q106_metadata_agg",
-    "q107_sequence_packing", "q108_unigram_nll",
-    // write + sketch manifest + zero-scan distinct-count answers
-    "q109_manifest_sketch",
-    // write + bloom manifest + point-lookup file skipping
-    "q110_bloom_point_lookup",
-    // round-8: zone-map top-k — ORDER BY ... LIMIT over the lake plans
-    // only the contributing files (write dominates the bench time; the
-    // read itself scans ~6/16 files, TopKPruneSpec)
-    "q111_topk_file_prune")
-  // (q110's lake write dominates its bench time, like the other lake
-  // fixtures — the point-lookup read itself plans 1-3 of 16 files)
+    // round-6 operators: IVF-PQ; the nearest lateral spelling
+    "q99_ann_ivfpq", "q100_asof_lateral_nearest",
+    // round-7: sequence packing; unigram-NLL scoring over documents
+    "q107_sequence_packing", "q108_unigram_nll")
+  // The composite lake lanes (q96/q103/q106/q109/q110/q111) left this
+  // list in r9 (VERDICT r8 #2): each billed 4-8 z-ordered WRITES per run
+  // and hid the zero-task reads it existed to measure. Bench now times
+  // the write/maintenance paths as `qW_*` lanes and the read paths as
+  // `qR_*` lanes over per-process pre-built fixture lakes (Bench.scala);
+  // the queries remain in the correctness gate unchanged.
 
   def byName: Map[String, QueryDef] = combined.map(q => q.name -> q).toMap
 }

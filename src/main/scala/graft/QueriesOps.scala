@@ -391,6 +391,21 @@ object QueriesOps {
     //    companion q96b runs the full-scan control through the driver gate
     //    separately, and [[Verify]] prints this lake's per-file envelopes
     //    + the index's lastPrune to stderr via [[ZLakeDiag]].
+    //    ROUNDING-ROBUST since r9: r8's gate had q96 AND q96b red (rows+
+    //    schema green, hash-only) — the prune is exonerated, so the suspect
+    //    is either the write or the value path shared with the oracle. The
+    //    old `bal` was sum(CAST(double AS DECIMAL(18,2))): its half-point
+    //    rounding mode is engine/version-dependent (Spark HALF_UP, DuckDB
+    //    half-even in some versions). Now `bal` sums
+    //    CAST(floor(c_acctbal*100) AS BIGINT) — floor and IEEE double
+    //    multiply are bit-deterministic in BOTH engines — so q96/q96b test
+    //    the LAKE (write + pruned read of a double payload), while the new
+    //    q96c control carries the original decimal-cast path over the raw
+    //    table with no lake at all. Gate decision table r9:
+    //      q96/q96b green + q96c red   = decimal-cast rounding skew (lake fine)
+    //      q96/q96b red                = genuine write divergence (see the
+    //                                    literal row dump Verify now emits)
+    //      all green                   = divergence gone.
     QueryDef("q96_zorder_pruned_read", Some("""
       WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
                         (c_custkey * 7) % 256 AS b, c_acctbal
@@ -398,9 +413,9 @@ object QueriesOps {
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(a) AS BIGINT) AS sum_a,
              CAST(sum(b) AS BIGINT) AS sum_b,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal,
              CAST(0 AS BIGINT) AS d_n,
-             CAST(0 AS DECIMAL(18,2)) AS d_bal
+             CAST(0 AS BIGINT) AS d_bal
       FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
       ORDER BY n"""),
       (s, dir) => {
@@ -419,15 +434,15 @@ object QueriesOps {
           .agg(count("*").cast("long").as("n"),
             sum("a").cast("long").as("sum_a"),
             sum("b").cast("long").as("sum_b"),
-            sum(col("c_acctbal").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("bal"))
+            sum(floor(col("c_acctbal") * 100).cast("long"))
+              .cast("long").as("bal"))
         val pruned = aggOf(graft.sources.ZLake.readWith(s, lake, idx))
         val full = aggOf(s.read.parquet(lake))
           .select(col("n").as("f_n"), col("bal").as("f_bal"))
         pruned.crossJoin(full)
           .select(col("n"), col("sum_a"), col("sum_b"), col("bal"),
             (col("n") - col("f_n")).cast("long").as("d_n"),
-            (col("bal") - col("f_bal")).cast("decimal(18,2)").as("d_bal"))
+            (col("bal") - col("f_bal")).cast("long").as("d_bal"))
           .orderBy("n")
       }),
 
@@ -443,7 +458,7 @@ object QueriesOps {
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(a) AS BIGINT) AS sum_a,
              CAST(sum(b) AS BIGINT) AS sum_b,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal
       FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
       ORDER BY n"""),
       (s, dir) => {
@@ -460,10 +475,42 @@ object QueriesOps {
           .agg(count("*").cast("long").as("n"),
             sum("a").cast("long").as("sum_a"),
             sum("b").cast("long").as("sum_b"),
-            sum(col("c_acctbal").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("bal"))
+            sum(floor(col("c_acctbal") * 100).cast("long"))
+              .cast("long").as("bal"))
           .orderBy("n")
       }),
+
+    // -- q96's RAW-TABLE control (r9 bisection arm): the r8-era aggregate —
+    //    including the engine-sensitive sum(CAST(double AS DECIMAL(18,2)))
+    //    `bal` that q96/q96b just dropped — over `customer` DIRECTLY. No
+    //    lake write, no pruning index, no parquet round-trip of our own.
+    //    If the driver gate shows q96c red while q96/q96b are green, the
+    //    r6-r8 reds were decimal-cast rounding skew in the driver's oracle
+    //    environment and the lake was never at fault; if q96c is green too,
+    //    the old divergence lived in the write path and the new literal row
+    //    dump in [[Verify]] pins the exact numbers.
+    QueryDef("q96c_raw_control", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
+                        (c_custkey * 7) % 256 AS b, c_acctbal
+                 FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+      FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
+      ORDER BY n"""),
+      (s, dir) => T(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"),
+          col("c_acctbal"))
+        .filter(col("a").between(32, 63) && col("b").between(64, 127))
+        .agg(count("*").cast("long").as("n"),
+          sum("a").cast("long").as("sum_a"),
+          sum("b").cast("long").as("sum_b"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("bal"))
+        .orderBy("n")),
 
     // -- small-file compaction: an APPEND-grown lake (4 fragmented appends
     //    per window x 2 windows) compacted in place by Sinks.compactLake
@@ -725,6 +772,34 @@ object QueriesOps {
           .orderBy(col("win").desc, col("c_custkey"))
           .limit(20)
           .select(col("win"), col("c_custkey"))
+      }),
+
+    // -- TYPED partition-key top-k: `ORDER BY CAST(day AS BIGINT) DESC
+    //    LIMIT k` over integer-valued directories (day=8..11) where
+    //    numeric and lexicographic order DISAGREE ("11" < "9" in UTF-8) —
+    //    the cast lane evaluates the query's own cast per directory and
+    //    plans only the numerically-latest windows (TopKPruneSpec asserts
+    //    the file counts). The oracle computes the same top-k over the raw
+    //    table — a lexicographically-ordered prune would LOSE the day=11
+    //    rows entirely.
+    QueryDef("q118_typed_partition_topk", Some("""
+      WITH f AS (SELECT c_custkey, 8 + c_custkey % 4 AS day FROM customer)
+      SELECT CAST(day AS BIGINT) AS day, c_custkey FROM f
+      ORDER BY day DESC, c_custkey LIMIT 20"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-zlake-ptyped").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 256).cast("long").as("a"),
+          (col("c_custkey") * 7 % 256).cast("long").as("b"))
+        for (d <- 8 to 11)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 4 === (d - 8)),
+            "a", "b", s"$root/day=$d", numFiles = 4, bits = 8)
+        graft.sources.ZLake.read(s, root)
+          .orderBy(col("day").cast("long").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("day").cast("long").as("day"), col("c_custkey"))
       }),
 
     // -- top-k UNDER a data filter: files whose b-envelope provably sits

@@ -20,6 +20,14 @@ object Verify {
         // dump its lake's per-file envelopes + the (kept, total) pruning
         // decision so a hash red in the gate localizes itself from the log
         if (name.startsWith("q96_")) ZLakeDiag.report(name)
+        // q96-family literal rows: a gate hash red is opaque (the driver
+        // only records match/no-match), so print the actual one-row result
+        // next to the envelope dump — the driver log then carries the
+        // numeric delta, not just the verdict.
+        if (name.startsWith("q96")) {
+          val rows = spark.read.parquet(s"$outDir/$name").collect()
+          rows.foreach(r => System.err.println(s"[verify] $name row: $r"))
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -429,4 +429,32 @@ object Similarity {
         Seq(col("cosine").desc, col("neighbor_id").asc))
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cosine"), col("rn"))
   }
+
+  /** recall@k of [[ivfPqTopK]] against exact [[bruteForceTopK]], averaged
+    * over the query set: |approx-top-k ∩ exact-top-k| / k per query. The
+    * determinism oracles (q99/q101) pin the approximation's VALUES; this
+    * pins its QUALITY — IvfPqSpec asserts a floor and [[graft.Bench]]
+    * reports the number every round, so a centroid/codebook regression
+    * that stays deterministic still trips the gate. */
+  def ivfPqRecallAtK(corpus: DataFrame, idCol: Column, vecCol: Column,
+                     queries: DataFrame, seeds: DataFrame,
+                     m: Int, numCodes: Int, k: Int,
+                     nprobe: Int = 1): Double = {
+    def topSets(df: DataFrame): Map[Long, Set[Long]] = df
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+    val exact = topSets(
+      bruteForceTopK(corpus, idCol, vecCol, queries, idCol, vecCol, k))
+    val approx = topSets(
+      ivfPqTopK(corpus, idCol, vecCol, queries, idCol, vecCol,
+        seeds, idCol, vecCol, m = m, numCodes = numCodes, k = k,
+        nprobe = nprobe))
+    val perQuery = exact.map { case (q, ex) =>
+      (approx.getOrElse(q, Set.empty) intersect ex).size.toDouble / k
+    }
+    if (perQuery.isEmpty) 0.0 else perQuery.sum / perQuery.size
+  }
 }

@@ -56,16 +56,31 @@ object TrainPrep {
     * shuffles total: the paragraph-key aggregate+join, and the per-doc
     * reassembly; `sort_array(collect_list(struct(pos, para)))` keeps the
     * rebuild order-exact without a per-doc window sort.
+    *
+    * The aggregate and join key is a 128-bit paragraph HASH (two
+    * independent xxhash64 lanes), not the text (r8 verdict #4): the
+    * corpus this operator targets is boilerplate-heavy, and raw-text keys
+    * would move the whole corpus through both exchanges twice — the hash
+    * pair shuffles 16 bytes per row on the first-occurrence lane while
+    * the text rides only the per-doc reassembly it must reach anyway.
+    * Collision risk at 2^-128-ish per pair is the standard trade every
+    * hash-keyed dedup (FineWeb, CCNet) makes; TrainPrepSpec asserts the
+    * exchange keys are LongType.
     */
   def paragraphDedup(docs: DataFrame, id: Column, text: Column,
                      sep: String = "\n\n"): DataFrame = {
     val paras = docs.select(id.as("doc_id"), text.as("__text"))
       .select(col("doc_id"), posexplode(split(col("__text"),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
-    val first = paras.groupBy(col("para"))
+      // two DIFFERENT functions of para (seed salt via a prepended
+      // literal), so a single-lane collision never merges distinct text
+      .withColumn("h1", xxhash64(col("para")))
+      .withColumn("h2", xxhash64(lit(""), col("para")))
+    val first = paras.groupBy(col("h1"), col("h2"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("para"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
-    paras.join(first, Seq("para"))
+      .select(col("h1"), col("h2"),
+        col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    paras.join(first, Seq("h1", "h2"))
       .withColumn("keep", col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
       .groupBy(col("doc_id"))
       .agg(

@@ -41,8 +41,11 @@ import graft.sources.ZLake.{FileEnvelope, StatsFileIndex}
   *
   * Exactness gates (any miss leaves the plan untouched — the normal scan
   * answers): sort key must be an integral or string DATA column (float
-  * envelopes mis-order NaN vs Spark's sort, so they bail) or a PARTITION
-  * column (directory values are exact — the "latest windows" query); a
+  * envelopes mis-order NaN vs Spark's sort, so they bail), a PARTITION
+  * column (directory values are exact — the "latest windows" query), or a
+  * CAST of a string partition column to an integral/date type (`ORDER BY
+  * CAST(day AS INT) DESC` over a `day=20260814` layout — the cast
+  * evaluates exactly per directory; r8 verdict #6); a
   * file contributes to the bound only with known rows + known null count
   * + an envelope; files without usable stats are never pruned and never
   * counted. Filters between the limit and the lake must be deterministic:
@@ -132,8 +135,23 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     val filters = rawFilters.map(resolve)
 
     val order = sort.order.headOption.getOrElse(return None)
-    val key = resolve(order.child) match {
-      case a: AttributeReference => a
+    // `ORDER BY CAST(win AS INT) DESC` — an integer-typed partition key
+    // spelled over the lake's STRING partition columns (`day=20260814`).
+    // Directory values are exact, so the cast lane just evaluates the
+    // query's own cast per directory and orders typed — but ONLY the
+    // partition lane: casting a data column's string ENVELOPE would not
+    // bound the cast of its rows (r8 verdict #6).
+    val (key, sortCast) = resolve(order.child) match {
+      case a: AttributeReference => (a, None)
+      case c: Cast => c.child match {
+        case a: AttributeReference if a.dataType == StringType &&
+            (c.dataType match {
+              case ByteType | ShortType | IntegerType | LongType |
+                   DateType => true
+              case _ => false
+            }) => (a, Some(c))
+        case _ => return None
+      }
       case _ => return None
     }
     key.dataType match {
@@ -145,6 +163,7 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     }
     val col = key.name.toLowerCase
     val partCols = idx.partitionCols
+    if (sortCast.isDefined && !partCols.contains(col)) return None
     val descending = order.direction == Descending
     val nullsFirst = order.nullOrdering == NullsFirst
 
@@ -211,6 +230,33 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
         (fe, fe.partitionValues.collectFirst { case (c, v) if c == col => v })
       }
       if (withVal.exists(w => w._2.isEmpty || w._1.rows < 0L)) return None
+      // sort value per directory string: the string itself (UTF-8 order —
+      // the same order Spark's string comparison and our partMatch use),
+      // or the query's own cast evaluated on it (typed lane). A cast that
+      // nulls or throws on any directory (junk value, non-ANSI null) bails
+      // the whole rewrite — the scan path then raises/handles it natively.
+      // (raw internal for the cutoff literal, canonical comparison key):
+      // the no-cast lane compares directory strings; the cast lane
+      // compares the evaluated internals via litVal's BigDecimal canon
+      val sortValOf: String => Option[(Any, Any)] = sortCast match {
+        case None => v => Some((v, v))
+        case Some(c) => v =>
+          try {
+            val raw = c.transform {
+              case _: AttributeReference =>
+                Literal(UTF8String.fromString(v), StringType)
+            }.eval(InternalRow.empty)
+            ZLake.litCanon(raw).map(canon => (raw, canon))
+          } catch { case NonFatal(_) => None }
+      }
+      val dirVals = withVal.map(_._2.get).distinct
+      val sortVal: Map[String, (Any, Any)] = dirVals.map { v =>
+        v -> sortValOf(v).getOrElse(return None)
+      }.toMap
+      // total by construction: one lane yields all-String canon, the
+      // other all-BigDecimal
+      def dirCmp(x: String, y: String): Int =
+        ZLake.cmp(sortVal(x)._2, sortVal(y)._2).get
       // only rows provably surviving the data filters count toward k
       val rowsByVal = withVal.groupBy(_._2.get)
         .map { case (v, fs) =>
@@ -218,10 +264,8 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
             if (guaranteed(fe)) fe.rows else 0L
           }.sum
         }
-      // both operands are strings: ZLake.cmp is total here (UTF-8 order —
-      // the same order Spark's string comparison and our partMatch use)
       val ordered = rowsByVal.keys.toSeq.sortWith { (x, y) =>
-        val c = ZLake.cmp(x, y).get
+        val c = dirCmp(x, y)
         if (descending) c > 0 else c < 0
       }
       var remaining = k.toLong
@@ -233,13 +277,19 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
       if (remaining > 0L) return None // cannot guarantee k rows: no prune
       val t = cut.getOrElse(return None)
       val kept = withVal.collect { case (fe, Some(v))
-          if ZLake.cmp(v, t).exists(c => if (descending) c >= 0 else c <= 0) =>
+          if { val c = dirCmp(v, t); if (descending) c >= 0 else c <= 0 } =>
         fe
       }
-      val lit = Literal(UTF8String.fromString(t), StringType)
+      // derived cutoff filter in the SAME terms the query sorts by, so the
+      // re-entered rule reaches its fixed point through the normal
+      // partition-filter path (partMatch evaluates the cast per directory)
+      val (lhs, lit): (Expression, Literal) = sortCast match {
+        case None => (key, Literal(UTF8String.fromString(t), StringType))
+        case Some(c) => (c, Literal(sortVal(t)._1, c.dataType))
+      }
       return finish(kept,
-        if (descending) GreaterThanOrEqual(key, lit)
-        else LessThanOrEqual(key, lit))
+        if (descending) GreaterThanOrEqual(lhs, lit)
+        else LessThanOrEqual(lhs, lit))
     }
 
     // "best" row a file guarantees nn copies of = its envelope edge on the
@@ -324,8 +374,11 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
     // rows may outrank T, so they are kept via OR IS NULL; under NULLS
     // LAST the k at-or-before-T rows dominate every null — dropping them
     // is sound. threshold None (bound met by nulls alone) keeps exactly
-    // the possibly-null rows. The rewritten plan re-enters this rule with
-    // a data filter present, which bails — the natural fixed point.
+    // the possibly-null rows. Termination: data filters do NOT bail
+    // re-entry (they feed the may/must lanes), so the fixed point is
+    // finish()'s nothing-pruned guard — each firing strictly SHRINKS the
+    // kept file set, and a pass that prunes nothing returns the plan
+    // unchanged; the file count decreases monotonically to a floor.
     val derived: Expression = threshold match {
       case None => IsNull(key)
       case Some(t) =>

@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.{Decimal, StructType}
+import org.apache.spark.sql.types.{Decimal, DoubleType, FloatType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Stats-carrying lake read: per-file min/max envelopes harvested from the
@@ -687,6 +687,11 @@ object ZLake {
     case _ => None
   }
 
+  /** Canonical comparison key for a boxed internal value — [[litVal]]'s
+    * BigDecimal/String domain, where [[cmp]] is total. Used by the typed
+    * partition lane in [[graft.plans.TopKFilePrune]]. */
+  private[graft] def litCanon(v: Any): Option[Any] = litVal(v)
+
   /** The least string strictly greater than EVERY string with prefix `p`,
     * in UTF-8 byte order — i.e. `p`'s byte successor: strip trailing 0xff
     * bytes, then increment the last remaining byte. None when p is all
@@ -747,11 +752,19 @@ object ZLake {
   def mayMatch(e: Expression, fe: FileEnvelope): Boolean = {
     def env(a: AttributeReference): Option[ColEnvelope] =
       fe.cols.get(a.name.toLowerCase)
-    // test(attr, lit)(f): false only when stats PROVE no row matches
+    // test(attr, lit)(f): false only when stats PROVE no row matches.
+    // Float/double columns never prove: spec-compliant external writers
+    // (parquet-cpp, Arrow) OMIT NaN from min/max stats while Spark's
+    // comparison semantics order NaN above every value — an envelope that
+    // excludes the literal can still cover NaN rows the predicate keeps
+    // (e.g. `x > lit` with NaN present). Spark-written files happen to be
+    // safe (parquet-mr poisons stats to NaN, which litVal/cmp reject), but
+    // the lake must stay sound for foreign parquet, so bail to "may".
     def test(a: AttributeReference, l: Any)(
         rule: (ColEnvelope, Any) => Option[Boolean]): Boolean =
-      (for (ce <- env(a); v <- litVal(l); r <- rule(ce, v)) yield r)
-        .getOrElse(true)
+      a.dataType == FloatType || a.dataType == DoubleType ||
+        (for (ce <- env(a); v <- litVal(l); r <- rule(ce, v)) yield r)
+          .getOrElse(true)
     e match {
       case And(l, r) => mayMatch(l, fe) && mayMatch(r, fe)
       case Or(l, r) => mayMatch(l, fe) || mayMatch(r, fe)
@@ -821,10 +834,17 @@ object ZLake {
       fe.cols.get(a.name.toLowerCase)
     def zeroNulls(a: AttributeReference): Boolean =
       fe.rows == 0L || fe.nullCounts.get(a.name.toLowerCase).contains(0L)
-    // proof(attr, lit)(rule): true only when stats PROVE every row matches
+    // proof(attr, lit)(rule): true only when stats PROVE every row matches.
+    // Float/double columns never prove (dual of mayMatch's bail): an
+    // external writer's envelope omits NaN, so [lo, hi] inside the range
+    // does not cover NaN rows — which FAIL ordered predicates under
+    // Spark's semantics. Claiming "all rows match" here would let
+    // TopKFilePrune count NaN rows toward the top-k bound and prune files
+    // still holding true top-k rows.
     def proof(a: AttributeReference, l: Any)(
         rule: (ColEnvelope, Any) => Option[Boolean]): Boolean =
-      zeroNulls(a) &&
+      a.dataType != FloatType && a.dataType != DoubleType &&
+        zeroNulls(a) &&
         (for (ce <- env(a); v <- litVal(l); r <- rule(ce, v)) yield r)
           .getOrElse(false)
     e match {

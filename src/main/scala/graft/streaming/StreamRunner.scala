@@ -37,25 +37,60 @@ object StreamRunner {
   /** Periodic lake maintenance wired into the streaming loop — the piece a
     * real streaming lake needs so it does not fragment until someone
     * remembers (the reference's own 300 s cycle is the natural cadence
-    * hook, DnsRptCH.scala:1213-1219): every `every`-th non-empty batch,
-    * CLOSED windows (strictly before the batch's minimum window — the open
-    * window still receiving appends is never rewritten mid-growth) of each
-    * table under `root` are compacted into the z-ordered manifest-covered
-    * layout, and each table's root manifest is re-consolidated so planning
-    * stays one driver-side read however many windows the lake grows.
+    * hook, DnsRptCH.scala:1213-1219): at every `every`-th CHECKPOINTED
+    * batch id, CLOSED windows (strictly before the batch's minimum window
+    * — the open window still receiving appends is never rewritten
+    * mid-growth) of each table under `root` are compacted into the
+    * z-ordered manifest-covered layout, and each table's root manifest is
+    * re-consolidated so planning stays one driver-side read however many
+    * windows the lake grows.
     *
-    * Readers stay green throughout: compaction stages under `_compacting/`
-    * (invisible to every reader) and swaps atomically per partition
-    * (CompactionSpec kill-injection); a crash mid-maintenance fails the
-    * batch, the replay re-runs [[graft.sinks.Sinks.compactLake]], and its
-    * recovery pass heals any half-swapped window (LakeMaintenanceSpec). */
+    * Cadence durability (r8 verdict #5): the schedule keys off the batch
+    * id Structured Streaming itself checkpoints, so a restart resumes the
+    * cadence exactly where it stopped (the previous in-memory counter
+    * reset on every restart). An EMPTY trigger landing on a cadence point
+    * defers that cycle to the next multiple — bounded drift, paid for
+    * free durability.
+    *
+    * The cycle runs on [[worker]], OFF the trigger thread: a compaction
+    * pass that outlives the trigger interval delays ingestion zero — the
+    * `_compacting/` staging already makes concurrent readers (and the
+    * stream's own appends, which only touch the OPEN window) safe. At
+    * most one cycle is in flight; a cadence point reached while one runs
+    * is skipped, and a FAILED cycle logs and retries at the next cadence
+    * — never failing the batch ([[graft.sinks.Sinks.compactLake]]'s
+    * recovery pass heals any half-swapped window next time,
+    * LakeMaintenanceSpec). */
   final case class LakeMaintenance(root: String, tables: Seq[String],
       colA: String, colB: String, every: Int = 8,
       filesPerPartition: Int = 4, bits: Int = 20,
       stampCol: String = "accesstime",
       sketchCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      sumCols: Seq[String] = Nil)
+      sumCols: Seq[String] = Nil) {
+    /** Single daemon maintenance worker — one cycle in flight, ever. */
+    @transient private[streaming] lazy val worker =
+      java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, "graft-lake-maintenance")
+        t.setDaemon(true); t
+      }
+    @transient private[streaming] val inFlight =
+      new java.util.concurrent.atomic.AtomicReference[
+        java.util.concurrent.Future[_]](null)
+    /** Block until the current cycle (if any) finishes — shutdown hooks
+      * and specs; the streaming loop itself never calls this. */
+    def awaitQuiescent(timeoutMs: Long = 120000L): Unit = {
+      val f = inFlight.get()
+      if (f != null)
+        f.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+  }
+
+  /** Test seam: runs at the START of each maintenance cycle, on the
+    * maintenance worker thread. LakeMaintenanceSpec parks it on a latch to
+    * prove a slow compaction never blocks the trigger thread. */
+  private[graft] val maintenanceTestHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
 
   /** Wire a per-batch report function (the batch code path, reused verbatim)
     * into `foreachBatch` with a processing-time trigger. The caller starts
@@ -65,11 +100,6 @@ object StreamRunner {
                   checkpoint: String,
                   maintenance: Option[LakeMaintenance] = None)(
       report: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    // maintenance cadence counts NON-EMPTY batches (the documented
-    // contract) — raw batch ids advance on empty triggers too, and a
-    // source that interleaves empty triggers would drift off cadence or
-    // never fire. Restart resets the counter; the cadence is best-effort.
-    val nonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
     facts.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
@@ -81,19 +111,46 @@ object StreamRunner {
         if (!batch.isEmpty) {
           report(batch, id)
           maintenance.foreach { m =>
-            if (nonEmpty.incrementAndGet() % m.every == 0L) {
+            // cadence off the CHECKPOINTED id — durable across restart
+            if (id > 0 && id % m.every == 0) {
+              // the open-window boundary comes from `batch`, so compute it
+              // ON the trigger thread (a foreachBatch frame must not be
+              // used after the call returns) before handing off
               val minWin = batch
                 .agg(min(date_format(col(m.stampCol),
                   graft.sinks.Sinks.WinFormat)))
                 .head().getString(0)
-              m.tables.foreach { t =>
-                graft.sinks.Sinks.compactLake(batch.sparkSession,
-                  s"${m.root}/$t", m.colA, m.colB, m.filesPerPartition,
-                  m.bits, onlyBefore = Option(minWin),
-                  sketchCols = m.sketchCols, bloomCols = m.bloomCols,
-                  sumCols = m.sumCols)
-                graft.sources.ZLake.consolidateManifests(
-                  batch.sparkSession, s"${m.root}/$t")
+              // all-null stamp column → no boundary: SKIP the cycle. An
+              // absent onlyBefore would declare every window closed and
+              // rewrite the open one mid-growth (ADVICE r8).
+              Option(minWin).foreach { w =>
+                val prev = m.inFlight.get()
+                if (prev == null || prev.isDone) {
+                  val session = batch.sparkSession
+                  m.inFlight.set(m.worker.submit(new Runnable {
+                    def run(): Unit =
+                      try {
+                        maintenanceTestHook.get()()
+                        m.tables.foreach { t =>
+                          graft.sinks.Sinks.compactLake(session,
+                            s"${m.root}/$t", m.colA, m.colB,
+                            m.filesPerPartition, m.bits,
+                            onlyBefore = Some(w),
+                            sketchCols = m.sketchCols,
+                            bloomCols = m.bloomCols, sumCols = m.sumCols)
+                          graft.sources.ZLake.consolidateManifests(
+                            session, s"${m.root}/$t")
+                        }
+                      } catch {
+                        case e: Throwable =>
+                          // never fail the BATCH for maintenance: log and
+                          // let the next cadence re-run — compactLake's
+                          // recovery pass heals partial state
+                          System.err.println("[lake-maintenance] cycle " +
+                            s"failed, retrying next cadence: $e")
+                      }
+                  }))
+                } // else: previous cycle still running — skip, no pileup
               }
             }
           }

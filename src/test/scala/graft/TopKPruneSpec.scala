@@ -262,6 +262,42 @@ class TopKPruneSpec extends AnyFunSuite with SparkSpec {
     assert(files2 == 8, s"expected win=3+win=2 files, scanned $files2/16")
   }
 
+  test("typed partition-key top-k: ORDER BY CAST(day AS INT) DESC prunes") {
+    // integer-valued partition dirs where NUMERIC and lexicographic order
+    // DISAGREE (11 > 9 numerically, "11" < "9" in UTF-8): the cast lane
+    // must order by the query's own cast per directory — r8's
+    // StringType-only lane could not serve this query at all (r8 #6)
+    val root = tmp("topk-pint")
+    val df = grid()
+    for ((d, i) <- Seq(8, 9, 10, 11).zipWithIndex)
+      Sinks.zorderedWrite(df.filter(col("id") % 4 === i), "a", "b",
+        s"$root/day=$d", numFiles = 4, bits = 8)
+    TopKFilePrune.lastPrune.set((-1, -1))
+    // day=11 is the numeric latest: exactly its 4 files survive
+    val pruned = ZLake.read(spark, root)
+      .orderBy(col("day").cast("int").desc, col("id")).limit(10).drop("day")
+    val files = scanFiles(pruned)
+    // the plain reader infers day as INT from the digit dirs — identical
+    // ordering, so compare the non-partition columns
+    val want = spark.read.parquet(root)
+      .orderBy(col("day").cast("int").desc, col("id")).limit(10)
+      .drop("day").collect()
+    sameRows(pruned.collect(), want)
+    assert(files == 4, s"expected only day=11's 4 files, scanned $files/16" +
+      s" (lastPrune=${TopKFilePrune.lastPrune.get()})")
+    assert(TopKFilePrune.lastPrune.get() == ((4, 16)))
+    // k spanning two windows keeps day=11 and day=10 — the pair a string
+    // lane would have ordered FURTHEST apart
+    val pruned2 = ZLake.read(spark, root)
+      .orderBy(col("day").cast("int").desc, col("id")).limit(5000).drop("day")
+    val files2 = scanFiles(pruned2)
+    sameRows(pruned2.collect(),
+      spark.read.parquet(root)
+        .orderBy(col("day").cast("int").desc, col("id")).limit(5000)
+        .drop("day").collect())
+    assert(files2 == 8, s"expected day=11+day=10 files, scanned $files2/16")
+  }
+
   test("derived top-k predicate reaches the scan: row groups skip past T") {
     // once the bound proves >= k rows at-or-above T, `a >= T` is injected
     // as a data filter — pushed to parquet it skips ROW GROUPS inside the

@@ -91,6 +91,25 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
     assert(collectWithSubqueries(plan) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, "paragraphDedup must not plan a window")
+    // shuffle-byte shape (r8 verdict #4): the first-occurrence exchanges
+    // are keyed by the 128-bit hash pair, never by raw paragraph TEXT —
+    // at 100 TB a text key would move the boilerplate-heavy corpus
+    // through two extra shuffles. doc_id-keyed reassembly still carries
+    // text, which is the one place it must go.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val exchanges = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec => e.outputPartitioning }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach {
+      case HashPartitioning(exprs, _) =>
+        assert(exprs.forall(_.dataType != StringType),
+          s"text-keyed exchange: $exprs")
+        assert(exprs.forall(_.dataType == LongType),
+          s"expected long hash/doc keys: $exprs")
+      case _ => // range/single partitionings don't carry the dedup keys
+    }
   }
 
   test("packSequences: one shuffle, keyed by shard") {

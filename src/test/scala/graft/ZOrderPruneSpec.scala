@@ -24,7 +24,10 @@ class ZOrderPruneSpec extends AnyFunSuite with SparkSpec {
     val n = 1 << 16
     spark.range(n.toLong)
       .withColumn("r", F.hash60(col("id").cast("string")))
-      .select((col("id") % 256).as("a"), (col("id") / 256 % 256).as("b"),
+      // floor-div keeps b integral: `/` is double division in the DataFrame
+      // API, and a DOUBLE b would hit the envelope lanes' NaN-soundness
+      // bail (foreign writers omit NaN from stats) — no pruning at all
+      .select((col("id") % 256).as("a"), (floor(col("id") / 256) % 256).as("b"),
         (col("r") % 1000000).as("payload"))
       .orderBy("payload")
   }
