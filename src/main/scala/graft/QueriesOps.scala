@@ -774,6 +774,93 @@ object QueriesOps {
           .select(col("win"), col("c_custkey"))
       }),
 
+    // -- 3-way Morton interleave VALUES: the oracle rebuilds zorder3 bit
+    //    by bit (a's bit i at 3i, b's at 3i+1, c's at 3i+2), pinning the
+    //    exact curve the 3-column layout clusters by. Spark side goes
+    //    through the SQL registration (graft_zorder3) so the whole
+    //    surface — expression, codegen, function registry — is gated.
+    QueryDef("q120_zorder3_values", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        (c_custkey * 7) % 64 AS b,
+                        (c_custkey * 13) % 64 AS c FROM customer)
+      SELECT c_custkey, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             CAST(c AS BIGINT) AS c,
+             CAST(list_sum(list_transform(range(0, 6), i ->
+               (((a >> i) & 1) << (3*i)) + (((b >> i) & 1) << (3*i+1)) +
+               (((c >> i) & 1) << (3*i+2)))) AS BIGINT) AS z
+      FROM f ORDER BY c_custkey"""),
+      (s, dir) => T(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          (col("c_custkey") * 7 % 64).cast("long").as("b"),
+          (col("c_custkey") * 13 % 64).cast("long").as("c"))
+        .withColumn("z", expr("graft_zorder3(a, b, c, 6)"))
+        .orderBy(col("c_custkey"))),
+
+    // -- 3-column z-ordered lake, pruned read on a band over ALL THREE
+    //    dimensions (ZOrderPruneSpec asserts per-axis file counts): the
+    //    read must agree with the raw table through the write AND the
+    //    three-dimensional envelope pruning.
+    QueryDef("q121_zorder3_pruned_read", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        (c_custkey * 7) % 64 AS b,
+                        (c_custkey * 13) % 64 AS c FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(c) AS BIGINT) AS sum_c
+      FROM f WHERE a BETWEEN 8 AND 23 AND b BETWEEN 16 AND 47
+               AND c BETWEEN 0 AND 31
+      ORDER BY n"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-z3lake").toString + "/customer"
+        graft.sinks.Sinks.zorderedWrite3(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 64).cast("long").as("a"),
+            (col("c_custkey") * 7 % 64).cast("long").as("b"),
+            (col("c_custkey") * 13 % 64).cast("long").as("c")),
+          "a", "b", "c", lake, numFiles = 8, bits = 6)
+        graft.sources.ZLake.read(s, lake)
+          .filter(col("a").between(8, 23) && col("b").between(16, 47) &&
+            col("c").between(0, 31))
+          .agg(count("*").cast("long").as("n"),
+            sum("a").cast("long").as("sum_a"),
+            sum("b").cast("long").as("sum_b"),
+            sum("c").cast("long").as("sum_c"))
+          .orderBy("n")
+      }),
+
+    // -- `<>` file pruning through the Not complement lane: may(NOT e) =
+    //    !must(e), so a file whose envelope PROVES e (constant value,
+    //    zero nulls — the shape a dictionary-heavy boilerplate column
+    //    compacts into) is skipped for `x <> v`. Each file below is
+    //    flag-constant by construction; `flag <> 2` plans 3 of 4 files
+    //    (ZOrderPruneSpec asserts the count). The oracle runs the same
+    //    filter over the raw table — an unsound complement (pruning a
+    //    file with differing rows) would LOSE rows here.
+    QueryDef("q119_ne_constant_prune", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 4 AS flag FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+             CAST(sum(flag) AS BIGINT) AS sum_flag
+      FROM f WHERE flag <> 2 ORDER BY n"""),
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-zlake-ne").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 4).cast("long").as("flag"))
+        for (v <- 0 until 4)
+          base.filter(col("flag") === v).coalesce(1)
+            .write.mode("append").parquet(path)
+        graft.sources.ZLake.read(s, path)
+          .filter(col("flag") =!= 2)
+          .agg(count("*").cast("long").as("n"),
+            sum("c_custkey").cast("long").as("sum_key"),
+            sum("flag").cast("long").as("sum_flag"))
+          .orderBy("n")
+      }),
+
     // -- TYPED partition-key top-k: `ORDER BY CAST(day AS BIGINT) DESC
     //    LIMIT k` over integer-valued directories (day=8..11) where
     //    numeric and lexicographic order DISAGREE ("11" < "9" in UTF-8) —

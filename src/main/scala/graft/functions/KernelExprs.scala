@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -111,6 +111,25 @@ object KernelExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Three-way Morton interleave — [[graft.functions.Kernels.zorder3]] as
+    * a codegen'd expression. bits ≤ 20 keeps 3·bits inside a long. */
+  case class ZOrder3(first: Expression, second: Expression,
+                     third: Expression, bits: Int)
+    extends TernaryExpression {
+    require(bits > 0 && bits <= 20, s"zorder3: bits in [1, 20] (got $bits)")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      Kernels.zorder3(a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue(),
+        c.asInstanceOf[Number].longValue(), bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b, c) => s"graft.functions.Kernels.zorder3($a, $b, $c, $bits)")
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): ZOrder3 =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** SRP-LSH bucket id of a quantized vector (array<long>). */
   case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -138,4 +157,6 @@ object KernelExprs {
     ColumnBridge.column(BloomContains(e(bloom), e(key), numHashes))
   def zorder2(a: Column, b: Column, bits: Int): Column =
     ColumnBridge.column(ZOrder2(e(a), e(b), bits))
+  def zorder3(a: Column, b: Column, c: Column, bits: Int): Column =
+    ColumnBridge.column(ZOrder3(e(a), e(b), e(c), bits))
 }

@@ -172,6 +172,21 @@ object Kernels {
     z
   }
 
+  /** Three-way Morton interleave: a's bit i lands at 3i, b's at 3i+1, c's
+    * at 3i+2 — the time × tenant × key clustering a multi-dimension lake
+    * wants. bits ≤ 20 keeps the interleave inside a positive long. */
+  def zorder3(a: Long, b: Long, c: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >>> i) & 1L) << (3 * i)
+      z |= ((b >>> i) & 1L) << (3 * i + 1)
+      z |= ((c >>> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    z
+  }
+
   /** Bloom position j of `key`: hash60(key || "#" || j) mod numBits — the
     * same seeded-suffix family as the MinHash/CMS sketches, so a SQL oracle
     * reproduces every set bit. */

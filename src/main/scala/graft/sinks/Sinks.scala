@@ -161,9 +161,48 @@ object Sinks {
     import org.apache.spark.sql.functions.col
     val z = graft.functions.KernelExprs.zorder2(
       col(colA).cast("long"), col(colB).cast("long"), bits)
+    zWriteWith(df, z, 2 * bits, path, numFiles, writerOptions,
+      sketchCols, sketchM, bloomCols, bloomBits, bloomHashes, sumCols)
+  }
+
+  /** Three-column z-order layout: the Morton interleave of THREE filter
+    * columns ([[graft.functions.KernelExprs.ZOrder3]]) — the time ×
+    * tenant × key clustering a multi-dimension lake wants. Every file
+    * carries a tight envelope on ALL THREE columns, so stat pruning works
+    * for predicates on any of them (measured in ZOrderPruneSpec; the
+    * per-dimension envelopes are necessarily looser than 2-col z-order —
+    * the curve spends its locality across three axes). Same deterministic
+    * histogram-cut layout, manifest, and read path as [[zorderedWrite]];
+    * bits ≤ 20 keeps 3·bits inside a long. */
+  def zorderedWrite3(df: DataFrame, colA: String, colB: String, colC: String,
+                     path: String, numFiles: Int, bits: Int = 20,
+                     writerOptions: Map[String, String] = Map.empty,
+                     sketchCols: Seq[String] = Nil,
+                     sketchM: Int = 256,
+                     bloomCols: Seq[String] = Nil,
+                     bloomBits: Int = 8192,
+                     bloomHashes: Int = 4,
+                     sumCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.KernelExprs.zorder3(
+      col(colA).cast("long"), col(colB).cast("long"),
+      col(colC).cast("long"), bits)
+    zWriteWith(df, z, 3 * bits, path, numFiles, writerOptions,
+      sketchCols, sketchM, bloomCols, bloomBits, bloomHashes, sumCols)
+  }
+
+  /** Shared z-layout write: partition by histogram cuts over `z`'s
+    * `zDomainBits`-bit domain, sort within partitions, write + manifest. */
+  private def zWriteWith(df: DataFrame, z: org.apache.spark.sql.Column,
+                         zDomainBits: Int, path: String, numFiles: Int,
+                         writerOptions: Map[String, String],
+                         sketchCols: Seq[String], sketchM: Int,
+                         bloomCols: Seq[String], bloomBits: Int,
+                         bloomHashes: Int, sumCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
     val withZ = df.withColumn("__z", z)
     val sortCols = col("__z") +: df.columns.map(col).toSeq
-    zPartitioned(withZ, "__z", numFiles, bits)
+    zPartitioned(withZ, "__z", numFiles, zDomainBits)
       .sortWithinPartitions(sortCols: _*)
       .drop("__z")
       .write.mode("overwrite").options(writerOptions).parquet(path)
@@ -179,9 +218,9 @@ object Sinks {
     * `pmod(murmur3(v), n) == fid` — a few probes per file), so the plan
     * stays pure DataFrame API end to end. */
   private def zPartitioned(zf: DataFrame, zCol: String, numFiles: Int,
-                           bits: Int): DataFrame = {
+                           zDomainBits: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val shift = math.max(0, 2 * bits - 16)
+    val shift = math.max(0, zDomainBits - 16)
     // null z (null cluster columns) sorts below every real prefix
     def zb = coalesce(shiftright(col(zCol), shift), lit(Long.MinValue))
     val hist = zf.groupBy(zb.as("zb"))

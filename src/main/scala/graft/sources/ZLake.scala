@@ -768,6 +768,12 @@ object ZLake {
     e match {
       case And(l, r) => mayMatch(l, fe) && mayMatch(r, fe)
       case Or(l, r) => mayMatch(l, fe) || mayMatch(r, fe)
+      // complement through the sound dual: mustMatch(e) = every row makes
+      // e TRUE ⇒ no row makes NOT e true. Covers `x <> v` (Spark leaves
+      // it as Not(EqualTo)): a constant file (lo = hi = v, zero nulls)
+      // proves EqualTo and prunes — the dictionary-page case where a
+      // whole file holds one boilerplate value.
+      case Not(e1) => !mustMatch(e1, fe)
       case IsNull(a: AttributeReference) =>
         // prunable only with a KNOWN zero null count
         fe.nullCounts.get(a.name.toLowerCase).forall(_ > 0L)
@@ -850,6 +856,20 @@ object ZLake {
     e match {
       case And(l, r) => mustMatch(l, fe) && mustMatch(r, fe)
       case Or(l, r) => mustMatch(l, fe) || mustMatch(r, fe)
+      // every row makes NOT e true ⇔ every row makes e FALSE — which is
+      // !mayMatch(e) (no row satisfies) PLUS zero nulls on every column e
+      // reads: a null input makes e UNKNOWN, and NOT UNKNOWN is UNKNOWN,
+      // not TRUE, so an all-null column would break the claim even though
+      // mayMatch(e) is false
+      case Not(e1) =>
+        e1.references.toSeq.forall {
+          case a: AttributeReference => zeroNulls(a)
+          case _ => false
+        } && !mayMatch(e1, fe)
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        // provable only for a CONSTANT file: lo = hi = some member
+        vs.exists(v => mustMatch(EqualTo(a, v.asInstanceOf[Literal]), fe))
       case IsNotNull(a: AttributeReference) => zeroNulls(a)
       case IsNull(a: AttributeReference) =>
         fe.rows == 0L || fe.nullCounts.get(a.name.toLowerCase)

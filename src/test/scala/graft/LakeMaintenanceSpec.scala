@@ -144,6 +144,56 @@ class LakeMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("maintenance with sumCols: compacted windows answer metadata sums") {
+    // the streaming lake's maintenance pass forwards the stats-column
+    // config to compaction, so windows it compacts serve the same
+    // zero-task metadata aggregates a batch-written lake does — the plan
+    // over the closed windows is pure LocalRelation, no scan node
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-msum").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-msum-ck").toString
+    val lakePath = s"$root/events"
+    val mem = MemoryStream[(Long, Long, Long)]
+    val maint = StreamRunner.LakeMaintenance(root, Seq("events"), "a", "b",
+      every = 2, filesPerPartition = 4, bits = 8, stampCol = "eventTime",
+      sumCols = Seq("a", "b"))
+    val q = StreamRunner.reportEvery(
+        mem.toDS().toDF("a", "b", "tsSec")
+          .withColumn("eventTime", timestamp_seconds(col("tsSec"))),
+        "0 seconds", ckpt, Some(maint)) { (b: DataFrame, _: Long) =>
+      Sinks.lakeAppend(Map("events" -> b.drop("tsSec").repartition(3)),
+        root, stampCol = "eventTime")
+    }.start()
+    for (w <- 0 until 3) {
+      mem.addData(winRows(w): _*); q.processAllAvailable()
+      maint.awaitQuiescent()
+    }
+    q.stop()
+    // id-2 cycle compacted windows 0-1 with sum manifests; window 2 is
+    // open (raw appends) — exclude it the q106/q112 way (win <> open)
+    val wins = new java.io.File(lakePath).listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("win=")).sorted
+      .map(_.stripPrefix("win="))
+    assert(wins.size == 3)
+    val open = wins.last
+    val agg = ZLake.read(spark, lakePath)
+      .filter(col("win") =!= open)
+      .groupBy("win")
+      .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"))
+    val leaves = agg.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"expected metadata-only plan over compacted windows:\n$leaves")
+    // and the values are the scan's values
+    val got = agg.orderBy("win").collect().toSeq.map(_.toSeq)
+    val want = spark.read.parquet(lakePath)
+      .filter(col("win") =!= open)
+      .groupBy("win")
+      .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"))
+      .orderBy("win").collect().toSeq.map(_.toSeq)
+    assert(got == want)
+  }
+
   test("a slow maintenance cycle never blocks the trigger thread") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-slow").toString

@@ -253,4 +253,64 @@ class ZOrderPruneSpec extends AnyFunSuite with SparkSpec {
     assert(rows == spark.read.parquet(zPath)
       .filter(col("a").isin(1, 2, 3)).count())
   }
+
+  test("3-column z-order prunes files on predicates on EACH of 3 columns") {
+    // uniform (a, b, c) grid over [0, 32)^3, shuffled: with 8 files over
+    // the 15-bit z3 domain each file is one octant (16x16x16 cube), so a
+    // quarter-range predicate on ANY single axis keeps only the 4 octants
+    // on its side — pruning in all three dimensions from one layout,
+    // which neither a single sort nor 2-col z-order can give the third
+    val n = 1 << 15
+    val df = spark.range(n.toLong)
+      .withColumn("r", F.hash60(col("id").cast("string")))
+      .select((col("id") % 32).as("a"),
+        (floor(col("id") / 32) % 32).as("b"),
+        (floor(col("id") / 1024) % 32).as("c"),
+        (col("r") % 1000000).as("payload"))
+      .orderBy("payload")
+    val path = tmp("z3")
+    Sinks.zorderedWrite3(df, "a", "b", "c", path, numFiles = 8, bits = 5)
+    val idx = ZLake.index(spark, path)
+    assert(idx.inputFiles.length == 8)
+    val plain = spark.read.parquet(path)
+    for (cname <- Seq("a", "b", "c")) {
+      val pred = col(cname) < 8 // quarter range
+      val got = ZLake.readWith(spark, path, idx).filter(pred)
+        .agg(count(lit(1)), sum("a"), sum("b"), sum("c")).head().toSeq
+      val want = plain.filter(pred)
+        .agg(count(lit(1)), sum("a"), sum("b"), sum("c")).head().toSeq
+      assert(got == want, s"pruned read changed the answer on $cname")
+      val (kept, total) = idx.lastPrune.get()
+      info(s"predicate on $cname: kept $kept/$total files")
+      assert(total == 8 && kept <= 5,
+        s"quarter-range on $cname pruned too little: $kept/8")
+    }
+  }
+
+  test("x <> v prunes CONSTANT files (the boilerplate-value case)") {
+    // 4 files: three constant in `v` (lo = hi, zero nulls — the shape a
+    // dictionary-heavy boilerplate column compacts into) and one mixed.
+    // `v <> 7` must plan only the files that can hold a differing row:
+    // the two constant-7 files prove EqualTo via mustMatch and prune
+    // through the Not complement lane; correctness vs the plain scan.
+    val path = tmp("zne")
+    val parts = Seq(7L -> 0, 7L -> 1, 3L -> 2, -1L /*mixed*/ -> 3)
+    for ((v, i) <- parts) {
+      val df =
+        if (v >= 0) spark.range(100).select((col("id") + i * 1000).as("id"),
+          lit(v).as("v"))
+        else spark.range(100).select((col("id") + i * 1000).as("id"),
+          (col("id") % 11).as("v"))
+      df.coalesce(1).write.mode("append").parquet(path)
+    }
+    val idx = ZLake.index(spark, path)
+    assert(idx.inputFiles.length == 4)
+    val got = ZLake.readWith(spark, path, idx).filter(col("v") =!= 7)
+      .agg(count(lit(1)), sum("id"), sum("v")).head().toSeq
+    val want = spark.read.parquet(path).filter(col("v") =!= 7)
+      .agg(count(lit(1)), sum("id"), sum("v")).head().toSeq
+    assert(got == want, "<>-pruned read changed the answer")
+    assert(idx.lastPrune.get() == ((2, 4)),
+      s"expected the two constant-7 files pruned: ${idx.lastPrune.get()}")
+  }
 }
