@@ -557,6 +557,51 @@ object QueriesOps {
           .orderBy("w")
       }),
 
+    // -- copy-on-write DELETE over the z-lake (LakeDelete.deleteFromLake,
+    //    r9): envelope-triaged — files that cannot match are untouched,
+    //    files where EVERY row provably matches drop whole without a read
+    //    (the metadata-only delete), boundary files rewrite without their
+    //    matching rows, journal-crash-safe throughout (LakeDeleteSpec).
+    //    The predicate mixes a partition conjunct (win, substituted +
+    //    folded per file) with data conjuncts on both cluster columns, so
+    //    all three triage classes fire. The oracle computes the remainder
+    //    aggregate over the raw table with SQL DELETE semantics
+    //    (NOT(p) keeps FALSE rows; no NULLs in these columns) — a delete
+    //    that lost or doubled a single row diverges here.
+    QueryDef("q122_lake_delete", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        (c_custkey * 7) % 64 AS b, c_acctbal,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           d AS (SELECT * FROM f
+                 WHERE NOT ((w = 1 AND b >= 32) OR (w = 0 AND a < 16)))
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal
+      FROM d GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-lake-del").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          (col("c_custkey") * 7 % 64).cast("long").as("b"),
+          col("c_acctbal"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "b", s"$root/win=$w", numFiles = 8, bits = 6)
+        graft.sinks.LakeDelete.deleteFromLake(s, root,
+          (col("win") === "1" && col("b") >= 32) ||
+            (col("win") === "0" && col("a") < 16))
+        graft.sources.ZLake.read(s, root)
+          .groupBy(col("win").cast("long").as("w"))
+          .agg(count("*").cast("long").as("n"),
+            sum("a").cast("long").as("sum_a"),
+            sum(floor(col("c_acctbal") * 100).cast("long"))
+              .cast("long").as("bal"))
+          .orderBy("w")
+      }),
+
     // -- string-prefix pruned lake read: a name-sorted lake (8 files of
     //    contiguous c_custkey ranges, so every file carries a tight c_name
     //    min/max envelope) read through ZLake with a LIKE-prefix predicate

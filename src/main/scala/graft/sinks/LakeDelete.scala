@@ -1,0 +1,255 @@
+package graft.sinks
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+  Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ZLake
+
+/** Copy-on-write DELETE over the z-lake — the lakehouse mutation path
+  * (the `DELETE FROM t WHERE p` every GDPR/retention pipeline needs) at
+  * the cost model a 100 TB lake requires: the predicate is evaluated
+  * against the manifest's per-file envelopes FIRST, so only files that can
+  * actually hold a matching row are touched at all.
+  *
+  * Per-file triage via the lake's own envelope algebra:
+  *  - `!mayMatch(p, file)` — no row can match: the file is UNTOUCHED
+  *    (not read, not rewritten; at scale this is almost all of the lake);
+  *  - `mustMatch(p, file)` — EVERY row provably matches: the file is
+  *    dropped whole, METADATA-ONLY (never read — the Iceberg-style
+  *    metadata delete; a whole-partition retention drop costs zero tasks);
+  *  - otherwise — the file is rewritten without its matching rows (one
+  *    task per file, parallel across files).
+  * Partition columns participate exactly: each file's `col=value` path
+  * values are substituted into the predicate as literals and the result
+  * constant-folds before the envelope test, so `WHERE win < '202601'`
+  * triages whole directories without reading anything.
+  *
+  * SQL semantics: DELETE removes rows where `p` IS TRUE; rows where `p` is
+  * FALSE or NULL survive (the rewrite keeps `NOT coalesce(p, false)`).
+  *
+  * CRASH-SAFE via a staged-files + journal protocol (the miniature of a
+  * lakehouse commit log): replacements are fully written under
+  * `_deleting/` (a '_'-prefixed path every reader ignores), then ONE
+  * journal file is published atomically, then the journal is applied
+  * (delete originals, move replacements in — idempotent steps), manifests
+  * repaired incrementally ([[ZLake.repairDirManifest]] — untouched files
+  * keep their exact entries, replaced files get fresh envelopes + stats in
+  * the old manifest's layout), and the journal retired. A crash
+  *  - before the journal publish leaves the lake bit-identical (staging is
+  *    invisible; the stale `_deleting/` is discarded on the next call);
+  *  - after the publish is healed by [[recover]] (run automatically at the
+  *    start of every [[deleteFromLake]]): re-applying the journal is
+  *    idempotent, so the delete completes exactly once.
+  * As with [[Sinks.compactLake]], a concurrent reader mid-apply can catch
+  * a single file between its delete and its replacement's rename — the
+  * same per-file swap window every in-place rewriter has without full
+  * snapshot isolation; ZLake planning from the repaired manifest closes it
+  * for planning-time readers.
+  */
+object LakeDelete {
+
+  /** What one delete did. `rowsDeleted` is exact when every touched file
+    * had a known row count (manifest- or footer-covered — always true for
+    * lakes this repo writes); otherwise -1. */
+  final case class DeleteReport(filesTotal: Int, filesUntouched: Int,
+                                filesDroppedWhole: Int, filesRewritten: Int,
+                                rowsDeleted: Long, recoveredFirst: Boolean)
+
+  private val JournalName = "_graft_delete_journal.json"
+  private val StageDirName = "_deleting"
+
+  /** Delete every row of the lake at `root` satisfying `predicate`
+    * (unresolved column refs — `col("a") > 5 && col("win") === "x"`).
+    * Returns the per-class file counts and rows removed. Idempotent: a
+    * second call with the same predicate touches nothing (the envelopes of
+    * the rewritten files no longer intersect it, except boundary-loose
+    * files which rewrite to themselves). */
+  def deleteFromLake(spark: SparkSession, root: String,
+                     predicate: Column): DeleteReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(fs.exists(rootPath), s"no lake at $root")
+    val recovered = recover(spark, root)
+
+    // resolve the predicate once against the lake's read schema (partition
+    // columns included), then per-file: substitute that file's partition
+    // values as string literals and constant-fold, so the envelope tests
+    // see only data-column comparisons and boolean constants
+    val df = ZLake.read(spark, root)
+    val analyzed = df.filter(predicate).queryExecution.analyzed
+    val cond = analyzed.collectFirst { case Filter(c, _) => c }.getOrElse(
+      throw new IllegalArgumentException(
+        s"predicate did not analyze to a filter: $predicate"))
+    require(cond.deterministic, "delete predicate must be deterministic")
+
+    val idx = ZLake.index(spark, root)
+    def forFile(fe: ZLake.FileEnvelope): Expression = {
+      val pmap = fe.partitionValues
+        .map { case (k, v) => k.toLowerCase -> v }.toMap
+      val sub = cond.transform {
+        case a: AttributeReference if pmap.contains(a.name.toLowerCase) =>
+          Literal(UTF8String.fromString(pmap(a.name.toLowerCase)), StringType)
+      }
+      sub.transformUp {
+        case e if e.foldable && e.deterministic =>
+          try Literal(e.eval(null), e.dataType)
+          catch { case NonFatal(_) => e } // e.g. ANSI cast: stay conservative
+      }
+    }
+
+    sealed trait Klass
+    case object Untouched extends Klass
+    case object DropWhole extends Klass
+    case object Rewrite extends Klass
+    val triage = idx.fes.map { fe =>
+      val e = forFile(fe)
+      val k =
+        if (!ZLake.mayMatch(e, fe)) Untouched
+        else if (ZLake.mustMatch(e, fe)) DropWhole
+        else Rewrite
+      (fe, k)
+    }
+    val drops = triage.collect { case (fe, DropWhole) => fe }
+    val rewrites = triage.collect { case (fe, Rewrite) => fe }
+    val untouched = triage.size - drops.size - rewrites.size
+    if (drops.isEmpty && rewrites.isEmpty)
+      return DeleteReport(triage.size, untouched, 0, 0, 0L, recovered)
+
+    val rootUri = rootPath.toUri.getPath.stripSuffix("/")
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    val stageRoot = new Path(rootPath, StageDirName)
+    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () } // pre-journal leftovers
+
+    // ---- stage: write each rewrite's replacement fully, invisibly -------
+    // one single-file write per rewritten file (parallel across files via
+    // the driver loop's jobs; each job reads exactly one file). Keep =
+    // NOT(p IS TRUE). Partition values ride in as literal columns so the
+    // ORIGINAL predicate resolves per file, then drop out before writing.
+    val keep = not(coalesce(predicate, lit(false)))
+    var staged = Vector.empty[(String, Long, Long)] // (rel, oldRows, newRows)
+    var emptied = Vector.empty[String]              // rewrites with 0 kept rows
+    rewrites.zipWithIndex.foreach { case (fe, i) =>
+      val src = fe.status.getPath
+      var kept = spark.read.parquet(src.toString)
+      fe.partitionValues.foreach { case (k, v) =>
+        kept = kept.withColumn(k, lit(v))
+      }
+      kept = kept.filter(keep)
+      fe.partitionValues.foreach { case (k, _) => kept = kept.drop(k) }
+      val tmpDir = new Path(stageRoot, s".tmp-$i")
+      kept.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = fs.listStatus(tmpDir).map(_.getPath)
+        .find(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .getOrElse(sys.error(s"staged rewrite of $src produced no file"))
+      val newRows = footerRows(fs, conf, part)
+      if (newRows == 0L) {
+        fs.delete(tmpDir, true)
+        emptied :+= rel(src)
+      } else {
+        val dst = new Path(stageRoot, rel(src))
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(part, dst), s"could not stage $dst")
+        fs.delete(tmpDir, true)
+        staged :+= ((rel(src), fe.rows, newRows))
+      }
+    }
+
+    // ---- publish the journal (the commit point), then apply -------------
+    val dropRels = drops.map(fe => rel(fe.status.getPath)) ++ emptied
+    writeJournal(fs, rootPath, dropRels, staged.map(_._1))
+    applyJournal(spark, fs, rootPath)
+
+    val dropRows = drops.map(_.rows) ++
+      emptied.map(r => rewrites.find(fe => rel(fe.status.getPath) == r)
+        .map(_.rows).getOrElse(-1L))
+    val rewriteRows = staged.map { case (_, o, n) => if (o < 0) -1L else o - n }
+    val allRows = dropRows ++ rewriteRows
+    val rows = if (allRows.exists(_ < 0L)) -1L else allRows.sum
+    DeleteReport(triage.size, untouched, dropRels.size, staged.size, rows,
+      recovered)
+  }
+
+  /** Heal a delete that crashed after its journal was published: re-apply
+    * the journal (idempotent) and retire it. A `_deleting/` staging dir
+    * WITHOUT a journal is a pre-commit crash — the lake is intact and the
+    * staging is discarded by the next [[deleteFromLake]]. Returns true if
+    * a journal was found and applied. */
+  def recover(spark: SparkSession, root: String): Boolean = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(rootPath, JournalName))) false
+    else { applyJournal(spark, fs, rootPath); true }
+  }
+
+  // ---- journal mechanics ---------------------------------------------------
+
+  private def writeJournal(fs: FileSystem, root: Path,
+                           drops: Seq[String], replaces: Seq[String]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("version", 1)
+    val d = node.putArray("drop"); drops.foreach(d.add)
+    val r = node.putArray("replace"); replaces.foreach(r.add)
+    val tmp = new Path(root, s".$JournalName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+    val dst = new Path(root, JournalName)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"could not publish delete journal at $dst")
+  }
+
+  /** Apply + retire the journal at `root`. Every step is idempotent, so a
+    * crash mid-apply is healed by simply running this again. */
+  private def applyJournal(spark: SparkSession, fs: FileSystem,
+                           root: Path): Unit = {
+    val jp = new Path(root, JournalName)
+    if (!fs.exists(jp)) return
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(jp)
+    val node = try om.readTree(in) finally in.close()
+    require(node.path("version").asInt(-1) == 1, s"unknown journal at $jp")
+    val drops = node.path("drop").elements().asScala.map(_.asText()).toSeq
+    val replaces = node.path("replace").elements().asScala.map(_.asText()).toSeq
+    val stageRoot = new Path(root, StageDirName)
+    drops.foreach { r =>
+      val p = new Path(root, r)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+    }
+    replaces.foreach { r =>
+      val src = new Path(stageRoot, r)
+      val dst = new Path(root, r)
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(src, dst), s"could not swap in $dst")
+      } // else: already applied before a crash
+    }
+    // incremental manifest repair for every directory the journal touched
+    (drops ++ replaces).map(r => new Path(root, r).getParent).distinct
+      .foreach(ZLake.repairDirManifest(spark, _))
+    fs.delete(jp, false)
+    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
+  }
+
+  private def footerRows(fs: FileSystem,
+                         conf: org.apache.hadoop.conf.Configuration,
+                         p: Path): Long = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(fs.getFileStatus(p), conf))
+    try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally rd.close()
+  }
+}

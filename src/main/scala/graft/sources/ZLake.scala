@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.{Decimal, DoubleType, FloatType, StructType}
+import org.apache.spark.sql.types.{BooleanType, Decimal, DoubleType, FloatType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Stats-carrying lake read: per-file min/max envelopes harvested from the
@@ -372,43 +372,9 @@ object ZLake {
     // k. Sums go through decimal(38, s) — exact for integral and decimal
     // columns (no double lane), overflow → NULL → the entry is omitted
     // and the query-time rewrite bails for files it cannot prove all-null.
-    def sumScale(c: String): Int =
-      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
-        case Some(d: org.apache.spark.sql.types.DecimalType) => d.scale
-        case _ => 0
-      }
-    val statsByFile: Map[String, (Map[String, Array[Long]],
-        Map[String, Array[Long]], Map[String, BigDecimal])] =
-      if (sketchCols.isEmpty && bloomCols.isEmpty && sumCols.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.{col, input_file_name, sum}
-        val aggs =
-          sketchCols.map(c => graft.functions.KernelAggs
-            .hll_registers(col(c).cast("string"), sketchM).as(s"__hll_$c")) ++
-          bloomCols.map(c => graft.functions.KernelAggs
-            .bloom_sketch(col(c).cast("string"), bloomBits, bloomHashes)
-            .as(s"__bloom_$c")) ++
-          sumCols.map(c => sum(col(c).cast(s"decimal(38,${sumScale(c)})"))
-            .as(s"__sum_$c"))
-        spark.read.parquet(path).drop(partitionColsOf(files): _*)
-          .groupBy(input_file_name().as("__file"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val regs = sketchCols.zipWithIndex.map { case (c, i) =>
-              c.toLowerCase -> r.getSeq[Long](i + 1).toArray
-            }.toMap
-            val blooms = bloomCols.zipWithIndex.map { case (c, i) =>
-              c.toLowerCase -> (bloomHashes.toLong +:
-                r.getSeq[Long](i + 1 + sketchCols.size).toArray)
-            }.toMap
-            val sums = sumCols.zipWithIndex.flatMap { case (c, i) =>
-              Option(r.getDecimal(i + 1 + sketchCols.size + bloomCols.size))
-                .map(d => c.toLowerCase -> BigDecimal(d))
-            }.toMap
-            new Path(new java.net.URI(r.getString(0))).toUri.getPath ->
-              (regs, blooms, sums)
-          }.toMap
-      }
+    val statsByFile = statsPass(
+      spark.read.parquet(path).drop(partitionColsOf(files): _*), schema,
+      sketchCols, sketchM, bloomCols, bloomBits, bloomHashes, sumCols)
     files.groupBy(_._1.getPath.getParent).foreach { case (dir, inDir) =>
       val entries = inDir.map { case (st, parts) =>
         val env = envelopeOf(st, parts, conf)
@@ -418,6 +384,120 @@ object ZLake {
         st.getPath.getName -> env.copy(sketches = sk, blooms = bl, sums = sm)
       }
       writeManifestFile(fs, dir, schema, entries)
+    }
+  }
+
+  /** ONE distributed pass over `df` computing per-source-file manifest
+    * stats (HLL registers, blooms, exact decimal sums), keyed by the file's
+    * URI path. Shared by [[writeManifest]] (all files of a fresh write) and
+    * [[repairDirManifest]] (only the files a rewrite replaced). Bloom
+    * arrays carry their probe arity as element 0; sums go through
+    * decimal(38, s) — exact for integral/decimal columns, overflow → NULL
+    * → entry omitted (the query-time rewrite then bails unless the file is
+    * provably all-null). */
+  private def statsPass(df: DataFrame, schema: StructType,
+      sketchCols: Seq[String], sketchM: Int,
+      bloomCols: Seq[String], bloomBits: Int, bloomHashes: Int,
+      sumCols: Seq[String]): Map[String, (Map[String, Array[Long]],
+      Map[String, Array[Long]], Map[String, BigDecimal])] = {
+    if (sketchCols.isEmpty && bloomCols.isEmpty && sumCols.isEmpty)
+      return Map.empty
+    def sumScale(c: String): Int =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+        case Some(d: org.apache.spark.sql.types.DecimalType) => d.scale
+        case _ => 0
+      }
+    import org.apache.spark.sql.functions.{col, input_file_name, sum}
+    val aggs =
+      sketchCols.map(c => graft.functions.KernelAggs
+        .hll_registers(col(c).cast("string"), sketchM).as(s"__hll_$c")) ++
+      bloomCols.map(c => graft.functions.KernelAggs
+        .bloom_sketch(col(c).cast("string"), bloomBits, bloomHashes)
+        .as(s"__bloom_$c")) ++
+      sumCols.map(c => sum(col(c).cast(s"decimal(38,${sumScale(c)})"))
+        .as(s"__sum_$c"))
+    df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val regs = sketchCols.zipWithIndex.map { case (c, i) =>
+          c.toLowerCase -> r.getSeq[Long](i + 1).toArray
+        }.toMap
+        val blooms = bloomCols.zipWithIndex.map { case (c, i) =>
+          c.toLowerCase -> (bloomHashes.toLong +:
+            r.getSeq[Long](i + 1 + sketchCols.size).toArray)
+        }.toMap
+        val sums = sumCols.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.getDecimal(i + 1 + sketchCols.size + bloomCols.size))
+            .map(d => c.toLowerCase -> BigDecimal(d))
+        }.toMap
+        new Path(new java.net.URI(r.getString(0))).toUri.getPath ->
+          (regs, blooms, sums)
+      }.toMap
+  }
+
+  /** Incrementally repair ONE directory's manifest after files were
+    * replaced or dropped in place ([[graft.sinks.LakeDelete]]): entries for
+    * files the old manifest still covers (same name AND length) are kept
+    * verbatim — their envelopes, sketches, blooms, and sums are exact and
+    * untouched files were not rewritten — while uncovered files get fresh
+    * footer envelopes plus recomputed stats in the SAME layout the old
+    * manifest carried (sketch/bloom/sum columns and parameters are
+    * INFERRED from the surviving entries, so a stats-carrying lake keeps
+    * its zero-scan query paths across a delete without the caller
+    * re-supplying write-time options). A directory left without data files
+    * has its manifest removed; one never manifest-covered gets a plain
+    * envelope manifest. */
+  private[graft] def repairDirManifest(spark: SparkSession, dir: Path): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return
+    val files = fs.listStatus(dir).toSeq
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    if (files.isEmpty) {
+      val p = new Path(dir, ManifestName)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+      return
+    }
+    readManifest(fs, dir) match {
+      case None => writeManifest(spark, dir.toString)
+      case Some(man) =>
+        val (kept, fresh) = files.partition(st =>
+          man.files.get(st.getPath.getName).exists(_.len == st.getLen))
+        // stats layout inferred from the old entries (union across files —
+        // a single file may legitimately omit a sum on overflow)
+        val entries = man.files.values.toSeq
+        val sketchCols = entries.flatMap(_.sketches.keys).distinct.sorted
+        val sketchM = entries.flatMap(_.sketches.values.map(_.length))
+          .headOption.getOrElse(256)
+        val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
+        val bloomHashes = entries.flatMap(_.blooms.values)
+          .collectFirst { case w if w.nonEmpty => w(0).toInt }.getOrElse(4)
+        val bloomBits = entries.flatMap(_.blooms.values)
+          .collectFirst { case w if w.length > 1 => (w.length - 1) * 64 }
+          .getOrElse(8192)
+        val sumCols = entries.flatMap(_.sums.keys).distinct.sorted
+        val stats =
+          if (fresh.isEmpty) Map.empty[String, (Map[String, Array[Long]],
+            Map[String, Array[Long]], Map[String, BigDecimal])]
+          else statsPass(
+            spark.read.parquet(fresh.map(_.getPath.toString): _*), man.schema,
+            sketchCols, sketchM, bloomCols, bloomBits, bloomHashes, sumCols)
+        val keptEntries = kept.map { st =>
+          val e = man.files(st.getPath.getName)
+          st.getPath.getName -> FileEnvelope(st, e.rowGroups, e.cols, Nil,
+            e.rows, e.nulls, e.sketches, e.blooms, e.sums)
+        }
+        val freshEntries = fresh.map { st =>
+          val env = envelopeOf(st, Nil, conf)
+          val (sk, bl, sm) = stats.getOrElse(st.getPath.toUri.getPath,
+            (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]],
+              Map.empty[String, BigDecimal]))
+          st.getPath.getName -> env.copy(sketches = sk, blooms = bl, sums = sm)
+        }
+        writeManifestFile(fs, dir, man.schema,
+          (keptEntries ++ freshEntries).sortBy(_._1))
     }
   }
 
@@ -766,6 +846,11 @@ object ZLake {
         (for (ce <- env(a); v <- litVal(l); r <- rule(ce, v)) yield r)
           .getOrElse(true)
     e match {
+      // constant conditions appear when a caller substitutes partition
+      // values into a predicate and folds ([[graft.sinks.LakeDelete]]):
+      // TRUE is satisfied by every row, FALSE/NULL by none ("satisfy" =
+      // evaluates to TRUE — SQL's WHERE keeps neither FALSE nor NULL)
+      case Literal(v, BooleanType) => v == true
       case And(l, r) => mayMatch(l, fe) && mayMatch(r, fe)
       case Or(l, r) => mayMatch(l, fe) || mayMatch(r, fe)
       // complement through the sound dual: mustMatch(e) = every row makes
@@ -854,6 +939,9 @@ object ZLake {
         (for (ce <- env(a); v <- litVal(l); r <- rule(ce, v)) yield r)
           .getOrElse(false)
     e match {
+      // dual of mayMatch's constant lane: every row trivially satisfies
+      // TRUE; no row satisfies FALSE or NULL
+      case Literal(v, BooleanType) => v == true
       case And(l, r) => mustMatch(l, fe) && mustMatch(r, fe)
       case Or(l, r) => mustMatch(l, fe) || mustMatch(r, fe)
       // every row makes NOT e true ⇔ every row makes e FALSE — which is

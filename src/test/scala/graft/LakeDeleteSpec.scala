@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{LakeDelete, Sinks}
+import graft.sources.ZLake
+
+/** Copy-on-write DELETE over the z-lake ([[LakeDelete.deleteFromLake]]):
+  * envelope-triaged (untouched / metadata-only whole-file drop / rewrite),
+  * SQL null semantics, journal crash-safety, and incremental manifest
+  * repair that keeps the zero-scan stats paths (sums, HLL sketches) alive
+  * across the mutation. */
+class LakeDeleteSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val n = 4096
+
+  /** (id, a, b, phone nullable, u) — a 64x64 grid per window. */
+  private def source: DataFrame =
+    spark.range(n).select(
+      col("id"),
+      (col("id") % 64).as("a"),
+      (col("id") * 7 % 64).as("b"),
+      when(col("id") % 5 =!= 0, concat(lit("p"), col("id") % 11))
+        .as("phone"),
+      (col("id") % 97).as("u"))
+
+  /** win=0 / win=1 partitioned z-lake, 8 files each, sum + sketch stats. */
+  private def buildLake(): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-del").toString + "/t"
+    for (w <- 0 to 1)
+      Sinks.zorderedWrite(source.filter(col("id") % 2 === w),
+        "a", "b", s"$root/win=$w", numFiles = 8, bits = 6,
+        sumCols = Seq("a", "u"), sketchCols = Seq("u"), sketchM = 64)
+    root
+  }
+
+  private def fileSnap(root: String): Map[String, (Long, Long)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    ZLake.envelopes(spark, root).map { fe =>
+      fe.status.getPath.toString ->
+        (fe.status.getLen, fe.status.getModificationTime)
+    }.toMap
+  }
+
+  private def rows(root: String): Seq[(Long, Long, Long, String)] =
+    ZLake.read(spark, root)
+      .select(col("id"), col("a"), col("b"), col("win"))
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+
+  private def expect(pred: (Long, Long, Long, Int) => Boolean)
+      : Seq[(Long, Long, Long, String)] =
+    (0L until n).map(id => (id, id % 64, id * 7 % 64, (id % 2).toInt))
+      .filterNot { case (id, a, b, w) => pred(id, a, b, w) }
+      .map { case (id, a, b, w) => (id, a, b, w.toString) }.sorted
+
+  test("delete triages untouched / drop-whole / rewrite and matches " +
+      "the row-level semantics") {
+    val root = buildLake()
+    val before = fileSnap(root)
+    val rep = LakeDelete.deleteFromLake(spark, root,
+      col("win") === "1" || (col("win") === "0" && col("a") < 16))
+    // every class exercised: win=1 dropped whole without a read; win=0
+    // files whose a-envelope misses [0,16) untouched; boundary files
+    // rewritten
+    assert(rep.filesDroppedWhole >= 8, rep.toString) // all of win=1
+    assert(rep.filesUntouched >= 1, rep.toString)
+    assert(rep.filesRewritten >= 1, rep.toString)
+    assert(rep.filesTotal == 16)
+    val want = expect((_, a, _, w) => w == 1 || (w == 0 && a < 16))
+    assert(rows(root) == want)
+    assert(rep.rowsDeleted == n - want.size)
+    // untouched files were not rewritten: same path, length, mtime
+    val after = fileSnap(root)
+    val untouched = before.filter { case (p, lm) => after.get(p).contains(lm) }
+    assert(untouched.size == rep.filesUntouched)
+  }
+
+  test("SQL null semantics: rows where the predicate is NULL survive") {
+    val root = buildLake()
+    // phone is NULL for id % 5 == 0; phone < 'p3' is NULL there → survive
+    LakeDelete.deleteFromLake(spark, root, col("phone") < "p3")
+    val got = ZLake.read(spark, root).select(col("id"))
+      .as[Long].collect().toSet
+    val want = (0L until n).filterNot { id =>
+      id % 5 != 0 && s"p${id % 11}" < "p3"
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_ % 5 == 0)) // the NULL-phone rows are really there
+  }
+
+  test("manifest repair keeps zero-footer planning and the stats lanes") {
+    val root = buildLake()
+    LakeDelete.deleteFromLake(spark, root,
+      col("a") < 8 || col("win") === "1" && col("b") >= 48)
+    // zero-footer planning: the repaired manifests cover every file
+    val n0 = ZLake.footerOpens.get()
+    val live = ZLake.read(spark, root)
+    val total = live.agg(count(lit(1)), sum("a"), sum("u")).collect()(0)
+    assert(ZLake.footerOpens.get() == n0, "post-delete read opened footers")
+    // exact manifest sums survive the repair: per-file sums add up to the
+    // scan's own aggregate (untouched files kept their entries verbatim,
+    // rewritten files recomputed theirs in the inferred layout)
+    val fes = ZLake.envelopes(spark, root)
+    assert(fes.nonEmpty && fes.forall(_.sums.keySet == Set("a", "u")))
+    assert(fes.map(_.sums("a")).sum == BigDecimal(total.getLong(1)))
+    assert(fes.map(_.sums("u")).sum == BigDecimal(total.getLong(2)))
+    // HLL sketches survive too: approxDistinct still answers (±25%)
+    val est = ZLake.approxDistinct(spark, root, "u", Nil)
+    assert(est.isDefined, "sketches lost in repair")
+    val truth = live.select(countDistinct("u")).as[Long].collect()(0)
+    assert(math.abs(est.get.estimate - truth) <= 0.25 * truth,
+      s"est ${est.get.estimate} vs $truth")
+  }
+
+  test("journal crash states heal: pre-commit discarded, post-commit " +
+      "re-applied idempotently") {
+    val root = buildLake()
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    // --- pre-journal crash: staging exists, no journal → lake intact ---
+    val stray = new Path(root, "_deleting/win=0/garbage.parquet")
+    fs.mkdirs(stray.getParent)
+    fs.create(stray, true).close()
+    val want = expect((_, a, _, _) => a < 4)
+    val rep = LakeDelete.deleteFromLake(spark, root, col("a") < 4)
+    assert(!rep.recoveredFirst)
+    assert(rows(root) == want)
+    assert(!fs.exists(new Path(root, "_deleting")), "staging not retired")
+
+    // --- post-journal crash: hand-build the committed state ------------
+    // journal says: drop one real file, replace another with a staged
+    // substitute; recovery must apply exactly that and repair manifests
+    val fes = ZLake.envelopes(spark, root)
+      .filter(_.partitionValues == Seq("win" -> "1"))
+    val dropFe = fes.head
+    val replFe = fes.last
+    val rootP = new Path(root)
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(rootP.toUri.getPath).stripPrefix("/")
+    // staged replacement: the dropped file's bytes under the replaced name
+    val stagedDst = new Path(root,
+      "_deleting/" + rel(replFe.status.getPath))
+    fs.mkdirs(stagedDst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, dropFe.status.getPath,
+      fs, stagedDst, false, conf)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("version", 1)
+    node.putArray("drop").add(rel(dropFe.status.getPath))
+    node.putArray("replace").add(rel(replFe.status.getPath))
+    val jp = new Path(root, "_graft_delete_journal.json")
+    val out = fs.create(jp, true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+
+    assert(LakeDelete.recover(spark, root))
+    assert(!fs.exists(dropFe.status.getPath))
+    assert(fs.exists(replFe.status.getPath))
+    assert(fs.getFileStatus(replFe.status.getPath).getLen
+      == dropFe.status.getLen, "replacement not swapped in")
+    assert(!fs.exists(jp) && !fs.exists(new Path(root, "_deleting")))
+    // manifest repaired: planning is still zero-footer and row counts agree
+    val n0 = ZLake.footerOpens.get()
+    val cnt = ZLake.read(spark, root)
+      .filter(col("win") === "1").count()
+    assert(ZLake.footerOpens.get() == n0)
+    // win=1 lost dropFe's rows and has replFe's rows doubled (the staged
+    // copy was dropFe's content) — recompute from the manifest row counts
+    val expectRows = ZLake.envelopes(spark, root)
+      .filter(_.partitionValues == Seq("win" -> "1")).map(_.rows).sum
+    assert(cnt == expectRows)
+    // second recover: nothing to do
+    assert(!LakeDelete.recover(spark, root))
+  }
+
+  test("re-running the same delete is a no-op") {
+    val root = buildLake()
+    LakeDelete.deleteFromLake(spark, root, col("a").between(16, 31))
+    val snap = fileSnap(root)
+    val rep2 = LakeDelete.deleteFromLake(spark, root,
+      col("a").between(16, 31))
+    assert(rep2.rowsDeleted == 0L, rep2.toString)
+    assert(fileSnap(root) == snap, "files changed on a no-op delete")
+  }
+}
