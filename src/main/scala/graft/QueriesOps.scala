@@ -602,6 +602,62 @@ object QueriesOps {
           .orderBy("w")
       }),
 
+    // -- keyed UPSERT over the z-lake (LakeDelete.upsertLake, r9): the
+    //    CDC/dimension merge — existing rows whose key appears in the
+    //    batch are removed (file triage on key envelopes + manifest
+    //    blooms: files provably holding none of the keys are untouched),
+    //    the batch inserts as new per-partition files, and both sides
+    //    commit through ONE journal (atomic; crash → recover applies the
+    //    whole merge or none). The oracle computes the merge relationally:
+    //    NOT IN the key set UNION ALL the batch. Updated rows bump cents
+    //    by 7; inserted rows use a non-colliding key offset — any row
+    //    lost, doubled, or left stale diverges in the per-window sums.
+    QueryDef("q123_lake_upsert", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        (c_custkey * 7) % 64 AS b,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           u AS (SELECT c_custkey, a, b, cents + 7 AS cents, w FROM f
+                 WHERE c_custkey % 101 = 0
+                 UNION ALL
+                 SELECT c_custkey + 200000, a, b, c_custkey AS cents, w
+                 FROM f WHERE c_custkey % 977 = 0),
+           m AS (SELECT * FROM f
+                 WHERE c_custkey NOT IN (SELECT c_custkey FROM u)
+                 UNION ALL SELECT * FROM u)
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      FROM m GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-lake-ups").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          (col("c_custkey") * 7 % 64).cast("long").as("b"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "b", s"$root/win=$w", numFiles = 8, bits = 6,
+            bloomCols = Seq("c_custkey"))
+        val win = (col("c_custkey") % 2).cast("string").as("win")
+        val updates = base.filter(col("c_custkey") % 101 === 0)
+          .withColumn("cents", col("cents") + 7).withColumn("win", win)
+          .unionByName(base.filter(col("c_custkey") % 977 === 0)
+            .select((col("c_custkey") + 200000).as("c_custkey"),
+              col("a"), col("b"), col("c_custkey").as("cents"))
+            .withColumn("win", (col("cents") % 2).cast("string")))
+        graft.sinks.LakeDelete.upsertLake(s, root, updates, "c_custkey")
+        graft.sources.ZLake.read(s, root)
+          .groupBy(col("win").cast("long").as("w"))
+          .agg(count("*").cast("long").as("n"),
+            sum("cents").cast("long").as("sum_cents"),
+            sum("c_custkey").cast("long").as("sum_key"))
+          .orderBy("w")
+      }),
+
     // -- string-prefix pruned lake read: a name-sorted lake (8 files of
     //    contiguous c_custkey ranges, so every file carries a tight c_name
     //    min/max envelope) read through ZLake with a LIKE-prefix predicate

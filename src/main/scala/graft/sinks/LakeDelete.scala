@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
   Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
@@ -64,6 +64,12 @@ object LakeDelete {
                                 filesDroppedWhole: Int, filesRewritten: Int,
                                 rowsDeleted: Long, recoveredFirst: Boolean)
 
+  /** What one upsert did: the keyed delete's triage plus the insert side.
+    * `delete.rowsDeleted` counts replaced rows; `rowsInserted` counts all
+    * rows of the update batch. */
+  final case class UpsertReport(delete: DeleteReport, filesAdded: Int,
+                                rowsInserted: Long)
+
   private val JournalName = "_graft_delete_journal.json"
   private val StageDirName = "_deleting"
 
@@ -80,6 +86,100 @@ object LakeDelete {
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
     val recovered = recover(spark, root)
+    val stageRoot0 = new Path(rootPath, StageDirName)
+    if (fs.exists(stageRoot0)) { fs.delete(stageRoot0, true); () } // pre-journal leftovers
+    deleteCore(spark, root, predicate, Nil, recovered)
+  }
+
+  /** Keyed UPSERT (the CDC / dimension-maintenance merge): every existing
+    * row whose `keyCol` appears in `updates` is removed, and ALL rows of
+    * `updates` are inserted — one ATOMIC commit (the delete's journal
+    * carries an `add` lane, so a crash either leaves the lake untouched or
+    * applies the full merge on [[recover]]).
+    *
+    * Scale shape: the batch's distinct keys are collected (bounded by
+    * `maxKeys` — this operator targets the dimension-update / CDC-batch
+    * case, not fact-to-fact merges) and become an IN predicate, so file
+    * triage runs on the manifest: per-file key ENVELOPES and — where the
+    * lake was written with `bloomCols` on the key — per-file BLOOMS skip
+    * every file that provably holds none of the keys. A scattered 1k-key
+    * update against a 10^5-file lake rewrites only the bloom-positive
+    * files. Inserts land as new files in their `win=` partition
+    * directories (`updates` must carry the lake's partition columns, as
+    * strings matching the directory values); a brand-new partition
+    * directory is created with a plain envelope manifest.
+    *
+    * `updates` rows must have non-null keys; duplicate keys within one
+    * batch insert as-is (the caller owns batch-level dedup). */
+  def upsertLake(spark: SparkSession, root: String, updates: DataFrame,
+                 keyCol: String, maxKeys: Int = 100000): UpsertReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(fs.exists(rootPath), s"no lake at $root")
+    val recovered = recover(spark, root)
+    val stageRoot = new Path(rootPath, StageDirName)
+    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
+
+    val keyRows = updates.select(col(keyCol)).distinct().limit(maxKeys + 1)
+      .collect()
+    require(keyRows.length <= maxKeys,
+      s"upsert batch has more than $maxKeys distinct keys — this operator " +
+        "is for dimension/CDC batches; merge bigger sets in batches")
+    val keys = keyRows.map(_.get(0))
+    require(!keys.contains(null), "upsert keys must be non-null")
+    require(keys.nonEmpty, "empty upsert batch")
+
+    // ---- stage the insert files (before the journal: invisible) ---------
+    val partCols = ZLake.index(spark, root).partitionCols
+    val missing = partCols.filterNot(c =>
+      updates.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"updates must carry the lake's partition column(s) $missing")
+    val partTuples: Seq[Seq[String]] =
+      if (partCols.isEmpty) Seq(Nil)
+      else updates.select(partCols.map(c => col(c).cast("string")): _*)
+        .distinct().collect().map(r =>
+          partCols.indices.map(i => r.getString(i)))
+    var adds = Vector.empty[String]
+    partTuples.zipWithIndex.foreach { case (vals, i) =>
+      val dirRel = partCols.zip(vals)
+        .map { case (c, v) => s"$c=$v" }.mkString("/")
+      var part = updates
+      partCols.zip(vals).foreach { case (c, v) =>
+        part = part.filter(col(c).cast("string") === v)
+      }
+      part = part.drop(partCols: _*)
+      val tmpDir = new Path(stageRoot, s".add-$i")
+      part.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val file = fs.listStatus(tmpDir).map(_.getPath)
+        .find(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .getOrElse(sys.error("staged insert produced no file"))
+      if (footerRows(fs, conf, file) > 0L) {
+        val name = s"upsert-${java.util.UUID.randomUUID()}.parquet"
+        val relp = if (dirRel.isEmpty) name else s"$dirRel/$name"
+        val dst = new Path(stageRoot, relp)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(file, dst), s"could not stage $dst")
+        adds :+= relp
+      }
+      fs.delete(tmpDir, true); ()
+    }
+    val inserted = adds.map(r =>
+      footerRows(fs, conf, new Path(stageRoot, r))).sum
+
+    val del = deleteCore(spark, root, col(keyCol).isin(keys.toSeq: _*),
+      adds, recovered)
+    UpsertReport(del, adds.size, inserted)
+  }
+
+  private def deleteCore(spark: SparkSession, root: String,
+                         predicate: Column, adds: Seq[String],
+                         recovered: Boolean): DeleteReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
 
     // resolve the predicate once against the lake's read schema (partition
     // columns included), then per-file: substitute that file's partition
@@ -122,14 +222,13 @@ object LakeDelete {
     val drops = triage.collect { case (fe, DropWhole) => fe }
     val rewrites = triage.collect { case (fe, Rewrite) => fe }
     val untouched = triage.size - drops.size - rewrites.size
-    if (drops.isEmpty && rewrites.isEmpty)
+    if (drops.isEmpty && rewrites.isEmpty && adds.isEmpty)
       return DeleteReport(triage.size, untouched, 0, 0, 0L, recovered)
 
     val rootUri = rootPath.toUri.getPath.stripSuffix("/")
     def rel(p: Path): String =
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
     val stageRoot = new Path(rootPath, StageDirName)
-    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () } // pre-journal leftovers
 
     // ---- stage: write each rewrite's replacement fully, invisibly -------
     // one single-file write per rewritten file (parallel across files via
@@ -168,7 +267,7 @@ object LakeDelete {
 
     // ---- publish the journal (the commit point), then apply -------------
     val dropRels = drops.map(fe => rel(fe.status.getPath)) ++ emptied
-    writeJournal(fs, rootPath, dropRels, staged.map(_._1))
+    writeJournal(fs, rootPath, dropRels, staged.map(_._1), adds)
     applyJournal(spark, fs, rootPath)
 
     val dropRows = drops.map(_.rows) ++
@@ -197,12 +296,14 @@ object LakeDelete {
   // ---- journal mechanics ---------------------------------------------------
 
   private def writeJournal(fs: FileSystem, root: Path,
-                           drops: Seq[String], replaces: Seq[String]): Unit = {
+                           drops: Seq[String], replaces: Seq[String],
+                           adds: Seq[String]): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.createObjectNode()
     node.put("version", 1)
     val d = node.putArray("drop"); drops.foreach(d.add)
     val r = node.putArray("replace"); replaces.foreach(r.add)
+    val a = node.putArray("add"); adds.foreach(a.add)
     val tmp = new Path(root, s".$JournalName.tmp")
     val out = fs.create(tmp, true)
     try out.write(om.writeValueAsBytes(node)) finally out.close()
@@ -223,21 +324,23 @@ object LakeDelete {
     require(node.path("version").asInt(-1) == 1, s"unknown journal at $jp")
     val drops = node.path("drop").elements().asScala.map(_.asText()).toSeq
     val replaces = node.path("replace").elements().asScala.map(_.asText()).toSeq
+    val adds = node.path("add").elements().asScala.map(_.asText()).toSeq
     val stageRoot = new Path(root, StageDirName)
     drops.foreach { r =>
       val p = new Path(root, r)
       if (fs.exists(p)) { fs.delete(p, false); () }
     }
-    replaces.foreach { r =>
+    (replaces ++ adds).foreach { r =>
       val src = new Path(stageRoot, r)
       val dst = new Path(root, r)
       if (fs.exists(src)) {
         if (fs.exists(dst)) fs.delete(dst, false)
+        fs.mkdirs(dst.getParent) // adds may open a brand-new partition dir
         require(fs.rename(src, dst), s"could not swap in $dst")
       } // else: already applied before a crash
     }
     // incremental manifest repair for every directory the journal touched
-    (drops ++ replaces).map(r => new Path(root, r).getParent).distinct
+    (drops ++ replaces ++ adds).map(r => new Path(root, r).getParent).distinct
       .foreach(ZLake.repairDirManifest(spark, _))
     fs.delete(jp, false)
     if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }

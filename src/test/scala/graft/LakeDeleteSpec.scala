@@ -178,6 +178,65 @@ class LakeDeleteSpec extends AnyFunSuite with SparkSpec {
     assert(!LakeDelete.recover(spark, root))
   }
 
+  /** Like [[buildLake]] but with key blooms, so upsert triage can skip
+    * files that provably hold none of the batch's keys. */
+  private def buildKeyedLake(): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ups").toString + "/t"
+    for (w <- 0 to 1)
+      Sinks.zorderedWrite(source.filter(col("id") % 2 === w),
+        "a", "b", s"$root/win=$w", numFiles = 8, bits = 6,
+        bloomCols = Seq("id"))
+    root
+  }
+
+  private def updatesFor(ids: Seq[Long]): DataFrame =
+    ids.toDF("id").select(
+      col("id"),
+      (col("id") % 64).as("a"),
+      (col("id") * 7 % 64).as("b"),
+      lit("UPDATED").as("phone"),
+      (col("id") % 97).as("u"),
+      (col("id") % 2).cast("string").as("win"))
+
+  test("upsert replaces keyed rows atomically and bloom-skips the rest") {
+    val root = buildKeyedLake()
+    // 4 scattered existing keys + 2 brand-new ones (same two windows)
+    val existing = Seq(17L, 1024L, 2049L, 4000L)
+    val fresh = Seq(n + 1L, n + 2L)
+    val rep = LakeDelete.upsertLake(spark, root,
+      updatesFor(existing ++ fresh), "id")
+    assert(rep.rowsInserted == 6)
+    assert(rep.delete.rowsDeleted == existing.size.toLong)
+    // bloom triage: 4 keys live in at most 4 files (plus fp) of 16 —
+    // most of the lake is untouched
+    assert(rep.delete.filesUntouched >= 10, rep.toString)
+    val got = ZLake.read(spark, root)
+      .select(col("id"), col("phone")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(got.size == n + fresh.size)
+    (existing ++ fresh).foreach(id =>
+      assert(got(id).contains("UPDATED"), s"id $id not upserted"))
+    assert(got(18L) == (if (18L % 5 != 0) Some(s"p${18 % 11}") else None))
+    // manifest coverage survives: planning stays zero-footer
+    val n0 = ZLake.footerOpens.get()
+    ZLake.read(spark, root).filter(col("a") === 1).count()
+    assert(ZLake.footerOpens.get() == n0)
+  }
+
+  test("upsert into a brand-new partition creates the directory + manifest") {
+    val root = buildKeyedLake()
+    val upd = updatesFor(Seq(9999L)).withColumn("win", lit("2"))
+    val rep = LakeDelete.upsertLake(spark, root, upd, "id")
+    assert(rep.filesAdded == 1 && rep.delete.rowsDeleted == 0)
+    val w2 = ZLake.read(spark, root).filter(col("win") === "2")
+      .select(col("id")).as[Long].collect().toSeq
+    assert(w2 == Seq(9999L))
+    // the new directory is manifest-covered (plain envelopes)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(root, s"win=2/${ZLake.ManifestName}")))
+  }
+
   test("re-running the same delete is a no-op") {
     val root = buildLake()
     LakeDelete.deleteFromLake(spark, root, col("a").between(16, 31))
