@@ -175,6 +175,44 @@ object QueriesML {
           col("doc_id"), col("text"), shingleN = 3, numHashes = 8, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- INCREMENTAL dedup against a persisted signature lake (r9): the
+    //    corpus (doc_id % 4 != 0) signs ONCE into a parquet signature
+    //    store; the new batch (doc_id % 4 == 0) probes it — the corpus
+    //    text is never re-shingled and the corpus table never shuffles
+    //    (broadcast band probe, plan-asserted in IncrementalDedupSpec).
+    //    The oracle computes the BATCH pairs over the union restricted to
+    //    pairs touching the new split — the incremental path must equal
+    //    it exactly (same band keys, same est arithmetic).
+    QueryDef("q124_incremental_minhash", Some {
+      val sigList = (0 until 8).map(j => dkMinhash("sh", j)).mkString("[", ", ", "]")
+      val bandList = (0 until 4).map(b =>
+        s"'$b:' || md5(array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_'))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH t AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents),
+      sh AS (SELECT doc_id, ${dkShingles("toks", 3)} AS sh FROM t),
+      sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+      bands AS (SELECT doc_id, sig, unnest($bandList) AS band FROM sig)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8 AS est_jaccard
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+      ORDER BY id_a, id_b"""
+    },
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-q124-sigs").toString + "/sigs"
+        val docsT = T(s, dir, "documents")
+        Dedup.writeSignatureLake(docsT.filter(col("doc_id") % 4 =!= 0),
+          col("doc_id"), col("text"), shingleN = 3, numHashes = 8,
+          bands = 4, path = lake)
+        Dedup.incrementalMinhashCandidates(
+            docsT.filter(col("doc_id") % 4 === 0),
+            col("doc_id"), col("text"), shingleN = 3, numHashes = 8,
+            bands = 4, sigPath = lake)
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
     // -- dedup: LSH candidate pairs → duplicate clusters (connected comps) ---
     QueryDef("q59_dedup_clusters", Some {
       val sigList = (0 until 8).map(j => dkMinhash("sh", j)).mkString("[", ", ", "]")

@@ -339,6 +339,112 @@ object Dedup {
       .distinct()
   }
 
+  /** The banded signature table for `df` — `(doc_id, sig, band)`, one row
+    * per (document, band) — as [[minhashCandidates]] computes internally.
+    * Shared by the batch self-join and the incremental probe. */
+  private def bandedSignatures(df: DataFrame, id: Column, text: Column,
+                               shingleN: Int, numHashes: Int,
+                               bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    // same small-input rebalance as minhashCandidates: the shingle+hash
+    // stage is CPU-bound and must not pin to one split
+    val input = df.select(id.as("doc_id"), text.as("__text"))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val sizeInBytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    val balanced =
+      if (sizeInBytes < BigInt(parallelism) * (64L << 20))
+        input.repartition(parallelism)
+      else input
+    balanced.select(col("doc_id"),
+        minhashSignature(TF.word_shingles(col("__text"), shingleN),
+          numHashes).as("sig"))
+      .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
+  }
+
+  /** Persist (append) a corpus batch's banded MinHash signatures to
+    * `path` — the durable signature store the in-memory LSH shape
+    * ([[minhashCandidates]]'s localCheckpoint) points at for 100 TB
+    * pipelines: signatures are computed ONCE per document ever (the
+    * CPU-bound shingle+hash stage never re-runs over old data), survive
+    * executor loss, and each new ingest batch dedups against the whole
+    * corpus through [[incrementalMinhashCandidates]] without touching the
+    * corpus TEXT again. Layout: plain parquet `(doc_id, sig, band)`
+    * appended per batch — ~bands rows of (long + k longs + 36 chars) per
+    * document, orders of magnitude smaller than the text it summarizes. */
+  def writeSignatureLake(df: DataFrame, id: Column, text: Column,
+                         shingleN: Int, numHashes: Int, bands: Int,
+                         path: String): Unit =
+    bandedSignatures(df, id, text, shingleN, numHashes, bands)
+      .write.mode("append").parquet(path)
+
+  /** Candidate near-duplicate pairs of a NEW document batch against a
+    * persisted signature lake ([[writeSignatureLake]]) PLUS within the
+    * batch itself — incremental corpus dedup: only the new batch is
+    * shingled and hashed; the corpus contributes its stored signatures.
+    *
+    * Pairs are `(id_a, id_b)` with `id_a < id_b` and the same
+    * `est_jaccard` (fraction of agreeing signature components) as the
+    * batch operator, so on any corpus∪batch the result equals
+    * [[minhashCandidates]] over the union RESTRICTED to pairs touching
+    * the batch (proven on seeded data in IncrementalDedupSpec).
+    *
+    * Scale shape: the batch's distinct band keys BROADCAST against the
+    * corpus table — the corpus is filtered where it lies (one scan, no
+    * shuffle of the lake); only the tiny bucket-mate remainder joins the
+    * batch. Hot corpus buckets (over `maxBucket` members — the
+    * boilerplate flood this operator meets in the wild) degrade to
+    * signature-group hubs: each new doc pairs once per distinct corpus
+    * signature in the bucket instead of once per member (est is exact per
+    * pair — every member of a signature group shares its hub's
+    * signature), mirroring the batch operator's star degradation.
+    *
+    * Caller contract: batch ids are disjoint from corpus ids; append the
+    * batch's own signatures via [[writeSignatureLake]] AFTER probing. */
+  def incrementalMinhashCandidates(newDocs: DataFrame, id: Column,
+                                   text: Column, shingleN: Int,
+                                   numHashes: Int, bands: Int,
+                                   sigPath: String,
+                                   maxBucket: Int = 4096): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSigs = bandedSignatures(newDocs, id, text, shingleN, numHashes,
+      bands).localCheckpoint(false)
+    val corpus = spark.read.parquet(sigPath)
+    // corpus rows in buckets the batch touches: broadcast the batch's
+    // band keys — a broadcast hash semi-join, the corpus side stays
+    // un-shuffled (at a 100 TB lake this is one pruned scan, not an
+    // exchange of the whole signature table)
+    val touched = corpus.join(
+        broadcast(newSigs.select(col("band")).distinct()), Seq("band"))
+      .localCheckpoint(false)
+    def est(a: Column, b: Column) = (size(filter(
+        zip_with(a, b, (x, y) => x === y), e => e))
+      .cast("double") / numHashes).as("est_jaccard")
+    def oriented(df: DataFrame): DataFrame = df
+      .filter(col("__ia") =!= col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        est(col("__sa"), col("__sb")))
+    val hotBands = touched.groupBy(col("band"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+    val annotated = touched.join(broadcast(hotBands), Seq("band"), "left_outer")
+    val cold = annotated.filter(col("__n").isNull)
+      .select(col("band"), col("doc_id").as("__ia"), col("sig").as("__sa"))
+    val probe = newSigs
+      .select(col("band"), col("doc_id").as("__ib"), col("sig").as("__sb"))
+    val coldPairs = oriented(cold.join(probe, Seq("band")))
+    // hot buckets: one pair per (new doc, distinct corpus signature)
+    val hubs = annotated.filter(col("__n").isNotNull)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("__ia"))
+      .select(col("band"), col("__ia"), col("sig").as("__sa"))
+    val hotPairs = oriented(hubs.join(probe, Seq("band")))
+    // within the batch itself: the batch operator (its own flood guard)
+    val newNew = minhashCandidates(newDocs, id, text, shingleN, numHashes,
+      bands, maxBucket)
+    coldPairs.unionByName(hotPairs).unionByName(newNew).distinct()
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. Shingle sets
     * and the intersection size are let-bound — each is referenced more than
     * once below, and would otherwise be re-derived per reference. */
