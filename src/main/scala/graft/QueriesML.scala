@@ -512,6 +512,54 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- ANN over a PERSISTED IVF index (r9): writeIvfIndex stores the
+    //    refined centroids + the cell-assigned quantized corpus as
+    //    cell=<id> partition dirs; ivfTopKIndexed probes read ONLY their
+    //    cells' directories (partition-pruned, plan-asserted in
+    //    IvfIndexSpec) with nothing recomputed. Same deterministic math
+    //    as the one-shot q87 pipeline, so the oracle unrolls the identical
+    //    CTE chain — the indexed read must be bit-for-bit the ivfTopK
+    //    answer at (k=5, nprobe=2) for queries vec_id < 6.
+    QueryDef("q125_ann_ivf_indexed", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, sid) AS rn FROM a1),
+      cell1 AS (SELECT vec_id, qv, sid AS cell FROM r1 WHERE rn = 1),
+      sums AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+               FROM cell1, range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+               FROM sums GROUP BY cell),
+      a2 AS (SELECT q.vec_id, q.qv, cent.cell, ${dkCos("q.qv", "cent.cq")} AS cos FROM q, cent),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) AS rn FROM a2),
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 6),
+      qa AS (SELECT query_id, qv, cent.cell, ${dkCos("qv", "cent.cq")} AS cos FROM qs, cent),
+      qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell) AS rn FROM qa),
+      qcell AS (SELECT query_id, qv, cell FROM qr WHERE rn <= 2),
+      cand AS (SELECT query_id, cell, neighbor_id, ${dkCos("cv", "qv")} AS cosine
+               FROM cell2 JOIN qcell USING (cell) WHERE neighbor_id <> query_id),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM cand)
+      SELECT query_id, cell, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q125-ivf").toString + "/idx"
+        Similarity.writeIvfIndex(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        Similarity.ivfTopKIndexed(s, path,
+            emb.filter(col("vec_id") < 6), col("vec_id"), col("embedding"),
+            k = 5, nprobe = 2)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- ANN: IVF with MULTI-ITERATION Lloyd refinement ----------------------
     // Same pipeline as q54/q87 but the centroid step iterates twice: assign
     // to the seeds -> per-cell exact mean -> requantize -> REASSIGN to those
