@@ -158,6 +158,38 @@ object StreamRunner {
       }
   }
 
+  /** CDC sink: each micro-batch of keyed updates MERGEs into an existing
+    * z-lake via [[graft.sinks.LakeDelete.upsertLake]] — streaming upsert
+    * with exactly-once semantics and NO idempotency key needed: a
+    * replayed epoch's delete side removes the previous attempt's inserted
+    * rows (their keys ARE the batch's keys) before the insert side lands
+    * one fresh copy, so replay converges to a single row per key; a crash
+    * INSIDE the merge is healed by the journal recovery the next
+    * `upsertLake` call runs first (StreamingUpsertSpec injects both).
+    * Contract: `root` holds the initial snapshot (e.g. one
+    * [[graft.sinks.Sinks.zorderedWrite]] per partition) before the stream
+    * starts; batches carry the lake's partition columns. The batch is
+    * materialized once (`localCheckpoint`) because the merge reads it
+    * several times (key collect, per-partition splits). */
+  def upsertStream(updates: DataFrame, root: String, keyCol: String,
+                   checkpoint: String,
+                   interval: String = "5 minutes"): DataStreamWriter[Row] =
+    updates.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sinks.LakeDelete.upsertLake(batch.sparkSession, root,
+            batch.localCheckpoint(true), keyCol)
+          upsertTestHook.get()()
+        }
+      }
+
+  /** Test seam: runs after each [[upsertStream]] micro-batch merge,
+    * BEFORE the epoch commits — crash injection for replay tests. */
+  private[graft] val upsertTestHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
   /** Backfill = the same report over a bounded time range, one 5-min window
     * per group (DnsRptOffline.scala:69-73 parity without the driver loop):
     * window bucketing IS the loop, distributed. */
