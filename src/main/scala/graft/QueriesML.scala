@@ -1060,6 +1060,55 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- decontamination against PERSISTED benchmark blooms (r9): two
+    //    benchmark suites fold once each into parquet sketch stores,
+    //    OR-merge into a union store (bloom OR IS the union's bloom —
+    //    no text re-read), and a candidate batch (doc_id % 3 = 0) probes
+    //    the store with parameters read FROM the store. The oracle
+    //    rebuilds the union suite's set-bit set from both benchmark
+    //    splits — false positives included, bit-for-bit.
+    QueryDef("q126_bloom_decontaminate_indexed", Some(s"""
+      WITH b0 AS (SELECT ${dkToks("text")} AS toks FROM documents
+                  WHERE doc_id % 97 = 0 OR doc_id % 89 = 0),
+      bsh AS (SELECT DISTINCT unnest(${dkShingles("toks", 3)}) AS sh FROM b0),
+      bits AS (SELECT DISTINCT ${dkHash60("sh || '#' || CAST(j AS VARCHAR)")} % 65536 AS pos
+               FROM bsh, range(0, 3) t(j)),
+      c0 AS (SELECT doc_id, ${dkToks("text")} AS toks FROM documents
+             WHERE doc_id % 3 = 0),
+      cand AS (SELECT doc_id, list_distinct(${dkShingles("toks", 3)}) AS shs FROM c0),
+      ex AS (SELECT doc_id, unnest(shs) AS sh FROM cand),
+      pp AS (SELECT doc_id, sh, ${dkHash60("sh || '#' || CAST(j AS VARCHAR)")} % 65536 AS pos
+             FROM ex, range(0, 3) t(j)),
+      probe AS (SELECT doc_id, sh,
+                       sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS found
+                FROM pp LEFT JOIN bits b USING (pos) GROUP BY doc_id, sh),
+      agg AS (SELECT doc_id, CAST(sum(CASE WHEN found = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              FROM probe GROUP BY doc_id)
+      SELECT c.doc_id, CAST(len(c.shs) AS BIGINT) AS n_sh,
+             coalesce(a.hits, 0) AS hits,
+             ${dkQround("CAST(coalesce(a.hits,0) AS DOUBLE) / greatest(len(c.shs), 1)", 6)} AS overlap,
+             (${dkQround("CAST(coalesce(a.hits,0) AS DOUBLE) / greatest(len(c.shs), 1)", 6)} >= 0.5) AS contaminated
+      FROM cand c LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        import graft.operators.Decontamination
+        val docs = T(s, dir, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-q126-bloom").toString
+        Decontamination.writeBenchmarkBloom(
+          docs.filter(col("doc_id") % 97 === 0), col("text"),
+          shingleN = 3, numBits = 65536, numHashes = 3, s"$base/suiteA")
+        Decontamination.writeBenchmarkBloom(
+          docs.filter(col("doc_id") % 89 === 0), col("text"),
+          shingleN = 3, numBits = 65536, numHashes = 3, s"$base/suiteB")
+        Decontamination.mergeBenchmarkBlooms(s,
+          Seq(s"$base/suiteA", s"$base/suiteB"), s"$base/union")
+        Decontamination.bloomScoresIndexed(
+            docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
+            s"$base/union", threshold = 0.5)
+          .orderBy(col("doc_id"))
+      }),
+
     // -- sketch: Count-Min heavy-hitter estimates (native CmsAgg) ------------
     // The sketch is deterministic (hash60 family), so DuckDB reproduces every
     // cell and estimate exactly; the CMS guarantee est >= exact is asserted

@@ -55,15 +55,25 @@ object Decontamination {
                   benchmark: DataFrame, benchText: Column,
                   shingleN: Int, numBits: Int, numHashes: Int,
                   threshold: Double): DataFrame = {
-    import graft.functions.KernelExprs
     val bloom = benchmark
       .select(explode(TF.word_shingles(benchText, shingleN)).as("sh"))
       .agg(graft.functions.KernelAggs.bloom_sketch(
         col("sh"), numBits, numHashes).as("__bloom"))
+    probeBloom(candidates, candId, candText, bloom, shingleN, numHashes,
+      threshold)
+  }
+
+  /** The candidate-side probe shared by [[bloomScores]] (fresh fold) and
+    * [[bloomScoresIndexed]] (persisted store): one broadcast of the
+    * one-row sketch relation, zero shuffles on the candidate side. */
+  private def probeBloom(candidates: DataFrame, candId: Column,
+                         candText: Column, bloom: DataFrame, shingleN: Int,
+                         numHashes: Int, threshold: Double): DataFrame = {
+    import graft.functions.KernelExprs
     candidates
       .select(candId.as("doc_id"),
         array_distinct(TF.word_shingles(candText, shingleN)).as("shs"))
-      .crossJoin(broadcast(bloom))
+      .crossJoin(broadcast(bloom.select(col("__bloom"))))
       .select(col("doc_id"),
         size(col("shs")).cast("long").as("n_sh"),
         size(filter(col("shs"),
@@ -72,5 +82,54 @@ object Decontamination {
       .withColumn("overlap", graft.functions.Functions.qround(
         col("hits").cast("double") / greatest(col("n_sh"), lit(1L)), 6))
       .withColumn("contaminated", col("overlap") >= threshold)
+  }
+
+  /** Fold the benchmark's shingles ONCE and persist the sketch (one row:
+    * parameters + register words). Benchmark suites are fixed across
+    * ingest runs — re-folding them per candidate batch is pure waste; the
+    * persisted sketch also UNIONS: bloom OR is the union's bloom, so new
+    * benchmarks fold into their own store and [[mergeBenchmarkBlooms]]
+    * combines stores without re-reading any benchmark text. */
+  def writeBenchmarkBloom(benchmark: DataFrame, benchText: Column,
+                          shingleN: Int, numBits: Int, numHashes: Int,
+                          path: String): Unit =
+    benchmark
+      .select(explode(TF.word_shingles(benchText, shingleN)).as("sh"))
+      .agg(graft.functions.KernelAggs.bloom_sketch(
+        col("sh"), numBits, numHashes).as("__bloom"))
+      .select(lit(shingleN).as("shingle_n"), lit(numHashes).as("num_hashes"),
+        lit(numBits).as("num_bits"), col("__bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** OR-merge persisted benchmark blooms (same parameters) into one store
+    * — the union suite's sketch, no text re-read. */
+  def mergeBenchmarkBlooms(spark: org.apache.spark.sql.SparkSession,
+                           paths: Seq[String], out: String): Unit = {
+    val all = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val metas = all.select("shingle_n", "num_hashes", "num_bits")
+      .distinct().collect()
+    require(metas.length == 1,
+      s"cannot merge blooms with different parameters: ${metas.toSeq}")
+    all.agg(graft.functions.KernelAggs
+        .sketch_merge_or(col("__bloom")).as("__bloom"))
+      .select(lit(metas(0).getInt(0)).as("shingle_n"),
+        lit(metas(0).getInt(1)).as("num_hashes"),
+        lit(metas(0).getInt(2)).as("num_bits"), col("__bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+  }
+
+  /** [[bloomScores]] against a PERSISTED benchmark sketch
+    * ([[writeBenchmarkBloom]]): the probe parameters ride the store, so a
+    * probing batch cannot drift from the build (a mismatched shingleN or
+    * hash count would silently zero the overlap). Identical output to a
+    * fresh [[bloomScores]] fold of the same benchmark. */
+  def bloomScoresIndexed(candidates: DataFrame, candId: Column,
+                         candText: Column, path: String,
+                         threshold: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    val store = spark.read.parquet(path)
+    val meta = store.select("shingle_n", "num_hashes").head()
+    probeBloom(candidates, candId, candText, store, meta.getInt(0),
+      meta.getInt(1), threshold)
   }
 }

@@ -115,6 +115,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.toString.contains("SortMergeJoin"), plan.toString)
   }
 
+  test("indexed bloom decontamination: equal to the fresh fold, same plan shape") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bloomstore").toString + "/bench"
+    graft.operators.Decontamination.writeBenchmarkBloom(
+      bench, col("text"), shingleN = 3, numBits = 65536, numHashes = 3, store)
+    val fresh = graft.operators.Decontamination.bloomScores(
+      docs, col("doc_id"), col("text"), bench, col("text"),
+      shingleN = 3, numBits = 65536, numHashes = 3, threshold = 0.5)
+    val indexed = graft.operators.Decontamination.bloomScoresIndexed(
+      docs, col("doc_id"), col("text"), store, threshold = 0.5)
+    assert(indexed.orderBy("doc_id").collect().toSeq
+      == fresh.orderBy("doc_id").collect().toSeq)
+    // the persisted probe never re-folds the benchmark: zero shuffles at
+    // all (the fresh path's one admissible shuffle IS the benchmark fold)
+    assert(shuffleNodes(finalPlan(indexed)).isEmpty,
+      finalPlan(indexed).toString)
+    // mismatched parameters refuse to merge
+    val other = java.nio.file.Files
+      .createTempDirectory("graft-bloomstore2").toString + "/bench"
+    graft.operators.Decontamination.writeBenchmarkBloom(
+      bench, col("text"), shingleN = 2, numBits = 65536, numHashes = 3, other)
+    intercept[IllegalArgumentException] {
+      graft.operators.Decontamination.mergeBenchmarkBlooms(spark,
+        Seq(store, other), store + "-merged")
+    }
+  }
+
   test("ZLake's relation still pushes filters to the parquet reader") {
     import org.apache.spark.sql.functions._
     // file pruning happens at the index; ROW-GROUP pruning inside the kept
