@@ -195,6 +195,16 @@ object Bench {
         new Timed("qR_bloom_point", ZLake.read(spark, lakes.flat)
           .filter(col("uid").isin("u17", "u1234", "u99999"))
           .groupBy("uid").agg(count("*"), sum("c_custkey")).collect()),
+        // join-driven dynamic file pruning: 12 dim keys collected and
+        // planted as an InSet on the lake read — bloom-pruned at planning
+        new Timed("qR_join_prune", {
+          val dim = spark.range(12)
+            .select(concat(lit("u"),
+              ((col("id") * 831 + 7) % 9973).cast("string")).as("uk"))
+          graft.operators.DynamicPrune
+            .readSemiFiltered(spark, lakes.flat, "uid", dim, col("uk"))
+            .agg(count(lit(1)), sum("c_custkey")).collect()
+        }),
         new Timed("qR_metadata_agg", ZLake.read(spark, lakes.windowed)
           .filter(col("win") =!= "3").groupBy(col("win"))
           .agg(count(lit(1)), count(col("phone")),

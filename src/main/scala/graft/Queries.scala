@@ -464,7 +464,10 @@ object Queries {
     // round-6 operators: IVF-PQ; the nearest lateral spelling
     "q99_ann_ivfpq", "q100_asof_lateral_nearest",
     // round-7: sequence packing; unigram-NLL scoring over documents
-    "q107_sequence_packing", "q108_unigram_nll")
+    "q107_sequence_packing", "q108_unigram_nll",
+    // round-9: domain-weighted corpus mixing (join-pruned lake reads are
+    // timed by the qR_join_prune lane — q127's fn builds its own lake)
+    "q128_corpus_mixing")
   // The composite lake lanes (q96/q103/q106/q109/q110/q111) left this
   // list in r9 (VERDICT r8 #2): each billed 4-8 z-ordered WRITES per run
   // and hid the zero-task reads it existed to measure. Bench now times

@@ -1652,6 +1652,38 @@ object QueriesML {
         Dedup.exactDedup(filt, "text", "doc_id")
           .select(col("doc_id"), col("tok_cnt"), col("quality"))
           .orderBy(col("doc_id"))
-      })
+      }),
+
+    // -- domain-weighted corpus MIXING to a token budget (TrainPrep
+    //    .mixCorpus): per-domain rate = budget·weight / domainTokens;
+    //    floor(rate) full epochs for every document plus a hash-sampled
+    //    fractional epoch. The oracle replays the whole recipe — rate
+    //    arithmetic, epoch fan-out, and the 2^60 hash threshold — in
+    //    DuckDB: a nondeterministic selection, a different rounding of the
+    //    threshold, or an off-by-one in the epoch range all hash-mismatch.
+    //    Rates are data-dependent, so sf0.01 lands in the repetition
+    //    regime (rates ≈ 4-12) and sf0.1 in the subsampling regime
+    //    (rates < 1.2) — both paths covered by the same entry.
+    QueryDef("q128_corpus_mixing", Some(s"""
+      WITH tot AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS dtok
+                   FROM documents GROUP BY source),
+      w(source, frac) AS (VALUES ('src0', 0.35), ('src1', 0.5), ('src2', 0.15)),
+      r AS (SELECT t.source, (200000.0 * w.frac) / t.dtok AS rate
+            FROM tot t JOIN w USING (source) WHERE t.dtok > 0),
+      e AS (SELECT d.doc_id, d.source,
+              CAST(FLOOR(r.rate) AS BIGINT) - 1 +
+              CASE WHEN ${dkHash60("CAST(d.doc_id AS VARCHAR) || '#3'")} <
+                CAST(FLOOR((r.rate - FLOOR(r.rate)) * 1152921504606846976.0)
+                     AS BIGINT) THEN 1 ELSE 0 END AS hi
+            FROM documents d JOIN r ON d.source = r.source)
+      SELECT doc_id, source AS dom, g.ep AS epoch
+      FROM e, LATERAL (SELECT unnest(range(0, hi + 1)) AS ep) g
+      WHERE hi >= 0
+      ORDER BY doc_id, epoch"""),
+      (s, dir) => TrainPrep.mixCorpus(T(s, dir, "documents"),
+          col("doc_id"), col("source"), col("n_chars"),
+          weights = Map("src0" -> 0.35, "src1" -> 0.5, "src2" -> 0.15),
+          budget = 200000L, seed = 3)
+        .orderBy(col("doc_id"), col("epoch")))
   )
 }

@@ -1163,6 +1163,49 @@ object QueriesOps {
           .select(col("event_id").as("purchase_id"),
             col("asof.event_id").as("near_id"), col("asof.es").as("near_es"))
         fwd.join(near, Seq("purchase_id")).orderBy(col("purchase_id"))
+      }),
+
+    // -- join-driven DYNAMIC FILE PRUNING (DynamicPrune): the selective
+    //    dim side's keys are collected (56 keys here — past the In→InSet
+    //    conversion threshold, so the lake's InSet envelope/bloom lane is
+    //    what plans the scan) and planted as one IN filter on the fact
+    //    lake read: files whose o_custkey envelope excludes every key, or
+    //    whose bloom proves them all absent, are skipped at planning time
+    //    (file counts asserted in DynamicPruneSpec). The oracle runs the
+    //    same join over the raw tables — a pruned file that still held a
+    //    matching key, or a bloom false negative, would LOSE rows here.
+    QueryDef("q127_join_pruned_read", Some("""
+      WITH f AS (SELECT o_orderkey, o_custkey,
+                        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+           d AS (SELECT c_custkey, c_mktsegment FROM customer
+                 WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+                   AND c_acctbal > 9000)
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS users
+      FROM f JOIN d ON f.o_custkey = d.c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-dfp-lake").toString + "/orders"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 256).cast("long").as("ob"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents")),
+          "o_custkey", "ob", lake, numFiles = 16, bits = 16,
+          bloomCols = Seq("o_custkey"))
+        val dim = T(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+            col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.operators.DynamicPrune
+          .innerJoinPruned(s, lake, "o_custkey", dim, col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            countDistinct(col("o_custkey")).as("users"))
+          .orderBy(col("c_mktsegment"))
       })
   )
 }

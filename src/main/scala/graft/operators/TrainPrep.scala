@@ -91,6 +91,67 @@ object TrainPrep {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Domain-weighted CORPUS MIXING to a token budget — the sampling step
+    * that turns a cleaned corpus into a training mixture (the
+    * Pile/DoReMi-style recipe: "web 50%, code 30%, books 20% of N
+    * tokens"): each domain `d` with budget fraction `weights(d)` gets a
+    * target of `budget * weights(d)` tokens, sampled from its documents at
+    * rate `target / domainTokens`. A rate above 1 means REPETITION — every
+    * document appears in `floor(rate)` full epochs, and the fractional
+    * remainder is a deterministic hash-sample that fields one extra epoch
+    * for ~that fraction of documents. Domains absent from `weights` (or
+    * weighted 0) drop out. Output: one row per (doc, epoch) —
+    * `(doc_id, dom, epoch)`, epochs numbered from 0.
+    *
+    * Deterministic by construction: document selection is
+    * [[graft.functions.Functions.hash60]] against a per-domain threshold
+    * `⌊frac(rate)·2^60⌋`, so the SAME mixture comes out on every run,
+    * engine, and cluster size (q128's DuckDB oracle replays it
+    * bit-for-bit) — `rand()`-based mixing would break retries and make
+    * training runs unreproducible. All arithmetic is IEEE binary64 on both
+    * engines (rates are data-dependent ratios, exactness past 2^53 is not
+    * required — the threshold only decides which side of a uniform hash a
+    * document falls on).
+    *
+    * Scale shape: one tiny aggregate (rows = domains), a broadcast join of
+    * the per-domain rates, then a per-row hash + bounded `sequence`
+    * explode — the document table itself is never shuffled. `maxEpochs`
+    * fails fast on a degenerate recipe (a near-empty domain asked to fill
+    * a huge budget) instead of exploding a billion epoch rows. */
+  def mixCorpus(docs: DataFrame, id: Column, domain: Column, tokens: Column,
+                weights: Map[String, Double], budget: Long, seed: Int = 0,
+                maxEpochs: Int = 1000): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
+      "weights must be finite and non-negative")
+    val wmap = map(weights.toSeq.sortBy(_._1).flatMap {
+      case (k, w) => Seq(lit(k), lit(w))
+    }: _*)
+    val rates = docs
+      .select(domain.as("dom"), tokens.cast("long").as("__tok"))
+      .groupBy(col("dom"))
+      .agg(sum(col("__tok")).cast("double").as("__dtok"))
+      .withColumn("__w", element_at(wmap, col("dom")))
+      .filter(col("__w").isNotNull && col("__w") > 0 && col("__dtok") > 0)
+      .withColumn("__rate",
+        lit(budget.toDouble) * col("__w") / col("__dtok"))
+      .select(col("dom"), floor(col("__rate")).cast("long").as("__full"),
+        floor((col("__rate") - floor(col("__rate"))) *
+          lit(1152921504606846976.0 /* 2^60 */)).cast("long").as("__thr"),
+        col("__rate"))
+    val tooHot = rates.filter(col("__rate") > maxEpochs).limit(1).collect()
+    require(tooHot.isEmpty, s"domain '${tooHot.headOption.map(_.getString(0))
+      .getOrElse("")}' needs more than $maxEpochs epochs — degenerate recipe")
+    docs.select(id.as("doc_id"), domain.as("dom"))
+      .join(broadcast(rates.drop("__rate")), Seq("dom"))
+      .withColumn("__hi", col("__full") - 1 +
+        when(F.hash60(col("doc_id").cast("string"), seed) < col("__thr"), 1L)
+          .otherwise(0L))
+      .filter(col("__hi") >= 0)
+      .select(col("doc_id"), col("dom"),
+        explode(sequence(lit(0L), col("__hi"))).as("epoch"))
+  }
+
   /** Unigram negative-log-likelihood quality score — the cheap stand-in
     * for the KenLM-perplexity filters CCNet-style pipelines run: tokens
     * are scored against the corpus's OWN top-`vocabSize` unigram

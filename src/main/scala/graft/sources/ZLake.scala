@@ -895,6 +895,18 @@ object ZLake {
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v =>
           mayMatch(EqualTo(a, v.asInstanceOf[Literal]), fe))
+      // the optimizer's large-IN form (In → InSet past
+      // spark.sql.optimizer.inSetConversionThreshold, default 10) — the
+      // shape every join-driven key list arrives in
+      // ([[graft.operators.DynamicPrune]]). Members are raw INTERNAL values
+      // (UTF8String, Long), which is exactly what the EqualTo lane's
+      // destructured Literal carries — so each member reuses the envelope +
+      // bloom point test verbatim. A null member never makes the predicate
+      // TRUE (x = NULL is UNKNOWN), so nulls are skipped, not kept-for.
+      // Linear in the set with early exit; DynamicPrune caps the sets it
+      // plants, and a foreign oversized set only costs planning time.
+      case InSet(a: AttributeReference, vs) =>
+        vs.exists(v => v != null && mayMatch(EqualTo(a, Literal(v, a.dataType)), fe))
       // prefix predicate (`domain LIKE 'x%'` / startswith): a file may hold
       // a string with prefix p iff its [lo, hi] envelope intersects
       // [p, succ(p)) in UTF-8 byte order — hi >= p AND lo < succ(p)
@@ -958,6 +970,8 @@ object ZLake {
           if vs.forall(_.isInstanceOf[Literal]) =>
         // provable only for a CONSTANT file: lo = hi = some member
         vs.exists(v => mustMatch(EqualTo(a, v.asInstanceOf[Literal]), fe))
+      case InSet(a: AttributeReference, vs) => // dual of mayMatch's lane
+        vs.exists(v => v != null && mustMatch(EqualTo(a, Literal(v, a.dataType)), fe))
       case IsNotNull(a: AttributeReference) => zeroNulls(a)
       case IsNull(a: AttributeReference) =>
         fe.rows == 0L || fe.nullCounts.get(a.name.toLowerCase)

@@ -122,4 +122,43 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
     }
     assert(shuffles.size == 1, s"expected exactly one shuffle, got ${shuffles.size}")
   }
+
+  test("mixCorpus: epoch fan-out, budget tracking, and determinism") {
+    // 3 domains, 100 docs of 50 tokens each → 5000 tokens/domain.
+    // budget 10000: rep (1.0) → rate 2.0; sub (0.5) → rate 1.0;
+    // frac (0.25) → rate 0.5; 'cold' is unweighted and must drop out.
+    val docs = spark.range(400).select(col("id").as("doc_id"),
+      element_at(array(lit("rep"), lit("sub"), lit("frac"), lit("cold")),
+        (col("id") % 4 + 1).cast("int")).as("dom"),
+      lit(50L).as("tok"))
+    def run() = TrainPrep.mixCorpus(docs, col("doc_id"), col("dom"),
+      col("tok"), Map("rep" -> 1.0, "sub" -> 0.5, "frac" -> 0.25),
+      budget = 10000L, seed = 7)
+    val rows = run().collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    assert(!rows.exists(_._2 == "cold"), "unweighted domain leaked in")
+    // rate 2.0: every doc exactly epochs {0, 1}
+    val rep = rows.filter(_._2 == "rep")
+    assert(rep.length == 200)
+    assert(rep.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(0L, 1L)))
+    // rate 1.0: every doc exactly epoch {0}
+    val sub = rows.filter(_._2 == "sub")
+    assert(sub.length == 100 && sub.forall(_._3 == 0L))
+    // rate 0.5: a hash-selected ~half at epoch 0 — deterministic subset,
+    // mass within a loose uniform-hash band
+    val frac = rows.filter(_._2 == "frac")
+    assert(frac.forall(_._3 == 0L))
+    assert(frac.length > 25 && frac.length < 75,
+      s"fractional sample far from rate 0.5: ${frac.length}/100")
+    // replay: identical selection, row for row (order-insensitive)
+    assert(run().collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq ==
+      rows.sorted.toSeq)
+    // degenerate recipe fails fast instead of exploding epochs
+    intercept[IllegalArgumentException] {
+      TrainPrep.mixCorpus(docs, col("doc_id"), col("dom"), col("tok"),
+        Map("rep" -> 1.0), budget = 10000000L, maxEpochs = 100)
+    }
+  }
 }
