@@ -130,6 +130,9 @@ object Bench {
       writeFlat(flat); writeWindowed(windowed)
       graft.sinks.Sinks.zorderedWrite(eventsProj, "t", "event_id", timeLake,
         numFiles = 8, bits = 16)
+      // pin the flat lake for the snapshot read lane: qR_snapshot_agg
+      // measures time-travel planning against qR_envelope_agg's live read
+      graft.sources.Snapshots.snapshot(spark, flat, "bench")
     }
   }
 
@@ -180,6 +183,18 @@ object Bench {
           lakes.writeWindowed(freshDir("wwin") + "/customer")),
         new Timed("qW_append_compact",
           lakes.appendAndCompact(freshDir("wcompact"))),
+        // materialized-view maintenance: bootstrap merge + one
+        // incremental fence-committed merge against a fresh root
+        new Timed("qW_mv_merge", {
+          val root = freshDir("wmv") + "/mv"
+          val spec = graft.sinks.MaterializedAgg.Spec(
+            Seq("c_mktsegment"), Seq("c_custkey"))
+          val base = spark.read.parquet(s"$sfDir/customer.parquet")
+            .select(col("c_custkey"), col("c_mktsegment"))
+          for (i <- 0 until 2)
+            graft.sinks.MaterializedAgg.mergeBatch(spark, root,
+              base.filter(col("c_custkey") % 2 === i), spec, i.toLong)
+        }),
 
         // ---- lake READ lanes: pre-built fixtures, plans mirror the
         //      gate queries (collect() — results are ≤ 50 rows) ----
@@ -220,7 +235,14 @@ object Bench {
               .getOrElse(sys.error("sketches missing")).estimate
           }),
         new Timed("qR_time_topk", ZLake.read(spark, lakes.timeLake)
-          .orderBy(col("t").desc, col("event_id")).limit(50).collect()))
+          .orderBy(col("t").desc, col("event_id")).limit(50).collect()),
+        // time-travel read: same aggregate as qR_envelope_agg, planned
+        // from the pinned snapshot's embedded stats (delta = snapshot tax)
+        new Timed("qR_snapshot_agg",
+          graft.sources.Snapshots.readSnapshot(spark, lakes.flat, "bench")
+            .filter(col("a").between(32, 63) && col("b").between(64, 127))
+            .agg(count("*"), sum("a"), sum("b"),
+              sum(floor(col("c_acctbal") * 100).cast("long"))).collect()))
 
     // q68_synth must be warmed before q68_pipeline can run at all, and the
     // lake fixtures before the qR_* lanes — warm-up order is listing order

@@ -1206,6 +1206,85 @@ object QueriesOps {
             sum(col("cents")).as("sum_cents"),
             countDistinct(col("o_custkey")).as("users"))
           .orderBy(col("c_mktsegment"))
+      }),
+
+    // -- incrementally-maintained AGGREGATE VIEW (MaterializedAgg): three
+    //    batch merges build the view, then batch 1 is deliberately
+    //    REPLAYED — the commit fence must make it a no-op, so any
+    //    double-count (the MV failure mode) breaks the oracle, which
+    //    aggregates the full table once in DuckDB. Crash-window coverage
+    //    lives in MaterializedAggSpec; this entry proves merge algebra +
+    //    exactly-once end-to-end through the driver gate.
+    QueryDef("q129_materialized_agg", Some("""
+      WITH f AS (SELECT o_orderpriority, o_orderstatus,
+                        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(cents) AS BIGINT) AS cents_sum
+      FROM f GROUP BY o_orderpriority, o_orderstatus
+      ORDER BY o_orderpriority, o_orderstatus"""),
+      (s, dir) => {
+        import graft.sinks.MaterializedAgg
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-mv-gate").toString + "/mv"
+        val spec = MaterializedAgg.Spec(
+          groupCols = Seq("o_orderpriority", "o_orderstatus"),
+          sumCols = Seq("cents"))
+        val base = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        for (i <- 0 until 3)
+          MaterializedAgg.mergeBatch(s, root,
+            base.filter(col("o_orderkey") % 3 === i), spec, i.toLong)
+        // replayed batch: the fence must no-op it (a double count of
+        // slice 1 would hash-mismatch every touched group)
+        MaterializedAgg.mergeBatch(s, root,
+          base.filter(col("o_orderkey") % 3 === 1), spec, 1L)
+        MaterializedAgg.readView(s, root, spec)
+          .select(col("o_orderpriority"), col("o_orderstatus"),
+            col("cnt"), col("cents_sum"))
+          .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+      }),
+
+    // -- SNAPSHOT time travel (Snapshots): a tagged snapshot taken before
+    //    a journaled DELETE must read the pre-delete dataset exactly
+    //    (deleted files retire to the trash and resolve by identity),
+    //    while the live read reflects the delete. Both lanes surface in
+    //    one result against an oracle that computes the full and the
+    //    surviving aggregate from the raw table — a snapshot leaking the
+    //    delete, or a delete leaking into the snapshot, breaks a lane.
+    QueryDef("q130_snapshot_time_travel", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer)
+      SELECT 'live' AS src, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM f WHERE a >= 16
+      UNION ALL
+      SELECT 'snapshot' AS src, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM f
+      ORDER BY src"""),
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-snap-gate").toString + "/customer"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 64).cast("long").as("a"),
+            (col("c_custkey") * 7 % 64).cast("long").as("b"),
+            floor(col("c_acctbal") * 100).cast("long").as("cents")),
+          "a", "b", lake, numFiles = 8, bits = 6)
+        Snapshots.snapshot(s, lake, "pin")
+        graft.sinks.LakeDelete.deleteFromLake(s, lake, col("a") < 16)
+        val live = graft.sources.ZLake.read(s, lake)
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit("live").as("src"), col("n"), col("sum_cents"))
+        val snap = Snapshots.readSnapshot(s, lake, "pin")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit("snapshot").as("src"), col("n"), col("sum_cents"))
+        live.unionAll(snap).orderBy(col("src"))
       })
   )
 }

@@ -72,6 +72,47 @@ object LakeDelete {
 
   private val JournalName = "_graft_delete_journal.json"
   private val StageDirName = "_deleting"
+  private val FenceName = "_graft_fence.json"
+
+  /** The lake's commit FENCE: an opaque caller string (e.g. a streaming
+    * batch id) published atomically WITH a merge — it rides the journal,
+    * and [[applyJournal]] materializes it before retiring, so "the merge
+    * landed" and "the fence shows it" are one crash-safe step. The
+    * exactly-once handshake for non-idempotent maintenance
+    * ([[MaterializedAgg]]): a replayed batch reads the fence first and
+    * skips itself if its id already committed. */
+  def readFence(spark: SparkSession, root: String): Option[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fp = new Path(rootPath, FenceName)
+    if (!fs.exists(fp)) None
+    else {
+      val in = fs.open(fp)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** Publish a fence OUTSIDE a journal commit — for writers whose data
+    * step is itself atomic-or-redoable (e.g. [[MaterializedAgg]]'s
+    * bootstrap, where fence-absence marks the whole root redo-able). */
+  private[sinks] def publishFence(spark: SparkSession, root: String,
+                                  fence: String): Unit = {
+    val rootPath = new Path(root)
+    writeFence(rootPath.getFileSystem(spark.sessionState.newHadoopConf()),
+      rootPath, fence)
+  }
+
+  private def writeFence(fs: FileSystem, root: Path, fence: String): Unit = {
+    val tmp = new Path(root, s".$FenceName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(fence.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(root, FenceName)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"could not publish fence at $dst")
+  }
 
   /** Delete every row of the lake at `root` satisfying `predicate`
     * (unresolved column refs — `col("a") > 5 && col("win") === "x"`).
@@ -112,7 +153,8 @@ object LakeDelete {
     * `updates` rows must have non-null keys; duplicate keys within one
     * batch insert as-is (the caller owns batch-level dedup). */
   def upsertLake(spark: SparkSession, root: String, updates: DataFrame,
-                 keyCol: String, maxKeys: Int = 100000): UpsertReport = {
+                 keyCol: String, maxKeys: Int = 100000,
+                 fence: Option[String] = None): UpsertReport = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -170,13 +212,14 @@ object LakeDelete {
       footerRows(fs, conf, new Path(stageRoot, r))).sum
 
     val del = deleteCore(spark, root, col(keyCol).isin(keys.toSeq: _*),
-      adds, recovered)
+      adds, recovered, fence)
     UpsertReport(del, adds.size, inserted)
   }
 
   private def deleteCore(spark: SparkSession, root: String,
                          predicate: Column, adds: Seq[String],
-                         recovered: Boolean): DeleteReport = {
+                         recovered: Boolean,
+                         fence: Option[String] = None): DeleteReport = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -222,8 +265,12 @@ object LakeDelete {
     val drops = triage.collect { case (fe, DropWhole) => fe }
     val rewrites = triage.collect { case (fe, Rewrite) => fe }
     val untouched = triage.size - drops.size - rewrites.size
-    if (drops.isEmpty && rewrites.isEmpty && adds.isEmpty)
+    if (drops.isEmpty && rewrites.isEmpty && adds.isEmpty) {
+      // nothing to commit: a bare fence write is itself atomic (one
+      // rename), and replaying the no-op before it lands changes nothing
+      fence.foreach(writeFence(fs, rootPath, _))
       return DeleteReport(triage.size, untouched, 0, 0, 0L, recovered)
+    }
 
     val rootUri = rootPath.toUri.getPath.stripSuffix("/")
     def rel(p: Path): String =
@@ -267,7 +314,8 @@ object LakeDelete {
 
     // ---- publish the journal (the commit point), then apply -------------
     val dropRels = drops.map(fe => rel(fe.status.getPath)) ++ emptied
-    writeJournal(fs, rootPath, dropRels, staged.map(_._1), adds)
+    writeJournal(fs, rootPath, dropRels, staged.map(_._1), adds, fence)
+    journalPublishedHook.get()() // crash injection: committed, not applied
     applyJournal(spark, fs, rootPath)
 
     val dropRows = drops.map(_.rows) ++
@@ -293,17 +341,26 @@ object LakeDelete {
     else { applyJournal(spark, fs, rootPath); true }
   }
 
+  /** Test seam: fires between the journal PUBLISH (the commit point) and
+    * its apply — the crash window where the merge is durable but not yet
+    * materialized and the fence not yet flipped. Specs park a throw here
+    * to prove [[recover]]-then-fence-check sequencing is exactly-once. */
+  private[graft] val journalPublishedHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
   // ---- journal mechanics ---------------------------------------------------
 
   private def writeJournal(fs: FileSystem, root: Path,
                            drops: Seq[String], replaces: Seq[String],
-                           adds: Seq[String]): Unit = {
+                           adds: Seq[String],
+                           fence: Option[String] = None): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.createObjectNode()
     node.put("version", 1)
     val d = node.putArray("drop"); drops.foreach(d.add)
     val r = node.putArray("replace"); replaces.foreach(r.add)
     val a = node.putArray("add"); adds.foreach(a.add)
+    fence.foreach(f => node.put("fence", f))
     val tmp = new Path(root, s".$JournalName.tmp")
     val out = fs.create(tmp, true)
     try out.write(om.writeValueAsBytes(node)) finally out.close()
@@ -326,15 +383,21 @@ object LakeDelete {
     val replaces = node.path("replace").elements().asScala.map(_.asText()).toSeq
     val adds = node.path("add").elements().asScala.map(_.asText()).toSeq
     val stageRoot = new Path(root, StageDirName)
+    // snapshot-referenced files RETIRE to the trash instead of dying —
+    // time-travel reads resolve them there ([[graft.sources.Snapshots]]);
+    // a lake with no snapshots takes the plain-delete path unchanged
+    lazy val refs = graft.sources.Snapshots.snapshotRefs(spark, root.toString)
     drops.foreach { r =>
       val p = new Path(root, r)
-      if (fs.exists(p)) { fs.delete(p, false); () }
+      if (fs.exists(p))
+        graft.sources.Snapshots.retire(fs, root, fs.getFileStatus(p), refs)
     }
     (replaces ++ adds).foreach { r =>
       val src = new Path(stageRoot, r)
       val dst = new Path(root, r)
       if (fs.exists(src)) {
-        if (fs.exists(dst)) fs.delete(dst, false)
+        if (fs.exists(dst))
+          graft.sources.Snapshots.retire(fs, root, fs.getFileStatus(dst), refs)
         fs.mkdirs(dst.getParent) // adds may open a brand-new partition dir
         require(fs.rename(src, dst), s"could not swap in $dst")
       } // else: already applied before a crash
@@ -342,6 +405,11 @@ object LakeDelete {
     // incremental manifest repair for every directory the journal touched
     (drops ++ replaces ++ adds).map(r => new Path(root, r).getParent).distinct
       .foreach(ZLake.repairDirManifest(spark, _))
+    // materialize the fence BEFORE retiring the journal: a crash between
+    // the two re-applies the journal (idempotent) and rewrites the same
+    // fence, so the fence can never show a commit that did not land
+    val fnode = node.path("fence")
+    if (fnode.isTextual) writeFence(fs, root, fnode.asText())
     fs.delete(jp, false)
     if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
   }

@@ -1,0 +1,205 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.sources.ZLake
+
+/** Incrementally-maintained AGGREGATE VIEW over the z-lake — the
+  * streaming-OLAP serving table (per-client QPS totals, per-domain counts)
+  * kept current batch-by-batch instead of recomputed from 100 TB of facts:
+  * each micro-batch's PARTIAL aggregate (count + sums — the mergeable
+  * kernel of the reference's report aggregates, DnsRptCH.scala's
+  * sampleNum/errorNum rollups) is merged into one row per group key, so a
+  * point lookup reads a row, not a scan.
+  *
+  * Merge cost is proportional to the batch, not the view: the batch's
+  * group keys prune the read of current rows at FILE granularity (the
+  * view's z-layout hashes the key into the z-order columns and blooms it,
+  * so [[graft.operators.DynamicPrune]]-style InSet planning skips every
+  * file holding none of the touched keys — and [[ZLake.repairDirManifest]]
+  * keeps the bloom lane alive across upserts), and the write-back goes
+  * through [[LakeDelete.upsertLake]]'s journal, touching only
+  * bloom-positive files.
+  *
+  * EXACTLY-ONCE under replay and crash, without idempotent-merge tricks:
+  * aggregation increments are NOT idempotent (a replayed batch would
+  * double-count), so every merge publishes the batch id as the lake's
+  * commit [[LakeDelete.readFence]] — the fence rides the upsert journal
+  * and lands atomically with the merge. A replayed `foreachBatch` sees its
+  * own id at-or-below the fence and skips; a crash BEFORE the journal
+  * publish left the lake untouched (the replay redoes the whole merge); a
+  * crash AFTER it is healed by the journal recovery the next merge runs
+  * first, fence included. Bootstrap (the view's very first batch) is made
+  * replay-safe by an ownership marker: the root is created with a spec
+  * marker, data lands, then the fence — a half-bootstrapped root (marker
+  * but no fence) is wiped and redone. [[MaterializedAggSpec]] injects a
+  * crash at every one of these windows.
+  *
+  * Group-key caveats (standard CDC-key trades): string group values must
+  * not contain U+0001 (the key separator); `sumCols` should be integral or
+  * decimal — double sums are row-order-dependent, which breaks both the
+  * merge's exactness and oracle comparison.
+  */
+object MaterializedAgg {
+
+  /** View definition. `groupCols` key the view (NULLs allowed — encoded
+    * distinctly from any string); `sumCols` are summed; a `cnt` row count
+    * always rides along, which also makes `avg = sum/cnt` derivable at
+    * read time. `files`/`bits` shape the bootstrap z-layout. */
+  final case class Spec(groupCols: Seq[String], sumCols: Seq[String],
+                        files: Int = 8, bits: Int = 8) {
+    require(groupCols.nonEmpty, "at least one group column")
+    def sumAlias(c: String): String = c + "_sum"
+  }
+
+  private val SpecMarker = "_graft_mv_spec.json"
+  private[sinks] val KeyCol = "__mvkey"
+  private val ZA = "__za"
+  private val ZB = "__zb"
+
+  /** Null-safe composite key: each group value renders as `=value`, NULL
+    * as `∅` — unambiguous as long as values avoid the U+0001 separator. */
+  private def keyExpr(spec: Spec): Column =
+    concat_ws("", spec.groupCols.map(c =>
+      when(col(c).isNull, lit("∅"))
+        .otherwise(concat(lit("="), col(c).cast("string")))): _*)
+
+  /** One batch's partial-aggregate rows in view schema (key, z-layout
+    * cols, group cols, cnt, sums). */
+  private def partial(batch: DataFrame, spec: Spec): DataFrame =
+    batch.groupBy(spec.groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        spec.sumCols.map(c => sum(col(c)).as(spec.sumAlias(c))): _*)
+      .transform(withLayout(spec))
+
+  private def withLayout(spec: Spec)(df: DataFrame): DataFrame = {
+    val mask = (1L << spec.bits) - 1L
+    df.withColumn(KeyCol, keyExpr(spec))
+      .withColumn(ZA, pmod(xxhash64(col(KeyCol)), lit(mask + 1)))
+      .withColumn(ZB, pmod(xxhash64(lit("z"), col(KeyCol)), lit(mask + 1)))
+  }
+
+  private def fenceJson(batchId: Long): String = s"""{"batchId":$batchId}"""
+
+  /** The fence's batch id, or None before the first commit. */
+  def lastCommitted(spark: SparkSession, root: String): Option[Long] =
+    LakeDelete.readFence(spark, root).map { s =>
+      val m = java.util.regex.Pattern.compile("\"batchId\"\\s*:\\s*(-?\\d+)")
+        .matcher(s)
+      require(m.find(), s"unparseable fence at $root: $s")
+      m.group(1).toLong
+    }
+
+  /** Merge one batch's partial aggregates into the view at `root`.
+    * Returns false (and does NOTHING) when `batchId` is at-or-below the
+    * committed fence — the replay path. */
+  def mergeBatch(spark: SparkSession, root: String, batch: DataFrame,
+                 spec: Spec, batchId: Long,
+                 maxReadKeys: Int = 65536): Boolean = {
+    // heal a half-applied previous merge BEFORE the fence check: a crash
+    // between its journal publish and its fence write leaves the commit
+    // durable but the fence stale — recovery applies journal AND fence in
+    // one idempotent pass, so the check below sees the truth. Checking
+    // first and recovering later would re-merge an already-committed
+    // batch: the double-count this fence exists to prevent.
+    LakeDelete.recover(spark, root)
+    if (lastCommitted(spark, root).exists(_ >= batchId)) return false
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val marker = new Path(rootPath, SpecMarker)
+    if (LakeDelete.readFence(spark, root).isEmpty) {
+      // BOOTSTRAP, replay-safe by construction: data + ownership marker
+      // are fully written in a SIBLING staging dir, renamed into place
+      // atomically, then the fence lands. Every crash state is
+      // unambiguous under "no fence": root absent = redo from scratch
+      // (stale staging discarded); root present WITH marker = our
+      // half-bootstrap (between rename and fence) = wipe and redo; root
+      // present WITHOUT marker = someone else's data = refuse — never
+      // adopt or wipe a directory this view does not own.
+      if (fs.exists(rootPath)) {
+        require(fs.exists(marker),
+          s"$root exists but is not a MaterializedAgg view (no $SpecMarker)")
+        fs.delete(rootPath, true)
+      }
+      val stage = new Path(rootPath.getParent,
+        rootPath.getName + ".bootstrap")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      Sinks.zorderedWrite(partial(batch, spec), ZA, ZB, stage.toString,
+        numFiles = spec.files, bits = spec.bits, bloomCols = Seq(KeyCol))
+      val out = fs.create(new Path(stage, SpecMarker), true)
+      try out.write(
+        (s"""{"groupCols":${spec.groupCols.mkString("[\"", "\",\"", "\"]")},""" +
+          s""""sumCols":${if (spec.sumCols.isEmpty) "[]"
+            else spec.sumCols.mkString("[\"", "\",\"", "\"]")}}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(stage, rootPath), s"could not publish view at $root")
+      // fence LAST: its absence marks the bootstrap incomplete
+      LakeDelete.publishFence(spark, root, fenceJson(batchId))
+      bootstrapTestHook.get()()
+      return true
+    }
+    // INCREMENTAL: current rows for the touched keys (bloom/InSet-pruned
+    // read — cost follows the batch, not the view), plus the batch's
+    // partials, re-aggregated (sum-of-sums) and upserted atomically with
+    // the fence.
+    val delta = partial(batch, spec).localCheckpoint(true)
+    val cols = delta.columns
+    val current = graft.operators.DynamicPrune.readSemiFiltered(
+      spark, root, KeyCol, delta, col(KeyCol), maxKeys = maxReadKeys)
+      .select(cols.map(col): _*)
+    val merged = current.union(delta)
+      .groupBy((KeyCol +: spec.groupCols).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        spec.sumCols.map(c =>
+          sum(col(spec.sumAlias(c))).as(spec.sumAlias(c))): _*)
+      // write back ONLY touched keys: when the pruned read fell back to
+      // the full view (batch past DynamicPrune's key cap), the union
+      // above carries every key — without this restriction the upsert
+      // would rewrite the whole view (and trip its own key bound)
+      .join(delta.select(col(KeyCol)).distinct(), Seq(KeyCol), "left_semi")
+      .transform(df => df.withColumn(ZA,
+          pmod(xxhash64(col(KeyCol)), lit((1L << spec.bits))))
+        .withColumn(ZB,
+          pmod(xxhash64(lit("z"), col(KeyCol)), lit(1L << spec.bits))))
+      .select(cols.map(col): _*)
+    LakeDelete.upsertLake(spark, root, merged, KeyCol,
+      fence = Some(fenceJson(batchId)))
+    true
+  }
+
+  /** The view's rows: group columns + `cnt` + the per-column sums (the
+    * internal key/layout columns drop out). */
+  def readView(spark: SparkSession, root: String, spec: Spec): DataFrame =
+    ZLake.read(spark, root)
+      .select((spec.groupCols ++ Seq("cnt") ++
+        spec.sumCols.map(spec.sumAlias)).map(col): _*)
+
+  /** Streaming maintenance: each micro-batch merges exactly once (fence-
+    * checked under replay; journal-recovered under crash). The batch is
+    * materialized once — the merge reads it for keys and partials. */
+  def maintain(updates: DataFrame, root: String, spec: Spec,
+               checkpoint: String,
+               interval: String = "5 minutes"): DataStreamWriter[Row] =
+    updates.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          mergeBatch(batch.sparkSession, root,
+            batch.localCheckpoint(true), spec, id)
+          mergeTestHook.get()()
+        }
+      }
+
+  /** Test seams: after a bootstrap / after each merge commit, BEFORE the
+    * streaming epoch commits — crash-injection points for replay tests. */
+  private[graft] val bootstrapTestHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+  private[graft] val mergeTestHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+}

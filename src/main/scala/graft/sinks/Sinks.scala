@@ -328,6 +328,9 @@ object Sinks {
         !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
       .map(_.getPath).sortBy(_.getName)
+    // loaded once per compaction; lakes without snapshots pay one miss
+    lazy val snapRefs =
+      graft.sources.Snapshots.snapshotRefs(spark, root)
 
     // ---- recovery: heal a compaction that died mid-swap ------------------
     val recovered = scala.collection.mutable.Set.empty[String]
@@ -363,6 +366,11 @@ object Sinks {
         zorderedWrite(spark.read.parquet(dir.toString), colA, colB,
           tmp.toString, filesPerPartition, bits,
           sketchCols = sketchCols, bloomCols = bloomCols, sumCols = sumCols)
+        // snapshot-referenced files RETIRE to the trash before the dir
+        // swap, so time-travel reads survive compaction
+        // ([[graft.sources.Snapshots]]); without snapshots this is a no-op
+        parquets(dir).foreach(p => graft.sources.Snapshots.retire(
+          fs, rootPath, fs.getFileStatus(p), snapRefs))
         require(fs.delete(dir, true),
           s"compaction failed to remove the old partition $dir")
         require(fs.rename(tmp, dir),

@@ -1,0 +1,255 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{ZLake => Z}
+
+/** Named SNAPSHOTS of a z-lake — pin the exact file set a reader sees, keep
+  * it readable across later mutations, reclaim space when done. The
+  * training-reproducibility contract a data engine owes its consumers: tag
+  * the corpus a run is about to train on, and months of compactions,
+  * GDPR deletes, and CDC upserts later, `readSnapshot` still plans and
+  * scans the byte-identical dataset (the miniature of Delta/Iceberg time
+  * travel, done at the explicit-tag granularity a training pipeline
+  * actually schedules around).
+  *
+  * How it stays cheap and exact:
+  *  - `snapshot(tag)` records each live data file's IDENTITY
+  *    `(relative path, length, mtime)` AND its full stats entry (envelope,
+  *    nulls, sketches, blooms, sums — [[ZLake.putEntry]]'s manifest
+  *    format), one JSON sidecar under `_graft_snapshots/`. A snapshot read
+  *    therefore keeps the whole planning stack — envelope + bloom file
+  *    pruning, metadata-only aggregates ride the same [[ZLake
+  *    .StatsFileIndex]] — with ZERO footer opens, even for files that have
+  *    since left the live tree.
+  *  - The lake's journaled mutations ([[graft.sinks.LakeDelete]] drops and
+  *    replacements, [[graft.sinks.Sinks.compactLake]] swaps) RETIRE files
+  *    through [[retire]]: a file referenced by any snapshot MOVES to
+  *    `_graft_trash/<mtime>-<len>/<rel>` (a rename, not a copy — '_'-
+  *    prefixed, invisible to every live reader); an unreferenced file is
+  *    deleted as before, so a lake with no snapshots pays nothing.
+  *  - Resolution is deterministic, no searching: an entry reads from its
+  *    live path when `(len, mtime)` still match, else from the trash path
+  *    its identity names. A miss (vacuumed, or mutated outside the
+  *    journaled paths — e.g. a whole-table overwrite) raises with the
+  *    missing file named, never silently returns partial data.
+  *  - `vacuum(keep)` drops every other snapshot and every trash file no
+  *    surviving snapshot references — the explicit retention step, like
+  *    `VACUUM` on any lakehouse table.
+  *
+  * Out of scope by design: `zorderedWrite`-style whole-directory
+  * overwrites bypass the retire path (they are table REPLACEMENT, not
+  * incremental maintenance) — snapshot before one and the snapshot read
+  * will fail loudly, not lie. Single-writer per table, as everywhere in
+  * this lake.
+  */
+object Snapshots {
+
+  val SnapshotsDirName = "_graft_snapshots"
+  val TrashDirName = "_graft_trash"
+
+  /** One snapshotted file: identity + its stats entry. */
+  private final case class SnapFile(rel: String, len: Long, mtime: Long,
+                                    entry: Z.ManifestEntry)
+  private final case class Snap(schema: StructType, created: Long,
+                                files: Seq[SnapFile])
+
+  private def snapDir(root: Path) = new Path(root, SnapshotsDirName)
+  private def snapPath(root: Path, tag: String): Path = {
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9._-]+"),
+      s"snapshot tag must be [A-Za-z0-9._-]+, got '$tag'")
+    new Path(snapDir(root), s"$tag.json")
+  }
+  private def trashPath(root: Path, rel: String, len: Long, mtime: Long) =
+    new Path(new Path(root, TrashDirName), s"$mtime-$len/$rel")
+
+  /** Record the lake's current live file set under `tag`. Stats ride from
+    * the manifests (or footers where uncovered) so the snapshot read keeps
+    * full pruning. Refuses an existing tag — snapshots are immutable. */
+  def snapshot(spark: SparkSession, root: String, tag: String): Unit = {
+    // heal any half-applied journaled mutation first: a snapshot must pin
+    // a consistent committed state, not a mid-commit one
+    graft.sinks.LakeDelete.recover(spark, root)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dst = snapPath(rootPath, tag)
+    require(!fs.exists(dst), s"snapshot '$tag' already exists at $root")
+    val h = Z.harvest(spark, root)
+    require(h.fes.nonEmpty, s"nothing to snapshot at $root")
+    val schema = h.schema.getOrElse(
+      spark.read.parquet(h.fes.head.status.getPath.toString).schema)
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("version", 1)
+    node.put("created", System.currentTimeMillis())
+    node.put("schema", schema.toDDL)
+    val filesNode = node.putObject("files")
+    h.fes.foreach { fe =>
+      val rel = Z.relPath(rootPath, fe.status.getPath)
+      val f = Z.putEntry(filesNode, rel, fe)
+      f.put("mtime", fe.status.getModificationTime); ()
+    }
+    fs.mkdirs(snapDir(rootPath))
+    val tmp = new Path(snapDir(rootPath), s".$tag.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+    require(fs.rename(tmp, dst), s"could not publish snapshot at $dst")
+  }
+
+  def listSnapshots(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val d = snapDir(rootPath)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json")).sorted
+  }
+
+  private def readSnap(fs: FileSystem, root: Path, tag: String): Snap = {
+    val p = snapPath(root, tag)
+    require(fs.exists(p), s"no snapshot '$tag' at $root")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(p)
+    val node = try om.readTree(in) finally in.close()
+    require(node.path("version").asInt(-1) == 1, s"unknown snapshot format: $p")
+    val files = node.path("files").fields().asScala.map { e =>
+      val f = e.getValue
+      SnapFile(e.getKey, f.path("len").asLong(), f.path("mtime").asLong(),
+        Z.parseEntry(f))
+    }.toSeq.sortBy(_.rel)
+    Snap(StructType.fromDDL(node.path("schema").asText()),
+      node.path("created").asLong(), files)
+  }
+
+  /** The snapshot's pruning index: every entry resolved to its live or
+    * trash location, stats from the snapshot itself (zero footer opens).
+    * Raises naming the first unresolvable file. */
+  def snapshotIndex(spark: SparkSession, root: String,
+                    tag: String): Z.StatsFileIndex = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = readSnap(fs, rootPath, tag)
+    val fes = snap.files.map { sf =>
+      val live = new Path(rootPath, sf.rel)
+      val liveSt =
+        if (fs.exists(live)) Some(fs.getFileStatus(live)).filter(st =>
+          st.getLen == sf.len && st.getModificationTime == sf.mtime)
+        else None
+      val st = liveSt.getOrElse {
+        val t = trashPath(rootPath, sf.rel, sf.len, sf.mtime)
+        require(fs.exists(t),
+          s"snapshot '$tag' is broken: ${sf.rel} (len=${sf.len}) is neither " +
+            "live nor in trash — vacuumed, or mutated outside the " +
+            "journaled paths")
+        fs.getFileStatus(t)
+      }
+      // partition values from the ORIGINAL relative path: the trash copy
+      // lives elsewhere, but its row identity (win=..., day=...) does not
+      val parts = sf.rel.split("/").dropRight(1).toSeq
+        .flatMap(_.split("=", 2) match {
+          case Array(k, v) => Seq(k.toLowerCase -> v)
+          case _ => Nil
+        })
+      Z.FileEnvelope(st, sf.entry.rowGroups, sf.entry.cols, parts,
+        sf.entry.rows, sf.entry.nulls, sf.entry.sketches, sf.entry.blooms,
+        sf.entry.sums)
+    }
+    new Z.StatsFileIndex(rootPath, fes, Some(snap.schema))
+  }
+
+  /** Read the lake AS OF `tag` — same rows the live read returned at
+    * snapshot time, full envelope/bloom pruning, however the lake has
+    * mutated since (until vacuumed). */
+  def readSnapshot(spark: SparkSession, root: String, tag: String): DataFrame =
+    Z.readWith(spark, root, snapshotIndex(spark, root, tag))
+
+  // ---- the retire path (called by the lake's journaled mutations) --------
+
+  /** Every `(rel, len, mtime)` some snapshot references — loaded once per
+    * mutation so per-file retire decisions are a set lookup. */
+  private[graft] def snapshotRefs(spark: SparkSession,
+                                  root: String): Set[(String, Long, Long)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    listSnapshots(spark, root).flatMap { tag =>
+      readSnap(fs, rootPath, tag).files.map(sf => (sf.rel, sf.len, sf.mtime))
+    }.toSet
+  }
+
+  /** Retire one live data file: MOVE to the trash path its identity names
+    * when any snapshot references it, plain delete otherwise. Idempotent
+    * against replays: an already-retired file (same identity present in
+    * trash) is deleted rather than failed on the rename. */
+  private[graft] def retire(fs: FileSystem, root: Path, st: FileStatus,
+                            refs: Set[(String, Long, Long)]): Unit = {
+    val rel = Z.relPath(root, st.getPath)
+    val key = (rel, st.getLen, st.getModificationTime)
+    if (refs.contains(key)) {
+      val dst = trashPath(root, rel, st.getLen, st.getModificationTime)
+      if (fs.exists(dst)) { fs.delete(st.getPath, false); () }
+      else {
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(st.getPath, dst), s"could not retire $rel to $dst")
+      }
+    } else { fs.delete(st.getPath, false); () }
+  }
+
+  final case class VacuumReport(snapshotsDropped: Seq[String],
+                                trashFilesDeleted: Int)
+
+  /** Keep only `keep` snapshots; drop the rest and every trash file no
+    * surviving snapshot references. `keep = Nil` drops all snapshots and
+    * empties the trash. Unknown names in `keep` are an error (a typo here
+    * would silently unpin data). */
+  def vacuum(spark: SparkSession, root: String,
+             keep: Seq[String]): VacuumReport = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val have = listSnapshots(spark, root)
+    val missing = keep.filterNot(have.contains)
+    require(missing.isEmpty, s"cannot keep unknown snapshot(s): $missing")
+    val drop = have.filterNot(keep.contains)
+    drop.foreach { tag =>
+      fs.delete(snapPath(rootPath, tag), false); ()
+    }
+    val refs = snapshotRefs(spark, root)
+    val trashRoot = new Path(rootPath, TrashDirName)
+    var deleted = 0
+    if (fs.exists(trashRoot)) {
+      fs.listStatus(trashRoot).toSeq.filter(_.isDirectory).foreach { vdir =>
+        // dir name is "<mtime>-<len>"; files inside sit at their original
+        // relative paths — walk and match identity against surviving refs
+        vdir.getPath.getName.split("-", 2) match {
+          case Array(m, l) if m.forall(_.isDigit) && l.forall(_.isDigit) =>
+            val (mtime, len) = (m.toLong, l.toLong)
+            def walk(d: Path): Unit =
+              fs.listStatus(d).foreach { s =>
+                if (s.isDirectory) walk(s.getPath)
+                else {
+                  val rel = Z.relPath(vdir.getPath, s.getPath)
+                  if (!refs.contains((rel, len, mtime))) {
+                    fs.delete(s.getPath, false); deleted += 1
+                  }
+                }
+              }
+            walk(vdir.getPath)
+            // prune now-empty version dirs (and their empty subdirs)
+            def empty(d: Path): Boolean = fs.listStatus(d).forall(s =>
+              s.isDirectory && empty(s.getPath))
+            if (empty(vdir.getPath)) { fs.delete(vdir.getPath, true); () }
+          case _ => // foreign dir under trash: leave it
+        }
+      }
+      if (fs.exists(trashRoot) && fs.listStatus(trashRoot).isEmpty) {
+        fs.delete(trashRoot, true); ()
+      }
+    }
+    VacuumReport(drop, deleted)
+  }
+}

@@ -82,7 +82,7 @@ object ZLake {
 
   /** Recursively list data files under `root`, carrying the `col=value`
     * segments each file sits beneath. */
-  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+  private[sources] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path)
       : Seq[(FileStatus, Seq[(String, String)])] = {
     def walk(dir: Path, parts: Seq[(String, String)])
         : Seq[(FileStatus, Seq[(String, String)])] =
@@ -119,7 +119,7 @@ object ZLake {
 
   /** Envelopes + the write-time data schema (union-merged across
     * manifests), `None` when some directory had no usable manifest. */
-  private final case class Harvest(fes: Seq[FileEnvelope],
+  private[sources] final case class Harvest(fes: Seq[FileEnvelope],
                                    schema: Option[StructType])
 
   /** Read every file's envelope under `path`. Stats come from the
@@ -133,12 +133,12 @@ object ZLake {
     harvest(spark, path).fes
 
   /** `p` relative to `root`, as the key a consolidated manifest stores. */
-  private def relPath(root: Path, p: Path): String = {
+  private[sources] def relPath(root: Path, p: Path): String = {
     val r = root.toUri.getPath.stripSuffix("/")
     p.toUri.getPath.stripPrefix(r).stripPrefix("/")
   }
 
-  private def harvest(spark: SparkSession, path: String): Harvest = {
+  private[sources] def harvest(spark: SparkSession, path: String): Harvest = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -320,12 +320,12 @@ object ZLake {
 
   // ---- manifest serialization (Jackson, shipped with Spark) --------------
 
-  private final case class ManifestEntry(len: Long, rowGroups: Int, rows: Long,
+  private[sources] final case class ManifestEntry(len: Long, rowGroups: Int, rows: Long,
       cols: Map[String, ColEnvelope], nulls: Map[String, Long],
       sketches: Map[String, Array[Long]] = Map.empty,
       blooms: Map[String, Array[Long]] = Map.empty,
       sums: Map[String, BigDecimal] = Map.empty)
-  private final case class Manifest(schema: StructType,
+  private[sources] final case class Manifest(schema: StructType,
       files: Map[String, ManifestEntry])
 
   /** Harvest the footers under `path` ONCE (write time) and persist the
@@ -528,48 +528,7 @@ object ZLake {
     rootNode.put("version", 1)
     rootNode.put("schema", nullable(schema).asInstanceOf[StructType].toDDL)
     val filesNode = rootNode.putObject("files")
-    entries.foreach { case (name, fe) =>
-      val f = filesNode.putObject(name)
-      f.put("len", fe.status.getLen)
-      f.put("rowGroups", fe.rowGroups)
-      f.put("rows", fe.rows)
-      val cols = f.putObject("cols")
-      fe.cols.toSeq.sortBy(_._1).foreach { case (c, ce) =>
-        val cn = cols.putObject(c)
-        (ce.lo, ce.hi) match {
-          case (lo: BigDecimal, hi: BigDecimal) =>
-            cn.put("t", "n"); cn.put("lo", lo.toString); cn.put("hi", hi.toString)
-          case (lo: String, hi: String) =>
-            cn.put("t", "s"); cn.put("lo", lo); cn.put("hi", hi)
-          case _ => // unserializable envelope: omit (conservative on read)
-            cols.remove(c); ()
-        }
-      }
-      val nulls = f.putObject("nulls")
-      fe.nullCounts.toSeq.sortBy(_._1).foreach { case (c, n) =>
-        nulls.put(c, n); ()
-      }
-      if (fe.sketches.nonEmpty) {
-        val sk = f.putObject("sketches")
-        fe.sketches.toSeq.sortBy(_._1).foreach { case (c, regs) =>
-          val arr = sk.putArray(c)
-          regs.foreach(arr.add)
-        }
-      }
-      if (fe.blooms.nonEmpty) {
-        val bl = f.putObject("blooms")
-        fe.blooms.toSeq.sortBy(_._1).foreach { case (c, words) =>
-          val arr = bl.putArray(c)
-          words.foreach(arr.add)
-        }
-      }
-      if (fe.sums.nonEmpty) {
-        val sm = f.putObject("sums")
-        fe.sums.toSeq.sortBy(_._1).foreach { case (c, v) =>
-          sm.put(c, v.toString); ()
-        }
-      }
-    }
+    entries.foreach { case (name, fe) => putEntry(filesNode, name, fe); () }
     val tmp = new Path(dir, s".$ManifestName.tmp")
     val out = fs.create(tmp, true)
     try out.write(om.writeValueAsBytes(rootNode)) finally out.close()
@@ -581,7 +540,86 @@ object ZLake {
     }
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+  /** Serialize one file's stats entry under `filesNode` — the shared
+    * format of per-dir manifests, the consolidated root manifest, and
+    * [[Snapshots]]' pinned file lists. Returns the entry node so callers
+    * can attach extra fields (a snapshot adds `mtime`). */
+  private[sources] def putEntry(
+      filesNode: com.fasterxml.jackson.databind.node.ObjectNode,
+      name: String, fe: FileEnvelope)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val f = filesNode.putObject(name)
+    f.put("len", fe.status.getLen)
+    f.put("rowGroups", fe.rowGroups)
+    f.put("rows", fe.rows)
+    val cols = f.putObject("cols")
+    fe.cols.toSeq.sortBy(_._1).foreach { case (c, ce) =>
+      val cn = cols.putObject(c)
+      (ce.lo, ce.hi) match {
+        case (lo: BigDecimal, hi: BigDecimal) =>
+          cn.put("t", "n"); cn.put("lo", lo.toString); cn.put("hi", hi.toString)
+        case (lo: String, hi: String) =>
+          cn.put("t", "s"); cn.put("lo", lo); cn.put("hi", hi)
+        case _ => // unserializable envelope: omit (conservative on read)
+          cols.remove(c); ()
+      }
+    }
+    val nulls = f.putObject("nulls")
+    fe.nullCounts.toSeq.sortBy(_._1).foreach { case (c, n) =>
+      nulls.put(c, n); ()
+    }
+    if (fe.sketches.nonEmpty) {
+      val sk = f.putObject("sketches")
+      fe.sketches.toSeq.sortBy(_._1).foreach { case (c, regs) =>
+        val arr = sk.putArray(c)
+        regs.foreach(arr.add)
+      }
+    }
+    if (fe.blooms.nonEmpty) {
+      val bl = f.putObject("blooms")
+      fe.blooms.toSeq.sortBy(_._1).foreach { case (c, words) =>
+        val arr = bl.putArray(c)
+        words.foreach(arr.add)
+      }
+    }
+    if (fe.sums.nonEmpty) {
+      val sm = f.putObject("sums")
+      fe.sums.toSeq.sortBy(_._1).foreach { case (c, v) =>
+        sm.put(c, v.toString); ()
+      }
+    }
+    f
+  }
+
+  /** Parse one entry written by [[putEntry]]. */
+  private[sources] def parseEntry(
+      f: com.fasterxml.jackson.databind.JsonNode): ManifestEntry = {
+    val cols = f.path("cols").fields().asScala.map { c =>
+      val cn = c.getValue
+      val (lo: Any, hi: Any) = cn.path("t").asText() match {
+        case "n" => (BigDecimal(cn.path("lo").asText()),
+          BigDecimal(cn.path("hi").asText()))
+        case _ => (cn.path("lo").asText(), cn.path("hi").asText())
+      }
+      c.getKey -> ColEnvelope(lo, hi)
+    }.toMap
+    val nulls = f.path("nulls").fields().asScala.map { n =>
+      n.getKey -> n.getValue.asLong()
+    }.toMap
+    val sketches = f.path("sketches").fields().asScala.map { s =>
+      s.getKey -> s.getValue.elements().asScala.map(_.asLong()).toArray
+    }.toMap
+    val blooms = f.path("blooms").fields().asScala.map { s =>
+      s.getKey -> s.getValue.elements().asScala.map(_.asLong()).toArray
+    }.toMap
+    val sums = f.path("sums").fields().asScala.map { s =>
+      s.getKey -> BigDecimal(s.getValue.asText())
+    }.toMap
+    ManifestEntry(f.path("len").asLong(), f.path("rowGroups").asInt(),
+      f.path("rows").asLong(-1L), cols, nulls, sketches, blooms, sums)
+  }
+
+  private[sources] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            dir: Path): Option[Manifest] = {
     val p = new Path(dir, ManifestName)
     if (!fs.exists(p)) return None
@@ -592,31 +630,7 @@ object ZLake {
       if (node.path("version").asInt(-1) != 1) return None
       val schema = StructType.fromDDL(node.path("schema").asText())
       val files = node.path("files").fields().asScala.map { e =>
-        val f = e.getValue
-        val cols = f.path("cols").fields().asScala.map { c =>
-          val cn = c.getValue
-          val (lo: Any, hi: Any) = cn.path("t").asText() match {
-            case "n" => (BigDecimal(cn.path("lo").asText()),
-              BigDecimal(cn.path("hi").asText()))
-            case _ => (cn.path("lo").asText(), cn.path("hi").asText())
-          }
-          c.getKey -> ColEnvelope(lo, hi)
-        }.toMap
-        val nulls = f.path("nulls").fields().asScala.map { n =>
-          n.getKey -> n.getValue.asLong()
-        }.toMap
-        val sketches = f.path("sketches").fields().asScala.map { s =>
-          s.getKey -> s.getValue.elements().asScala.map(_.asLong()).toArray
-        }.toMap
-        val blooms = f.path("blooms").fields().asScala.map { s =>
-          s.getKey -> s.getValue.elements().asScala.map(_.asLong()).toArray
-        }.toMap
-        val sums = f.path("sums").fields().asScala.map { s =>
-          s.getKey -> BigDecimal(s.getValue.asText())
-        }.toMap
-        e.getKey -> ManifestEntry(f.path("len").asLong(),
-          f.path("rowGroups").asInt(), f.path("rows").asLong(-1L), cols, nulls,
-          sketches, blooms, sums)
+        e.getKey -> parseEntry(e.getValue)
       }.toMap
       Some(Manifest(schema, files))
     } catch {
@@ -624,7 +638,7 @@ object ZLake {
     }
   }
 
-  private def envelopeOf(st: FileStatus, parts: Seq[(String, String)],
+  private[sources] def envelopeOf(st: FileStatus, parts: Seq[(String, String)],
                          conf: org.apache.hadoop.conf.Configuration)
       : FileEnvelope = {
     {

@@ -21,6 +21,10 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * ([[graft.plans.ManifestAggs]]). The reference exposes its store only
   * through code (a user cannot point plain SQL at it); here the lake is a
   * first-class `USING` source like parquet itself.
+  *
+  * Time travel from SQL: `OPTIONS (path '...', snapshot 'tag')` plans the
+  * [[Snapshots]] file set instead of the live one — the pinned dataset as
+  * a queryable view, same pruning stack.
   */
 class ZLakeSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "zlake"
@@ -30,6 +34,10 @@ class ZLakeSource extends RelationProvider with DataSourceRegister {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "zlake: a path is required — .load(path) or OPTIONS (path '...')"))
     val spark = sqlContext.sparkSession
-    ZLake.relationWith(spark, path, ZLake.index(spark, path))
+    val idx = parameters.get("snapshot") match {
+      case Some(tag) => Snapshots.snapshotIndex(spark, path, tag)
+      case None => ZLake.index(spark, path)
+    }
+    ZLake.relationWith(spark, path, idx)
   }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{LakeDelete, MaterializedAgg}
+import graft.sinks.MaterializedAgg.Spec
+
+/** Incrementally-maintained aggregate view: batch merges must equal a full
+  * recompute, and the batch-id FENCE must make every replay and crash
+  * window exactly-once — the failure mode of an aggregate MV is silent
+  * double-counting, so each injected crash here is followed by a replay
+  * and an exact equality check against the one-copy truth. */
+class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
+
+  private val spec = Spec(groupCols = Seq("g", "h"), sumCols = Seq("v"))
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/mv"
+
+  /** Batch `i`: 300 rows over 12 (g, h) groups, h NULL on one lane. */
+  private def batch(i: Int): DataFrame =
+    spark.range(i * 300, (i + 1) * 300).select(
+      concat(lit("g"), (col("id") % 4).cast("string")).as("g"),
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("h"), (col("id") % 3).cast("string"))).as("h"),
+      (col("id") % 97).cast("long").as("v"))
+
+  private def recompute(upTo: Int): Seq[(String, String, Long, Long)] =
+    (0 to upTo).map(batch).reduce(_ union _)
+      .groupBy("g", "h").agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+      .collect().map(r => (r.getString(0), String.valueOf(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSeq.sortBy(t => (t._1, t._2))
+
+  private def view(root: String): Seq[(String, String, Long, Long)] =
+    MaterializedAgg.readView(spark, root, spec)
+      .collect().map(r => (r.getString(0), String.valueOf(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSeq.sortBy(t => (t._1, t._2))
+
+  test("batch merges equal a full recompute; replays are no-ops") {
+    val root = tmp("mv-merge")
+    assert(MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L))
+    assert(MaterializedAgg.mergeBatch(spark, root, batch(1), spec, 1L))
+    assert(MaterializedAgg.mergeBatch(spark, root, batch(2), spec, 2L))
+    assert(view(root) == recompute(2), "merged view != recompute")
+    assert(MaterializedAgg.lastCommitted(spark, root).contains(2L))
+
+    // replayed and stale ids do NOTHING — no read, no write, no count drift
+    assert(!MaterializedAgg.mergeBatch(spark, root, batch(2), spec, 2L))
+    assert(!MaterializedAgg.mergeBatch(spark, root, batch(1), spec, 1L))
+    assert(view(root) == recompute(2), "replay double-counted")
+  }
+
+  test("key-cap fallback: full-view read still writes back only touched keys") {
+    val root = tmp("mv-cap")
+    assert(MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L))
+    // a read-key cap below the batch's distinct keys forces the pruned
+    // current-row read to fall back to the FULL view — the merge must
+    // still be exact and must not rewrite untouched keys
+    assert(MaterializedAgg.mergeBatch(spark, root, batch(1), spec, 1L,
+      maxReadKeys = 2))
+    assert(view(root) == recompute(1), "cap-fallback merge drifted")
+  }
+
+  test("crash between journal publish and apply: replay skips, not re-merges") {
+    val root = tmp("mv-crash")
+    assert(MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L))
+    // crash in the durable-but-unapplied window of batch 1's merge
+    LakeDelete.journalPublishedHook.set(() =>
+      throw new RuntimeException("crash: journal published, not applied"))
+    try {
+      intercept[RuntimeException] {
+        MaterializedAgg.mergeBatch(spark, root, batch(1), spec, 1L)
+      }
+    } finally LakeDelete.journalPublishedHook.set(() => ())
+    // the fence still shows batch 0 — the commit is in the journal only
+    assert(MaterializedAgg.lastCommitted(spark, root).contains(0L))
+
+    // replay of batch 1: recovery applies the published journal (and its
+    // fence) FIRST, so the merge is skipped — the double-count window
+    assert(!MaterializedAgg.mergeBatch(spark, root, batch(1), spec, 1L))
+    assert(MaterializedAgg.lastCommitted(spark, root).contains(1L))
+    assert(view(root) == recompute(1), "crash-replay double-counted")
+  }
+
+  test("half bootstrap (marker, no fence) is wiped and redone") {
+    val root = tmp("mv-boot")
+    assert(MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L))
+    // simulate a bootstrap that crashed before its fence: remove the fence
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_graft_fence.json"), false)
+    // the replay wipes the ownerless data and bootstraps cleanly
+    assert(MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L))
+    assert(view(root) == recompute(0), "bootstrap replay double-counted")
+  }
+
+  test("a root that is not an MV is refused, never wiped") {
+    val root = tmp("mv-foreign")
+    spark.range(10).write.parquet(root) // someone else's data, no marker
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L)
+    }
+    assert(spark.read.parquet(root).count() == 10L, "foreign data touched")
+  }
+
+  test("streaming maintenance: exactly-once across a crash-replay") {
+    val root = tmp("mv-stream")
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft-mv-in").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-mv-ck").toString
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("h", StringType), StructField("v", LongType)))
+
+    def writeBatch(name: String, i: Int): Unit = {
+      val tmpd = java.nio.file.Files.createTempDirectory("graft-mv-b").toString
+      batch(i).coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"$name.parquet"))
+      ()
+    }
+    def start() = MaterializedAgg.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      root, spec, ckpt, interval = "0 seconds").start()
+
+    writeBatch("b0", 0)
+    val q1 = start()
+    q1.processAllAvailable()
+    // crash after batch 1's merge commits but before the EPOCH commits:
+    // the restarted stream replays batch 1 with the same id
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    MaterializedAgg.mergeTestHook.set(() =>
+      if (failOnce.getAndSet(false))
+        throw new RuntimeException("crash after merge, before epoch commit"))
+    writeBatch("b1", 1)
+    try { q1.processAllAvailable(); q1.stop() }
+    catch { case _: Throwable => () }
+    assert(!q1.isActive && !failOnce.get(), "crash must have fired")
+
+    val q2 = start()
+    writeBatch("b2", 2)
+    try q2.processAllAvailable() finally q2.stop()
+    MaterializedAgg.mergeTestHook.set(() => ())
+
+    assert(view(root) == recompute(2), "streamed view != recompute")
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{LakeDelete, Sinks}
+import graft.sources.{Snapshots, ZLake}
+
+/** Named lake snapshots: a tagged file set stays byte-identically readable
+  * across journaled deletes, upserts, and compactions (retired files move
+  * to the trash, resolution is by identity), keeps its planning-time
+  * pruning from the embedded stats, and is reclaimed exactly by vacuum.
+  * The failure modes guarded here: a snapshot read silently reflecting a
+  * later mutation, a mutation breaking an existing snapshot, and vacuum
+  * deleting bytes a kept snapshot still needs. */
+class SnapshotSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  private def corpus(n: Int): DataFrame =
+    spark.range(n).select(col("id"),
+      (col("id") % 64).as("a"), (col("id") / 64 % 64).as("b"),
+      concat(lit("u"), (col("id") % 997).cast("string")).as("uid"))
+
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().map(_.toSeq.map(String.valueOf).toSeq).toSeq
+      .sortBy(_.mkString("|"))
+
+  private def fs(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def trashExists(root: String): Boolean =
+    fs(root).exists(new org.apache.hadoop.fs.Path(root,
+      Snapshots.TrashDirName))
+
+  test("snapshot survives a journaled DELETE; live read moves on") {
+    val root = tmp("snap-del")
+    Sinks.zorderedWrite(corpus(4096), "a", "b", root, numFiles = 8, bits = 6,
+      bloomCols = Seq("uid"))
+    val before = rows(ZLake.read(spark, root))
+    Snapshots.snapshot(spark, root, "t0")
+
+    // snapshot planning costs zero footer opens (stats ride the snapshot)
+    val opens0 = ZLake.footerOpens.get()
+    Snapshots.snapshotIndex(spark, root, "t0")
+    assert(ZLake.footerOpens.get() == opens0, "snapshot planning opened footers")
+
+    val rep = LakeDelete.deleteFromLake(spark, root, col("a") < 16)
+    assert(rep.rowsDeleted > 0)
+    assert(ZLake.read(spark, root).filter(col("a") < 16).count() == 0L)
+    assert(rows(Snapshots.readSnapshot(spark, root, "t0")) == before,
+      "snapshot read drifted after delete")
+    assert(trashExists(root), "deleted files should have retired to trash")
+  }
+
+  test("snapshot survives an UPSERT: old values pinned, new ones live") {
+    val root = tmp("snap-ups")
+    Sinks.zorderedWrite(corpus(1024), "a", "b", root, numFiles = 4, bits = 6)
+    Snapshots.snapshot(spark, root, "t0")
+    val updates = spark.range(10).select(col("id"),
+      (col("id") % 64).as("a"), (col("id") / 64 % 64).as("b"),
+      lit("CHANGED").as("uid"))
+    LakeDelete.upsertLake(spark, root, updates, "id")
+    assert(ZLake.read(spark, root)
+      .filter(col("uid") === "CHANGED").count() == 10L)
+    val snap = Snapshots.readSnapshot(spark, root, "t0")
+    assert(snap.filter(col("uid") === "CHANGED").count() == 0L,
+      "snapshot leaked post-snapshot values")
+    assert(snap.count() == 1024L)
+  }
+
+  test("snapshot survives COMPACTION and still prunes from embedded stats") {
+    val root = tmp("snap-comp")
+    val table = s"$root/t"
+    // clustered but over-fragmented windows (6 files > filesPerPartition),
+    // so the snapshot pins a PRUNABLE layout and compaction rewrites it
+    for (w <- 0 until 2)
+      Sinks.zorderedWrite(corpus(2048).filter(col("id") % 2 === w),
+        "a", "b", s"$table/win=$w", numFiles = 6, bits = 6)
+    val before = rows(ZLake.read(spark, table))
+    Snapshots.snapshot(spark, table, "pin")
+    val reports = Sinks.compactLake(spark, table, "a", "b",
+      filesPerPartition = 2, bits = 6)
+    assert(reports.nonEmpty, "compaction did not run")
+    assert(rows(ZLake.read(spark, table)) == before,
+      "compaction changed live content")
+    assert(rows(Snapshots.readSnapshot(spark, table, "pin")) == before,
+      "snapshot broke across compaction")
+    assert(trashExists(table), "compacted files should have retired")
+
+    // pruning still works on the snapshot: a tight predicate plans a
+    // strict subset of the pinned files
+    val idx = Snapshots.snapshotIndex(spark, table, "pin")
+    ZLake.readWith(spark, table, idx).filter(col("a") === 3).collect()
+    val (kept, total) = idx.lastPrune.get()
+    assert(kept >= 0 && kept < total, s"no snapshot pruning: $kept/$total")
+  }
+
+  test("vacuum keeps exactly what surviving snapshots reference") {
+    val root = tmp("snap-vac")
+    Sinks.zorderedWrite(corpus(2048), "a", "b", root, numFiles = 8, bits = 6)
+    Snapshots.snapshot(spark, root, "t0")
+    LakeDelete.deleteFromLake(spark, root, col("a") < 8)
+    Snapshots.snapshot(spark, root, "t1")
+    LakeDelete.deleteFromLake(spark, root, col("a") < 16)
+    assert(Snapshots.listSnapshots(spark, root) == Seq("t0", "t1"))
+
+    val keepT1 = rows(Snapshots.readSnapshot(spark, root, "t1"))
+    val report = Snapshots.vacuum(spark, root, keep = Seq("t1"))
+    assert(report.snapshotsDropped == Seq("t0"))
+    assert(Snapshots.listSnapshots(spark, root) == Seq("t1"))
+    // t1 still reads exactly; t0 is gone
+    assert(rows(Snapshots.readSnapshot(spark, root, "t1")) == keepT1)
+    intercept[IllegalArgumentException] {
+      Snapshots.readSnapshot(spark, root, "t0")
+    }
+    // dropping the last snapshot empties the trash entirely
+    Snapshots.vacuum(spark, root, keep = Nil)
+    assert(!trashExists(root), "trash should be empty after full vacuum")
+    // the live lake never flinched
+    assert(ZLake.read(spark, root).count() == corpus(2048)
+      .filter(col("a") >= 16).count())
+  }
+
+  test("a lake without snapshots never grows a trash") {
+    val root = tmp("snap-none")
+    Sinks.zorderedWrite(corpus(1024), "a", "b", root, numFiles = 4, bits = 6)
+    LakeDelete.deleteFromLake(spark, root, col("a") < 8)
+    assert(!trashExists(root))
+  }
+
+  test("snapshot as a SQL view: USING zlake OPTIONS (snapshot ...)") {
+    val root = tmp("snap-sql")
+    Sinks.zorderedWrite(corpus(512), "a", "b", root, numFiles = 4, bits = 6)
+    Snapshots.snapshot(spark, root, "pin")
+    LakeDelete.deleteFromLake(spark, root, col("a") < 32)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW snap_pin USING zlake " +
+      s"OPTIONS (path '$root', snapshot 'pin')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW snap_live USING zlake " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) FROM snap_pin").head().getLong(0) == 512L)
+    assert(spark.sql("SELECT count(*) FROM snap_live").head().getLong(0) ==
+      corpus(512).filter(col("a") >= 32).count())
+  }
+
+  test("immutability and guard rails") {
+    val root = tmp("snap-guard")
+    Sinks.zorderedWrite(corpus(256), "a", "b", root, numFiles = 2, bits = 6)
+    Snapshots.snapshot(spark, root, "t0")
+    intercept[IllegalArgumentException] { // tags are immutable
+      Snapshots.snapshot(spark, root, "t0")
+    }
+    intercept[IllegalArgumentException] { // a typo must not unpin data
+      Snapshots.vacuum(spark, root, keep = Seq("t-typo"))
+    }
+    intercept[IllegalArgumentException] { // path-shaped tags refused
+      Snapshots.snapshot(spark, root, "../evil")
+    }
+  }
+}
