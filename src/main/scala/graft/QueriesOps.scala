@@ -1285,6 +1285,113 @@ object QueriesOps {
           .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
           .select(lit("snapshot").as("src"), col("n"), col("sum_cents"))
         live.unionAll(snap).orderBy(col("src"))
+      }),
+
+    // -- the lake as a STREAMING SOURCE (ZLakeTail): a standing
+    //    `readStream.format("zlake")` tails the lake while it GROWS — the
+    //    second window lands after the stream has already drained the
+    //    first, so discovery, the pinned-batch metadata log, and the
+    //    streaming read path all execute across two real micro-batches.
+    //    foreachBatch appends every emitted row to a result lake; the
+    //    oracle aggregates the full raw table — a dropped file, a
+    //    re-emitted batch, or rows leaking across the window boundary all
+    //    break the per-window counts/sums.
+    QueryDef("q131_lake_tail", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        c_custkey % 2 AS w
+                 FROM customer)
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      FROM f GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tail-gate").toString + "/customer"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-tail-gate-ck").toString
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-tail-gate-out").toString + "/rows"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          (col("c_custkey") * 7 % 64).cast("long").as("b"))
+        def writeWin(w: Int): Unit = graft.sinks.Sinks.zorderedWrite(
+          base.filter(col("c_custkey") % 2 === w), "a", "b",
+          s"$root/win=$w", numFiles = 4, bits = 6)
+        writeWin(0)
+        val q = s.readStream.format("zlake").load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) b.write.mode("append").parquet(out)
+          }.start()
+        q.processAllAvailable()
+        writeWin(1) // the lake grows UNDER the standing query
+        q.processAllAvailable()
+        q.stop()
+        s.read.parquet(out)
+          .groupBy(col("win").cast("long").as("w"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("a").cast("long").as("sum_a"),
+            sum("c_custkey").cast("long").as("sum_key"))
+          .orderBy("w")
+      }),
+
+    // -- snapshot-derived CHANGE FEED (Snapshots.diff): pin v1, run a
+    //    keyed CDC upsert (updates bump cents by 7; inserts use offset
+    //    keys), pin v2, then diff(v1, v2) rowLevel — the copy-on-write
+    //    rewrite carries thousands of untouched rows through new files,
+    //    and the multiset EXCEPT ALL must cancel every one of them,
+    //    leaving exactly the touched keys: old versions as deletes, new
+    //    as inserts. The oracle computes the same delta relationally from
+    //    the raw table. Any carry-over row surviving (or a touched row
+    //    cancelled) breaks the per-change-type counts and sums.
+    QueryDef("q132_snapshot_change_feed", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        (c_custkey * 7) % 64 AS b,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           upd AS (SELECT * FROM f WHERE c_custkey % 101 = 0),
+           ins AS (SELECT c_custkey + 200000 AS c_custkey, a, b,
+                          c_custkey AS cents, w
+                   FROM f WHERE c_custkey % 977 = 0),
+           ch AS (SELECT 'delete' AS change, c_custkey, cents FROM upd
+                  UNION ALL
+                  SELECT 'insert', c_custkey, cents + 7 FROM upd
+                  UNION ALL
+                  SELECT 'insert', c_custkey, cents FROM ins)
+      SELECT change, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM ch GROUP BY change ORDER BY change"""),
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-cdc-gate").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          (col("c_custkey") * 7 % 64).cast("long").as("b"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "b", s"$root/win=$w", numFiles = 8, bits = 6,
+            bloomCols = Seq("c_custkey"))
+        Snapshots.snapshot(s, root, "v1")
+        val win = (col("c_custkey") % 2).cast("string").as("win")
+        val updates = base.filter(col("c_custkey") % 101 === 0)
+          .withColumn("cents", col("cents") + 7).withColumn("win", win)
+          .unionByName(base.filter(col("c_custkey") % 977 === 0)
+            .select((col("c_custkey") + 200000).as("c_custkey"),
+              col("a"), col("b"), col("c_custkey").as("cents"))
+            .withColumn("win", (col("cents") % 2).cast("string")))
+        graft.sinks.LakeDelete.upsertLake(s, root, updates, "c_custkey")
+        Snapshots.snapshot(s, root, "v2")
+        Snapshots.diff(s, root, "v1", Some("v2"))
+          .groupBy(col("_change_type").as("change"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("c_custkey").cast("long").as("sum_key"),
+            sum("cents").cast("long").as("sum_cents"))
+          .orderBy("change")
       })
   )
 }

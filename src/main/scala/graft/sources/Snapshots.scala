@@ -131,11 +131,19 @@ object Snapshots {
     * trash location, stats from the snapshot itself (zero footer opens).
     * Raises naming the first unresolvable file. */
   def snapshotIndex(spark: SparkSession, root: String,
-                    tag: String): Z.StatsFileIndex = {
+                    tag: String): Z.StatsFileIndex =
+    restrictedIndex(spark, root, tag, None)
+
+  /** [[snapshotIndex]] restricted to `only` identities (None = all). */
+  private def restrictedIndex(spark: SparkSession, root: String, tag: String,
+                              only: Option[Set[(String, Long, Long)]])
+      : Z.StatsFileIndex = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val snap = readSnap(fs, rootPath, tag)
-    val fes = snap.files.map { sf =>
+    val wanted = snap.files.filter(sf =>
+      only.forall(_.contains((sf.rel, sf.len, sf.mtime))))
+    val fes = wanted.map { sf =>
       val live = new Path(rootPath, sf.rel)
       val liveSt =
         if (fs.exists(live)) Some(fs.getFileStatus(live)).filter(st =>
@@ -151,11 +159,7 @@ object Snapshots {
       }
       // partition values from the ORIGINAL relative path: the trash copy
       // lives elsewhere, but its row identity (win=..., day=...) does not
-      val parts = sf.rel.split("/").dropRight(1).toSeq
-        .flatMap(_.split("=", 2) match {
-          case Array(k, v) => Seq(k.toLowerCase -> v)
-          case _ => Nil
-        })
+      val parts = partsOf(sf.rel)
       Z.FileEnvelope(st, sf.entry.rowGroups, sf.entry.cols, parts,
         sf.entry.rows, sf.entry.nulls, sf.entry.sketches, sf.entry.blooms,
         sf.entry.sums)
@@ -163,11 +167,79 @@ object Snapshots {
     new Z.StatsFileIndex(rootPath, fes, Some(snap.schema))
   }
 
+  private def partsOf(rel: String): Seq[(String, String)] =
+    rel.split("/").dropRight(1).toSeq.flatMap(_.split("=", 2) match {
+      case Array(k, v) => Seq(k.toLowerCase -> v)
+      case _ => Nil
+    })
+
   /** Read the lake AS OF `tag` — same rows the live read returned at
     * snapshot time, full envelope/bloom pruning, however the lake has
     * mutated since (until vacuumed). */
   def readSnapshot(spark: SparkSession, root: String, tag: String): DataFrame =
     Z.readWith(spark, root, snapshotIndex(spark, root, tag))
+
+  /** The CHANGE FEED between two pinned states: every row of the lake at
+    * `toTag` (or the live state, when None) that was not there at
+    * `fromTag` surfaces as `_change_type = 'insert'`, every `fromTag` row
+    * no longer present as `'delete'` — the incremental-consumer contract
+    * (downstream sync, audit, "what changed since the last training run")
+    * Delta/Iceberg call a change data feed, derived here entirely from
+    * snapshot file identities, no per-write change journal needed.
+    *
+    * Cost follows the CHANGE, not the table: a file present in both
+    * states (identity-equal) contributes nothing and is NEVER SCANNED —
+    * only removed files (resolved live-or-trash, exactly like a snapshot
+    * read) and added files plan into the two scans. `rowLevel = true`
+    * (default) then cancels carried-over rows with a multiset
+    * `EXCEPT ALL` in each direction, so a copy-on-write rewrite (an
+    * upsert touching 3 rows of a 10k-row file) reports 3 updates — the
+    * old versions as deletes, the new as inserts — not 20k file-level
+    * changes; the exchanges it costs shuffle only the changed FILES'
+    * rows. `rowLevel = false` skips the cancellation and reports the raw
+    * file-level delta (cheaper; exact for append/delete-only histories).
+    *
+    * Both sides project to the `fromTag` schema (columns appended later
+    * drop out; a removed column fails loudly). Deterministic given the
+    * two tags — safe to re-run, safe to oracle. */
+  def diff(spark: SparkSession, root: String, fromTag: String,
+           toTag: Option[String] = None,
+           rowLevel: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fromSnap = readSnap(fs, rootPath, fromTag)
+    val fromIds = fromSnap.files.map(sf => (sf.rel, sf.len, sf.mtime)).toSet
+    val (toIds, insIdx) = toTag match {
+      case Some(t) =>
+        val s2 = readSnap(fs, rootPath, t)
+        val ids = s2.files.map(sf => (sf.rel, sf.len, sf.mtime)).toSet
+        (ids, restrictedIndex(spark, root, t, Some(ids -- fromIds)))
+      case None =>
+        val h = Z.harvest(spark, root)
+        val keyed = h.fes.map(fe =>
+          (Z.relPath(rootPath, fe.status.getPath), fe.status.getLen,
+            fe.status.getModificationTime) -> fe)
+        (keyed.map(_._1).toSet, new Z.StatsFileIndex(rootPath,
+          keyed.collect { case (k, fe) if !fromIds.contains(k) => fe },
+          h.schema.orElse(Some(fromSnap.schema))))
+    }
+    val delIdx = restrictedIndex(spark, root, fromTag, Some(fromIds -- toIds))
+    lazy val template = Z.readWith(spark, root,
+      restrictedIndex(spark, root, fromTag, None))
+    val cols = fromSnap.schema.fieldNames.toSeq ++
+      fromSnap.files.headOption.map(sf => partsOf(sf.rel).map(_._1))
+        .getOrElse(Nil)
+    def readOr(idx: Z.StatsFileIndex): DataFrame =
+      if (idx.fes.isEmpty) template.select(cols.map(col): _*).limit(0)
+      else Z.readWith(spark, root, idx).select(cols.map(col): _*)
+    val d0 = readOr(delIdx)
+    val i0 = readOr(insIdx)
+    val (dels, inss) =
+      if (rowLevel) (d0.exceptAll(i0), i0.exceptAll(d0)) else (d0, i0)
+    dels.withColumn("_change_type", lit("delete"))
+      .unionByName(inss.withColumn("_change_type", lit("insert")))
+  }
 
   // ---- the retire path (called by the lake's journaled mutations) --------
 

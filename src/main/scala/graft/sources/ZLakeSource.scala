@@ -1,7 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** SQL surface of the stats-pruned lake (read side of
   * [[graft.sinks.Sinks.zorderedWrite]]/`lakeWrite`):
@@ -25,9 +27,32 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * Time travel from SQL: `OPTIONS (path '...', snapshot 'tag')` plans the
   * [[Snapshots]] file set instead of the live one — the pinned dataset as
   * a queryable view, same pruning stack.
+  *
+  * Streaming: `spark.readStream.format("zlake").load(root)` tails the
+  * lake incrementally — see [[ZLakeTail]] for discovery, pinning, and
+  * exactly-once semantics.
   */
-class ZLakeSource extends RelationProvider with DataSourceRegister {
+class ZLakeSource extends RelationProvider with StreamSourceProvider
+    with DataSourceRegister {
   override def shortName(): String = "zlake"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "zlake: a path is required — .load(path) or OPTIONS (path '...')"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), schema.getOrElse(
+      ZLakeTail.schemaOf(sqlContext.sparkSession, pathOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new ZLakeTail(sqlContext.sparkSession, pathOf(parameters), metadataPath,
+      schema, parameters)
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

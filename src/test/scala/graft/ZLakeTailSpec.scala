@@ -1,0 +1,178 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.Sinks
+
+/** [[graft.sources.ZLakeTail]]: the z-lake as a streaming source. Append
+  * growth emits each file's rows exactly once (including across a
+  * checkpoint restart); maintenance under the tail fails loudly by
+  * default and degrades to the documented at-least-once under
+  * ignoreChanges; startingOffset=latest swallows pre-existing contents. */
+class ZLakeTailSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def writeWin(root: String, w: Int, n: Int, tag: Long = 0L): Unit =
+    Sinks.zorderedWrite(
+      spark.range(n).select((col("id") + w * 10000).as("k"),
+        (col("id") % 64 + tag).as("v")),
+      "k", "v", s"$root/win=$w", numFiles = 2, bits = 6)
+
+  /** Collected (k, v, win) triples, deduplicated nowhere — duplicates are
+    * the failure this spec hunts. */
+  private final class Collector {
+    val rows = mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def sink(b: DataFrame, id: Long): Unit = {
+      val got = b.select(col("k"), col("v"), col("win")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      rows.synchronized { rows ++= got }
+      ()
+    }
+  }
+
+  private def startTail(root: String, ckpt: String, c: Collector,
+                        extra: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format("zlake").options(extra).load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((b: DataFrame, id: Long) => c.sink(b, id))
+    r.start()
+  }
+
+  test("append growth emits each file exactly once, restart included") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-ck").toString
+    writeWin(root, 0, 100)
+
+    val c = new Collector
+    val q1 = startTail(root, ckpt, c)
+    q1.processAllAvailable()
+    assert(c.rows.size === 100)
+    assert(c.rows.forall(_._3 == "0"))
+
+    writeWin(root, 1, 50)
+    q1.processAllAvailable()
+    assert(c.rows.size === 150)
+    assert(c.rows.count(_._3 == "1") === 50)
+    q1.stop()
+
+    // growth while the stream is DOWN, then a checkpoint restart: only
+    // the new window arrives, nothing replays
+    writeWin(root, 2, 30)
+    val q2 = startTail(root, ckpt, c)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(c.rows.size === 180)
+    assert(c.rows.groupBy(identity).forall(_._2.size == 1),
+      "every (k, v, win) must arrive exactly once")
+    assert(c.rows.map(_._1).sum ===
+      (0L until 100).sum + (10000L until 10050).sum + (20000L until 20030).sum)
+  }
+
+  test("a rewrite under the tail aborts with guidance by default") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-rw").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-rw-ck").toString
+    writeWin(root, 0, 40)
+    val c = new Collector
+    val q = startTail(root, ckpt, c)
+    q.processAllAvailable()
+    assert(c.rows.size === 40)
+
+    writeWin(root, 0, 40, tag = 1L) // same dir, new identities = compaction
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    assert(e.getMessage.contains("ignoreChanges") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    q.stop()
+  }
+
+  test("ignoreChanges re-emits a rewritten file (documented at-least-once)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-ic").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-ic-ck").toString
+    writeWin(root, 0, 40)
+    val c = new Collector
+    val q = startTail(root, ckpt, c, Map("ignoreChanges" -> "true"))
+    q.processAllAvailable()
+    assert(c.rows.size === 40)
+    assert(c.rows.forall(_._2 < 64))
+
+    writeWin(root, 0, 40, tag = 100L)
+    q.processAllAvailable()
+    q.stop()
+    // the rewrite re-emitted: old rows stay collected, new rows arrive
+    assert(c.rows.size === 80)
+    assert(c.rows.count(_._2 >= 100) === 40)
+  }
+
+  test("a delete aborts by default and is invisible under ignoreDeletes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-del").toString + "/t"
+    writeWin(root, 0, 40)
+    writeWin(root, 1, 40)
+
+    // default: loud abort
+    val ck1 = java.nio.file.Files
+      .createTempDirectory("graft-tail-del-ck1").toString
+    val c1 = new Collector
+    val q1 = startTail(root, ck1, c1)
+    q1.processAllAvailable()
+    assert(c1.rows.size === 80)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/win=1"), true)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination(30000)
+    }
+    assert(e.getMessage.contains("ignoreDeletes") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreDeletes")))
+    q1.stop()
+
+    // opt-in: the delete is simply invisible; later appends still arrive
+    val ck2 = java.nio.file.Files
+      .createTempDirectory("graft-tail-del-ck2").toString
+    val c2 = new Collector
+    val q2 = startTail(root, ck2, c2, Map("ignoreDeletes" -> "true"))
+    q2.processAllAvailable()
+    assert(c2.rows.size === 40)
+    writeWin(root, 2, 10)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(c2.rows.size === 50)
+  }
+
+  test("startingOffset=latest tails only post-start commits") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-latest").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-latest-ck").toString
+    writeWin(root, 0, 100)
+    val c = new Collector
+    val q = startTail(root, ckpt, c, Map("startingOffset" -> "latest"))
+    q.processAllAvailable()
+    assert(c.rows.isEmpty, "pre-existing contents must not emit")
+    writeWin(root, 1, 25)
+    q.processAllAvailable()
+    q.stop()
+    assert(c.rows.size === 25)
+    assert(c.rows.forall(_._3 == "1"))
+
+    // the swallowed baseline is durable: a restart must not emit win=0
+    val c2 = new Collector
+    val q2 = startTail(root, ckpt, c2, Map("startingOffset" -> "latest"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(c2.rows.isEmpty)
+  }
+}
