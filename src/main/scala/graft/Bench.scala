@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   *    and `qR_*` lanes time ONLY the read paths against per-process
   *    pre-built lakes (billed to `fixtures`) — a read regression is
   *    visible, and write throughput has its own number;
-  *  - `recall` reports IVF-PQ recall@25 vs exact brute force on the
-  *    embeddings table (r8 verdict #7): approximation QUALITY is pinned in
-  *    the artifact, not just determinism;
+  *  - `recall_ivfpq_at10` reports ADC-ranked IVF-PQ recall@10 vs exact
+  *    brute force on the embeddings table (r8 verdict #7), and
+  *    `recall_ivfpq_rerank_at10` the same operating point through
+  *    [[graft.operators.Similarity.ivfPqRerankTopK]]'s exact-rerank tail:
+  *    approximation QUALITY is pinned in the artifact, not just
+  *    determinism;
   *  - a query that throws is reported null and excluded from the total,
   *    never as a fast "success".
   */
@@ -140,13 +143,15 @@ object Bench {
     * operating point (8 seed cells, m=8, 16 codes) with nprobe=2 —
     * the bench artifact's approximation-quality number (VERDICT r8 #7;
     * the hard floor lives in IvfPqSpec). */
-  private def ivfPqRecall(spark: SparkSession, sfDir: String): Double = {
+  private def ivfPqRecall(spark: SparkSession, sfDir: String,
+                          refineFactor: Option[Int]): Double = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     graft.operators.Similarity.ivfPqRecallAtK(
       emb, col("vec_id"), col("embedding"),
       queries = emb.filter(col("vec_id") < 8),
       seeds = emb.filter(col("vec_id") < 8),
-      m = 8, numCodes = 16, k = 10, nprobe = 2)
+      m = 8, numCodes = 16, k = 10, nprobe = 2,
+      refineFactor = refineFactor)
   }
 
   def main(args: Array[String]): Unit = {
@@ -252,7 +257,13 @@ object Bench {
     (1 to passes).foreach(_ => timed.foreach(_.run()))
 
     val (recall, recallFailed) =
-      try (ivfPqRecall(spark, sfDir), false)
+      try (ivfPqRecall(spark, sfDir, None), false)
+      catch { case _: Throwable => (0.0, true) }
+    // exact-rerank lane (ivfPqRerankTopK, k*8 candidates re-scored with
+    // exact cosine): the number production would ship — the ADC-only lane
+    // above stays for round-over-round continuity
+    val (recallRr, recallRrFailed) =
+      try (ivfPqRecall(spark, sfDir, Some(8)), false)
       catch { case _: Throwable => (0.0, true) }
 
     val results = timed.filterNot(_.fixture)
@@ -267,11 +278,13 @@ object Bench {
       timed.map(t => "\"" + t.name + "\":" + f(t).map(jnum).mkString("[", ",", "]"))
         .mkString("{", ",", "}")
     val failedArr = (timed.collect { case t if t.failed => "\"" + t.name + "\"" } ++
-      (if (recallFailed) Seq("\"recall\"") else Nil)).mkString("[", ",", "]")
+      (if (recallFailed) Seq("\"recall\"") else Nil) ++
+      (if (recallRrFailed) Seq("\"recall_rerank\"") else Nil))
+      .mkString("[", ",", "]")
     val total = results.collect { case t if !t.failed => t.wall.min }.sum
     // detail first, compact summary LAST: the driver keeps the tail
     println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)}}}""")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"failed":$failedArr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

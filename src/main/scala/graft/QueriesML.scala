@@ -765,6 +765,73 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- ANN: IVF-PQ with EXACT RERANK (ivfPqRerankTopK) — the production
+    //    tail: ADC retrieves a k*4 candidate pool (q99's pipeline), then
+    //    ONLY those candidates' raw vectors are re-scored with the exact
+    //    q6 cosine and the top-5 re-ranked. The oracle extends q99's CTEs
+    //    with the candidate cut and the exact-cosine re-rank — rank
+    //    changes BETWEEN code-space and exact-space orderings are the
+    //    point, so any drift in either stage breaks the final ranking.
+    QueryDef("q133_ann_ivfpq_rerank", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, sid) AS rn FROM a1),
+      cell1 AS (SELECT vec_id, qv, sid AS cell FROM r1 WHERE rn = 1),
+      sums AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+               FROM cell1, range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+               FROM sums GROUP BY cell),
+      a2 AS (SELECT q.vec_id, q.qv, cent.cell, ${dkCos("q.qv", "cent.cq")} AS cos FROM q, cent),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) AS rn FROM a2),
+      cell2 AS (SELECT vec_id AS neighbor_id, cell FROM r2 WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+      qa AS (SELECT query_id, cent.cell, ${dkCos("qv", "cent.cq")} AS cos FROM qs, cent),
+      qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell) AS rn FROM qa),
+      qcell AS (SELECT query_id, cell FROM qr WHERE rn = 1),
+      cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r, qv
+             FROM (SELECT * FROM q ORDER BY vec_id LIMIT 16)),
+      d2 AS (SELECT q.vec_id, j.j, cb.r,
+                    list_sum(list_transform(range(1, 9), i ->
+                      (q.qv[CAST(j.j*8+i AS INT)] - cb.qv[CAST(j.j*8+i AS INT)]) *
+                      (q.qv[CAST(j.j*8+i AS INT)] - cb.qv[CAST(j.j*8+i AS INT)]))) AS d2
+             FROM q, range(0, 8) j(j), cb),
+      codes AS (SELECT vec_id, j, r AS code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                              ORDER BY d2, r) AS rn FROM d2)
+                WHERE rn = 1),
+      adc AS (SELECT qc.query_id, qc.cell, c2.neighbor_id,
+                     CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+              FROM qcell qc
+              JOIN cell2 c2 ON c2.cell = qc.cell AND c2.neighbor_id <> qc.query_id
+              JOIN codes dc ON dc.vec_id = c2.neighbor_id
+              JOIN d2 qd ON qd.vec_id = qc.query_id AND qd.j = dc.j AND qd.r = dc.code
+              GROUP BY 1, 2, 3),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS rn FROM adc),
+      cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 20),
+      rr AS (SELECT c.query_id, c.neighbor_id,
+                    ${dkCos("nq.qv", "qq.qv")} AS cosine
+             FROM cand c
+             JOIN q nq ON nq.vec_id = c.neighbor_id
+             JOIN q qq ON qq.vec_id = c.query_id),
+      rr2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM rr)
+      SELECT query_id, neighbor_id, cosine, rn FROM rr2 WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfPqRerankTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            m = 8, numCodes = 16, k = 5, nprobe = 1, refineFactor = 4)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- ANN: RESIDUAL IVF-PQ — codes quantize (vector − cell centroid)
     //    residuals, the standard refinement: residuals concentrate near the
     //    origin so the same codebook budget quantizes tighter; the query's

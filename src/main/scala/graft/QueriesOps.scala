@@ -41,6 +41,10 @@ object QueriesOps {
     s"CAST(floor(($e) * $s.0 + 0.5) AS DOUBLE) / $s.0"
   }
 
+  /** 60-bit md5-prefix hash in DuckDB SQL (mirrors Kernels.hash60). */
+  private def dkHash60(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
   val all: Vector[QueryDef] = Vector(
 
     // -- §7 design rule: one parameterized grouping replaces the reference's
@@ -1392,6 +1396,65 @@ object QueriesOps {
             sum("c_custkey").cast("long").as("sum_key"),
             sum("cents").cast("long").as("sum_cents"))
           .orderBy("change")
+      }),
+
+    // -- MV with MERGEABLE extrema + approx-distinct state (r9): the view
+    //    stores per-group min/max and HLL REGISTERS alongside count/sums;
+    //    three batch merges + a deliberately REPLAYED batch must leave
+    //    registers identical to a single-pass HLL over the whole table —
+    //    register-wise max is associative/commutative and the fence
+    //    no-ops the replay, so ANY drift (double-merged registers would
+    //    be invisible to max, but lost batches, wrong bucketing, or a
+    //    moved min/max all surface) breaks the oracle, which rebuilds the
+    //    registers hash-for-hash in DuckDB (q73's machinery).
+    QueryDef("q134_materialized_distinct", Some(s"""
+      WITH f AS (SELECT o_orderkey, o_orderpriority AS g, o_custkey,
+                        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      h AS (SELECT g, ${dkHash60("CAST(o_custkey AS VARCHAR)")} AS hh FROM f),
+      b AS (SELECT g, hh % 16 AS bucket, hh // 16 AS w FROM h),
+      r AS (SELECT g, bucket,
+              max(CASE WHEN w = 0 THEN 57
+                  ELSE bit_count((w & -w) - 1) + 1 END) AS rank
+            FROM b GROUP BY 1, 2),
+      grid AS (SELECT k.g, gg.bucket
+               FROM (SELECT DISTINCT g FROM f) k,
+                    (SELECT unnest(range(0, 16)) AS bucket) gg),
+      filled AS (SELECT g.g, g.bucket,
+                        CAST(coalesce(r.rank, 0) AS BIGINT) AS rank
+                 FROM grid g LEFT JOIN r USING (g, bucket)),
+      regs AS (SELECT g, list(rank ORDER BY bucket) AS regs
+               FROM filled GROUP BY 1),
+      base AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(cents) AS BIGINT) AS cents_sum,
+                      CAST(min(cents) AS BIGINT) AS cents_min,
+                      CAST(max(cents) AS BIGINT) AS cents_max
+               FROM f GROUP BY 1)
+      SELECT b.g, b.cnt, b.cents_sum, b.cents_min, b.cents_max,
+             array_to_string(r.regs, '|') AS reg_str
+      FROM base b JOIN regs r USING (g) ORDER BY g"""),
+      (s, dir) => {
+        import graft.sinks.MaterializedAgg
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-mv-ext-gate").toString + "/mv"
+        val spec = MaterializedAgg.Spec(groupCols = Seq("g"),
+          sumCols = Seq("cents"), minCols = Seq("cents"),
+          maxCols = Seq("cents"), distinctCols = Seq("o_custkey"),
+          hllM = 16)
+        val base = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("g"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        for (i <- 0 until 3)
+          MaterializedAgg.mergeBatch(s, root,
+            base.filter(col("o_orderkey") % 3 === i), spec, i.toLong)
+        MaterializedAgg.mergeBatch(s, root,
+          base.filter(col("o_orderkey") % 3 === 1), spec, 1L)
+        MaterializedAgg.readView(s, root, spec)
+          .select(col("g"), col("cnt"), col("cents_sum"),
+            col("cents_min"), col("cents_max"),
+            concat_ws("|",
+              transform(col("o_custkey_hll"), _.cast("string"))).as("reg_str"))
+          .orderBy("g")
       })
   )
 }

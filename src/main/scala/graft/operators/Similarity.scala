@@ -518,10 +518,55 @@ object Similarity {
     * pins its QUALITY — IvfPqSpec asserts a floor and [[graft.Bench]]
     * reports the number every round, so a centroid/codebook regression
     * that stays deterministic still trips the gate. */
+  /** IVF-PQ with an EXACT RERANK tail (the Faiss IndexRefineFlat shape,
+    * and how production ANN actually ships): ADC retrieves a candidate
+    * pool of `k * refineFactor` per query through [[ivfPqTopK]] — codes
+    * only, the corpus's raw vectors never move — then ONLY the
+    * candidates' raw vectors are fetched (a broadcast-hash join of the
+    * tiny candidate list against the corpus: the corpus scan is pruned,
+    * nothing shuffles) and re-scored with the exact cosine the
+    * brute-force oracle uses. PQ's quantization error now only has to
+    * keep true neighbors inside the top-`k*refineFactor`, not rank them
+    * — recall rises sharply for `queries × k × refineFactor` extra exact
+    * distances, a vanishing cost at any scale. Output matches
+    * [[bruteForceTopK]]: (query_id, neighbor_id, cosine, rn). */
+  def ivfPqRerankTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                      queries: DataFrame, queryId: Column, queryVec: Column,
+                      seeds: DataFrame, seedId: Column, seedVec: Column,
+                      m: Int, numCodes: Int, k: Int, nprobe: Int = 1,
+                      refineFactor: Int = 4,
+                      refineCodebook: Boolean = false,
+                      lloydIters: Int = 1): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1 (got $refineFactor)")
+    val cand = ivfPqTopK(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, seeds, seedId, seedVec,
+        m = m, numCodes = numCodes, k = k * refineFactor, nprobe = nprobe,
+        refineCodebook = refineCodebook, lloydIters = lloydIters)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv")).filter(col("cv").isNotNull)
+    val qv = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv")).filter(col("qv").isNotNull)
+    val scored = cv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
+  }
+
+  /** recall@k against exact [[bruteForceTopK]], averaged over the query
+    * set: |approx ∩ exact| / k per query — for [[ivfPqTopK]]
+    * (`refineFactor = None`) or [[ivfPqRerankTopK]] (`Some(f)`). The
+    * determinism oracles (q99/q101/q133) pin the approximation's VALUES;
+    * this pins its QUALITY — IvfPqSpec asserts floors and [[graft.Bench]]
+    * reports both numbers every round, so a centroid/codebook regression
+    * that stays deterministic still trips the gate. */
   def ivfPqRecallAtK(corpus: DataFrame, idCol: Column, vecCol: Column,
                      queries: DataFrame, seeds: DataFrame,
                      m: Int, numCodes: Int, k: Int,
-                     nprobe: Int = 1): Double = {
+                     nprobe: Int = 1,
+                     refineFactor: Option[Int] = None): Double = {
     def topSets(df: DataFrame): Map[Long, Set[Long]] = df
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
       .collect()
@@ -530,10 +575,14 @@ object Similarity {
       }
     val exact = topSets(
       bruteForceTopK(corpus, idCol, vecCol, queries, idCol, vecCol, k))
-    val approx = topSets(
-      ivfPqTopK(corpus, idCol, vecCol, queries, idCol, vecCol,
+    val approx = topSets(refineFactor match {
+      case Some(f) => ivfPqRerankTopK(corpus, idCol, vecCol,
+        queries, idCol, vecCol, seeds, idCol, vecCol,
+        m = m, numCodes = numCodes, k = k, nprobe = nprobe, refineFactor = f)
+      case None => ivfPqTopK(corpus, idCol, vecCol, queries, idCol, vecCol,
         seeds, idCol, vecCol, m = m, numCodes = numCodes, k = k,
-        nprobe = nprobe))
+        nprobe = nprobe)
+    })
     val perQuery = exact.map { case (q, ex) =>
       (approx.getOrElse(q, Set.empty) intersect ex).size.toDouble / k
     }

@@ -48,11 +48,32 @@ object MaterializedAgg {
   /** View definition. `groupCols` key the view (NULLs allowed — encoded
     * distinctly from any string); `sumCols` are summed; a `cnt` row count
     * always rides along, which also makes `avg = sum/cnt` derivable at
-    * read time. `files`/`bits` shape the bootstrap z-layout. */
+    * read time. `minCols`/`maxCols` keep running extrema (mergeable under
+    * the view's insert-only increments; a lake DELETE does not unwind
+    * them, as in every streaming-OLAP view). `distinctCols` keep
+    * per-group HLL REGISTERS (`hllM` buckets, [[graft.functions
+    * .KernelAggs.hll_registers]]) — the mergeable approx-distinct state:
+    * register-wise max is associative and commutative, so batch
+    * boundaries, replays-after-fence and merge order cannot change the
+    * stored registers, and `readView` derives a `<c>_distinct` estimate
+    * per group. `files`/`bits` shape the bootstrap z-layout. */
   final case class Spec(groupCols: Seq[String], sumCols: Seq[String],
+                        minCols: Seq[String] = Nil,
+                        maxCols: Seq[String] = Nil,
+                        distinctCols: Seq[String] = Nil,
+                        hllM: Int = 64,
                         files: Int = 8, bits: Int = 8) {
     require(groupCols.nonEmpty, "at least one group column")
+    require(hllM > 0 && (hllM & (hllM - 1)) == 0,
+      s"hllM must be a power of two (got $hllM)")
     def sumAlias(c: String): String = c + "_sum"
+    def minAlias(c: String): String = c + "_min"
+    def maxAlias(c: String): String = c + "_max"
+    def hllAlias(c: String): String = c + "_hll"
+    /** Every stored aggregate column, in view order. */
+    def aggAliases: Seq[String] =
+      "cnt" +: (sumCols.map(sumAlias) ++ minCols.map(minAlias) ++
+        maxCols.map(maxAlias) ++ distinctCols.map(hllAlias))
   }
 
   private val SpecMarker = "_graft_mv_spec.json"
@@ -68,12 +89,32 @@ object MaterializedAgg {
         .otherwise(concat(lit("="), col(c).cast("string")))): _*)
 
   /** One batch's partial-aggregate rows in view schema (key, z-layout
-    * cols, group cols, cnt, sums). */
+    * cols, group cols, cnt, sums, extrema, HLL registers). */
   private def partial(batch: DataFrame, spec: Spec): DataFrame =
     batch.groupBy(spec.groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        spec.sumCols.map(c => sum(col(c)).as(spec.sumAlias(c))): _*)
+        spec.sumCols.map(c => sum(col(c)).as(spec.sumAlias(c))) ++
+          spec.minCols.map(c => min(col(c)).as(spec.minAlias(c))) ++
+          spec.maxCols.map(c => max(col(c)).as(spec.maxAlias(c))) ++
+          spec.distinctCols.map(c => graft.functions.KernelAggs
+            .hll_registers(col(c).cast("string"), spec.hllM)
+            .as(spec.hllAlias(c))): _*)
       .transform(withLayout(spec))
+
+  /** Merge-side re-aggregation of stored partials: sum-of-sums,
+    * min-of-mins, max-of-maxes, register-wise max of HLL registers (a
+    * fold over built-ins — zip_with/greatest — so the merge stays in
+    * whole-stage codegen). */
+  private def remerge(spec: Spec): Seq[Column] =
+    spec.sumCols.map(c => sum(col(spec.sumAlias(c))).as(spec.sumAlias(c))) ++
+      spec.minCols.map(c => min(col(spec.minAlias(c))).as(spec.minAlias(c))) ++
+      spec.maxCols.map(c => max(col(spec.maxAlias(c))).as(spec.maxAlias(c))) ++
+      spec.distinctCols.map { c =>
+        val a = spec.hllAlias(c)
+        aggregate(collect_list(col(a)),
+          array_repeat(lit(0L), spec.hllM),
+          (acc, x) => zip_with(acc, x, (p, q) => greatest(p, q))).as(a)
+      }
 
   private def withLayout(spec: Spec)(df: DataFrame): DataFrame = {
     val mask = (1L << spec.bits) - 1L
@@ -154,9 +195,7 @@ object MaterializedAgg {
       .select(cols.map(col): _*)
     val merged = current.union(delta)
       .groupBy((KeyCol +: spec.groupCols).map(col): _*)
-      .agg(sum(col("cnt")).as("cnt"),
-        spec.sumCols.map(c =>
-          sum(col(spec.sumAlias(c))).as(spec.sumAlias(c))): _*)
+      .agg(sum(col("cnt")).as("cnt"), remerge(spec): _*)
       // write back ONLY touched keys: when the pruned read fell back to
       // the full view (batch past DynamicPrune's key cap), the union
       // above carries every key — without this restriction the upsert
@@ -172,12 +211,36 @@ object MaterializedAgg {
     true
   }
 
-  /** The view's rows: group columns + `cnt` + the per-column sums (the
-    * internal key/layout columns drop out). */
-  def readView(spark: SparkSession, root: String, spec: Spec): DataFrame =
-    ZLake.read(spark, root)
-      .select((spec.groupCols ++ Seq("cnt") ++
-        spec.sumCols.map(spec.sumAlias)).map(col): _*)
+  /** Standard HLL bias constant (mirrors the manifest-sketch estimator). */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The view's rows: group columns + `cnt` + per-column sums/extrema +
+    * HLL registers, plus a derived `<c>_distinct` estimate per distinct
+    * column (harmonic mean with the standard small-range linear-counting
+    * correction). The internal key/layout columns drop out. */
+  def readView(spark: SparkSession, root: String, spec: Spec): DataFrame = {
+    val base = ZLake.read(spark, root)
+    val m = spec.hllM
+    val withEst = spec.distinctCols.foldLeft(base) { (df, c) =>
+      val regs = col(spec.hllAlias(c))
+      val invSum = aggregate(regs, lit(0.0),
+        (acc, x) => acc + pow(lit(2.0), -x.cast("double")))
+      val raw = lit(hllAlpha(m) * m * m) / invSum
+      val zeros = size(filter(regs, x => x === 0L))
+      df.withColumn(c + "_distinct",
+        when(raw <= lit(2.5 * m) && zeros > 0,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / zeros.cast("double"))))
+          .otherwise(round(raw)).cast("long"))
+    }
+    withEst.select((spec.groupCols ++ spec.aggAliases ++
+      spec.distinctCols.map(_ + "_distinct")).map(col): _*)
+  }
 
   /** Streaming maintenance: each micro-batch merges exactly once (fence-
     * checked under replay; journal-recovered under crash). The batch is

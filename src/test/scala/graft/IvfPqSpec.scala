@@ -131,6 +131,25 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     assert(r <= 1.0)
   }
 
+  test("exact rerank closes most of the ADC quality gap (bench lane floor)") {
+    // the EXACT computation graft.Bench reports as
+    // `recall_ivfpq_rerank_at10`: same operating point as the plain lane,
+    // plus ivfPqRerankTopK's k*8 candidate pool re-scored with exact
+    // cosine. PQ then only has to KEEP true neighbors in the pool, not
+    // rank them — recall must jump well past the code-ranked number.
+    val qs = emb.filter(col("vec_id") < 8)
+    val plain = Similarity.ivfPqRecallAtK(
+      emb, col("vec_id"), col("embedding"), queries = qs, seeds = qs,
+      m = 8, numCodes = 16, k = 10, nprobe = 2)
+    val rerank = Similarity.ivfPqRecallAtK(
+      emb, col("vec_id"), col("embedding"), queries = qs, seeds = qs,
+      m = 8, numCodes = 16, k = 10, nprobe = 2, refineFactor = Some(8))
+    info(f"recall@10 at nprobe=2: ADC-ranked $plain%.3f, exact-reranked $rerank%.3f")
+    assert(rerank >= plain + 0.2,
+      f"rerank bought almost nothing: $plain%.3f -> $rerank%.3f")
+    assert(rerank >= 0.75, f"reranked recall collapsed: $rerank%.3f")
+  }
+
   test("IVF-PQ probing every cell equals plain PQ exactly") {
     val seeds = emb.filter(col("vec_id") % 37 === 0).limit(8)
     def canon(df: org.apache.spark.sql.DataFrame) =

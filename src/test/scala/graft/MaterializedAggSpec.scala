@@ -53,6 +53,42 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
     assert(view(root) == recompute(2), "replay double-counted")
   }
 
+  test("min/max/approx-distinct columns merge exactly, replay included") {
+    val root = tmp("mv-ext")
+    val extSpec = Spec(groupCols = Seq("g"), sumCols = Seq("x"),
+      minCols = Seq("x"), maxCols = Seq("x"), distinctCols = Seq("u"),
+      hllM = 16)
+    def data = spark.range(1200).select(
+      concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
+      (col("id") * 13 % 1999).as("x"), (col("id") % 97).as("u"))
+    for (i <- 0 until 3)
+      MaterializedAgg.mergeBatch(spark, root,
+        data.filter(col("id") % 3 === i), extSpec, i.toLong)
+    // deliberate replay: register-wise max and min/max must not move
+    MaterializedAgg.mergeBatch(spark, root,
+      data.filter(col("id") % 3 === 1), extSpec, 1L)
+
+    def canon(df: DataFrame) = df
+      .select(col("g"), col("cnt"), col("x_sum"), col("x_min"),
+        col("x_max"), col("u_hll"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getSeq[Long](5).toList))
+      .toSeq.sortBy(_._1)
+    val onePass = data.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("x_sum"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        graft.functions.KernelAggs
+          .hll_registers(col("u").cast("string"), 16).as("u_hll"))
+    assert(canon(MaterializedAgg.readView(spark, root, extSpec)) ===
+      canon(onePass),
+      "incrementally-merged extrema/registers != one-pass aggregation")
+    // the derived estimate is sane: 97 distinct u per group (every group
+    // sees every residue at this size), HLL@16 within its error regime
+    val ests = MaterializedAgg.readView(spark, root, extSpec)
+      .select("u_distinct").collect().map(_.getLong(0))
+    assert(ests.forall(e => e > 40 && e < 200), s"wild estimate: ${ests.toSeq}")
+  }
+
   test("key-cap fallback: full-view read still writes back only touched keys") {
     val root = tmp("mv-cap")
     assert(MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L))
