@@ -184,6 +184,12 @@ object Bench {
         // ---- lake WRITE lanes: fresh target directory every run ----
         new Timed("qW_zorder_write",
           lakes.writeFlat(freshDir("wflat") + "/customer")),
+        // same rows/files/stats through the Hilbert curve: the artifact's
+        // curve-cost comparison (index math is the only delta vs qW_zorder)
+        new Timed("qW_hilbert_write",
+          graft.sinks.Sinks.hilbertWrite(lakes.customerProj, "a", "b",
+            freshDir("whil") + "/customer", numFiles = 16, bits = 8,
+            bloomCols = Seq("uid"), sumCols = Seq("c_custkey"))),
         new Timed("qW_windowed_write",
           lakes.writeWindowed(freshDir("wwin") + "/customer")),
         new Timed("qW_append_compact",

@@ -86,6 +86,8 @@ object GraftExtensions {
       KernelExprs.ZOrder2(a(0), a(1), intArg(a(2), "bits"))),
     "graft_zorder3" -> ((a: Seq[Expression]) =>
       KernelExprs.ZOrder3(a(0), a(1), a(2), intArg(a(3), "bits"))),
+    "graft_hilbert2" -> ((a: Seq[Expression]) =>
+      KernelExprs.Hilbert2(a(0), a(1), intArg(a(2), "bits"))),
     "graft_bloom_sketch" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.BloomAgg(a(0),
         intArg(a(1), "numBits"), intArg(a(2), "numHashes"))),

@@ -1455,6 +1455,85 @@ object QueriesOps {
             concat_ws("|",
               transform(col("o_custkey_hll"), _.cast("string"))).as("reg_str"))
           .orderBy("g")
+      }),
+
+    // -- Hilbert-clustered lake (hilbertWrite): the alternative space-
+    //    filling curve through the SAME manifest/pruning read path — a
+    //    box filter + aggregate over a 16-file Hilbert layout must equal
+    //    the raw-table oracle exactly (clustering is invisible to
+    //    results; only envelopes tighten). The curve itself is pinned by
+    //    HilbertLayoutSpec (bijection + continuity); this gates the lake
+    //    integration end to end through the driver.
+    QueryDef("q135_hilbert_lake", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
+                        (c_custkey * 7) % 256 AS b, c_acctbal
+                 FROM customer)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal
+      FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
+      ORDER BY n"""),
+      (s, dir) => {
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-hilbert-gate").toString + "/customer"
+        graft.sinks.Sinks.hilbertWrite(
+          T(s, dir, "customer").select(col("c_custkey"),
+            (col("c_custkey") % 256).cast("long").as("a"),
+            (col("c_custkey") * 7 % 256).cast("long").as("b"),
+            col("c_acctbal")),
+          "a", "b", lake, numFiles = 16, bits = 8)
+        graft.sources.ZLake.read(s, lake)
+          .filter(col("a").between(32, 63) && col("b").between(64, 127))
+          .agg(count("*").cast("long").as("n"),
+            sum("a").cast("long").as("sum_a"),
+            sum("b").cast("long").as("sum_b"),
+            sum(floor(col("c_acctbal") * 100).cast("long"))
+              .cast("long").as("bal"))
+          .orderBy("n")
+      }),
+
+    // -- lake SCHEMA EVOLUTION through the driver gate: window 0 lands
+    //    with (k, a), window 1 adds an `extra` column; the union-merged
+    //    manifest schema (ZLakeManifestSpec pins the merge itself) must
+    //    plan a read where old files backfill `extra` as NULL and new
+    //    files carry real values — count(extra) vs count(*) splits the
+    //    two populations, and the data filter exercises envelope pruning
+    //    ACROSS the schema boundary. Oracle: the same two-generation
+    //    union built relationally.
+    QueryDef("q136_lake_schema_evolution", Some("""
+      WITH f AS (
+        SELECT c_custkey AS k, c_custkey % 64 AS a,
+               CAST(NULL AS BIGINT) AS extra
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_custkey % 64, c_custkey * 3
+        FROM customer WHERE c_custkey % 2 = 1)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(extra) AS BIGINT) AS n_extra,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(extra) AS BIGINT) AS sum_extra
+      FROM f WHERE a BETWEEN 16 AND 47 ORDER BY n"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-evolve-gate").toString + "/customer"
+        val base = T(s, dir, "customer").select(
+          col("c_custkey").as("k"),
+          (col("c_custkey") % 64).cast("long").as("a"))
+        graft.sinks.Sinks.zorderedWrite(
+          base.filter(col("k") % 2 === 0),
+          "a", "k", s"$root/win=0", numFiles = 4, bits = 6)
+        graft.sinks.Sinks.zorderedWrite(
+          base.filter(col("k") % 2 === 1)
+            .withColumn("extra", col("k") * 3),
+          "a", "k", s"$root/win=1", numFiles = 4, bits = 6)
+        graft.sources.ZLake.read(s, root)
+          .filter(col("a").between(16, 47))
+          .agg(count(lit(1)).cast("long").as("n"),
+            count(col("extra")).cast("long").as("n_extra"),
+            sum("a").cast("long").as("sum_a"),
+            sum("extra").cast("long").as("sum_extra"))
+          .orderBy("n")
       })
   )
 }

@@ -111,6 +111,21 @@ object KernelExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Hilbert-curve index — [[graft.functions.Kernels.hilbert2]] as a
+    * codegen'd expression; same domain contract as [[ZOrder2]]. */
+  case class Hilbert2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+    require(bits > 0 && bits <= 30, s"hilbert2: bits in [1, 30] (got $bits)")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.hilbert2(a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue(), bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.hilbert2($a, $b, $bits)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Hilbert2 =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Three-way Morton interleave — [[graft.functions.Kernels.zorder3]] as
     * a codegen'd expression. bits ≤ 20 keeps 3·bits inside a long. */
   case class ZOrder3(first: Expression, second: Expression,
@@ -159,4 +174,6 @@ object KernelExprs {
     ColumnBridge.column(ZOrder2(e(a), e(b), bits))
   def zorder3(a: Column, b: Column, c: Column, bits: Int): Column =
     ColumnBridge.column(ZOrder3(e(a), e(b), e(c), bits))
+  def hilbert2(a: Column, b: Column, bits: Int): Column =
+    ColumnBridge.column(Hilbert2(e(a), e(b), bits))
 }

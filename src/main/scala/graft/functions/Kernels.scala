@@ -172,6 +172,36 @@ object Kernels {
     z
   }
 
+  /** Hilbert-curve index of `(a, b)` on the `2^bits × 2^bits` grid — the
+    * classic iterative xy→d conversion (Hamilton's rotate-and-reflect;
+    * the public-domain formulation from Warren's Hacker's Delight /
+    * Wikipedia). Unlike the Morton interleave, consecutive indices are
+    * always GRID NEIGHBORS (the curve never jumps), so a contiguous index
+    * range covers a more compact region: files cut from sorted Hilbert
+    * ranges carry tighter per-dimension envelopes at box-query corners
+    * where z-order's quadrant seams inflate them (measured in
+    * HilbertLayoutSpec). Inputs clamp to the low `bits` bits, exactly as
+    * [[zorder2]]. */
+  def hilbert2(a: Long, b: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1L
+    var x = a & mask
+    var y = b & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate the quadrant so the sub-curve orients consistently
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Three-way Morton interleave: a's bit i lands at 3i, b's at 3i+1, c's
     * at 3i+2 — the time × tenant × key clustering a multi-dimension lake
     * wants. bits ≤ 20 keeps the interleave inside a positive long. */

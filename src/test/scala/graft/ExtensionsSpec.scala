@@ -80,6 +80,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "graft_kmv_sketch" -> "(SELECT graft_kmv_sketch(x, 4) FROM (SELECT 'a' AS x))",
       "graft_zorder2" -> "graft_zorder2(3, 5, 8)",
       "graft_zorder3" -> "graft_zorder3(3, 5, 7, 8)",
+      "graft_hilbert2" -> "graft_hilbert2(3, 5, 8)",
       "graft_ip_to_long" -> "graft_ip_to_long(ip)",
       "graft_long_to_ip" -> "graft_long_to_ip(16909060L)",
       "graft_ip_in_cidr" -> "graft_ip_in_cidr(ip, '1.2.3.0/24')",
