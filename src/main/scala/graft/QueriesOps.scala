@@ -1534,6 +1534,59 @@ object QueriesOps {
             sum("a").cast("long").as("sum_a"),
             sum("extra").cast("long").as("sum_extra"))
           .orderBy("n")
+      }),
+
+    // -- multi-grain MV (rollup lattice): ONE maintained view stores the
+    //    (g,h), (g) and grand-total grains — each batch computes the
+    //    whole lattice with native grouping sets (one scan, one shuffle)
+    //    and merges behind the fence; a replayed batch must move nothing
+    //    in ANY grain. The oracle recomputes each grain relationally and
+    //    unions them under a grain label — a cross-grain key collision
+    //    (the NULL-vs-aggregated-away trap) or a grain double-count
+    //    breaks its slice.
+    QueryDef("q137_materialized_lattice", Some("""
+      WITH f AS (SELECT o_orderkey, o_orderpriority AS g, o_orderstatus AS h,
+                        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT 'g_h' AS grain, g, h, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM f GROUP BY g, h
+      UNION ALL
+      SELECT 'g', g, CAST(NULL AS VARCHAR), CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT)
+      FROM f GROUP BY g
+      UNION ALL
+      SELECT 'total', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      FROM f
+      ORDER BY grain, g, h"""),
+      (s, dir) => {
+        import graft.sinks.MaterializedAgg
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-mv-lat-gate").toString + "/mv"
+        val spec = MaterializedAgg.Spec(groupCols = Seq("g", "h"),
+          sumCols = Seq("cents"),
+          groupingSets = Seq(Seq("g", "h"), Seq("g"), Nil))
+        val base = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("g"), col("o_orderstatus").as("h"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        for (i <- 0 until 3)
+          MaterializedAgg.mergeBatch(s, root,
+            base.filter(col("o_orderkey") % 3 === i), spec, i.toLong)
+        MaterializedAgg.mergeBatch(s, root,
+          base.filter(col("o_orderkey") % 3 === 1), spec, 1L)
+        def grain(label: String, set: Seq[String]): DataFrame =
+          MaterializedAgg.readGrain(s, root, spec, set)
+            .select(lit(label).as("grain"),
+              (if (set.contains("g")) col("g")
+               else lit(null).cast("string")).as("g"),
+              (if (set.contains("h")) col("h")
+               else lit(null).cast("string")).as("h"),
+              col("cnt").as("n"), col("cents_sum").as("sum_cents"))
+        grain("g_h", Seq("g", "h"))
+          .unionByName(grain("g", Seq("g")))
+          .unionByName(grain("total", Nil))
+          .orderBy("grain", "g", "h")
       })
   )
 }

@@ -62,14 +62,28 @@ object MaterializedAgg {
                         maxCols: Seq[String] = Nil,
                         distinctCols: Seq[String] = Nil,
                         hllM: Int = 64,
+                        groupingSets: Seq[Seq[String]] = Nil,
                         files: Int = 8, bits: Int = 8) {
     require(groupCols.nonEmpty, "at least one group column")
     require(hllM > 0 && (hllM & (hllM - 1)) == 0,
       s"hllM must be a power of two (got $hllM)")
+    require(groupingSets.forall(_.forall(groupCols.contains)),
+      s"every grouping set must be a subset of groupCols $groupCols")
     def sumAlias(c: String): String = c + "_sum"
     def minAlias(c: String): String = c + "_min"
     def maxAlias(c: String): String = c + "_max"
     def hllAlias(c: String): String = c + "_hll"
+    /** Multi-grain mode: the view maintains the whole ROLLUP LATTICE —
+      * one stored row set per grouping set, distinguished by a grain id
+      * — in ONE pass per batch (native grouping sets: shared scan, one
+      * shuffle with grouping-id expansion). */
+    def multiGrain: Boolean = groupingSets.nonEmpty
+    /** Spark's grouping_id for one set: bit (n-1-i) set when groupCols(i)
+      * is aggregated away. */
+    def grainId(set: Seq[String]): Long =
+      groupCols.zipWithIndex.collect {
+        case (c, i) if !set.contains(c) => 1L << (groupCols.size - 1 - i)
+      }.sum
     /** Every stored aggregate column, in view order. */
     def aggAliases: Seq[String] =
       "cnt" +: (sumCols.map(sumAlias) ++ minCols.map(minAlias) ++
@@ -78,28 +92,52 @@ object MaterializedAgg {
 
   private val SpecMarker = "_graft_mv_spec.json"
   private[sinks] val KeyCol = "__mvkey"
+  private[sinks] val GrainCol = "__mvgrain"
   private val ZA = "__za"
   private val ZB = "__zb"
 
   /** Null-safe composite key: each group value renders as `=value`, NULL
     * as `∅` — unambiguous as long as values avoid the U+0001 separator. */
-  private def keyExpr(spec: Spec): Column =
-    concat_ws("", spec.groupCols.map(c =>
+  private def keyExpr(spec: Spec): Column = {
+    val parts = spec.groupCols.map(c =>
       when(col(c).isNull, lit("∅"))
-        .otherwise(concat(lit("="), col(c).cast("string")))): _*)
+        .otherwise(concat(lit("="), col(c).cast("string"))))
+    // multi-grain views prefix the GRAIN ID, so a lattice row whose
+    // aggregated-away column reads NULL can never collide with a finer
+    // grain's genuinely-NULL group value
+    val all = if (spec.multiGrain)
+      concat(lit("#"), col(GrainCol).cast("string")) +: parts
+    else parts
+    concat_ws("", all: _*)
+  }
+
+  /** Key-adjacent columns the merge groups by (the grain rides the key). */
+  private def grainCols(spec: Spec): Seq[String] =
+    if (spec.multiGrain) Seq(GrainCol) else Nil
 
   /** One batch's partial-aggregate rows in view schema (key, z-layout
-    * cols, group cols, cnt, sums, extrema, HLL registers). */
-  private def partial(batch: DataFrame, spec: Spec): DataFrame =
-    batch.groupBy(spec.groupCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        spec.sumCols.map(c => sum(col(c)).as(spec.sumAlias(c))) ++
-          spec.minCols.map(c => min(col(c)).as(spec.minAlias(c))) ++
-          spec.maxCols.map(c => max(col(c)).as(spec.maxAlias(c))) ++
-          spec.distinctCols.map(c => graft.functions.KernelAggs
-            .hll_registers(col(c).cast("string"), spec.hllM)
-            .as(spec.hllAlias(c))): _*)
-      .transform(withLayout(spec))
+    * cols, [grain], group cols, cnt, sums, extrema, HLL registers). A
+    * multi-grain spec computes the whole lattice with NATIVE grouping
+    * sets — one scan, one shuffle with grouping-id expansion — and tags
+    * each row's grain with `grouping_id()`. */
+  private def partial(batch: DataFrame, spec: Spec): DataFrame = {
+    val aggs =
+      (if (spec.multiGrain)
+        Seq(grouping_id().cast("long").as(GrainCol)) else Nil) ++
+      Seq(count(lit(1)).as("cnt")) ++
+      spec.sumCols.map(c => sum(col(c)).as(spec.sumAlias(c))) ++
+      spec.minCols.map(c => min(col(c)).as(spec.minAlias(c))) ++
+      spec.maxCols.map(c => max(col(c)).as(spec.maxAlias(c))) ++
+      spec.distinctCols.map(c => graft.functions.KernelAggs
+        .hll_registers(col(c).cast("string"), spec.hllM)
+        .as(spec.hllAlias(c)))
+    val grouped =
+      if (spec.multiGrain)
+        batch.groupingSets(spec.groupingSets.map(_.map(col)),
+          spec.groupCols.map(col): _*)
+      else batch.groupBy(spec.groupCols.map(col): _*)
+    grouped.agg(aggs.head, aggs.tail: _*).transform(withLayout(spec))
+  }
 
   /** Merge-side re-aggregation of stored partials: sum-of-sums,
     * min-of-mins, max-of-maxes, register-wise max of HLL registers (a
@@ -194,7 +232,7 @@ object MaterializedAgg {
       spark, root, KeyCol, delta, col(KeyCol), maxKeys = maxReadKeys)
       .select(cols.map(col): _*)
     val merged = current.union(delta)
-      .groupBy((KeyCol +: spec.groupCols).map(col): _*)
+      .groupBy((KeyCol +: (grainCols(spec) ++ spec.groupCols)).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"), remerge(spec): _*)
       // write back ONLY touched keys: when the pruned read fell back to
       // the full view (batch past DynamicPrune's key cap), the union
@@ -238,8 +276,24 @@ object MaterializedAgg {
             log(lit(m.toDouble) / zeros.cast("double"))))
           .otherwise(round(raw)).cast("long"))
     }
-    withEst.select((spec.groupCols ++ spec.aggAliases ++
+    withEst.select((grainCols(spec) ++ spec.groupCols ++ spec.aggAliases ++
       spec.distinctCols.map(_ + "_distinct")).map(col): _*)
+  }
+
+  /** One grain of a multi-grain view: the rows of the grouping set
+    * `set`, projected to ITS columns + the aggregates — i.e.
+    * `readGrain(..., Seq("g"))` is the lattice's `GROUP BY g` slice,
+    * `readGrain(..., Nil)` its grand total, each a file-pruned read of
+    * the one stored lattice instead of a recompute. */
+  def readGrain(spark: SparkSession, root: String, spec: Spec,
+                set: Seq[String]): DataFrame = {
+    require(spec.multiGrain, "readGrain needs a groupingSets spec")
+    require(spec.groupingSets.exists(_.toSet == set.toSet),
+      s"$set is not one of the view's grouping sets ${spec.groupingSets}")
+    readView(spark, root, spec)
+      .filter(col(GrainCol) === spec.grainId(set))
+      .select((set ++ spec.aggAliases ++
+        spec.distinctCols.map(_ + "_distinct")).map(col): _*)
   }
 
   /** Streaming maintenance: each micro-batch merges exactly once (fence-

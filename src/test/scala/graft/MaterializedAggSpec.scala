@@ -89,6 +89,43 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
     assert(ests.forall(e => e > 40 && e < 200), s"wild estimate: ${ests.toSeq}")
   }
 
+  test("multi-grain lattice: every grouping set equals its direct recompute") {
+    val root = tmp("mv-lattice")
+    val latSpec = Spec(groupCols = Seq("g", "h"), sumCols = Seq("v"),
+      groupingSets = Seq(Seq("g", "h"), Seq("g"), Seq("h"), Nil))
+    // h is NULL on one lane — the finest grain's genuinely-NULL h must
+    // not collide with the by-g grain where h is aggregated away
+    def data = spark.range(900).select(
+      concat(lit("g"), (col("id") % 4).cast("string")).as("g"),
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("h"), (col("id") % 3).cast("string"))).as("h"),
+      (col("id") % 97).cast("long").as("v"))
+    for (i <- 0 until 3)
+      MaterializedAgg.mergeBatch(spark, root,
+        data.filter(col("id") % 3 === i), latSpec, i.toLong)
+    MaterializedAgg.mergeBatch(spark, root,
+      data.filter(col("id") % 3 === 1), latSpec, 1L) // replay no-op
+
+    def canon(df: DataFrame, keys: Seq[String]): Set[Seq[Any]] =
+      df.select((keys ++ Seq("cnt", "v_sum")).map(col): _*)
+        .collect().map(_.toSeq.toVector.map(String.valueOf(_): Any)).toSet
+    for (set <- latSpec.groupingSets) {
+      val direct =
+        if (set.isEmpty)
+          data.agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+        else data.groupBy(set.map(col): _*)
+          .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+      assert(canon(MaterializedAgg.readGrain(spark, root, latSpec, set), set)
+        === canon(direct, set), s"grain $set diverged")
+    }
+    // the stored lattice row count = sum of grain sizes, no cross-grain leak
+    val view = MaterializedAgg.readView(spark, root, latSpec)
+    assert(view.count() ===
+      latSpec.groupingSets.map(s =>
+        if (s.isEmpty) 1L
+        else data.select(s.map(col): _*).distinct().count()).sum)
+  }
+
   test("key-cap fallback: full-view read still writes back only touched keys") {
     val root = tmp("mv-cap")
     assert(MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L))
