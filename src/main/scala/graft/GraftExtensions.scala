@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ORDER BY col LIMIT k over a zlake → scan only files that can hold
     // a top-k row (zone-map top-k: envelope accumulation bound)
     ext.injectOptimizerRule(sp => graft.plans.TopKFilePrune(sp))
+    // GROUP BY over a registered base lake → re-aggregate its maintained
+    // MaterializedAgg view (warehouse-style materialized-view rewriting)
+    ext.injectOptimizerRule(sp => graft.plans.MvRewrite(sp))
   }
 }
 

@@ -1587,6 +1587,53 @@ object QueriesOps {
           .unionByName(grain("g", Seq("g")))
           .unionByName(grain("total", Nil))
           .orderBy("grain", "g", "h")
+      }),
+
+    // -- MATERIALIZED-VIEW QUERY REWRITING (plans/MvRewrite): the base
+    //    lake is registered against its maintained view, and a plain
+    //    GROUP BY over the BASE READ is answered by re-aggregating the
+    //    view's stored partials (MvRewriteSpec pins the plan: zero base
+    //    files scanned; unsupported shapes keep the scan). The oracle
+    //    computes the same aggregate over the raw table — the rewrite
+    //    must be bit-identical to the scan it replaced, including the
+    //    group-column filter that rides it.
+    QueryDef("q138_mv_query_rewrite", Some("""
+      WITH f AS (SELECT o_orderpriority AS g, o_orderstatus AS h,
+                        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(min(cents) AS BIGINT) AS lo,
+             CAST(max(cents) AS BIGINT) AS hi
+      FROM f WHERE g <> '3-MEDIUM' GROUP BY g ORDER BY g"""),
+      (s, dir) => {
+        import graft.plans.MvRewrite
+        import graft.sinks.MaterializedAgg
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-mvrw-gate").toString + "/orders"
+        val view = base.stripSuffix("/orders") + "/mv"
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority").as("g"), col("o_orderstatus").as("h"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents")),
+          "o_orderkey", "cents", base, numFiles = 4, bits = 8)
+        val spec = MaterializedAgg.Spec(groupCols = Seq("g", "h"),
+          sumCols = Seq("cents"), minCols = Seq("cents"),
+          maxCols = Seq("cents"),
+          groupingSets = Seq(Seq("g", "h"), Seq("g")))
+        for (i <- 0 until 2)
+          MaterializedAgg.mergeBatch(s, view,
+            graft.sources.ZLake.read(s, base)
+              .filter(col("o_orderkey") % 2 === i), spec, i.toLong)
+        MvRewrite.register(base, view, spec)
+        graft.sources.ZLake.read(s, base)
+          .filter(col("g") =!= "3-MEDIUM")
+          .groupBy("g")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").cast("long").as("sum_cents"),
+            min("cents").cast("long").as("lo"),
+            max("cents").cast("long").as("hi"))
+          .orderBy("g")
       })
   )
 }

@@ -1,0 +1,187 @@
+package graft.plans
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin, sum => fsum}
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+import graft.sinks.MaterializedAgg
+import graft.sinks.MaterializedAgg.Spec
+
+/** MATERIALIZED-VIEW QUERY REWRITING: a `GROUP BY` aggregate over a
+  * registered base lake is answered from its incrementally-maintained
+  * [[MaterializedAgg]] view instead of scanning the base — the classic
+  * warehouse optimization (Oracle query rewrite, Calcite's
+  * MaterializedViewRule) the lake stack was missing. A 100 TB fact scan
+  * becomes a read of a few thousand stored partials, re-aggregated.
+  *
+  * Scope — EXACTNESS-gated, mirroring [[ManifestAggs]]' philosophy (a
+  * rewrite must be bit-identical to the scan it replaces, or not happen):
+  *  - The aggregate's child must peel (through Project/Filter/
+  *    SubqueryAlias) down to the registered base lake's relation.
+  *  - Grouping: attribute references forming a SUBSET of the view's
+  *    group columns, covered by a stored grain — the view's own grain in
+  *    single-grain mode, or any lattice grouping set that contains every
+  *    queried group column (finest cover wins; the gap re-aggregates,
+  *    which is sound for every mapped function below).
+  *  - Aggregates: `count(*)`/`count(lit)` → `sum(cnt)`; `sum(x)` with x
+  *    in `sumCols` → `sum(x_sum)`; `min(x)`/`max(x)` with x in
+  *    `minCols`/`maxCols` → `min(x_min)`/`max(x_max)`. No DISTINCT, no
+  *    FILTER clauses, nothing else (`avg`, float sums and
+  *    `count(distinct)` keep the scan — the view's state cannot
+  *    reproduce them exactly).
+  *  - Filters: deterministic conjuncts referencing only the queried
+  *    group columns — they commute with grouping, so they apply to the
+  *    view's stored group values verbatim.
+  *
+  * FRESHNESS is the registrant's contract, exactly as in every warehouse
+  * with manual rewrite enablement: registering a view asserts its
+  * maintenance covers the base (e.g. the [[graft.sources.ZLakeTail]] →
+  * [[MaterializedAgg.maintain]] standing pipeline); `unregister`/
+  * [[MvRewrite.clear]] withdraw it. Type note: the stored partials are
+  * Spark's OWN partial-aggregation states (sum-of-longs stays long,
+  * min/max keep their type), so the rewritten plan's types — and its
+  * overflow behavior — match the two-level aggregation the scan would
+  * have run.
+  */
+object MvRewrite {
+
+  final case class Registration(viewRoot: String, spec: Spec)
+
+  /** base lake path (normalized) → registration. Process-wide, like the
+    * session catalogs the rule consults. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Registration]()
+
+  private def norm(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath.stripSuffix("/")
+
+  /** Enable rewriting of aggregates over `basePath` onto the view at
+    * `viewRoot` (maintained under `spec`). The caller asserts the view's
+    * maintenance covers the base table's contents. */
+  def register(basePath: String, viewRoot: String, spec: Spec): Unit = {
+    registry.put(norm(basePath), Registration(viewRoot, spec)); ()
+  }
+
+  def unregister(basePath: String): Unit = { registry.remove(norm(basePath)); () }
+  def clear(): Unit = registry.clear()
+
+  private[plans] def lookup(path: String): Option[Registration] =
+    Option(registry.get(norm(path)))
+}
+
+case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg: Aggregate =>
+      try rewrite(agg).getOrElse(agg)
+      catch { case NonFatal(_) => agg }
+  }
+
+  /** Peel to the base relation; collect filter conjuncts. */
+  private def unwrap(p: LogicalPlan)
+      : Option[(MvRewrite.Registration, Seq[Expression])] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption
+          .flatMap(r => MvRewrite.lookup(r.toString)).map((_, Nil))
+      case _ => None
+    }
+    case f: Filter => unwrap(f.child).map { case (reg, cs) =>
+      (reg, splitConjunctivePredicates(f.condition) ++ cs)
+    }
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(pr.child)
+    case s: SubqueryAlias => unwrap(s.child)
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (reg, filters) = unwrap(agg.child).getOrElse(return None)
+    val spec = reg.spec
+
+    // grouping: plain attributes, all view group columns
+    val groupNames: Seq[String] = agg.groupingExpressions.map {
+      case a: AttributeReference if spec.groupCols.contains(a.name) => a.name
+      case _ => return None
+    }
+
+    // a stored grain must COVER the queried grouping
+    val grain: Seq[String] =
+      if (!spec.multiGrain) {
+        if (groupNames.forall(spec.groupCols.contains)) spec.groupCols
+        else return None
+      } else spec.groupingSets
+        .filter(s => groupNames.forall(s.contains))
+        .sortBy(_.size).headOption.getOrElse(return None)
+
+    // filters: deterministic, over the queried group columns only
+    if (!filters.forall(f => f.deterministic &&
+        f.references.forall(a => groupNames.contains(a.name)))) return None
+
+    // map every output expression onto the view's stored partials
+    def mapAgg(fn: AggregateFunction): Option[org.apache.spark.sql.Column] =
+      fn match {
+        case Count(es) if es.forall(e => e.foldable && e.eval() != null) =>
+          Some(fsum(col("cnt")))
+        case Sum(a: AttributeReference, _) if spec.sumCols.contains(a.name) =>
+          Some(fsum(col(spec.sumAlias(a.name))))
+        case Min(a: AttributeReference) if spec.minCols.contains(a.name) =>
+          Some(fmin(col(spec.minAlias(a.name))))
+        case Max(a: AttributeReference) if spec.maxCols.contains(a.name) =>
+          Some(fmax(col(spec.maxAlias(a.name))))
+        case _ => None
+      }
+    if (agg.aggregateExpressions.map(_.name).distinct.size !=
+      agg.aggregateExpressions.size) return None
+    val aggParts: Seq[org.apache.spark.sql.Column] =
+      agg.aggregateExpressions.flatMap {
+        case a: AttributeReference if groupNames.contains(a.name) => None
+        case al @ Alias(ae: AggregateExpression, _) =>
+          if (ae.isDistinct || ae.filter.nonEmpty) return None
+          Some(mapAgg(ae.aggregateFunction).getOrElse(return None).as(al.name))
+        case _ => return None
+      }
+    if (aggParts.isEmpty) return None // pure-DISTINCT shape: keep the scan
+
+    // rebuild: grain slice of the view -> residual filters -> re-aggregate
+    val grainDf: DataFrame =
+      if (spec.multiGrain)
+        MaterializedAgg.readGrain(spark, reg.viewRoot, spec, grain)
+      else MaterializedAgg.readView(spark, reg.viewRoot, spec)
+    val filtered = filters.foldLeft(grainDf) { (df, f) =>
+      // re-anchor the conjunct on the view plan: base-side attribute ids
+      // cannot resolve there, names can (group values are stored verbatim)
+      val rebuilt = f.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      }
+      df.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(rebuilt))
+    }
+    val reagg =
+      (if (groupNames.isEmpty) filtered.agg(aggParts.head, aggParts.tail: _*)
+       else filtered.groupBy(groupNames.map(col): _*)
+         .agg(aggParts.head, aggParts.tail: _*))
+        .select(agg.aggregateExpressions.map(ne => col(ne.name)): _*)
+
+    val newPlan = PlanBridge.plan(reagg)
+    // type + id fidelity: every replacement column must carry the original
+    // output's type exactly (the stored partials ARE Spark's partial-agg
+    // states, so a mismatch means an unhandled shape — bail, don't cast)
+    if (newPlan.output.size != agg.output.size) return None
+    newPlan.output.zip(agg.output).foreach { case (n, o) =>
+      if (n.dataType != o.dataType) return None
+    }
+    Some(Project(newPlan.output.zip(agg.output).map { case (n, o) =>
+      Alias(n, o.name)(exprId = o.exprId)
+    }, newPlan))
+  }
+}
