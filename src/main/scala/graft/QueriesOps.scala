@@ -1634,6 +1634,42 @@ object QueriesOps {
             min("cents").cast("long").as("lo"),
             max("cents").cast("long").as("hi"))
           .orderBy("g")
+      }),
+
+    // -- MV COMPACTION mid-maintenance (LakeDelete.rewriteLake via
+    //    MaterializedAgg.compactView): two merges fragment the view,
+    //    compaction rewrites it whole through the journal (fence and
+    //    ownership marker untouched), then a REPLAY of batch 1 and a
+    //    fresh batch 2 land on the compacted layout — exactly-once must
+    //    hold ACROSS the compaction, and the key blooms the pruned read
+    //    needs must survive the rewrite. Oracle: one-pass aggregate.
+    QueryDef("q139_mv_compaction", Some("""
+      WITH f AS (SELECT c_custkey, c_mktsegment AS g,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer)
+      SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(cents) AS BIGINT) AS cents_sum
+      FROM f GROUP BY g ORDER BY g"""),
+      (s, dir) => {
+        import graft.sinks.MaterializedAgg
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-mv-cmp-gate").toString + "/mv"
+        val spec = MaterializedAgg.Spec(groupCols = Seq("g"),
+          sumCols = Seq("cents"))
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment").as("g"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (i <- 0 until 2)
+          MaterializedAgg.mergeBatch(s, root,
+            base.filter(col("c_custkey") % 3 === i), spec, i.toLong)
+        MaterializedAgg.compactView(s, root, spec)
+        MaterializedAgg.mergeBatch(s, root,
+          base.filter(col("c_custkey") % 3 === 1), spec, 1L) // replay: no-op
+        MaterializedAgg.mergeBatch(s, root,
+          base.filter(col("c_custkey") % 3 === 2), spec, 2L)
+        MaterializedAgg.readView(s, root, spec)
+          .select(col("g"), col("cnt"), col("cents_sum"))
+          .orderBy("g")
       })
   )
 }

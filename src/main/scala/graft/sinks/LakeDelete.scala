@@ -132,6 +132,65 @@ object LakeDelete {
     deleteCore(spark, root, predicate, Nil, recovered)
   }
 
+  final case class RewriteReport(filesBefore: Int, filesAfter: Int,
+                                 rows: Long)
+
+  /** Journal-atomic WHOLE-LAKE REWRITE — the compaction a FLAT
+    * (partitionless) lake needs after incremental growth: a long-lived
+    * [[MaterializedAgg]] view gains a handful of upsert files per merge,
+    * and after 10^4 merges its read plans 10^4 small files. This rewrites
+    * the entire current file set as one fresh z-ordered layout through
+    * the SAME staged-files + journal commit the delete/upsert path uses:
+    * replacement files land invisibly under the stage dir, the journal
+    * (drop = every current file, add = the compact set) publishes
+    * atomically, and a crash at ANY point either leaves the old layout
+    * intact or is healed by [[recover]] into the new one. The commit
+    * fence and any ownership markers are separate root files the journal
+    * never touches — exactly-once maintenance state survives compaction.
+    * Partitioned lakes have [[Sinks.compactLake]] (per-window swaps with
+    * closed-window cutoffs); this operator refuses them. */
+  def rewriteLake(spark: SparkSession, root: String,
+                  zorderBy: (String, String), numFiles: Int, bits: Int = 8,
+                  bloomCols: Seq[String] = Nil): RewriteReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(fs.exists(rootPath), s"no lake at $root")
+    recover(spark, root)
+    val idx = ZLake.index(spark, root)
+    if (idx.fes.isEmpty) return RewriteReport(0, 0, 0L)
+    require(idx.fes.forall(_.partitionValues.isEmpty),
+      s"rewriteLake is for flat lakes; $root is partitioned — use compactLake")
+    val rows = ZLake.read(spark, root)
+
+    val stageRoot = new Path(rootPath, StageDirName)
+    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
+    val tmp = new Path(stageRoot, ".compact")
+    Sinks.zorderedWrite(rows, zorderBy._1, zorderBy._2, tmp.toString,
+      numFiles, bits, bloomCols = bloomCols)
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .sortBy(_.getName)
+    val runId = java.util.UUID.randomUUID()
+    val adds = parts.zipWithIndex.map { case (p, i) =>
+      val relp = s"compact-$runId-$i.parquet"
+      require(fs.rename(p, new Path(stageRoot, relp)),
+        s"could not stage $relp")
+      relp
+    }.toSeq
+    fs.delete(tmp, true)
+
+    val rootUri = rootPath.toUri.getPath.stripSuffix("/")
+    val dropRels = idx.fes.map(fe =>
+      fe.status.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+    writeJournal(fs, rootPath, dropRels, Nil, adds)
+    journalPublishedHook.get()() // crash injection: committed, not applied
+    applyJournal(spark, fs, rootPath)
+    val total = idx.fes.map(_.rows).sum
+    RewriteReport(dropRels.size, adds.size, total)
+  }
+
   /** Keyed UPSERT (the CDC / dimension-maintenance merge): every existing
     * row whose `keyCol` appears in `updates` is removed, and ALL rows of
     * `updates` are inserted — one ATOMIC commit (the delete's journal

@@ -296,6 +296,17 @@ object MaterializedAgg {
         spec.distinctCols.map(_ + "_distinct")).map(col): _*)
   }
 
+  /** Compact the view in place: every merge adds a few upsert files, so a
+    * months-old view plans thousands of them — this rewrites the whole
+    * (small) view as one fresh z-layout through the journal
+    * ([[LakeDelete.rewriteLake]]): crash-atomic, fence and ownership
+    * marker untouched, key blooms regenerated, so exactly-once
+    * maintenance continues across the compaction. */
+  def compactView(spark: SparkSession, root: String,
+                  spec: Spec): LakeDelete.RewriteReport =
+    LakeDelete.rewriteLake(spark, root, (ZA, ZB),
+      numFiles = spec.files, bits = spec.bits, bloomCols = Seq(KeyCol))
+
   /** Streaming maintenance: each micro-batch merges exactly once (fence-
     * checked under replay; journal-recovered under crash). The batch is
     * materialized once — the merge reads it for keys and partials. */

@@ -126,6 +126,63 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
         else data.select(s.map(col): _*).distinct().count()).sum)
   }
 
+  test("compactView: fewer files, same rows, fence intact, crash-safe") {
+    val root = tmp("mv-compact")
+    // DISJOINT key ranges per batch — the fragmenting workload: each
+    // merge only ADDS files (no existing key is touched), so the view
+    // accumulates one upsert file per merge
+    val cSpec = Spec(groupCols = Seq("k"), sumCols = Seq("v"), files = 2)
+    def cBatch(i: Int): DataFrame =
+      spark.range(i * 50, (i + 1) * 50).select(
+        concat(lit("k"), col("id").cast("string")).as("k"),
+        (col("id") % 13).cast("long").as("v"))
+    def cView: Seq[(String, Long, Long)] =
+      MaterializedAgg.readView(spark, root, cSpec).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    def cRecompute(upTo: Int): Seq[(String, Long, Long)] =
+      (0 to upTo).map(cBatch).reduce(_ union _)
+        .groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    def dataFiles(): Int = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .count(st => st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    }
+    for (i <- 0 to 5)
+      MaterializedAgg.mergeBatch(spark, root, cBatch(i), cSpec, i.toLong)
+    val fragmented = dataFiles()
+    assert(fragmented >= 5, s"fixture failed to fragment: $fragmented files")
+
+    // crash INSIDE the commit window: journal published, not applied —
+    // the next merge's recover() must complete the compaction first
+    LakeDelete.journalPublishedHook.set(() =>
+      throw new RuntimeException("crash: compaction committed, not applied"))
+    intercept[RuntimeException] {
+      MaterializedAgg.compactView(spark, root, cSpec)
+    }
+    LakeDelete.journalPublishedHook.set(() => ())
+    assert(MaterializedAgg.mergeBatch(spark, root, cBatch(6), cSpec, 6L))
+    assert(cView == cRecompute(6), "healed compaction lost or doubled rows")
+
+    // a clean compaction: same rows, fewer files, fence untouched
+    val r = MaterializedAgg.compactView(spark, root, cSpec)
+    assert(r.filesAfter <= math.max(cSpec.files, 2) &&
+      dataFiles() < fragmented,
+      s"compaction did not shrink: ${r.filesAfter} files, was $fragmented")
+    assert(cView == cRecompute(6))
+    assert(MaterializedAgg.lastCommitted(spark, root).contains(6L),
+      "compaction moved the fence")
+    // exactly-once continues: replay no-ops, the next id merges
+    assert(!MaterializedAgg.mergeBatch(spark, root, cBatch(6), cSpec, 6L))
+    assert(MaterializedAgg.mergeBatch(spark, root, cBatch(7), cSpec, 7L))
+    assert(cView == cRecompute(7))
+  }
+
   test("key-cap fallback: full-view read still writes back only touched keys") {
     val root = tmp("mv-cap")
     assert(MaterializedAgg.mergeBatch(spark, root, batch(0), spec, 0L))
