@@ -70,6 +70,17 @@ final class ZLakeTail(spark: SparkSession, root: String, metadataPath: String,
     case x => throw new IllegalArgumentException(
       s"zlake streaming: startingOffset must be earliest|latest, got '$x'")
   }
+  /** Rate limit: at most this many new files pin into one batch; the
+    * remainder waits for the next trigger (Delta's maxFilesPerTrigger).
+    * Without it, the FIRST batch of an earliest-tail over a 10^5-file
+    * lake is the whole lake in one epoch — one giant all-or-nothing
+    * task wave instead of checkpointed increments. */
+  private val maxFilesPerTrigger: Int =
+    opts.get("maxfilespertrigger").map(_.toInt) match {
+      case Some(n) if n <= 0 => throw new IllegalArgumentException(
+        s"zlake streaming: maxFilesPerTrigger must be positive, got $n")
+      case other => other.getOrElse(Int.MaxValue)
+    }
 
   private val conf = spark.sessionState.newHadoopConf()
   private val rootPath = new Path(root)
@@ -159,11 +170,16 @@ final class ZLakeTail(spark: SparkSession, root: String, metadataPath: String,
     }
     if (fresh.nonEmpty) {
       // `latest` swallows the pre-existing contents as a non-emitting
-      // batch 0; every later discovery emits normally
+      // batch 0 (whole, never rate-limited — nothing is read from it);
+      // every later discovery emits normally, at most maxFilesPerTrigger
+      // files per batch — the remainder stays unseen and re-discovers on
+      // the next trigger (identities are stable, so this is just a cut)
       val emit = !(startLatest && lastBatchId < 0)
-      writeEntry(lastBatchId + 1, emit, fresh.toSeq)
+      val take = if (emit) fresh.take(maxFilesPerTrigger).toSeq
+        else fresh.toSeq
+      writeEntry(lastBatchId + 1, emit, take)
       lastBatchId += 1
-      fresh.foreach { case (r, l, m) => seen(r) = (l, m) }
+      take.foreach { case (r, l, m) => seen(r) = (l, m) }
     }
     lastHarvest = Some(h)
     if (lastBatchId < 0) None else Some(LongOffset(lastBatchId))

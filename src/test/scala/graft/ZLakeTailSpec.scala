@@ -152,6 +152,30 @@ class ZLakeTailSpec extends AnyFunSuite with SparkSpec {
     assert(c2.rows.size === 50)
   }
 
+  test("maxFilesPerTrigger splits a bootstrap into bounded batches") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-rate").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-rate-ck").toString
+    for (w <- 0 until 3) writeWin(root, w, 20) // 3 windows x 2 files
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val c = new Collector
+    val q = spark.readStream.format("zlake")
+      .option("maxFilesPerTrigger", "1").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val n = b.count()
+        if (n > 0) batches.synchronized { batches += n }
+        c.sink(b, id)
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    // 6 files, 1 per batch: six non-empty epochs, every row exactly once
+    assert(batches.size === 6, s"expected 6 rate-limited batches: $batches")
+    assert(c.rows.size === 60)
+    assert(c.rows.groupBy(identity).forall(_._2.size == 1))
+  }
+
   test("startingOffset=latest tails only post-start commits") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-tail-latest").toString + "/t"
