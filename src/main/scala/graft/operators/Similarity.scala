@@ -512,12 +512,6 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cosine"), col("rn"))
   }
 
-  /** recall@k of [[ivfPqTopK]] against exact [[bruteForceTopK]], averaged
-    * over the query set: |approx-top-k ∩ exact-top-k| / k per query. The
-    * determinism oracles (q99/q101) pin the approximation's VALUES; this
-    * pins its QUALITY — IvfPqSpec asserts a floor and [[graft.Bench]]
-    * reports the number every round, so a centroid/codebook regression
-    * that stays deterministic still trips the gate. */
   /** IVF-PQ with an EXACT RERANK tail (the Faiss IndexRefineFlat shape,
     * and how production ANN actually ships): ADC retrieves a candidate
     * pool of `k * refineFactor` per query through [[ivfPqTopK]] — codes

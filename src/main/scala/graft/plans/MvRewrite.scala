@@ -88,6 +88,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   /** Peel to the base relation; collect filter conjuncts. */
   private def unwrap(p: LogicalPlan)
       : Option[(MvRewrite.Registration, Seq[Expression])] = p match {
+    // a STREAMING read of the base (ZLakeTail batches carry
+    // isStreaming=true relations) must keep its per-batch aggregate —
+    // rewriting it to a batch view read would replace incremental state
+    // with view-wide totals every trigger
+    case l: LogicalRelation if l.isStreaming => None
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation =>
         h.location.rootPaths.headOption

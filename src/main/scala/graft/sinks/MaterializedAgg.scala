@@ -177,7 +177,8 @@ object MaterializedAgg {
     * committed fence — the replay path. */
   def mergeBatch(spark: SparkSession, root: String, batch: DataFrame,
                  spec: Spec, batchId: Long,
-                 maxReadKeys: Int = 65536): Boolean = {
+                 maxReadKeys: Int = 65536,
+                 maxWriteKeys: Int = 100000): Boolean = {
     // heal a half-applied previous merge BEFORE the fence check: a crash
     // between its journal publish and its fence write leaves the commit
     // durable but the fence stale — recovery applies journal AND fence in
@@ -186,6 +187,10 @@ object MaterializedAgg {
     // batch: the double-count this fence exists to prevent.
     LakeDelete.recover(spark, root)
     if (lastCommitted(spark, root).exists(_ >= batchId)) return false
+    // an empty batch merges nothing and moves no fence (replaying an
+    // empty is vacuously exactly-once); bootstrapping on one would
+    // create a rowless root — wait for real data instead
+    if (batch.isEmpty) return false
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -239,13 +244,10 @@ object MaterializedAgg {
       // above carries every key — without this restriction the upsert
       // would rewrite the whole view (and trip its own key bound)
       .join(delta.select(col(KeyCol)).distinct(), Seq(KeyCol), "left_semi")
-      .transform(df => df.withColumn(ZA,
-          pmod(xxhash64(col(KeyCol)), lit((1L << spec.bits))))
-        .withColumn(ZB,
-          pmod(xxhash64(lit("z"), col(KeyCol)), lit(1L << spec.bits))))
+      .transform(withLayout(spec)) // key + z-layout derived in ONE place
       .select(cols.map(col): _*)
     LakeDelete.upsertLake(spark, root, merged, KeyCol,
-      fence = Some(fenceJson(batchId)))
+      maxKeys = maxWriteKeys, fence = Some(fenceJson(batchId)))
     true
   }
 

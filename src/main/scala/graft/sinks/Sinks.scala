@@ -361,17 +361,41 @@ object Sinks {
       graft.sources.Snapshots.snapshotRefs(spark, root)
 
     // ---- recovery: heal a compaction that died mid-swap ------------------
+    // two staging shapes live under _compacting: `<win>` (the complete
+    // replacement, pre-swap) and `<win>.old` (the DISPLACED originals,
+    // post-swap, awaiting retire). Process tmps first so finalDir state is
+    // settled before the .old pass decides between restore and retire.
     val recovered = scala.collection.mutable.Set.empty[String]
-    if (fs.exists(tmpRoot)) fs.listStatus(tmpRoot).toSeq.foreach { st =>
-      val finalDir = new Path(rootPath, st.getPath.getName)
-      if (!fs.exists(finalDir) && hasManifest(st.getPath)) {
-        // died between delete and rename: the tmp IS the window — swap it in
-        require(fs.rename(st.getPath, finalDir),
-          s"compaction recovery failed to rename ${st.getPath} to $finalDir")
-        recovered += finalDir.getName; ()
-      } else {
-        // stale or incomplete (no manifest = write never finished): discard
-        fs.delete(st.getPath, true); ()
+    if (fs.exists(tmpRoot)) {
+      val (olds, tmps) = fs.listStatus(tmpRoot).toSeq
+        .partition(_.getPath.getName.endsWith(".old"))
+      tmps.foreach { st =>
+        val finalDir = new Path(rootPath, st.getPath.getName)
+        if (!fs.exists(finalDir) && hasManifest(st.getPath)) {
+          // died between the two swap renames: the tmp IS the window
+          require(fs.rename(st.getPath, finalDir),
+            s"compaction recovery failed to rename ${st.getPath} to $finalDir")
+          recovered += finalDir.getName; ()
+        } else {
+          // stale or incomplete (no manifest = write never finished): discard
+          fs.delete(st.getPath, true); ()
+        }
+      }
+      olds.foreach { st =>
+        val winName = st.getPath.getName.stripSuffix(".old")
+        val finalDir = new Path(rootPath, winName)
+        if (!fs.exists(finalDir)) {
+          // swap never completed and its tmp is gone: the originals ARE
+          // the window — put them back untouched
+          require(fs.rename(st.getPath, finalDir),
+            s"compaction recovery failed to restore $finalDir")
+        } else {
+          // swap landed: finish the interrupted retire of the originals
+          parquets(st.getPath).foreach(p => graft.sources.Snapshots.retireAs(
+            fs, rootPath, fs.getFileStatus(p), s"$winName/${p.getName}",
+            snapRefs))
+          fs.delete(st.getPath, true); ()
+        }
       }
     }
 
@@ -394,16 +418,25 @@ object Sinks {
         zorderedWrite(spark.read.parquet(dir.toString), colA, colB,
           tmp.toString, filesPerPartition, bits,
           sketchCols = sketchCols, bloomCols = bloomCols, sumCols = sumCols)
-        // snapshot-referenced files RETIRE to the trash before the dir
-        // swap, so time-travel reads survive compaction
-        // ([[graft.sources.Snapshots]]); without snapshots this is a no-op
-        parquets(dir).foreach(p => graft.sources.Snapshots.retire(
-          fs, rootPath, fs.getFileStatus(p), snapRefs))
-        require(fs.delete(dir, true),
-          s"compaction failed to remove the old partition $dir")
+        // SWAP by rename-aside, never delete-in-place: the originals move
+        // whole to `_compacting/<win>.old` (one rename — the window is
+        // never half-gutted), the replacement renames in, and only THEN
+        // are the displaced files retired (snapshot-referenced ones to the
+        // trash under their ORIGINAL relative paths, the rest deleted). A
+        // crash at any point is healed by the recovery pass above: tmp
+        // complete + window missing → swap in; .old + window present →
+        // finish retiring; .old + window missing → restore the originals.
+        val old = new Path(tmpRoot, dir.getName + ".old")
+        if (fs.exists(old)) { fs.delete(old, true); () }
+        require(fs.rename(dir, old),
+          s"compaction failed to move $dir aside")
         require(fs.rename(tmp, dir),
           s"compaction failed to swap $tmp into $dir — " +
             "the window lives under _compacting until compactLake reruns")
+        parquets(old).foreach(p => graft.sources.Snapshots.retireAs(
+          fs, rootPath, fs.getFileStatus(p),
+          s"${dir.getName}/${p.getName}", snapRefs))
+        fs.delete(old, true)
         Some(CompactReport(dir.toString, before, parquets(dir).size,
           recovered = false))
       }

@@ -259,15 +259,26 @@ object Snapshots {
     * against replays: an already-retired file (same identity present in
     * trash) is deleted rather than failed on the rename. */
   private[graft] def retire(fs: FileSystem, root: Path, st: FileStatus,
-                            refs: Set[(String, Long, Long)]): Unit = {
-    val rel = Z.relPath(root, st.getPath)
-    val key = (rel, st.getLen, st.getModificationTime)
+                            refs: Set[(String, Long, Long)]): Unit =
+    retireAs(fs, root, st, Z.relPath(root, st.getPath), refs)
+
+  /** [[retire]] for a file that was MOVED ASIDE before retiring (e.g.
+    * compaction's rename-aside swap): identity — and the trash path
+    * snapshot reads resolve — comes from `origRel`, the lake-relative
+    * path the file lived at when it was snapshotted; `st` is where it
+    * sits now. Rename preserves length and mtime, so the identity key
+    * still matches the snapshot entry. */
+  private[graft] def retireAs(fs: FileSystem, root: Path, st: FileStatus,
+                              origRel: String,
+                              refs: Set[(String, Long, Long)]): Unit = {
+    val key = (origRel, st.getLen, st.getModificationTime)
     if (refs.contains(key)) {
-      val dst = trashPath(root, rel, st.getLen, st.getModificationTime)
+      val dst = trashPath(root, origRel, st.getLen, st.getModificationTime)
       if (fs.exists(dst)) { fs.delete(st.getPath, false); () }
       else {
         fs.mkdirs(dst.getParent)
-        require(fs.rename(st.getPath, dst), s"could not retire $rel to $dst")
+        require(fs.rename(st.getPath, dst),
+          s"could not retire $origRel to $dst")
       }
     } else { fs.delete(st.getPath, false); () }
   }

@@ -56,8 +56,7 @@ class ZLakeSource extends RelationProvider with StreamSourceProvider
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "zlake: a path is required — .load(path) or OPTIONS (path '...')"))
+    val path = pathOf(parameters)
     val spark = sqlContext.sparkSession
     val idx = parameters.get("snapshot") match {
       case Some(tag) => Snapshots.snapshotIndex(spark, path, tag)

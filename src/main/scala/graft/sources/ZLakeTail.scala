@@ -168,12 +168,15 @@ final class ZLakeTail(spark: SparkSession, root: String, metadataPath: String,
         case _ =>
       }
     }
-    if (fresh.nonEmpty) {
-      // `latest` swallows the pre-existing contents as a non-emitting
-      // batch 0 (whole, never rate-limited — nothing is read from it);
-      // every later discovery emits normally, at most maxFilesPerTrigger
-      // files per batch — the remainder stays unseen and re-discovers on
-      // the next trigger (identities are stable, so this is just a cut)
+    // `latest` pins its baseline at the FIRST discovery — even over an
+    // empty lake (a possibly-empty non-emitting batch 0), so "files
+    // committed after the stream started" has a durable anchor and the
+    // first real window is never swallowed as a late baseline. The
+    // baseline is whole, never rate-limited (nothing is read from it);
+    // every later discovery emits at most maxFilesPerTrigger files per
+    // batch — the remainder stays unseen and re-discovers next trigger
+    // (identities are stable, so this is just a cut).
+    if (fresh.nonEmpty || (startLatest && lastBatchId < 0)) {
       val emit = !(startLatest && lastBatchId < 0)
       val take = if (emit) fresh.take(maxFilesPerTrigger).toSeq
         else fresh.toSeq

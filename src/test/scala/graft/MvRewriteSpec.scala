@@ -33,6 +33,20 @@ class MvRewriteSpec extends AnyFunSuite with SparkSpec {
   private def canon(df: DataFrame): Set[Seq[String]] =
     df.collect().map(_.toSeq.toVector.map(String.valueOf)).toSet
 
+  /** Evaluate the ORACLE side with the registration withdrawn — a
+    * registered base would rewrite the oracle too, comparing the view to
+    * itself (the review-caught vacuous-equality trap). */
+  private def unrewritten(mk: => DataFrame): Set[Seq[String]] = {
+    MvRewrite.unregister(base)
+    try {
+      val df = mk
+      val r = canon(df)
+      assert(scanRoots(df).forall(_.contains(base)),
+        "oracle did not scan the base — vacuous comparison")
+      r
+    } finally MvRewrite.register(base, view, spec)
+  }
+
   // base lake + maintained lattice view, registered once for the suite
   private lazy val (base, view, spec) = {
     val b = java.nio.file.Files
@@ -62,10 +76,10 @@ class MvRewriteSpec extends AnyFunSuite with SparkSpec {
     val q = baseRead.groupBy("g", "h")
       .agg(count(lit(1)).as("n"), sum("v").as("sv"),
         min("v").as("lo"), max("v").as("hi"), sum("w").as("sw"))
-    val direct = spark.read.parquet(base).groupBy("g", "h")
+    val direct = unrewritten(spark.read.parquet(base).groupBy("g", "h")
       .agg(count(lit(1)).as("n"), sum("v").as("sv"),
-        min("v").as("lo"), max("v").as("hi"), sum("w").as("sw"))
-    assert(canon(q) === canon(direct))
+        min("v").as("lo"), max("v").as("hi"), sum("w").as("sw")))
+    assert(canon(q) === direct)
     val roots = scanRoots(q)
     assert(roots.nonEmpty && roots.forall(_.contains(view)),
       s"rewritten query still scans the base: $roots")
@@ -73,22 +87,25 @@ class MvRewriteSpec extends AnyFunSuite with SparkSpec {
 
   test("a grouping SUBSET re-aggregates from the covering grain") {
     val q = baseRead.groupBy("g").agg(sum("v").as("sv"))
-    val direct = spark.read.parquet(base).groupBy("g").agg(sum("v").as("sv"))
-    assert(canon(q) === canon(direct))
+    val direct = unrewritten(
+      spark.read.parquet(base).groupBy("g").agg(sum("v").as("sv")))
+    assert(canon(q) === direct)
     assert(scanRoots(q).forall(_.contains(view)) && scanRoots(q).nonEmpty)
     // grand total too
     val t = baseRead.agg(count(lit(1)).as("n"), sum("w").as("sw"))
-    val td = spark.read.parquet(base).agg(count(lit(1)).as("n"), sum("w").as("sw"))
-    assert(canon(t) === canon(td))
+    val td = unrewritten(
+      spark.read.parquet(base).agg(count(lit(1)).as("n"), sum("w").as("sw")))
+    assert(canon(t) === td)
     assert(scanRoots(t).forall(_.contains(view)))
   }
 
   test("filters on group columns ride the rewrite") {
     val q = baseRead.filter(col("g") =!= "g3").groupBy("g")
       .agg(count(lit(1)).as("n"), max("v").as("hi"))
-    val direct = spark.read.parquet(base).filter(col("g") =!= "g3")
-      .groupBy("g").agg(count(lit(1)).as("n"), max("v").as("hi"))
-    assert(canon(q) === canon(direct))
+    val direct = unrewritten(spark.read.parquet(base)
+      .filter(col("g") =!= "g3")
+      .groupBy("g").agg(count(lit(1)).as("n"), max("v").as("hi")))
+    assert(canon(q) === direct)
     assert(scanRoots(q).forall(_.contains(view)))
   }
 
@@ -112,13 +129,53 @@ class MvRewriteSpec extends AnyFunSuite with SparkSpec {
     } finally MvRewrite.register(base, view, spec)
   }
 
+  test("a STREAMING aggregate over the registered base is never rewritten") {
+    // make the view deliberately STALE (half the base) — a rewrite would
+    // emit the stale totals; the correct per-batch aggregation sees the
+    // full base through the tail
+    val staleView = java.nio.file.Files
+      .createTempDirectory("graft-mvrw-stale").toString + "/mv"
+    val sSpec = Spec(groupCols = Seq("g"), sumCols = Seq("v"))
+    MaterializedAgg.mergeBatch(spark, staleView,
+      graft.sources.ZLake.read(spark, base).filter(col("v") % 2 === 0),
+      sSpec, 0L)
+    MvRewrite.register(base, staleView, sSpec)
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-mvrw-stream-ck").toString
+      val got = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val q = spark.readStream.format("zlake").load(base)
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rs = b.collect()
+          got.synchronized {
+            got.clear()
+            rs.foreach(r => got(r.getString(0)) =
+              (r.getLong(1), r.getLong(2)))
+          }
+          ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+      val truth = unrewritten(spark.read.parquet(base).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv")))
+        .map(r => r(0) -> ((r(1).toLong, r(2).toLong))).toMap
+      assert(got.toMap === truth,
+        "streaming aggregate was rewritten to the (stale) batch view")
+    } finally {
+      MvRewrite.register(base, view, spec) // restore the suite fixture
+    }
+  }
+
   test("SQL surface: a temp view over the lake rewrites too") {
     graft.sources.ZLake.read(spark, base).createOrReplaceTempView("mvrw_base")
     val q = spark.sql(
       "SELECT g, count(*) AS n, sum(v) AS sv FROM mvrw_base GROUP BY g")
-    val direct = spark.sql(
-      s"SELECT g, count(*) AS n, sum(v) AS sv FROM parquet.`$base` GROUP BY g")
-    assert(canon(q) === canon(direct))
+    val direct = unrewritten(spark.sql(
+      s"SELECT g, count(*) AS n, sum(v) AS sv FROM parquet.`$base` GROUP BY g"))
+    assert(canon(q) === direct)
     assert(scanRoots(q).forall(_.contains(view)))
   }
 }

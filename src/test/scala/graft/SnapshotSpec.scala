@@ -98,6 +98,51 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(kept >= 0 && kept < total, s"no snapshot pruning: $kept/$total")
   }
 
+  test("compaction crash windows heal without losing snapshot or live rows") {
+    // the review-caught window: with a snapshot pinned, the swap must
+    // never leave a half-gutted window a rerun misreads as complete.
+    // The rename-aside protocol's crash states are planted directly.
+    val table = tmp("snap-crash") + "/t"
+    for (w <- 0 until 2)
+      Sinks.zorderedWrite(corpus(2048).filter(col("id") % 2 === w),
+        "a", "b", s"$table/win=$w", numFiles = 6, bits = 6)
+    val before = rows(ZLake.read(spark, table))
+    Snapshots.snapshot(spark, table, "pin")
+    val f = fs(table)
+    val tmpRoot = new org.apache.hadoop.fs.Path(table, "_compacting")
+
+    // state A: window moved aside, replacement never swapped in (crash
+    // between the two renames with the tmp lost) — recovery must RESTORE
+    f.mkdirs(tmpRoot)
+    require(f.rename(new org.apache.hadoop.fs.Path(table, "win=0"),
+      new org.apache.hadoop.fs.Path(tmpRoot, "win=0.old")))
+    Sinks.compactLake(spark, table, "a", "b", filesPerPartition = 2,
+      bits = 6)
+    assert(rows(ZLake.read(spark, table)) == before,
+      "restore-from-.old lost rows")
+    assert(rows(Snapshots.readSnapshot(spark, table, "pin")) == before,
+      "snapshot broke across the restore")
+
+    // state B: swap landed but the retire pass died (.old still holds the
+    // displaced originals) — recovery must finish retiring them so the
+    // SNAPSHOT still resolves, while the live read serves the compacted set
+    val dir = new org.apache.hadoop.fs.Path(table, "win=1")
+    val old = new org.apache.hadoop.fs.Path(tmpRoot, "win=1.old")
+    val twin = new org.apache.hadoop.fs.Path(tmpRoot, "win=1")
+    Sinks.zorderedWrite(spark.read.parquet(dir.toString), "a", "b",
+      twin.toString, 2, 6)
+    require(f.rename(dir, old))
+    require(f.rename(twin, dir))
+    Sinks.compactLake(spark, table, "a", "b", filesPerPartition = 2,
+      bits = 6)
+    assert(!f.exists(old), "recovery left the .old staging behind")
+    assert(rows(ZLake.read(spark, table)) == before,
+      "healed swap changed live content")
+    assert(rows(Snapshots.readSnapshot(spark, table, "pin")) == before,
+      "snapshot lost the displaced originals")
+    assert(trashExists(table), "displaced originals should have retired")
+  }
+
   test("vacuum keeps exactly what surviving snapshots reference") {
     val root = tmp("snap-vac")
     Sinks.zorderedWrite(corpus(2048), "a", "b", root, numFiles = 8, bits = 6)

@@ -152,6 +152,35 @@ class ZLakeTailSpec extends AnyFunSuite with SparkSpec {
     assert(c2.rows.size === 50)
   }
 
+  test("latest over an EMPTY lake anchors its baseline at stream start") {
+    // review-caught hole: without an eager baseline, the first files ever
+    // written would be swallowed as a late 'pre-existing contents' batch
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-empty").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-empty-ck").toString
+    new java.io.File(root).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("win",
+        org.apache.spark.sql.types.StringType)))
+    val c = new Collector
+    val q = spark.readStream.format("zlake").schema(schema)
+      .option("startingOffset", "latest").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((b: DataFrame, id: Long) => c.sink(b, id))
+      .start()
+    q.processAllAvailable() // baseline pinned over the empty lake
+    writeWin(root, 0, 30)   // the FIRST data ever — post-start, must emit
+    q.processAllAvailable()
+    q.stop()
+    assert(c.rows.size === 30,
+      "files written after a latest-start over an empty lake were swallowed")
+  }
+
   test("maxFilesPerTrigger splits a bootstrap into bounded batches") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-tail-rate").toString + "/t"
