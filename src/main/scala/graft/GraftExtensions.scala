@@ -106,6 +106,8 @@ object GraftExtensions {
     "graft_token_count" -> c1(TF.token_count) _,
     "graft_lang_id" -> c1(TF.lang_id) _,
     "graft_quality_score" -> c1(TF.quality_score) _,
+    "graft_normalize_text" -> c1(TF.normalize_text) _,
+    "graft_gopher_rules" -> c1(TF.gopher_rules) _,
     "graft_fingerprint" -> c1(TF.fingerprint) _,
     "graft_word_shingles" -> ((a: Seq[Expression]) =>
       ColumnBridge.eagerExpression(TF.word_shingles(

@@ -1603,6 +1603,86 @@ object QueriesML {
           col("doc_id"), col("text"), vocabSize = 2000)
         .orderBy(col("doc_id"))),
 
+    // -- GOPHER quality rules (Rae et al. 2021, A1.1 — the public recipe
+    //    behind RefinedWeb/FineWeb/Dolma filtering): every signal, every
+    //    rule verdict and the composite `keep`, per document, as one
+    //    codegen'd struct pass. The oracle replicates each signal in
+    //    DuckDB (same tokenizer, same q6 rounding) — a drifting ratio,
+    //    threshold, or stopword set breaks its row.
+    QueryDef("q140_gopher_rules", Some(s"""
+      WITH t AS (SELECT doc_id, text, ${dkToks("text")} AS toks,
+                        list_filter(string_split(text, chr(10)),
+                                    l -> len(trim(l)) > 0) AS lines
+                 FROM documents),
+      sig AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        ${dkQround("CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)" +
+          " / greatest(len(toks), 1)", 6)} AS mean_word_len,
+        ${dkQround("CAST((len(text) - len(replace(text, '#', ''))) + " +
+          "(len(text) - len(replace(text, '...', ''))) // 3 + " +
+          "(len(text) - len(replace(text, '…', ''))) AS DOUBLE) " +
+          "/ greatest(len(toks), 1)", 6)} AS symbol_ratio,
+        ${dkQround("CAST(len(list_filter(lines, l -> " +
+          "regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) " +
+          "/ greatest(len(lines), 1)", 6)} AS bullet_frac,
+        ${dkQround("CAST(len(list_filter(lines, l -> " +
+          """regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) """ +
+          "/ greatest(len(lines), 1)", 6)} AS ellipsis_frac,
+        ${dkQround("CAST(len(list_filter(toks, t -> " +
+          "regexp_matches(t, '[a-z]'))) AS DOUBLE) " +
+          "/ greatest(len(toks), 1)", 6)} AS alpha_frac,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+        FROM t)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+             ellipsis_frac, alpha_frac, stop_hits,
+             (n_words BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+              AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+              AND stop_hits >= 2) AS keep
+      FROM sig ORDER BY doc_id"""),
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), TF.gopher_rules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.bullet_frac"),
+          col("g.ellipsis_frac"), col("g.alpha_frac"), col("g.stop_hits"),
+          col("g.keep"))
+        .orderBy(col("doc_id"))),
+
+    // -- canonical text NORMALIZATION (normalize_text): NFC composition
+    //    (Kernels.nfc ↔ DuckDB nfc_normalize), control-char strip except
+    //    \\n/\\t, space/tab-run collapse, trim. The fixture APPENDS noise
+    //    the corpus lacks — a combining-acute sequence, a NUL, double
+    //    spaces, a tab — so the pass provably rewrites bytes in both
+    //    engines; output compares md5 + length of the normalized text.
+    QueryDef("q141_normalize_text", Some(s"""
+      WITH noisy AS (SELECT doc_id,
+          text || ' e' || chr(769) || chr(0) || 'a  b' || chr(9) || 'c '
+            AS raw
+        FROM documents),
+      n AS (SELECT doc_id,
+          trim(regexp_replace(nfc_normalize(regexp_replace(raw,
+            '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')),
+            '[ \\t]+', ' ', 'g')) AS norm
+        FROM noisy)
+      SELECT doc_id, md5(norm) AS h, CAST(len(norm) AS BIGINT) AS n_chars,
+             CAST(len(norm) <> len((SELECT raw FROM noisy x
+                                    WHERE x.doc_id = n.doc_id)) AS BOOLEAN)
+               AS changed
+      FROM n ORDER BY doc_id"""),
+      (s, dir) => {
+        val noisy = T(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" e\u0301\u0000a  b\tc ")).as("raw"))
+        noisy.select(col("doc_id"),
+            TF.normalize_text(col("raw")).as("norm"), col("raw"))
+          .select(col("doc_id"), md5(col("norm")).as("h"),
+            length(col("norm")).cast("long").as("n_chars"),
+            (length(col("norm")) =!= length(col("raw"))).as("changed"))
+          .orderBy(col("doc_id"))
+      }),
+
     // -- vocabulary build: corpus-wide token counts, min-frequency floor,
     //    top-V by (count desc, token) — the tokenizer-training precursor.
     //    Partial aggregation combines map-side, so the shuffle carries one

@@ -111,6 +111,18 @@ object KernelExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Unicode NFC normalization — [[graft.functions.Kernels.nfc]] as a
+    * codegen'd expression. */
+  case class Nfc(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.nfc(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfc($c)")
+    override protected def withNewChildInternal(newChild: Expression): Nfc =
+      copy(child = newChild)
+  }
+
   /** Hilbert-curve index — [[graft.functions.Kernels.hilbert2]] as a
     * codegen'd expression; same domain contract as [[ZOrder2]]. */
   case class Hilbert2(left: Expression, right: Expression, bits: Int)
@@ -176,4 +188,5 @@ object KernelExprs {
     ColumnBridge.column(ZOrder3(e(a), e(b), e(c), bits))
   def hilbert2(a: Column, b: Column, bits: Int): Column =
     ColumnBridge.column(Hilbert2(e(a), e(b), bits))
+  def nfc(c: Column): Column = ColumnBridge.column(Nfc(e(c)))
 }

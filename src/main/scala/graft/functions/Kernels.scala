@@ -31,6 +31,19 @@ object Kernels {
     (v << 4) | ((b(7) & 0xf0L) >>> 4)
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer — the same
+    * canonical composition DuckDB's `nfc_normalize` applies), the first
+    * step of text cleanup: visually-identical strings with different
+    * code-point sequences (e + COMBINING ACUTE vs precomposed é) become
+    * byte-identical, so dedup/fingerprint/equality see one form. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** `conv(substring(md5(s), 1, 15), 16, 10)` as a 60-bit long. */
   def hash60(s: UTF8String): Long = {
     val d = md5Local.get()

@@ -99,6 +99,70 @@ object TextFunctions {
       Functions.qround(lengthScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
     }
 
+  /** Canonical text normalization — the cleanup pass every pipeline runs
+    * before dedup/fingerprinting so byte-level noise does not defeat
+    * content-level equality: (1) control characters stripped except
+    * newline and tab — FIRST, because NUL in particular trips C-string
+    * semantics in downstream libraries (DuckDB's `nfc_normalize`
+    * truncates at it); (2) Unicode NFC composition (combining sequences
+    * → precomposed, [[KernelExprs.nfc]] — `nfc_normalize` is the oracle
+    * twin); (3) space/tab runs collapsed to one space; (4) outer spaces
+    * trimmed. Newlines survive — line structure feeds [[gopher_rules]]
+    * and paragraph dedup downstream. */
+  def normalize_text(text: Column): Column =
+    trim(regexp_replace(KernelExprs.nfc(regexp_replace(text,
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")), "[ \\t]+", " "))
+
+  /** The GOPHER document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1 — the public recipe
+    * RefinedWeb/FineWeb/Dolma all derive from), as ONE codegen'd struct
+    * per document: the measured signals, each rule's verdict, and the
+    * conjunction `keep`. Pipelines filter on `keep` or loosen single
+    * rules from the signals — no second pass over the text. Thresholds
+    * (per the paper): 50 ≤ words ≤ 100000; mean word length in [3, 10];
+    * symbol-to-word ratio (# or …) ≤ 0.1; ≤ 90% of lines start with a
+    * bullet; ≤ 30% end with an ellipsis; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 distinct of the required stopwords
+    * (the/be/to/of/and/that/have/with). All ratios are [[Functions
+    * .qround]]-rounded so every signal is engine-reproducible. */
+  def gopher_rules(text: Column): Column =
+    Functions.bind(tokens(text)) { ts =>
+      Functions.bind(filter(split(text, "\n"),
+        l => length(trim(l)) > 0)) { lines =>
+        val nWords = size(ts).cast("long")
+        val nWordsD = greatest(nWords, lit(1L)).cast("double")
+        val meanLen = Functions.qround(
+          aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / nWordsD, 6)
+        // symbols: '#' occurrences + '...'/'…' occurrences, per word
+        val hashes = length(text) -
+          length(regexp_replace(text, "#", ""))
+        val ell = ((length(text) -
+          length(regexp_replace(text, "\\.\\.\\.", ""))) / 3) +
+          (length(text) - length(regexp_replace(text, "…", "")))
+        val symbolRatio = Functions.qround(
+          (hashes + ell).cast("double") / nWordsD, 6)
+        val nLinesD = greatest(size(lines), lit(1)).cast("double")
+        val bulletFrac = Functions.qround(size(filter(lines,
+          l => trim(l).rlike("^[-*•]"))).cast("double") / nLinesD, 6)
+        val ellipsisFrac = Functions.qround(size(filter(lines,
+          l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLinesD, 6)
+        val alphaFrac = Functions.qround(size(filter(ts,
+          t => t.rlike("[a-z]"))).cast("double") / nWordsD, 6)
+        val stopHits = size(array_intersect(ts, array(
+          Seq("the", "be", "to", "of", "and", "that", "have", "with")
+            .map(lit(_)): _*))).cast("long")
+        val keep = nWords.between(50L, 100000L) &&
+          meanLen.between(3.0, 10.0) && symbolRatio <= 0.1 &&
+          bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+          alphaFrac >= 0.8 && stopHits >= 2L
+        struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+          symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+          ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+          stopHits.as("stop_hits"), keep.as("keep"))
+      }
+    }
+
   /** Rolling polynomial fingerprint over tokens: fold
     * h ← (h·31 + hash60(t) mod 10^6) mod 1 000 000 007. Order-sensitive, so
     * it discriminates documents with identical token multisets but different

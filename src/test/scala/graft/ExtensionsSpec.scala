@@ -90,6 +90,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "graft_token_count" -> "graft_token_count(t)",
       "graft_lang_id" -> "graft_lang_id(t)",
       "graft_quality_score" -> "graft_quality_score(t)",
+      "graft_normalize_text" -> "graft_normalize_text(t)",
+      "graft_gopher_rules" -> "graft_gopher_rules(t)",
       "graft_fingerprint" -> "graft_fingerprint(t)",
       "graft_word_shingles" -> "graft_word_shingles(t, 2)",
       "graft_qround" -> "graft_qround(1.23456D, 2)",
