@@ -152,6 +152,28 @@ class ZLakeTailSpec extends AnyFunSuite with SparkSpec {
     assert(c2.rows.size === 50)
   }
 
+  test("discovery is a manifest read: zero parquet footers per trigger") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-foot").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-foot-ck").toString
+    for (w <- 0 until 8) writeWin(root, w, 20)
+    graft.sources.ZLake.consolidateManifests(spark, root)
+    val c = new Collector
+    val q = startTail(root, ckpt, c)
+    q.processAllAvailable() // bootstrap drains all 8 windows
+    writeWin(root, 8, 20) // write-time manifest pass opens footers; the
+    val before = graft.sources.ZLake.footerOpens.get() // TAIL must not
+    q.processAllAvailable() // discovery + read of the new window
+    q.stop()
+    assert(c.rows.size === 180)
+    // the new window has its own sidecar manifest; everything else is
+    // covered by the consolidated root manifest — the incremental
+    // trigger opened NO parquet footer anywhere in discovery or planning
+    assert(graft.sources.ZLake.footerOpens.get() === before,
+      "tail trigger opened parquet footers despite manifest coverage")
+  }
+
   test("latest over an EMPTY lake anchors its baseline at stream start") {
     // review-caught hole: without an eager baseline, the first files ever
     // written would be swallowed as a late 'pre-existing contents' batch
