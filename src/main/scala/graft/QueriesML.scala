@@ -1611,13 +1611,13 @@ object QueriesML {
     //    threshold, or stopword set breaks its row.
     QueryDef("q140_gopher_rules", Some(s"""
       WITH t AS (SELECT doc_id, text, ${dkToks("text")} AS toks,
-                        list_filter(string_split(text, chr(10)),
+                        list_filter(string_split(replace(text, chr(13), ''), chr(10)),
                                     l -> len(trim(l)) > 0) AS lines
                  FROM documents),
       sig AS (SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_words,
-        ${dkQround("CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)" +
-          " / greatest(len(toks), 1)", 6)} AS mean_word_len,
+        ${dkQround("CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)" +
+          " AS DOUBLE) / greatest(len(toks), 1)", 6)} AS mean_word_len,
         ${dkQround("CAST((len(text) - len(replace(text, '#', ''))) + " +
           "(len(text) - len(replace(text, '...', ''))) // 3 + " +
           "(len(text) - len(replace(text, '…', ''))) AS DOUBLE) " +

@@ -127,7 +127,7 @@ object TextFunctions {
     * .qround]]-rounded so every signal is engine-reproducible. */
   def gopher_rules(text: Column): Column =
     Functions.bind(tokens(text)) { ts =>
-      Functions.bind(filter(split(text, "\n"),
+      Functions.bind(filter(split(regexp_replace(text, "\r", ""), "\n"),
         l => length(trim(l)) > 0)) { lines =>
         val nWords = size(ts).cast("long")
         val nWordsD = greatest(nWords, lit(1L)).cast("double")

@@ -74,16 +74,34 @@ object MvRewrite {
 
   private[plans] def lookup(path: String): Option[Registration] =
     Option(registry.get(norm(path)))
+
+  /** Suppression latch for the view's OWN maintenance: [[graft.sinks
+    * .MaterializedAgg.mergeBatch]] computes its per-batch partials over
+    * the (possibly registered) base — rewriting THAT aggregate onto the
+    * view it is maintaining would merge the view into itself and
+    * double-count every group. Maintenance wraps its work in
+    * [[suppressed]]; the rule no-ops on that thread for the duration. */
+  private val suppress = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private[graft] def isSuppressed: Boolean = suppress.get()
+  private[graft] def suppressed[T](body: => T): T = {
+    val prev = suppress.get()
+    suppress.set(java.lang.Boolean.TRUE)
+    try body finally suppress.set(prev)
+  }
 }
 
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg: Aggregate =>
-      try rewrite(agg).getOrElse(agg)
-      catch { case NonFatal(_) => agg }
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRewrite.isSuppressed) plan
+    else plan.transformDown {
+      case agg: Aggregate =>
+        try rewrite(agg).getOrElse(agg)
+        catch { case NonFatal(_) => agg }
+    }
 
   /** Peel to the base relation; collect filter conjuncts. */
   private def unwrap(p: LogicalPlan)

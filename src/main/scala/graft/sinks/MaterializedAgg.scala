@@ -178,7 +178,19 @@ object MaterializedAgg {
   def mergeBatch(spark: SparkSession, root: String, batch: DataFrame,
                  spec: Spec, batchId: Long,
                  maxReadKeys: Int = 65536,
-                 maxWriteKeys: Int = 100000): Boolean = {
+                 maxWriteKeys: Int = 100000): Boolean =
+    // the merge's own partials aggregate the (possibly MvRewrite-
+    // registered) base — suppress the rewrite rule for this thread so
+    // the view is never merged into itself (review-caught double-count)
+    graft.plans.MvRewrite.suppressed {
+      mergeBatchImpl(spark, root, batch, spec, batchId, maxReadKeys,
+        maxWriteKeys)
+    }
+
+  private def mergeBatchImpl(spark: SparkSession, root: String,
+                             batch: DataFrame, spec: Spec, batchId: Long,
+                             maxReadKeys: Int,
+                             maxWriteKeys: Int): Boolean = {
     // heal a half-applied previous merge BEFORE the fence check: a crash
     // between its journal publish and its fence write leaves the commit
     // durable but the fence stale — recovery applies journal AND fence in
@@ -319,11 +331,11 @@ object MaterializedAgg {
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          mergeBatch(batch.sparkSession, root,
-            batch.localCheckpoint(true), spec, id)
-          mergeTestHook.get()()
-        }
+        // mergeBatch owns the empty-batch no-op — no pre-check job here
+        mergeBatch(batch.sparkSession, root,
+          batch.localCheckpoint(true), spec, id)
+        mergeTestHook.get()()
+        ()
       }
 
   /** Test seams: after a bootstrap / after each merge commit, BEFORE the

@@ -366,6 +366,7 @@ object Sinks {
     // post-swap, awaiting retire). Process tmps first so finalDir state is
     // settled before the .old pass decides between restore and retire.
     val recovered = scala.collection.mutable.Set.empty[String]
+    val restored = scala.collection.mutable.Set.empty[String]
     if (fs.exists(tmpRoot)) {
       val (olds, tmps) = fs.listStatus(tmpRoot).toSeq
         .partition(_.getPath.getName.endsWith(".old"))
@@ -386,9 +387,12 @@ object Sinks {
         val finalDir = new Path(rootPath, winName)
         if (!fs.exists(finalDir)) {
           // swap never completed and its tmp is gone: the originals ARE
-          // the window — put them back untouched
+          // the window — put them back untouched, and feed the restored
+          // (still fragmented) window into THIS run's compaction pass:
+          // one compactLake call both heals and finishes the job
           require(fs.rename(st.getPath, finalDir),
             s"compaction recovery failed to restore $finalDir")
+          restored += winName; ()
         } else {
           // swap landed: finish the interrupted retire of the originals
           parquets(st.getPath).foreach(p => graft.sources.Snapshots.retireAs(
@@ -399,8 +403,10 @@ object Sinks {
       }
     }
 
-    val dirsNow = (partDirs.filterNot(d => recovered(d.getName)) ++
-      recovered.toSeq.sorted.map(new Path(rootPath, _))).sortBy(_.getName)
+    val dirsNow = (partDirs.filterNot(d =>
+        recovered(d.getName) || restored(d.getName)) ++
+      (recovered ++ restored).toSeq.sorted.map(new Path(rootPath, _)))
+      .sortBy(_.getName)
     dirsNow.flatMap { dir =>
       val before = parquets(dir).size
       if (recovered(dir.getName))

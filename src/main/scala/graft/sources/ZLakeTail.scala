@@ -76,11 +76,16 @@ final class ZLakeTail(spark: SparkSession, root: String, metadataPath: String,
     * lake is the whole lake in one epoch — one giant all-or-nothing
     * task wave instead of checkpointed increments. */
   private val maxFilesPerTrigger: Int =
-    opts.get("maxfilespertrigger").map(_.toInt) match {
-      case Some(n) if n <= 0 => throw new IllegalArgumentException(
+    opts.get("maxfilespertrigger").map { raw =>
+      val n = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"zlake streaming: maxFilesPerTrigger must be a positive " +
+            s"integer, got '$raw'")
+      }
+      require(n > 0,
         s"zlake streaming: maxFilesPerTrigger must be positive, got $n")
-      case other => other.getOrElse(Int.MaxValue)
-    }
+      n
+    }.getOrElse(Int.MaxValue)
 
   private val conf = spark.sessionState.newHadoopConf()
   private val rootPath = new Path(root)

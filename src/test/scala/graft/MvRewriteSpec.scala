@@ -169,6 +169,39 @@ class MvRewriteSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the view's own maintenance is never self-rewritten") {
+    // review-caught: an UNFILTERED catch-up merge's partial aggregate
+    // over the registered base matches the rewrite shape exactly — if it
+    // rewrites, the merge reads the (mid-maintenance, stale) view instead
+    // of the batch and silently loses every row the view lacks
+    val b2 = java.nio.file.Files
+      .createTempDirectory("graft-mvrw-self").toString + "/t"
+    val v2 = b2.stripSuffix("/t") + "/mv"
+    val data = spark.range(600).select(
+      concat(lit("g"), (col("id") % 4).cast("string")).as("g"),
+      (col("id") % 101).as("v"))
+    Sinks.zorderedWrite(data, "v", "v", b2, numFiles = 2, bits = 8)
+    val sp2 = Spec(groupCols = Seq("g"), sumCols = Seq("v"))
+    // view holds HALF the base, then gets registered (stale by design)
+    MaterializedAgg.mergeBatch(spark, v2,
+      graft.sources.ZLake.read(spark, b2).filter(col("v") % 2 === 0),
+      sp2, 0L)
+    MvRewrite.register(b2, v2, sp2)
+    try {
+      // the catch-up shape: UNFILTERED full-base merge
+      MaterializedAgg.mergeBatch(spark, v2,
+        graft.sources.ZLake.read(spark, b2), sp2, 1L)
+      val got = MaterializedAgg.readView(spark, v2, sp2).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = data.filter(col("v") % 2 === 0).union(data)
+        .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === want,
+        "catch-up merge was self-rewritten against the stale view")
+    } finally MvRewrite.unregister(b2)
+  }
+
   test("SQL surface: a temp view over the lake rewrites too") {
     graft.sources.ZLake.read(spark, base).createOrReplaceTempView("mvrw_base")
     val q = spark.sql(

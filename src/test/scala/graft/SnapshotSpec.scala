@@ -116,12 +116,15 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
     f.mkdirs(tmpRoot)
     require(f.rename(new org.apache.hadoop.fs.Path(table, "win=0"),
       new org.apache.hadoop.fs.Path(tmpRoot, "win=0.old")))
-    Sinks.compactLake(spark, table, "a", "b", filesPerPartition = 2,
-      bits = 6)
+    val repA = Sinks.compactLake(spark, table, "a", "b",
+      filesPerPartition = 2, bits = 6)
     assert(rows(ZLake.read(spark, table)) == before,
       "restore-from-.old lost rows")
     assert(rows(Snapshots.readSnapshot(spark, table, "pin")) == before,
       "snapshot broke across the restore")
+    // the SAME invocation both restores AND compacts the restored window
+    assert(repA.exists(r => r.dir.endsWith("win=0") && !r.recovered),
+      s"restored window missing from the compaction pass: $repA")
 
     // state B: swap landed but the retire pass died (.old still holds the
     // displaced originals) — recovery must finish retiring them so the

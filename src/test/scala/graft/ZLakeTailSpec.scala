@@ -84,15 +84,20 @@ class ZLakeTailSpec extends AnyFunSuite with SparkSpec {
     val q = startTail(root, ckpt, c)
     q.processAllAvailable()
     assert(c.rows.size === 40)
+    // stop BEFORE the rewrite: a live continuous trigger can race the
+    // in-place file swap into a raw FileNotFound mid-read (still an
+    // abort, but not the deterministic guided one this test pins)
+    q.stop()
 
     writeWin(root, 0, 40, tag = 1L) // same dir, new identities = compaction
+    val q2 = startTail(root, ckpt, c)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.processAllAvailable()
-      q.awaitTermination(30000)
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
     }
     assert(e.getMessage.contains("ignoreChanges") ||
       Option(e.getCause).exists(_.getMessage.contains("ignoreChanges")))
-    q.stop()
+    q2.stop()
   }
 
   test("ignoreChanges re-emits a rewritten file (documented at-least-once)") {
