@@ -289,8 +289,16 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case t if !t.failed => t.wall.min }.sum
     // detail first, compact summary LAST: the driver keeps the tail
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"sf":"$sfDir"}"""
     println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)}}}""")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"sf":"$sfDir"}""")
+    println(summary)
+    // ... and the summary as a FILE (r9 verdict #4): sbt's `[info] `
+    // decoration and the driver's capture window have twice corrupted the
+    // stdout lane ("parsed": null); a committed file survives both.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // read-only cwd: stdout stands
     spark.stop()
   }
 }

@@ -403,13 +403,14 @@ object QueriesOps {
     //    half-even in some versions). Now `bal` sums
     //    CAST(floor(c_acctbal*100) AS BIGINT) — floor and IEEE double
     //    multiply are bit-deterministic in BOTH engines — so q96/q96b test
-    //    the LAKE (write + pruned read of a double payload), while the new
-    //    q96c control carries the original decimal-cast path over the raw
-    //    table with no lake at all. Gate decision table r9:
-    //      q96/q96b green + q96c red   = decimal-cast rounding skew (lake fine)
-    //      q96/q96b red                = genuine write divergence (see the
-    //                                    literal row dump Verify now emits)
-    //      all green                   = divergence gone.
+    //    the LAKE (write + pruned read of a double payload). The r9 gate
+    //    CONCLUDED the bisection: q96/q96b green + the raw-table decimal
+    //    control red = the r6-r8 reds were oracle-side decimal rounding
+    //    skew, lake exonerated (control retired below). Decision table now:
+    //      q96 red + q96b green = unsound prune
+    //      both red             = genuine write divergence (see the literal
+    //                             row dump Verify emits)
+    //      both green           = healthy.
     QueryDef("q96_zorder_pruned_read", Some("""
       WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
                         (c_custkey * 7) % 256 AS b, c_acctbal
@@ -484,37 +485,19 @@ object QueriesOps {
           .orderBy("n")
       }),
 
-    // -- q96's RAW-TABLE control (r9 bisection arm): the r8-era aggregate —
-    //    including the engine-sensitive sum(CAST(double AS DECIMAL(18,2)))
-    //    `bal` that q96/q96b just dropped — over `customer` DIRECTLY. No
-    //    lake write, no pruning index, no parquet round-trip of our own.
-    //    If the driver gate shows q96c red while q96/q96b are green, the
-    //    r6-r8 reds were decimal-cast rounding skew in the driver's oracle
-    //    environment and the lake was never at fault; if q96c is green too,
-    //    the old divergence lived in the write path and the new literal row
-    //    dump in [[Verify]] pins the exact numbers.
-    QueryDef("q96c_raw_control", Some("""
-      WITH f AS (SELECT c_custkey, c_custkey % 256 AS a,
-                        (c_custkey * 7) % 256 AS b, c_acctbal
-                 FROM customer)
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(a) AS BIGINT) AS sum_a,
-             CAST(sum(b) AS BIGINT) AS sum_b,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
-      FROM f WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127
-      ORDER BY n"""),
-      (s, dir) => T(s, dir, "customer")
-        .select(col("c_custkey"),
-          (col("c_custkey") % 256).cast("long").as("a"),
-          (col("c_custkey") * 7 % 256).cast("long").as("b"),
-          col("c_acctbal"))
-        .filter(col("a").between(32, 63) && col("b").between(64, 127))
-        .agg(count("*").cast("long").as("n"),
-          sum("a").cast("long").as("sum_a"),
-          sum("b").cast("long").as("sum_b"),
-          sum(col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("bal"))
-        .orderBy("n")),
+    // -- q96's RAW-TABLE control (q96c_raw_control) is RETIRED as of r10:
+    //    the r9 gate ran the bisection to completion — q96/q96b green with
+    //    the bit-deterministic floor(x*100) `bal` while q96c (the r8-era
+    //    sum(CAST(double AS DECIMAL(18,2))) over raw `customer`, no lake
+    //    involved) stayed red, proving the r6-r8 hash reds were decimal
+    //    half-point rounding skew between Spark (HALF_UP) and the driver's
+    //    DuckDB (banker's) — an oracle-environment divergence, not a lake
+    //    bug. The control's one red row was by then pure noise in an
+    //    otherwise-green gate, so it is removed: any FUTURE q96/q96b red is
+    //    real signal again. The engine-side rule it leaves behind (applied
+    //    across Queries*): double aggregates that must hash-match DuckDB go
+    //    through floor/round-to-integer lanes, never CAST(double AS
+    //    DECIMAL) whose half-point mode is engine-defined.
 
     // -- small-file compaction: an APPEND-grown lake (4 fragmented appends
     //    per window x 2 windows) compacted in place by Sinks.compactLake

@@ -61,10 +61,21 @@ object DynamicPrune {
   /** Inner fact-⨝-dim with the fact side file-pruned by the dim's keys:
     * [[readSemiFiltered]] then a plain equi join (small side broadcast —
     * the cap already proved it driver-sized). Inner only: an outer join's
-    * unmatched fact rows would be lost to the pre-filter. */
+    * unmatched fact rows would be lost to the pre-filter.
+    *
+    * The join condition binds each side EXPLICITLY: the dim key is
+    * materialized under the reserved `__graft_key` alias and the fact key
+    * resolves against the fact plan — an unbound `col(keyCol) === dimKey`
+    * is ambiguous whenever both sides share the key's name (the common
+    * natural-join layout, r9 advice) and fails analysis. `__graft_key` is
+    * reserved on the dim (as in [[readSemiFiltered]]) and dropped from the
+    * output. */
   def innerJoinPruned(spark: SparkSession, root: String, keyCol: String,
                       dim: DataFrame, dimKey: Column,
-                      maxKeys: Int = 65536): DataFrame =
-    readSemiFiltered(spark, root, keyCol, dim, dimKey, maxKeys)
-      .join(broadcast(dim), col(keyCol) === dimKey)
+                      maxKeys: Int = 65536): DataFrame = {
+    val fact = readSemiFiltered(spark, root, keyCol, dim, dimKey, maxKeys)
+    val keyed = dim.withColumn("__graft_key", dimKey)
+    fact.join(broadcast(keyed), fact(keyCol) === keyed("__graft_key"))
+      .drop("__graft_key")
+  }
 }

@@ -59,8 +59,28 @@ object MvRewrite {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Registration]()
 
-  private def norm(path: String): String =
-    new org.apache.hadoop.fs.Path(path).toUri.getPath.stripSuffix("/")
+  /** Registry key: the FULLY QUALIFIED URI (scheme + authority + path).
+    * Keying on the bare path (r9 advice) collided two lakes at the same
+    * path on different filesystems/buckets (s3://prod/t vs s3://staging/t)
+    * into one entry, so a query over one could be silently answered from
+    * the OTHER lake's view. Qualification resolves a scheme-less path
+    * against the active session's default FS — the same resolution the
+    * scan's own rootPath went through, so lookup and register agree. */
+  private def norm(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    // canonical spelling from URI COMPONENTS: makeQualified renders a null
+    // authority as `file:/p` but an empty one as `file:///p` — same lake,
+    // two strings — so the key is rebuilt as scheme://authority/path with
+    // null and empty authority unified
+    val u = (try p.getFileSystem(conf).makeQualified(p)
+             catch { case NonFatal(_) => p }).toUri // unknown scheme: as-is
+    val scheme = Option(u.getScheme).map(_ + "://").getOrElse("")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme$auth${u.getPath.stripSuffix("/")}"
+  }
 
   /** Enable rewriting of aggregates over `basePath` onto the view at
     * `viewRoot` (maintained under `spec`). The caller asserts the view's
@@ -72,7 +92,7 @@ object MvRewrite {
   def unregister(basePath: String): Unit = { registry.remove(norm(basePath)); () }
   def clear(): Unit = registry.clear()
 
-  private[plans] def lookup(path: String): Option[Registration] =
+  private[graft] def lookup(path: String): Option[Registration] =
     Option(registry.get(norm(path)))
 
   /** Suppression latch for the view's OWN maintenance: [[graft.sinks

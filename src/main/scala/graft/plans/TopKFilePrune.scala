@@ -98,6 +98,11 @@ case class TopKFilePrune(spark: SparkSession) extends Rule[LogicalPlan]
       : Option[(LogicalRelation, HadoopFsRelation, StatsFileIndex,
           Seq[Expression], Map[ExprId, AttributeReference])] =
     p match {
+      // streaming relations (ZLakeTail batches) never prune here: a
+      // micro-batch plan's limit governs the WHOLE standing query, not
+      // this batch's files — and Spark forbids Sort over a raw stream
+      // anyway, so this is defense-in-depth mirroring [[MvRewrite]]
+      case l: LogicalRelation if l.isStreaming => None
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location match {
           case idx: StatsFileIndex => Some((l, h, idx, Nil, Map.empty))

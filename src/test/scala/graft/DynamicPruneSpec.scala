@@ -167,4 +167,22 @@ class DynamicPruneSpec extends AnyFunSuite with SparkSpec {
     assert(!ZLake.mayMatch(
       InSet(sattr, Set(UTF8String.fromString("aa"))), feS))
   }
+
+  test("natural join key: dim sharing the fact key's NAME still joins") {
+    // r9 advice: an unbound `col(keyCol) === dimKey` condition resolved
+    // ambiguously when both sides carry the key name (the common layout —
+    // fact.custkey ⨝ dim.custkey) and failed analysis. The condition now
+    // binds each side explicitly through the reserved __graft_key alias.
+    val path = tmp("dfp-natural")
+    Sinks.zorderedWrite(fact(), "k", "b", path, files, bits = 7)
+    val dim = spark.range(12).select((col("id") + 8).as("k"), // SAME name
+      concat(lit("seg"), (col("id") % 2).cast("string")).as("seg"))
+    val got = DynamicPrune.innerJoinPruned(spark, path, "k", dim, dim("k"))
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val want = spark.read.parquet(path).as("f")
+      .join(dim.as("d"), col("f.k") === col("d.k"))
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(sortedRows(got) == sortedRows(want),
+      "same-name key join diverged from the reference join")
+  }
 }

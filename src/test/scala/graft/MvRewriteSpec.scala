@@ -211,4 +211,30 @@ class MvRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(canon(q) === direct)
     assert(scanRoots(q).forall(_.contains(view)))
   }
+
+  test("registry keys are fully qualified URIs: same path, different " +
+      "filesystem/authority never collides") {
+    // r9 advice: path-only keys collapsed s3://prod/tables/t and
+    // s3://staging/tables/t to one entry, so a query over one lake could
+    // be answered from the OTHER's view. Keys now carry scheme+authority
+    // (unknown schemes fall back to the raw URI, preserving both).
+    val spec = Spec(groupCols = Seq("g"), sumCols = Seq("v"))
+    try {
+      MvRewrite.register("s3a://prod/tables/t", "/views/prod_t", spec)
+      MvRewrite.register("s3a://staging/tables/t", "/views/staging_t", spec)
+      assert(MvRewrite.lookup("s3a://prod/tables/t")
+        .map(_.viewRoot) === Some("/views/prod_t"))
+      assert(MvRewrite.lookup("s3a://staging/tables/t")
+        .map(_.viewRoot) === Some("/views/staging_t"),
+        "staging lake's registration was clobbered by prod's (path-only key)")
+      // and a scheme-less local path still agrees with its qualified form
+      MvRewrite.register("/tables/local_t", "/views/local_t", spec)
+      assert(MvRewrite.lookup("file:/tables/local_t")
+        .map(_.viewRoot) === Some("/views/local_t"))
+    } finally {
+      MvRewrite.unregister("s3a://prod/tables/t")
+      MvRewrite.unregister("s3a://staging/tables/t")
+      MvRewrite.unregister("/tables/local_t")
+    }
+  }
 }

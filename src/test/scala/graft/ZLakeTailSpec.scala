@@ -255,4 +255,42 @@ class ZLakeTailSpec extends AnyFunSuite with SparkSpec {
     q2.stop()
     assert(c2.rows.isEmpty)
   }
+
+  test("streaming aggregate over the tail keeps its state: ManifestAggs " +
+      "must not answer a streaming plan from the manifest") {
+    // r9 advice (high): the tail's batches plan as StatsFileIndex
+    // relations — the exact shape ManifestAggs rewrites for BATCH reads.
+    // Rewriting the STREAMING Aggregate to a LocalRelation would erase
+    // StateStore planning and emit per-batch manifest counts instead of
+    // accumulated totals. complete-mode groupBy(partition col).count()
+    // over a growing lake is the canonical victim.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-agg").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-agg-ck").toString
+    writeWin(root, 0, 100)
+    val q = spark.readStream.format("zlake").load(root)
+      .groupBy(col("win")).count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tail_agg").option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    writeWin(root, 1, 50)
+    q.processAllAvailable()
+    val got = spark.table("tail_agg").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    // accumulated across both triggers — NOT the second batch's counts
+    assert(got === Map("0" -> 100L, "1" -> 50L),
+      s"streaming aggregate lost state to a manifest rewrite: $got")
+
+    // and the SAME aggregate over the BATCH read still manifest-answers
+    // (the guard must not disable the batch lane)
+    val batchPlan = graft.sources.ZLake.read(spark, root)
+      .groupBy(col("win")).count()
+    val optimized = batchPlan.queryExecution.optimizedPlan
+    assert(optimized.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"batch manifest-agg lane regressed:\n$optimized")
+  }
 }
