@@ -26,8 +26,19 @@ import graft.sources.ZLake
   *  - `mustMatch(p, file)` — EVERY row provably matches: the file is
   *    dropped whole, METADATA-ONLY (never read — the Iceberg-style
   *    metadata delete; a whole-partition retention drop costs zero tasks);
-  *  - otherwise — the file is rewritten without its matching rows (one
-  *    task per file, parallel across files).
+  *  - otherwise — the file is rewritten without its matching rows. The
+  *    WHOLE rewrite set stages as ONE Spark job (r9 verdict #2): every
+  *    boundary file reads into a single DataFrame (partition values parsed
+  *    from the paths against an explicit string schema), the keep-filter
+  *    runs once, and a `partitionBy` write lands per-directory outputs
+  *    under the stage dir — so a retention DELETE straddling 10^4
+  *    envelopes pays one scheduler round-trip, not 10^4 sequential jobs.
+  *    Originals journal as drops and the consolidated outputs as adds
+  *    (fresh names — no same-path rewrite, which also keeps the
+  *    `(rel, len, mtime)` identity [[graft.sources.ZLakeTail]] and
+  *    [[graft.sources.Snapshots]] key collision-free on journaled paths);
+  *    a directory whose boundary files turn out to hold NO matching rows
+  *    is suppressed entirely — its files stay byte-untouched.
   * Partition columns participate exactly: each file's `col=value` path
   * values are substituted into the predicate as literals and the result
   * constant-folds before the envelope test, so `WHERE win < '202601'`
@@ -232,43 +243,51 @@ object LakeDelete {
     require(keys.nonEmpty, "empty upsert batch")
 
     // ---- stage the insert files (before the journal: invisible) ---------
+    // ONE job for the whole batch (r9 verdict #2): partition columns cast
+    // to string (the lake's directory rendering), the batch repartitioned
+    // so each touched partition lands as one file, and a partitionBy write
+    // mirrors the lake layout under a staging subdir — the per-partition
+    // coalesce(1) job loop this replaces paid one scheduler round-trip per
+    // touched partition.
     val partCols = ZLake.index(spark, root).partitionCols
     val missing = partCols.filterNot(c =>
       updates.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,
       s"updates must carry the lake's partition column(s) $missing")
-    val partTuples: Seq[Seq[String]] =
-      if (partCols.isEmpty) Seq(Nil)
-      else updates.select(partCols.map(c => col(c).cast("string")): _*)
-        .distinct().collect().map(r =>
-          partCols.indices.map(i => r.getString(i)))
-    var adds = Vector.empty[String]
-    partTuples.zipWithIndex.foreach { case (vals, i) =>
-      val dirRel = partCols.zip(vals)
-        .map { case (c, v) => s"$c=$v" }.mkString("/")
-      var part = updates
-      partCols.zip(vals).foreach { case (c, v) =>
-        part = part.filter(col(c).cast("string") === v)
+    val addTmp = new Path(stageRoot, ".add")
+    val strung = partCols.foldLeft(updates)((d, c) =>
+      d.withColumn(c, col(c).cast("string")))
+    val shaped =
+      if (partCols.isEmpty) strung.coalesce(1)
+      else strung.repartition(partCols.map(col): _*)
+    val w = shaped.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(addTmp.toString)
+    def walkAdds(d: Path, dirRel: String): Seq[(String, Path)] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          walkAdds(st.getPath, if (dirRel.isEmpty) name else s"$dirRel/$name")
+        else if (!st.isDirectory && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith("."))
+          Seq((dirRel, st.getPath))
+        else Nil
       }
-      part = part.drop(partCols: _*)
-      val tmpDir = new Path(stageRoot, s".add-$i")
-      part.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-      val file = fs.listStatus(tmpDir).map(_.getPath)
-        .find(p => p.getName.endsWith(".parquet") &&
-          !p.getName.startsWith("_") && !p.getName.startsWith("."))
-        .getOrElse(sys.error("staged insert produced no file"))
-      if (footerRows(fs, conf, file) > 0L) {
+    var adds = Vector.empty[String]
+    var inserted = 0L
+    walkAdds(addTmp, "").sortBy(_._2.getName).foreach { case (dirRel, p) =>
+      val n = footerRows(fs, conf, p)
+      if (n > 0L) {
         val name = s"upsert-${java.util.UUID.randomUUID()}.parquet"
         val relp = if (dirRel.isEmpty) name else s"$dirRel/$name"
         val dst = new Path(stageRoot, relp)
         fs.mkdirs(dst.getParent)
-        require(fs.rename(file, dst), s"could not stage $dst")
+        require(fs.rename(p, dst), s"could not stage $dst")
         adds :+= relp
+        inserted += n
       }
-      fs.delete(tmpDir, true); ()
     }
-    val inserted = adds.map(r =>
-      footerRows(fs, conf, new Path(stageRoot, r))).sum
+    fs.delete(addTmp, true)
 
     val del = deleteCore(spark, root, col(keyCol).isin(keys.toSeq: _*),
       adds, recovered, fence)
@@ -336,55 +355,93 @@ object LakeDelete {
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
     val stageRoot = new Path(rootPath, StageDirName)
 
-    // ---- stage: write each rewrite's replacement fully, invisibly -------
-    // one single-file write per rewritten file (parallel across files via
-    // the driver loop's jobs; each job reads exactly one file). Keep =
-    // NOT(p IS TRUE). Partition values ride in as literal columns so the
-    // ORIGINAL predicate resolves per file, then drop out before writing.
+    // ---- stage: ONE job rewrites the whole boundary set ------------------
+    // Every rewrite-class file reads into a single DataFrame — partition
+    // values parse from the paths against an explicit schema keeping them
+    // STRING-typed (the lake's own read types) — the keep-filter runs once
+    // (keep = NOT(p IS TRUE)), and a partitionBy write lands per-directory
+    // consolidated outputs under the stage dir. A directory whose boundary
+    // files held no matching row after all (loose envelopes) is SUPPRESSED:
+    // its files are not dropped, its staged output not adopted — re-running
+    // the same delete stays a byte-level no-op.
     val keep = not(coalesce(predicate, lit(false)))
-    var staged = Vector.empty[(String, Long, Long)] // (rel, oldRows, newRows)
-    var emptied = Vector.empty[String]              // rewrites with 0 kept rows
-    rewrites.zipWithIndex.foreach { case (fe, i) =>
-      val src = fe.status.getPath
-      var kept = spark.read.parquet(src.toString)
-      fe.partitionValues.foreach { case (k, v) =>
-        kept = kept.withColumn(k, lit(v))
+    val partCols = idx.partitionCols
+    def dirRelOf(fe: ZLake.FileEnvelope): String =
+      rel(fe.status.getPath.getParent)
+    // (dirRel -> staged output files), (dirRel -> kept rows)
+    var stagedByDir = Map.empty[String, Seq[Path]]
+    var keptByDir = Map.empty[String, Long]
+    if (rewrites.nonEmpty) {
+      val outDir = new Path(stageRoot, ".out")
+      val all = spark.read.schema(df.schema).option("basePath", root)
+        .parquet(rewrites.map(_.status.getPath.toString): _*)
+        .filter(keep)
+      val w = all.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(outDir.toString)
+      def walk(d: Path, dirRel: String): Seq[(String, Path)] =
+        fs.listStatus(d).toSeq.flatMap { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.contains("="))
+            walk(st.getPath, if (dirRel.isEmpty) name else s"$dirRel/$name")
+          else if (!st.isDirectory && name.endsWith(".parquet") &&
+            !name.startsWith("_") && !name.startsWith("."))
+            Seq((dirRel, st.getPath))
+          else Nil
+        }
+      val outs = walk(outDir, "")
+      stagedByDir = outs.groupBy(_._1).map { case (d, fs0) =>
+        d -> fs0.map(_._2).sortBy(_.getName)
       }
-      kept = kept.filter(keep)
-      fe.partitionValues.foreach { case (k, _) => kept = kept.drop(k) }
-      val tmpDir = new Path(stageRoot, s".tmp-$i")
-      kept.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-      val part = fs.listStatus(tmpDir).map(_.getPath)
-        .find(p => p.getName.endsWith(".parquet") &&
-          !p.getName.startsWith("_") && !p.getName.startsWith("."))
-        .getOrElse(sys.error(s"staged rewrite of $src produced no file"))
-      val newRows = footerRows(fs, conf, part)
-      if (newRows == 0L) {
-        fs.delete(tmpDir, true)
-        emptied :+= rel(src)
-      } else {
-        val dst = new Path(stageRoot, rel(src))
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(part, dst), s"could not stage $dst")
-        fs.delete(tmpDir, true)
-        staged :+= ((rel(src), fe.rows, newRows))
+      keptByDir = stagedByDir.map { case (d, ps) =>
+        d -> ps.map(footerRows(fs, conf, _)).sum
       }
     }
+    val rewritesByDir = rewrites.groupBy(dirRelOf)
+    // suppression: a dir whose kept rows == its boundary files' rows lost
+    // nothing (exact only when every input row count is known)
+    val suppressedDirs = rewritesByDir.keySet.filter { d =>
+      val old = rewritesByDir(d).map(_.rows)
+      old.forall(_ >= 0L) && keptByDir.getOrElse(d, 0L) == old.sum
+    }
+    val liveDirs = (rewritesByDir.keySet -- suppressedDirs).toSeq.sorted
+    val runId = java.util.UUID.randomUUID()
+    val rewriteAdds = liveDirs.flatMap { d =>
+      stagedByDir.getOrElse(d, Nil).zipWithIndex.map { case (p, i) =>
+        val name = s"rewrite-$runId-$i.parquet"
+        val relp = if (d.isEmpty) name else s"$d/$name"
+        val dst = new Path(stageRoot, relp)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(p, dst), s"could not stage $dst")
+        relp
+      }
+    }
+    val rewritten = liveDirs.flatMap(rewritesByDir(_))
+    val suppressed = rewrites.size - rewritten.size
 
     // ---- publish the journal (the commit point), then apply -------------
-    val dropRels = drops.map(fe => rel(fe.status.getPath)) ++ emptied
-    writeJournal(fs, rootPath, dropRels, staged.map(_._1), adds, fence)
+    val dropRels = drops.map(fe => rel(fe.status.getPath)) ++
+      rewritten.map(fe => rel(fe.status.getPath))
+    writeJournal(fs, rootPath, dropRels, Nil, rewriteAdds ++ adds, fence)
     journalPublishedHook.get()() // crash injection: committed, not applied
     applyJournal(spark, fs, rootPath)
 
-    val dropRows = drops.map(_.rows) ++
-      emptied.map(r => rewrites.find(fe => rel(fe.status.getPath) == r)
-        .map(_.rows).getOrElse(-1L))
-    val rewriteRows = staged.map { case (_, o, n) => if (o < 0) -1L else o - n }
-    val allRows = dropRows ++ rewriteRows
-    val rows = if (allRows.exists(_ < 0L)) -1L else allRows.sum
-    DeleteReport(triage.size, untouched, dropRels.size, staged.size, rows,
-      recovered)
+    // row accounting: whole drops are exact from the manifest; the rewrite
+    // lane is old-sum minus staged-footer-sum per live dir
+    val rewriteOld = rewritten.map(_.rows)
+    val rewriteRows =
+      if (rewriteOld.exists(_ < 0L)) -1L
+      else rewriteOld.sum - liveDirs.map(keptByDir.getOrElse(_, 0L)).sum
+    val dropRows = drops.map(_.rows)
+    val rows =
+      if (rewriteRows < 0L || dropRows.exists(_ < 0L)) -1L
+      else dropRows.sum + rewriteRows
+    // emptied dirs (0 kept rows) report their files as whole drops — they
+    // were read, but nothing of them survives
+    val (emptiedFiles, rewrittenFiles) = rewritten.partition(fe =>
+      keptByDir.getOrElse(dirRelOf(fe), 0L) == 0L)
+    DeleteReport(triage.size, untouched + suppressed,
+      drops.size + emptiedFiles.size, rewrittenFiles.size, rows, recovered)
   }
 
   /** Heal a delete that crashed after its journal was published: re-apply
@@ -462,8 +519,10 @@ object LakeDelete {
       } // else: already applied before a crash
     }
     // incremental manifest repair for every directory the journal touched
-    (drops ++ replaces ++ adds).map(r => new Path(root, r).getParent).distinct
-      .foreach(ZLake.repairDirManifest(spark, _))
+    // — batched: one stats job per distinct layout, however many dirs
+    ZLake.repairDirManifests(spark,
+      (drops ++ replaces ++ adds).map(r => new Path(root, r).getParent)
+        .distinct)
     // materialize the fence BEFORE retiring the journal: a crash between
     // the two re-applies the journal (idempotent) and rewrites the same
     // fence, so the fence can never show a commit that did not land

@@ -447,57 +447,98 @@ object ZLake {
     * re-supplying write-time options). A directory left without data files
     * has its manifest removed; one never manifest-covered gets a plain
     * envelope manifest. */
-  private[graft] def repairDirManifest(spark: SparkSession, dir: Path): Unit = {
+  private[graft] def repairDirManifest(spark: SparkSession, dir: Path): Unit =
+    repairDirManifests(spark, Seq(dir))
+
+  /** Batched [[repairDirManifest]]: the per-dir triage (covered entries
+    * kept verbatim, uncovered files listed) runs driver-side for every
+    * directory first, then ONE distributed stats pass per DISTINCT
+    * inferred layout recomputes sketches/blooms/sums for all fresh files
+    * at once — a journaled mutation touching 10^3 directories of a
+    * uniformly-written lake repairs them with one Spark job, not 10^3. */
+  private[graft] def repairDirManifests(spark: SparkSession,
+                                        dirs: Seq[Path]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return
-    val files = fs.listStatus(dir).toSeq
-      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet") &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-    if (files.isEmpty) {
-      val p = new Path(dir, ManifestName)
-      if (fs.exists(p)) { fs.delete(p, false); () }
-      return
+    final case class Layout(sketchCols: Seq[String], sketchM: Int,
+                            bloomCols: Seq[String], bloomHashes: Int,
+                            bloomBits: Int, sumCols: Seq[String]) {
+      def isEmpty: Boolean =
+        sketchCols.isEmpty && bloomCols.isEmpty && sumCols.isEmpty
     }
-    readManifest(fs, dir) match {
-      case None => writeManifest(spark, dir.toString)
-      case Some(man) =>
-        val (kept, fresh) = files.partition(st =>
-          man.files.get(st.getPath.getName).exists(_.len == st.getLen))
-        // stats layout inferred from the old entries (union across files —
-        // a single file may legitimately omit a sum on overflow)
-        val entries = man.files.values.toSeq
-        val sketchCols = entries.flatMap(_.sketches.keys).distinct.sorted
-        val sketchM = entries.flatMap(_.sketches.values.map(_.length))
-          .headOption.getOrElse(256)
-        val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
-        val bloomHashes = entries.flatMap(_.blooms.values)
-          .collectFirst { case w if w.nonEmpty => w(0).toInt }.getOrElse(4)
-        val bloomBits = entries.flatMap(_.blooms.values)
-          .collectFirst { case w if w.length > 1 => (w.length - 1) * 64 }
-          .getOrElse(8192)
-        val sumCols = entries.flatMap(_.sums.keys).distinct.sorted
-        val stats =
-          if (fresh.isEmpty) Map.empty[String, (Map[String, Array[Long]],
-            Map[String, Array[Long]], Map[String, BigDecimal])]
-          else statsPass(
-            spark.read.parquet(fresh.map(_.getPath.toString): _*), man.schema,
-            sketchCols, sketchM, bloomCols, bloomBits, bloomHashes, sumCols)
-        val keptEntries = kept.map { st =>
-          val e = man.files(st.getPath.getName)
-          st.getPath.getName -> FileEnvelope(st, e.rowGroups, e.cols, Nil,
-            e.rows, e.nulls, e.sketches, e.blooms, e.sums)
+    final case class Pend(dir: Path, man: Manifest,
+                          kept: Seq[FileStatus], fresh: Seq[FileStatus],
+                          layout: Layout)
+    val pend = scala.collection.mutable.ArrayBuffer.empty[Pend]
+    dirs.distinct.foreach { dir =>
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        val files = fs.listStatus(dir).toSeq
+          .filter(st => !st.isDirectory &&
+            st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+        if (files.isEmpty) {
+          val p = new Path(dir, ManifestName)
+          if (fs.exists(p)) { fs.delete(p, false); () }
+        } else readManifest(fs, dir) match {
+          case None => writeManifest(spark, dir.toString)
+          case Some(man) =>
+            val (kept, fresh) = files.partition(st =>
+              man.files.get(st.getPath.getName).exists(_.len == st.getLen))
+            // stats layout inferred from the old entries (union across
+            // files — a file may legitimately omit a sum on overflow)
+            val entries = man.files.values.toSeq
+            val layout = Layout(
+              entries.flatMap(_.sketches.keys).distinct.sorted,
+              entries.flatMap(_.sketches.values.map(_.length))
+                .headOption.getOrElse(256),
+              entries.flatMap(_.blooms.keys).distinct.sorted,
+              entries.flatMap(_.blooms.values)
+                .collectFirst { case w if w.nonEmpty => w(0).toInt }
+                .getOrElse(4),
+              entries.flatMap(_.blooms.values)
+                .collectFirst { case w if w.length > 1 => (w.length - 1) * 64 }
+                .getOrElse(8192),
+              entries.flatMap(_.sums.keys).distinct.sorted)
+            pend += Pend(dir, man, kept, fresh, layout)
         }
-        val freshEntries = fresh.map { st =>
-          val env = envelopeOf(st, Nil, conf)
-          val (sk, bl, sm) = stats.getOrElse(st.getPath.toUri.getPath,
-            (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]],
-              Map.empty[String, BigDecimal]))
-          st.getPath.getName -> env.copy(sketches = sk, blooms = bl, sums = sm)
+      }
+    }
+    // one stats job per distinct layout, across every pending dir's fresh
+    // files (explicit merged schema: an evolved file missing a stats
+    // column reads NULL, contributing nothing — as the per-dir pass did)
+    val statsByLayout = pend.toSeq.filter(p =>
+        p.fresh.nonEmpty && !p.layout.isEmpty)
+      .groupBy(_.layout).map { case (lay, ps) =>
+        val paths = ps.flatMap(_.fresh).map(_.getPath.toString)
+        val schema = ps.map(_.man.schema).reduce { (a, b) =>
+          StructType(a.fields ++
+            b.fields.filterNot(f => a.fieldNames.contains(f.name)))
         }
-        writeManifestFile(fs, dir, man.schema,
-          (keptEntries ++ freshEntries).sortBy(_._1))
+        lay -> statsPass(spark.read.schema(schema).parquet(paths: _*),
+          schema, lay.sketchCols, lay.sketchM, lay.bloomCols, lay.bloomBits,
+          lay.bloomHashes, lay.sumCols)
+      }
+    pend.foreach { p =>
+      val fs = p.dir.getFileSystem(conf)
+      val stats = statsByLayout.getOrElse(p.layout,
+        Map.empty[String, (Map[String, Array[Long]],
+          Map[String, Array[Long]], Map[String, BigDecimal])])
+      val keptEntries = p.kept.map { st =>
+        val e = p.man.files(st.getPath.getName)
+        st.getPath.getName -> FileEnvelope(st, e.rowGroups, e.cols, Nil,
+          e.rows, e.nulls, e.sketches, e.blooms, e.sums)
+      }
+      val freshEntries = p.fresh.map { st =>
+        val env = envelopeOf(st, Nil, conf)
+        val (sk, bl, sm) = stats.getOrElse(st.getPath.toUri.getPath,
+          (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]],
+            Map.empty[String, BigDecimal]))
+        st.getPath.getName -> env.copy(sketches = sk, blooms = bl, sums = sm)
+      }
+      writeManifestFile(fs, p.dir, p.man.schema,
+        (keptEntries ++ freshEntries).sortBy(_._1))
     }
   }
 

@@ -237,6 +237,31 @@ class LakeDeleteSpec extends AnyFunSuite with SparkSpec {
     assert(fs.exists(new Path(root, s"win=2/${ZLake.ManifestName}")))
   }
 
+  test("the whole rewrite set stages as ONE job, not one per file") {
+    val root = buildLake()
+    // u = id % 97 spreads through every file's envelope, so (almost) the
+    // whole lake is rewrite-class — the shape that used to pay one
+    // sequential Spark job per file
+    spark.sparkContext.setJobGroup("graft-del-onejob", "one-job delete", false)
+    val rep =
+      try LakeDelete.deleteFromLake(spark, root, col("u") === 13)
+      finally spark.sparkContext.clearJobGroup()
+    assert(rep.filesRewritten >= 10, rep.toString)
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("graft-del-onejob").length
+    assert(jobs <= 5,
+      s"delete ran $jobs jobs for ${rep.filesRewritten} rewrite-class files" +
+        " — the staging loop is sequential again")
+    val want = expect((id, _, _, _) => id % 97 == 13)
+    assert(rows(root) == want)
+    assert(rep.rowsDeleted == n - want.size)
+    // a second identical delete is suppressed dir-wise: nothing changes
+    val snap = fileSnap(root)
+    val rep2 = LakeDelete.deleteFromLake(spark, root, col("u") === 13)
+    assert(rep2.rowsDeleted == 0L, rep2.toString)
+    assert(fileSnap(root) == snap, "files changed on a suppressed re-delete")
+  }
+
   test("re-running the same delete is a no-op") {
     val root = buildLake()
     LakeDelete.deleteFromLake(spark, root, col("a").between(16, 31))
