@@ -52,20 +52,23 @@ object TrainPrep {
     * Scale shape: first-occurrence is a map-side-combined `min(struct)`
     * GROUP BY paragraph — NOT a row_number window — so a boilerplate
     * paragraph appearing a billion times costs one combine-reduced key,
-    * never a single-task sort (the skew case IS the use case). Two
-    * shuffles total: the paragraph-key aggregate+join, and the per-doc
-    * reassembly; `sort_array(collect_list(struct(pos, para)))` keeps the
-    * rebuild order-exact without a per-doc window sort.
+    * never a single-task sort (the skew case IS the use case).
+    * `sort_array(collect_list(struct(pos, para)))` keeps the rebuild
+    * order-exact without a per-doc window sort.
     *
-    * The aggregate and join key is a 128-bit paragraph HASH (two
-    * independent xxhash64 lanes), not the text (r8 verdict #4): the
-    * corpus this operator targets is boilerplate-heavy, and raw-text keys
-    * would move the whole corpus through both exchanges twice — the hash
-    * pair shuffles 16 bytes per row on the first-occurrence lane while
-    * the text rides only the per-doc reassembly it must reach anyway.
-    * Collision risk at 2^-128-ish per pair is the standard trade every
-    * hash-keyed dedup (FineWeb, CCNet) makes; TrainPrepSpec asserts the
-    * exchange keys are LongType.
+    * Shuffle-byte shape (r8 verdict #4 + r9 verdict #3): the
+    * first-occurrence aggregate and its join run on a TEXT-FREE
+    * (doc_id, pos, h1, h2) lane keyed by a 128-bit paragraph hash (two
+    * independent xxhash64 lanes — a single-lane collision never merges
+    * distinct text), and paragraph TEXT crosses exactly ONE exchange: a
+    * doc_id repartition whose partitioning satisfies both the
+    * (doc_id, pos) keep-flag join and the per-doc reassembly groupBy.
+    * On the boilerplate-heavy corpora this operator targets that halves
+    * shuffled bytes vs letting the text ride the hash join. Collision
+    * risk at 2^-128-ish per pair is the standard trade every hash-keyed
+    * dedup (FineWeb, CCNet) makes; TrainPrepSpec asserts the text-free
+    * exchanges carry only Long keys and that `para` feeds exactly one
+    * exchange.
     */
   def paragraphDedup(docs: DataFrame, id: Column, text: Column,
                      sep: String = "\n\n"): DataFrame = {
@@ -76,12 +79,24 @@ object TrainPrep {
       // literal), so a single-lane collision never merges distinct text
       .withColumn("h1", xxhash64(col("para")))
       .withColumn("h2", xxhash64(lit(""), col("para")))
-    val first = paras.groupBy(col("h1"), col("h2"))
+    // keep-flags compute on a TEXT-FREE lane (r9 verdict #3): the
+    // first-occurrence aggregate and its join move only (doc_id, pos,
+    // h1, h2); the text-bearing frame then repartitions ONCE by doc_id —
+    // a partitioning that satisfies both the (doc_id, pos) flag join
+    // (hash on a subset of the join keys) and the per-doc reassembly
+    // groupBy, so the text crosses exactly ONE exchange end to end.
+    val keys = paras.select(col("doc_id"), col("pos"), col("h1"), col("h2"))
+    val first = keys.groupBy(col("h1"), col("h2"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
       .select(col("h1"), col("h2"),
         col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
-    paras.join(first, Seq("h1", "h2"))
-      .withColumn("keep", col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
+    val flags = keys.join(first, Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
+          .as("keep"))
+    paras.select(col("doc_id"), col("pos"), col("para"))
+      .repartition(col("doc_id"))
+      .join(flags, Seq("doc_id", "pos"))
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(sort_array(

@@ -52,7 +52,15 @@ import graft.sinks.MaterializedAgg.Spec
   */
 object MvRewrite {
 
-  final case class Registration(viewRoot: String, spec: Spec)
+  /** `fingerprint` pins the base lake's file-set identity
+    * ([[graft.sources.ZLake.stateFingerprint]]) as of the moment the
+    * registrant last asserted the view covers the base — [[register]] and
+    * [[refresh]] capture it. The rule re-fingerprints the base at rewrite
+    * time and BAILS to the scan on any mismatch, so a base append that
+    * outran maintenance can never be silently answered from the stale
+    * view (r9 verdict #5). */
+  final case class Registration(viewRoot: String, spec: Spec,
+                                basePath: String, fingerprint: String)
 
   /** base lake path (normalized) → registration. Process-wide, like the
     * session catalogs the rule consults. */
@@ -84,10 +92,35 @@ object MvRewrite {
 
   /** Enable rewriting of aggregates over `basePath` onto the view at
     * `viewRoot` (maintained under `spec`). The caller asserts the view's
-    * maintenance covers the base table's contents. */
+    * maintenance covers the base table's contents AS OF NOW — the base's
+    * current file-set fingerprint is captured, and the rule keeps the
+    * scan whenever the base has since changed, until [[refresh]] (called
+    * after the next maintenance merge) re-captures it. */
   def register(basePath: String, viewRoot: String, spec: Spec): Unit = {
-    registry.put(norm(basePath), Registration(viewRoot, spec)); ()
+    registry.put(norm(basePath),
+      Registration(viewRoot, spec, basePath, currentFingerprint(basePath)))
+    ()
   }
+
+  /** Re-assert freshness after a maintenance merge brought the view up to
+    * date with the base's CURRENT contents. No-op for an unregistered
+    * base. */
+  def refresh(basePath: String): Unit = {
+    val k = norm(basePath)
+    Option(registry.get(k)).foreach { r =>
+      registry.put(k, r.copy(fingerprint = currentFingerprint(basePath)))
+    }
+  }
+
+  /** "unreadable" when the base's filesystem is unreachable from here (a
+    * registration for another cluster's scheme): it never equals a real
+    * fingerprint, and the rewrite-time probe of such a base throws into
+    * the rule's NonFatal bail — either way the scan is kept. */
+  private def currentFingerprint(basePath: String): String =
+    try org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => graft.sources.ZLake.stateFingerprint(s, basePath))
+      .getOrElse("unreadable")
+    catch { case NonFatal(_) => "unreadable" }
 
   def unregister(basePath: String): Unit = { registry.remove(norm(basePath)); () }
   def clear(): Unit = registry.clear()
@@ -149,6 +182,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (reg, filters) = unwrap(agg.child).getOrElse(return None)
     val spec = reg.spec
+
+    // FRESHNESS GUARD (r9 verdict #5): the base must still be the exact
+    // file set the registrant last asserted coverage for. One recursive
+    // listing per candidate rewrite — cheap next to the scan it avoids —
+    // and a stale view can never silently answer for a moved-on base.
+    if (graft.sources.ZLake.stateFingerprint(spark, reg.basePath)
+        != reg.fingerprint) return None
 
     // grouping: plain attributes, all view group columns
     val groupNames: Seq[String] = agg.groupingExpressions.map {

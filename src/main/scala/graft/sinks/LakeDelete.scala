@@ -115,14 +115,32 @@ object LakeDelete {
       rootPath, fence)
   }
 
+  /** ATOMIC fence swap (r9 advice): an overwrite-rename via FileContext,
+    * so there is no delete-then-rename window in which a crash leaves a
+    * marker-bearing root with NO fence — a state the next
+    * [[MaterializedAgg]] merge would misread as a half bootstrap and wipe.
+    * Filesystems without a FileContext binding (AbstractFileSystem) fall
+    * back to delete+rename; every fence on such a path that matters also
+    * rides the journal, which re-lands it on [[recover]]. */
   private def writeFence(fs: FileSystem, root: Path, fence: String): Unit = {
     val tmp = new Path(root, s".$FenceName.tmp")
     val out = fs.create(tmp, true)
     try out.write(fence.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(root, FenceName)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"could not publish fence at $dst")
+    val swapped =
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(dst.toUri, fs.getConf)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+      }
+    if (!swapped) {
+      if (fs.exists(dst)) fs.delete(dst, false)
+      require(fs.rename(tmp, dst), s"could not publish fence at $dst")
+    }
   }
 
   /** Delete every row of the lake at `root` satisfying `predicate`

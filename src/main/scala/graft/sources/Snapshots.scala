@@ -111,9 +111,16 @@ object Snapshots {
       .map(_.stripSuffix(".json")).sorted
   }
 
+  /** Snapshot sidecar JSON reads — a test seam: [[snapshotRefs]] caching
+    * must keep journaled-mutation sequences from re-parsing every sidecar
+    * per mutation (asserted in SnapshotSpec). */
+  private[graft] val sidecarOpens =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readSnap(fs: FileSystem, root: Path, tag: String): Snap = {
     val p = snapPath(root, tag)
     require(fs.exists(p), s"no snapshot '$tag' at $root")
+    sidecarOpens.incrementAndGet()
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val in = fs.open(p)
     val node = try om.readTree(in) finally in.close()
@@ -243,15 +250,41 @@ object Snapshots {
 
   // ---- the retire path (called by the lake's journaled mutations) --------
 
+  /** refs cache: lake root URI → (snapshot-dir signature, refs). The
+    * signature is the sidecar listing `(name, len, mtime)`: sidecars are
+    * immutable (published by tmp+rename, removed only whole by vacuum),
+    * so an unchanged listing means byte-identical refs — a 5-minute merge
+    * cadence over a snapshotted 10^5-file lake stops paying
+    * O(snapshots × files) JSON parsing per batch (r9 verdict #6). */
+  private val refsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Set[(String, Long, Long)])]()
+
   /** Every `(rel, len, mtime)` some snapshot references — loaded once per
-    * mutation so per-file retire decisions are a set lookup. */
+    * mutation so per-file retire decisions are a set lookup; cached
+    * across mutations keyed by the snapshot-dir listing. */
   private[graft] def snapshotRefs(spark: SparkSession,
                                   root: String): Set[(String, Long, Long)] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    listSnapshots(spark, root).flatMap { tag =>
-      readSnap(fs, rootPath, tag).files.map(sf => (sf.rel, sf.len, sf.mtime))
-    }.toSet
+    val d = snapDir(rootPath)
+    val sig =
+      if (!fs.exists(d)) ""
+      else fs.listStatus(d).toSeq
+        .filter(st => st.getPath.getName.endsWith(".json") &&
+          !st.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:" +
+          s"${st.getModificationTime}")
+        .mkString("\n")
+    val key = rootPath.toUri.toString
+    Option(refsCache.get(key)).filter(_._1 == sig).map(_._2).getOrElse {
+      val refs = listSnapshots(spark, root).flatMap { tag =>
+        readSnap(fs, rootPath, tag).files
+          .map(sf => (sf.rel, sf.len, sf.mtime))
+      }.toSet
+      refsCache.put(key, (sig, refs))
+      refs
+    }
   }
 
   /** Retire one live data file: MOVE to the trash path its identity names

@@ -132,6 +132,26 @@ object ZLake {
   def envelopes(spark: SparkSession, path: String): Seq[FileEnvelope] =
     harvest(spark, path).fes
 
+  /** Identity FINGERPRINT of the lake's live data-file set — an MD5 over
+    * the sorted `(relative path, length, mtime)` tuples, the same identity
+    * key [[Snapshots]] and [[ZLakeTail]] pin files by. Any journaled
+    * mutation (append, delete, upsert, compaction) changes it; equal
+    * fingerprints mean the planned file set is unchanged. Cost is one
+    * recursive listing (no footer or manifest reads) — what
+    * [[graft.plans.MvRewrite]] pays per candidate rewrite to prove the
+    * registered view still covers the base. */
+  def stateFingerprint(spark: SparkSession, path: String): String = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return "absent"
+    val s = listDataFiles(fs, root).map { case (st, _) =>
+      s"${relPath(root, st.getPath)}:${st.getLen}:${st.getModificationTime}"
+    }.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** `p` relative to `root`, as the key a consolidated manifest stores. */
   private[sources] def relPath(root: Path, p: Path): String = {
     val r = root.toUri.getPath.stripSuffix("/")

@@ -212,6 +212,50 @@ class MvRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(scanRoots(q).forall(_.contains(view)))
   }
 
+  test("freshness guard: a base that outran maintenance keeps the scan " +
+      "until refresh re-asserts coverage") {
+    // r9 verdict #5: registration used to be a blind trust contract — one
+    // stale registration silently served wrong aggregates. The registered
+    // fingerprint now pins the base's file set; any journaled mutation
+    // (here: an upsert inserting 20 new keys) flips the guard.
+    val b = java.nio.file.Files
+      .createTempDirectory("graft-mvrw-fresh").toString + "/t"
+    val v = b.stripSuffix("/t") + "/mv"
+    def mkRows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      concat(lit("g"), (col("id") % 4).cast("string")).as("g"),
+      (col("id") % 53).as("v"), col("id").as("k"))
+    Sinks.zorderedWrite(mkRows(0, 500), "v", "k", b, numFiles = 2, bits = 8)
+    val sp = Spec(groupCols = Seq("g"), sumCols = Seq("v"))
+    MaterializedAgg.mergeBatch(spark,
+      v, graft.sources.ZLake.read(spark, b), sp, 0L)
+    MvRewrite.register(b, v, sp)
+    try {
+      def q = graft.sources.ZLake.read(spark, b).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      assert(scanRoots(q).forall(_.contains(v)), "fresh view must rewrite")
+      // the base moves on WITHOUT maintenance
+      graft.sinks.LakeDelete.upsertLake(spark, b, mkRows(500, 520), "k")
+      val stale = q
+      val roots = scanRoots(stale)
+      assert(roots.nonEmpty && roots.forall(_.contains(b)),
+        "stale view silently served a moved-on base")
+      // oracle: the stale-fingerprint guard keeps this direct read on the
+      // scan too (asserted), so the comparison is never view-vs-view
+      val truthDf = spark.read.parquet(b).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val truth = canon(truthDf)
+      assert(scanRoots(truthDf).forall(_.contains(b)))
+      assert(canon(stale) === truth)
+      // maintenance catches up with exactly the delta, freshness re-asserts
+      MaterializedAgg.mergeBatch(spark, v, mkRows(500, 520), sp, 1L)
+      MvRewrite.refresh(b)
+      val again = q
+      assert(scanRoots(again).forall(_.contains(v)),
+        "refresh did not re-arm the rewrite")
+      assert(canon(again) === truth)
+    } finally MvRewrite.unregister(b)
+  }
+
   test("registry keys are fully qualified URIs: same path, different " +
       "filesystem/authority never collides") {
     // r9 advice: path-only keys collapsed s3://prod/tables/t and

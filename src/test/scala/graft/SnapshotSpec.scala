@@ -172,6 +172,38 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
       .filter(col("a") >= 16).count())
   }
 
+  test("snapshot refs are CACHED across journaled mutations, invalidated " +
+      "by a new snapshot") {
+    // r9 verdict #6: applyJournal loaded every sidecar on every mutation —
+    // O(snapshots x files) JSON parsing per merge at a 5-minute cadence.
+    // The cache keys on the snapshot-dir listing, so a run of mutations
+    // parses each sidecar once, and a new snapshot re-arms exactly once.
+    val root = tmp("snap-cache")
+    Sinks.zorderedWrite(corpus(1024), "a", "b", root, numFiles = 4, bits = 6)
+    Snapshots.snapshot(spark, root, "t0")
+    Snapshots.snapshot(spark, root, "t1")
+    def upd(lo: Long) = spark.range(lo, lo + 5).select(col("id"),
+      (col("id") % 64).as("a"), (col("id") / 64 % 64).as("b"),
+      lit(s"CH$lo").as("uid"))
+    // every batch updates EXISTING keys, so each mutation retires files
+    // and genuinely needs the refs (all-new-key inserts never load them)
+    val n0 = Snapshots.sidecarOpens.get()
+    for (i <- 0 until 4)
+      LakeDelete.upsertLake(spark, root, upd(i * 10L), "id")
+    val opened = Snapshots.sidecarOpens.get() - n0
+    assert(opened >= 2, s"mutations never loaded refs — vacuous test")
+    assert(opened <= 2,
+      s"4 mutations re-parsed sidecars $opened times — refs not cached")
+    // a NEW snapshot changes the dir listing: the next mutation reloads
+    Snapshots.snapshot(spark, root, "t2")
+    val n1 = Snapshots.sidecarOpens.get()
+    LakeDelete.upsertLake(spark, root, upd(100L), "id")
+    assert(Snapshots.sidecarOpens.get() - n1 >= 3,
+      "stale refs served after a new snapshot — t2's pins would be lost")
+    // and the pinned state is still exact after all of it
+    assert(Snapshots.readSnapshot(spark, root, "t0").count() == 1024L)
+  }
+
   test("a lake without snapshots never grows a trash") {
     val root = tmp("snap-none")
     Sinks.zorderedWrite(corpus(1024), "a", "b", root, numFiles = 4, bits = 6)

@@ -110,6 +110,17 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
           s"expected long hash/doc keys: $exprs")
       case _ => // range/single partitionings don't carry the dedup keys
     }
+    // r9 verdict #3: paragraph TEXT feeds exactly ONE exchange — the
+    // doc_id repartition whose partitioning serves both the keep-flag
+    // join and the reassembly groupBy; the first-occurrence lanes are
+    // text-free
+    val textExchanges = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name == "para") => e
+    }
+    assert(textExchanges.size == 1,
+      s"expected exactly one text-bearing exchange, got " +
+        s"${textExchanges.size}")
   }
 
   test("packSequences: one shuffle, keyed by shard") {
