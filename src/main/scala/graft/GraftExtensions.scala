@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GROUP BY over a registered base lake → re-aggregate its maintained
     // MaterializedAgg view (warehouse-style materialized-view rewriting)
     ext.injectOptimizerRule(sp => graft.plans.MvRewrite(sp))
+    // ANSI DELETE FROM / MERGE INTO over a live zlake target → the
+    // journaled copy-on-write mutation path (Delta-style v1 interception)
+    ext.injectPostHocResolutionRule(sp => graft.plans.GraftDml(sp))
+    // CALL graft.snapshot/vacuum/delete/upsert(...) — maintenance verbs
+    // with no ANSI spelling; everything else delegates verbatim
+    ext.injectParser((session, parser) =>
+      new graft.plans.GraftSqlParser(session, parser))
   }
 }
 

@@ -1284,12 +1284,17 @@ object QueriesML {
                     (SELECT unnest(range(0, $m)) AS bucket) g),
       filled AS (SELECT g.scope, g.bucket, CAST(coalesce(r.rank, 0) AS BIGINT) AS rank
                  FROM grid g LEFT JOIN r USING (scope, bucket)),
-      regs AS (SELECT scope, list(rank ORDER BY bucket) AS regs
+      regs AS (SELECT scope, list(rank ORDER BY bucket) AS regs,
+                      count(*) FILTER (WHERE rank = 0) AS zeros
                FROM filled GROUP BY 1),
-      est AS (SELECT scope, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      est AS (SELECT scope, zeros,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(regs, x -> power(2.0, -x))), (a, b) -> a + b) AS inv_sum
               FROM regs)
-      SELECT scope, ${dkQround(s"0.673 * $m * $m / inv_sum", 6)} AS est_raw
+      SELECT scope, ${dkQround(
+        s"CASE WHEN 0.673 * $m * $m / inv_sum <= 2.5 * $m AND zeros > 0 " +
+        s"THEN $m * ln(CAST($m AS DOUBLE) / zeros) " +
+        s"ELSE 0.673 * $m * $m / inv_sum END", 6)} AS est_raw
       FROM est ORDER BY scope"""
     },
       (s, dir) => {

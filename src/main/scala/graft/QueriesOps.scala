@@ -1653,6 +1653,107 @@ object QueriesOps {
         MaterializedAgg.readView(s, root, spec)
           .select(col("g"), col("cnt"), col("cents_sum"))
           .orderBy("g")
+      }),
+
+    // -- the SQL spelling of the CoW delete (r9 verdict #8 / GraftDml):
+    //    same lake + predicate as q122, but the mutation is ANSI
+    //    `DELETE FROM <zlake view> WHERE ...` through the post-hoc DML
+    //    rule, and the remainder aggregate is read back through the SAME
+    //    view after the standard REFRESH verb — the whole round trip is
+    //    SQL a warehouse user could type. Oracle identical in shape to
+    //    q122's relational remainder.
+    QueryDef("q142_sql_delete", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        (c_custkey * 7) % 64 AS b, c_acctbal,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           d AS (SELECT * FROM f
+                 WHERE NOT ((w = 1 AND b >= 32) OR (w = 0 AND a < 16)))
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal
+      FROM d GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sql-del").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          (col("c_custkey") * 7 % 64).cast("long").as("b"),
+          col("c_acctbal"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "b", s"$root/win=$w", numFiles = 8, bits = 6)
+        s.sql("DROP VIEW IF EXISTS q142_lake")
+        s.sql(s"CREATE TEMPORARY VIEW q142_lake USING zlake " +
+          s"OPTIONS (path '$root')")
+        s.sql("DELETE FROM q142_lake " +
+          "WHERE (win = '1' AND b >= 32) OR (win = '0' AND a < 16)")
+        s.sql("REFRESH TABLE q142_lake")
+        s.sql("""SELECT CAST(win AS BIGINT) AS w,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(a) AS BIGINT) AS sum_a,
+                        CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS bal
+                 FROM q142_lake GROUP BY win ORDER BY w""")
+      }),
+
+    // -- the SQL spelling of the keyed upsert: q123's merge as ANSI
+    //    `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+    //    WHEN NOT MATCHED THEN INSERT *` — the exact restricted shape
+    //    GraftDml maps onto LakeDelete.upsertLake (anything else keeps
+    //    Spark's v2-only refusal). Oracle: the same relational merge.
+    QueryDef("q143_sql_merge", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        (c_custkey * 7) % 64 AS b,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           u AS (SELECT c_custkey, a, b, cents + 7 AS cents, w FROM f
+                 WHERE c_custkey % 101 = 0
+                 UNION ALL
+                 SELECT c_custkey + 200000, a, b, c_custkey AS cents, w
+                 FROM f WHERE c_custkey % 977 = 0),
+           m AS (SELECT * FROM f
+                 WHERE c_custkey NOT IN (SELECT c_custkey FROM u)
+                 UNION ALL SELECT * FROM u)
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      FROM m GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sql-mrg").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          (col("c_custkey") * 7 % 64).cast("long").as("b"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "b", s"$root/win=$w", numFiles = 8, bits = 6,
+            bloomCols = Seq("c_custkey"))
+        val win = (col("c_custkey") % 2).cast("string").as("win")
+        base.filter(col("c_custkey") % 101 === 0)
+          .withColumn("cents", col("cents") + 7).withColumn("win", win)
+          .unionByName(base.filter(col("c_custkey") % 977 === 0)
+            .select((col("c_custkey") + 200000).as("c_custkey"),
+              col("a"), col("b"), col("c_custkey").as("cents"))
+            .withColumn("win", (col("cents") % 2).cast("string")))
+          .createOrReplaceTempView("q143_updates")
+        s.sql("DROP VIEW IF EXISTS q143_lake")
+        s.sql(s"CREATE TEMPORARY VIEW q143_lake USING zlake " +
+          s"OPTIONS (path '$root')")
+        s.sql("""MERGE INTO q143_lake t USING q143_updates s
+                 ON t.c_custkey = s.c_custkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("REFRESH TABLE q143_lake")
+        s.sql("""SELECT CAST(win AS BIGINT) AS w,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(cents) AS BIGINT) AS sum_cents,
+                        CAST(sum(c_custkey) AS BIGINT) AS sum_key
+                 FROM q143_lake GROUP BY win ORDER BY w""")
       })
   )
 }

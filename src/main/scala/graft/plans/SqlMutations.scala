@@ -1,0 +1,342 @@
+package graft.plans
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+
+import graft.sinks.LakeDelete
+import graft.sources.{Snapshots, ZLake}
+
+/** SQL spellings for the lake's MUTATION + VERSIONING layer (r9 verdict
+  * #8): a SQL-only user could read a lake (`USING zlake`, snapshot
+  * OPTIONS) but not mutate one. Two standard hooks close the gap:
+  *
+  *  - [[GraftDml]] (a post-hoc resolution rule, the Delta pattern):
+  *    Spark's own parser already produces `DeleteFromTable` /
+  *    `MergeIntoTable` for ANSI `DELETE FROM t WHERE p` and
+  *    `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+  *    WHEN NOT MATCHED THEN INSERT *`; when the (resolved) target peels
+  *    to a live zlake relation, the plan becomes a runnable command over
+  *    [[LakeDelete.deleteFromLake]] / [[LakeDelete.upsertLake]] — same
+  *    journaled, envelope-triaged, crash-safe path as the Scala API.
+  *    Anything outside that shape (partial UPDATE SET, extra actions,
+  *    non-equi conditions, snapshot/time-travel targets, streaming
+  *    relations) is left untouched, so Spark's standard "only supported
+  *    with v2 tables" analysis error still fires rather than silently
+  *    doing the wrong merge.
+  *  - [[GraftSqlParser]] (a delegating parser injection): maintenance
+  *    verbs with no ANSI spelling, as `CALL graft.<proc>(...)` with
+  *    string-literal arguments —
+  *    {{{
+  *    CALL graft.snapshot('/lake/t', 'v1')
+  *    CALL graft.vacuum('/lake/t', 'v1', 'v2')   -- keep only v1, v2
+  *    CALL graft.delete('/lake/t', 'a < 16')     -- predicate in SQL
+  *    CALL graft.upsert('/lake/t', 'updates_view', 'k')
+  *    }}}
+  *    Everything else delegates to Spark's parser verbatim.
+  *
+  * Each command returns a small report row (files triaged / rows moved),
+  * mirroring the Scala API's report case classes.
+  */
+object GraftDml {
+
+  /** The live-lake root a DML target resolves to, if any. Snapshot-pinned
+    * and streaming relations return None — DML must keep Spark's refusal
+    * path for those. */
+  private[plans] def zlakeRoot(plan: LogicalPlan): Option[String] = {
+    @annotation.tailrec
+    def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case s: SubqueryAlias => unwrap(s.child)
+      case v: View => unwrap(v.child)
+      case l: LogicalRelation => Some(l)
+      case _ => None
+    }
+    unwrap(plan).filterNot(_.isStreaming).flatMap(_.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case idx: ZLake.StatsFileIndex if idx.snapshotTag.isEmpty =>
+          idx.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
+      case _ => None
+    })
+  }
+
+  /** Column names of the DML target, for projecting the merge source. */
+  private def targetCols(plan: LogicalPlan): Seq[String] =
+    plan.output.map(_.name)
+
+  /** The keyed-upsert MERGE shape: single same-named equi-condition,
+    * `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`
+    * (either as the star actions or as their analyzer-expanded
+    * name-for-name assignment lists covering every target column), no
+    * not-matched-by-source actions, no schema evolution. Returns the key
+    * column name. */
+  private[plans] def upsertShape(m: MergeIntoTable): Option[String] = {
+    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution)
+      return None
+    val key = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            // one side each, whichever order the user wrote them in
+            ((m.targetTable.outputSet.contains(a) &&
+              m.sourceTable.outputSet.contains(b)) ||
+             (m.targetTable.outputSet.contains(b) &&
+              m.sourceTable.outputSet.contains(a))) => a.name
+      case _ => return None
+    }
+    val wanted = targetCols(m.targetTable).map(_.toLowerCase).toSet
+    def nameForName(assigns: Seq[Assignment]): Boolean =
+      assigns.forall {
+        case Assignment(t: AttributeReference, v: AttributeReference) =>
+          t.name.equalsIgnoreCase(v.name) &&
+            m.sourceTable.outputSet.contains(v)
+        case _ => false
+      } && assigns.map(_.key match {
+        case t: AttributeReference => t.name.toLowerCase
+        case _ => return false
+      }).toSet == wanted
+    val matchedOk = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => true
+      case Seq(UpdateAction(None, assigns, _)) => nameForName(assigns)
+      case _ => false
+    }
+    val notMatchedOk = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, assigns)) => nameForName(assigns)
+      case _ => false
+    }
+    if (matchedOk && notMatchedOk) Some(key) else None
+  }
+}
+
+/** Post-hoc resolution rule converting ANSI DML over live zlake targets
+  * into journaled lake mutations. See [[GraftDml$]]. */
+case class GraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(target, cond)
+        if target.resolved && cond.resolved =>
+      zlakeRoot(target)
+        .map(GraftDeleteCommand(_, cond)).getOrElse(d)
+    case m: MergeIntoTable
+        if m.targetTable.resolved && m.sourceTable.resolved =>
+      (zlakeRoot(m.targetTable), upsertShape(m)) match {
+        case (Some(root), Some(key)) =>
+          GraftUpsertCommand(root, m.sourceTable,
+            m.targetTable.output.map(_.name), key)
+        case _ => m
+      }
+    case other => other
+  }
+}
+
+/** `DELETE FROM <zlake> WHERE p` — runs the journaled copy-on-write
+  * delete and reports the triage. The condition re-anchors by NAME onto a
+  * fresh lake read (the analyzed target's attribute ids are useless
+  * against the re-planned relation inside [[LakeDelete]]). */
+case class GraftDeleteCommand(root: String, cond: Expression)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_total", IntegerType)(),
+    AttributeReference("files_untouched", IntegerType)(),
+    AttributeReference("files_dropped_whole", IntegerType)(),
+    AttributeReference("files_rewritten", IntegerType)(),
+    AttributeReference("rows_deleted", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val byName = cond.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+    val rep = LakeDelete.deleteFromLake(spark, root,
+      ColumnBridge.column(byName))
+    Seq(Row(rep.filesTotal, rep.filesUntouched, rep.filesDroppedWhole,
+      rep.filesRewritten, rep.rowsDeleted))
+  }
+}
+
+/** The keyed-upsert MERGE: every target row whose `keyCol` appears in the
+  * source is replaced, all source rows insert — one journaled atomic
+  * commit ([[LakeDelete.upsertLake]]). `cols` projects the source to the
+  * target's columns (MERGE sources may carry extras). */
+case class GraftUpsertCommand(root: String, source: LogicalPlan,
+                              cols: Seq[String], keyCol: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_added", IntegerType)(),
+    AttributeReference("rows_inserted", LongType)(),
+    AttributeReference("rows_replaced", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val updates = PlanBridge.dataFrame(spark, source)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val rep = LakeDelete.upsertLake(spark, root, updates, keyCol)
+    Seq(Row(rep.filesAdded, rep.rowsInserted, rep.delete.rowsDeleted))
+  }
+}
+
+/** `CALL graft.snapshot(root, tag)`. */
+case class GraftSnapshotCommand(root: String, tag: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("snapshot", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    Snapshots.snapshot(spark, root, tag)
+    Seq(Row(tag))
+  }
+}
+
+/** `CALL graft.vacuum(root, keepTags...)`. */
+case class GraftVacuumCommand(root: String, keep: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshots_dropped", IntegerType)(),
+    AttributeReference("trash_files_deleted", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = Snapshots.vacuum(spark, root, keep)
+    Seq(Row(rep.snapshotsDropped.size, rep.trashFilesDeleted))
+  }
+}
+
+object GraftSqlParser {
+  private val CallRe =
+    """(?is)^\s*CALL\s+graft\s*\.\s*(\w+)\s*\((.*)\)\s*;?\s*$""".r
+
+  /** Split `'a', 'b''c', 'd'` into unquoted values; None when the text is
+    * not a well-formed list of single-quoted string literals. */
+  private[plans] def stringArgs(s: String): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = s.length
+    def skipWs(): Unit = while (i < n && s(i).isWhitespace) i += 1
+    skipWs()
+    if (i == n) return Some(Nil)
+    var expectValue = true
+    while (i < n) {
+      if (expectValue) {
+        if (s(i) != '\'') return None
+        i += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          if (s(i) == '\'') {
+            if (i + 1 < n && s(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += s(i); i += 1 }
+        }
+        if (!closed) return None
+        out += sb.result()
+        expectValue = false
+        skipWs()
+      } else {
+        if (s(i) != ',') return None
+        i += 1
+        skipWs()
+        expectValue = true
+        if (i == n) return None // trailing comma
+      }
+    }
+    if (expectValue) None else Some(out.result())
+  }
+
+  /** The `CALL graft.<proc>(...)` grammar, or None to delegate. A
+    * recognized CALL with bad arguments throws (delegating would just
+    * produce Spark's unhelpful generic parse error). */
+  private[plans] def parseCall(delegate: ParserInterface,
+                               sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case CallRe(proc, rawArgs) =>
+        val args = stringArgs(rawArgs).getOrElse(throw new IllegalArgumentException(
+          s"CALL graft.$proc expects single-quoted string arguments, " +
+            s"got: ($rawArgs)"))
+        def arity(ok: Boolean, usage: String): Unit =
+          if (!ok) throw new IllegalArgumentException(
+            s"usage: CALL graft.$usage")
+        proc.toLowerCase match {
+          case "snapshot" =>
+            arity(args.length == 2, "snapshot('<root>', '<tag>')")
+            Some(GraftSnapshotCommand(args(0), args(1)))
+          case "vacuum" =>
+            arity(args.nonEmpty, "vacuum('<root>' [, '<keepTag>'...])")
+            Some(GraftVacuumCommand(args.head, args.tail))
+          case "delete" =>
+            arity(args.length == 2, "delete('<root>', '<predicate>')")
+            delegate.parseExpression(args(1)) // malformed predicate: fail at parse
+            Some(GraftDeleteRun(args(0), args(1)))
+          case "upsert" =>
+            arity(args.length == 3,
+              "upsert('<root>', '<source view>', '<keyCol>')")
+            delegate.parseMultipartIdentifier(args(1)) // validate the name
+            Some(GraftUpsertRun(args(0), args(1), args(2)))
+          case _ => None // unknown proc: let Spark report the parse error
+        }
+      case _ => None
+    }
+}
+
+/** The CALL-delete twin of [[GraftDeleteCommand]]: the predicate stays a
+  * SQL STRING (a command cannot carry an unresolved expression through
+  * checkAnalysis) and parses against the lake at run time. */
+case class GraftDeleteRun(root: String, predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDeleteCommand(root,
+    Literal(true)).output
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = LakeDelete.deleteFromLake(spark, root,
+      org.apache.spark.sql.functions.expr(predicateSql))
+    Seq(Row(rep.filesTotal, rep.filesUntouched, rep.filesDroppedWhole,
+      rep.filesRewritten, rep.rowsDeleted))
+  }
+}
+
+/** The CALL-upsert twin of [[GraftUpsertCommand]]: resolves its source
+  * view BY NAME at run time and takes all of the source's columns. */
+case class GraftUpsertRun(root: String, sourceName: String, keyCol: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_added", IntegerType)(),
+    AttributeReference("rows_inserted", LongType)(),
+    AttributeReference("rows_replaced", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = LakeDelete.upsertLake(spark, root, spark.table(sourceName),
+      keyCol)
+    Seq(Row(rep.filesAdded, rep.rowsInserted, rep.delete.rowsDeleted))
+  }
+}
+
+/** Delegating parser: intercepts `CALL graft.*`, hands every other text
+  * (and every other parse entry point) to Spark's parser. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseCall(delegate, sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

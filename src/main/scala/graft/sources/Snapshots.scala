@@ -171,7 +171,8 @@ object Snapshots {
         sf.entry.rows, sf.entry.nulls, sf.entry.sketches, sf.entry.blooms,
         sf.entry.sums)
     }
-    new Z.StatsFileIndex(rootPath, fes, Some(snap.schema))
+    new Z.StatsFileIndex(rootPath, fes, Some(snap.schema),
+      snapshotTag = Some(tag))
   }
 
   private def partsOf(rel: String): Seq[(String, String)] =

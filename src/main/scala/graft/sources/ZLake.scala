@@ -320,9 +320,9 @@ object ZLake {
     // harmonic estimate is biased high when n ≪ m (a tiny window slice of
     // a big lake — exactly this API's common case); below 2.5m with empty
     // registers, linear counting over the zero registers is the better
-    // estimator. q109's oracle replicates the RAW formula only — its
-    // cardinalities sit above the 2.5m threshold, so the correction never
-    // fires there (ManifestSketchSpec pins both regimes).
+    // estimator. q109's oracle replicates BOTH regimes (raw + the
+    // correction branch), so it stays green at any scale factor
+    // (ManifestSketchSpec pins both regimes too).
     val zeros = merged.count(_ == 0L)
     val estimate =
       if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
@@ -1092,11 +1092,27 @@ object ZLake {
     * exactly, footer stats prune the surviving files — partition pruning
     * and stat pruning compose on the lake's own `win=` layout. `lastPrune`
     * records (kept, total) of the most recent planning pass. */
-  final class StatsFileIndex(root: Path, val fes: Seq[FileEnvelope],
+  final class StatsFileIndex(root: Path, fes0: Seq[FileEnvelope],
       /** Write-time data schema from the lake's manifests; None when some
         * file lacked manifest coverage (read falls back to one footer). */
-      val manifestSchema: Option[StructType] = None)
+      manifestSchema0: Option[StructType] = None,
+      /** Set when this index plans a pinned SNAPSHOT rather than the live
+        * lake — SQL DML ([[graft.plans.GraftDml]]) refuses such targets:
+        * a DELETE through a time-travel view would mutate the live lake
+        * the reader explicitly asked not to see. */
+      val snapshotTag: Option[String] = None,
+      /** Re-harvest hook: present on live-lake indexes built by [[index]],
+        * absent on pinned sets (snapshots, tail batches, derived pruned
+        * indexes). `REFRESH TABLE` on a `USING zlake` view reaches
+        * [[refresh]] through Spark's own plan.refresh() walk, so SQL
+        * views see journaled mutations after the standard refresh verb —
+        * parquet-parity semantics (an unrefreshed view stays pinned). */
+      refresher: Option[() => (Seq[FileEnvelope], Option[StructType])] = None)
       extends FileIndex {
+    @volatile private var state: (Seq[FileEnvelope], Option[StructType]) =
+      (fes0, manifestSchema0)
+    def fes: Seq[FileEnvelope] = state._1
+    def manifestSchema: Option[StructType] = state._2
     val lastPrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, fes.size))
     /** Partition column names (lowercase), from the first file's path. */
     val partitionCols: Seq[String] =
@@ -1108,7 +1124,8 @@ object ZLake {
           org.apache.spark.sql.types.StringType, nullable = true)))
     override def inputFiles: Array[String] =
       fes.map(_.status.getPath.toString).toArray
-    override def refresh(): Unit = ()
+    override def refresh(): Unit =
+      refresher.foreach { f => state = f() }
     override def sizeInBytes: Long = fes.map(_.status.getLen).sum
 
     /** Exact partition-filter evaluation against one directory's values;
@@ -1152,7 +1169,10 @@ object ZLake {
 
   def index(spark: SparkSession, path: String): StatsFileIndex = {
     val h = harvest(spark, path)
-    new StatsFileIndex(new Path(path), h.fes, h.schema)
+    new StatsFileIndex(new Path(path), h.fes, h.schema,
+      refresher = Some { () =>
+        val h2 = harvest(spark, path); (h2.fes, h2.schema)
+      })
   }
 
   /** Parquet read through the stats-pruning index: identical rows to

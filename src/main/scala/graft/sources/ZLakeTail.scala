@@ -86,6 +86,24 @@ final class ZLakeTail(spark: SparkSession, root: String, metadataPath: String,
         s"zlake streaming: maxFilesPerTrigger must be positive, got $n")
       n
     }.getOrElse(Int.MaxValue)
+  /** Rate limit by BYTES (Delta's maxBytesPerTrigger): a file-count cap
+    * is a weak bound once compaction makes files 100x ingest size — this
+    * cuts each batch at the first file that would push cumulative length
+    * past the cap (always admitting at least one file, so a single
+    * over-cap file still drains). Lengths come from the same identity
+    * tuples the offset pins — no extra IO. Composes with
+    * maxFilesPerTrigger: whichever cuts first wins. */
+  private val maxBytesPerTrigger: Long =
+    opts.get("maxbytespertrigger").map { raw =>
+      val n = try raw.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"zlake streaming: maxBytesPerTrigger must be a positive " +
+            s"long, got '$raw'")
+      }
+      require(n > 0L,
+        s"zlake streaming: maxBytesPerTrigger must be positive, got $n")
+      n
+    }.getOrElse(Long.MaxValue)
 
   private val conf = spark.sessionState.newHadoopConf()
   private val rootPath = new Path(root)
@@ -183,8 +201,25 @@ final class ZLakeTail(spark: SparkSession, root: String, metadataPath: String,
     // (identities are stable, so this is just a cut).
     if (fresh.nonEmpty || (startLatest && lastBatchId < 0)) {
       val emit = !(startLatest && lastBatchId < 0)
-      val take = if (emit) fresh.take(maxFilesPerTrigger).toSeq
-        else fresh.toSeq
+      val take =
+        if (!emit) fresh.toSeq
+        else {
+          // prefix cut under BOTH caps: stop at the first file that would
+          // cross the byte budget (keeping the pin a contiguous prefix of
+          // the sorted discovery, as replay determinism requires); a
+          // single over-budget file is still admitted alone
+          val buf = mutable.ArrayBuffer.empty[(String, Long, Long)]
+          var bytes = 0L
+          var done = false
+          fresh.foreach { f =>
+            if (!done) {
+              if (buf.size >= maxFilesPerTrigger ||
+                (buf.nonEmpty && bytes + f._2 > maxBytesPerTrigger)) done = true
+              else { buf += f; bytes += f._2 }
+            }
+          }
+          buf.toSeq
+        }
       writeEntry(lastBatchId + 1, emit, take)
       lastBatchId += 1
       take.foreach { case (r, l, m) => seen(r) = (l, m) }

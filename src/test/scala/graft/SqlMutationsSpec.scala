@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.Sinks
+import graft.sources.{Snapshots, ZLake}
+
+/** SQL spellings of the mutation/versioning layer ([[graft.plans
+  * .GraftDml]] + `CALL graft.*`): ANSI DELETE/MERGE over a zlake view run
+  * the journaled copy-on-write paths, maintenance verbs run as CALLs,
+  * unsupported shapes keep Spark's standard refusal, and snapshot
+  * (time-travel) targets are never mutated through. */
+class SqlMutationsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def buildLake(tag: String, n: Int = 2048): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-sql-$tag").toString + "/t"
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 64).as("a"), (col("id") * 7 % 64).as("b"),
+      concat(lit("u"), (col("id") % 97).cast("string")).as("uid"))
+    Sinks.zorderedWrite(df, "a", "b", root, numFiles = 4, bits = 6,
+      bloomCols = Seq("id"))
+    root
+  }
+
+  private def viewOver(root: String, name: String): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    spark.sql(
+      s"CREATE TEMPORARY VIEW $name USING zlake OPTIONS (path '$root')")
+  }
+
+  private def ids(root: String): Set[Long] =
+    ZLake.read(spark, root).select(col("id")).as[Long].collect().toSet
+
+  test("ANSI DELETE FROM a zlake view runs the journaled CoW delete") {
+    val root = buildLake("del")
+    viewOver(root, "sqlmut_del")
+    val rep = spark.sql(
+      "DELETE FROM sqlmut_del WHERE a < 8 OR uid = 'u13'").collect()
+    assert(rep.length == 1)
+    assert(rep(0).getLong(4) > 0, "rows_deleted must be reported")
+    val want = (0L until 2048L)
+      .filterNot(id => id % 64 < 8 || id % 97 == 13).toSet
+    assert(ids(root) == want)
+    // the view pinned its file set at creation (parquet-parity temp-view
+    // semantics); the standard REFRESH verb re-harvests the live lake
+    spark.sql("REFRESH TABLE sqlmut_del")
+    assert(spark.sql("SELECT count(*) AS n FROM sqlmut_del")
+      .as[Long].head() == want.size.toLong)
+    // idempotent: the same DELETE again deletes nothing
+    val rep2 = spark.sql(
+      "DELETE FROM sqlmut_del WHERE a < 8 OR uid = 'u13'").collect()
+    assert(rep2(0).getLong(4) == 0L)
+  }
+
+  test("MERGE INTO (star update + star insert) runs the keyed upsert") {
+    val root = buildLake("merge")
+    viewOver(root, "sqlmut_tgt")
+    spark.range(5).select((col("id") * 100).as("id"), lit(1L).as("a"),
+      lit(2L).as("b"), lit("MERGED").as("uid"))
+      .union(spark.range(1).select(lit(9999L), lit(1L), lit(2L),
+        lit("MERGED")))
+      .createOrReplaceTempView("sqlmut_src")
+    val rep = spark.sql(
+      """MERGE INTO sqlmut_tgt t USING sqlmut_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getLong(1) == 6L, s"rows_inserted: ${rep(0)}")
+    assert(rep(0).getLong(2) == 5L, s"rows_replaced: ${rep(0)}")
+    val got = ZLake.read(spark, root)
+      .select(col("id"), col("uid")).as[(Long, String)].collect().toMap
+    assert(got.size == 2048 + 1)
+    Seq(0L, 100L, 200L, 300L, 400L, 9999L).foreach(id =>
+      assert(got(id) == "MERGED", s"id $id not merged"))
+    assert(got(1L) == "u1")
+  }
+
+  test("unsupported MERGE shapes keep Spark's refusal (no silent merge)") {
+    val root = buildLake("mrefuse", n = 64)
+    viewOver(root, "sqlmut_refuse")
+    spark.range(2).select(col("id"), lit(1L).as("a"), lit(2L).as("b"),
+      lit("X").as("uid")).createOrReplaceTempView("sqlmut_refuse_src")
+    val before = ids(root)
+    // partial UPDATE SET is not a whole-row upsert — must refuse
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO sqlmut_refuse t USING sqlmut_refuse_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET uid = s.uid""".stripMargin).collect())
+    assert(e.getMessage != null)
+    assert(ids(root) == before, "refused MERGE must not touch the lake")
+  }
+
+  test("CALL graft.delete/snapshot/vacuum/upsert round-trip") {
+    val root = buildLake("call")
+    // snapshot, mutate via CALL-delete, time-travel still whole, vacuum
+    spark.sql(s"CALL graft.snapshot('$root', 'v1')").collect()
+    val rep = spark.sql(
+      s"CALL graft.delete('$root', 'a BETWEEN 10 AND 20')").collect()
+    assert(rep(0).getLong(4) > 0)
+    assert(ids(root) == (0L until 2048L).filterNot(id =>
+      id % 64 >= 10 && id % 64 <= 20).toSet)
+    assert(Snapshots.readSnapshot(spark, root, "v1").count() == 2048L)
+    // CALL upsert from a named source view
+    spark.range(3).select((col("id") + 5000).as("id"), lit(1L).as("a"),
+      lit(2L).as("b"), lit("CALLED").as("uid"))
+      .createOrReplaceTempView("sqlmut_call_src")
+    val urep = spark.sql(
+      s"CALL graft.upsert('$root', 'sqlmut_call_src', 'id')").collect()
+    assert(urep(0).getLong(1) == 3L)
+    assert(ZLake.read(spark, root).filter(col("uid") === "CALLED")
+      .count() == 3L)
+    // vacuum keeping nothing drops the snapshot and empties the trash
+    val vrep = spark.sql(s"CALL graft.vacuum('$root')").collect()
+    assert(vrep(0).getInt(0) == 1)
+    assert(Snapshots.listSnapshots(spark, root).isEmpty)
+  }
+
+  test("DML through a snapshot (time-travel) view is refused") {
+    val root = buildLake("snapdml", n = 256)
+    spark.sql(s"CALL graft.snapshot('$root', 'pin')").collect()
+    spark.sql("DROP VIEW IF EXISTS sqlmut_pin")
+    spark.sql(s"CREATE TEMPORARY VIEW sqlmut_pin USING zlake " +
+      s"OPTIONS (path '$root', snapshot 'pin')")
+    val before = ids(root)
+    intercept[Exception](
+      spark.sql("DELETE FROM sqlmut_pin WHERE a < 32").collect())
+    assert(ids(root) == before,
+      "a DELETE through a time-travel view must never mutate the live lake")
+  }
+
+  test("CALL parse errors are loud; non-CALL SQL is untouched") {
+    intercept[Exception](
+      spark.sql("CALL graft.snapshot('/tmp/x')").collect()) // arity
+    intercept[Exception](
+      spark.sql("CALL graft.delete(unquoted, 'p')").collect())
+    // the delegating parser leaves ordinary SQL alone
+    assert(spark.sql("SELECT 1 + 1 AS v").as[Int].head() == 2)
+  }
+}

@@ -232,6 +232,38 @@ class ZLakeTailSpec extends AnyFunSuite with SparkSpec {
     assert(c.rows.groupBy(identity).forall(_._2.size == 1))
   }
 
+  test("maxBytesPerTrigger bounds each batch by cumulative file length") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tail-bytes").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-bytes-ck").toString
+    for (w <- 0 until 3) writeWin(root, w, 20) // 3 windows x 2 files
+    val lens = graft.sources.ZLake.envelopes(spark, root)
+      .map(_.status.getLen)
+    assert(lens.size === 6)
+    // budget of ~1.5 files: every non-baseline batch must pin exactly one
+    // file (two would cross the cap), and a single file over the cap
+    // would still drain alone
+    val cap = (lens.min * 3) / 2
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val c = new Collector
+    val q = spark.readStream.format("zlake")
+      .option("maxBytesPerTrigger", cap.toString).load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val n = b.count()
+        if (n > 0) batches.synchronized { batches += n }
+        c.sink(b, id)
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.size === 6,
+      s"expected 6 byte-bounded batches of one file each: $batches")
+    assert(c.rows.size === 60)
+    assert(c.rows.groupBy(identity).forall(_._2.size == 1),
+      "byte-bounded drain must still be exactly-once")
+  }
+
   test("startingOffset=latest tails only post-start commits") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-tail-latest").toString + "/t"
