@@ -36,6 +36,14 @@ import org.apache.spark.sql.types.StructType
   *    uses, restricted to the batch's files: downstream filters still
   *    prune at file granularity and the scan is vectorized + codegen'd.
   *
+  * File identity is `(relative path, length, mtime)`. Since r10 the
+  * journaled mutation paths NEVER reuse a relative path for new content
+  * (rewrites journal as drop + add under fresh names), so the
+  * second-granularity-mtime collision — a same-length in-place rewrite
+  * within one timestamp tick reading as "unchanged" — is reachable only
+  * from external writers mutating files in place, which the lake's
+  * single-writer contract already excludes.
+  *
   * Mutation semantics (mirrors Delta's options, fail-loud by default):
   * tailing assumes APPEND-ONLY growth ([[graft.sinks.Sinks.lakeAppend]],
   * per-window `zorderedWrite`s into new partition dirs). A file that

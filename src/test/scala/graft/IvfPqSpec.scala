@@ -165,4 +165,20 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
       queries, col("vec_id"), col("embedding"), m = 8, numCodes = 16, k = k))
     assert(all == pq, "nprobe = nlist must reduce IVF-PQ to plain PQ")
   }
+
+  test("sf0.1 shipping operating point: reranked recall@10 holds the floor") {
+    // r9 task #9: the bench artifact reported recall_ivfpq_rerank_at10 =
+    // 0.738 at sf0.1; this pins >= 0.70 at the EXACT bench operating
+    // point (8 seed cells, m=8, 16 codes, nprobe=2, refineFactor=8), so
+    // a recall regression fails CI rather than only drifting a number in
+    // the artifact. Skips cleanly where the sf0.1 fixtures are absent.
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists)
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val r = Similarity.ivfPqRecallAtK(e, col("vec_id"), col("embedding"),
+      queries = e.filter(col("vec_id") < 8),
+      seeds = e.filter(col("vec_id") < 8),
+      m = 8, numCodes = 16, k = 10, nprobe = 2, refineFactor = Some(8))
+    info(f"sf0.1 IVF-PQ reranked recall@10: $r%.3f")
+    assert(r >= 0.70, f"shipping-point recall regressed: $r%.3f < 0.70")
+  }
 }
