@@ -206,6 +206,17 @@ object Bench {
             graft.sinks.MaterializedAgg.mergeBatch(spark, root,
               base.filter(col("c_custkey") % 2 === i), spec, i.toLong)
         }),
+        // copy-on-write DELETE over a fresh 16-file lake: the u-predicate
+        // straddles every envelope, so the whole lake is rewrite-class —
+        // the r10 one-job staging path end to end (build cost ≈ the
+        // qW_zorder_write lane; the delta is the delete itself)
+        new Timed("qW_cow_delete", {
+          val root = freshDir("wdel") + "/customer"
+          lakes.writeFlat(root)
+          graft.sinks.LakeDelete.deleteFromLake(spark, root,
+            col("c_custkey") % 97 === 13)
+          ()
+        }),
 
         // ---- lake READ lanes: pre-built fixtures, plans mirror the
         //      gate queries (collect() — results are ≤ 50 rows) ----

@@ -1754,6 +1754,54 @@ object QueriesOps {
                         CAST(sum(cents) AS BIGINT) AS sum_cents,
                         CAST(sum(c_custkey) AS BIGINT) AS sum_key
                  FROM q143_lake GROUP BY win ORDER BY w""")
+      }),
+
+    // -- the SQL spelling of the CoW UPDATE (completes the DML trio):
+    //    `UPDATE t SET cents = cents + 11, seg = 'HOT' WHERE p` through
+    //    GraftDml → LakeDelete.updateLake — envelope triage, an exact
+    //    per-directory match-count pass (zero-match dirs byte-untouched),
+    //    one staged rewrite, journal commit. The oracle applies the same
+    //    CASE transform relationally; NULL-predicate rows must stay
+    //    unchanged and row count must be conserved.
+    QueryDef("q144_sql_update", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_mktsegment AS seg, c_custkey % 2 AS w
+                 FROM customer),
+           u AS (SELECT c_custkey, a, w,
+                        CASE WHEN w = 0 AND a < 24 THEN cents + 11
+                             ELSE cents END AS cents,
+                        CASE WHEN w = 0 AND a < 24 THEN 'HOT'
+                             ELSE seg END AS seg
+                 FROM f)
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(CASE WHEN seg = 'HOT' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot
+      FROM u GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sql-upd").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"),
+          col("c_mktsegment").as("seg"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 8, bits = 6)
+        s.sql("DROP VIEW IF EXISTS q144_lake")
+        s.sql(s"CREATE TEMPORARY VIEW q144_lake USING zlake " +
+          s"OPTIONS (path '$root')")
+        s.sql("UPDATE q144_lake SET cents = cents + 11, seg = 'HOT' " +
+          "WHERE win = '0' AND a < 24")
+        s.sql("REFRESH TABLE q144_lake")
+        s.sql("""SELECT CAST(win AS BIGINT) AS w,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(cents) AS BIGINT) AS sum_cents,
+                        CAST(sum(CASE WHEN seg = 'HOT' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hot
+                 FROM q144_lake GROUP BY win ORDER BY w""")
       })
   )
 }

@@ -137,7 +137,27 @@ case class GraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
             m.targetTable.output.map(_.name), key)
         case _ => m
       }
+    case u @ UpdateTable(target, assignments, condition)
+        if target.resolved && condition.forall(_.resolved) &&
+          assignments.forall(a => a.key.resolved && a.value.resolved) =>
+      (zlakeRoot(target), plainAssignments(assignments)) match {
+        case (Some(root), Some(sets)) =>
+          GraftUpdateCommand(root, sets,
+            condition.getOrElse(Literal.TrueLiteral))
+        case _ => u
+      }
     case other => other
+  }
+
+  /** Assignment keys must be plain column references (no nested-field
+    * updates); values stay arbitrary resolved expressions. */
+  private def plainAssignments(
+      as: Seq[Assignment]): Option[Seq[(String, Expression)]] = {
+    val out = as.map {
+      case Assignment(k: AttributeReference, v) => (k.name, v)
+      case _ => return None
+    }
+    Some(out)
   }
 }
 
@@ -162,6 +182,33 @@ case class GraftDeleteCommand(root: String, cond: Expression)
       ColumnBridge.column(byName))
     Seq(Row(rep.filesTotal, rep.filesUntouched, rep.filesDroppedWhole,
       rep.filesRewritten, rep.rowsDeleted))
+  }
+}
+
+/** `UPDATE <zlake> SET c = e, ... WHERE p` — the copy-on-write update
+  * ([[LakeDelete.updateLake]]): envelope triage, an exact per-directory
+  * match count (zero-match dirs stay byte-untouched), one staged rewrite
+  * job, journal commit. Assignments and condition re-anchor by NAME. */
+case class GraftUpdateCommand(root: String,
+                              sets: Seq[(String, Expression)],
+                              cond: Expression)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_total", IntegerType)(),
+    AttributeReference("files_untouched", IntegerType)(),
+    AttributeReference("files_rewritten", IntegerType)(),
+    AttributeReference("rows_updated", LongType)())
+
+  private def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = LakeDelete.updateLake(spark, root,
+      sets.map { case (n, v) => n -> ColumnBridge.column(byName(v)) },
+      ColumnBridge.column(byName(cond)))
+    Seq(Row(rep.filesTotal, rep.filesUntouched, rep.filesRewritten,
+      rep.rowsUpdated))
   }
 }
 

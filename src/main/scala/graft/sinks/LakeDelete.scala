@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
   Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -163,6 +163,157 @@ object LakeDelete {
 
   final case class RewriteReport(filesBefore: Int, filesAfter: Int,
                                  rows: Long)
+
+  /** What one update did. `rowsUpdated` is exact (counted in the triage
+    * pass). Suppressed dirs — envelope-positive but zero matching rows —
+    * count as untouched. */
+  final case class UpdateReport(filesTotal: Int, filesUntouched: Int,
+                                filesRewritten: Int, rowsUpdated: Long)
+
+  /** Copy-on-write UPDATE: every row satisfying `predicate` gets each
+    * assignment applied (values may reference any lake column, including
+    * the updated one — `cents -> col("cents") + 11`); rows where the
+    * predicate is FALSE or NULL are byte-unchanged. The SQL spelling is
+    * `UPDATE t SET c = e WHERE p` via [[graft.plans.GraftDml]].
+    *
+    * Scale shape mirrors [[deleteFromLake]]'s one-job staging, plus an
+    * exact-match pre-pass the delete does not need (an update must know
+    * WHICH envelope-positive directories actually hold matching rows —
+    * rewriting a loose-envelope file with zero matches would churn bytes
+    * and break idempotence):
+    *  1. manifest triage — files whose envelopes cannot match are never
+    *     read (almost all of a 100 TB lake for a selective predicate);
+    *  2. ONE column-pruned count job over the boundary set yields exact
+    *     per-directory match counts → zero-match dirs are suppressed and
+    *     `rowsUpdated` is exact;
+    *  3. ONE staged partitionBy write rewrites the surviving dirs with
+    *     `CASE WHEN p THEN <assignment> ELSE <col> END` per assigned
+    *     column (store-assignment cast to the column's type);
+    *  4. the same journal commit as the delete (drops + fresh-name adds,
+    *     crash-healed by [[recover]], manifests repaired batched).
+    *
+    * Partition columns cannot be assigned (that would MOVE rows across
+    * directories — a delete+insert, which `upsertLake` already spells);
+    * unknown columns and non-deterministic predicates/values throw. */
+  def updateLake(spark: SparkSession, root: String,
+                 assignments: Seq[(String, Column)],
+                 predicate: Column): UpdateReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(fs.exists(rootPath), s"no lake at $root")
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    recover(spark, root)
+    val stageRoot = new Path(rootPath, StageDirName)
+    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
+
+    val df = ZLake.read(spark, root)
+    val idx = ZLake.index(spark, root)
+    val partCols = idx.partitionCols
+    val fields = df.schema.fields
+    assignments.foreach { case (n, _) =>
+      require(fields.exists(_.name.equalsIgnoreCase(n)),
+        s"UPDATE target column '$n' does not exist in the lake")
+      require(!partCols.exists(_.equalsIgnoreCase(n)),
+        s"cannot UPDATE partition column '$n' — rows would move " +
+          "directories; use upsertLake/MERGE for key-moving changes")
+    }
+    val analyzed = df.filter(predicate).queryExecution.analyzed
+    val cond = analyzed.collectFirst { case Filter(c, _) => c }.getOrElse(
+      throw new IllegalArgumentException(
+        s"predicate did not analyze to a filter: $predicate"))
+    require(cond.deterministic, "update predicate must be deterministic")
+
+    def forFile(fe: ZLake.FileEnvelope): Expression = {
+      val pmap = fe.partitionValues
+        .map { case (k, v) => k.toLowerCase -> v }.toMap
+      val sub = cond.transform {
+        case a: AttributeReference if pmap.contains(a.name.toLowerCase) =>
+          Literal(UTF8String.fromString(pmap(a.name.toLowerCase)), StringType)
+      }
+      sub.transformUp {
+        case e if e.foldable && e.deterministic =>
+          try Literal(e.eval(null), e.dataType)
+          catch { case NonFatal(_) => e }
+      }
+    }
+    val (rewrites, untouched) =
+      idx.fes.partition(fe => ZLake.mayMatch(forFile(fe), fe))
+    if (rewrites.isEmpty)
+      return UpdateReport(idx.fes.size, idx.fes.size, 0, 0L)
+
+    val rootUri = rootPath.toUri.getPath.stripSuffix("/")
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    def dirRelOf(fe: ZLake.FileEnvelope): String =
+      rel(fe.status.getPath.getParent)
+
+    // pass 1: exact per-directory match counts (column-pruned scan)
+    val hit = coalesce(predicate, lit(false))
+    val boundary = spark.read.schema(df.schema).option("basePath", root)
+      .parquet(rewrites.map(_.status.getPath.toString): _*)
+    val matchByDir: Map[String, Long] =
+      if (partCols.isEmpty)
+        Map("" -> boundary.filter(hit).count())
+      else boundary.filter(hit)
+        .groupBy(partCols.map(col): _*).count().collect().map { r =>
+          val dir = partCols.indices
+            .map(i => s"${partCols(i)}=${r.get(i)}").mkString("/")
+          dir -> r.getLong(partCols.size)
+        }.toMap
+    val rowsUpdated = matchByDir.values.sum
+    val rewritesByDir = rewrites.groupBy(dirRelOf)
+    val liveDirs = rewritesByDir.keySet
+      .filter(d => matchByDir.getOrElse(d, 0L) > 0L).toSeq.sorted
+    val live = liveDirs.flatMap(rewritesByDir(_))
+    if (live.isEmpty)
+      return UpdateReport(idx.fes.size, idx.fes.size, 0, 0L)
+
+    // pass 2: one staged write of the surviving dirs with assignments
+    // applied under the predicate (store-assignment cast to column type)
+    val byLower = assignments
+      .map { case (n, c) => n.toLowerCase -> c }.toMap
+    val outCols = fields.toSeq.map { f =>
+      byLower.get(f.name.toLowerCase) match {
+        case Some(v) =>
+          when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val outDir = new Path(stageRoot, ".out")
+    val updatedDf = spark.read.schema(df.schema).option("basePath", root)
+      .parquet(live.map(_.status.getPath.toString): _*)
+      .select(outCols: _*)
+    val w = updatedDf.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(outDir.toString)
+    def walk(d: Path, dirRel: String): Seq[(String, Path)] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          walk(st.getPath, if (dirRel.isEmpty) name else s"$dirRel/$name")
+        else if (!st.isDirectory && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith("."))
+          Seq((dirRel, st.getPath))
+        else Nil
+      }
+    val runId = java.util.UUID.randomUUID()
+    val adds = walk(outDir, "").sortBy(_._2.getName).zipWithIndex.map {
+      case ((dirRel, p), i) =>
+        val name = s"update-$runId-$i.parquet"
+        val relp = if (dirRel.isEmpty) name else s"$dirRel/$name"
+        val dst = new Path(stageRoot, relp)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(p, dst), s"could not stage $dst")
+        relp
+    }
+    writeJournal(fs, rootPath, live.map(fe => rel(fe.status.getPath)),
+      Nil, adds)
+    journalPublishedHook.get()()
+    applyJournal(spark, fs, rootPath)
+    UpdateReport(idx.fes.size,
+      untouched.size + (rewrites.size - live.size), live.size, rowsUpdated)
+  }
 
   /** Journal-atomic WHOLE-LAKE REWRITE — the compaction a FLAT
     * (partitionless) lake needs after incremental growth: a long-lived

@@ -262,6 +262,43 @@ class LakeDeleteSpec extends AnyFunSuite with SparkSpec {
     assert(fileSnap(root) == snap, "files changed on a suppressed re-delete")
   }
 
+  test("updateLake: CoW UPDATE with exact match counts, NULL-predicate " +
+      "rows untouched, zero-match dirs suppressed") {
+    val root = buildLake()
+    val before = fileSnap(root)
+    // phone < 'p3' is NULL for id % 5 == 0 → those rows must NOT update;
+    // value references the updated column itself (u -> u + 1000)
+    val rep = LakeDelete.updateLake(spark, root,
+      Seq("u" -> (col("u") + 1000)),
+      col("win") === "0" && col("phone") < "p3")
+    val wantHits = (0L until n).count(id =>
+      id % 2 == 0 && id % 5 != 0 && s"p${id % 11}" < "p3")
+    assert(rep.rowsUpdated == wantHits.toLong, rep.toString)
+    assert(rep.filesTotal == 16)
+    // win=1 never matches the partition conjunct: all 8 files untouched
+    assert(rep.filesUntouched >= 8, rep.toString)
+    val got = ZLake.read(spark, root).select(col("id"), col("u"))
+      .as[(Long, Long)].collect().toMap
+    (0L until n).foreach { id =>
+      val hit = id % 2 == 0 && id % 5 != 0 && s"p${id % 11}" < "p3"
+      val want = if (hit) id % 97 + 1000 else id % 97
+      assert(got(id) == want, s"id $id: got ${got(id)}, want $want")
+    }
+    // untouched files really untouched (same path, len, mtime)
+    val after = fileSnap(root)
+    assert(before.count { case (p, lm) => after.get(p).contains(lm) }
+      == rep.filesUntouched)
+    // zero-match predicate: byte-level no-op even where envelopes are loose
+    val snap2 = fileSnap(root)
+    val rep2 = LakeDelete.updateLake(spark, root,
+      Seq("u" -> lit(0L)), col("phone") === "no-such-phone")
+    assert(rep2.rowsUpdated == 0L && rep2.filesRewritten == 0)
+    assert(fileSnap(root) == snap2, "zero-match update churned bytes")
+    // partition columns cannot be assigned
+    intercept[IllegalArgumentException](
+      LakeDelete.updateLake(spark, root, Seq("win" -> lit("9")), lit(true)))
+  }
+
   test("re-running the same delete is a no-op") {
     val root = buildLake()
     LakeDelete.deleteFromLake(spark, root, col("a").between(16, 31))

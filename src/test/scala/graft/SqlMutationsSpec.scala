@@ -79,6 +79,33 @@ class SqlMutationsSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L) == "u1")
   }
 
+  test("ANSI UPDATE SET runs the CoW update; bad targets refused") {
+    val root = buildLake("upd")
+    viewOver(root, "sqlmut_upd")
+    val rep = spark.sql(
+      "UPDATE sqlmut_upd SET uid = concat('X', uid), b = b + 100 " +
+        "WHERE a < 4").collect()
+    assert(rep.length == 1)
+    val wantHits = (0L until 2048L).count(_ % 64 < 4)
+    assert(rep(0).getLong(3) == wantHits.toLong, rep(0).toString)
+    val got = ZLake.read(spark, root)
+      .select(col("id"), col("b"), col("uid"))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (0L until 2048L by 97L).foreach { id =>
+      val (b0, u0) = (id * 7 % 64, s"u${id % 97}")
+      val want = if (id % 64 < 4) (b0 + 100, s"X$u0") else (b0, u0)
+      assert(got(id) == want, s"id $id: got ${got(id)}, want $want")
+    }
+    // an unknown assignment target fails analysis, lake untouched
+    // (partition-column refusal is covered in LakeDeleteSpec, whose
+    // fixture lake is partitioned)
+    val before = ids(root)
+    intercept[Exception](spark.sql(
+      "UPDATE sqlmut_upd SET no_such_col = 9 WHERE a < 4").collect())
+    assert(ids(root) == before)
+  }
+
   test("unsupported MERGE shapes keep Spark's refusal (no silent merge)") {
     val root = buildLake("mrefuse", n = 64)
     viewOver(root, "sqlmut_refuse")
