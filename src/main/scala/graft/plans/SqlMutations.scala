@@ -39,9 +39,13 @@ import graft.sources.{Snapshots, ZLake}
   *    string-literal arguments —
   *    {{{
   *    CALL graft.snapshot('/lake/t', 'v1')
+  *    CALL graft.snapshots('/lake/t')            -- list tags
   *    CALL graft.vacuum('/lake/t', 'v1', 'v2')   -- keep only v1, v2
   *    CALL graft.delete('/lake/t', 'a < 16')     -- predicate in SQL
   *    CALL graft.upsert('/lake/t', 'updates_view', 'k')
+  *    CALL graft.manifest('/lake/t')             -- per-file stats rows
+  *    CALL graft.compact('/lake/t', 'a', 'b', '4')  -- windowed OPTIMIZE
+  *    CALL graft.rewrite('/lake/t', 'a', 'b', '8')  -- flat-lake rewrite
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -232,6 +236,75 @@ case class GraftUpsertCommand(root: String, source: LogicalPlan,
   }
 }
 
+/** `CALL graft.snapshots(root)` — list snapshot tags (read-only). */
+case class GraftSnapshotsListCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("snapshot", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Snapshots.listSnapshots(spark, root).map(Row(_))
+}
+
+/** `CALL graft.manifest(root)` — per-file manifest stats (DESCRIBE
+  * DETAIL at file grain): relative path, partition dir, rows, bytes,
+  * row groups, whether sketches/blooms/sums ride the entry. Metadata
+  * only — zero data files opened on a manifest-covered lake. */
+case class GraftManifestCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", StringType)(),
+    AttributeReference("partition", StringType)(),
+    AttributeReference("rows", LongType)(),
+    AttributeReference("bytes", LongType)(),
+    AttributeReference("row_groups", IntegerType)(),
+    AttributeReference("stats", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    ZLake.envelopes(spark, root).map { fe =>
+      val relp = {
+        val r = rootPath.toUri.getPath.stripSuffix("/")
+        fe.status.getPath.toUri.getPath.stripPrefix(r).stripPrefix("/")
+      }
+      val part = fe.partitionValues
+        .map { case (k, v) => s"$k=$v" }.mkString("/")
+      val stats = Seq(
+        if (fe.sketches.nonEmpty) Some("sketches") else None,
+        if (fe.blooms.nonEmpty) Some("blooms") else None,
+        if (fe.sums.nonEmpty) Some("sums") else None).flatten.mkString(",")
+      Row(relp, part, fe.rows, fe.status.getLen, fe.rowGroups, stats)
+    }
+  }
+}
+
+/** `CALL graft.compact(root, colA, colB [, filesPerPartition])` — the
+  * per-window OPTIMIZE for partitioned lakes ([[graft.sinks.Sinks
+  * .compactLake]]); one report row per compacted window. */
+case class GraftCompactCommand(root: String, colA: String, colB: String,
+                               filesPerPartition: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dir", StringType)(),
+    AttributeReference("files_before", IntegerType)(),
+    AttributeReference("files_after", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sinks.Sinks.compactLake(spark, root, colA, colB,
+      filesPerPartition = filesPerPartition)
+      .map(r => Row(r.dir, r.filesBefore, r.filesAfter))
+}
+
+/** `CALL graft.rewrite(root, colA, colB, numFiles)` — journal-atomic
+  * whole-lake rewrite for FLAT lakes ([[LakeDelete.rewriteLake]]). */
+case class GraftRewriteCommand(root: String, colA: String, colB: String,
+                               numFiles: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", IntegerType)(),
+    AttributeReference("files_after", IntegerType)(),
+    AttributeReference("rows", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = LakeDelete.rewriteLake(spark, root, (colA, colB), numFiles)
+    Seq(Row(r.filesBefore, r.filesAfter, r.rows))
+  }
+}
+
 /** `CALL graft.snapshot(root, tag)`. */
 case class GraftSnapshotCommand(root: String, tag: String)
     extends LeafRunnableCommand {
@@ -313,6 +386,22 @@ object GraftSqlParser {
           case "snapshot" =>
             arity(args.length == 2, "snapshot('<root>', '<tag>')")
             Some(GraftSnapshotCommand(args(0), args(1)))
+          case "snapshots" =>
+            arity(args.length == 1, "snapshots('<root>')")
+            Some(GraftSnapshotsListCommand(args(0)))
+          case "manifest" =>
+            arity(args.length == 1, "manifest('<root>')")
+            Some(GraftManifestCommand(args(0)))
+          case "compact" =>
+            arity(args.length == 3 || args.length == 4,
+              "compact('<root>', '<colA>', '<colB>' [, '<filesPerPartition>'])")
+            Some(GraftCompactCommand(args(0), args(1), args(2),
+              if (args.length == 4) args(3).trim.toInt else 4))
+          case "rewrite" =>
+            arity(args.length == 4,
+              "rewrite('<root>', '<colA>', '<colB>', '<numFiles>')")
+            Some(GraftRewriteCommand(args(0), args(1), args(2),
+              args(3).trim.toInt))
           case "vacuum" =>
             arity(args.nonEmpty, "vacuum('<root>' [, '<keepTag>'...])")
             Some(GraftVacuumCommand(args.head, args.tail))

@@ -418,7 +418,13 @@ object LakeDelete {
     // mirrors the lake layout under a staging subdir — the per-partition
     // coalesce(1) job loop this replaces paid one scheduler round-trip per
     // touched partition.
-    val partCols = ZLake.index(spark, root).partitionCols
+    val partCols = {
+      val fromFiles = ZLake.index(spark, root).partitionCols
+      // an emptied lake has no files to infer layout from — the partition
+      // dirs (kept with their manifests) still name it
+      if (fromFiles.nonEmpty) fromFiles
+      else ZLake.dirPartitionCols(spark, root)
+    }
     val missing = partCols.filterNot(c =>
       updates.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,
@@ -591,6 +597,14 @@ object LakeDelete {
     // ---- publish the journal (the commit point), then apply -------------
     val dropRels = drops.map(fe => rel(fe.status.getPath)) ++
       rewritten.map(fe => rel(fe.status.getPath))
+    if (dropRels.isEmpty && rewriteAdds.isEmpty && adds.isEmpty) {
+      // every envelope-positive dir was suppressed: nothing to commit
+      // (same bare-fence contract as the empty-triage return above)
+      fence.foreach(writeFence(fs, rootPath, _))
+      if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
+      return DeleteReport(triage.size, untouched + suppressed, 0, 0, 0L,
+        recovered)
+    }
     writeJournal(fs, rootPath, dropRels, Nil, rewriteAdds ++ adds, fence)
     journalPublishedHook.get()() // crash injection: committed, not applied
     applyJournal(spark, fs, rootPath)

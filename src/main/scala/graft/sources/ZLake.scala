@@ -152,6 +152,32 @@ object ZLake {
       .map("%02x".format(_)).mkString
   }
 
+  /** Partition column names (lowercase) from the DIRECTORY layout alone —
+    * the fallback [[graft.sinks.LakeDelete.upsertLake]] needs on a lake a
+    * mutation fully emptied: the `win=` dirs (and their kept manifests)
+    * outlive the files, so an upsert into an emptied partitioned lake
+    * still lands in the right layout. */
+  private[graft] def dirPartitionCols(spark: SparkSession,
+                                      path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(d: Path): Seq[String] = {
+      if (!fs.exists(d)) return Nil
+      fs.listStatus(d).toSeq
+        .filter(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+        .iterator.map { st =>
+          st.getPath.getName.split("=", 2) match {
+            case Array(k, _) => k.toLowerCase +: walk(st.getPath)
+            case _ => Nil
+          }
+        }.find(_.nonEmpty).getOrElse(Nil)
+    }
+    walk(root)
+  }
+
   /** `p` relative to `root`, as the key a consolidated manifest stores. */
   private[sources] def relPath(root: Path, p: Path): String = {
     val r = root.toUri.getPath.stripSuffix("/")
@@ -196,7 +222,26 @@ object ZLake {
       entryFor(st).isDefined
     }
     val schema =
-      if (!covered) None
+      if (files.isEmpty) {
+        // an EMPTIED lake (every row deleted): the schema survives in the
+        // consolidated root manifest or any emptied dir's kept manifest —
+        // "DELETE everything; SELECT" must plan an empty result, not fail
+        rootMan.map(_.schema).orElse {
+          def firstMan(d: Path): Option[StructType] = {
+            if (!fs.exists(d)) return None
+            readManifest(fs, d).map(_.schema).orElse(
+              fs.listStatus(d).toSeq
+                .filter(st => st.isDirectory &&
+                  !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith("."))
+                .sortBy(_.getPath.getName)
+                .iterator.flatMap(st => firstMan(st.getPath))
+                .nextOption())
+          }
+          firstMan(root)
+        }
+      }
+      else if (!covered) None
       else {
         // union-merge across the manifests actually used (schema evolution
         // between windows): first occurrence of a field name wins its type
@@ -499,8 +544,16 @@ object ZLake {
             !st.getPath.getName.startsWith("."))
           .sortBy(_.getPath.getName)
         if (files.isEmpty) {
-          val p = new Path(dir, ManifestName)
-          if (fs.exists(p)) { fs.delete(p, false); () }
+          // a dir a mutation fully emptied KEEPS its manifest with an
+          // empty file map: the schema must survive "DELETE everything"
+          // so the next read still plans (empty, correctly typed) and
+          // the next upsert still knows the layout
+          readManifest(fs, dir) match {
+            case Some(man) => writeManifestFile(fs, dir, man.schema, Nil)
+            case None =>
+              val p = new Path(dir, ManifestName)
+              if (fs.exists(p)) { fs.delete(p, false); () }
+          }
         } else readManifest(fs, dir) match {
           case None => writeManifest(spark, dir.toString)
           case Some(man) =>
@@ -1107,7 +1160,11 @@ object ZLake {
         * [[refresh]] through Spark's own plan.refresh() walk, so SQL
         * views see journaled mutations after the standard refresh verb —
         * parquet-parity semantics (an unrefreshed view stays pinned). */
-      refresher: Option[() => (Seq[FileEnvelope], Option[StructType])] = None)
+      refresher: Option[() => (Seq[FileEnvelope], Option[StructType])] = None,
+      /** Layout for an EMPTY file set (a lake a mutation fully emptied):
+        * the partition columns the directory tree names, so the empty
+        * read still exposes them. */
+      partitionColsOverride: Seq[String] = Nil)
       extends FileIndex {
     @volatile private var state: (Seq[FileEnvelope], Option[StructType]) =
       (fes0, manifestSchema0)
@@ -1116,7 +1173,8 @@ object ZLake {
     val lastPrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, fes.size))
     /** Partition column names (lowercase), from the first file's path. */
     val partitionCols: Seq[String] =
-      fes.headOption.map(_.partitionValues.map(_._1)).getOrElse(Nil)
+      fes.headOption.map(_.partitionValues.map(_._1))
+        .getOrElse(partitionColsOverride)
     override def rootPaths: Seq[Path] = Seq(root)
     override def partitionSchema: StructType =
       StructType(partitionCols.map(c =>
@@ -1172,7 +1230,9 @@ object ZLake {
     new StatsFileIndex(new Path(path), h.fes, h.schema,
       refresher = Some { () =>
         val h2 = harvest(spark, path); (h2.fes, h2.schema)
-      })
+      },
+      partitionColsOverride =
+        if (h.fes.isEmpty) dirPartitionCols(spark, path) else Nil)
   }
 
   /** Parquet read through the stats-pruning index: identical rows to

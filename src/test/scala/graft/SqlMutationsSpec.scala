@@ -158,6 +158,46 @@ class SqlMutationsSpec extends AnyFunSuite with SparkSpec {
       "a DELETE through a time-travel view must never mutate the live lake")
   }
 
+  test("CALL observability + maintenance verbs: snapshots, manifest, " +
+      "rewrite") {
+    val root = buildLake("obs", n = 512)
+    spark.sql(s"CALL graft.snapshot('$root', 'a')").collect()
+    spark.sql(s"CALL graft.snapshot('$root', 'b')").collect()
+    assert(spark.sql(s"CALL graft.snapshots('$root')")
+      .as[String].collect().toSeq == Seq("a", "b"))
+    // manifest rows: one per file, rows sum to the table, zero footers
+    val n0 = graft.sources.ZLake.footerOpens.get()
+    val man = spark.sql(s"CALL graft.manifest('$root')").collect()
+    assert(graft.sources.ZLake.footerOpens.get() == n0,
+      "CALL graft.manifest opened parquet footers on a covered lake")
+    assert(man.length == 4)
+    assert(man.map(_.getLong(2)).sum == 512L)
+    assert(man.forall(_.getString(5).contains("blooms")))
+    // flat-lake rewrite through the journal: fewer files, same rows
+    val rr = spark.sql(
+      s"CALL graft.rewrite('$root', 'a', 'b', '2')").collect()
+    assert(rr(0).getInt(0) == 4 && rr(0).getInt(1) == 2)
+    assert(ZLake.read(spark, root).count() == 512L)
+    // the pinned snapshots still read whole after the rewrite
+    assert(Snapshots.readSnapshot(spark, root, "a").count() == 512L)
+  }
+
+  test("CALL graft.compact optimizes a windowed lake from SQL") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sql-cmp").toString + "/t"
+    val df = spark.range(1024).select(col("id"),
+      (col("id") % 64).as("a"), (col("id") * 7 % 64).as("b"))
+    // over-fragmented windows: 6 files each, target 2 per window
+    for (w <- 0 to 1)
+      Sinks.zorderedWrite(df.filter(col("id") % 2 === w), "a", "b",
+        s"$root/win=$w", numFiles = 6, bits = 6)
+    val rep = spark.sql(
+      s"CALL graft.compact('$root', 'a', 'b', '2')").collect()
+    assert(rep.length == 2, rep.mkString(","))
+    assert(rep.forall(r => r.getInt(1) == 6 && r.getInt(2) <= 2))
+    assert(ZLake.read(spark, root).count() == 1024L)
+  }
+
   test("CALL parse errors are loud; non-CALL SQL is untouched") {
     intercept[Exception](
       spark.sql("CALL graft.snapshot('/tmp/x')").collect()) // arity
