@@ -1802,6 +1802,51 @@ object QueriesOps {
                         CAST(sum(CASE WHEN seg = 'HOT' THEN 1 ELSE 0 END)
                           AS BIGINT) AS n_hot
                  FROM q144_lake GROUP BY win ORDER BY w""")
+      }),
+
+    // -- the SQL spelling of the journaled APPEND (INSERT INTO a zlake
+    //    view → GraftDml reroutes Spark's InsertIntoHadoopFsRelationCommand
+    //    through LakeDelete.appendLake): new rows land as staged files +
+    //    one journal commit with manifests repaired, so the post-insert
+    //    read still plans with zero footer opens. Oracle: UNION ALL.
+    QueryDef("q145_sql_insert", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           i AS (SELECT c_custkey + 500000 AS c_custkey, a,
+                        c_custkey AS cents, w
+                 FROM f WHERE c_custkey % 487 = 0),
+           m AS (SELECT * FROM f UNION ALL SELECT * FROM i)
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      FROM m GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sql-ins").toString + "/customer"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 8, bits = 6)
+        s.sql("DROP VIEW IF EXISTS q145_lake")
+        s.sql(s"CREATE TEMPORARY VIEW q145_lake USING zlake " +
+          s"OPTIONS (path '$root')")
+        base.filter(col("c_custkey") % 487 === 0)
+          .select((col("c_custkey") + 500000).as("c_custkey"), col("a"),
+            col("c_custkey").as("cents"),
+            (col("c_custkey") % 2).cast("string").as("win"))
+          .createOrReplaceTempView("q145_inserts")
+        s.sql("INSERT INTO q145_lake SELECT * FROM q145_inserts")
+        s.sql("REFRESH TABLE q145_lake")
+        s.sql("""SELECT CAST(win AS BIGINT) AS w,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(cents) AS BIGINT) AS sum_cents,
+                        CAST(sum(c_custkey) AS BIGINT) AS sum_key
+                 FROM q145_lake GROUP BY win ORDER BY w""")
       })
   )
 }

@@ -141,6 +141,26 @@ case class GraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
             m.targetTable.output.map(_.name), key)
         case _ => m
       }
+    // INSERT INTO a zlake view: by post-hoc time Spark's own
+    // DataSourceAnalysis has already turned the statement into an
+    // InsertIntoHadoopFsRelationCommand (our relation IS insertable —
+    // but its raw write would drop files into the lake without manifests
+    // or the journal). Reroute APPEND mode through the journaled path;
+    // OVERWRITE keeps Spark's native semantics (a whole-table/partition
+    // REPLACEMENT, documented as outside the incremental-maintenance
+    // contract).
+    case i: org.apache.spark.sql.execution.datasources
+        .InsertIntoHadoopFsRelationCommand
+        if i.mode == org.apache.spark.sql.SaveMode.Append &&
+          i.staticPartitions.isEmpty && i.bucketSpec.isEmpty &&
+          i.query.resolved &&
+          i.fileIndex.exists {
+            case idx: ZLake.StatsFileIndex => idx.snapshotTag.isEmpty
+            case _ => false
+          } =>
+      GraftAppendCommand(
+        i.fileIndex.get.rootPaths.head.toString, i.query,
+        i.outputColumnNames)
     case u @ UpdateTable(target, assignments, condition)
         if target.resolved && condition.forall(_.resolved) &&
           assignments.forall(a => a.key.resolved && a.value.resolved) =>
@@ -186,6 +206,24 @@ case class GraftDeleteCommand(root: String, cond: Expression)
       ColumnBridge.column(byName))
     Seq(Row(rep.filesTotal, rep.filesUntouched, rep.filesDroppedWhole,
       rep.filesRewritten, rep.rowsDeleted))
+  }
+}
+
+/** `INSERT INTO <zlake> SELECT ...` — journaled append
+  * ([[LakeDelete.appendLake]]): staged files + journal, manifests
+  * repaired, so SQL inserts keep the lake's coverage and zero-footer
+  * planning. `cols` are the target-aligned output names Spark's insert
+  * preprocessing already arranged the query to produce. */
+case class GraftAppendCommand(root: String, source: LogicalPlan,
+                              cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_added", IntegerType)(),
+    AttributeReference("rows_inserted", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = PlanBridge.dataFrame(spark, source).toDF(cols: _*)
+    val rep = LakeDelete.appendLake(spark, root, rows)
+    Seq(Row(rep.filesAdded, rep.rowsInserted))
   }
 }
 

@@ -84,6 +84,56 @@ object LakeDelete {
   private val JournalName = "_graft_delete_journal.json"
   private val StageDirName = "_deleting"
   private val FenceName = "_graft_fence.json"
+  private val LockName = "_graft_writer.lock"
+
+  /** Stale-lock takeover age (ms). A writer that dies holding the lock is
+    * broken past this; the journal protocol makes the takeover safe (a
+    * published journal re-applies idempotently, an unpublished staging is
+    * discarded). Test seam — production default 30 min. */
+  private[graft] val staleLockMs =
+    new java.util.concurrent.atomic.AtomicLong(30L * 60 * 1000)
+
+  /** Advisory single-writer LOCK enforcing the lake's documented
+    * single-writer contract: every journaled mutation (delete, upsert,
+    * update, rewrite, compaction, vacuum, standalone recovery) runs under
+    * an exclusive `_graft_writer.lock` taken with an atomic
+    * create-if-absent. A second concurrent writer fails fast with
+    * `ConcurrentModificationException` instead of corrupting the shared
+    * staging dir or overwriting the other's journal. Locks older than
+    * [[staleLockMs]] are broken (crashed writer) — safe because the
+    * commit point is the journal, not the lock. NOTE: create-if-absent is
+    * atomic on HDFS/local/ABFS; on S3-like stores without atomic create
+    * this remains advisory, exactly like Delta's S3 single-writer
+    * caveat. */
+  private[graft] def withWriterLock[T](fs: FileSystem, root: Path)
+                                      (body: => T): T = {
+    val lock = new Path(root, LockName)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          (s"""{"pid":${ProcessHandle.current().pid()},""" +
+            s""""at":${System.currentTimeMillis()}}""")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > staleLockMs.get()
+        catch { case _: java.io.FileNotFoundException => true }
+      if (stale) {
+        try { fs.delete(lock, false); () } catch { case NonFatal(_) => () }
+      }
+      if (!tryAcquire()) throw new java.util.ConcurrentModificationException(
+        s"another writer holds $lock — the lake is single-writer; retry " +
+          s"after it finishes (locks stale after ${staleLockMs.get()} ms " +
+          "are taken over)")
+    }
+    try body
+    finally { try fs.delete(lock, false) catch { case NonFatal(_) => () }; () }
+  }
 
   /** The lake's commit FENCE: an opaque caller string (e.g. a streaming
     * batch id) published atomically WITH a merge — it rides the journal,
@@ -155,10 +205,12 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
-    val recovered = recover(spark, root)
-    val stageRoot0 = new Path(rootPath, StageDirName)
-    if (fs.exists(stageRoot0)) { fs.delete(stageRoot0, true); () } // pre-journal leftovers
-    deleteCore(spark, root, predicate, Nil, recovered)
+    withWriterLock(fs, rootPath) {
+      val recovered = recoverUnlocked(spark, root)
+      val stageRoot0 = new Path(rootPath, StageDirName)
+      if (fs.exists(stageRoot0)) { fs.delete(stageRoot0, true); () } // pre-journal leftovers
+      deleteCore(spark, root, predicate, Nil, recovered)
+    }
   }
 
   final case class RewriteReport(filesBefore: Int, filesAfter: Int,
@@ -203,7 +255,8 @@ object LakeDelete {
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
-    recover(spark, root)
+    withWriterLock(fs, rootPath) {
+    recoverUnlocked(spark, root)
     val stageRoot = new Path(rootPath, StageDirName)
     if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
 
@@ -313,6 +366,7 @@ object LakeDelete {
     applyJournal(spark, fs, rootPath)
     UpdateReport(idx.fes.size,
       untouched.size + (rewrites.size - live.size), live.size, rowsUpdated)
+    }
   }
 
   /** Journal-atomic WHOLE-LAKE REWRITE — the compaction a FLAT
@@ -336,7 +390,8 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
-    recover(spark, root)
+    withWriterLock(fs, rootPath) {
+    recoverUnlocked(spark, root)
     val idx = ZLake.index(spark, root)
     if (idx.fes.isEmpty) return RewriteReport(0, 0, 0L)
     require(idx.fes.forall(_.partitionValues.isEmpty),
@@ -369,6 +424,7 @@ object LakeDelete {
     applyJournal(spark, fs, rootPath)
     val total = idx.fes.map(_.rows).sum
     RewriteReport(dropRels.size, adds.size, total)
+    }
   }
 
   /** Keyed UPSERT (the CDC / dimension-maintenance merge): every existing
@@ -398,7 +454,8 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
-    val recovered = recover(spark, root)
+    withWriterLock(fs, rootPath) {
+    val recovered = recoverUnlocked(spark, root)
     val stageRoot = new Path(rootPath, StageDirName)
     if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
 
@@ -429,6 +486,23 @@ object LakeDelete {
       updates.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,
       s"updates must carry the lake's partition column(s) $missing")
+    val (adds, inserted) =
+      stageInserts(conf, fs, stageRoot, updates, partCols)
+
+    val del = deleteCore(spark, root, col(keyCol).isin(keys.toSeq: _*),
+      adds, recovered, fence)
+    UpsertReport(del, adds.size, inserted)
+    }
+  }
+
+  /** Stage `updates` as insert files under `stageRoot` (ONE partitionBy
+    * write mirroring the lake layout, repartitioned one-file-per-touched-
+    * partition); returns the staged relative paths and their row total.
+    * Shared by [[upsertLake]]'s insert lane and [[appendLake]]. */
+  private def stageInserts(conf: org.apache.hadoop.conf.Configuration,
+                           fs: FileSystem, stageRoot: Path,
+                           updates: DataFrame,
+                           partCols: Seq[String]): (Vector[String], Long) = {
     val addTmp = new Path(stageRoot, ".add")
     val strung = partCols.foldLeft(updates)((d, c) =>
       d.withColumn(c, col(c).cast("string")))
@@ -463,10 +537,45 @@ object LakeDelete {
       }
     }
     fs.delete(addTmp, true)
+    (adds, inserted)
+  }
 
-    val del = deleteCore(spark, root, col(keyCol).isin(keys.toSeq: _*),
-      adds, recovered, fence)
-    UpsertReport(del, adds.size, inserted)
+  /** What one append did. */
+  final case class AppendReport(filesAdded: Int, rowsInserted: Long)
+
+  /** Journaled APPEND: `rows` land as new files in their partition
+    * directories through the same staged-files + journal commit as every
+    * other mutation — atomic (all files or none), crash-healed, manifests
+    * repaired (so coverage and zero-footer planning survive, which a raw
+    * parquet append into the directory would break). The SQL spelling is
+    * `INSERT INTO <zlake view> SELECT ...` via [[graft.plans.GraftDml]]. */
+  def appendLake(spark: SparkSession, root: String,
+                 rows: DataFrame): AppendReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(fs.exists(rootPath), s"no lake at $root")
+    withWriterLock(fs, rootPath) {
+      recoverUnlocked(spark, root)
+      val stageRoot = new Path(rootPath, StageDirName)
+      if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
+      val partCols = {
+        val fromFiles = ZLake.index(spark, root).partitionCols
+        if (fromFiles.nonEmpty) fromFiles
+        else ZLake.dirPartitionCols(spark, root)
+      }
+      val missing = partCols.filterNot(c =>
+        rows.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"append rows must carry the lake's partition column(s) $missing")
+      val (adds, inserted) =
+        stageInserts(conf, fs, stageRoot, rows, partCols)
+      if (adds.isEmpty) return AppendReport(0, 0L)
+      writeJournal(fs, rootPath, Nil, Nil, adds)
+      journalPublishedHook.get()()
+      applyJournal(spark, fs, rootPath)
+      AppendReport(adds.size, inserted)
+    }
   }
 
   private def deleteCore(spark: SparkSession, root: String,
@@ -633,6 +742,17 @@ object LakeDelete {
     * staging is discarded by the next [[deleteFromLake]]. Returns true if
     * a journal was found and applied. */
   def recover(spark: SparkSession, root: String): Boolean = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // cheap unlocked probe first: the common no-journal case must not
+    // contend with a live writer (whose published journal it may observe
+    // mid-apply — that writer owns it)
+    if (!fs.exists(new Path(rootPath, JournalName))) false
+    else withWriterLock(fs, rootPath) { recoverUnlocked(spark, root) }
+  }
+
+  /** [[recover]] for callers already holding the writer lock. */
+  private def recoverUnlocked(spark: SparkSession, root: String): Boolean = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(
       spark.sessionState.newHadoopConf())

@@ -333,6 +333,9 @@ object Sinks {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Nil
+    // compaction swaps windows in place: same single-writer contract,
+    // same lock, as the journaled mutations
+    LakeDelete.withWriterLock(fs, rootPath) {
     val tmpRoot = new Path(rootPath, "_compacting")
     def parquets(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq.map(_.getPath)
@@ -446,6 +449,7 @@ object Sinks {
         Some(CompactReport(dir.toString, before, parquets(dir).size,
           recovered = false))
       }
+    }
     }
   }
 

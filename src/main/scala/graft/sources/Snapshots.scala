@@ -328,6 +328,9 @@ object Snapshots {
              keep: Seq[String]): VacuumReport = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // vacuum deletes trash bytes a concurrent mutation may be retiring
+    // into: same single-writer lock as the journaled paths
+    graft.sinks.LakeDelete.withWriterLock(fs, rootPath) {
     val have = listSnapshots(spark, root)
     val missing = keep.filterNot(have.contains)
     require(missing.isEmpty, s"cannot keep unknown snapshot(s): $missing")
@@ -368,5 +371,6 @@ object Snapshots {
       }
     }
     VacuumReport(drop, deleted)
+    }
   }
 }

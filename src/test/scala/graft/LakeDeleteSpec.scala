@@ -299,6 +299,31 @@ class LakeDeleteSpec extends AnyFunSuite with SparkSpec {
       LakeDelete.updateLake(spark, root, Seq("win" -> lit("9")), lit(true)))
   }
 
+  test("writer lock: a second writer fails fast; a stale lock is " +
+      "broken; the lock never outlives the mutation") {
+    val root = buildLake()
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new Path(root, "_graft_writer.lock")
+    // a live foreign lock: every mutating entry point must refuse
+    fs.create(lock, false).close()
+    intercept[java.util.ConcurrentModificationException](
+      LakeDelete.deleteFromLake(spark, root, col("a") < 4))
+    intercept[java.util.ConcurrentModificationException](
+      LakeDelete.updateLake(spark, root, Seq("u" -> lit(0L)), col("a") < 4))
+    intercept[java.util.ConcurrentModificationException](
+      LakeDelete.upsertLake(spark, root, updatesFor(Seq(1L)), "id"))
+    assert(rows(root) == expect((_, _, _, _) => false),
+      "a refused writer must not have touched the lake")
+    // a STALE lock (dead writer) is broken and the mutation proceeds
+    val n0 = LakeDelete.staleLockMs.get()
+    LakeDelete.staleLockMs.set(0L)
+    try {
+      val rep = LakeDelete.deleteFromLake(spark, root, col("a") < 4)
+      assert(rep.rowsDeleted > 0)
+    } finally LakeDelete.staleLockMs.set(n0)
+    assert(!fs.exists(lock), "lock must be released after the mutation")
+  }
+
   test("re-running the same delete is a no-op") {
     val root = buildLake()
     LakeDelete.deleteFromLake(spark, root, col("a").between(16, 31))

@@ -158,6 +158,43 @@ class SqlMutationsSpec extends AnyFunSuite with SparkSpec {
       "a DELETE through a time-travel view must never mutate the live lake")
   }
 
+  test("INSERT INTO a zlake view is a journaled append: layout kept, " +
+      "manifests repaired, coverage preserved") {
+    // partitioned lake: inserts must land in win= dirs and stay covered
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sql-ins").toString + "/t"
+    val df = spark.range(512).select(col("id"), (col("id") % 64).as("a"),
+      (col("id") * 7 % 64).as("b"))
+    for (w <- 0 to 1)
+      Sinks.zorderedWrite(df.filter(col("id") % 2 === w).drop(), "a", "b",
+        s"$root/win=$w", numFiles = 2, bits = 6)
+    spark.sql("DROP VIEW IF EXISTS sqlmut_ins")
+    spark.sql(s"CREATE TEMPORARY VIEW sqlmut_ins USING zlake " +
+      s"OPTIONS (path '$root')")
+    val rep = spark.sql(
+      """INSERT INTO sqlmut_ins
+        |SELECT id + 10000, id % 64, id % 7, CAST(id % 2 AS STRING)
+        |FROM range(10)""".stripMargin).collect()
+    assert(rep.length == 1 && rep(0).getLong(1) == 10L, rep.mkString(","))
+    // rows landed in their partition dirs and the lake is still covered:
+    // the read after the insert opens zero footers
+    val n0 = graft.sources.ZLake.footerOpens.get()
+    val got = ZLake.read(spark, root)
+    assert(got.count() == 522L)
+    assert(got.filter(col("id") >= 10000 && col("win") === "1")
+      .count() == 5L)
+    assert(graft.sources.ZLake.footerOpens.get() == n0,
+      "SQL INSERT degraded manifest coverage (footers opened)")
+    // the journal protocol ran (fresh upsert-*.parquet files, no raw
+    // part-* spark output names in the lake)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(root, "win=1"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(names.exists(_.startsWith("upsert-")),
+      s"expected journaled staged names, got ${names.mkString(",")}")
+  }
+
   test("CALL observability + maintenance verbs: snapshots, manifest, " +
       "rewrite") {
     val root = buildLake("obs", n = 512)
