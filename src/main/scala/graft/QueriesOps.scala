@@ -1847,6 +1847,124 @@ object QueriesOps {
                         CAST(sum(cents) AS BIGINT) AS sum_cents,
                         CAST(sum(c_custkey) AS BIGINT) AS sum_key
                  FROM q145_lake GROUP BY win ORDER BY w""")
+      }),
+
+    // -- KEYED CHANGE FEED (Snapshots.diffKeyed): the snapshot diff
+    //    classified per key into the Delta CDF vocabulary. The pipeline:
+    //    snapshot v0 → keyed UPSERT (changed cents for %97 keys, brand-new
+    //    %487 keys) → retention DELETE (%131) → snapshot v1 → feed. The
+    //    oracle replays before/after states in DuckDB and classifies via
+    //    FULL OUTER JOIN: a fabricated update pair, a missed unchanged-row
+    //    suppression, or a wrong pre/post image all hash-mismatch.
+    QueryDef("q147_change_feed_keyed", Some("""
+      WITH f AS (SELECT c_custkey AS id, c_custkey % 64 AS a,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer),
+           upd AS (SELECT id, a, id AS cents FROM f WHERE id % 97 = 0),
+           ins AS (SELECT id + 700000 AS id, a, id AS cents
+                   FROM f WHERE id % 487 = 0),
+           before_s AS (SELECT * FROM f),
+           after0 AS (SELECT * FROM f WHERE id % 97 <> 0
+                      UNION ALL SELECT * FROM upd
+                      UNION ALL SELECT * FROM ins),
+           after_s AS (SELECT * FROM after0 WHERE id % 131 <> 0),
+           dels AS (SELECT b.id, b.cents, 'delete' AS _change_type
+                    FROM before_s b LEFT JOIN after_s a2 USING (id)
+                    WHERE a2.id IS NULL),
+           inss AS (SELECT a2.id, a2.cents, 'insert' AS _change_type
+                    FROM after_s a2 LEFT JOIN before_s b USING (id)
+                    WHERE b.id IS NULL),
+           upds AS (SELECT b.id, b.cents AS pre_c, a2.cents AS post_c
+                    FROM before_s b JOIN after_s a2 USING (id)
+                    WHERE b.cents <> a2.cents)
+      SELECT id, cents, _change_type FROM dels
+      UNION ALL SELECT id, cents, _change_type FROM inss
+      UNION ALL SELECT id, pre_c AS cents, 'update_preimage' FROM upds
+      UNION ALL SELECT id, post_c AS cents, 'update_postimage' FROM upds
+      ORDER BY id, _change_type"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-cdf-gate").toString + "/t"
+        val base = T(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(base.filter(col("id") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 4, bits = 6,
+            bloomCols = Seq("id"))
+        graft.sources.Snapshots.snapshot(s, root, "v0")
+        val upd = base.filter(col("id") % 97 === 0)
+          .select(col("id"), col("a"), col("id").as("cents"))
+        val ins = base.filter(col("id") % 487 === 0)
+          .select((col("id") + 700000).as("id"), col("a"),
+            col("id").as("cents"))
+        val batch = upd.unionByName(ins)
+          .withColumn("win", (col("id") % 2).cast("string"))
+        graft.sinks.LakeDelete.upsertLake(s, root, batch, "id")
+        graft.sinks.LakeDelete.deleteFromLake(s, root, col("id") % 131 === 0)
+        graft.sources.Snapshots.snapshot(s, root, "v1")
+        graft.sources.Snapshots.diffKeyed(s, root, "id", "v0", Some("v1"))
+          .select(col("id"), col("cents"), col("_change_type"))
+          .orderBy(col("id"), col("_change_type"))
+      }),
+
+    // -- CHECK CONSTRAINTS (LakeConstraints, Delta ADD CONSTRAINT parity):
+    //    added via the SQL CALL surface, enforced on the SQL INSERT path —
+    //    the violating batch is REJECTED WHOLE (the lake stays
+    //    byte-identical; the thrown ConstraintViolation is caught here),
+    //    the compliant batch lands. The oracle is base + compliant batch
+    //    only: a half-landed rejected batch or a skipped compliant row
+    //    hash-mismatches.
+    QueryDef("q148_sql_constraints", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           ok AS (SELECT c_custkey + 900000 AS c_custkey,
+                         a % 32 AS a, CAST(1 AS BIGINT) AS cents, w
+                  FROM f WHERE c_custkey % 211 = 0),
+           m AS (SELECT * FROM f UNION ALL SELECT * FROM ok)
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(a) AS BIGINT) AS sum_a
+      FROM m GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-chk-gate").toString + "/t"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 4, bits = 6)
+        s.sql(s"CALL graft.constraint_add('$root', 'a-bounded', " +
+          "'a >= 0 AND a < 64')")
+        s.sql("DROP VIEW IF EXISTS q148_lake")
+        s.sql(s"CREATE TEMPORARY VIEW q148_lake USING zlake " +
+          s"OPTIONS (path '$root')")
+        // violating batch: a = 99 breaks the CHECK — rejected whole
+        base.filter(col("c_custkey") % 211 === 0)
+          .select((col("c_custkey") + 800000).as("c_custkey"),
+            lit(99L).as("a"), lit(1L).as("cents"),
+            (col("c_custkey") % 2).cast("string").as("win"))
+          .createOrReplaceTempView("q148_bad")
+        try { s.sql("INSERT INTO q148_lake SELECT * FROM q148_bad"); () }
+        catch { case _: Throwable => () } // expected: CHECK 'a-bounded'
+        // compliant batch lands
+        base.filter(col("c_custkey") % 211 === 0)
+          .select((col("c_custkey") + 900000).as("c_custkey"),
+            (col("a") % 32).as("a"), lit(1L).as("cents"),
+            (col("c_custkey") % 2).cast("string").as("win"))
+          .createOrReplaceTempView("q148_ok")
+        s.sql("INSERT INTO q148_lake SELECT * FROM q148_ok")
+        s.sql("REFRESH TABLE q148_lake")
+        s.sql("""SELECT CAST(win AS BIGINT) AS w,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(cents) AS BIGINT) AS sum_cents,
+                        CAST(sum(a) AS BIGINT) AS sum_a
+                 FROM q148_lake GROUP BY win ORDER BY w""")
       })
   )
 }

@@ -46,6 +46,9 @@ import graft.sources.{Snapshots, ZLake}
   *    CALL graft.manifest('/lake/t')             -- per-file stats rows
   *    CALL graft.compact('/lake/t', 'a', 'b', '4')  -- windowed OPTIMIZE
   *    CALL graft.rewrite('/lake/t', 'a', 'b', '8')  -- flat-lake rewrite
+  *    CALL graft.constraint_add('/lake/t', 'pos', 'amount >= 0')
+  *    CALL graft.constraint_drop('/lake/t', 'pos')
+  *    CALL graft.constraints('/lake/t')          -- list CHECKs
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -443,6 +446,17 @@ object GraftSqlParser {
           case "vacuum" =>
             arity(args.nonEmpty, "vacuum('<root>' [, '<keepTag>'...])")
             Some(GraftVacuumCommand(args.head, args.tail))
+          case "constraint_add" =>
+            arity(args.length == 3,
+              "constraint_add('<root>', '<name>', '<boolean expr>')")
+            delegate.parseExpression(args(2)) // malformed expr: fail at parse
+            Some(GraftConstraintAddCommand(args(0), args(1), args(2)))
+          case "constraint_drop" =>
+            arity(args.length == 2, "constraint_drop('<root>', '<name>')")
+            Some(GraftConstraintDropCommand(args(0), args(1)))
+          case "constraints" =>
+            arity(args.length == 1, "constraints('<root>')")
+            Some(GraftConstraintsListCommand(args(0)))
           case "delete" =>
             arity(args.length == 2, "delete('<root>', '<predicate>')")
             delegate.parseExpression(args(1)) // malformed predicate: fail at parse
@@ -456,6 +470,44 @@ object GraftSqlParser {
         }
       case _ => None
     }
+}
+
+/** `CALL graft.constraint_add(root, name, expr)` — add (or replace) a
+  * named CHECK constraint ([[graft.sinks.LakeConstraints.add]]):
+  * validates existing rows first, then every later INSERT / MERGE /
+  * UPDATE / appendLake / upsertLake batch is enforced against it. */
+case class GraftConstraintAddCommand(root: String, name: String,
+                                     exprSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint", StringType)(),
+    AttributeReference("expr", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sinks.LakeConstraints.add(spark, root, name, exprSql)
+    Seq(Row(name, exprSql))
+  }
+}
+
+/** `CALL graft.constraint_drop(root, name)`. */
+case class GraftConstraintDropCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dropped", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sinks.LakeConstraints.drop(spark, root, name)
+    Seq(Row(name))
+  }
+}
+
+/** `CALL graft.constraints(root)` — list (read-only). */
+case class GraftConstraintsListCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint", StringType)(),
+    AttributeReference("expr", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sinks.LakeConstraints.list(spark, root)
+      .map(c => Row(c.name, c.sqlExpr))
 }
 
 /** The CALL-delete twin of [[GraftDeleteCommand]]: the predicate stays a

@@ -48,18 +48,27 @@ import graft.sources.ZLake
   * FALSE or NULL survive (the rewrite keeps `NOT coalesce(p, false)`).
   *
   * CRASH-SAFE via a staged-files + journal protocol (the miniature of a
-  * lakehouse commit log): replacements are fully written under
-  * `_deleting/` (a '_'-prefixed path every reader ignores), then ONE
-  * journal file is published atomically, then the journal is applied
-  * (delete originals, move replacements in — idempotent steps), manifests
-  * repaired incrementally ([[ZLake.repairDirManifest]] — untouched files
-  * keep their exact entries, replaced files get fresh envelopes + stats in
-  * the old manifest's layout), and the journal retired. A crash
+  * lakehouse commit log): replacements are fully written under a
+  * per-transaction `_txn/<uuid>/` dir (a '_'-prefixed path every reader
+  * ignores), then ONE journal file — which records its stage dir — is
+  * published atomically, then the journal is applied (delete originals,
+  * move replacements in — idempotent steps), manifests repaired
+  * incrementally ([[ZLake.repairDirManifest]] — untouched files keep
+  * their exact entries, replaced files get fresh envelopes + stats in the
+  * old manifest's layout), and the journal retired. A crash
   *  - before the journal publish leaves the lake bit-identical (staging is
-  *    invisible; the stale `_deleting/` is discarded on the next call);
+  *    invisible; the orphaned txn dir is age-swept by a later commit);
   *  - after the publish is healed by [[recover]] (run automatically at the
   *    start of every [[deleteFromLake]]): re-applying the journal is
   *    idempotent, so the delete completes exactly once.
+  *
+  * CONCURRENCY (r10): staging runs OUTSIDE the writer lock; the lock
+  * guards only the commit window (recover → validate read-set → journal →
+  * apply), so concurrent appends queue for milliseconds instead of
+  * failing, mutations touching disjoint files both land, and a genuine
+  * optimistic race restages from a fresh triage (bounded retries).
+  * Isolation is write-snapshot: a mutation applies to the files it
+  * triaged — rows appended concurrently survive a concurrent DELETE.
   * As with [[Sinks.compactLake]], a concurrent reader mid-apply can catch
   * a single file between its delete and its replacement's rename — the
   * same per-file swap window every in-place rewriter has without full
@@ -82,7 +91,8 @@ object LakeDelete {
                                 rowsInserted: Long)
 
   private val JournalName = "_graft_delete_journal.json"
-  private val StageDirName = "_deleting"
+  private val StageDirName = "_deleting" // legacy journals only (no "stage" field)
+  private val TxnDirName = "_txn"
   private val FenceName = "_graft_fence.json"
   private val LockName = "_graft_writer.lock"
 
@@ -92,6 +102,27 @@ object LakeDelete {
     * discarded). Test seam — production default 30 min. */
   private[graft] val staleLockMs =
     new java.util.concurrent.atomic.AtomicLong(30L * 60 * 1000)
+
+  /** How long a writer WAITS for the lock before giving up (ms). Since
+    * r10 the lock guards only the COMMIT window (recover → validate →
+    * journal → apply) — staging runs outside it — so contention is
+    * seconds, not the length of the rewrite job; waiting briefly turns
+    * "concurrent append fails" into "concurrent append queues". Test
+    * seam; 0 = fail fast (the pre-r10 behavior). */
+  private[graft] val lockWaitMs =
+    new java.util.concurrent.atomic.AtomicLong(10000L)
+
+  /** Count of optimistic-commit conflicts that triggered a restage —
+    * observability (and the spec's proof that a race actually ran). */
+  private[graft] val conflictRetries =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test seam: fires after a mutation finishes STAGING, before it takes
+    * the commit lock — the window in which a concurrent writer may land.
+    * Specs park a competing mutation here to exercise conflict
+    * detection deterministically. */
+  private[graft] val stagedHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
 
   /** Advisory single-writer LOCK enforcing the lake's documented
     * single-writer contract: every journaled mutation (delete, upsert,
@@ -118,7 +149,9 @@ object LakeDelete {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (!tryAcquire()) {
+    val deadline = System.currentTimeMillis() + lockWaitMs.get()
+    var acquired = tryAcquire()
+    while (!acquired) {
       val stale =
         try System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime > staleLockMs.get()
@@ -126,14 +159,180 @@ object LakeDelete {
       if (stale) {
         try { fs.delete(lock, false); () } catch { case NonFatal(_) => () }
       }
-      if (!tryAcquire()) throw new java.util.ConcurrentModificationException(
-        s"another writer holds $lock — the lake is single-writer; retry " +
-          s"after it finishes (locks stale after ${staleLockMs.get()} ms " +
-          "are taken over)")
+      acquired = tryAcquire()
+      if (!acquired) {
+        if (System.currentTimeMillis() >= deadline)
+          throw new java.util.ConcurrentModificationException(
+            s"another writer holds $lock — gave up after " +
+              s"${lockWaitMs.get()} ms (commits are short; a longer hold " +
+              s"is a crashed writer, broken after ${staleLockMs.get()} ms)")
+        Thread.sleep(50)
+      }
     }
     try body
     finally { try fs.delete(lock, false) catch { case NonFatal(_) => () }; () }
   }
+
+  // ---- optimistic concurrency (r10) ---------------------------------------
+  // Mutations STAGE outside the lock in a per-transaction dir
+  // (`_txn/<uuid>/`, invisible to readers like every '_'-prefixed path),
+  // then take the lock only for the commit window: recover any crashed
+  // predecessor, VALIDATE the read-set (every file the mutation intends to
+  // drop/rewrite still has the identity triage saw), publish the journal
+  // (which records its own stage dir), apply, sweep stale txn dirs. A
+  // conflict releases the lock and restages from a fresh triage (bounded
+  // retries). Appends have an empty read-set and never conflict — ingest
+  // no longer queues behind a long copy-on-write rewrite's staging; two
+  // mutations touching DISJOINT files both commit. Isolation is
+  // write-snapshot (Delta's WriteSerializable): a mutation applies to the
+  // files it triaged; rows appended concurrently survive a concurrent
+  // DELETE and are not re-keyed by a concurrent MERGE.
+
+  /** Fresh per-transaction staging dir under `_txn/`. */
+  private def newTxnDir(fs: FileSystem, root: Path): (Path, String) = {
+    val rel = s"$TxnDirName/${java.util.UUID.randomUUID()}"
+    val p = new Path(root, rel)
+    fs.mkdirs(p)
+    (p, rel)
+  }
+
+  /** Read-set validation: files in `fes` that no longer exist with the
+    * `(len, mtime)` identity triage captured. Journaled paths never reuse
+    * a relative name, so identity change ⇒ a concurrent writer moved it. */
+  private def changedIdentities(fs: FileSystem,
+                                fes: Seq[ZLake.FileEnvelope]): Seq[String] =
+    fes.flatMap { fe =>
+      val p = fe.status.getPath
+      val cur =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      if (cur.exists(s => s.getLen == fe.status.getLen &&
+        s.getModificationTime == fe.status.getModificationTime)) None
+      else Some(p.toString)
+    }
+
+  /** Every data file's `(rel, len, mtime)` — the FULL-set check
+    * [[rewriteLake]] needs (it must also see additions, which a read-set
+    * check cannot). */
+  private def listDataIdentities(fs: FileSystem,
+                                 root: Path): Set[(String, Long, Long)] = {
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    def walk(d: Path): Seq[(String, Long, Long)] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet"))
+          Seq((rel(st.getPath), st.getLen, st.getModificationTime))
+        else Nil
+      }
+    walk(root).toSet
+  }
+
+  /** Garbage-collect txn dirs abandoned by crashed PRE-commit writers
+    * (post-commit dirs are consumed by [[applyJournal]]). Age-gated by
+    * [[staleLockMs]] so live writers' staging is never touched. Runs
+    * under the commit lock. Also retires a legacy `_deleting/` left by a
+    * pre-r10 writer's pre-commit crash once no journal can reference it. */
+  private def sweepStaleTxns(fs: FileSystem, root: Path): Unit =
+    try {
+      val txn = new Path(root, TxnDirName)
+      if (fs.exists(txn)) {
+        val cutoff = System.currentTimeMillis() - staleLockMs.get()
+        fs.listStatus(txn).foreach { st =>
+          if (st.getModificationTime < cutoff) {
+            try { fs.delete(st.getPath, true); () }
+            catch { case NonFatal(_) => () }
+          }
+        }
+        if (fs.exists(txn) && fs.listStatus(txn).isEmpty) {
+          fs.delete(txn, true); ()
+        }
+      }
+      val legacy = new Path(root, StageDirName)
+      if (fs.exists(legacy) && !fs.exists(new Path(root, JournalName))) {
+        fs.delete(legacy, true); ()
+      }
+    } catch { case NonFatal(_) => () }
+
+  /** A staging job that raced a concurrent writer reads files that
+    * vanish mid-scan — surfaced as a FileNotFoundException somewhere in
+    * the failure's cause chain. Those are conflicts (restage), not
+    * errors. */
+  private def isConcurrentFileLoss(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var seen = 0
+    while (t != null && seen < 16) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t = t.getCause
+      seen += 1
+    }
+    false
+  }
+
+  /** Run `body` (triage + stage + commit, returning Left(conflicts) on an
+    * optimistic race) with one reusable txn dir and up to `attempts`
+    * restages. The dir is consumed by the commit's [[applyJournal]];
+    * leftovers from failed attempts inside it die with it. On terminal
+    * failure the dir is cleaned UNLESS a published journal may reference
+    * it (then [[recover]] owns it). */
+  private def withConflictRetry[T](what: String, fs: FileSystem,
+                                   rootPath: Path, attempts: Int = 3)
+                                  (body: (Path, String)
+                                    => Either[Seq[String], T]): T = {
+    val (dir, rel) = newTxnDir(fs, rootPath)
+    def cleanup(): Unit =
+      try {
+        if (!fs.exists(new Path(rootPath, JournalName)) && fs.exists(dir)) {
+          fs.delete(dir, true); ()
+        }
+      } catch { case NonFatal(_) => () }
+    var i = 0
+    var last: Seq[String] = Nil
+    try {
+      while (i < attempts) {
+        body(dir, rel) match {
+          case Right(t) =>
+            cleanup() // no-op commits leave the dir behind; drop it
+            return t
+          case Left(c) =>
+            conflictRetries.incrementAndGet()
+            last = c
+            i += 1
+        }
+      }
+    } catch { case NonFatal(e) => cleanup(); throw e }
+    cleanup()
+    throw new java.util.ConcurrentModificationException(
+      s"$what: optimistic commit lost $attempts races to concurrent " +
+        s"writers (latest conflicting files: ${last.take(3).mkString(", ")})")
+  }
+
+  /** The SHORT critical section every mutation ends with: under the
+    * writer lock, heal any crashed predecessor, validate the caller's
+    * read-set, then publish + apply the journal. Left = the read-set
+    * moved (caller restages); the lock is held for file-ops only — never
+    * for a Spark job except [[applyJournal]]'s manifest repair. */
+  private def commitStaged(spark: SparkSession, fs: FileSystem,
+                           rootPath: Path, stageRel: String,
+                           drops: Seq[String], adds: Seq[String],
+                           fence: Option[String],
+                           validate: () => Seq[String])
+      : Either[Seq[String], Unit] =
+    withWriterLock(fs, rootPath) {
+      recoverUnlocked(spark, rootPath.toString)
+      val conflicts = validate()
+      if (conflicts.nonEmpty) Left(conflicts)
+      else {
+        writeJournal(fs, rootPath, drops, Nil, adds, fence, stageRel)
+        journalPublishedHook.get()()
+        applyJournal(spark, fs, rootPath)
+        sweepStaleTxns(fs, rootPath)
+        Right(())
+      }
+    }
 
   /** The lake's commit FENCE: an opaque caller string (e.g. a streaming
     * batch id) published atomically WITH a merge — it rides the journal,
@@ -205,11 +404,9 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
-    withWriterLock(fs, rootPath) {
-      val recovered = recoverUnlocked(spark, root)
-      val stageRoot0 = new Path(rootPath, StageDirName)
-      if (fs.exists(stageRoot0)) { fs.delete(stageRoot0, true); () } // pre-journal leftovers
-      deleteCore(spark, root, predicate, Nil, recovered)
+    val recovered = recover(spark, root) // heal BEFORE triage reads the lake
+    withConflictRetry("DELETE", fs, rootPath) { (txnDir, txnRel) =>
+      deleteCore(spark, root, predicate, Nil, recovered, None, txnDir, txnRel)
     }
   }
 
@@ -255,10 +452,22 @@ object LakeDelete {
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
-    withWriterLock(fs, rootPath) {
-    recoverUnlocked(spark, root)
-    val stageRoot = new Path(rootPath, StageDirName)
-    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
+    recover(spark, root)
+    withConflictRetry("UPDATE", fs, rootPath) { (txnDir, txnRel) =>
+      updateAttempt(spark, root, assignments, predicate, txnDir, txnRel)
+    }
+  }
+
+  /** One optimistic UPDATE attempt (see [[deleteCore]] for the shape). */
+  private def updateAttempt(spark: SparkSession, root: String,
+                            assignments: Seq[(String, Column)],
+                            predicate: Column,
+                            txnDir: Path, txnRel: String)
+      : Either[Seq[String], UpdateReport] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val stageRoot = txnDir
 
     val df = ZLake.read(spark, root)
     val idx = ZLake.index(spark, root)
@@ -293,7 +502,7 @@ object LakeDelete {
     val (rewrites, untouched) =
       idx.fes.partition(fe => ZLake.mayMatch(forFile(fe), fe))
     if (rewrites.isEmpty)
-      return UpdateReport(idx.fes.size, idx.fes.size, 0, 0L)
+      return Right(UpdateReport(idx.fes.size, idx.fes.size, 0, 0L))
 
     val rootUri = rootPath.toUri.getPath.stripSuffix("/")
     def rel(p: Path): String =
@@ -306,21 +515,26 @@ object LakeDelete {
     val boundary = spark.read.schema(df.schema).option("basePath", root)
       .parquet(rewrites.map(_.status.getPath.toString): _*)
     val matchByDir: Map[String, Long] =
-      if (partCols.isEmpty)
-        Map("" -> boundary.filter(hit).count())
-      else boundary.filter(hit)
-        .groupBy(partCols.map(col): _*).count().collect().map { r =>
-          val dir = partCols.indices
-            .map(i => s"${partCols(i)}=${r.get(i)}").mkString("/")
-          dir -> r.getLong(partCols.size)
-        }.toMap
+      try {
+        if (partCols.isEmpty)
+          Map("" -> boundary.filter(hit).count())
+        else boundary.filter(hit)
+          .groupBy(partCols.map(col): _*).count().collect().map { r =>
+            val dir = partCols.indices
+              .map(i => s"${partCols(i)}=${r.get(i)}").mkString("/")
+            dir -> r.getLong(partCols.size)
+          }.toMap
+      } catch {
+        case NonFatal(e) if isConcurrentFileLoss(e) =>
+          return Left(Seq(e.getMessage))
+      }
     val rowsUpdated = matchByDir.values.sum
     val rewritesByDir = rewrites.groupBy(dirRelOf)
     val liveDirs = rewritesByDir.keySet
       .filter(d => matchByDir.getOrElse(d, 0L) > 0L).toSeq.sorted
     val live = liveDirs.flatMap(rewritesByDir(_))
     if (live.isEmpty)
-      return UpdateReport(idx.fes.size, idx.fes.size, 0, 0L)
+      return Right(UpdateReport(idx.fes.size, idx.fes.size, 0, 0L))
 
     // pass 2: one staged write of the surviving dirs with assignments
     // applied under the predicate (store-assignment cast to column type)
@@ -333,13 +547,27 @@ object LakeDelete {
         case None => col(f.name)
       }
     }
+    // post-image enforcement: the rows this UPDATE produces must satisfy
+    // the lake's CHECK constraints (SQL `UPDATE SET` rides this path too)
+    try LakeConstraints.validateBatch(spark, root,
+      boundary.filter(hit).select(outCols: _*))
+    catch {
+      case NonFatal(e) if isConcurrentFileLoss(e) =>
+        return Left(Seq(e.getMessage))
+    }
+
     val outDir = new Path(stageRoot, ".out")
-    val updatedDf = spark.read.schema(df.schema).option("basePath", root)
-      .parquet(live.map(_.status.getPath.toString): _*)
-      .select(outCols: _*)
-    val w = updatedDf.write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(outDir.toString)
+    try {
+      val updatedDf = spark.read.schema(df.schema).option("basePath", root)
+        .parquet(live.map(_.status.getPath.toString): _*)
+        .select(outCols: _*)
+      val w = updatedDf.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(outDir.toString)
+    } catch {
+      case NonFatal(e) if isConcurrentFileLoss(e) =>
+        return Left(Seq(e.getMessage))
+    }
     def walk(d: Path, dirRel: String): Seq[(String, Path)] =
       fs.listStatus(d).toSeq.flatMap { st =>
         val name = st.getPath.getName
@@ -360,13 +588,15 @@ object LakeDelete {
         require(fs.rename(p, dst), s"could not stage $dst")
         relp
     }
-    writeJournal(fs, rootPath, live.map(fe => rel(fe.status.getPath)),
-      Nil, adds)
-    journalPublishedHook.get()()
-    applyJournal(spark, fs, rootPath)
-    UpdateReport(idx.fes.size,
-      untouched.size + (rewrites.size - live.size), live.size, rowsUpdated)
+    stagedHook.get()() // race injection: staged, commit lock not yet taken
+    commitStaged(spark, fs, rootPath, txnRel,
+      live.map(fe => rel(fe.status.getPath)), adds, None,
+      () => changedIdentities(fs, live)) match {
+      case Left(conflicts) => return Left(conflicts)
+      case Right(()) => ()
     }
+    Right(UpdateReport(idx.fes.size,
+      untouched.size + (rewrites.size - live.size), live.size, rowsUpdated))
   }
 
   /** Journal-atomic WHOLE-LAKE REWRITE — the compaction a FLAT
@@ -390,19 +620,41 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
-    withWriterLock(fs, rootPath) {
-    recoverUnlocked(spark, root)
-    val idx = ZLake.index(spark, root)
-    if (idx.fes.isEmpty) return RewriteReport(0, 0, 0L)
-    require(idx.fes.forall(_.partitionValues.isEmpty),
-      s"rewriteLake is for flat lakes; $root is partitioned — use compactLake")
-    val rows = ZLake.read(spark, root)
+    recover(spark, root)
+    withConflictRetry("REWRITE", fs, rootPath) { (txnDir, txnRel) =>
+      rewriteAttempt(spark, root, zorderBy, numFiles, bits, bloomCols,
+        txnDir, txnRel)
+    }
+  }
 
-    val stageRoot = new Path(rootPath, StageDirName)
-    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
-    val tmp = new Path(stageRoot, ".compact")
-    Sinks.zorderedWrite(rows, zorderBy._1, zorderBy._2, tmp.toString,
+  /** One optimistic whole-lake-rewrite attempt. Unlike the delete/update
+    * read-set check, validation here compares the FULL file set: a file
+    * appended after triage would otherwise survive next to its compacted
+    * copy and double its rows. */
+  private def rewriteAttempt(spark: SparkSession, root: String,
+                             zorderBy: (String, String), numFiles: Int,
+                             bits: Int, bloomCols: Seq[String],
+                             txnDir: Path, txnRel: String)
+      : Either[Seq[String], RewriteReport] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val idx = ZLake.index(spark, root)
+    if (idx.fes.isEmpty) return Right(RewriteReport(0, 0, 0L))
+    require(idx.fes.forall(_.partitionValues.isEmpty),
+      s"rewriteLake is for flat lakes; $root is partitioned — use " +
+        "compactLake")
+    val before = idx.fes.map(fe =>
+      (fe.status.getPath.getName, fe.status.getLen,
+        fe.status.getModificationTime)).toSet
+    val rows = ZLake.read(spark, root)
+    val tmp = new Path(txnDir, ".compact")
+    try Sinks.zorderedWrite(rows, zorderBy._1, zorderBy._2, tmp.toString,
       numFiles, bits, bloomCols = bloomCols)
+    catch {
+      case NonFatal(e) if isConcurrentFileLoss(e) =>
+        return Left(Seq(e.getMessage))
+    }
     val parts = fs.listStatus(tmp).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") &&
         !p.getName.startsWith("_") && !p.getName.startsWith("."))
@@ -410,7 +662,7 @@ object LakeDelete {
     val runId = java.util.UUID.randomUUID()
     val adds = parts.zipWithIndex.map { case (p, i) =>
       val relp = s"compact-$runId-$i.parquet"
-      require(fs.rename(p, new Path(stageRoot, relp)),
+      require(fs.rename(p, new Path(txnDir, relp)),
         s"could not stage $relp")
       relp
     }.toSeq
@@ -418,12 +670,18 @@ object LakeDelete {
 
     val rootUri = rootPath.toUri.getPath.stripSuffix("/")
     val dropRels = idx.fes.map(fe =>
-      fe.status.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
-    writeJournal(fs, rootPath, dropRels, Nil, adds)
-    journalPublishedHook.get()() // crash injection: committed, not applied
-    applyJournal(spark, fs, rootPath)
-    val total = idx.fes.map(_.rows).sum
-    RewriteReport(dropRels.size, adds.size, total)
+      fe.status.getPath.toUri.getPath.stripPrefix(rootUri)
+        .stripPrefix("/"))
+    stagedHook.get()()
+    commitStaged(spark, fs, rootPath, txnRel, dropRels, adds, None,
+      () => {
+        val now = listDataIdentities(fs, rootPath)
+          .map { case (r, l, m) => (new Path(r).getName, l, m) }
+        if (now == before) Nil
+        else ((now diff before) ++ (before diff now)).map(_._1).take(5).toSeq
+      }).map { _ =>
+      val total = idx.fes.map(_.rows).sum
+      RewriteReport(dropRels.size, adds.size, total)
     }
   }
 
@@ -454,10 +712,7 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
-    withWriterLock(fs, rootPath) {
-    val recovered = recoverUnlocked(spark, root)
-    val stageRoot = new Path(rootPath, StageDirName)
-    if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
+    val recovered = recover(spark, root)
 
     val keyRows = updates.select(col(keyCol)).distinct().limit(maxKeys + 1)
       .collect()
@@ -486,12 +741,45 @@ object LakeDelete {
       updates.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,
       s"updates must carry the lake's partition column(s) $missing")
-    val (adds, inserted) =
-      stageInserts(conf, fs, stageRoot, updates, partCols)
+    LakeConstraints.validateBatch(spark, root, updates)
 
-    val del = deleteCore(spark, root, col(keyCol).isin(keys.toSeq: _*),
-      adds, recovered, fence)
-    UpsertReport(del, adds.size, inserted)
+    // inserts stage ONCE (outside the lock, reused across conflict
+    // retries — they reference no current lake file); only the keyed
+    // delete re-triages when the commit loses an optimistic race
+    withConflictRetry("MERGE", fs, rootPath) { (txnDir, txnRel) =>
+      val stagedRef = stagedInsertsRef(conf, fs, txnDir, updates, partCols)
+      val (adds, inserted) = stagedRef
+      deleteCore(spark, root, col(keyCol).isin(keys.toSeq: _*),
+        adds, recovered, fence, txnDir, txnRel)
+        .map(del => UpsertReport(del, adds.size, inserted))
+    }
+  }
+
+  /** Memoized-per-txn-dir insert staging: the `.add` marker tells a retry
+    * the inserts are already staged (the walk re-lists them instead of
+    * re-running the write job). */
+  private def stagedInsertsRef(conf: org.apache.hadoop.conf.Configuration,
+                               fs: FileSystem, txnDir: Path,
+                               updates: DataFrame,
+                               partCols: Seq[String]): (Vector[String], Long) = {
+    val marker = new Path(txnDir, ".staged-inserts.json")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      val adds = node.path("adds").elements().asScala
+        .map(_.asText()).toVector
+      (adds, node.path("rows").asLong())
+    } else {
+      val staged = stageInserts(conf, fs, txnDir, updates, partCols)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.createObjectNode()
+      val a = node.putArray("adds"); staged._1.foreach(a.add)
+      node.put("rows", staged._2)
+      val out = fs.create(marker, true)
+      try out.write(om.writeValueAsBytes(node)) finally out.close()
+      staged
     }
   }
 
@@ -555,33 +843,42 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
-    withWriterLock(fs, rootPath) {
-      recoverUnlocked(spark, root)
-      val stageRoot = new Path(rootPath, StageDirName)
-      if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
-      val partCols = {
-        val fromFiles = ZLake.index(spark, root).partitionCols
-        if (fromFiles.nonEmpty) fromFiles
-        else ZLake.dirPartitionCols(spark, root)
-      }
-      val missing = partCols.filterNot(c =>
-        rows.columns.exists(_.equalsIgnoreCase(c)))
-      require(missing.isEmpty,
-        s"append rows must carry the lake's partition column(s) $missing")
+    recover(spark, root)
+    val partCols = {
+      val fromFiles = ZLake.index(spark, root).partitionCols
+      if (fromFiles.nonEmpty) fromFiles
+      else ZLake.dirPartitionCols(spark, root)
+    }
+    val missing = partCols.filterNot(c =>
+      rows.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"append rows must carry the lake's partition column(s) $missing")
+    LakeConstraints.validateBatch(spark, root, rows)
+    // pure adds under fresh names: an EMPTY read-set — an append never
+    // conflicts, and its staging (the only Spark job) runs outside the
+    // lock, so ingest does not queue behind a copy-on-write rewrite
+    withConflictRetry("INSERT", fs, rootPath) { (txnDir, txnRel) =>
       val (adds, inserted) =
-        stageInserts(conf, fs, stageRoot, rows, partCols)
-      if (adds.isEmpty) return AppendReport(0, 0L)
-      writeJournal(fs, rootPath, Nil, Nil, adds)
-      journalPublishedHook.get()()
-      applyJournal(spark, fs, rootPath)
-      AppendReport(adds.size, inserted)
+        stageInserts(conf, fs, txnDir, rows, partCols)
+      if (adds.isEmpty) Right(AppendReport(0, 0L))
+      else {
+        stagedHook.get()()
+        commitStaged(spark, fs, rootPath, txnRel, Nil, adds, None,
+          () => Nil).map(_ => AppendReport(adds.size, inserted))
+      }
     }
   }
 
+  /** One optimistic delete ATTEMPT: triage + stage (no lock), then the
+    * short commit window. Left = lost the race; the caller restages.
+    * `adds` are pre-staged insert files (upsert's lane) riding the same
+    * journal; they stay valid across retries. */
   private def deleteCore(spark: SparkSession, root: String,
                          predicate: Column, adds: Seq[String],
                          recovered: Boolean,
-                         fence: Option[String] = None): DeleteReport = {
+                         fence: Option[String],
+                         txnDir: Path, txnRel: String)
+      : Either[Seq[String], DeleteReport] = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -631,13 +928,13 @@ object LakeDelete {
       // nothing to commit: a bare fence write is itself atomic (one
       // rename), and replaying the no-op before it lands changes nothing
       fence.foreach(writeFence(fs, rootPath, _))
-      return DeleteReport(triage.size, untouched, 0, 0, 0L, recovered)
+      return Right(DeleteReport(triage.size, untouched, 0, 0, 0L, recovered))
     }
 
     val rootUri = rootPath.toUri.getPath.stripSuffix("/")
     def rel(p: Path): String =
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-    val stageRoot = new Path(rootPath, StageDirName)
+    val stageRoot = txnDir
 
     // ---- stage: ONE job rewrites the whole boundary set ------------------
     // Every rewrite-class file reads into a single DataFrame — partition
@@ -657,12 +954,19 @@ object LakeDelete {
     var keptByDir = Map.empty[String, Long]
     if (rewrites.nonEmpty) {
       val outDir = new Path(stageRoot, ".out")
-      val all = spark.read.schema(df.schema).option("basePath", root)
-        .parquet(rewrites.map(_.status.getPath.toString): _*)
-        .filter(keep)
-      val w = all.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-        .parquet(outDir.toString)
+      try {
+        val all = spark.read.schema(df.schema).option("basePath", root)
+          .parquet(rewrites.map(_.status.getPath.toString): _*)
+          .filter(keep)
+        val w = all.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(outDir.toString)
+      } catch {
+        // a rewrite input vanished mid-scan: a concurrent writer moved it
+        // — an optimistic conflict, not an error
+        case NonFatal(e) if isConcurrentFileLoss(e) =>
+          return Left(Seq(e.getMessage))
+      }
       def walk(d: Path, dirRel: String): Seq[(String, Path)] =
         fs.listStatus(d).toSeq.flatMap { st =>
           val name = st.getPath.getName
@@ -710,13 +1014,18 @@ object LakeDelete {
       // every envelope-positive dir was suppressed: nothing to commit
       // (same bare-fence contract as the empty-triage return above)
       fence.foreach(writeFence(fs, rootPath, _))
-      if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
-      return DeleteReport(triage.size, untouched + suppressed, 0, 0, 0L,
-        recovered)
+      return Right(DeleteReport(triage.size, untouched + suppressed, 0, 0, 0L,
+        recovered))
     }
-    writeJournal(fs, rootPath, dropRels, Nil, rewriteAdds ++ adds, fence)
-    journalPublishedHook.get()() // crash injection: committed, not applied
-    applyJournal(spark, fs, rootPath)
+    stagedHook.get()() // race injection: staged, commit lock not yet taken
+    // commit window: validate that every file this attempt drops or
+    // rewrites still has the identity triage saw, then publish + apply
+    commitStaged(spark, fs, rootPath, txnRel, dropRels,
+      rewriteAdds ++ adds, fence,
+      () => changedIdentities(fs, drops ++ rewritten)) match {
+      case Left(conflicts) => return Left(conflicts)
+      case Right(()) => ()
+    }
 
     // row accounting: whole drops are exact from the manifest; the rewrite
     // lane is old-sum minus staged-footer-sum per live dir
@@ -732,8 +1041,8 @@ object LakeDelete {
     // were read, but nothing of them survives
     val (emptiedFiles, rewrittenFiles) = rewritten.partition(fe =>
       keptByDir.getOrElse(dirRelOf(fe), 0L) == 0L)
-    DeleteReport(triage.size, untouched + suppressed,
-      drops.size + emptiedFiles.size, rewrittenFiles.size, rows, recovered)
+    Right(DeleteReport(triage.size, untouched + suppressed,
+      drops.size + emptiedFiles.size, rewrittenFiles.size, rows, recovered))
   }
 
   /** Heal a delete that crashed after its journal was published: re-apply
@@ -772,10 +1081,12 @@ object LakeDelete {
   private def writeJournal(fs: FileSystem, root: Path,
                            drops: Seq[String], replaces: Seq[String],
                            adds: Seq[String],
-                           fence: Option[String] = None): Unit = {
+                           fence: Option[String] = None,
+                           stageRel: String = StageDirName): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.createObjectNode()
     node.put("version", 1)
+    node.put("stage", stageRel) // where this commit's staged files live
     val d = node.putArray("drop"); drops.foreach(d.add)
     val r = node.putArray("replace"); replaces.foreach(r.add)
     val a = node.putArray("add"); adds.foreach(a.add)
@@ -801,7 +1112,9 @@ object LakeDelete {
     val drops = node.path("drop").elements().asScala.map(_.asText()).toSeq
     val replaces = node.path("replace").elements().asScala.map(_.asText()).toSeq
     val adds = node.path("add").elements().asScala.map(_.asText()).toSeq
-    val stageRoot = new Path(root, StageDirName)
+    // r10 journals record their txn stage dir; legacy journals staged
+    // under the shared `_deleting/`
+    val stageRoot = new Path(root, node.path("stage").asText(StageDirName))
     // snapshot-referenced files RETIRE to the trash instead of dying —
     // time-travel reads resolve them there ([[graft.sources.Snapshots]]);
     // a lake with no snapshots takes the plain-delete path unchanged

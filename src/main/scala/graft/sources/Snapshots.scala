@@ -249,6 +249,67 @@ object Snapshots {
       .unionByName(inss.withColumn("_change_type", lit("insert")))
   }
 
+  /** KEYED change feed (the Delta CDF `_change_type` vocabulary): the
+    * row-level [[diff]] classified by a key column into
+    * `insert` / `delete` / `update_preimage` / `update_postimage` — a
+    * key present in both states with ANY changed column emits its before
+    * and after rows, a key only in the old state a `delete`, only in the
+    * new an `insert`. This is the shape a downstream CDC consumer
+    * (replicating to a serving store, auditing a dimension) actually
+    * wants; the raw diff cannot distinguish "key 7 changed" from "key 7
+    * deleted + key 7' inserted".
+    *
+    * Scale shape: rides [[diff]]'s file-identity restriction — files
+    * common to both states are NEVER read, so cost follows the CHANGE,
+    * not the lake; the classification is one full-outer join on the key
+    * over change rows only. Keys are assumed unique per state (the
+    * dimension/CDC shape [[graft.sinks.LakeDelete.upsertLake]]
+    * maintains) — duplicate keys raise rather than silently
+    * cross-multiplying. */
+  def diffKeyed(spark: SparkSession, root: String, keyCol: String,
+                fromTag: String, toTag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when,
+      count => fcount, explode, array}
+    val d = diff(spark, root, fromTag, toTag, rowLevel = true)
+    val dataCols = d.columns.filterNot(_ == "_change_type").toSeq
+    require(dataCols.exists(_.equalsIgnoreCase(keyCol)),
+      s"key column '$keyCol' not in diff schema ${dataCols.mkString(",")}")
+    val dels = d.filter(col("_change_type") === "delete").drop("_change_type")
+    val inss = d.filter(col("_change_type") === "insert").drop("_change_type")
+    def keyed(df: DataFrame, side: String) = {
+      val g = df.groupBy(col(keyCol).as("__k"))
+        .agg(fcount(lit(1)).as("__n"),
+          org.apache.spark.sql.functions.first(struct(dataCols.map(col): _*))
+            .as(side))
+      g
+    }
+    val both = keyed(dels, "__pre").join(keyed(inss, "__post")
+        .withColumnRenamed("__k", "__k2").withColumnRenamed("__n", "__n2"),
+      col("__k") === col("__k2"), "full_outer")
+    // fail-loud on duplicate keys: a silent cartesian would fabricate
+    // update pairs that never happened
+    val dup = both.filter(col("__n") > 1 || col("__n2") > 1).limit(1)
+      .collect()
+    require(dup.isEmpty,
+      s"diffKeyed: key '$keyCol' is not unique within a state " +
+        s"(example key: ${dup.headOption.map(_.get(0))}); use diff() for " +
+        "multiset semantics")
+    val classified = both.select(
+      when(col("__k").isNotNull && col("__k2").isNotNull,
+        array(
+          struct(col("__pre").as("img"), lit("update_preimage").as("ct")),
+          struct(col("__post").as("img"), lit("update_postimage").as("ct"))))
+        .otherwise(when(col("__k").isNotNull,
+          array(struct(col("__pre").as("img"), lit("delete").as("ct"))))
+          .otherwise(
+            array(struct(col("__post").as("img"), lit("insert").as("ct")))))
+        .as("evs"))
+      .select(explode(col("evs")).as("ev"))
+    classified.select(
+      dataCols.map(c => col(s"ev.img.$c").as(c)) :+
+        col("ev.ct").as("_change_type"): _*)
+  }
+
   // ---- the retire path (called by the lake's journaled mutations) --------
 
   /** refs cache: lake root URI → (snapshot-dir signature, refs). The

@@ -304,14 +304,19 @@ class LakeDeleteSpec extends AnyFunSuite with SparkSpec {
     val root = buildLake()
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     val lock = new Path(root, "_graft_writer.lock")
-    // a live foreign lock: every mutating entry point must refuse
-    fs.create(lock, false).close()
-    intercept[java.util.ConcurrentModificationException](
-      LakeDelete.deleteFromLake(spark, root, col("a") < 4))
-    intercept[java.util.ConcurrentModificationException](
-      LakeDelete.updateLake(spark, root, Seq("u" -> lit(0L)), col("a") < 4))
-    intercept[java.util.ConcurrentModificationException](
-      LakeDelete.upsertLake(spark, root, updatesFor(Seq(1L)), "id"))
+    // a live foreign lock: every mutating entry point must refuse once
+    // the bounded commit-window wait expires (0 here = fail fast)
+    val w0 = LakeDelete.lockWaitMs.get()
+    LakeDelete.lockWaitMs.set(0L)
+    try {
+      fs.create(lock, false).close()
+      intercept[java.util.ConcurrentModificationException](
+        LakeDelete.deleteFromLake(spark, root, col("a") < 4))
+      intercept[java.util.ConcurrentModificationException](
+        LakeDelete.updateLake(spark, root, Seq("u" -> lit(0L)), col("a") < 4))
+      intercept[java.util.ConcurrentModificationException](
+        LakeDelete.upsertLake(spark, root, updatesFor(Seq(1L)), "id"))
+    } finally LakeDelete.lockWaitMs.set(w0)
     assert(rows(root) == expect((_, _, _, _) => false),
       "a refused writer must not have touched the lake")
     // a STALE lock (dead writer) is broken and the mutation proceeds
