@@ -1836,6 +1836,39 @@ object QueriesML {
           col("doc_id"), col("source"), col("n_chars"),
           weights = Map("src0" -> 0.35, "src1" -> 0.5, "src2" -> 0.15),
           budget = 200000L, seed = 3)
-        .orderBy(col("doc_id"), col("epoch")))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    // -- BPE tokenizer (operators/Bpe): trained on the corpus itself —
+    //    ONE distributed map-side-combined word count (the only
+    //    corpus-proportional step), then a deterministic driver merge
+    //    loop over the vocabulary-sized table (the HuggingFace/
+    //    SentencePiece shape); encoding runs the trained table inside
+    //    whole-stage codegen (KernelExprs.BpeEncode — the table ships
+    //    with the plan). DuckDB cannot train BPE, so the oracle gates
+    //    the EXACT-RECONSTRUCTION property per document instead: the
+    //    symbol stream with markers stripped must rebuild the
+    //    whitespace-stripped text (a single wrong merge application,
+    //    dropped symbol, or pre-tokenizer drift flips `conserved`),
+    //    alongside a length both engines compute independently.
+    QueryDef("q146_bpe_tokens", Some("""
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+               AS n_chars_nosp,
+             TRUE AS conserved
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, col("text"),
+          numMerges = 200, maxWords = 1 << 17, minFreq = 2L)
+        docs.select(col("doc_id"),
+            regexp_replace(col("text"), "\\s", "").as("nosp"),
+            graft.operators.Bpe.encode(col("text"), model).as("toks"))
+          .select(col("doc_id"),
+            length(col("nosp")).cast("long").as("n_chars_nosp"),
+            (concat_ws("", transform(col("toks"),
+              t => regexp_replace(t, "</w>", ""))) === col("nosp"))
+              .as("conserved"))
+          .orderBy(col("doc_id"))
+      })
   )
 }

@@ -168,6 +168,41 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** BPE-encode a text column against a trained merge table
+    * ([[BpeTable]]): array<string> of subword symbols. The table rides
+    * the expression (and, under codegen, the references array via
+    * `addReferenceObj`) — it serializes to executors with the plan, so
+    * there is no registry or broadcast to keep alive. */
+  case class BpeEncode(child: Expression, table: BpeTable)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      table.encodeText(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeTable", table,
+        classOf[BpeTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.encodeText($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+      copy(child = newChild)
+  }
+
+  /** BPE token COUNT of a text column — same merge loop, no array
+    * materialized (the budget-accounting hot lane). */
+  case class BpeCount(child: Expression, table: BpeTable)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      table.countTokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeTable", table,
+        classOf[BpeTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.countTokens($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeCount =
+      copy(child = newChild)
+  }
+
   // --- Column-level wrappers -------------------------------------------------
 
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -189,4 +224,8 @@ object KernelExprs {
   def hilbert2(a: Column, b: Column, bits: Int): Column =
     ColumnBridge.column(Hilbert2(e(a), e(b), bits))
   def nfc(c: Column): Column = ColumnBridge.column(Nfc(e(c)))
+  def bpe_encode(text: Column, table: BpeTable): Column =
+    ColumnBridge.column(BpeEncode(e(text), table))
+  def bpe_count(text: Column, table: BpeTable): Column =
+    ColumnBridge.column(BpeCount(e(text), table))
 }
