@@ -217,6 +217,17 @@ object Bench {
             col("c_custkey") % 97 === 13)
           ()
         }),
+        // the merge-on-read twin of qW_cow_delete: SAME fixture write and
+        // predicate, but positions are recorded instead of files
+        // rewritten — the lane delta vs qW_cow_delete IS the DV win for
+        // scattered point deletes
+        new Timed("qW_mor_delete", {
+          val root = freshDir("wmor") + "/customer"
+          lakes.writeFlat(root)
+          graft.sinks.DeletionVectors.deleteMoR(spark, root,
+            col("c_custkey") % 97 === 13)
+          ()
+        }),
 
         // ---- lake READ lanes: pre-built fixtures, plans mirror the
         //      gate queries (collect() — results are ≤ 50 rows) ----

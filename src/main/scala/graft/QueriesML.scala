@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.functions.{Functions => F, TextFunctions => TF}
-import graft.operators.{Dedup, Similarity, TopK, TrainPrep}
+import graft.operators.{Decontamination, Dedup, Similarity, TopK, TrainPrep}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis /
@@ -1869,6 +1869,80 @@ object QueriesML {
               t => regexp_replace(t, "</w>", ""))) === col("nosp"))
               .as("conserved"))
           .orderBy(col("doc_id"))
+      }),
+
+    // -- SEMANTIC decontamination (Decontamination.embeddingScores, exact
+    //    mode): n-gram overlap misses paraphrased benchmark leakage, so
+    //    each corpus embedding is scored by its max cosine against the
+    //    (broadcast) benchmark set with a deterministic nearest-id
+    //    tie-break. The oracle replays the full quantize → q6-cosine →
+    //    per-doc argmax pipeline in DuckDB; the LSH-blocked scale path is
+    //    spec-gated as a subset of this exact lane.
+    QueryDef("q149_embedding_decontam", Some(s"""
+      WITH b AS (SELECT vec_id AS bench_id, ${dkQuant("embedding")} AS bv
+                 FROM embeddings WHERE vec_id % 37 = 0),
+           c AS (SELECT vec_id AS doc_id, ${dkQuant("embedding")} AS cv
+                 FROM embeddings WHERE vec_id % 37 <> 0),
+           s AS (SELECT doc_id, bench_id, ${dkCos("cv", "bv")} AS cosine
+                 FROM c, b),
+           m AS (SELECT doc_id, max(cosine) AS max_cosine
+                 FROM s GROUP BY doc_id),
+           n AS (SELECT s.doc_id, CAST(min(s.bench_id) AS BIGINT)
+                        AS nearest_bench_id
+                 FROM s JOIN m ON s.doc_id = m.doc_id
+                              AND s.cosine = m.max_cosine
+                 GROUP BY s.doc_id)
+      SELECT m.doc_id, m.max_cosine, n.nearest_bench_id,
+             m.max_cosine >= 0.2 AS contaminated
+      FROM m JOIN n USING (doc_id) ORDER BY m.doc_id"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Decontamination.embeddingScores(
+            emb.filter(col("vec_id") % 37 =!= 0), col("vec_id"),
+            col("embedding"),
+            emb.filter(col("vec_id") % 37 === 0), col("vec_id"),
+            col("embedding"),
+            threshold = 0.2)
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- TEMPERATURE-scaled corpus mixing (TrainPrep.temperatureWeights →
+    //    mixCorpus): the Llama/XLM-R recipe — domain share^alpha,
+    //    renormalized, quantized with one rounding rule both engines
+    //    spell identically (floor(x*1e6+0.5)/1e6) so a libm pow ulp can
+    //    never flip an epoch threshold. The oracle replays share → pow →
+    //    normalize → quantize → rate → epoch fan-out end to end; a wrong
+    //    exponent, tie rule, or normalization order all hash-mismatch.
+    QueryDef("q151_temperature_mixing", Some(s"""
+      WITH tot AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS dtok
+                   FROM documents GROUP BY source),
+           tt AS (SELECT SUM(dtok) AS t FROM tot),
+           p AS (SELECT source, pow(dtok / t, 0.5) AS pw
+                 FROM tot, tt WHERE dtok > 0),
+           zz AS (SELECT SUM(pw) AS z FROM p),
+           w AS (SELECT source,
+                        FLOOR(pw / z * 1000000 + 0.5) / 1000000 AS frac
+                 FROM p, zz),
+           r AS (SELECT t2.source, (150000.0 * w.frac) / t2.dtok AS rate
+                 FROM tot t2 JOIN w USING (source) WHERE t2.dtok > 0),
+           e AS (SELECT d.doc_id, d.source,
+                   CAST(FLOOR(r.rate) AS BIGINT) - 1 +
+                   CASE WHEN ${dkHash60("CAST(d.doc_id AS VARCHAR) || '#7'")} <
+                     CAST(FLOOR((r.rate - FLOOR(r.rate)) *
+                          1152921504606846976.0) AS BIGINT)
+                   THEN 1 ELSE 0 END AS hi
+                 FROM documents d JOIN r ON d.source = r.source)
+      SELECT doc_id, source AS dom, g.ep AS epoch
+      FROM e, LATERAL (SELECT unnest(range(0, hi + 1)) AS ep) g
+      WHERE hi >= 0
+      ORDER BY doc_id, epoch"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val w = TrainPrep.temperatureWeights(docs, col("source"),
+          col("n_chars"), alpha = 0.5)
+        TrainPrep.mixCorpus(docs, col("doc_id"), col("source"),
+            col("n_chars"), weights = w, budget = 150000L, seed = 7)
+          .orderBy(col("doc_id"), col("epoch"))
       })
   )
 }

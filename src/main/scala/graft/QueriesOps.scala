@@ -1965,6 +1965,98 @@ object QueriesOps {
                         CAST(sum(cents) AS BIGINT) AS sum_cents,
                         CAST(sum(a) AS BIGINT) AS sum_a
                  FROM q148_lake GROUP BY win ORDER BY w""")
+      }),
+
+    // -- MERGE-ON-READ deletes (DeletionVectors): a scattered point
+    //    delete records row POSITIONS instead of rewriting files (the
+    //    Delta DV / Iceberg position-delete shape — the fast path for
+    //    GDPR-style erasure where CoW would rewrite terabytes to drop
+    //    kilobytes); reads merge the vectors out via one broadcast
+    //    anti-join, and `compact` later materializes them. The same
+    //    aggregate is emitted in BOTH states — 'mor' (vectors live, read
+    //    merges) and 'compacted' (vectors materialized) — against one
+    //    oracle: the two phases must agree with each other AND with the
+    //    relational truth.
+    QueryDef("q150_mor_delete", Some("""
+      WITH f AS (SELECT c_custkey, c_custkey % 64 AS a,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           kept AS (SELECT * FROM f WHERE c_custkey % 211 <> 0),
+           g AS (SELECT CAST(w AS BIGINT) AS w,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(cents) AS BIGINT) AS sum_cents
+                 FROM kept GROUP BY w)
+      SELECT 'compacted' AS phase, w, n, sum_cents FROM g
+      UNION ALL SELECT 'mor' AS phase, w, n, sum_cents FROM g
+      ORDER BY phase, w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-mor-gate").toString + "/t"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 4, bits = 6,
+            bloomCols = Seq("c_custkey"))
+        s.sql(s"CALL graft.delete_mor('$root', 'c_custkey % 211 = 0')")
+        def aggOf(phase: String) =
+          graft.sources.ZLake.read(s, root)
+            .groupBy(col("win").cast("long").as("w"))
+            .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+            .withColumn("phase", lit(phase))
+            .select("phase", "w", "n", "sum_cents")
+        // materialize the merge-on-read answer BEFORE compaction
+        val cached = aggOf("mor").collect().toSeq
+        s.sql(s"CALL graft.dv_compact('$root')")
+        val compacted = aggOf("compacted")
+        import s.implicits._
+        compacted.unionByName(
+            cached.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3))).toDF("phase", "w", "n", "sum_cents"))
+          .orderBy(col("phase"), col("w"))
+      }),
+
+    // -- CATALOG-FREE bucketed lake (Sinks.bucketedLakeWrite + the
+    //    _graft_buckets.json sidecar ZLake surfaces as a BucketSpec): the
+    //    co-located-join layout for repeated fact/fact joins at 100 TB —
+    //    both sides hash-routed to pmod(murmur3(key), n) at WRITE time, so
+    //    every later join/groupBy on the key plans with zero shuffle
+    //    exchanges (plan-asserted in BucketedLakeSpec; the gate asserts
+    //    the routing loses/duplicates nothing). Customer lands in two
+    //    batches — bootstrap write + a journaled bucket-aware APPEND (the
+    //    one mutation the layout admits) — then joins orders bucketed the
+    //    same way; the oracle replays the plain relational join.
+    QueryDef("q152_bucketed_lake_join", Some("""
+      WITH c AS (SELECT c_custkey,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer),
+           j AS (SELECT c.c_custkey % 13 AS g, c.cents
+                 FROM c JOIN orders o ON c.c_custkey = o.o_custkey)
+      SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM j GROUP BY g ORDER BY g"""),
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bucket-gate").toString
+        val cust = T(s, dir, "customer").select(col("c_custkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        graft.sinks.Sinks.bucketedLakeWrite(
+          cust.filter(col("c_custkey") % 10 =!= 0), Seq("c_custkey"), 8,
+          s"$base/cust")
+        graft.sinks.LakeDelete.appendLake(s, s"$base/cust",
+          cust.filter(col("c_custkey") % 10 === 0))
+        graft.sinks.Sinks.bucketedLakeWrite(
+          T(s, dir, "orders").select(col("o_custkey")), Seq("o_custkey"), 8,
+          s"$base/ord")
+        graft.sources.ZLake.read(s, s"$base/cust")
+          .join(graft.sources.ZLake.read(s, s"$base/ord"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy((col("c_custkey") % 13).cast("long").as("g"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy(col("g"))
       })
   )
 }

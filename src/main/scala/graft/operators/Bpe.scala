@@ -124,6 +124,30 @@ object Bpe {
     BpeModel(merges.result())
   }
 
+  /** Persist a trained model as a tiny parquet artifact
+    * `(rank, left, right)` — the tokenizer is trained ONCE per corpus
+    * epoch and applied by every later pipeline run, so it needs a
+    * durable, engine-neutral spelling (any tool can read the merge list
+    * back in rank order). */
+  def save(model: BpeModel, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): BpeModel = {
+    import spark.implicits._
+    BpeModel(spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)].collect().sortBy(_._1)
+      .map { case (_, a, b) => (a, b) }.toVector)
+  }
+
   /** array<string> of BPE symbols for `text` (codegen'd). */
   def encode(text: Column, model: BpeModel): Column =
     KernelExprs.bpe_encode(text, model.table)

@@ -132,4 +132,55 @@ object Decontamination {
     probeBloom(candidates, candId, candText, store, meta.getInt(0),
       meta.getInt(1), threshold)
   }
+
+  /** SEMANTIC decontamination — n-gram overlap misses paraphrased or
+    * translated benchmark leakage, so production pipelines also flag
+    * corpus documents whose EMBEDDING sits too close to any benchmark
+    * embedding. Per corpus doc: the max cosine against the benchmark set,
+    * the nearest benchmark id (deterministic tie-break: lowest id), and a
+    * `contaminated` flag at `threshold`.
+    *
+    * Scale shape mirrors [[overlapScores]]: the benchmark side is small
+    * (eval suites) and BROADCAST; the corpus is never shuffled by the
+    * comparison, and the per-doc max is a map-side-combined aggregate —
+    * one (doc_id, max) row per doc crosses the wire.
+    *  - `planes = 0` (exact): every (doc, bench) pair is scored — right
+    *    when the benchmark is thousands of rows.
+    *  - `planes > 0` (LSH): both sides bucket by sign-random-projection
+    *    ([[Similarity.srpBucket]], deterministic planes) and only
+    *    same-bucket pairs are scored — candidates drop ~2^planes-fold.
+    *    Blocking only REMOVES pairs, so the LSH flag set is a SUBSET of
+    *    the exact one (recall, not precision, is traded); docs matching
+    *    no bucket surface with max_cosine NULL and contaminated=false.
+    * Output: (doc_id, max_cosine, nearest_bench_id, contaminated). */
+  def embeddingScores(corpus: DataFrame, corpusId: Column,
+                      corpusVec: Column, benchmark: DataFrame,
+                      benchId: Column, benchVec: Column,
+                      threshold: Double, planes: Int = 0): DataFrame = {
+    import graft.functions.{Functions => F}
+    val c = corpus.select(corpusId.as("doc_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+      .filter(col("cv").isNotNull)
+    val b = benchmark.select(benchId.as("bench_id"),
+      F.vec_quantize(benchVec, 1000).as("bv"))
+      .filter(col("bv").isNotNull)
+    val paired =
+      if (planes <= 0) c.crossJoin(broadcast(b))
+      else c.withColumn("bucket", Similarity.srpBucket(col("cv"), planes))
+        .join(broadcast(
+          b.withColumn("bucket", Similarity.srpBucket(col("bv"), planes))),
+          Seq("bucket"))
+    val best = paired
+      .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("bv")))
+      .groupBy(col("doc_id"))
+      // argmax in one combine-friendly max: highest cosine, then lowest
+      // bench id (negated so struct-max picks it)
+      .agg(max(struct(col("cosine").as("cos"),
+        (-col("bench_id")).as("nid"))).as("m"))
+      .select(col("doc_id"), col("m.cos").as("max_cosine"),
+        (-col("m.nid")).as("nearest_bench_id"))
+    c.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .withColumn("contaminated",
+        coalesce(col("max_cosine") >= threshold, lit(false)))
+  }
 }

@@ -167,6 +167,36 @@ object TrainPrep {
         explode(sequence(lit(0L), col("__hi"))).as("epoch"))
   }
 
+  /** TEMPERATURE-scaled domain weights for [[mixCorpus]] — the
+    * multilingual/multi-source sampling recipe (Llama, XLM-R, mT5):
+    * each domain's natural token share `p_d` is raised to `alpha ∈ (0,1]`
+    * and renormalized, so `alpha = 1` keeps natural proportions and
+    * smaller `alpha` flattens toward uniform, up-sampling the tail
+    * domains a raw-share mixture would starve.
+    *
+    * One combine-reduced aggregate over the corpus (domains are few — the
+    * result is a driver map). Weights are quantized to 6 decimals so the
+    * recipe is reproducible bit-for-bit across engines and libm
+    * implementations (`pow` is not IEEE-exact across platforms; a
+    * last-ulp difference must not flip a downstream epoch threshold). */
+  def temperatureWeights(docs: DataFrame, domain: Column, tokens: Column,
+                         alpha: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val byDom = docs
+      .select(domain.as("dom"), tokens.cast("long").as("__tok"))
+      .groupBy(col("dom")).agg(sum(col("__tok")).cast("double").as("t"))
+      .filter(col("t") > 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    val total = byDom.map(_._2).sum
+    val pow = byDom.map { case (d, t) => d -> math.pow(t / total, alpha) }
+    val z = pow.map(_._2).sum
+    pow.map { case (d, w) =>
+      // floor(x*1e6 + 0.5)/1e6: one rounding rule both engines spell the
+      // same way (DuckDB's ROUND ties differ from JVM rint)
+      d -> (math.floor(w / z * 1e6 + 0.5) / 1e6)
+    }.toMap
+  }
+
   /** Unigram negative-log-likelihood quality score — the cheap stand-in
     * for the KenLM-perplexity filters CCNet-style pipelines run: tokens
     * are scored against the corpus's OWN top-`vocabSize` unigram

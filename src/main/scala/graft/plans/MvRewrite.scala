@@ -189,6 +189,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // and a stale view can never silently answer for a moved-on base.
     if (graft.sources.ZLake.stateFingerprint(spark, reg.basePath)
         != reg.fingerprint) return None
+    // merge-on-read deletion vectors change ROWS without changing the
+    // file-set fingerprint — a view merged before the delete would serve
+    // the deleted rows; keep the scan until DeletionVectors.compact
+    if (graft.sinks.DeletionVectors.present(spark, reg.basePath))
+      return None
 
     // grouping: plain attributes, all view group columns
     val groupNames: Seq[String] = agg.groupingExpressions.map {

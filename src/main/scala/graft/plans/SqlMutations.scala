@@ -49,6 +49,8 @@ import graft.sources.{Snapshots, ZLake}
   *    CALL graft.constraint_add('/lake/t', 'pos', 'amount >= 0')
   *    CALL graft.constraint_drop('/lake/t', 'pos')
   *    CALL graft.constraints('/lake/t')          -- list CHECKs
+  *    CALL graft.delete_mor('/lake/t', 'id = 7') -- merge-on-read delete
+  *    CALL graft.dv_compact('/lake/t')           -- materialize vectors
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -461,6 +463,13 @@ object GraftSqlParser {
             arity(args.length == 2, "delete('<root>', '<predicate>')")
             delegate.parseExpression(args(1)) // malformed predicate: fail at parse
             Some(GraftDeleteRun(args(0), args(1)))
+          case "delete_mor" =>
+            arity(args.length == 2, "delete_mor('<root>', '<predicate>')")
+            delegate.parseExpression(args(1))
+            Some(GraftDeleteMoRRun(args(0), args(1)))
+          case "dv_compact" =>
+            arity(args.length == 1, "dv_compact('<root>')")
+            Some(GraftDvCompactCommand(args(0)))
           case "upsert" =>
             arity(args.length == 3,
               "upsert('<root>', '<source view>', '<keyCol>')")
@@ -537,6 +546,34 @@ case class GraftUpsertRun(root: String, sourceName: String, keyCol: String)
     val rep = LakeDelete.upsertLake(spark, root, spark.table(sourceName),
       keyCol)
     Seq(Row(rep.filesAdded, rep.rowsInserted, rep.delete.rowsDeleted))
+  }
+}
+
+/** `CALL graft.delete_mor(root, predicate)` — merge-on-read DELETE
+  * ([[graft.sinks.DeletionVectors.deleteMoR]]): positions recorded, no
+  * data file rewritten; the point-delete fast path. */
+case class GraftDeleteMoRRun(root: String, predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_total", IntegerType)(),
+    AttributeReference("files_touched", IntegerType)(),
+    AttributeReference("rows_deleted", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = graft.sinks.DeletionVectors.deleteMoR(spark, root,
+      org.apache.spark.sql.functions.expr(predicateSql))
+    Seq(Row(rep.filesTotal, rep.filesTouched, rep.rowsDeleted))
+  }
+}
+
+/** `CALL graft.dv_compact(root)` — materialize the deletion vectors
+  * ([[graft.sinks.DeletionVectors.compact]]). */
+case class GraftDvCompactCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_rewritten", IntegerType)(),
+    AttributeReference("rows_dropped", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = graft.sinks.DeletionVectors.compact(spark, root)
+    Seq(Row(rep.filesRewritten, rep.rowsDropped))
   }
 }
 

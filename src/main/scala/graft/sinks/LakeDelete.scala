@@ -188,6 +188,23 @@ object LakeDelete {
   // files it triaged; rows appended concurrently survive a concurrent
   // DELETE and are not re-keyed by a concurrent MERGE.
 
+  /** Fail-loud v1 guard: a BUCKETED lake
+    * ([[graft.sources.ZLake.BucketsName]] sidecar present) is append-only.
+    * Rewriting mutations stage replacement files under fresh names the
+    * bucketed scan cannot parse a bucket id from — and worse, a rewrite
+    * that pooled rows across source files would silently break the
+    * co-location contract every exchange-free join depends on. So every
+    * file-rewriting path refuses with the trade-off spelled out, exactly
+    * like [[DeletionVectors.requireAbsent]]'s guard matrix. Appends are
+    * fine: [[appendLake]] routes rows through the declared hash. */
+  private[graft] def requireNotBucketed(fs: FileSystem, root: Path,
+                                        op: String): Unit =
+    require(ZLake.bucketInfo(fs, root).isEmpty,
+      s"$op is not supported on a bucketed lake " +
+        s"(${ZLake.BucketsName} present at $root): bucketed lakes are " +
+        "append-only — rewrite the lake with Sinks.bucketedLakeWrite, or " +
+        "delete the sidecar to trade co-located joins for mutability")
+
   /** Fresh per-transaction staging dir under `_txn/`. */
   private def newTxnDir(fs: FileSystem, root: Path): (Path, String) = {
     val rel = s"$TxnDirName/${java.util.UUID.randomUUID()}"
@@ -199,7 +216,7 @@ object LakeDelete {
   /** Read-set validation: files in `fes` that no longer exist with the
     * `(len, mtime)` identity triage captured. Journaled paths never reuse
     * a relative name, so identity change ⇒ a concurrent writer moved it. */
-  private def changedIdentities(fs: FileSystem,
+  private[sinks] def changedIdentities(fs: FileSystem,
                                 fes: Seq[ZLake.FileEnvelope]): Seq[String] =
     fes.flatMap { fe =>
       val p = fe.status.getPath
@@ -261,11 +278,17 @@ object LakeDelete {
     * vanish mid-scan — surfaced as a FileNotFoundException somewhere in
     * the failure's cause chain. Those are conflicts (restage), not
     * errors. */
-  private def isConcurrentFileLoss(e: Throwable): Boolean = {
+  private[sinks] def isConcurrentFileLoss(e: Throwable): Boolean = {
     var t: Throwable = e
     var seen = 0
     while (t != null && seen < 16) {
       if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      // path checked at ANALYSIS time (spark.read over explicit files):
+      // a racer's commit between listing and analysis surfaces as
+      // PATH_NOT_FOUND with no FileNotFoundException in the chain
+      if (t.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+        t.getMessage != null && t.getMessage.contains("PATH_NOT_FOUND"))
+        return true
       t = t.getCause
       seen += 1
     }
@@ -278,7 +301,7 @@ object LakeDelete {
     * leftovers from failed attempts inside it die with it. On terminal
     * failure the dir is cleaned UNLESS a published journal may reference
     * it (then [[recover]] owns it). */
-  private def withConflictRetry[T](what: String, fs: FileSystem,
+  private[sinks] def withConflictRetry[T](what: String, fs: FileSystem,
                                    rootPath: Path, attempts: Int = 3)
                                   (body: (Path, String)
                                     => Either[Seq[String], T]): T = {
@@ -293,7 +316,16 @@ object LakeDelete {
     var last: Seq[String] = Nil
     try {
       while (i < attempts) {
-        body(dir, rel) match {
+        val res =
+          try body(dir, rel)
+          catch {
+            // a racer's commit can invalidate THIS attempt anywhere a
+            // live file is touched (triage listing, count pass, staging
+            // scan) — every such loss is a conflict, not an error
+            case NonFatal(e) if isConcurrentFileLoss(e) =>
+              Left(Seq(e.getMessage))
+          }
+        res match {
           case Right(t) =>
             cleanup() // no-op commits leave the dir behind; drop it
             return t
@@ -315,7 +347,7 @@ object LakeDelete {
     * read-set, then publish + apply the journal. Left = the read-set
     * moved (caller restages); the lock is held for file-ops only — never
     * for a Spark job except [[applyJournal]]'s manifest repair. */
-  private def commitStaged(spark: SparkSession, fs: FileSystem,
+  private[sinks] def commitStaged(spark: SparkSession, fs: FileSystem,
                            rootPath: Path, stageRel: String,
                            drops: Seq[String], adds: Seq[String],
                            fence: Option[String],
@@ -404,6 +436,8 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
+    DeletionVectors.requireAbsent(fs, rootPath, "DELETE")
+    requireNotBucketed(fs, rootPath, "DELETE")
     val recovered = recover(spark, root) // heal BEFORE triage reads the lake
     withConflictRetry("DELETE", fs, rootPath) { (txnDir, txnRel) =>
       deleteCore(spark, root, predicate, Nil, recovered, None, txnDir, txnRel)
@@ -451,6 +485,8 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
+    DeletionVectors.requireAbsent(fs, rootPath, "UPDATE")
+    requireNotBucketed(fs, rootPath, "UPDATE")
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     recover(spark, root)
     withConflictRetry("UPDATE", fs, rootPath) { (txnDir, txnRel) =>
@@ -620,6 +656,8 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
+    DeletionVectors.requireAbsent(fs, rootPath, "rewriteLake")
+    requireNotBucketed(fs, rootPath, "rewriteLake")
     recover(spark, root)
     withConflictRetry("REWRITE", fs, rootPath) { (txnDir, txnRel) =>
       rewriteAttempt(spark, root, zorderBy, numFiles, bits, bloomCols,
@@ -712,6 +750,8 @@ object LakeDelete {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
+    DeletionVectors.requireAbsent(fs, rootPath, "MERGE")
+    requireNotBucketed(fs, rootPath, "MERGE")
     val recovered = recover(spark, root)
 
     val keyRows = updates.select(col(keyCol)).distinct().limit(maxKeys + 1)
@@ -790,13 +830,24 @@ object LakeDelete {
   private def stageInserts(conf: org.apache.hadoop.conf.Configuration,
                            fs: FileSystem, stageRoot: Path,
                            updates: DataFrame,
-                           partCols: Seq[String]): (Vector[String], Long) = {
+                           partCols: Seq[String],
+                           bucket: Option[ZLake.BucketInfo] = None)
+      : (Vector[String], Long) = {
     val addTmp = new Path(stageRoot, ".add")
     val strung = partCols.foldLeft(updates)((d, c) =>
       d.withColumn(c, col(c).cast("string")))
-    val shaped =
-      if (partCols.isEmpty) strung.coalesce(1)
-      else strung.repartition(partCols.map(col): _*)
+    val shaped = bucket match {
+      // a BUCKETED lake's append must keep the co-location contract:
+      // route rows through the declared pmod(murmur3(keys), n) — the task
+      // partition number then IS the bucket id, tagged into the staged
+      // name below so the bucketed scan parses it back
+      case Some(b) =>
+        strung.repartition(b.numBuckets, b.cols.map(col): _*)
+          .sortWithinPartitions(b.cols.map(col): _*)
+      case None =>
+        if (partCols.isEmpty) strung.coalesce(1)
+        else strung.repartition(partCols.map(col): _*)
+    }
     val w = shaped.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(addTmp.toString)
@@ -812,10 +863,16 @@ object LakeDelete {
       }
     var adds = Vector.empty[String]
     var inserted = 0L
+    val partNum = "^part-(\\d+)-".r
     walkAdds(addTmp, "").sortBy(_._2.getName).foreach { case (dirRel, p) =>
       val n = footerRows(fs, conf, p)
       if (n > 0L) {
-        val name = s"upsert-${java.util.UUID.randomUUID()}.parquet"
+        // on a bucketed lake the staged name carries the bucket id in
+        // Spark's `_NNNNN` spelling (parsed back by BucketingUtils)
+        val tag = bucket.flatMap(_ =>
+          partNum.findFirstMatchIn(p.getName).map(m =>
+            f"_${m.group(1).toInt}%05d")).getOrElse("")
+        val name = s"upsert-${java.util.UUID.randomUUID()}$tag.parquet"
         val relp = if (dirRel.isEmpty) name else s"$dirRel/$name"
         val dst = new Path(stageRoot, relp)
         fs.mkdirs(dst.getParent)
@@ -853,13 +910,22 @@ object LakeDelete {
       rows.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,
       s"append rows must carry the lake's partition column(s) $missing")
+    // a bucketed lake's append keeps the co-location contract (rows route
+    // through the declared hash in stageInserts) — the one mutation a
+    // bucketed lake supports
+    val bucket = ZLake.bucketInfo(fs, rootPath)
+    bucket.foreach { b =>
+      val mk = b.cols.filterNot(c => rows.columns.exists(_.equalsIgnoreCase(c)))
+      require(mk.isEmpty,
+        s"append rows must carry the lake's bucket key column(s) $mk")
+    }
     LakeConstraints.validateBatch(spark, root, rows)
     // pure adds under fresh names: an EMPTY read-set — an append never
     // conflicts, and its staging (the only Spark job) runs outside the
     // lock, so ingest does not queue behind a copy-on-write rewrite
     withConflictRetry("INSERT", fs, rootPath) { (txnDir, txnRel) =>
       val (adds, inserted) =
-        stageInserts(conf, fs, txnDir, rows, partCols)
+        stageInserts(conf, fs, txnDir, rows, partCols, bucket)
       if (adds.isEmpty) Right(AppendReport(0, 0L))
       else {
         stagedHook.get()()
@@ -1138,7 +1204,10 @@ object LakeDelete {
     // — batched: one stats job per distinct layout, however many dirs
     ZLake.repairDirManifests(spark,
       (drops ++ replaces ++ adds).map(r => new Path(root, r).getParent)
-        .distinct)
+        .distinct
+        // metadata dirs ('_'-prefixed, e.g. the deletion-vector store)
+        // hold no data files and need no manifests
+        .filterNot(_.getName.startsWith("_")))
     // materialize the fence BEFORE retiring the journal: a crash between
     // the two re-applies the journal (idempotent) and rewrites the same
     // fence, so the fence can never show a commit that did not land

@@ -117,6 +117,77 @@ object Sinks {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** CATALOG-FREE bucketed lake: the co-located-join layout of
+    * [[bucketedTable]] without the Hive metastore a 100 TB multi-cluster
+    * lake cannot assume. Rows route to `pmod(murmur3(keys), buckets)` —
+    * `repartition(n, cols)` IS `HashPartitioning(cols, n)`, the exact
+    * function Spark's own bucketed writes and the read-side `BucketSpec`
+    * declare — and every file name carries its bucket id in Spark's
+    * `_NNNNN` spelling, so [[graft.sources.ZLake.relationWith]] (and
+    * `USING zlake` SQL views) surface the layout as a real `BucketSpec`:
+    *  - equi-JOINS of two lakes bucketed the same way on the join key
+    *    plan with ZERO shuffle exchanges on either side;
+    *  - GROUP BY the key aggregates without an exchange;
+    *  - `key = literal` prunes to ONE bucket's files at planning time;
+    * all composing with the stats manifest (schema + envelopes + optional
+    * blooms/sketches/sums ride the sidecar — planning opens no footers).
+    *
+    * The contract travels with the PATH (`_graft_buckets.json`), so the
+    * lake is append-only while the sidecar exists: journaled appends
+    * ([[graft.sinks.LakeDelete.appendLake]] / SQL `INSERT INTO`) route
+    * their rows through the same hash and keep the contract; every
+    * rewriting mutation fails loud (see
+    * [[graft.sinks.LakeDelete.requireNotBucketed]]). Buckets with no rows
+    * write no file — Spark's bucketed scan treats a missing bucket as
+    * empty. Within each bucket rows sort by (keys, payload) for
+    * deterministic bytes; Spark exploits the ordering where a bucket
+    * holds one file. */
+  def bucketedLakeWrite(df: DataFrame, keys: Seq[String], buckets: Int,
+                        path: String,
+                        sketchCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil,
+                        sumCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "bucketedLakeWrite needs at least one key column")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val missing = keys.filterNot(k => df.columns.exists(_.equalsIgnoreCase(k)))
+    require(missing.isEmpty, s"bucket key column(s) not in data: $missing")
+    val spark = df.sparkSession
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val payload = df.columns.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    df.repartition(buckets, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ payload).map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    retagBuckets(fs, rootPath)
+    graft.sources.ZLake.writeBucketInfo(fs, rootPath,
+      graft.sources.ZLake.BucketInfo(buckets, keys))
+    graft.sources.ZLake.writeManifest(spark, path, Some(df.schema),
+      sketchCols = sketchCols, bloomCols = bloomCols, sumCols = sumCols)
+  }
+
+  /** Rename every fresh `part-NNNNN-…` file so its name ends `_NNNNN` —
+    * the task partition number of a `repartition(n, keys)` write IS the
+    * bucket id (same `pmod(murmur3, n)`), and `BucketingUtils` parses the
+    * `_(\d+)` suffix back at scan time. Metadata-only (renames). */
+  private def retagBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val partNum = "^part-(\\d+)-".r
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (!st.isDirectory && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        partNum.findFirstMatchIn(name).foreach { m =>
+          val tagged = name.replaceFirst("\\.", f"_${m.group(1).toInt}%05d.")
+          require(fs.rename(st.getPath, new Path(root, tagged)),
+            s"could not bucket-tag $name")
+        }
+      }
+    }
+  }
+
   /** Z-order-clustered lake layout: range-partition and sort the table by
     * the Morton interleave of two filter columns, so EVERY output file (and
     * row group) carries a tight min/max envelope on BOTH columns — parquet
@@ -333,6 +404,8 @@ object Sinks {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Nil
+    DeletionVectors.requireAbsent(fs, rootPath, "compactLake")
+    LakeDelete.requireNotBucketed(fs, rootPath, "compactLake")
     // compaction swaps windows in place: same single-writer contract,
     // same lock, as the journaled mutations
     LakeDelete.withWriterLock(fs, rootPath) {
@@ -410,6 +483,41 @@ object Sinks {
         recovered(d.getName) || restored(d.getName)) ++
       (recovered ++ restored).toSeq.sorted.map(new Path(rootPath, _)))
       .sortBy(_.getName)
+
+    // ---- STAGE all eligible windows first, bounded-parallel ------------
+    // The per-window zorderedWrite (histogram + clustered write) is the
+    // entire cost of a compaction; the swaps below are renames. Windows
+    // are independent, so their staging jobs submit concurrently from a
+    // small pool — a 100-window maintenance cycle pays max(window) + the
+    // scheduler's overlap, not sum(window). Spark's scheduler interleaves
+    // concurrent actions safely; crash mid-staging leaves only tmps the
+    // recovery pass discards.
+    val toStage = dirsNow.filter { dir =>
+      !recovered(dir.getName) && closed(dir) && {
+        val before = parquets(dir).size
+        before > filesPerPartition || !hasManifest(dir)
+      }
+    }
+    if (toStage.size > 1) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, toStage.size))
+      try {
+        val futures = toStage.map { dir =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val tmp = new Path(tmpRoot, dir.getName)
+              if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+              zorderedWrite(spark.read.parquet(dir.toString), colA, colB,
+                tmp.toString, filesPerPartition, bits,
+                sketchCols = sketchCols, bloomCols = bloomCols,
+                sumCols = sumCols)
+            }
+          })
+        }
+        futures.foreach(_.get()) // propagate the first staging failure
+      } finally pool.shutdown()
+    }
+
     dirsNow.flatMap { dir =>
       val before = parquets(dir).size
       if (recovered(dir.getName))
@@ -418,15 +526,21 @@ object Sinks {
       else if (before <= filesPerPartition && hasManifest(dir)) None
       else {
         val tmp = new Path(tmpRoot, dir.getName)
-        if (fs.exists(tmp)) { fs.delete(tmp, true); () }
-        // both zorderedWrite actions (histogram + write) finish before the
-        // swap below touches the source files. Stats columns pass through
-        // so compaction does not strip the manifest sketches/blooms/sums a
-        // stats-carrying lake was written with (the zero-scan queries
-        // would silently degrade to scans after the maintenance cycle)
-        zorderedWrite(spark.read.parquet(dir.toString), colA, colB,
-          tmp.toString, filesPerPartition, bits,
-          sketchCols = sketchCols, bloomCols = bloomCols, sumCols = sumCols)
+        // staged above for the multi-window case; single window (or a
+        // window that became eligible between the passes) stages here
+        if (!(fs.exists(tmp) && hasManifest(tmp))) {
+          if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+          // both zorderedWrite actions (histogram + write) finish before
+          // the swap below touches the source files. Stats columns pass
+          // through so compaction does not strip the manifest
+          // sketches/blooms/sums a stats-carrying lake was written with
+          // (the zero-scan queries would silently degrade to scans after
+          // the maintenance cycle)
+          zorderedWrite(spark.read.parquet(dir.toString), colA, colB,
+            tmp.toString, filesPerPartition, bits,
+            sketchCols = sketchCols, bloomCols = bloomCols,
+            sumCols = sumCols)
+        }
         // SWAP by rename-aside, never delete-in-place: the originals move
         // whole to `_compacting/<win>.old` (one rename — the window is
         // never half-gutted), the replacement renames in, and only THEN

@@ -76,6 +76,9 @@ object Snapshots {
     graft.sinks.LakeDelete.recover(spark, root)
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a snapshot pins FILES; merge-on-read deletion vectors are row-level
+    // state a pinned file set cannot represent (v1 guard)
+    graft.sinks.DeletionVectors.requireAbsent(fs, rootPath, "snapshot")
     val dst = snapPath(rootPath, tag)
     require(!fs.exists(dst), s"snapshot '$tag' already exists at $root")
     val h = Z.harvest(spark, root)

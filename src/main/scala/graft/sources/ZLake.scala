@@ -112,6 +112,46 @@ object ZLake {
     * its partition. */
   val ManifestName = "_graft_manifest.json"
 
+  /** Sidecar declaring the lake HASH-BUCKETED by a key
+    * ([[graft.sinks.Sinks.bucketedLakeWrite]]): `{numBuckets, cols}`.
+    * Every data file's name carries its bucket id in Spark's own
+    * `_NNNNN` spelling, and [[relationWith]] surfaces the layout as a
+    * `BucketSpec`, so equi-joins and aggregations on the key plan with
+    * ZERO shuffle exchanges — catalog-free bucketing: the co-location
+    * contract travels with the PATH (manifest-style), not a Hive
+    * metastore, which a 100 TB multi-cluster lake cannot assume.
+    * Mutation surface while the sidecar exists: APPEND-ONLY
+    * ([[graft.sinks.LakeDelete.appendLake]] routes rows through the
+    * same `pmod(murmur3(key), n)` the scan declares; every rewriting
+    * mutation refuses — see [[graft.sinks.LakeDelete.requireNotBucketed]]). */
+  val BucketsName = "_graft_buckets.json"
+
+  /** The bucketing contract a [[BucketsName]] sidecar pins. */
+  final case class BucketInfo(numBuckets: Int, cols: Seq[String])
+
+  /** The lake's bucketing contract, if declared. */
+  def bucketInfo(fs: org.apache.hadoop.fs.FileSystem,
+                 root: Path): Option[BucketInfo] = {
+    val p = new Path(root, BucketsName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    Some(BucketInfo(node.path("numBuckets").asInt(),
+      node.path("cols").elements().asScala.map(_.asText()).toSeq))
+  }
+
+  private[graft] def writeBucketInfo(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: Path, info: BucketInfo): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("numBuckets", info.numBuckets)
+    val a = node.putArray("cols"); info.cols.foreach(a.add)
+    val out = fs.create(new Path(root, BucketsName), true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+  }
+
   /** Parquet footers opened by the harvest path — a test seam: a read over
     * a manifest-covered lake must not move this counter (asserted in
     * ZLakeManifestSpec). */
@@ -311,6 +351,9 @@ object ZLake {
     * scan. Unknown attribute names throw. */
   def approxDistinct(spark: SparkSession, path: String, column: String,
                      predicates: Seq[String] = Nil): Option[SketchEstimate] = {
+    // manifest sketches predate any merge-on-read deletion vectors —
+    // their union would overcount; None sends the caller to the scan path
+    if (graft.sinks.DeletionVectors.present(spark, path)) return None
     val h = harvest(spark, path)
     if (h.fes.isEmpty) return None
     val partCols = h.fes.headOption.map(_.partitionValues.map(_._1))
@@ -1240,8 +1283,13 @@ object ZLake {
     * Hive-layout lake), but predicates prune partitions AND files at
     * planning time. On a manifest-covered lake the whole plan touches ZERO
     * parquet footers (schema included — it rides the manifest). */
+  /** The lake as a DataFrame — with any merge-on-read deletion vectors
+    * ([[graft.sinks.DeletionVectors]]) applied (an anti-join that costs
+    * nothing when the lake carries none, which is the steady state:
+    * vectors exist only between a `deleteMoR` and its `compact`). */
   def read(spark: SparkSession, path: String): DataFrame =
-    readWith(spark, path, index(spark, path))
+    graft.sinks.DeletionVectors.applyTo(spark, path,
+      readWith(spark, path, index(spark, path)))
 
   def readWith(spark: SparkSession, path: String,
                idx: StatsFileIndex): DataFrame =
@@ -1261,7 +1309,17 @@ object ZLake {
         .map(f => spark.read.parquet(f).schema)
         .getOrElse(spark.read.parquet(path).schema)
     }
-    HadoopFsRelation(idx, idx.partitionSchema, dataSchema, None,
+    // a bucket sidecar surfaces the layout as a BucketSpec: the scan then
+    // reports HashPartitioning(cols, n), joins/aggs on the key drop their
+    // exchanges, and equality filters prune whole buckets. Sort columns =
+    // bucket columns (bucketedLakeWrite sorts within buckets); Spark
+    // honors the ordering only where a bucket holds a single file.
+    val bucketSpec = bucketInfo(
+      new Path(path).getFileSystem(spark.sessionState.newHadoopConf()),
+      new Path(path)).map(b =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        b.numBuckets, b.cols, b.cols))
+    HadoopFsRelation(idx, idx.partitionSchema, dataSchema, bucketSpec,
       new ParquetFileFormat, Map.empty[String, String])(spark)
   }
 }

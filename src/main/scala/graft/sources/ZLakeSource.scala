@@ -58,6 +58,13 @@ class ZLakeSource extends RelationProvider with StreamSourceProvider
                               parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
     val spark = sqlContext.sparkSession
+    // a BaseRelation cannot carry the merge-on-read anti-join, so a
+    // DV-bearing lake would serve deleted rows through SQL (v1 guard;
+    // DeletionVectors.compact reopens the relation)
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.sinks.DeletionVectors.requireAbsent(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+      "SQL relation (USING zlake)")
     val idx = parameters.get("snapshot") match {
       case Some(tag) => Snapshots.snapshotIndex(spark, path, tag)
       case None => ZLake.index(spark, path)

@@ -172,6 +172,13 @@ final class ZLakeTail(spark: SparkSession, root: String, metadataPath: String,
     ZLakeTail.schemaOf(spark, root))
 
   override def getOffset: Option[V1Offset] = {
+    // merge-on-read deletion vectors are row-level retractions a
+    // file-granularity tail cannot represent (v1 guard; compact first)
+    if (graft.sinks.DeletionVectors.present(mfs, rootPath))
+      throw new IllegalStateException(
+        s"zlake streaming: $root carries merge-on-read deletion vectors " +
+          "— an append-only tail cannot retract rows; run " +
+          "DeletionVectors.compact(root) and restart the stream")
     val h = ZLake.harvest(spark, root)
     val live = h.fes.map(fe =>
       ZLake.relPath(rootPath, fe.status.getPath) -> fe).toMap

@@ -107,6 +107,23 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(a.merges == b.merges)
   }
 
+  test("save/load round-trips the model; the loaded table encodes " +
+      "identically") {
+    val docs = corpus.toDF("text")
+    val model = Bpe.train(docs, col("text"), numMerges = 25, minFreq = 2L)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpe").toString + "/model"
+    Bpe.save(model, path)
+    val back = Bpe.load(spark, path)
+    assert(back.merges == model.merges)
+    val probe = Seq("newest", "widest", "offvocab").toDF("text")
+    val a = probe.select(Bpe.encode(col("text"), model))
+      .as[Seq[String]].collect().map(_.toList).toList
+    val b = probe.select(Bpe.encode(col("text"), back))
+      .as[Seq[String]].collect().map(_.toList).toList
+    assert(a == b)
+  }
+
   test("driver-side encodeWord agrees with the distributed kernel") {
     val docs = corpus.toDF("text")
     val model = Bpe.train(docs, col("text"), numMerges = 20, minFreq = 2L)

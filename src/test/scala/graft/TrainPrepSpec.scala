@@ -172,4 +172,26 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
         Map("rep" -> 1.0), budget = 10000000L, maxEpochs = 100)
     }
   }
+
+  test("temperatureWeights: alpha=1 reproduces natural shares, smaller " +
+      "alpha flattens toward uniform, weights sum to ~1") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val natural = TrainPrep.temperatureWeights(docs, col("source"),
+      col("n_chars"), alpha = 1.0)
+    val flat = TrainPrep.temperatureWeights(docs, col("source"),
+      col("n_chars"), alpha = 0.3)
+    assert(natural.keySet == flat.keySet && natural.size >= 2)
+    assert(math.abs(natural.values.sum - 1.0) < 1e-4)
+    assert(math.abs(flat.values.sum - 1.0) < 1e-4)
+    // flattening: the max domain's weight shrinks, the min's grows
+    val (maxD, minD) = (natural.maxBy(_._2)._1, natural.minBy(_._2)._1)
+    if (natural(maxD) > natural(minD) + 1e-6) {
+      assert(flat(maxD) < natural(maxD))
+      assert(flat(minD) > natural(minD))
+    }
+    // uniform limit: spread at alpha=0.3 is strictly tighter
+    def spread(m: Map[String, Double]) = m.values.max - m.values.min
+    assert(spread(flat) <= spread(natural) + 1e-9)
+  }
 }
