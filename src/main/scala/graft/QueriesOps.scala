@@ -2057,6 +2057,62 @@ object QueriesOps {
           .groupBy((col("c_custkey") % 13).cast("long").as("g"))
           .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
           .orderBy(col("g"))
+      }),
+
+    // -- SNAPSHOT + DELETION-VECTOR composition (r11): a snapshot pins
+    //    the DV store GENERATION, so GDPR point-deletes and pinned
+    //    readers coexist (Delta's DV + time-travel parity). Three lanes
+    //    against one relational oracle: the pre-delete snapshot still
+    //    includes the MoR-deleted rows, the live read excludes them, and
+    //    the change feed surfaces exactly those rows as deletes (the
+    //    common-file DV-delta lane — no file identity changes here).
+    QueryDef("q153_dv_snapshot_diff", Some("""
+      WITH f AS (SELECT c_custkey,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           kept AS (SELECT * FROM f WHERE c_custkey % 211 <> 0),
+           del AS (SELECT * FROM f WHERE c_custkey % 211 = 0),
+           g0 AS (SELECT 'v0' AS phase, CAST(w AS BIGINT) AS w,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sum_cents
+                  FROM f GROUP BY w),
+           gl AS (SELECT 'live' AS phase, CAST(w AS BIGINT) AS w,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sum_cents
+                  FROM kept GROUP BY w),
+           gd AS (SELECT 'diff' AS phase, CAST(w AS BIGINT) AS w,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sum_cents
+                  FROM del GROUP BY w)
+      SELECT * FROM g0 UNION ALL SELECT * FROM gl
+      UNION ALL SELECT * FROM gd
+      ORDER BY phase, w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-dvsnap-gate").toString + "/t"
+        val base = T(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(
+            base.filter(col("c_custkey") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 4, bits = 6,
+            bloomCols = Seq("c_custkey"))
+        graft.sources.Snapshots.snapshot(s, root, "v0")
+        graft.sinks.DeletionVectors.deleteMoR(s, root,
+          col("c_custkey") % 211 === 0)
+        def aggOf(df: org.apache.spark.sql.DataFrame, phase: String) = df
+          .groupBy(col("win").cast("long").as("w"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .withColumn("phase", lit(phase))
+          .select("phase", "w", "n", "sum_cents")
+        aggOf(graft.sources.Snapshots.readSnapshot(s, root, "v0"), "v0")
+          .unionByName(aggOf(graft.sources.ZLake.read(s, root), "live"))
+          .unionByName(aggOf(graft.sources.Snapshots
+            .diff(s, root, "v0", None)
+            .filter(col("_change_type") === "delete"), "diff"))
+          .orderBy(col("phase"), col("w"))
       })
   )
 }

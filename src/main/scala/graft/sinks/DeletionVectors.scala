@@ -29,8 +29,14 @@ import graft.sources.ZLake
   *    (stable physical row position), discovered with ONE column-pruned
   *    scan of the envelope-positive files only;
   *  - the store is a handful of parquet files `(file, positions)` keyed
-  *    by data-file NAME (names are uuid-unique on every write path);
-  *    a new delete UNIONS with existing vectors and swaps the store via
+  *    by the data file's LAKE-RELATIVE PATH (the same key Delta/Iceberg
+  *    position deletes use). Relative path, not file name, is
+  *    load-bearing: an externally written Hive-layout lake can carry the
+  *    SAME file name under several partition dirs (one `partitionBy` job
+  *    emits `part-00000-<jobUUID>...` in every dir a task touches), and
+  *    a name-keyed vector would silently delete those positions in every
+  *    same-named file. A new delete UNIONS with existing vectors and
+  *    swaps the store via
   *    the SAME staged-files + journal + optimistic-commit protocol as
   *    every other mutation (crash at any point: old vectors or new,
   *    never half);
@@ -76,33 +82,62 @@ object DeletionVectors {
       s"$what: $root carries merge-on-read deletion vectors — run " +
         "DeletionVectors.compact(root) to materialize them first")
 
-  private def storeFiles(fs: FileSystem, root: Path): Seq[Path] = {
+  /** Lake-relative path of each scanned row's source file, derived from
+    * `_metadata.file_path`: everything after the first occurrence of
+    * "<qualified-root-path>/" in the URI string. Both the position scan
+    * and the read-side anti-join key on this, so the two sides always
+    * agree byte-for-byte. */
+  private[graft] def relPathCol(spark: SparkSession, root: String): Column = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker =
+      fs.makeQualified(rootPath).toUri.getPath.stripSuffix("/") + "/"
+    val esc = marker.replace("\\", "\\\\").replace("'", "\\'")
+    expr(s"substring(_metadata.file_path, " +
+      s"locate('$esc', _metadata.file_path) + ${marker.length})")
+  }
+
+  private[graft] def storeFiles(fs: FileSystem, root: Path): Seq[Path] = {
     val d = new Path(root, DvDirName)
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
   }
 
-  /** Merge the lake's deletion vectors out of `df` (which must carry the
-    * lake's files — [[ZLake.read]] calls this). No-op without vectors. */
-  def applyTo(spark: SparkSession, root: String, df: DataFrame): DataFrame = {
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val store = storeFiles(fs, rootPath)
+  /** [[relPathCol]] with a retired file's trash prefix stripped: a
+    * snapshot read can resolve a pinned file under
+    * `_graft_trash/<mtime>-<len>/<rel>`, but its vectors key the ORIGINAL
+    * rel — the identity the file had when the positions were recorded. */
+  private[graft] def lakeRelCol(spark: SparkSession, root: String): Column =
+    regexp_replace(relPathCol(spark, root),
+      "^" + graft.sources.Snapshots.TrashDirName + "/[^/]+/", "")
+
+  /** Merge the vectors in the given STORE FILES out of `df` (which must
+    * carry files of the lake at `root`): one broadcast anti-join keyed on
+    * (lake-relative path, physical row position). [[applyTo]] passes the
+    * live store; a snapshot read passes its PINNED store generation. */
+  private[graft] def applyStore(spark: SparkSession, root: String,
+                                df: DataFrame, store: Seq[Path]): DataFrame =
     if (store.isEmpty) df
     else {
       val dv = spark.read.parquet(store.map(_.toString): _*)
         .select(col("file").as("__dv_file"),
           explode(col("positions")).as("__dv_pos"))
       val out = df
-        .withColumn("__f",
-          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__f", lakeRelCol(spark, root))
         .withColumn("__p", col("_metadata.row_index"))
         .join(broadcast(dv),
           col("__f") === col("__dv_file") && col("__p") === col("__dv_pos"),
           "left_anti")
       out.select(df.columns.map(col).toSeq: _*)
     }
+
+  /** Merge the lake's deletion vectors out of `df` (which must carry the
+    * lake's files — [[ZLake.read]] calls this). No-op without vectors. */
+  def applyTo(spark: SparkSession, root: String, df: DataFrame): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    applyStore(spark, root, df, storeFiles(fs, rootPath))
   }
 
   /** Merge-on-read DELETE: record the positions of rows matching
@@ -166,8 +201,7 @@ object DeletionVectors {
       try {
         val keyed = spark.read.schema(schema).option("basePath", root)
           .parquet(positive.map(_.status.getPath.toString): _*)
-          .withColumn("__f",
-            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__f", relPathCol(spark, root))
           .withColumn("__p", col("_metadata.row_index"))
         val unDeleted =
           if (oldStorePaths.isEmpty) keyed
@@ -297,11 +331,11 @@ object DeletionVectors {
       .select(col("file"), col("positions")).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
     val idx = ZLake.index(spark, root)
-    val touched = idx.fes.filter(fe =>
-      dvRows.get(fe.status.getPath.getName).exists(_.nonEmpty))
     val rootUri = rootPath.toUri.getPath.stripSuffix("/")
     def rel(p: Path): String =
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    val touched = idx.fes.filter(fe =>
+      dvRows.get(rel(fe.status.getPath)).exists(_.nonEmpty))
     val partCols = idx.partitionCols
 
     var adds = Seq.empty[String]

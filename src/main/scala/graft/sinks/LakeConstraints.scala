@@ -118,9 +118,10 @@ object LakeConstraints {
     val tmp = new Path(root, s".$SidecarName.tmp")
     val out = fs.create(tmp, true)
     try out.write(om.writeValueAsBytes(node)) finally out.close()
-    val dst = sidecar(root)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"could not publish constraints at $dst")
+    // overwrite-rename, NOT delete-then-rename: a concurrent
+    // validateBatch in a delete→rename window would see no constraints
+    // and admit a violating batch, and a crash there would drop them all
+    LakeDelete.atomicOverwrite(fs, tmp, sidecar(root))
   }
 
   /** Enforce the lake's constraints against `rows` (an ingest batch or

@@ -258,8 +258,22 @@ object LakeDelete {
       val txn = new Path(root, TxnDirName)
       if (fs.exists(txn)) {
         val cutoff = System.currentTimeMillis() - staleLockMs.get()
+        // staleness = the NEWEST mtime anywhere under the txn dir, not the
+        // dir's own: a long staging job writes under `.out` without ever
+        // refreshing the parent's mtime, and sweeping it mid-stage would
+        // force restages (and can race its post-write walk into a partial
+        // stage). Walk cost is bounded — a txn dir holds one mutation's
+        // staged files
+        def newest(d: Path): Long =
+          try {
+            val kids = fs.listStatus(d)
+            (fs.getFileStatus(d).getModificationTime +: kids.toSeq.map(st =>
+              if (st.isDirectory) newest(st.getPath)
+              else st.getModificationTime)).max
+          } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
         fs.listStatus(txn).foreach { st =>
-          if (st.getModificationTime < cutoff) {
+          if (st.getModificationTime < cutoff &&
+            (!st.isDirectory || newest(st.getPath) < cutoff)) {
             try { fs.delete(st.getPath, true); () }
             catch { case NonFatal(_) => () }
           }
@@ -408,7 +422,18 @@ object LakeDelete {
     val out = fs.create(tmp, true)
     try out.write(fence.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val dst = new Path(root, FenceName)
+    atomicOverwrite(fs, tmp, new Path(root, FenceName))
+  }
+
+  /** Atomic overwrite-publish of a written tmp file onto `dst`: a
+    * FileContext OVERWRITE rename, so no reader ever observes `dst`
+    * absent and a crash leaves either the old or the new bytes — the
+    * contract every '_'-prefixed sidecar (fence, constraints) needs.
+    * Filesystems without a FileContext binding fall back to
+    * delete+rename (the small non-atomic window is the platform's
+    * limitation, same caveat as the writer lock on S3). */
+  private[graft] def atomicOverwrite(fs: FileSystem, tmp: Path,
+                                     dst: Path): Unit = {
     val swapped =
       try {
         org.apache.hadoop.fs.FileContext
@@ -420,7 +445,7 @@ object LakeDelete {
       }
     if (!swapped) {
       if (fs.exists(dst)) fs.delete(dst, false)
-      require(fs.rename(tmp, dst), s"could not publish fence at $dst")
+      require(fs.rename(tmp, dst), s"could not publish $dst")
     }
   }
 
@@ -1198,7 +1223,18 @@ object LakeDelete {
           graft.sources.Snapshots.retire(fs, root, fs.getFileStatus(dst), refs)
         fs.mkdirs(dst.getParent) // adds may open a brand-new partition dir
         require(fs.rename(src, dst), s"could not swap in $dst")
-      } // else: already applied before a crash
+      } else {
+        // missing src means "already applied before a crash" ONLY when
+        // the destination actually holds the file — an add lost from the
+        // stage dir (sweep race, external cleanup) with no destination
+        // would otherwise be silently skipped while the drops still
+        // apply, turning a recoverable state into data loss
+        require(fs.exists(dst),
+          s"journal at $root names add '$r' but neither staged source " +
+            s"$src nor destination $dst exists — the staged file was " +
+            "lost; restore the stage dir or remove the journal after " +
+            "manual inspection")
+      }
     }
     // incremental manifest repair for every directory the journal touched
     // — batched: one stats job per distinct layout, however many dirs

@@ -56,7 +56,8 @@ object Snapshots {
   private final case class SnapFile(rel: String, len: Long, mtime: Long,
                                     entry: Z.ManifestEntry)
   private final case class Snap(schema: StructType, created: Long,
-                                files: Seq[SnapFile])
+                                files: Seq[SnapFile],
+                                dv: Seq[(String, Long, Long)])
 
   private def snapDir(root: Path) = new Path(root, SnapshotsDirName)
   private def snapPath(root: Path, tag: String): Path = {
@@ -76,9 +77,6 @@ object Snapshots {
     graft.sinks.LakeDelete.recover(spark, root)
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    // a snapshot pins FILES; merge-on-read deletion vectors are row-level
-    // state a pinned file set cannot represent (v1 guard)
-    graft.sinks.DeletionVectors.requireAbsent(fs, rootPath, "snapshot")
     val dst = snapPath(rootPath, tag)
     require(!fs.exists(dst), s"snapshot '$tag' already exists at $root")
     val h = Z.harvest(spark, root)
@@ -96,6 +94,21 @@ object Snapshots {
       val rel = Z.relPath(rootPath, fe.status.getPath)
       val f = Z.putEntry(filesNode, rel, fe)
       f.put("mtime", fe.status.getModificationTime); ()
+    }
+    // merge-on-read deletion vectors are row-level state a pinned FILE
+    // set alone cannot represent — so the snapshot pins the DV STORE
+    // GENERATION too (identity of every live store file), and
+    // [[readSnapshot]] re-applies exactly those vectors. The journaled
+    // mutation paths retire replaced store files through [[retire]] like
+    // any referenced data file, so the pinned generation stays resolvable
+    // live-or-trash across later deletes and compactions (Delta's DV +
+    // time-travel composition).
+    val dvNode = node.putObject("dv")
+    graft.sinks.DeletionVectors.storeFiles(fs, rootPath).foreach { p =>
+      val st = fs.getFileStatus(p)
+      val o = dvNode.putObject(Z.relPath(rootPath, p))
+      o.put("len", st.getLen)
+      o.put("mtime", st.getModificationTime); ()
     }
     fs.mkdirs(snapDir(rootPath))
     val tmp = new Path(snapDir(rootPath), s".$tag.json.tmp")
@@ -133,9 +146,41 @@ object Snapshots {
       SnapFile(e.getKey, f.path("len").asLong(), f.path("mtime").asLong(),
         Z.parseEntry(f))
     }.toSeq.sortBy(_.rel)
+    val dv = node.path("dv").fields().asScala.map { e =>
+      (e.getKey, e.getValue.path("len").asLong(),
+        e.getValue.path("mtime").asLong())
+    }.toSeq.sortBy(_._1)
     Snap(StructType.fromDDL(node.path("schema").asText()),
-      node.path("created").asLong(), files)
+      node.path("created").asLong(), files, dv)
   }
+
+  /** Resolve one pinned identity to where its bytes sit NOW: the live
+    * path when `(len, mtime)` still match, else the trash path the
+    * identity names. Raises naming the file — never silently partial. */
+  private def resolve(fs: FileSystem, root: Path, tag: String,
+                      rel: String, len: Long, mtime: Long)
+      : org.apache.hadoop.fs.FileStatus = {
+    val live = new Path(root, rel)
+    val liveSt =
+      if (fs.exists(live)) Some(fs.getFileStatus(live)).filter(st =>
+        st.getLen == len && st.getModificationTime == mtime)
+      else None
+    liveSt.getOrElse {
+      val t = trashPath(root, rel, len, mtime)
+      require(fs.exists(t),
+        s"snapshot '$tag' is broken: $rel (len=$len) is neither " +
+          "live nor in trash — vacuumed, or mutated outside the " +
+          "journaled paths")
+      fs.getFileStatus(t)
+    }
+  }
+
+  /** The snapshot's pinned deletion-vector store files, resolved
+    * live-or-trash. Empty for a snapshot taken without vectors. */
+  private def pinnedDvPaths(fs: FileSystem, root: Path, tag: String,
+                            snap: Snap): Seq[Path] =
+    snap.dv.map { case (rel, len, mtime) =>
+      resolve(fs, root, tag, rel, len, mtime).getPath }
 
   /** The snapshot's pruning index: every entry resolved to its live or
     * trash location, stats from the snapshot itself (zero footer opens).
@@ -154,19 +199,7 @@ object Snapshots {
     val wanted = snap.files.filter(sf =>
       only.forall(_.contains((sf.rel, sf.len, sf.mtime))))
     val fes = wanted.map { sf =>
-      val live = new Path(rootPath, sf.rel)
-      val liveSt =
-        if (fs.exists(live)) Some(fs.getFileStatus(live)).filter(st =>
-          st.getLen == sf.len && st.getModificationTime == sf.mtime)
-        else None
-      val st = liveSt.getOrElse {
-        val t = trashPath(rootPath, sf.rel, sf.len, sf.mtime)
-        require(fs.exists(t),
-          s"snapshot '$tag' is broken: ${sf.rel} (len=${sf.len}) is neither " +
-            "live nor in trash — vacuumed, or mutated outside the " +
-            "journaled paths")
-        fs.getFileStatus(t)
-      }
+      val st = resolve(fs, rootPath, tag, sf.rel, sf.len, sf.mtime)
       // partition values from the ORIGINAL relative path: the trash copy
       // lives elsewhere, but its row identity (win=..., day=...) does not
       val parts = partsOf(sf.rel)
@@ -186,9 +219,18 @@ object Snapshots {
 
   /** Read the lake AS OF `tag` — same rows the live read returned at
     * snapshot time, full envelope/bloom pruning, however the lake has
-    * mutated since (until vacuumed). */
-  def readSnapshot(spark: SparkSession, root: String, tag: String): DataFrame =
-    Z.readWith(spark, root, snapshotIndex(spark, root, tag))
+    * mutated since (until vacuumed). A snapshot taken while deletion
+    * vectors were live re-applies exactly its PINNED store generation —
+    * never the current one, which later `deleteMoR`s may have grown. */
+  def readSnapshot(spark: SparkSession, root: String,
+                   tag: String): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = readSnap(fs, rootPath, tag)
+    val base = Z.readWith(spark, root, snapshotIndex(spark, root, tag))
+    graft.sinks.DeletionVectors.applyStore(spark, root, base,
+      pinnedDvPaths(fs, rootPath, tag, snap))
+  }
 
   /** The CHANGE FEED between two pinned states: every row of the lake at
     * `toTag` (or the live state, when None) that was not there at
@@ -216,16 +258,18 @@ object Snapshots {
   def diff(spark: SparkSession, root: String, fromTag: String,
            toTag: Option[String] = None,
            rowLevel: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val fromSnap = readSnap(fs, rootPath, fromTag)
     val fromIds = fromSnap.files.map(sf => (sf.rel, sf.len, sf.mtime)).toSet
-    val (toIds, insIdx) = toTag match {
+    val fromDvPaths = pinnedDvPaths(fs, rootPath, fromTag, fromSnap)
+    val (toIds, insIdx, toDvPaths) = toTag match {
       case Some(t) =>
         val s2 = readSnap(fs, rootPath, t)
         val ids = s2.files.map(sf => (sf.rel, sf.len, sf.mtime)).toSet
-        (ids, restrictedIndex(spark, root, t, Some(ids -- fromIds)))
+        (ids, restrictedIndex(spark, root, t, Some(ids -- fromIds)),
+          pinnedDvPaths(fs, rootPath, t, s2))
       case None =>
         val h = Z.harvest(spark, root)
         val keyed = h.fes.map(fe =>
@@ -233,7 +277,8 @@ object Snapshots {
             fe.status.getModificationTime) -> fe)
         (keyed.map(_._1).toSet, new Z.StatsFileIndex(rootPath,
           keyed.collect { case (k, fe) if !fromIds.contains(k) => fe },
-          h.schema.orElse(Some(fromSnap.schema))))
+          h.schema.orElse(Some(fromSnap.schema))),
+          graft.sinks.DeletionVectors.storeFiles(fs, rootPath))
     }
     val delIdx = restrictedIndex(spark, root, fromTag, Some(fromIds -- toIds))
     lazy val template = Z.readWith(spark, root,
@@ -241,13 +286,64 @@ object Snapshots {
     val cols = fromSnap.schema.fieldNames.toSeq ++
       fromSnap.files.headOption.map(sf => partsOf(sf.rel).map(_._1))
         .getOrElse(Nil)
-    def readOr(idx: Z.StatsFileIndex): DataFrame =
+    // each side reads through ITS OWN deletion-vector state: a row
+    // already MoR-deleted at `fromTag` is not part of that state and must
+    // not resurface as a delete; same for the to-side's vectors on added
+    // files (an append followed by a deleteMoR)
+    def readOr(idx: Z.StatsFileIndex, dvPaths: Seq[Path]): DataFrame =
       if (idx.fes.isEmpty) template.select(cols.map(col): _*).limit(0)
-      else Z.readWith(spark, root, idx).select(cols.map(col): _*)
-    val d0 = readOr(delIdx)
-    val i0 = readOr(insIdx)
+      else graft.sinks.DeletionVectors.applyStore(spark, root,
+        Z.readWith(spark, root, idx), dvPaths).select(cols.map(col): _*)
+    val d0 = readOr(delIdx, fromDvPaths)
+    val i0 = readOr(insIdx, toDvPaths)
+    // files common to both states never rescan — EXCEPT rows whose
+    // positions entered the deletion vectors between the two states:
+    // those are row-level deletes the file identities cannot see. The
+    // delta is driver-small (bounded by maxPositions per deleteMoR and
+    // the compaction cadence); the scan plans only the affected files
+    // and semi-joins the broadcast (rel, pos) set. Vectors only GROW for
+    // a surviving identity (compaction changes identities), so a
+    // shrinking set is corruption and fails loud.
+    def dvMap(paths: Seq[Path]): Map[String, Set[Long]] =
+      if (paths.isEmpty) Map.empty
+      else spark.read.parquet(paths.map(_.toString): _*)
+        .select(col("file"), col("positions")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val fromDv = dvMap(fromDvPaths)
+    val toDv = dvMap(toDvPaths)
+    val commonIds = fromIds.intersect(toIds)
+    val deltaPairs: Seq[(String, Long)] = commonIds.toSeq.sorted.flatMap {
+      case (rel, _, _) =>
+        val f = fromDv.getOrElse(rel, Set.empty)
+        val t = toDv.getOrElse(rel, Set.empty)
+        require((f -- t).isEmpty,
+          s"diff: deletion vectors for '$rel' shrank between '$fromTag' " +
+            s"and ${toTag.getOrElse("the live state")} — vectors only " +
+            "grow for a surviving file; the store was mutated outside " +
+            "the journaled paths")
+        (t -- f).toSeq.sorted.map(rel -> _)
+    }
+    val dvDels: Option[DataFrame] =
+      if (deltaPairs.isEmpty) None
+      else {
+        import spark.implicits._
+        val deltaRels = deltaPairs.map(_._1).toSet
+        val dIdx = restrictedIndex(spark, root, fromTag,
+          Some(commonIds.filter(id => deltaRels(id._1))))
+        val pairs = deltaPairs.toDF("__dv_file", "__dv_pos")
+        Some(Z.readWith(spark, root, dIdx)
+          .withColumn("__f",
+            graft.sinks.DeletionVectors.lakeRelCol(spark, root))
+          .withColumn("__p", col("_metadata.row_index"))
+          .join(broadcast(pairs),
+            col("__f") === col("__dv_file") &&
+              col("__p") === col("__dv_pos"), "left_semi")
+          .select(cols.map(col): _*))
+      }
+    val d0all = dvDels.fold(d0)(d0.unionByName(_))
     val (dels, inss) =
-      if (rowLevel) (d0.exceptAll(i0), i0.exceptAll(d0)) else (d0, i0)
+      if (rowLevel) (d0all.exceptAll(i0), i0.exceptAll(d0all))
+      else (d0all, i0)
     dels.withColumn("_change_type", lit("delete"))
       .unionByName(inss.withColumn("_change_type", lit("insert")))
   }
@@ -344,8 +440,11 @@ object Snapshots {
     val key = rootPath.toUri.toString
     Option(refsCache.get(key)).filter(_._1 == sig).map(_._2).getOrElse {
       val refs = listSnapshots(spark, root).flatMap { tag =>
-        readSnap(fs, rootPath, tag).files
-          .map(sf => (sf.rel, sf.len, sf.mtime))
+        val s = readSnap(fs, rootPath, tag)
+        // pinned DV store files are references too: a deleteMoR/compact
+        // that drops a store generation must retire it to trash, not
+        // delete it, while any snapshot still resolves through it
+        s.files.map(sf => (sf.rel, sf.len, sf.mtime)) ++ s.dv
       }.toSet
       refsCache.put(key, (sig, refs))
       refs

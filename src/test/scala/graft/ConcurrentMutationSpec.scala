@@ -177,10 +177,24 @@ class ConcurrentMutationSpec extends AnyFunSuite with SparkSpec {
     val orphan = new Path(root, "_txn/00000000-dead-beef-0000-000000000000")
     fs.mkdirs(orphan)
     fs.create(new Path(orphan, "leftover.parquet"), true).close()
-    fs.setTimes(orphan, System.currentTimeMillis() - 3L * 60 * 60 * 1000, -1)
+    // a true orphan is old ALL the way down — the sweep gates on the
+    // newest mtime found recursively, so a live stager's fresh writes
+    // under .out keep its dir alive however old the dir itself looks
+    val old = System.currentTimeMillis() - 3L * 60 * 60 * 1000
+    fs.setTimes(new Path(orphan, "leftover.parquet"), old, -1)
+    fs.setTimes(orphan, old, -1)
+    // decoy: dir mtime ancient but a file inside is FRESH (a staging job
+    // mid-write) — must NOT be swept
+    val live = new Path(root, "_txn/00000000-dead-beef-0000-000000000001")
+    fs.mkdirs(live)
+    fs.create(new Path(live, "inflight.parquet"), true).close()
+    fs.setTimes(live, old, -1)
     val extra = source(n, n + 8)
       .withColumn("win", (col("id") % 2).cast("string"))
     LakeDelete.appendLake(spark, root, extra)
     assert(!fs.exists(orphan), "stale txn dir not swept")
+    assert(fs.exists(live),
+      "txn dir with fresh staged writes must survive the sweep")
+    fs.delete(live, true)
   }
 }

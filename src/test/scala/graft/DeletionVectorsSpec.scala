@@ -70,7 +70,8 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
     DeletionVectors.deleteMoR(spark, root, col("id") === 42L)
     assert(DeletionVectors.present(spark, root))
 
-    // guards: CoW mutations, snapshot, SQL relation, tail, sketches
+    // guards: CoW mutations, SQL relation, tail, sketches (snapshots
+    // COMPOSE since r11 — they pin the DV store generation)
     intercept[IllegalArgumentException](
       LakeDelete.deleteFromLake(spark, root, col("id") === 1L))
     intercept[IllegalArgumentException](
@@ -79,8 +80,6 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
       LakeDelete.upsertLake(spark, root,
         Seq((1L, 1L, 7L, 1L)).toDF("id", "a", "b", "u")
           .withColumn("win", lit("1")), "id"))
-    intercept[IllegalArgumentException](
-      Snapshots.snapshot(spark, root, "nope"))
     intercept[Exception] {
       spark.sql("DROP VIEW IF EXISTS dv_guard")
       spark.sql(s"CREATE TEMPORARY VIEW dv_guard USING zlake " +
@@ -149,5 +148,96 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
     val cnt = ZLake.read(spark, root).groupBy("win").count()
       .agg(sum("count")).collect()(0).getLong(0)
     assert(cnt == n - 1L)
+  }
+
+  private def snapIds(root: String, tag: String): Set[Long] =
+    Snapshots.readSnapshot(spark, root, tag)
+      .select("id").as[Long].collect().toSet
+
+  test("snapshots pin the DV store GENERATION: a pre-delete snapshot " +
+      "keeps including MoR-deleted rows, a mid-delete snapshot excludes " +
+      "exactly its own vectors — across later deletes, compact, vacuum") {
+    val root = buildLake()
+    val all = (0L until n).toSet
+    Snapshots.snapshot(spark, root, "v0")
+    DeletionVectors.deleteMoR(spark, root, col("id").isin(10L, 20L))
+    assert(ids(root) == all -- Set(10L, 20L))
+    assert(snapIds(root, "v0") == all,
+      "pre-delete snapshot must not see later vectors")
+    // a snapshot taken WHILE vectors are live pins that generation
+    Snapshots.snapshot(spark, root, "v1")
+    DeletionVectors.deleteMoR(spark, root, col("id") === 30L)
+    assert(snapIds(root, "v1") == all -- Set(10L, 20L),
+      "mid-delete snapshot must pin its own store, not the grown one")
+    assert(snapIds(root, "v0") == all)
+    // compact retires the DV-bearing files AND the store to trash; both
+    // snapshots still resolve byte-exactly
+    val rep = DeletionVectors.compact(spark, root)
+    assert(rep.rowsDropped == 3L)
+    assert(ids(root) == all -- Set(10L, 20L, 30L))
+    assert(snapIds(root, "v0") == all)
+    assert(snapIds(root, "v1") == all -- Set(10L, 20L))
+    // vacuum to v1 only: v1 keeps resolving, v0 is gone
+    Snapshots.vacuum(spark, root, Seq("v1"))
+    assert(snapIds(root, "v1") == all -- Set(10L, 20L))
+    intercept[IllegalArgumentException](
+      Snapshots.readSnapshot(spark, root, "v0"))
+  }
+
+  test("diff/diffKeyed see MoR deletes: rows entering the vectors " +
+      "between two states surface as deletes, never silently vanish") {
+    val root = buildLake()
+    Snapshots.snapshot(spark, root, "v0")
+    DeletionVectors.deleteMoR(spark, root, col("id").isin(5L, 15L, 25L))
+    // v0 → live: the three MoR-deleted rows, as deletes, nothing else —
+    // no file identity changed, so this exercises the common-file lane
+    val d = Snapshots.diff(spark, root, "v0", None)
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet
+    assert(d == Set(5L -> "delete", 15L -> "delete", 25L -> "delete"))
+    val k = Snapshots.diffKeyed(spark, root, "id", "v0", None)
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet
+    assert(k == Set(5L -> "delete", 15L -> "delete", 25L -> "delete"))
+    // v1 (pinned mid-state) → live after a further delete: only the new
+    // victim surfaces; the already-deleted three cancel (both states'
+    // vectors applied to their own sides)
+    Snapshots.snapshot(spark, root, "v1")
+    DeletionVectors.deleteMoR(spark, root, col("id") === 35L)
+    val d2 = Snapshots.diff(spark, root, "v1", None)
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet
+    assert(d2 == Set(35L -> "delete"))
+    // and across compact (identities change; exceptAll cancels the moves)
+    DeletionVectors.compact(spark, root)
+    val d3 = Snapshots.diff(spark, root, "v1", None)
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet
+    assert(d3 == Set(35L -> "delete"))
+  }
+
+  test("vectors key by RELATIVE PATH: an externally written Hive lake " +
+      "with the SAME file name in two partition dirs deletes only the " +
+      "targeted file's positions") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-dup").toString + "/t"
+    // one task writing a partitionBy emits the SAME part file name under
+    // every partition dir it touches — the advisor's collision scenario
+    spark.range(100)
+      .select(col("id"), (col("id") % 2).cast("string").as("win"))
+      .coalesce(1)
+      .write.partitionBy("win").parquet(root)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new Path(root, "win=0")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(names.nonEmpty && names == fs.listStatus(new Path(root, "win=1"))
+      .toSeq.map(_.getPath.getName).filter(_.endsWith(".parquet")),
+      "fixture must reproduce the duplicate-name layout")
+    // delete one even id (lives in win=0); the same-position row of
+    // win=1 must survive
+    val rep = DeletionVectors.deleteMoR(spark, root, col("id") === 42L)
+    assert(rep.rowsDeleted == 1L, rep.toString)
+    assert(ids(root) == (0L until 100L).toSet - 42L,
+      "a name-keyed vector would also delete win=1 rows at the position")
   }
 }
