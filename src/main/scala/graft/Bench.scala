@@ -46,25 +46,39 @@ object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
-  /** (wall sec, process-cpu sec, failed) for one execution. */
-  private def time(body: => Unit): (Double, Double, Boolean) = {
+  private def gcMillis(): Long = {
+    var t = 0L
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    while (it.hasNext) {
+      val c = it.next().getCollectionTime
+      if (c > 0) t += c
+    }
+    t
+  }
+
+  /** (wall sec, process-cpu sec, gc sec, failed) for one execution. */
+  private def time(body: => Unit): (Double, Double, Double, Boolean) = {
+    val g0 = gcMillis()
     val c0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
     val ok = try { body; true } catch { case _: Throwable => false }
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-    (wall, cpu, !ok)
+    val gc = (gcMillis() - g0) / 1e3
+    (wall, cpu, gc, !ok)
   }
 
   private final class Timed(val name: String, body0: => Unit, val fixture: Boolean = false) {
     private def body: Unit = body0
     val wall = collection.mutable.ArrayBuffer[Double]()
     val cpu = collection.mutable.ArrayBuffer[Double]()
+    val gc = collection.mutable.ArrayBuffer[Double]()
     var failed = false
-    def warmUp(): Unit = { failed ||= time(body)._3 } // JIT + codegen, not billed
+    def warmUp(): Unit = { failed ||= time(body)._4 } // JIT + codegen, not billed
     def run(): Unit = {
-      val (w, c, f) = time(body)
-      wall += w; cpu += c; failed ||= f
+      val (w, c, g, f) = time(body)
+      wall += w; cpu += c; gc += g; failed ||= f
     }
   }
 
@@ -310,9 +324,35 @@ object Bench {
       (if (recallRrFailed) Seq("\"recall_rerank\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.collect { case t if !t.failed => t.wall.min }.sum
+    // ---- per-lane regression floors (r10 verdict #1): BENCH_FLOORS.json
+    // maps lane → max allowed best-of-N seconds at sf0.1 (seeded from the
+    // r9/r10 quiet-host numbers × headroom). The bench artifact is the
+    // engine's only perf gate, and it silently absorbed q30's 57% move in
+    // r10 — a breach must fail LOUD: it lands in the summary's
+    // "floor_breaches" AND flips the exit code. Only enforced at the
+    // driver's sf0.1 operating point (other SFs have no seeded numbers).
+    val floors: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_FLOORS.json")
+        if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(p))
+          Map.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = om.readTree(java.nio.file.Files.readAllBytes(p))
+          import scala.jdk.CollectionConverters._
+          node.path("floors").fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val breaches = results.collect {
+      case t if !t.failed && floors.contains(t.name) &&
+        t.wall.min > floors(t.name) =>
+        s""""${t.name}":{"best":${jnum(t.wall.min)},"max":${jnum(floors(t.name))}}"""
+    }
+    val breachesJson = breaches.mkString("{", ",", "}")
     // detail first, compact summary LAST: the driver keeps the tail
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"sf":"$sfDir"}"""
-    println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)}}}""")
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
+    println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)}}}""")
     println(summary)
     // ... and the summary as a FILE (r9 verdict #4): sbt's `[info] `
     // decoration and the driver's capture window have twice corrupted the
@@ -322,5 +362,9 @@ object Bench {
       (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout stands
     spark.stop()
+    if (breaches.nonEmpty) {
+      System.err.println(s"bench floors breached: $breachesJson")
+      sys.exit(1)
+    }
   }
 }

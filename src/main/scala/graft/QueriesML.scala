@@ -1871,6 +1871,32 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- BYTE-LEVEL BPE (GPT-2 recipe, r11): UTF-8 bytes through the
+    //    printable byte↔char table are the base alphabet, pieces come
+    //    from the GPT-2 regex pre-tokenizer — so ANY text (CJK, emoji)
+    //    is covered and decode(encode(text)) is BYTE-EXACT, which the
+    //    classic </w> alphabet cannot promise (q146 only conserves
+    //    whitespace-stripped chars). The roundtrip column is the real
+    //    check: any drift in the pre-tokenizer, the byte mapping, the
+    //    merge loop, or decode flips it to false and the hash mismatches.
+    QueryDef("q154_bpe_bytelevel_roundtrip", Some("""
+      SELECT doc_id,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             TRUE AS roundtrip
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, col("text"),
+          numMerges = 200, maxWords = 1 << 17, minFreq = 2L,
+          byteLevel = true)
+        docs.select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            (graft.operators.Bpe.decode(
+              graft.operators.Bpe.encode(col("text"), model), model)
+              === col("text")).as("roundtrip"))
+          .orderBy(col("doc_id"))
+      }),
+
     // -- SEMANTIC decontamination (Decontamination.embeddingScores, exact
     //    mode): n-gram overlap misses paraphrased benchmark leakage, so
     //    each corpus embedding is scored by its max cosine against the

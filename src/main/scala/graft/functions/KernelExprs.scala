@@ -187,6 +187,24 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** LOSSLESS inverse of byte-level BPE: array<string> tokens back to
+    * the original text ([[BpeTable.decodeTokens]]) — the round-trip
+    * probe that pins the byte-level coverage guarantee. */
+  case class BpeDecode(child: Expression, table: BpeTable)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(input: Any): Any =
+      table.decodeTokens(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeTable", table,
+        classOf[BpeTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.decodeTokens($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeDecode =
+      copy(child = newChild)
+  }
+
   /** BPE token COUNT of a text column — same merge loop, no array
     * materialized (the budget-accounting hot lane). */
   case class BpeCount(child: Expression, table: BpeTable)
@@ -228,4 +246,6 @@ object KernelExprs {
     ColumnBridge.column(BpeEncode(e(text), table))
   def bpe_count(text: Column, table: BpeTable): Column =
     ColumnBridge.column(BpeCount(e(text), table))
+  def bpe_decode(tokens: Column, table: BpeTable): Column =
+    ColumnBridge.column(BpeDecode(e(tokens), table))
 }
