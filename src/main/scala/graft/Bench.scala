@@ -57,8 +57,20 @@ object Bench {
     t
   }
 
-  /** (wall sec, process-cpu sec, gc sec, failed) for one execution. */
-  private def time(body: => Unit): (Double, Double, Double, Boolean) = {
+  private def jitMillis(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime
+    else 0L
+  }
+
+  /** (wall sec, process-cpu sec, gc sec, jit sec, failed) for one
+    * execution. gc/jit are the JVM-wide deltas over the run window — the
+    * discriminators for "the engine got slower" vs "the JVM was busy
+    * collecting / recompiling" (the r10→r11 q30 drift adjudication). */
+  private def time(body: => Unit)
+      : (Double, Double, Double, Double, Boolean) = {
+    val j0 = jitMillis()
     val g0 = gcMillis()
     val c0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
@@ -66,7 +78,8 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = (osBean.getProcessCpuTime - c0) / 1e9
     val gc = (gcMillis() - g0) / 1e3
-    (wall, cpu, gc, !ok)
+    val jit = (jitMillis() - j0) / 1e3
+    (wall, cpu, gc, jit, !ok)
   }
 
   private final class Timed(val name: String, body0: => Unit, val fixture: Boolean = false) {
@@ -74,11 +87,12 @@ object Bench {
     val wall = collection.mutable.ArrayBuffer[Double]()
     val cpu = collection.mutable.ArrayBuffer[Double]()
     val gc = collection.mutable.ArrayBuffer[Double]()
+    val jit = collection.mutable.ArrayBuffer[Double]()
     var failed = false
-    def warmUp(): Unit = { failed ||= time(body)._4 } // JIT + codegen, not billed
+    def warmUp(): Unit = { failed ||= time(body)._5 } // JIT + codegen, not billed
     def run(): Unit = {
-      val (w, c, g, f) = time(body)
-      wall += w; cpu += c; gc += g; failed ||= f
+      val (w, c, g, j, f) = time(body)
+      wall += w; cpu += c; gc += g; jit += j; failed ||= f
     }
   }
 
@@ -176,7 +190,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // session warm-up
 
-    val engineNames = Queries.benchNames.filterNot(_ == "q68_batch_window_trend")
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated lane-name prefixes — runs
+    // just those lanes (plus any fixtures they need). The solo-lane
+    // harness perf investigations need (e.g. the r10→r11 q30 root-cause
+    // run measured the lane with and without the rest of the bench's
+    // memory pressure).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    val engineNames = Queries.benchNames
+      .filterNot(_ == "q68_batch_window_trend").filter(wanted)
     val rawPath = java.nio.file.Files.createTempDirectory("graft-bench-raw")
       .resolve("raw").toString
     val lakes = new LakeFixtures(spark, sfDir)
@@ -294,22 +318,35 @@ object Bench {
     // q68_synth must be warmed before q68_pipeline can run at all, and the
     // lake fixtures before the qR_* lanes — warm-up order is listing order
     // (fixtures are listed before their consumers), and the round-robin
-    // passes keep that order too.
-    timed.foreach(_.warmUp())
-    (1 to passes).foreach(_ => timed.foreach(_.run()))
+    // passes keep that order too. Under SPARK_GRAFT_BENCH_ONLY a fixture
+    // runs only when a surviving lane consumes it.
+    val timedAll = timed
+    val timedRun = timedAll.filter { t =>
+      if (!t.fixture) wanted(t.name)
+      else t.name match {
+        case "q68_synth" => timedAll.exists(x =>
+          !x.fixture && wanted(x.name) && x.name.startsWith("q68_"))
+        case "lake_fixtures" => timedAll.exists(x =>
+          !x.fixture && wanted(x.name) && x.name.startsWith("qR_"))
+        case _ => true
+      }
+    }
+    timedRun.foreach(_.warmUp())
+    (1 to passes).foreach(_ => timedRun.foreach(_.run()))
 
+    val runRecall = only.forall(_.exists("recall".startsWith(_)))
     val (recall, recallFailed) =
-      try (ivfPqRecall(spark, sfDir, None), false)
+      try (if (runRecall) ivfPqRecall(spark, sfDir, None) else 0.0, false)
       catch { case _: Throwable => (0.0, true) }
     // exact-rerank lane (ivfPqRerankTopK, k*8 candidates re-scored with
     // exact cosine): the number production would ship — the ADC-only lane
     // above stays for round-over-round continuity
     val (recallRr, recallRrFailed) =
-      try (ivfPqRecall(spark, sfDir, Some(8)), false)
+      try (if (runRecall) ivfPqRecall(spark, sfDir, Some(8)) else 0.0, false)
       catch { case _: Throwable => (0.0, true) }
 
-    val results = timed.filterNot(_.fixture)
-    val fixtures = timed.filter(_.fixture)
+    val results = timedRun.filterNot(_.fixture)
+    val fixtures = timedRun.filter(_.fixture)
     def jnum(d: Double): String = // ms precision, '.' regardless of locale
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def entries(rs: Seq[Timed]): String =
@@ -317,9 +354,9 @@ object Bench {
         "\"" + t.name + "\":" + (if (t.failed) "null" else jnum(t.wall.min))
       }.mkString(",")
     def arrays(f: Timed => Seq[Double]): String =
-      timed.map(t => "\"" + t.name + "\":" + f(t).map(jnum).mkString("[", ",", "]"))
+      timedRun.map(t => "\"" + t.name + "\":" + f(t).map(jnum).mkString("[", ",", "]"))
         .mkString("{", ",", "}")
-    val failedArr = (timed.collect { case t if t.failed => "\"" + t.name + "\"" } ++
+    val failedArr = (timedRun.collect { case t if t.failed => "\"" + t.name + "\"" } ++
       (if (recallFailed) Seq("\"recall\"") else Nil) ++
       (if (recallRrFailed) Seq("\"recall_rerank\"") else Nil))
       .mkString("[", ",", "]")
@@ -352,7 +389,7 @@ object Bench {
     val breachesJson = breaches.mkString("{", ",", "}")
     // detail first, compact summary LAST: the driver keeps the tail
     val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
-    println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)}}}""")
+    println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)},"jit":${arrays(_.jit.toSeq)}}}""")
     println(summary)
     // ... and the summary as a FILE (r9 verdict #4): sbt's `[info] `
     // decoration and the driver's capture window have twice corrupted the

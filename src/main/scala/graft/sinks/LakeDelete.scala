@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
   Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
-import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, when}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -817,6 +817,187 @@ object LakeDelete {
       deleteCore(spark, root, col(keyCol).isin(keys.toSeq: _*),
         adds, recovered, fence, txnDir, txnRel)
         .map(del => UpsertReport(del, adds.size, inserted))
+    }
+  }
+
+  /** One `WHEN MATCHED` clause of a conditioned merge: `assignments =
+    * Some(col -> value, ...)` is `UPDATE SET` (a SUBSET of columns;
+    * values may reference both sides), `None` is `DELETE`. Conditions and
+    * assignment values reference the target as `t.<col>` and the source
+    * as `s.<col>` (plain names where unambiguous) — the aliases
+    * [[LakeDelete.mergeLake]] binds the joined frame under. A NULL
+    * condition does not match (ANSI). */
+  final case class MergeMatched(condition: Option[Column],
+                                assignments: Option[Seq[(String, Column)]])
+
+  final case class MergeReport(rowsUpdated: Long, rowsDeleted: Long,
+                               rowsInserted: Long, filesAdded: Int,
+                               delete: DeleteReport)
+
+  /** CONDITIONED MERGE — the general CDC spelling [[upsertLake]]'s
+    * keyed-replace shape cannot express:
+    * {{{
+    * MERGE INTO t USING s ON t.k = s.k
+    *   WHEN MATCHED AND <c1> THEN UPDATE SET colA = <expr>, ...
+    *   WHEN MATCHED AND <c2> THEN DELETE
+    *   WHEN NOT MATCHED [AND <c3>] THEN INSERT *
+    * }}}
+    * Per matched (target row, source row) pair the FIRST clause whose
+    * condition holds applies (Delta semantics); matched rows firing no
+    * clause stay byte-untouched — they are excluded from the keyed
+    * delete, not rewritten back. Unmatched source rows insert
+    * name-for-name when `notMatchedInsert` is set (its condition may
+    * reference only the source).
+    *
+    * Scale shape: identical to [[upsertLake]] — the source's distinct
+    * keys (≤ `maxKeys`, the CDC-batch bound) gate an envelope/bloom-
+    * triaged keyed delete, post-images stage as new files, one journal
+    * commits both lanes atomically. The post-image join reads ONLY the
+    * key-pruned slice of the lake. Unlike upsertLake, post-images depend
+    * on TARGET state, so a lost optimistic race recomputes them from a
+    * fresh read before restaging (staged bytes from the losing attempt
+    * die with the txn dir).
+    *
+    * The source must have UNIQUE keys per batch — a key matching
+    * multiple source rows would apply an arbitrary one (Delta raises
+    * here too; fail-loud beats nondeterminism). */
+  def mergeLake(spark: SparkSession, root: String, source: DataFrame,
+                keyCol: String, matched: Seq[MergeMatched],
+                notMatchedInsert: Option[Option[Column]] = None,
+                maxKeys: Int = 100000,
+                fence: Option[String] = None): MergeReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(fs.exists(rootPath), s"no lake at $root")
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
+      "merge needs at least one WHEN clause")
+    DeletionVectors.requireAbsent(fs, rootPath, "MERGE")
+    requireNotBucketed(fs, rootPath, "MERGE")
+    val recovered = recover(spark, root)
+
+    val keyRows = source.select(col(keyCol)).distinct().limit(maxKeys + 1)
+      .collect()
+    require(keyRows.length <= maxKeys,
+      s"merge batch has more than $maxKeys distinct keys — this operator " +
+        "is for dimension/CDC batches; merge bigger sets in batches")
+    val keys = keyRows.map(_.get(0))
+    require(!keys.contains(null), "merge keys must be non-null")
+    require(keys.nonEmpty, "empty merge batch")
+    val dup = source.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has duplicate key(s) (example: ${dup.headOption
+        .map(_.get(0))}) — a key matching several source rows would " +
+        "apply an arbitrary one; dedup the batch first")
+
+    val partCols = {
+      val fromFiles = ZLake.index(spark, root).partitionCols
+      if (fromFiles.nonEmpty) fromFiles
+      else ZLake.dirPartitionCols(spark, root)
+    }
+
+    withConflictRetry("MERGE", fs, rootPath) { (txnDir, txnRel) =>
+      // post-images from a FRESH key-pruned read each attempt: they
+      // depend on target state, so a lost race must not reuse them
+      val tgt = ZLake.read(spark, root)
+        .filter(col(keyCol).isin(keys.toSeq: _*))
+      val tCols = tgt.columns.toSeq
+      val updateIdx = matched.zipWithIndex.collect {
+        case (MergeMatched(_, Some(_)), i) => i
+      }
+      matched.foreach {
+        case MergeMatched(_, Some(assigns)) =>
+          val bad = assigns.map(_._1).filterNot(a =>
+            tCols.exists(_.equalsIgnoreCase(a)))
+          require(bad.isEmpty, s"UPDATE SET targets unknown column(s) $bad")
+        case _ => ()
+      }
+      notMatchedInsert.foreach { _ =>
+        val miss = tCols.filterNot(c =>
+          source.columns.exists(_.equalsIgnoreCase(c)))
+        require(miss.isEmpty,
+          s"INSERT * needs the source to carry every target column; " +
+            s"missing: $miss")
+      }
+      val joined = tgt.alias("t")
+        .join(source.alias("s"),
+          col(s"t.$keyCol") === col(s"s.$keyCol"), "inner")
+      // first-match clause index; NULL conditions do not match (ANSI)
+      val act = matched.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), els) =>
+          when(cl.condition.map(c => coalesce(c, lit(false)))
+            .getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+      // ONE projection resolves every t./s. reference while the aliases
+      // are still in scope (a checkpointed frame flattens them away):
+      // per target column, the post-image under whichever update clause
+      // fired, else the original value; plus the ORIGINAL target key
+      // (an assignment may rewrite the merge key — the delete must use
+      // the pre-image key)
+      val img = tCols.map { tc =>
+        updateIdx.foldRight(col(s"t.$tc")) { (i, els) =>
+          val assigns = matched(i).assignments.get
+          assigns.find(_._1.equalsIgnoreCase(tc))
+            .map(v => when(col("__act") === i, v._2).otherwise(els))
+            .getOrElse(els)
+        }.as(tc)
+      }
+      // bounded materialization (matched rows only): serves the counts,
+      // the affected-key collect, and the update lane in one job
+      val flat = joined.withColumn("__act", act)
+        .select(Seq(col("__act"), col(s"t.$keyCol").as("__tkey")) ++
+          img: _*)
+        .localCheckpoint(true)
+      val actCounts: Map[Int, Long] = flat.groupBy(col("__act"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val rowsUpdated = updateIdx.map(actCounts.getOrElse(_, 0L)).sum
+      val rowsDeleted = matched.zipWithIndex.collect {
+        case (MergeMatched(_, None), i) => actCounts.getOrElse(i, 0L)
+      }.sum
+      // only rows a clause actually fired on are deleted; untouched
+      // matches keep their bytes
+      val affectedKeys = flat.filter(col("__act") >= 0)
+        .select(col("__tkey")).distinct().collect().map(_.get(0))
+
+      val updateLane =
+        if (updateIdx.isEmpty) None
+        else Some(flat.filter(col("__act").isin(updateIdx: _*))
+          .select(tCols.map(col): _*))
+      val insertLane = notMatchedInsert.map { condOpt =>
+        val anti = source.alias("s").join(tgt,
+          col(s"s.$keyCol") === tgt(keyCol), "left_anti")
+        condOpt.map(c => anti.filter(coalesce(c, lit(false))))
+          .getOrElse(anti)
+          .select(tCols.map(tc => col(tc)): _*)
+      }
+      val newRows = (updateLane.toSeq ++ insertLane.toSeq)
+        .reduceOption(_.unionByName(_))
+
+      if (affectedKeys.isEmpty && newRows.isEmpty)
+        Right(MergeReport(0L, 0L, 0L, 0,
+          DeleteReport(0, 0, 0, 0, 0L, recovered)))
+      else {
+        newRows.foreach(LakeConstraints.validateBatch(spark, root, _))
+        val (adds, staged) = newRows match {
+          case Some(rows) =>
+            val missing = partCols.filterNot(c =>
+              rows.columns.exists(_.equalsIgnoreCase(c)))
+            require(missing.isEmpty,
+              s"merge post-images must carry the lake's partition " +
+                s"column(s) $missing")
+            stageInserts(conf, fs, txnDir, rows, partCols)
+          case None => (Vector.empty[String], 0L)
+        }
+        val delPred =
+          if (affectedKeys.isEmpty) lit(false)
+          else col(keyCol).isin(affectedKeys.toSeq: _*)
+        deleteCore(spark, root, delPred, adds, recovered, fence,
+          txnDir, txnRel)
+          .map(del => MergeReport(rowsUpdated, rowsDeleted,
+            staged - rowsUpdated, adds.size, del))
+      }
     }
   }
 
