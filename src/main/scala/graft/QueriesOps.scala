@@ -2113,6 +2113,77 @@ object QueriesOps {
             .diff(s, root, "v0", None)
             .filter(col("_change_type") === "delete"), "diff"))
           .orderBy(col("phase"), col("w"))
+      }),
+
+    // -- CONDITIONED MERGE (r11, LakeDelete.mergeLake via ANSI SQL): the
+    //    CDC spelling the exact keyed-upsert shape can't express —
+    //    `WHEN MATCHED AND c THEN UPDATE SET <subset>` (values read BOTH
+    //    sides), `WHEN MATCHED AND c THEN DELETE`, conditional
+    //    `INSERT *` — in ONE journaled commit. The oracle replays the
+    //    clause algebra relationally in DuckDB: a row updated by the
+    //    wrong clause, a delete that also reinserted, an untouched match
+    //    that got rewritten, or a lost insert all hash-mismatch.
+    QueryDef("q155_conditioned_merge", Some("""
+      WITH f AS (SELECT c_custkey AS id, c_custkey % 64 AS a,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           src AS (SELECT id, id % 3 AS flag, id % 100 AS bump
+                   FROM f WHERE id % 7 = 0
+                   UNION ALL
+                   SELECT id + 800000, 0, 0 FROM f WHERE id % 211 = 0),
+           upd AS (SELECT f.id, f.a, f.cents + s.bump AS cents, f.w
+                   FROM f JOIN src s USING (id) WHERE s.flag = 0),
+           del AS (SELECT f.id FROM f JOIN src s USING (id)
+                   WHERE s.flag = 1),
+           keep AS (SELECT * FROM f
+                    WHERE id NOT IN (SELECT id FROM upd)
+                      AND id NOT IN (SELECT id FROM del)),
+           ins AS (SELECT s.id, s.id % 64 AS a, CAST(42 AS BIGINT) AS cents,
+                          s.id % 2 AS w
+                   FROM src s LEFT JOIN f ON s.id = f.id
+                   WHERE f.id IS NULL),
+           m AS (SELECT * FROM keep UNION ALL SELECT * FROM upd
+                 UNION ALL SELECT * FROM ins)
+      SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(id) AS BIGINT) AS sum_id
+      FROM m GROUP BY w ORDER BY w"""),
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-cmerge-gate").toString + "/t"
+        val base = T(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(base.filter(col("id") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 4, bits = 6,
+            bloomCols = Seq("id"))
+        s.sql("DROP VIEW IF EXISTS q155_lake")
+        s.sql(s"CREATE TEMPORARY VIEW q155_lake USING zlake " +
+          s"OPTIONS (path '$root')")
+        base.filter(col("id") % 7 === 0)
+          .select(col("id"), col("a"), col("cents"),
+            (col("id") % 2).cast("string").as("win"),
+            (col("id") % 3).as("flag"), (col("id") % 100).as("bump"))
+          .unionByName(base.filter(col("id") % 211 === 0)
+            .select((col("id") + 800000).as("id"),
+              ((col("id") + 800000) % 64).as("a"), lit(42L).as("cents"),
+              (col("id") % 2).cast("string").as("win"),
+              lit(0L).as("flag"), lit(0L).as("bump")))
+          .createOrReplaceTempView("q155_src")
+        s.sql("""MERGE INTO q155_lake t USING q155_src s ON t.id = s.id
+                 WHEN MATCHED AND s.flag = 0 THEN
+                   UPDATE SET cents = t.cents + s.bump
+                 WHEN MATCHED AND s.flag = 1 THEN DELETE
+                 WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("REFRESH TABLE q155_lake")
+        s.sql("""SELECT CAST(win AS BIGINT) AS w,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(cents) AS BIGINT) AS sum_cents,
+                        CAST(sum(id) AS BIGINT) AS sum_id
+                 FROM q155_lake GROUP BY win ORDER BY w""")
       })
   )
 }

@@ -29,11 +29,16 @@ import graft.sources.{Snapshots, ZLake}
   *    to a live zlake relation, the plan becomes a runnable command over
   *    [[LakeDelete.deleteFromLake]] / [[LakeDelete.upsertLake]] — same
   *    journaled, envelope-triaged, crash-safe path as the Scala API.
-  *    Anything outside that shape (partial UPDATE SET, extra actions,
-  *    non-equi conditions, snapshot/time-travel targets, streaming
-  *    relations) is left untouched, so Spark's standard "only supported
-  *    with v2 tables" analysis error still fires rather than silently
-  *    doing the wrong merge.
+  *    CONDITIONED merges (r11) map too, via
+  *    [[LakeDelete.mergeLake]]: `WHEN MATCHED [AND c] THEN UPDATE SET
+  *    <subset>` (values over both sides), `WHEN MATCHED [AND c] THEN
+  *    DELETE`, and a conditional name-for-name `INSERT *`, first-match
+  *    precedence, one journal. Anything still outside those shapes
+  *    (non-equi or multi-column keys, not-matched-by-source actions,
+  *    reshuffled INSERT columns, schema evolution, snapshot/time-travel
+  *    targets, streaming relations) is left untouched, so Spark's
+  *    standard "only supported with v2 tables" analysis error still
+  *    fires rather than silently doing the wrong merge.
   *  - [[GraftSqlParser]] (a delegating parser injection): maintenance
   *    verbs with no ANSI spelling, as `CALL graft.<proc>(...)` with
   *    string-literal arguments —
@@ -84,6 +89,20 @@ object GraftDml {
   private def targetCols(plan: LogicalPlan): Seq[String] =
     plan.output.map(_.name)
 
+  /** The single same-named equi-key of a merge condition, if that is the
+    * whole condition. */
+  private def equiKey(m: MergeIntoTable): Option[String] =
+    m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            // one side each, whichever order the user wrote them in
+            ((m.targetTable.outputSet.contains(a) &&
+              m.sourceTable.outputSet.contains(b)) ||
+             (m.targetTable.outputSet.contains(b) &&
+              m.sourceTable.outputSet.contains(a))) => Some(a.name)
+      case _ => None
+    }
+
   /** The keyed-upsert MERGE shape: single same-named equi-condition,
     * `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`
     * (either as the star actions or as their analyzer-expanded
@@ -93,16 +112,7 @@ object GraftDml {
   private[plans] def upsertShape(m: MergeIntoTable): Option[String] = {
     if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution)
       return None
-    val key = m.mergeCondition match {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.name.equalsIgnoreCase(b.name) &&
-            // one side each, whichever order the user wrote them in
-            ((m.targetTable.outputSet.contains(a) &&
-              m.sourceTable.outputSet.contains(b)) ||
-             (m.targetTable.outputSet.contains(b) &&
-              m.sourceTable.outputSet.contains(a))) => a.name
-      case _ => return None
-    }
+    val key = equiKey(m).getOrElse(return None)
     val wanted = targetCols(m.targetTable).map(_.toLowerCase).toSet
     def nameForName(assigns: Seq[Assignment]): Boolean =
       assigns.forall {
@@ -126,6 +136,97 @@ object GraftDml {
     }
     if (matchedOk && notMatchedOk) Some(key) else None
   }
+
+  /** Opaque box keeping clause expressions OUT of the command node's
+    * expression traversal: analyzer rules (UpdateAttributeNullability et
+    * al.) recurse into Option/Seq-nested Expressions of every plan node,
+    * and the re-anchored `t`/`s` UnresolvedAttributes must not be
+    * visited before run() resolves them against the runtime join. */
+  private[plans] final case class ExprBox(e: Expression)
+
+  /** One extracted matched clause: rewritten condition (None = always),
+    * assignments (None = DELETE). */
+  private[plans] final case class MatchedSpec(
+      condition: Option[ExprBox],
+      assignments: Option[Seq[(String, ExprBox)]])
+
+  /** The CONDITIONED MERGE shape ([[upsertShape]]'s generalization, the
+    * common CDC spelling): same single equi-key, but matched actions may
+    * be `WHEN MATCHED [AND c] THEN UPDATE SET <subset>` (values any
+    * expression over both sides) or `WHEN MATCHED [AND c] THEN DELETE`,
+    * plus at most one `WHEN NOT MATCHED [AND c] THEN INSERT *` (star or
+    * name-for-name; its condition may reference only the source — there
+    * is no target row to read). Attribute references are re-anchored by
+    * exprId onto the `t`/`s` aliases [[graft.sinks.LakeDelete.mergeLake]]
+    * joins under, so same-named target/source columns stay distinct.
+    * Still refused (Spark's own error path keeps firing):
+    * not-matched-by-source actions, schema evolution, non-equi or
+    * multi-column keys, INSERT with reshuffled assignments. */
+  private[plans] def conditionedShape(m: MergeIntoTable)
+      : Option[(String, Seq[MatchedSpec], Option[Option[ExprBox]])] = {
+    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution)
+      return None
+    val key = equiKey(m).getOrElse(return None)
+    val srcIds = m.sourceTable.outputSet.map(_.exprId).toSet
+    val tgtIds = m.targetTable.outputSet.map(_.exprId).toSet
+    def alias(e: Expression, allowTarget: Boolean): Option[ExprBox] = {
+      var ok = true
+      val out = e.transform {
+        case a: AttributeReference =>
+          if (srcIds.contains(a.exprId)) UnresolvedAttribute(Seq("s", a.name))
+          else if (tgtIds.contains(a.exprId) && allowTarget)
+            UnresolvedAttribute(Seq("t", a.name))
+          else { ok = false; a }
+      }
+      if (ok) Some(ExprBox(out)) else None
+    }
+    val tCols = targetCols(m.targetTable)
+    def starAssigns: Seq[(String, ExprBox)] =
+      tCols.map(c => c -> ExprBox(UnresolvedAttribute(Seq("s", c))))
+    def plain(assigns: Seq[Assignment])
+        : Option[Seq[(String, ExprBox)]] = {
+      val out = assigns.map {
+        case Assignment(k: AttributeReference, v) =>
+          (k.name, alias(v, allowTarget = true).getOrElse(return None))
+        case _ => return None
+      }
+      Some(out)
+    }
+    val matched: Seq[MatchedSpec] = m.matchedActions.map {
+      case UpdateStarAction(c) =>
+        MatchedSpec(c.map(alias(_, allowTarget = true)
+          .getOrElse(return None)), Some(starAssigns))
+      case UpdateAction(c, assigns, _) =>
+        MatchedSpec(c.map(alias(_, allowTarget = true)
+          .getOrElse(return None)),
+          Some(plain(assigns).getOrElse(return None)))
+      case DeleteAction(c) =>
+        MatchedSpec(c.map(alias(_, allowTarget = true)
+          .getOrElse(return None)), None)
+      case _ => return None
+    }
+    // name-for-name insert only; condition may reference only the source
+    val insert: Option[Option[ExprBox]] = m.notMatchedActions match {
+      case Nil => None
+      case Seq(InsertStarAction(c)) =>
+        Some(c.map(alias(_, allowTarget = false).getOrElse(return None)))
+      case Seq(InsertAction(c, assigns)) =>
+        val nameForName = assigns.forall {
+          case Assignment(t: AttributeReference, v: AttributeReference) =>
+            t.name.equalsIgnoreCase(v.name) &&
+              m.sourceTable.outputSet.contains(v)
+          case _ => false
+        } && assigns.map(_.key match {
+          case t: AttributeReference => t.name.toLowerCase
+          case _ => return None
+        }).toSet == tCols.map(_.toLowerCase).toSet
+        if (!nameForName) return None
+        Some(c.map(alias(_, allowTarget = false).getOrElse(return None)))
+      case _ => return None
+    }
+    if (matched.isEmpty && insert.isEmpty) None
+    else Some((key, matched, insert))
+  }
 }
 
 /** Post-hoc resolution rule converting ANSI DML over live zlake targets
@@ -140,11 +241,19 @@ case class GraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         .map(GraftDeleteCommand(_, cond)).getOrElse(d)
     case m: MergeIntoTable
         if m.targetTable.resolved && m.sourceTable.resolved =>
-      (zlakeRoot(m.targetTable), upsertShape(m)) match {
-        case (Some(root), Some(key)) =>
-          GraftUpsertCommand(root, m.sourceTable,
-            m.targetTable.output.map(_.name), key)
-        case _ => m
+      zlakeRoot(m.targetTable) match {
+        case Some(root) => upsertShape(m) match {
+          case Some(key) =>
+            GraftUpsertCommand(root, m.sourceTable,
+              m.targetTable.output.map(_.name), key)
+          case None => conditionedShape(m) match {
+            case Some((key, clauses, insert)) =>
+              GraftMergeCommand(root, m.sourceTable,
+                m.sourceTable.output.map(_.name), key, clauses, insert)
+            case None => m
+          }
+        }
+        case None => m
       }
     // INSERT INTO a zlake view: by post-hoc time Spark's own
     // DataSourceAnalysis has already turned the statement into an
@@ -276,6 +385,37 @@ case class GraftUpsertCommand(root: String, source: LogicalPlan,
       .select(cols.map(org.apache.spark.sql.functions.col): _*)
     val rep = LakeDelete.upsertLake(spark, root, updates, keyCol)
     Seq(Row(rep.filesAdded, rep.rowsInserted, rep.delete.rowsDeleted))
+  }
+}
+
+/** `MERGE INTO <zlake> ... WHEN MATCHED [AND c] THEN UPDATE SET <subset>
+  * / DELETE [WHEN NOT MATCHED [AND c] THEN INSERT *]` — the conditioned
+  * shapes [[GraftDml.conditionedShape]] extracts, run through
+  * [[LakeDelete.mergeLake]]. Clause expressions arrive re-anchored onto
+  * the `t`/`s` aliases and resolve against the runtime join. */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+                             srcCols: Seq[String], keyCol: String,
+                             matched: Seq[GraftDml.MatchedSpec],
+                             insert: Option[Option[GraftDml.ExprBox]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rows_updated", LongType)(),
+    AttributeReference("rows_deleted", LongType)(),
+    AttributeReference("rows_inserted", LongType)(),
+    AttributeReference("files_added", IntegerType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = PlanBridge.dataFrame(spark, source)
+      .select(srcCols.map(org.apache.spark.sql.functions.col): _*)
+    def c(b: GraftDml.ExprBox) = ColumnBridge.column(b.e)
+    val clauses = matched.map(ms => LakeDelete.MergeMatched(
+      ms.condition.map(c), ms.assignments.map(_.map {
+        case (k, v) => (k, c(v))
+      })))
+    val rep = LakeDelete.mergeLake(spark, root, src, keyCol, clauses,
+      insert.map(_.map(c)))
+    Seq(Row(rep.rowsUpdated, rep.rowsDeleted, rep.rowsInserted,
+      rep.filesAdded))
   }
 }
 

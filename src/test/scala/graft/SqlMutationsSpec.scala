@@ -112,12 +112,111 @@ class SqlMutationsSpec extends AnyFunSuite with SparkSpec {
     spark.range(2).select(col("id"), lit(1L).as("a"), lit(2L).as("b"),
       lit("X").as("uid")).createOrReplaceTempView("sqlmut_refuse_src")
     val before = ids(root)
-    // partial UPDATE SET is not a whole-row upsert — must refuse
+    // compound (non-single-equi-key) ON condition — must refuse
     val e = intercept[Exception](spark.sql(
-      """MERGE INTO sqlmut_refuse t USING sqlmut_refuse_src s ON t.id = s.id
+      """MERGE INTO sqlmut_refuse t USING sqlmut_refuse_src s
+        |ON t.id = s.id AND t.a > 1
         |WHEN MATCHED THEN UPDATE SET uid = s.uid""".stripMargin).collect())
     assert(e.getMessage != null)
+    // INSERT with reshuffled (non-name-for-name) assignments — refuse
+    intercept[Exception](spark.sql(
+      """MERGE INTO sqlmut_refuse t USING sqlmut_refuse_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, a, b, uid)
+        |VALUES (s.id, s.b, s.a, s.uid)""".stripMargin).collect())
+    // NOT MATCHED BY SOURCE — refuse
+    intercept[Exception](spark.sql(
+      """MERGE INTO sqlmut_refuse t USING sqlmut_refuse_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect())
     assert(ids(root) == before, "refused MERGE must not touch the lake")
+  }
+
+  test("conditioned MERGE: WHEN MATCHED AND c THEN UPDATE SET <subset> " +
+      "with both-sides values; untouched matches keep their bytes") {
+    val root = buildLake("mcond", n = 2048)
+    viewOver(root, "sqlmut_cond")
+    // source: keys %5==0 under 512; flag drives the clause condition
+    spark.range(2048).filter(col("id") % 5 === 0 && col("id") < 512)
+      .select(col("id"), (col("id") % 3).as("flag"), lit(1000L).as("bonus"))
+      .createOrReplaceTempView("sqlmut_cond_src")
+    val rep = spark.sql(
+      """MERGE INTO sqlmut_cond t USING sqlmut_cond_src s ON t.id = s.id
+        |WHEN MATCHED AND s.flag = 0 THEN
+        |  UPDATE SET b = t.b + s.bonus, uid = concat(t.uid, '!')
+        |""".stripMargin).collect()
+    val matchedFlag0 = (0L until 512L).filter(i => i % 5 == 0 && i % 3 == 0)
+    assert(rep(0).getLong(0) == matchedFlag0.size.toLong,
+      s"rows_updated: ${rep(0)}")
+    assert(rep(0).getLong(1) == 0L && rep(0).getLong(2) == 0L)
+    val got = ZLake.read(spark, root)
+      .filter(col("uid").endsWith("!"))
+      .select(col("id"), col("b")).as[(Long, Long)].collect().toMap
+    assert(got.keySet == matchedFlag0.toSet)
+    matchedFlag0.foreach(i => assert(got(i) == (i * 7 % 64) + 1000L,
+      s"post-image of $i wrong: ${got(i)}"))
+    // everything else byte-untouched in value terms
+    assert(ids(root) == (0L until 2048L).toSet)
+  }
+
+  test("conditioned MERGE: first-match precedence across UPDATE and " +
+      "DELETE clauses, plus conditional INSERT *") {
+    val root = buildLake("mmix", n = 1024)
+    viewOver(root, "sqlmut_mix")
+    // keys 0,5,..,495 matched (cls = id%4 hits every class); 5000-5009
+    // unmatched (insert candidates)
+    val src = spark.range(100).select((col("id") * 5).as("id"))
+      .unionByName(spark.range(10).select((col("id") + 5000).as("id")))
+      .select(col("id"), (col("id") % 64).as("a"),
+        (col("id") * 7 % 64).as("b"),
+        concat(lit("m"), col("id")).as("uid"),
+        (col("id") % 4).as("cls"))
+    src.createOrReplaceTempView("sqlmut_mix_src")
+    val rep = spark.sql(
+      """MERGE INTO sqlmut_mix t USING sqlmut_mix_src s ON t.id = s.id
+        |WHEN MATCHED AND s.cls = 0 THEN UPDATE SET uid = s.uid
+        |WHEN MATCHED AND s.cls <= 2 THEN DELETE
+        |WHEN NOT MATCHED AND s.cls = 0 THEN INSERT *
+        |""".stripMargin).collect()
+    val matched = (0L until 500L by 5L).toSeq
+    val updated = matched.filter(_ % 4 == 0) // first clause wins
+    val deleted = matched.filter(i => i % 4 != 0 && i % 4 <= 2)
+    val inserted = (5000L until 5010L).filter(_ % 4 == 0)
+    assert(matched.count(_ % 4 == 3) > 0, "fixture must cover no-clause")
+    assert(rep(0).getLong(0) == updated.size.toLong, s"upd ${rep(0)}")
+    assert(rep(0).getLong(1) == deleted.size.toLong, s"del ${rep(0)}")
+    assert(rep(0).getLong(2) == inserted.size.toLong, s"ins ${rep(0)}")
+    val want = (0L until 1024L).toSet -- deleted ++ inserted
+    assert(ids(root) == want)
+    val renamed = ZLake.read(spark, root)
+      .filter(col("uid").startsWith("m")).select(col("id"))
+      .as[Long].collect().toSet
+    assert(renamed == updated.toSet ++ inserted)
+    // cls==3 matches fired NO clause: still present, uid untouched
+    val untouched = matched.filter(_ % 4 == 3)
+    assert(untouched.forall(want.contains))
+    assert(untouched.forall(i => !renamed.contains(i)))
+  }
+
+  test("mergeLake refuses duplicate source keys; Scala API composes " +
+      "conditions from both aliases") {
+    import graft.sinks.LakeDelete
+    val root = buildLake("mdup", n = 128)
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      LakeDelete.mergeLake(spark, root, dup, "id",
+        Seq(LakeDelete.MergeMatched(None,
+          Some(Seq("a" -> col("s.v")))))))
+    assert(e.getMessage.contains("duplicate"))
+    // Scala spelling of a conditioned clause over t. and s. refs
+    val src = Seq((7L, 100L), (9L, 200L)).toDF("id", "v")
+    val rep = LakeDelete.mergeLake(spark, root, src, "id",
+      Seq(LakeDelete.MergeMatched(Some(col("t.id") === 7L),
+        Some(Seq("b" -> (col("t.b") + col("s.v")))))))
+    assert(rep.rowsUpdated == 1L && rep.rowsDeleted == 0L &&
+      rep.rowsInserted == 0L)
+    val b7 = ZLake.read(spark, root).filter(col("id") === 7L)
+      .select(col("b")).as[Long].head()
+    assert(b7 == (7L * 7 % 64) + 100L)
   }
 
   test("CALL graft.delete/snapshot/vacuum/upsert round-trip") {
