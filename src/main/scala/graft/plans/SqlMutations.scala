@@ -56,6 +56,7 @@ import graft.sources.{Snapshots, ZLake}
   *    CALL graft.constraints('/lake/t')          -- list CHECKs
   *    CALL graft.delete_mor('/lake/t', 'id = 7') -- merge-on-read delete
   *    CALL graft.dv_compact('/lake/t')           -- materialize vectors
+  *    CALL graft.bucket_compact('/lake/t')       -- within-bucket compact
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -610,6 +611,11 @@ object GraftSqlParser {
           case "dv_compact" =>
             arity(args.length == 1, "dv_compact('<root>')")
             Some(GraftDvCompactCommand(args(0)))
+          case "bucket_compact" =>
+            arity(args.length == 1 || args.length == 2,
+              "bucket_compact('<root>'[, '<targetFilesPerBucket>'])")
+            Some(GraftBucketCompactCommand(args(0),
+              if (args.length == 2) args(1).toInt else 1))
           case "upsert" =>
             arity(args.length == 3,
               "upsert('<root>', '<source view>', '<keyCol>')")
@@ -714,6 +720,25 @@ case class GraftDvCompactCommand(root: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val rep = graft.sinks.DeletionVectors.compact(spark, root)
     Seq(Row(rep.filesRewritten, rep.rowsDropped))
+  }
+}
+
+/** `CALL graft.bucket_compact(root[, target])` — within-bucket
+  * compaction of a bucketed lake
+  * ([[graft.sinks.Sinks.compactBucketedLake]]): small files pool inside
+  * their own bucket, deletion vectors materialize, the co-location
+  * contract survives. */
+case class GraftBucketCompactCommand(root: String, target: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("buckets_compacted", IntegerType)(),
+    AttributeReference("files_before", IntegerType)(),
+    AttributeReference("files_after", IntegerType)(),
+    AttributeReference("dv_rows_materialized", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = graft.sinks.Sinks.compactBucketedLake(spark, root, target)
+    Seq(Row(rep.bucketsCompacted, rep.filesBefore, rep.filesAfter,
+      rep.dvRowsMaterialized))
   }
 }
 

@@ -1434,7 +1434,7 @@ object LakeDelete {
     if (fs.exists(stageRoot)) { fs.delete(stageRoot, true); () }
   }
 
-  private def footerRows(fs: FileSystem,
+  private[sinks] def footerRows(fs: FileSystem,
                          conf: org.apache.hadoop.conf.Configuration,
                          p: Path): Long = {
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(

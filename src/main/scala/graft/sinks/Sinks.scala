@@ -167,6 +167,181 @@ object Sinks {
       sketchCols = sketchCols, bloomCols = bloomCols, sumCols = sumCols)
   }
 
+  final case class BucketCompactReport(bucketsCompacted: Int,
+                                       filesBefore: Int, filesAfter: Int,
+                                       dvRowsMaterialized: Long)
+
+  /** BUCKET-PRESERVING compaction — the one maintenance operation an
+    * append-only bucketed lake eventually needs: every journaled append
+    * adds a file per touched bucket, and a hot bucket accumulates small
+    * files with no rewrite path (every generic rewrite refuses via
+    * [[LakeDelete.requireNotBucketed]] because pooling rows ACROSS
+    * buckets would silently break the co-location contract).
+    *
+    * This compacts WITHIN buckets: all files of every over-target bucket
+    * are read in ONE Spark job, re-routed through the SAME declared hash
+    * (`repartition(numBuckets, keys)` — a row can only land back in its
+    * own bucket, so co-location is preserved by construction, not by
+    * bookkeeping), sorted by (keys, payload) like the original write,
+    * and staged under bucket-tagged names the scan parses back. Buckets
+    * at or under `targetFilesPerBucket` keep their bytes. The swap rides
+    * the standard staged-files + journal + optimistic-commit protocol;
+    * `_graft_buckets.json` is untouched, so exchange-free joins and
+    * bucket pruning survive (plan-asserted in BucketedLakeSpec).
+    *
+    * Merge-on-read deletion vectors MATERIALIZE here: a bucketed lake
+    * composes with [[DeletionVectors.deleteMoR]] but refuses the generic
+    * [[DeletionVectors.compact]] (fresh un-tagged names would break the
+    * layout) — this is the path that applies the vectors. A bucket with
+    * any vectored file is eligible regardless of file count; rewritten
+    * rows drop their deleted positions, the store sheds those files'
+    * entries (swapped in the same journal), and once no vectors remain
+    * every DV-guarded capability (snapshots of bucketed lakes, tailing,
+    * metadata aggregates) reopens. */
+  def compactBucketedLake(spark: org.apache.spark.sql.SparkSession,
+                          root: String,
+                          targetFilesPerBucket: Int = 1)
+      : BucketCompactReport = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    require(targetFilesPerBucket >= 1,
+      s"targetFilesPerBucket must be >= 1, got $targetFilesPerBucket")
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(fs.exists(rootPath), s"no lake at $root")
+    val bucket = graft.sources.ZLake.bucketInfo(fs, rootPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a bucketed lake (no ${graft.sources.ZLake.BucketsName})"))
+    LakeDelete.recover(spark, root)
+    LakeDelete.withConflictRetry("COMPACT(BUCKETS)", fs, rootPath) {
+      (txnDir, txnRel) =>
+        val idx = graft.sources.ZLake.index(spark, root)
+        require(idx.partitionCols.isEmpty,
+          "bucketed lakes are flat by construction")
+        // the writer's `_NNNNN` spelling (before the extension chain —
+        // `..._00003.snappy.parquet`), parsed back exactly like the scan
+        val tag = "_(\\d+)$".r
+        def bucketIdOf(n: String): Int = {
+          val dot = n.indexOf('.')
+          val base = if (dot < 0) n else n.substring(0, dot)
+          tag.findFirstMatchIn(base).map(_.group(1).toInt).getOrElse(
+            throw new IllegalStateException(
+              s"bucketed lake holds an untagged file: $n"))
+        }
+        val byBucket = idx.fes.groupBy(fe =>
+          bucketIdOf(fe.status.getPath.getName))
+        val oldStores = DeletionVectors.storeFiles(fs, rootPath)
+        val dvRows: Map[String, Array[Long]] =
+          if (oldStores.isEmpty) Map.empty
+          else spark.read.parquet(oldStores.map(_.toString): _*)
+            .select(col("file"), col("positions")).collect()
+            .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+        def vectored(fe: graft.sources.ZLake.FileEnvelope): Boolean =
+          dvRows.get(fe.status.getPath.getName).exists(_.nonEmpty)
+        val eligible = byBucket.filter { case (_, fes) =>
+          fes.size > targetFilesPerBucket || fes.exists(vectored)
+        }
+        if (eligible.isEmpty)
+          Right(BucketCompactReport(0, idx.fes.size, idx.fes.size, 0L))
+        else {
+          val files = eligible.values.flatten.toSeq
+            .sortBy(_.status.getPath.getName)
+          val schema = graft.sources.ZLake.read(spark, root).schema
+          val raw = spark.read.schema(schema).option("basePath", root)
+            .parquet(files.map(_.status.getPath.toString): _*)
+          val cleaned =
+            DeletionVectors.applyStore(spark, root, raw, oldStores)
+          val payload = schema.fieldNames
+            .filterNot(c => bucket.cols.exists(_.equalsIgnoreCase(c)))
+          // ONE job: the same hash routing as the original write — rows
+          // can only land back in their own bucket's task partition
+          val outDir = new Path(txnDir, ".out")
+          cleaned.repartition(bucket.numBuckets, bucket.cols.map(col): _*)
+            .sortWithinPartitions((bucket.cols ++ payload).map(col): _*)
+            .write.mode("overwrite").parquet(outDir.toString)
+          val partNum = "^part-(\\d+)-".r
+          val runId = java.util.UUID.randomUUID()
+          val adds = fs.listStatus(outDir).toSeq.map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") &&
+              !p.getName.startsWith("_") && !p.getName.startsWith("."))
+            .sortBy(_.getName).flatMap { p =>
+              // every repartition task writes a file, including the
+              // zero-row tasks of buckets NOT being compacted — those
+              // empty files must not land in the lake
+              if (LakeDelete.footerRows(fs, conf, p) == 0L) Nil
+              else {
+                val b = partNum.findFirstMatchIn(p.getName)
+                  .map(_.group(1).toInt).getOrElse(
+                    throw new IllegalStateException(
+                      s"unparseable ${p.getName}"))
+                val name = f"bucketcompact-$runId-$b%05d_$b%05d.parquet"
+                require(fs.rename(p, new Path(txnDir, name)),
+                  s"could not stage $name")
+                Seq(name)
+              }
+            }
+          fs.delete(outDir, true)
+
+          // shed the rewritten files' vectors; keep the others'
+          val rewrittenNames = files.map(_.status.getPath.getName).toSet
+          val keptVectors = dvRows.filterNot { case (f, _) =>
+            rewrittenNames.contains(f)
+          }
+          val dvMaterialized = dvRows.collect {
+            case (f, ps) if rewrittenNames.contains(f) => ps.length.toLong
+          }.sum
+          val storeAdds =
+            if (oldStores.isEmpty || keptVectors.isEmpty) Nil
+            else {
+              import spark.implicits._
+              val staged = new Path(txnDir, DeletionVectors.DvDirName)
+              val storeName =
+                s"store-${java.util.UUID.randomUUID()}.parquet"
+              val tmpOut = new Path(staged, ".out")
+              keptVectors.toSeq.sortBy(_._1).toDF("file", "positions")
+                .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+              val part = fs.listStatus(tmpOut).map(_.getPath)
+                .find(_.getName.endsWith(".parquet"))
+                .getOrElse(throw new IllegalStateException(
+                  "empty DV store write"))
+              fs.mkdirs(staged)
+              require(fs.rename(part, new Path(staged, storeName)),
+                s"could not stage DV store $storeName")
+              fs.delete(tmpOut, true)
+              Seq(s"${DeletionVectors.DvDirName}/$storeName")
+            }
+          val rootUri = rootPath.toUri.getPath.stripSuffix("/")
+          def rel(p: Path): String =
+            p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          val dropRels = files.map(fe => rel(fe.status.getPath)) ++
+            (if (oldStores.nonEmpty) oldStores.map(rel) else Nil)
+          val storeSts = oldStores.map(fs.getFileStatus)
+          LakeDelete.stagedHook.get()()
+          LakeDelete.commitStaged(spark, fs, rootPath, txnRel, dropRels,
+            adds ++ storeAdds, None,
+            () => LakeDelete.changedIdentities(fs, files) ++
+              storeSts.flatMap { st =>
+                val cur = try Some(fs.getFileStatus(st.getPath))
+                catch { case _: java.io.FileNotFoundException => None }
+                if (cur.exists(c => c.getLen == st.getLen &&
+                  c.getModificationTime == st.getModificationTime)) None
+                else Some(st.getPath.toString)
+              }) match {
+            case Left(c) => Left(c)
+            case Right(()) =>
+              val d = new Path(rootPath, DeletionVectors.DvDirName)
+              if (fs.exists(d) && fs.listStatus(d).isEmpty) {
+                fs.delete(d, true); ()
+              }
+              Right(BucketCompactReport(eligible.size,
+                idx.fes.size,
+                idx.fes.size - files.size + adds.size, dvMaterialized))
+          }
+        }
+    }
+  }
+
   /** Rename every fresh `part-NNNNN-…` file so its name ends `_NNNNN` —
     * the task partition number of a `repartition(n, keys)` write IS the
     * bucket id (same `pmod(murmur3, n)`), and `BucketingUtils` parses the

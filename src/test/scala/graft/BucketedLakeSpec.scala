@@ -158,4 +158,72 @@ class BucketedLakeSpec extends AnyFunSuite with SparkSpec {
         Seq((9004L, "x4")).toDF("v", "s")))
     assert(e2.getMessage.contains("bucket key"), e2.getMessage)
   }
+
+  test("within-bucket compaction pools a fragmented bucket's files, " +
+      "materializes deletion vectors, keeps joins exchange-free") {
+    import graft.sinks.{DeletionVectors, LakeDelete, Sinks}
+    import graft.sources.ZLake
+    val root = freshRoot("bkc") + "/t"
+    Sinks.bucketedLakeWrite(facts(1000), Seq("k"), 4, root)
+    // fragment: three appends → up to 3 extra files per touched bucket
+    for (i <- 0 until 3)
+      LakeDelete.appendLake(spark, root,
+        Seq.tabulate(40)(j => (((i * 40 + j) % 500).toLong,
+          (9000 + i * 100 + j).toLong, s"a$i-$j")).toDF("k", "v", "s"))
+    // a MoR delete whose vectors must materialize through compaction
+    val mor = DeletionVectors.deleteMoR(spark, root,
+      col("v").isin(9000L, 9101L, 7L))
+    assert(mor.rowsDeleted == 3L)
+    assert(DeletionVectors.present(spark, root))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def dataFiles(): Seq[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root)).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith("."))
+    val before = dataFiles()
+    val wantRows = ZLake.read(spark, root)
+      .select("k", "v", "s").as[(Long, Long, String)].collect().toSet
+
+    val rep = Sinks.compactBucketedLake(spark, root)
+    assert(rep.bucketsCompacted == 4, rep.toString) // every bucket eligible
+    assert(rep.dvRowsMaterialized == 3L, rep.toString)
+    val after = dataFiles()
+    assert(after.size == 4,
+      s"expected one file per bucket, got ${after.size}: $after")
+    assert(after.size < before.size)
+    // vectors are gone; every DV-guarded capability reopens
+    assert(!DeletionVectors.present(spark, root))
+    // rows identical (minus nothing — the MoR rows were already hidden)
+    val got = ZLake.read(spark, root)
+      .select("k", "v", "s").as[(Long, Long, String)].collect().toSet
+    assert(got == wantRows)
+    // names still bucket-tagged; joins and aggs still exchange-free
+    assert(after.forall(n => "_(\\d+)\\.parquet$".r.findFirstIn(n).isDefined),
+      s"untagged: $after")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = ZLake.read(spark, root)
+      val agg = l.groupBy("k").agg(sum("v").as("sv"))
+      assert(shuffleCount(agg) == 0,
+        s"post-compaction groupBy must stay exchange-free:\n${executedOf(agg)}")
+      val other = freshRoot("bkc2") + "/dim"
+      Sinks.bucketedLakeWrite(
+        Seq.tabulate(500)(i => (i.toLong, s"n$i")).toDF("k", "nm"),
+        Seq("k"), 4, other)
+      val joined = l.join(ZLake.read(spark, other), "k")
+      joined.collect()
+      assert(shuffleCount(joined) == 0,
+        s"post-compaction join must stay exchange-free:\n${executedOf(joined)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // no-op when already compact; SQL verb round-trips
+    val rep2 = Sinks.compactBucketedLake(spark, root)
+    assert(rep2.bucketsCompacted == 0 && rep2.filesAfter == 4)
+    LakeDelete.appendLake(spark, root,
+      Seq((77L, 9999L, "tail")).toDF("k", "v", "s"))
+    val sqlRep = spark.sql(s"CALL graft.bucket_compact('$root')").collect()
+    assert(sqlRep(0).getInt(0) >= 1, sqlRep(0).toString)
+    assert(dataFiles().size == 4)
+  }
 }
