@@ -182,6 +182,16 @@ object Snapshots {
     snap.dv.map { case (rel, len, mtime) =>
       resolve(fs, root, tag, rel, len, mtime).getPath }
 
+  /** Does snapshot `tag` pin a non-empty deletion-vector generation?
+    * (Planning surfaces that cannot carry the merge-out anti-join — the
+    * SQL `USING zlake` snapshot view — must refuse such snapshots.) */
+  private[sources] def pinsVectors(spark: SparkSession, root: String,
+                                   tag: String): Boolean = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    readSnap(fs, rootPath, tag).dv.nonEmpty
+  }
+
   /** The snapshot's pruning index: every entry resolved to its live or
     * trash location, stats from the snapshot itself (zero footer opens).
     * Raises naming the first unresolvable file. */

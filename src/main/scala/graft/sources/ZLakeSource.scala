@@ -58,16 +58,27 @@ class ZLakeSource extends RelationProvider with StreamSourceProvider
                               parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
     val spark = sqlContext.sparkSession
-    // a BaseRelation cannot carry the merge-on-read anti-join, so a
-    // DV-bearing lake would serve deleted rows through SQL (v1 guard;
-    // DeletionVectors.compact reopens the relation)
+    // a BaseRelation cannot carry the merge-on-read anti-join, so a plan
+    // through one must prove its file set has NO vectors: a live view
+    // refuses while the lake carries any (DeletionVectors.compact
+    // reopens it); a snapshot view judges its own PINNED generation —
+    // refusing when the snapshot pins vectors (read those via
+    // Snapshots.readSnapshot), serving fine when it pins none, however
+    // the live store has grown since
     val p = new org.apache.hadoop.fs.Path(path)
-    graft.sinks.DeletionVectors.requireAbsent(
-      p.getFileSystem(spark.sessionState.newHadoopConf()), p,
-      "SQL relation (USING zlake)")
     val idx = parameters.get("snapshot") match {
-      case Some(tag) => Snapshots.snapshotIndex(spark, path, tag)
-      case None => ZLake.index(spark, path)
+      case Some(tag) =>
+        require(!Snapshots.pinsVectors(spark, path, tag),
+          s"SQL relation (USING zlake): snapshot '$tag' pins merge-on-" +
+            "read deletion vectors a SQL view cannot apply — read it " +
+            "via Snapshots.readSnapshot, or snapshot after " +
+            "DeletionVectors.compact")
+        Snapshots.snapshotIndex(spark, path, tag)
+      case None =>
+        graft.sinks.DeletionVectors.requireAbsent(
+          p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+          "SQL relation (USING zlake)")
+        ZLake.index(spark, path)
     }
     ZLake.relationWith(spark, path, idx)
   }

@@ -216,6 +216,40 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkSpec {
     assert(d3 == Set(35L -> "delete"))
   }
 
+  test("SQL snapshot views judge their PINNED vector generation: a " +
+      "vector-free snapshot serves through live DVs, a vector-pinning " +
+      "one refuses") {
+    val root = buildLake()
+    Snapshots.snapshot(spark, root, "clean")
+    DeletionVectors.deleteMoR(spark, root, col("id") === 99L)
+    Snapshots.snapshot(spark, root, "dirty") // pins the live vectors
+    // live view refuses while vectors exist
+    intercept[Exception] {
+      spark.sql("DROP VIEW IF EXISTS dv_live")
+      spark.sql(s"CREATE TEMPORARY VIEW dv_live USING zlake " +
+        s"OPTIONS (path '$root')")
+      spark.sql("SELECT count(*) FROM dv_live").collect()
+    }
+    // the vector-free snapshot is a valid SQL view regardless
+    spark.sql("DROP VIEW IF EXISTS dv_snap_clean")
+    spark.sql(s"CREATE TEMPORARY VIEW dv_snap_clean USING zlake " +
+      s"OPTIONS (path '$root', snapshot 'clean')")
+    assert(spark.sql("SELECT count(*) AS n FROM dv_snap_clean")
+      .collect()(0).getLong(0) == n.toLong)
+    // the vector-pinning snapshot refuses — a BaseRelation cannot carry
+    // the merge-out anti-join, and serving raw files would resurrect 99
+    val e = intercept[Exception] {
+      spark.sql("DROP VIEW IF EXISTS dv_snap_dirty")
+      spark.sql(s"CREATE TEMPORARY VIEW dv_snap_dirty USING zlake " +
+        s"OPTIONS (path '$root', snapshot 'dirty')")
+      spark.sql("SELECT count(*) FROM dv_snap_dirty").collect()
+    }
+    assert(e.getMessage.contains("pins merge-on-read"), e.getMessage)
+    // ... while the Scala read applies them
+    assert(Snapshots.readSnapshot(spark, root, "dirty").count() ==
+      n.toLong - 1L)
+  }
+
   test("vectors key by RELATIVE PATH: an externally written Hive lake " +
       "with the SAME file name in two partition dirs deletes only the " +
       "targeted file's positions") {
