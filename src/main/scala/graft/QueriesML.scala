@@ -1897,6 +1897,32 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- TOKEN IDS (r11): the integer sequences a training pipeline
+    //    writes — GPT-2 id space (byte value 0-255, merge k → 256+k,
+    //    closed alphabet). The oracle pins the byte-exact round trip
+    //    THROUGH THE ID SPACE plus every-id-in-range: a wrong id
+    //    assignment, a dropped token, or an id/symbol mismatch flips
+    //    roundtrip or in_vocab and the hash mismatches.
+    QueryDef("q156_bpe_token_ids", Some("""
+      SELECT doc_id, TRUE AS roundtrip, TRUE AS in_vocab
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, col("text"),
+          numMerges = 200, maxWords = 1 << 17, minFreq = 2L,
+          byteLevel = true)
+        val vs = graft.operators.Bpe.vocabSize(model)
+        docs.select(col("doc_id"),
+            graft.operators.Bpe.encodeIds(col("text"), model).as("ids"),
+            col("text"))
+          .select(col("doc_id"),
+            (graft.operators.Bpe.decodeIds(col("ids"), model)
+              === col("text")).as("roundtrip"),
+            forall(col("ids"),
+              id => id >= 0 && id < lit(vs)).as("in_vocab"))
+          .orderBy(col("doc_id"))
+      }),
+
     // -- SEMANTIC decontamination (Decontamination.embeddingScores, exact
     //    mode): n-gram overlap misses paraphrased benchmark leakage, so
     //    each corpus embedding is scored by its max cosine against the

@@ -136,6 +136,101 @@ final class BpeTable(val merges: Array[String],
     n
   }
 
+  // ---- TOKEN IDS (byte-level only): the integer space a training
+  // pipeline actually emits. GPT-2's id assignment: base byte symbols
+  // take their byte value (0-255), the k-th learned merge's output takes
+  // 256+k — so vocabSize == 256 + merges.length, and EVERY token any
+  // input can produce has an id (closed alphabet, no <unk>). Two merges
+  // can produce the same output string via different split paths; the
+  // EARLIEST rank owns the id (encode emits it, decode renders the same
+  // string either way).
+
+  /** vocabSize == 256 + merges.length (byte-level only). */
+  def vocabSize: Int = {
+    require(byteLevel, "token ids are defined for byte-level models only")
+    256 + merges.length
+  }
+
+  @transient private lazy val idOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      val sp = merges(i).indexOf(' ')
+      val out = merges(i).substring(0, sp) + merges(i).substring(sp + 1)
+      if (!m.containsKey(out)) m.put(out, 256 + i)
+      i += 1
+    }
+    m
+  }
+
+  @transient private lazy val symOfMergeId: Array[String] = {
+    val arr = new Array[String](merges.length)
+    var i = 0
+    while (i < merges.length) {
+      val sp = merges(i).indexOf(' ')
+      arr(i) = merges(i).substring(0, sp) + merges(i).substring(sp + 1)
+      i += 1
+    }
+    arr
+  }
+
+  private def tokenId(sym: String): Int =
+    if (sym.length == 1) {
+      val c = sym.charAt(0).toInt
+      val b = if (c < BpeTable.charToByte.length) BpeTable.charToByte(c)
+        else -1
+      require(b >= 0, s"not a byte symbol: U+${c.toHexString}")
+      b
+    } else {
+      val id = idOf.get(sym)
+      require(id != null, s"symbol '$sym' is not in the merge vocabulary")
+      id.intValue
+    }
+
+  /** Encode whole text to TOKEN IDS (array<int>; byte-level only). */
+  def encodeIds(text: UTF8String): ArrayData = {
+    require(byteLevel, "token ids are defined for byte-level models only")
+    val out = new scala.collection.mutable.ArrayBuffer[Any](64)
+    val m = BpeTable.pretokenizer.matcher(text.toString)
+    while (m.find()) {
+      val syms = encodeWord(m.group())
+      var j = 0
+      while (j < syms.length) { out += tokenId(syms(j)); j += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** LOSSLESS inverse of [[encodeIds]]: ids back to the original text. */
+  def decodeIds(ids: ArrayData): UTF8String = {
+    require(byteLevel, "token ids are defined for byte-level models only")
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < ids.numElements()) {
+      val id = ids.getInt(i)
+      if (id < 256) {
+        require(id >= 0, s"negative token id $id")
+        sb.append(BpeTable.byteToChar(id))
+      } else {
+        require(id - 256 < merges.length,
+          s"token id $id out of vocabulary (size $vocabSize)")
+        sb.append(symOfMergeId(id - 256))
+      }
+      i += 1
+    }
+    val s = sb.toString
+    val bytes = new Array[Byte](s.length)
+    var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j).toInt
+      val b =
+        if (c < BpeTable.charToByte.length) BpeTable.charToByte(c) else -1
+      require(b >= 0, s"not a byte-level symbol char: U+${c.toHexString}")
+      bytes(j) = b.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
   /** LOSSLESS inverse of byte-level encoding: concatenate the tokens'
     * symbol chars, map each back to its byte, decode as UTF-8. Defined
     * for byte-level models only — the classic alphabet drops whitespace

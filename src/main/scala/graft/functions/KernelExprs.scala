@@ -205,6 +205,39 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** Byte-level BPE to TOKEN IDS (array<int>, GPT-2 id space: byte
+    * value 0-255, merge k → 256+k) — what a training pipeline emits. */
+  case class BpeEncodeIds(child: Expression, table: BpeTable)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      table.encodeIds(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeTable", table,
+        classOf[BpeTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.encodeIds($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+      copy(child = newChild)
+  }
+
+  /** Lossless inverse of [[BpeEncodeIds]]. */
+  case class BpeDecodeIds(child: Expression, table: BpeTable)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(input: Any): Any =
+      table.decodeIds(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeTable", table,
+        classOf[BpeTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.decodeIds($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+      copy(child = newChild)
+  }
+
   /** BPE token COUNT of a text column — same merge loop, no array
     * materialized (the budget-accounting hot lane). */
   case class BpeCount(child: Expression, table: BpeTable)
@@ -248,4 +281,8 @@ object KernelExprs {
     ColumnBridge.column(BpeCount(e(text), table))
   def bpe_decode(tokens: Column, table: BpeTable): Column =
     ColumnBridge.column(BpeDecode(e(tokens), table))
+  def bpe_encode_ids(text: Column, table: BpeTable): Column =
+    ColumnBridge.column(BpeEncodeIds(e(text), table))
+  def bpe_decode_ids(ids: Column, table: BpeTable): Column =
+    ColumnBridge.column(BpeDecodeIds(e(ids), table))
 }

@@ -268,4 +268,20 @@ object Bpe {
     * classic word-level models, whose alphabet drops whitespace). */
   def decode(tokens: Column, model: BpeModel): Column =
     KernelExprs.bpe_decode(tokens, model.table)
+
+  /** TOKEN IDS (array<int>) — the integer sequences a training pipeline
+    * actually writes. GPT-2 id space: base byte symbols take their byte
+    * value (0-255), the k-th merge's output takes 256+k, so
+    * `vocabSize == 256 + merges.length` and every producible token has
+    * an id (closed alphabet, no unknown-token escape). Byte-level
+    * models only; codegen'd. */
+  def encodeIds(text: Column, model: BpeModel): Column =
+    KernelExprs.bpe_encode_ids(text, model.table)
+
+  /** Lossless inverse of [[encodeIds]] (codegen'd). */
+  def decodeIds(ids: Column, model: BpeModel): Column =
+    KernelExprs.bpe_decode_ids(ids, model.table)
+
+  /** Total id-space size of a byte-level model: 256 + merges. */
+  def vocabSize(model: BpeModel): Int = model.table.vocabSize
 }
