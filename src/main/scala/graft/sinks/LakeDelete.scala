@@ -920,8 +920,11 @@ object LakeDelete {
           s"INSERT * needs the source to carry every target column; " +
             s"missing: $miss")
       }
+      // the source is CDC-sized (≤ maxKeys distinct keys, dup-checked):
+      // broadcast it so the post-image join never shuffles the key-pruned
+      // target slice
       val joined = tgt.alias("t")
-        .join(source.alias("s"),
+        .join(org.apache.spark.sql.functions.broadcast(source.alias("s")),
           col(s"t.$keyCol") === col(s"s.$keyCol"), "inner")
       // first-match clause index; NULL conditions do not match (ANSI)
       val act = matched.zipWithIndex.foldRight(lit(-1)) {
@@ -966,8 +969,12 @@ object LakeDelete {
         else Some(flat.filter(col("__act").isin(updateIdx: _*))
           .select(tCols.map(col): _*))
       val insertLane = notMatchedInsert.map { condOpt =>
-        val anti = source.alias("s").join(tgt,
-          col(s"s.$keyCol") === tgt(keyCol), "left_anti")
+        // anti side: keep the small source as the streamed side and
+        // broadcast the key-pruned target's keys
+        val anti = source.alias("s").join(
+          org.apache.spark.sql.functions.broadcast(
+            tgt.select(col(keyCol)).alias("t")),
+          col(s"s.$keyCol") === col(s"t.$keyCol"), "left_anti")
         condOpt.map(c => anti.filter(coalesce(c, lit(false))))
           .getOrElse(anti)
           .select(tCols.map(tc => col(tc)): _*)

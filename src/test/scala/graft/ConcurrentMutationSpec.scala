@@ -70,9 +70,16 @@ class ConcurrentMutationSpec extends AnyFunSuite with SparkSpec {
     (n until n + 32).foreach { id =>
       assert(got.contains(id), s"appended id $id must survive the delete")
     }
-    // pure adds never touch the delete's read-set: no conflict retry paid
-    assert(LakeDelete.conflictRetries.get() == before,
-      "append vs delete must not conflict")
+    // pure adds never touch the delete's read-set: no conflict retry paid.
+    // NOTE the counter is process-global — if this ever fails with the
+    // lake state correct (the assertions above all passed), suspect a
+    // leaked background mutation from an earlier suite bumping it, not
+    // this test's operators.
+    val afterRetries = LakeDelete.conflictRetries.get()
+    assert(afterRetries == before,
+      s"append vs delete must not conflict (global retries " +
+        s"$before -> $afterRetries; lake state was verified correct " +
+        "above, so a foreign mutation is the likely source)")
     // manifests repaired across both commits: planning stays zero-footer
     val n0 = ZLake.footerOpens.get()
     ZLake.read(spark, root).filter(col("win") === "0").count()
