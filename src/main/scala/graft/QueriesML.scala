@@ -1923,6 +1923,45 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- MATERIALIZED token packing (TrainPrep.packTokenIds, r11): docs'
+    //    token-id arrays + EOS laid end-to-end per shard in doc order and
+    //    cut into exact fixed-length training rows (docs span cuts,
+    //    partial tails drop) — one shard exchange + a streaming pass, no
+    //    per-token shuffle. Tokenization itself is oracled by q156; here
+    //    the ids are a DuckDB-expressible synthetic so the oracle replays
+    //    the PACKING algebra exactly (order, cuts, EOS placement, tail
+    //    drops) token by token.
+    QueryDef("q157_token_packing", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                        list_append(list_transform(
+                          range(CAST(doc_id % 5 + 1 AS BIGINT)),
+                          i -> CAST((doc_id * 7 + i) % 256 AS INTEGER)),
+                          CAST(999 AS INTEGER)) AS ids
+                 FROM documents),
+           tok AS (SELECT shard, doc_id, unnest(ids) AS tok,
+                          generate_subscripts(ids, 1) AS ord
+                   FROM d),
+           seqd AS (SELECT shard, tok,
+                           row_number() OVER (PARTITION BY shard
+                             ORDER BY doc_id, ord) - 1 AS rn
+                    FROM tok),
+           g AS (SELECT shard, rn // 16 AS seq_id,
+                        list(tok ORDER BY rn) AS ids, count(*) AS n
+                 FROM seqd GROUP BY shard, rn // 16)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(seq_id AS BIGINT) AS seq_id, ids
+      FROM g WHERE n = 16 ORDER BY shard, seq_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val withIds = docs.select(col("doc_id"),
+          transform(sequence(lit(0L), pmod(col("doc_id"), lit(5L))),
+            i => ((col("doc_id") * 7 + i) % 256).cast("int")).as("ids"))
+        graft.operators.TrainPrep.packTokenIds(withIds, col("doc_id"),
+            col("ids"), pmod(col("doc_id"), lit(8L)), seqLen = 16,
+            eosId = 999)
+          .orderBy(col("shard"), col("seq_id"))
+      }),
+
     // -- SEMANTIC decontamination (Decontamination.embeddingScores, exact
     //    mode): n-gram overlap misses paraphrased benchmark leakage, so
     //    each corpus embedding is scored by its max cosine against the

@@ -40,6 +40,71 @@ object TrainPrep {
       .drop("start")
   }
 
+  /** MATERIALIZED token-sequence packing — the step that actually EMITS
+    * model-ready training rows, where [[packSequences]] only plans the
+    * assignment: each document's token-id array gets an `eosId` appended,
+    * documents lay end-to-end per shard in `doc_id` order, and the stream
+    * is cut into exact `seqLen`-length `array<int>` rows (documents span
+    * cuts — GPT-style packing). Each shard's trailing partial sequence is
+    * DROPPED (the standard choice: padding would teach the model pad
+    * tokens; the loss is < seqLen tokens per shard).
+    *
+    * Scale shape: one hash exchange on `shard` + an in-partition sort by
+    * (shard, doc_id), then a single streaming pass per task holding at
+    * most `seqLen` ids — no per-token explode/shuffle (a posexplode
+    * spelling would shuffle every token of the corpus), no global order.
+    * Deterministic given (shardBy, doc ids): re-runs emit identical
+    * sequences, so shards are reproducible training units.
+    *
+    * Output: `(shard, seq_id, ids)` with `seq_id` dense per shard in
+    * stream order. */
+  def packTokenIds(docs: DataFrame, id: Column, ids: Column,
+                   shardBy: Column, seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val in = docs.select(shardBy.cast("long").as("shard"),
+      id.cast("long").as("doc_id"), ids.as("ids"))
+    val sp = in.sparkSession
+    import sp.implicits._
+    in.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { rows =>
+        new Iterator[(Long, Long, Array[Int])] {
+          private var curShard = 0L
+          private var started = false
+          private var seqId = 0L
+          private val buf = new scala.collection.mutable.ArrayBuffer[Int](
+            seqLen * 2)
+          private val out =
+            new scala.collection.mutable.Queue[(Long, Long, Array[Int])]()
+          private def drain(): Unit =
+            while (buf.length >= seqLen) {
+              out.enqueue((curShard, seqId, buf.take(seqLen).toArray))
+              buf.remove(0, seqLen)
+              seqId += 1
+            }
+          @annotation.tailrec
+          private def fill(): Unit =
+            if (out.isEmpty && rows.hasNext) {
+              val r = rows.next()
+              val shard = r.getLong(0)
+              if (!started || shard != curShard) {
+                // new shard: the previous one's partial tail drops
+                buf.clear(); seqId = 0L; curShard = shard; started = true
+              }
+              val arr = r.getSeq[Int](2)
+              buf ++= arr
+              buf += eosId
+              drain()
+              fill()
+            }
+          override def hasNext: Boolean = { fill(); out.nonEmpty }
+          override def next(): (Long, Long, Array[Int]) = {
+            fill(); out.dequeue()
+          }
+        }
+      }.toDF("shard", "seq_id", "ids")
+  }
+
   /** Corpus-wide PARAGRAPH-level exact deduplication — the line/paragraph
     * dedup step web-scale pipelines run before document-level MinHash
     * (boilerplate navigation, cookie banners, repeated headers): every

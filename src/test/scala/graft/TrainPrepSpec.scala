@@ -15,6 +15,7 @@ import graft.operators.TrainPrep
   * token stream. */
 class TrainPrepSpec extends AnyFunSuite with SparkSpec
     with AdaptiveSparkPlanHelper {
+  import spark.implicits._
 
   private val budget = 64
 
@@ -193,5 +194,36 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
     // uniform limit: spread at alpha=0.3 is strictly tighter
     def spread(m: Map[String, Double]) = m.values.max - m.values.min
     assert(spread(flat) <= spread(natural) + 1e-9)
+  }
+
+  test("packTokenIds: matches a serial reference packer exactly; every " +
+      "sequence full-length; tails drop; partitioning-invariant") {
+    val seqLen = 8
+    val eos = -1
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      transform(sequence(lit(0L), pmod(col("id") * 13, lit(6L))),
+        i => ((col("id") * 31 + i) % 97).cast("int")).as("ids"))
+    def run(parts: Int) = TrainPrep.packTokenIds(
+      docs.repartition(parts), col("doc_id"), col("ids"),
+      pmod(col("doc_id"), lit(4L)), seqLen, eos)
+      .orderBy(col("shard"), col("seq_id"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq
+    val got = run(7)
+    assert(got == run(3), "packing must not depend on input partitioning")
+    assert(got.forall(_._3.length == seqLen), "only full sequences emit")
+    // serial reference: concat (ids :+ eos) per shard in doc order, chunk
+    val want = (0L until 4L).flatMap { sh =>
+      val stream = (0L until 200L).filter(_ % 4 == sh).flatMap { d =>
+        val n = (d * 13 % 6) + 1
+        (0L until n).map(i => ((d * 31 + i) % 97).toInt) :+ eos
+      }
+      stream.grouped(seqLen).filter(_.length == seqLen).zipWithIndex
+        .map { case (s, i) => (sh, i.toLong, s.toSeq) }
+    }
+    assert(got == want.sortBy(t => (t._1, t._2)))
+    // the dropped tail is < seqLen tokens per shard
+    val emitted = got.map(_._3.length).sum
+    val total = (0L until 200L).map(d => (d * 13 % 6) + 1 + 1).sum
+    assert(total - emitted < 4L * seqLen)
   }
 }
