@@ -2115,6 +2115,68 @@ object QueriesOps {
           .orderBy(col("phase"), col("w"))
       }),
 
+    // -- TIMESTAMP AS-OF + SNAPSHOT EXPORT (r11): `snapshotAsOf`
+    //    resolves the latest snapshot at or before an instant (Delta
+    //    TIMESTAMP AS OF at snapshot granularity), `export`
+    //    materializes a pinned state as an independent lake. Three
+    //    lanes vs one relational oracle: the as-of read serves the v1
+    //    state, the exported v0 lake serves the original, the live lake
+    //    the twice-deleted one — a wrong resolution, a missed trash
+    //    file, or an export touched by the source's later life all
+    //    hash-mismatch.
+    QueryDef("q158_snapshot_asof_export", Some("""
+      WITH f AS (SELECT c_custkey AS id,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           s1 AS (SELECT * FROM f WHERE id % 131 <> 0),
+           lv AS (SELECT * FROM s1 WHERE id % 67 <> 0),
+           g0 AS (SELECT 'v0_export' AS phase, CAST(w AS BIGINT) AS w,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sum_cents
+                  FROM f GROUP BY w),
+           g1 AS (SELECT 'v1_asof' AS phase, CAST(w AS BIGINT) AS w,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sum_cents
+                  FROM s1 GROUP BY w),
+           g2 AS (SELECT 'live' AS phase, CAST(w AS BIGINT) AS w,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sum_cents
+                  FROM lv GROUP BY w)
+      SELECT * FROM g0 UNION ALL SELECT * FROM g1 UNION ALL
+      SELECT * FROM g2 ORDER BY phase, w"""),
+      (s, dir) => {
+        val base0 = java.nio.file.Files
+          .createTempDirectory("graft-asof-gate").toString
+        val root = s"$base0/t"
+        val base = T(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(base.filter(col("id") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 4, bits = 6,
+            bloomCols = Seq("id"))
+        graft.sources.Snapshots.snapshot(s, root, "v0")
+        graft.sinks.LakeDelete.deleteFromLake(s, root, col("id") % 131 === 0)
+        graft.sources.Snapshots.snapshot(s, root, "v1")
+        graft.sinks.LakeDelete.deleteFromLake(s, root, col("id") % 67 === 0)
+        val c1 = graft.sources.Snapshots.listSnapshotsDetailed(s, root)
+          .find(_._1 == "v1").get._2
+        graft.sources.Snapshots.export(s, root, "v0", s"$base0/exp")
+        def aggOf(df: org.apache.spark.sql.DataFrame, phase: String) = df
+          .groupBy(col("win").cast("long").as("w"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .withColumn("phase", lit(phase))
+          .select("phase", "w", "n", "sum_cents")
+        aggOf(graft.sources.ZLake.read(s, s"$base0/exp"), "v0_export")
+          .unionByName(aggOf(
+            graft.sources.Snapshots.readSnapshotAsOf(s, root, c1),
+            "v1_asof"))
+          .unionByName(aggOf(graft.sources.ZLake.read(s, root), "live"))
+          .orderBy(col("phase"), col("w"))
+      }),
+
     // -- CONDITIONED MERGE (r11, LakeDelete.mergeLake via ANSI SQL): the
     //    CDC spelling the exact keyed-upsert shape can't express —
     //    `WHEN MATCHED AND c THEN UPDATE SET <subset>` (values read BOTH

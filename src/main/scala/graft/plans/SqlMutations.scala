@@ -57,6 +57,7 @@ import graft.sources.{Snapshots, ZLake}
   *    CALL graft.delete_mor('/lake/t', 'id = 7') -- merge-on-read delete
   *    CALL graft.dv_compact('/lake/t')           -- materialize vectors
   *    CALL graft.bucket_compact('/lake/t')       -- within-bucket compact
+  *    CALL graft.export('/lake/t', 'v1', '/dest') -- snapshot → new lake
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -616,6 +617,10 @@ object GraftSqlParser {
               "bucket_compact('<root>'[, '<targetFilesPerBucket>'])")
             Some(GraftBucketCompactCommand(args(0),
               if (args.length == 2) args(1).toInt else 1))
+          case "export" =>
+            arity(args.length == 3,
+              "export('<root>', '<snapshot tag>', '<dest>')")
+            Some(GraftExportCommand(args(0), args(1), args(2)))
           case "upsert" =>
             arity(args.length == 3,
               "upsert('<root>', '<source view>', '<keyCol>')")
@@ -720,6 +725,20 @@ case class GraftDvCompactCommand(root: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val rep = graft.sinks.DeletionVectors.compact(spark, root)
     Seq(Row(rep.filesRewritten, rep.rowsDropped))
+  }
+}
+
+/** `CALL graft.export(root, tag, dest)` — materialize snapshot `tag` as
+  * a new independent lake ([[graft.sources.Snapshots.export]]). */
+case class GraftExportCommand(root: String, tag: String, dest: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_copied", IntegerType)(),
+    AttributeReference("bytes_copied", LongType)(),
+    AttributeReference("dv_stores_copied", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = Snapshots.export(spark, root, tag, dest)
+    Seq(Row(rep.filesCopied, rep.bytesCopied, rep.dvStoresCopied))
   }
 }
 

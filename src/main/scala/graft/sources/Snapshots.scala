@@ -182,6 +182,41 @@ object Snapshots {
     snap.dv.map { case (rel, len, mtime) =>
       resolve(fs, root, tag, rel, len, mtime).getPath }
 
+  /** Snapshot tags with their creation times, oldest first. */
+  def listSnapshotsDetailed(spark: SparkSession,
+                            root: String): Seq[(String, Long)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    listSnapshots(spark, root)
+      .map(tag => tag -> readSnap(fs, rootPath, tag).created)
+      .sortBy { case (t, c) => (c, t) }
+  }
+
+  /** The latest snapshot created at or before `tsMillis` (Delta's
+    * `TIMESTAMP AS OF` resolution at snapshot granularity). None when
+    * every snapshot is newer. Ties (same millisecond) resolve to the
+    * lexicographically LAST tag — deterministic, and a sequence of
+    * programmatic snapshots within one tick still resolves stably. */
+  def snapshotAsOf(spark: SparkSession, root: String,
+                   tsMillis: Long): Option[String] =
+    listSnapshotsDetailed(spark, root)
+      .filter(_._2 <= tsMillis).lastOption.map(_._1)
+
+  /** Read the lake AS OF a timestamp: [[readSnapshot]] of
+    * [[snapshotAsOf]]'s resolution; raises naming the earliest snapshot
+    * when none is old enough (silent empty would read as data loss). */
+  def readSnapshotAsOf(spark: SparkSession, root: String,
+                       tsMillis: Long): DataFrame = {
+    val tag = snapshotAsOf(spark, root, tsMillis).getOrElse {
+      val earliest = listSnapshotsDetailed(spark, root).headOption
+      throw new IllegalArgumentException(
+        s"no snapshot of $root at or before $tsMillis" +
+          earliest.map { case (t, c) =>
+            s" (earliest is '$t' at $c)" }.getOrElse(" (none exist)"))
+    }
+    readSnapshot(spark, root, tag)
+  }
+
   /** Does snapshot `tag` pin a non-empty deletion-vector generation?
     * (Planning surfaces that cannot carry the merge-out anti-join — the
     * SQL `USING zlake` snapshot view — must refuse such snapshots.) */
@@ -417,6 +452,74 @@ object Snapshots {
     classified.select(
       dataCols.map(c => col(s"ev.img.$c").as(c)) :+
         col("ev.ct").as("_change_type"): _*)
+  }
+
+  final case class ExportReport(filesCopied: Int, bytesCopied: Long,
+                                dvStoresCopied: Int)
+
+  /** EXPORT a snapshot as a NEW INDEPENDENT LAKE at `dest` — the
+    * reproducibility hand-off: a pinned training corpus becomes a
+    * standalone lake no later mutation or `vacuum` of the source can
+    * touch. Every pinned data file byte-copies (resolved live-or-trash)
+    * to its ORIGINAL relative path, so layouts travel verbatim: a
+    * bucketed export keeps its `_NNNNN` names + sidecar and stays
+    * exchange-free-joinable; a windowed export keeps its `win=` dirs.
+    * A pinned deletion-vector generation copies into the new lake's own
+    * `_graft_dv/` — rel-path keys still match, so the export reads
+    * exactly like the pinned snapshot and can be compacted later on its
+    * own schedule. The constraints sidecar travels (current policy).
+    * Manifests regenerate from the copied files (batched: one stats job
+    * per layout), so the new lake plans zero-footer.
+    *
+    * Copies run driver-side on a small pool — right for the dimension/
+    * corpus-snapshot sizes this targets; at 100 TB hand the (src, dst)
+    * pair list to distcp and run only the manifest step here. */
+  def export(spark: SparkSession, root: String, tag: String,
+             dest: String): ExportReport = {
+    val rootPath = new Path(root)
+    val destPath = new Path(dest)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val dfs = destPath.getFileSystem(conf)
+    require(!dfs.exists(destPath) || dfs.listStatus(destPath).isEmpty,
+      s"export destination $dest is not empty")
+    val snap = readSnap(fs, rootPath, tag)
+    val copies: Seq[(Path, Path)] =
+      snap.files.map { sf =>
+        (resolve(fs, rootPath, tag, sf.rel, sf.len, sf.mtime).getPath,
+          new Path(destPath, sf.rel))
+      } ++ pinnedDvPaths(fs, rootPath, tag, snap).map { p =>
+        (p, new Path(new Path(destPath,
+          graft.sinks.DeletionVectors.DvDirName), p.getName))
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, copies.size)))
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      copies.map { case (src, dst) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            dfs.mkdirs(dst.getParent)
+            require(org.apache.hadoop.fs.FileUtil.copy(
+              fs, src, dfs, dst, false, conf),
+              s"export failed copying $src to $dst")
+            bytes.addAndGet(fs.getFileStatus(src).getLen); ()
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    // layout + governance sidecars travel
+    Seq(Z.BucketsName, graft.sinks.LakeConstraints.SidecarName)
+      .foreach { name =>
+        val s = new Path(rootPath, name)
+        if (fs.exists(s))
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            fs, s, dfs, new Path(destPath, name), false, conf),
+            s"export failed copying sidecar $name")
+      }
+    Z.repairDirManifests(spark,
+      snap.files.map(sf => new Path(destPath, sf.rel).getParent).distinct)
+    ExportReport(snap.files.size, bytes.get(), snap.dv.size)
   }
 
   // ---- the retire path (called by the lake's journaled mutations) --------

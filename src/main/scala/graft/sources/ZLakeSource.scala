@@ -66,7 +66,21 @@ class ZLakeSource extends RelationProvider with StreamSourceProvider
     // Snapshots.readSnapshot), serving fine when it pins none, however
     // the live store has grown since
     val p = new org.apache.hadoop.fs.Path(path)
-    val idx = parameters.get("snapshot") match {
+    // `snapshot_as_of '<epoch millis | yyyy-MM-dd[ HH:mm:ss]>'` resolves
+    // to the latest snapshot at or before that instant (Delta's
+    // TIMESTAMP AS OF at snapshot granularity; date/time strings parse
+    // in the JVM default zone)
+    val resolvedTag = parameters.get("snapshot").orElse(
+      parameters.get("snapshot_as_of").map { s =>
+        val ts =
+          if (s.forall(_.isDigit)) s.toLong
+          else if (s.length == 10) java.sql.Date.valueOf(s).getTime
+          else java.sql.Timestamp.valueOf(s).getTime
+        Snapshots.snapshotAsOf(spark, path, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot of $path at or before '$s'"))
+      })
+    val idx = resolvedTag match {
       case Some(tag) =>
         require(!Snapshots.pinsVectors(spark, path, tag),
           s"SQL relation (USING zlake): snapshot '$tag' pins merge-on-" +

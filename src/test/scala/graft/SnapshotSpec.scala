@@ -239,4 +239,106 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
       Snapshots.snapshot(spark, root, "../evil")
     }
   }
+
+  test("timestamp as-of resolution: latest snapshot at or before the " +
+      "instant, from Scala and from a SQL view") {
+    val root = tmp("snap-asof")
+    Sinks.zorderedWrite(corpus(512), "a", "b", root, numFiles = 2, bits = 6)
+    Snapshots.snapshot(spark, root, "v0")
+    Thread.sleep(10)
+    LakeDelete.deleteFromLake(spark, root, col("a") < 8)
+    Snapshots.snapshot(spark, root, "v1")
+    Thread.sleep(10)
+    LakeDelete.deleteFromLake(spark, root, col("a") < 16)
+    val det = Snapshots.listSnapshotsDetailed(spark, root)
+    assert(det.map(_._1) == Seq("v0", "v1"))
+    val Seq((_, c0), (_, c1)) = det
+    assert(Snapshots.snapshotAsOf(spark, root, c0) == Some("v0"))
+    assert(Snapshots.snapshotAsOf(spark, root, (c0 + c1) / 2) == Some("v0"))
+    assert(Snapshots.snapshotAsOf(spark, root, c1) == Some("v1"))
+    assert(Snapshots.snapshotAsOf(spark, root,
+      System.currentTimeMillis()) == Some("v1"))
+    assert(Snapshots.snapshotAsOf(spark, root, c0 - 1).isEmpty)
+    assert(Snapshots.readSnapshotAsOf(spark, root, c1).count() ==
+      512L - 512L / 8)
+    intercept[IllegalArgumentException](
+      Snapshots.readSnapshotAsOf(spark, root, c0 - 1))
+    // SQL spelling: snapshot_as_of with epoch millis
+    spark.sql("DROP VIEW IF EXISTS snap_asof_v")
+    spark.sql(s"CREATE TEMPORARY VIEW snap_asof_v USING zlake " +
+      s"OPTIONS (path '$root', snapshot_as_of '$c1')")
+    assert(spark.sql("SELECT count(*) FROM snap_asof_v")
+      .collect()(0).getLong(0) == 512L - 512L / 8)
+  }
+
+  test("export materializes a snapshot as an independent lake: bytes, " +
+      "layout, pinned vectors, and pruning all travel; the source's " +
+      "later life cannot touch it") {
+    import graft.sinks.DeletionVectors
+    val root = tmp("snap-exp")
+    Sinks.zorderedWrite(corpus(2048), "a", "b", root, numFiles = 4,
+      bits = 6, bloomCols = Seq("uid"))
+    // pin a state WITH live deletion vectors
+    DeletionVectors.deleteMoR(spark, root, col("id").isin(5L, 100L))
+    Snapshots.snapshot(spark, root, "pin")
+    val want = rows(Snapshots.readSnapshot(spark, root, "pin"))
+    // source moves on: more MoR deletes, then compaction rewrites files
+    DeletionVectors.deleteMoR(spark, root, col("id") === 200L)
+    DeletionVectors.compact(spark, root)
+    LakeDelete.deleteFromLake(spark, root, col("a") < 32)
+
+    val dest = tmp("snap-exp-dest")
+    val rep = spark.sql(s"CALL graft.export('$root', 'pin', '$dest')")
+      .collect()(0)
+    assert(rep.getInt(0) == 4 && rep.getInt(2) == 1, rep.toString)
+    // the export IS the pinned state, vectors applied
+    assert(rows(ZLake.read(spark, dest)) == want)
+    assert(DeletionVectors.present(spark, dest),
+      "pinned vectors must travel")
+    // manifests regenerated: planning the export opens no footers
+    val opens0 = ZLake.footerOpens.get()
+    ZLake.read(spark, dest).filter(col("a") < 8).count()
+    assert(ZLake.footerOpens.get() == opens0,
+      "exported lake must plan from manifests")
+    // independence: vacuuming the source away leaves the export whole
+    Snapshots.vacuum(spark, root, keep = Nil)
+    assert(rows(ZLake.read(spark, dest)) == want)
+    // and the export is a normal lake: compact materializes its vectors
+    DeletionVectors.compact(spark, dest)
+    assert(rows(ZLake.read(spark, dest)) == want)
+    // non-empty destination refused
+    intercept[IllegalArgumentException](
+      Snapshots.export(spark, root, "missing-tag", dest))
+  }
+
+  test("export keeps a bucketed layout exchange-free") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-snap-bexp").toString
+    val facts = Seq.tabulate(800)(i => ((i % 100).toLong, i.toLong))
+      .toDF("k", "v")
+    Sinks.bucketedLakeWrite(facts, Seq("k"), 4, s"$base/t")
+    Snapshots.snapshot(spark, s"$base/t", "b0")
+    Snapshots.export(spark, s"$base/t", "b0", s"$base/exp")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = ZLake.read(spark, s"$base/exp").groupBy("k")
+        .agg(sum("v").as("sv"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => s
+        case s: org.apache.spark.sql.execution.adaptive
+          .ShuffleQueryStageExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"exported bucketed lake must aggregate exchange-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
