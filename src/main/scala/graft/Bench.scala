@@ -266,6 +266,39 @@ object Bench {
             col("c_custkey") % 97 === 13)
           ()
         }),
+        // conditioned MERGE (r11): fixture write + one clause-routed CDC
+        // batch — post-image join, keyed delete, staged inserts, one
+        // journal; the lane delta vs qW_zorder_write IS the merge
+        new Timed("qW_cond_merge", {
+          val root = freshDir("wmrg") + "/customer"
+          lakes.writeFlat(root)
+          val src = spark.range(3000).select(
+            (col("id") * 5).as("c_custkey"),
+            (col("id") % 3).as("flag"), (col("id") % 100).as("bump"))
+          graft.sinks.LakeDelete.mergeLake(spark, root, src, "c_custkey",
+            Seq(
+              graft.sinks.LakeDelete.MergeMatched(
+                Some(col("s.flag") === 0L),
+                Some(Seq("a" -> (col("t.a") + col("s.bump"))))),
+              graft.sinks.LakeDelete.MergeMatched(
+                Some(col("s.flag") === 1L), None)))
+          ()
+        }),
+        // within-bucket compaction (r11): fragmented bucketed lake
+        // (bootstrap + 3 appends) pooled back to one file per bucket
+        new Timed("qW_bucket_compact", {
+          val root = freshDir("wbkt") + "/customer"
+          val proj = lakes.customerProj
+          graft.sinks.Sinks.bucketedLakeWrite(
+            proj.filter(col("c_custkey") % 4 =!= 0), Seq("c_custkey"), 8,
+            root)
+          for (i <- 1 to 3)
+            graft.sinks.LakeDelete.appendLake(spark, root,
+              proj.filter(col("c_custkey") % 4 === 0 &&
+                col("c_custkey") % 3 === i % 3))
+          graft.sinks.Sinks.compactBucketedLake(spark, root)
+          ()
+        }),
 
         // ---- lake READ lanes: pre-built fixtures, plans mirror the
         //      gate queries (collect() — results are ≤ 50 rows) ----

@@ -841,22 +841,33 @@ object LakeDelete {
     *   WHEN MATCHED AND <c1> THEN UPDATE SET colA = <expr>, ...
     *   WHEN MATCHED AND <c2> THEN DELETE
     *   WHEN NOT MATCHED [AND <c3>] THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND <c4>] THEN UPDATE SET ... | DELETE
     * }}}
     * Per matched (target row, source row) pair the FIRST clause whose
     * condition holds applies (Delta semantics); matched rows firing no
     * clause stay byte-untouched — they are excluded from the keyed
     * delete, not rewritten back. Unmatched source rows insert
     * name-for-name when `notMatchedInsert` is set (its condition may
-    * reference only the source).
+    * reference only the source). `notMatchedBySource` clauses fire on
+    * TARGET rows whose key is absent from the batch (NULL-keyed target
+    * rows included — they can never equi-match); their conditions and
+    * assignment values may reference only the target (an `s.` reference
+    * fails resolution — there is no source row).
     *
-    * Scale shape: identical to [[upsertLake]] — the source's distinct
-    * keys (≤ `maxKeys`, the CDC-batch bound) gate an envelope/bloom-
-    * triaged keyed delete, post-images stage as new files, one journal
-    * commits both lanes atomically. The post-image join reads ONLY the
-    * key-pruned slice of the lake. Unlike upsertLake, post-images depend
-    * on TARGET state, so a lost optimistic race recomputes them from a
-    * fresh read before restaging (staged bytes from the losing attempt
-    * die with the txn dir).
+    * Scale shape: identical to [[upsertLake]] for the matched/insert
+    * lanes — the source's distinct keys (≤ `maxKeys`, the CDC-batch
+    * bound) gate an envelope/bloom-triaged keyed delete, post-images
+    * stage as new files, one journal commits every lane atomically. The
+    * post-image join reads ONLY the key-pruned slice of the lake.
+    * NOT-MATCHED-BY-SOURCE is semantically a whole-table scan (any row
+    * the batch does NOT name may fire), so its lane prunes by the clause
+    * CONDITIONS instead: the count/stage jobs push them into the parquet
+    * scan, and the rewrite triage sees them in the delete predicate —
+    * the SCD2 spelling `AND t.is_current` touches only current-row
+    * files. Unlike upsertLake, post-images depend on TARGET state, so a
+    * lost optimistic race recomputes them from a fresh read before
+    * restaging (staged bytes from the losing attempt die with the txn
+    * dir).
     *
     * The source must have UNIQUE keys per batch — a key matching
     * multiple source rows would apply an arbitrary one (Delta raises
@@ -865,12 +876,14 @@ object LakeDelete {
                 keyCol: String, matched: Seq[MergeMatched],
                 notMatchedInsert: Option[Option[Column]] = None,
                 maxKeys: Int = 100000,
-                fence: Option[String] = None): MergeReport = {
+                fence: Option[String] = None,
+                notMatchedBySource: Seq[MergeMatched] = Nil): MergeReport = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no lake at $root")
-    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
+      notMatchedBySource.nonEmpty,
       "merge needs at least one WHEN clause")
     DeletionVectors.requireAbsent(fs, rootPath, "MERGE")
     requireNotBucketed(fs, rootPath, "MERGE")

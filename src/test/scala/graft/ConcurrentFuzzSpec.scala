@@ -71,7 +71,7 @@ class ConcurrentFuzzSpec extends AnyFunSuite with SparkSpec {
           }
           throw new IllegalStateException("unreachable")
         }
-        rnd.nextInt(3) match {
+        rnd.nextInt(4) match {
           case 0 => // keyed UPSERT of owned keys (existing + fresh)
             val existing = rnd.shuffle(model.keys.toSeq)
               .take(1 + rnd.nextInt(10))
@@ -94,13 +94,44 @@ class ConcurrentFuzzSpec extends AnyFunSuite with SparkSpec {
                 col("id").isin(victims: _*)))
               victims.foreach(model.remove)
             }
-          case _ => // APPEND of fresh owned keys
+          case 2 => // APPEND of fresh owned keys
             val ks = (0 until 1 + rnd.nextInt(3)).map(i =>
               fresh + i.toLong * T)
             fresh += ks.length.toLong * T + T
             val rows = ks.map(id => mkRow(id, id % 97))
             retryCme(LakeDelete.appendLake(spark, root, toDf(rows)))
             rows.foreach { case (id, _, u, _) => model(id) = u }
+          case _ => // CONDITIONED MERGE over owned keys (r11): clause-
+            // routed update/delete on matches, conditional insert on
+            // fresh keys — post-images read TARGET state, so a lost
+            // race must recompute them (the restage path under fire)
+            val existing = rnd.shuffle(model.keys.toSeq)
+              .take(rnd.nextInt(8))
+            val nf = rnd.nextInt(2)
+            val freshKeys = (0 until nf).map(i => fresh + i.toLong * T)
+            fresh += nf.toLong * T + T
+            val delta = (1 + rnd.nextInt(500)).toLong
+            val srcRows = (existing ++ freshKeys).distinct.map { id =>
+              (id, id % 64, id % 97 + delta, (id % 2).toString,
+                id / T % 2)
+            }
+            if (srcRows.nonEmpty) {
+              val src = srcRows
+                .toDF("id", "a", "u", "win", "flag")
+              retryCme(LakeDelete.mergeLake(spark, root, src, "id",
+                Seq(
+                  LakeDelete.MergeMatched(Some(col("s.flag") === 0L),
+                    Some(Seq("u" -> (col("t.u") + lit(delta))))),
+                  LakeDelete.MergeMatched(Some(col("s.flag") === 1L),
+                    None)),
+                notMatchedInsert = Some(Some(col("s.flag") === 0L))))
+              srcRows.foreach { case (id, _, uSrc, _, flag) =>
+                if (model.contains(id)) {
+                  if (flag == 0L) model(id) = model(id) + delta
+                  else { model.remove(id); () }
+                } else if (flag == 0L) model(id) = uSrc
+              }
+            }
         }
       }
     })
