@@ -55,6 +55,15 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   /** Wrap a Column→Column composition as an expression builder (eager node
     * conversion — a lazy ColumnNodeExpression is Unevaluable here). */
   private def c1(f: Column => Column)(args: Seq[Expression]): Expression =
@@ -92,6 +101,12 @@ object GraftExtensions {
       graft.functions.KernelAggs.BottomKAgg(a(0), a(1), intArg(a(2), "k"))),
     "graft_kmv_sketch" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.KmvAgg(a(0), intArg(a(1), "k"))),
+    "graft_digit_hist" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.DigitHistAgg(a(0), intArg(a(1), "digits"))),
+    "graft_digit_hist_merge" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.DigitHistMergeAgg(a.head)),
+    "graft_digit_quantile" -> ((a: Seq[Expression]) =>
+      KernelExprs.DigitQuantile(a(0), doubleArg(a(1), "q"))),
     "graft_zorder2" -> ((a: Seq[Expression]) =>
       KernelExprs.ZOrder2(a(0), a(1), intArg(a(2), "bits"))),
     "graft_zorder3" -> ((a: Seq[Expression]) =>

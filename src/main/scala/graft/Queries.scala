@@ -467,7 +467,13 @@ object Queries {
     "q107_sequence_packing", "q108_unigram_nll",
     // round-9: domain-weighted corpus mixing (join-pruned lake reads are
     // timed by the qR_join_prune lane — q127's fn builds its own lake)
-    "q128_corpus_mixing")
+    "q128_corpus_mixing",
+    // round-11: exact-substring dedup (the corpus-proportional duplicated
+    // n-gram sweep); deterministic training-order shuffle (shard + rank);
+    // digit-histogram quantiles (sketch build + merge + reads). The
+    // tokenizer-training queries (q146/q154/q160) stay gate-only: their
+    // cost is the driver loop, not a repeatable engine lane.
+    "q159_substring_dedup", "q161_training_order", "q162_digit_quantiles")
   // The composite lake lanes (q96/q103/q106/q109/q110/q111) left this
   // list in r9 (VERDICT r8 #2): each billed 4-8 z-ordered WRITES per run
   // and hid the zero-task reads it existed to measure. Bench now times

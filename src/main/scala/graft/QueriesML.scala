@@ -2034,6 +2034,101 @@ object QueriesML {
         TrainPrep.mixCorpus(docs, col("doc_id"), col("source"),
             col("n_chars"), weights = w, budget = 150000L, seed = 7)
           .orderBy(col("doc_id"), col("epoch"))
-      })
+      }),
+
+    // -- UNIGRAM-LM tokenizer (Kudo 2018, SentencePiece unigram — the
+    //    engine's second tokenizer family alongside BPE): distributed
+    //    unit count → driver EM over the capped unit table → codegen'd
+    //    Viterbi encode. The oracle pins the byte-exact round trip BOTH
+    //    through the piece strings and through the integer id space,
+    //    plus every-id-in-range and strictly-positive token counts: a
+    //    drift in seeding, EM, pruning, the Viterbi tie rule, the ▁
+    //    marker algebra, or the id assignment flips a column and the
+    //    hash mismatches.
+    QueryDef("q160_unigram_roundtrip", Some("""
+      SELECT doc_id, TRUE AS roundtrip, TRUE AS ids_roundtrip,
+             TRUE AS in_vocab, TRUE AS tokens_bounded
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val model = graft.operators.Unigram.train(docs, col("text"),
+          vocabSize = 400, maxWords = 1 << 17, maxPieceLen = 8,
+          seedSize = 1 << 12, emRounds = 2)
+        val vs = model.vocabSize
+        docs.select(col("doc_id"), col("text"),
+            graft.operators.Unigram.encode(col("text"), model).as("toks"),
+            graft.operators.Unigram.encodeIds(col("text"), model).as("ids"))
+          .select(col("doc_id"),
+            (graft.operators.Unigram.decode(col("toks"), model)
+              === col("text")).as("roundtrip"),
+            (graft.operators.Unigram.decodeIds(col("ids"), model)
+              === col("text")).as("ids_roundtrip"),
+            forall(col("ids"), id => id >= 0 && id < lit(vs))
+              .as("in_vocab"),
+            // ≥1 piece always (the dummy ▁ unit), ≤ marked length (every
+            // piece carries ≥1 char)
+            (size(col("toks")) >= 1 &&
+              size(col("toks")) <= length(col("text")) + 1)
+              .as("tokens_bounded"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- TRAINED quality/language classifier (TextClassifier.naiveBayes):
+    //    the fastText-style supervised corpus filter, as multinomial
+    //    Naive Bayes because counting is CLOSED-FORM — the model and
+    //    every score are bit-deterministic (an SGD trainer's float
+    //    reduce order is not), so the ENTIRE train+score pipeline
+    //    replays in DuckDB: priors, top-K vocab, add-one smoothing,
+    //    q6-decimal log-prob sums, argmax with min-label ties. Trains on
+    //    documents.lang and rescores the corpus (resubstitution).
+    QueryDef("q163_nb_classifier", Some(s"""
+      WITH base AS (SELECT doc_id, lang AS cls, ${dkToks("text")} AS toks
+                    FROM documents),
+      toks AS (SELECT doc_id, cls, unnest(toks) AS token FROM base),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM base),
+      cc AS (SELECT cls, count(*) AS n_docs FROM base GROUP BY cls),
+      cntall AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+      rk AS (SELECT token, row_number() OVER (ORDER BY freq DESC, token)
+                    AS rk
+             FROM cntall),
+      vocab AS (SELECT token FROM rk WHERE rk <= 500),
+      vc AS (SELECT count(*) AS v FROM vocab),
+      iv AS (SELECT t.cls, t.token FROM toks t JOIN vocab USING (token)),
+      tc AS (SELECT cls, token, count(*) AS cnt FROM iv GROUP BY 1, 2),
+      ct AS (SELECT cls, count(*) AS tot FROM iv GROUP BY 1),
+      model AS (SELECT tc.cls, tc.token,
+                  CAST(${dkQround("ln(CAST(tc.cnt + 1 AS DOUBLE) / " +
+                    "CAST(ct.tot + vc.v + 1 AS DOUBLE))", 6)}
+                    AS DECIMAL(18,6)) AS logp
+                FROM tc JOIN ct USING (cls), vc),
+      ci AS (SELECT cc.cls,
+               CAST(${dkQround("ln(cc.n_docs / nd.n_all)", 6)}
+                 AS DECIMAL(18,6)) AS prior_logp,
+               CAST(${dkQround("ln(1.0 / CAST(coalesce(ct.tot, 0) " +
+                 "+ vc.v + 1 AS DOUBLE))", 6)}
+                 AS DECIMAL(18,6)) AS oov_logp
+             FROM cc LEFT JOIN ct USING (cls), vc, nd),
+      matched AS (SELECT t.doc_id, m.cls, sum(m.logp) AS s_in,
+                         count(*) AS n_in
+                  FROM toks t JOIN model m USING (token) GROUP BY 1, 2),
+      nt AS (SELECT doc_id, cls AS true_cls, len(toks) AS n_tok FROM base),
+      scores AS (SELECT nt.doc_id, nt.true_cls, ci.cls,
+                   coalesce(ma.s_in, 0) +
+                     (nt.n_tok - coalesce(ma.n_in, 0)) * ci.oov_logp +
+                     ci.prior_logp AS score
+                 FROM nt CROSS JOIN ci
+                 LEFT JOIN matched ma ON ma.doc_id = nt.doc_id
+                                     AND ma.cls = ci.cls),
+      mx AS (SELECT doc_id, max(score) AS m FROM scores GROUP BY doc_id)
+      SELECT s.doc_id, min(s.cls) AS pred,
+             CAST(max(s.score) AS DOUBLE) AS score,
+             min(s.cls) = min(s.true_cls) AS matches_label
+      FROM scores s JOIN mx ON s.doc_id = mx.doc_id AND s.score = mx.m
+      GROUP BY s.doc_id ORDER BY s.doc_id"""),
+      (s, dir) =>
+        graft.operators.TextClassifier.naiveBayes(
+          T(s, dir, "documents"), col("doc_id"), col("text"), col("lang"),
+          vocabSize = 500)
+          .orderBy(col("doc_id")))
   )
 }

@@ -2246,6 +2246,135 @@ object QueriesOps {
                         CAST(sum(cents) AS BIGINT) AS sum_cents,
                         CAST(sum(id) AS BIGINT) AS sum_id
                  FROM q155_lake GROUP BY win ORDER BY w""")
+      }),
+
+    // -- EXACT-SUBSTRING dedup (Lee et al. 2022, arXiv:2107.06499): every
+    //    6-token window appearing more than once in the corpus keeps only
+    //    its first (doc, pos) occurrence; tokens covered by a non-first
+    //    occurrence are cut and documents reassemble from the survivors.
+    //    The oracle replays the same window/coverage algebra relationally
+    //    (windows via LATERAL unnest, first-occurrence via row_number,
+    //    coverage via a BETWEEN join); the engine's lane is text-free
+    //    (dual xxhash64 keys) with one token-bearing exchange — see
+    //    Dedup.substringDedup.
+    QueryDef("q159_substring_dedup", Some("""
+      WITH d AS (SELECT doc_id,
+                        list_filter(string_split_regex(text, '\s+'),
+                                    t -> len(t) > 0) AS ts
+                 FROM documents),
+      occ AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(ts[i:i+5], ' ') AS g
+              FROM d, LATERAL (SELECT unnest(range(1, len(ts) - 4)) AS i)),
+      ranked AS (SELECT doc_id, pos,
+                        row_number() OVER (PARTITION BY g
+                                           ORDER BY doc_id, pos) AS rn
+                 FROM occ),
+      rem AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+      tok AS (SELECT doc_id, i - 1 AS tpos, ts[i] AS t
+              FROM d, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+      cut AS (SELECT DISTINCT k.doc_id, k.tpos
+              FROM tok k JOIN rem r ON k.doc_id = r.doc_id
+                                   AND k.tpos BETWEEN r.pos AND r.pos + 5),
+      keptagg AS (SELECT k.doc_id, count(*) AS nk,
+                         string_agg(k.t, ' ' ORDER BY k.tpos) AS txt
+                  FROM tok k LEFT JOIN cut c ON k.doc_id = c.doc_id
+                                            AND k.tpos = c.tpos
+                  WHERE c.doc_id IS NULL GROUP BY k.doc_id)
+      SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+             CAST(len(d.ts) - coalesce(a.nk, 0) AS BIGINT) AS n_removed,
+             coalesce(a.txt, '') AS kept_text
+      FROM d LEFT JOIN keptagg a USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) =>
+        graft.operators.Dedup.substringDedup(
+          T(s, dir, "documents"), col("doc_id"), col("text"), 6)
+          .orderBy("doc_id")),
+
+    // -- DETERMINISTIC training-order shuffle (TrainPrep.trainingOrder):
+    //    the seeded global permutation a training run streams its
+    //    (doc, epoch) rows in — md5 order key, hash60-sharded, ranked
+    //    within shard. The oracle replays key → shard → rank exactly;
+    //    rand() could never be gated like this, which is the point:
+    //    resumes and retries see the identical order.
+    QueryDef("q161_training_order", Some("""
+      WITH de AS (SELECT doc_id, e AS epoch
+                  FROM documents, LATERAL (SELECT unnest([0, 1]) AS e)),
+      k AS (SELECT doc_id, epoch,
+                   md5('7:' || CAST(epoch AS VARCHAR) || ':' ||
+                       CAST(doc_id AS VARCHAR)) AS okey
+            FROM de),
+      s AS (SELECT doc_id, epoch, okey,
+                   CAST(('0x' || substring(md5(okey), 1, 15)) AS BIGINT) % 8
+                     AS shard
+            FROM k),
+      p AS (SELECT shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY okey, doc_id, epoch) - 1
+                     AS pos,
+                   doc_id, epoch
+            FROM s)
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos,
+             doc_id, CAST(epoch AS BIGINT) AS epoch
+      FROM p ORDER BY shard, pos"""),
+      (s, dir) => {
+        val de = T(s, dir, "documents")
+          .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("epoch"))
+        graft.operators.TrainPrep.trainingOrder(de, col("doc_id"),
+            col("epoch"), seed = 7L, numShards = 8)
+          .orderBy(col("shard"), col("pos"))
+      }),
+
+    // -- DIGIT-HISTOGRAM quantiles (KernelAggs.DigitHistAgg): DDSketch's
+    //    log-bucket quantiles on an EXACT decimal-digit grid (≤10%
+    //    relative bucket width at 2 digits) — deterministic and
+    //    re-aggregatable, unlike percentile_approx. The Spark side runs
+    //    the two-level lane on purpose (per-(flag,status) sketches →
+    //    digit_hist_merge rollup → quantile), proving merged == direct;
+    //    the oracle computes the direct histogram walk relationally.
+    QueryDef("q162_digit_quantiles", Some("""
+      WITH v AS (SELECT l_returnflag AS grp,
+                        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS c
+                 FROM lineitem),
+      b AS (SELECT grp,
+                   CAST(CASE WHEN length(CAST(c AS VARCHAR)) <= 2
+                             THEN CAST(c AS VARCHAR)
+                        ELSE rpad(substring(CAST(c AS VARCHAR), 1, 2),
+                                  CAST(length(CAST(c AS VARCHAR)) AS INTEGER),
+                                  '0') END
+                        AS BIGINT) AS lb
+            FROM v),
+      h AS (SELECT grp, lb, count(*) AS n FROM b GROUP BY grp, lb),
+      t AS (SELECT grp, sum(n) AS tot FROM h GROUP BY grp),
+      cw AS (SELECT h.grp, h.lb,
+                    sum(h.n) OVER (PARTITION BY h.grp ORDER BY h.lb) AS cn,
+                    t.tot
+             FROM h JOIN t ON h.grp = t.grp)
+      SELECT grp,
+             CAST(min(CASE WHEN cn >= greatest(1,
+               CAST(ceil(0.50 * tot) AS BIGINT)) THEN lb END) AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cn >= greatest(1,
+               CAST(ceil(0.95 * tot) AS BIGINT)) THEN lb END) AS BIGINT) AS p95,
+             CAST(min(CASE WHEN cn >= greatest(1,
+               CAST(ceil(0.99 * tot) AS BIGINT)) THEN lb END) AS BIGINT) AS p99,
+             CAST(max(tot) AS BIGINT) AS n
+      FROM cw GROUP BY grp ORDER BY grp"""),
+      (s, dir) => {
+        import graft.functions.{KernelAggs => KA, KernelExprs => KE}
+        val li = T(s, dir, "lineitem").select(
+          col("l_returnflag").as("grp"), col("l_linestatus").as("sub"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        li.groupBy(col("grp"), col("sub"))
+          .agg(KA.digit_hist(col("cents"), 2).as("h"))
+          .groupBy(col("grp"))
+          .agg(KA.digit_hist_merge(col("h")).as("h"))
+          .select(col("grp"),
+            KE.digit_quantile(col("h"), 0.50).as("p50"),
+            KE.digit_quantile(col("h"), 0.95).as("p95"),
+            KE.digit_quantile(col("h"), 0.99).as("p99"),
+            aggregate(col("h"), lit(0L), (acc, x) => acc + x("n")).as("n"))
+          .orderBy(col("grp"))
       })
   )
 }

@@ -604,4 +604,155 @@ object KernelAggs {
   def kmv_sketch(key: Column, k: Int): Column =
     ColumnBridge.column(
       KmvAgg(ColumnBridge.expression(key), k).toAggregateExpression())
+
+  // ---------------------------------------------------------------------------
+  // Digit histogram — deterministic re-aggregatable quantiles
+  // ---------------------------------------------------------------------------
+
+  /** Shared digit-histogram machinery: bucket-lb → count map, emitted as
+    * an lb-SORTED array<struct<lb:long, n:long>> (sorted output = the
+    * same bytes regardless of update/merge order). Bucket count is hard-
+    * bounded by the grid itself: ≤ 9·10^(digits-1) buckets per decimal
+    * magnitude × ≤ 19 magnitudes + the exact head — a few KB at
+    * digits=2, which is what makes the sketch safe as a per-group
+    * aggregate state and a streaming accumulator. */
+  final class DigitHistBuf {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def add(lb: Long, n: Long): Unit = {
+      val cur = m.get(lb)
+      m.put(lb, if (cur == null) n else cur.longValue + n)
+    }
+    def merge(o: DigitHistBuf): Unit = {
+      val it = o.m.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); add(e.getKey, e.getValue) }
+    }
+  }
+
+  private def histDataType: DataType = ArrayType(StructType(Seq(
+    StructField("lb", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+
+  private def histEval(b: DigitHistBuf): Any = {
+    import scala.jdk.CollectionConverters._
+    val entries = b.m.entrySet().asScala.toArray
+      .map(e => (e.getKey.longValue, e.getValue.longValue))
+      .sortBy(_._1)
+    new GenericArrayData(entries.map { case (lb, n) =>
+      org.apache.spark.sql.catalyst.InternalRow(lb, n): Any })
+  }
+
+  private def histSerialize(b: DigitHistBuf): Array[Byte] = {
+    val n = b.m.size()
+    val bb = ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    val it = b.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  private def histDeserialize(bytes: Array[Byte]): DigitHistBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val b = new DigitHistBuf
+    var i = 0
+    while (i < n) { b.add(bb.getLong(), bb.getLong()); i += 1 }
+    b
+  }
+
+  /** DECIMAL-DIGIT histogram of a non-negative long column — the
+    * deterministic quantile sketch ([[Kernels.digitBucket]]): DDSketch's
+    * log-bucket idea on an exact integer grid, so the sketch (and every
+    * quantile read from it) is bit-identical across engines, partition
+    * orders, and merge trees. Relative error ≤ 10^(1-digits) at the
+    * bucket boundary; re-aggregate with [[DigitHistMergeAgg]]. */
+  case class DigitHistAgg(
+      child: Expression, digits: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DigitHistBuf] with UnaryLike[Expression] {
+    require(digits >= 1 && digits <= 15,
+      s"digit_hist: digits in [1, 15] (got $digits)")
+
+    override def dataType: DataType = histDataType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): DigitHistBuf = new DigitHistBuf
+
+    override def update(b: DigitHistBuf, input: InternalRow): DigitHistBuf = {
+      val v = child.eval(input)
+      if (v != null)
+        b.add(Kernels.digitBucket(v.asInstanceOf[Number].longValue, digits), 1L)
+      b
+    }
+    override def merge(b: DigitHistBuf, o: DigitHistBuf): DigitHistBuf = {
+      b.merge(o); b
+    }
+    override def eval(b: DigitHistBuf): Any = histEval(b)
+    override def serialize(b: DigitHistBuf): Array[Byte] = histSerialize(b)
+    override def deserialize(bytes: Array[Byte]): DigitHistBuf =
+      histDeserialize(bytes)
+    override def withNewMutableAggBufferOffset(n: Int): DigitHistAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): DigitHistAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): DigitHistAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_digit_hist"
+  }
+
+  /** RE-aggregation of digit histograms (array<struct<lb,n>> input):
+    * count-sum per bucket — the rollup lane (per-minute sketches → per-
+    * hour quantiles, per-partition partials → global) and the streaming
+    * state update. Output type and sorting identical to [[DigitHistAgg]],
+    * and (sketch being a plain histogram) re-aggregation is EXACT: the
+    * merged sketch equals the sketch of the concatenated inputs. */
+  case class DigitHistMergeAgg(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DigitHistBuf] with UnaryLike[Expression] {
+
+    override def dataType: DataType = histDataType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): DigitHistBuf = new DigitHistBuf
+
+    override def update(b: DigitHistBuf, input: InternalRow): DigitHistBuf = {
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          val row = arr.getStruct(i, 2)
+          b.add(row.getLong(0), row.getLong(1))
+          i += 1
+        }
+      }
+      b
+    }
+    override def merge(b: DigitHistBuf, o: DigitHistBuf): DigitHistBuf = {
+      b.merge(o); b
+    }
+    override def eval(b: DigitHistBuf): Any = histEval(b)
+    override def serialize(b: DigitHistBuf): Array[Byte] = histSerialize(b)
+    override def deserialize(bytes: Array[Byte]): DigitHistBuf =
+      histDeserialize(bytes)
+    override def withNewMutableAggBufferOffset(n: Int): DigitHistMergeAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): DigitHistMergeAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): DigitHistMergeAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_digit_hist_merge"
+  }
+
+  /** Column wrapper: digit histogram of a non-negative long column. */
+  def digit_hist(c: Column, digits: Int): Column =
+    ColumnBridge.column(
+      DigitHistAgg(ColumnBridge.expression(c), digits).toAggregateExpression())
+
+  /** Column wrapper: merge pre-built digit histograms (rollup lane). */
+  def digit_hist_merge(c: Column): Column =
+    ColumnBridge.column(
+      DigitHistMergeAgg(ColumnBridge.expression(c)).toAggregateExpression())
 }

@@ -254,6 +254,108 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** Quantile read from a digit histogram
+    * ([[KernelAggs.DigitHistAgg]]'s sorted array<struct<lb,n>>): lower
+    * bound of the bucket holding the max(1, ceil(q·N))-th value — exact
+    * integer walk, identical on every engine. */
+  case class DigitQuantile(child: Expression, q: Double)
+      extends UnaryExpression {
+    require(q > 0.0 && q <= 1.0, s"digit_quantile: q in (0, 1] (got $q)")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.digitQuantile(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], q)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        Object r = graft.functions.Kernels.digitQuantile($c, $q);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((Long) r).longValue(); }""")
+    override protected def withNewChildInternal(newChild: Expression): DigitQuantile =
+      copy(child = newChild)
+  }
+
+  /** Unigram-LM (SentencePiece) Viterbi encode of a text column against a
+    * trained piece table ([[UnigramTable]]): array<string> of pieces. The
+    * table rides the expression (codegen via `addReferenceObj`) — it
+    * serializes to executors with the plan. */
+  case class UnigramEncode(child: Expression, table: UnigramTable)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      table.encodeText(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramTable", table,
+        classOf[UnigramTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.encodeText($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+      copy(child = newChild)
+  }
+
+  /** Inverse of [[UnigramEncode]] — byte-exact for marker-free text. */
+  case class UnigramDecode(child: Expression, table: UnigramTable)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(input: Any): Any =
+      table.decodeTokens(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramTable", table,
+        classOf[UnigramTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.decodeTokens($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): UnigramDecode =
+      copy(child = newChild)
+  }
+
+  /** Unigram token IDS (array<int>; 0 = <unk>, piece i → i+1). */
+  case class UnigramEncodeIds(child: Expression, table: UnigramTable)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      table.encodeIds(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramTable", table,
+        classOf[UnigramTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.encodeIds($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): UnigramEncodeIds =
+      copy(child = newChild)
+  }
+
+  /** Inverse of [[UnigramEncodeIds]]. */
+  case class UnigramDecodeIds(child: Expression, table: UnigramTable)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(input: Any): Any =
+      table.decodeIds(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramTable", table,
+        classOf[UnigramTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.decodeIds($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): UnigramDecodeIds =
+      copy(child = newChild)
+  }
+
+  /** Unigram token COUNT — same Viterbi, no array materialized. */
+  case class UnigramCount(child: Expression, table: UnigramTable)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      table.countTokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramTable", table,
+        classOf[UnigramTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.countTokens($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): UnigramCount =
+      copy(child = newChild)
+  }
+
   // --- Column-level wrappers -------------------------------------------------
 
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -285,4 +387,16 @@ object KernelExprs {
     ColumnBridge.column(BpeEncodeIds(e(text), table))
   def bpe_decode_ids(ids: Column, table: BpeTable): Column =
     ColumnBridge.column(BpeDecodeIds(e(ids), table))
+  def unigram_encode(text: Column, table: UnigramTable): Column =
+    ColumnBridge.column(UnigramEncode(e(text), table))
+  def unigram_decode(tokens: Column, table: UnigramTable): Column =
+    ColumnBridge.column(UnigramDecode(e(tokens), table))
+  def unigram_encode_ids(text: Column, table: UnigramTable): Column =
+    ColumnBridge.column(UnigramEncodeIds(e(text), table))
+  def unigram_decode_ids(ids: Column, table: UnigramTable): Column =
+    ColumnBridge.column(UnigramDecodeIds(e(ids), table))
+  def unigram_count(text: Column, table: UnigramTable): Column =
+    ColumnBridge.column(UnigramCount(e(text), table))
+  def digit_quantile(hist: Column, q: Double): Column =
+    ColumnBridge.column(DigitQuantile(e(hist), q))
 }

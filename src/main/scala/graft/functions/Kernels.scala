@@ -269,6 +269,51 @@ object Kernels {
     true
   }
 
+  /** DECIMAL-DIGIT histogram bucket of a non-negative long: the value
+    * with all but its first `digits` significant (decimal) digits zeroed
+    * — a DDSketch-flavored log-scale bucket lower bound, but on an EXACT
+    * integer grid (no libm, no float rounding), so Spark and any SQL
+    * engine (string prefix + zero-pad) agree bit-for-bit. Relative
+    * bucket width ≤ 10^(1-digits) (digits=2 → ≤10%); values below
+    * 10^digits are their own bucket (exact head). Order-independent,
+    * mergeable by count-sum — the properties that make the sketch safe
+    * to re-aggregate across groups and streaming batches. */
+  def digitBucket(v: Long, digits: Int): Long = {
+    require(v >= 0, s"digitBucket: negative value $v (counts/cents only)")
+    var p = 1L
+    // p = 10^(nd - digits) where nd = decimal digit count of v
+    var threshold = 1L
+    var d = 0
+    while (d < digits) { threshold *= 10; d += 1 } // 10^digits
+    var scaled = v
+    while (scaled >= threshold) { scaled /= 10; p *= 10 }
+    (v / p) * p
+  }
+
+  /** Quantile from a SORTED (by lb) digit-histogram array of
+    * struct<lb:long, n:long>: the lower bound of the bucket holding the
+    * `max(1, ceil(q·N))`-th value (the conservative rank rule every SQL
+    * cume-walk reproduces exactly — 0.95·N is the same IEEE product on
+    * every engine). Null on an empty histogram. */
+  def digitQuantile(hist: ArrayData, q: Double): Any = {
+    val m = hist.numElements()
+    if (m == 0) return null
+    var total = 0L
+    var i = 0
+    while (i < m) { total += hist.getStruct(i, 2).getLong(1); i += 1 }
+    if (total == 0L) return null
+    val rank = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    i = 0
+    while (i < m) {
+      val row = hist.getStruct(i, 2)
+      cum += row.getLong(1)
+      if (cum >= rank) return row.getLong(0)
+      i += 1
+    }
+    hist.getStruct(m - 1, 2).getLong(0)
+  }
+
   /** Sign-random-projection bucket id (0 .. 2^planes-1) of a quantized
     * vector: bit p = sign of the exact integer projection onto plane p. */
   def srpBucket(qv: ArrayData, planes: Int): Long = {

@@ -472,4 +472,72 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** EXACT-SUBSTRING deduplication at token granularity — the
+    * suffix-array dedup of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499) re-expressed as a
+    * distributed duplicated-n-gram sweep: any run of `n` consecutive
+    * whitespace tokens that appears MORE THAN ONCE in the corpus keeps
+    * only its first occurrence (smallest `(doc_id, pos)`); every token
+    * covered by a NON-first occurrence of a duplicated n-gram is cut,
+    * and documents reassemble from their surviving tokens in original
+    * order (single-space joined — original whitespace runs are not
+    * preserved, the standard token-level trade). Because duplicated
+    * windows overlap, a duplicated span of any length ≥ n is removed
+    * wholesale from its non-first copies — the fixed window size only
+    * sets the MINIMUM match length, exactly the role of the 50-token
+    * threshold in the paper's suffix-array formulation.
+    *
+    * Output: `(doc_id, n_tokens, n_removed, kept_text)`.
+    *
+    * Scale shape (mirrors [[graft.operators.TrainPrep.paragraphDedup]]):
+    * the n-gram occurrence lane is TEXT-FREE — each window is keyed by
+    * TWO independent xxhash64 lanes of its space-joined tokens (a
+    * single-lane collision never merges distinct text), so the
+    * first-occurrence aggregate (a map-side-combined `min(struct)` —
+    * never a window sort, so the billion-fold boilerplate gram IS the
+    * cheap case) and the occurrence↔first join shuffle only
+    * `(doc_id, pos, h1, h2)`. Grams occurring once — the overwhelming
+    * bulk of a natural corpus — are dropped before the join
+    * (`cnt > 1`), and removal STARTS collapse to one bounded-size
+    * per-doc array, so the token-bearing frame crosses exactly ONE
+    * exchange: the final doc_id join. Per-token coverage then evaluates
+    * as a codegen'd `exists` over that array — no second text shuffle,
+    * no interval join. */
+  def substringDedup(docs: DataFrame, id: Column, text: Column,
+                     n: Int): DataFrame = {
+    require(n >= 2, s"substringDedup: window must be >= 2 tokens (got $n)")
+    val toks = docs.select(id.as("doc_id"),
+      filter(split(text, "\\s+"), t => length(t) > 0).as("ts"))
+    // text-free occurrence lane: one row per n-token window
+    val gram: Column => Column =
+      i => concat_ws(" ", slice(col("ts"), i + 1, lit(n)))
+    val occ = toks
+      .select(col("doc_id"),
+        posexplode(when(size(col("ts")) >= n,
+          transform(sequence(lit(0), size(col("ts")) - n),
+            i => struct(xxhash64(gram(i)).as("h1"),
+              xxhash64(lit(""), gram(i)).as("h2"))))
+          .otherwise(array())).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g.h1"), col("g.h2"))
+    val dupFirst = occ.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("h1"), col("h2"),
+        col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val removals = occ.join(dupFirst, Seq("h1", "h2"))
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("starts"))
+    toks.join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("starts"), array()).as("starts"))
+      .withColumn("kept", filter(col("ts"),
+        (_, i) => !exists(col("starts"), s => s <= i && i < s + n)))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (size(col("ts")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("kept_text"))
+  }
 }

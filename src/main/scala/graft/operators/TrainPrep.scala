@@ -294,4 +294,38 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_tok"),
         F.qround(sum(col("logp")).cast("double") * -1 / count(lit(1)), 4).as("nll"))
   }
+
+  /** DETERMINISTIC training-order shuffle: the global pseudo-random
+    * permutation a training run reads its (doc, epoch) stream in —
+    * seeded, so every retry, resume, and re-run of the job (any cluster
+    * size, any engine) produces the SAME order, which is what makes a
+    * loss curve reproducible and a mid-epoch resume well-defined.
+    * `rand()` cannot give any of that.
+    *
+    * Each row is keyed by `md5(seed:epoch:doc_id)`; the key's
+    * [[graft.functions.Functions.hash60]] picks one of `numShards`
+    * shards and rows order by the md5 hex WITHIN their shard
+    * (`pos` = 0-based rank). A distributed loader assigns shard files to
+    * workers and streams each in `pos` order — the standard
+    * shard-of-shuffled-records layout (WebDataset/tfrecord style).
+    *
+    * Scale shape: one hash-partitioned exchange on `shard` and one
+    * per-shard sort (the window never sees more than a shard — size
+    * `numShards` so shards are task-sized); no global sort, no driver
+    * state. Epoch fan-out composes upstream ([[mixCorpus]] /
+    * [[temperatureWeights]] emit the (doc, epoch) rows). */
+  def trainingOrder(docEpochs: DataFrame, id: Column, epoch: Column,
+                    seed: Long, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val keyed = docEpochs.select(id.cast("long").as("doc_id"),
+        epoch.cast("long").as("epoch"))
+      .withColumn("okey",
+        md5(concat_ws(":", lit(seed), col("epoch"), col("doc_id"))))
+      .withColumn("shard", pmod(F.hash60(col("okey")), lit(numShards.toLong)))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("okey"), col("doc_id"), col("epoch"))).cast("long") - 1L)
+      .select(col("shard"), col("pos"), col("doc_id"), col("epoch"))
+  }
 }

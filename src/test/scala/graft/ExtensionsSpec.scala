@@ -78,6 +78,9 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "graft_bloom_contains" -> "(SELECT graft_bloom_contains(graft_bloom_sketch(x, 64, 2), 'a', 2) FROM (SELECT 'a' AS x))",
       "graft_bottomk_sample" -> "(SELECT graft_bottomk_sample(x, 1.0D, 4) FROM (SELECT 'a' AS x))",
       "graft_kmv_sketch" -> "(SELECT graft_kmv_sketch(x, 4) FROM (SELECT 'a' AS x))",
+      "graft_digit_hist" -> "(SELECT graft_digit_hist(v, 2) FROM (SELECT 12345L AS v))",
+      "graft_digit_hist_merge" -> "(SELECT graft_digit_hist_merge(h) FROM (SELECT graft_digit_hist(v, 2) AS h FROM (SELECT 12345L AS v) GROUP BY v))",
+      "graft_digit_quantile" -> "(SELECT graft_digit_quantile(graft_digit_hist(v, 2), 0.5D) FROM (SELECT 12345L AS v))",
       "graft_zorder2" -> "graft_zorder2(3, 5, 8)",
       "graft_zorder3" -> "graft_zorder3(3, 5, 7, 8)",
       "graft_hilbert2" -> "graft_hilbert2(3, 5, 8)",
