@@ -2290,6 +2290,55 @@ object QueriesOps {
           T(s, dir, "documents"), col("doc_id"), col("text"), 6)
           .orderBy("doc_id")),
 
+    // -- INCREMENTAL substring dedup (Dedup.incrementalSubstringDedup):
+    //    the ingest-time lane — docs < 250 persist a 16-byte-per-gram
+    //    lake, the "new batch" (docs ≥ 250) dedups against it via one
+    //    broadcast-pruned membership scan plus the batch-internal rule.
+    //    The oracle is the FULL-union batch algebra restricted to the
+    //    batch docs — pinning that incremental ≡ batch (the corpus text
+    //    is never re-read, yet the answer is the one a full re-run gives).
+    QueryDef("q164_incremental_substring_dedup", Some("""
+      WITH d AS (SELECT doc_id,
+                        list_filter(string_split_regex(text, '\s+'),
+                                    t -> len(t) > 0) AS ts
+                 FROM documents),
+      occ AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(ts[i:i+5], ' ') AS g
+              FROM d, LATERAL (SELECT unnest(range(1, len(ts) - 4)) AS i)),
+      ranked AS (SELECT doc_id, pos,
+                        row_number() OVER (PARTITION BY g
+                                           ORDER BY doc_id, pos) AS rn
+                 FROM occ),
+      rem AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+      tok AS (SELECT doc_id, i - 1 AS tpos, ts[i] AS t
+              FROM d, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+      cut AS (SELECT DISTINCT k.doc_id, k.tpos
+              FROM tok k JOIN rem r ON k.doc_id = r.doc_id
+                                   AND k.tpos BETWEEN r.pos AND r.pos + 5),
+      keptagg AS (SELECT k.doc_id, count(*) AS nk,
+                         string_agg(k.t, ' ' ORDER BY k.tpos) AS txt
+                  FROM tok k LEFT JOIN cut c ON k.doc_id = c.doc_id
+                                            AND k.tpos = c.tpos
+                  WHERE c.doc_id IS NULL GROUP BY k.doc_id)
+      SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+             CAST(len(d.ts) - coalesce(a.nk, 0) AS BIGINT) AS n_removed,
+             coalesce(a.txt, '') AS kept_text
+      FROM d LEFT JOIN keptagg a USING (doc_id)
+      WHERE d.doc_id >= 250
+      ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val lake = java.nio.file.Files
+          .createTempDirectory("graft-gram-lake").toString + "/grams"
+        graft.operators.Dedup.writeGramLake(
+          docs.filter(col("doc_id") < 250), col("doc_id"), col("text"),
+          6, lake)
+        graft.operators.Dedup.incrementalSubstringDedup(
+          docs.filter(col("doc_id") >= 250), col("doc_id"), col("text"),
+          6, lake)
+          .orderBy("doc_id")
+      }),
+
     // -- DETERMINISTIC training-order shuffle (TrainPrep.trainingOrder):
     //    the seeded global permutation a training run streams its
     //    (doc, epoch) rows in — md5 order key, hash60-sharded, ranked

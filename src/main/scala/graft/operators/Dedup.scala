@@ -507,19 +507,8 @@ object Dedup {
   def substringDedup(docs: DataFrame, id: Column, text: Column,
                      n: Int): DataFrame = {
     require(n >= 2, s"substringDedup: window must be >= 2 tokens (got $n)")
-    val toks = docs.select(id.as("doc_id"),
-      filter(split(text, "\\s+"), t => length(t) > 0).as("ts"))
-    // text-free occurrence lane: one row per n-token window
-    val gram: Column => Column =
-      i => concat_ws(" ", slice(col("ts"), i + 1, lit(n)))
-    val occ = toks
-      .select(col("doc_id"),
-        posexplode(when(size(col("ts")) >= n,
-          transform(sequence(lit(0), size(col("ts")) - n),
-            i => struct(xxhash64(gram(i)).as("h1"),
-              xxhash64(lit(""), gram(i)).as("h2"))))
-          .otherwise(array())).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), col("g.h1"), col("g.h2"))
+    val toks = substrToks(docs, id, text)
+    val occ = gramOccurrences(toks, n)
     val dupFirst = occ.groupBy(col("h1"), col("h2"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
         count(lit(1)).as("cnt"))
@@ -528,9 +517,37 @@ object Dedup {
         col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
     val removals = occ.join(dupFirst, Seq("h1", "h2"))
       .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
-      .groupBy(col("doc_id"))
+    assembleSurvivors(toks, removals, n)
+  }
+
+  /** Tokenized lane shared by the substring-dedup operators. */
+  private def substrToks(docs: DataFrame, id: Column,
+                         text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+      filter(split(text, "\\s+"), t => length(t) > 0).as("ts"))
+
+  /** Text-free n-gram occurrence lane: one `(doc_id, pos, h1, h2)` row
+    * per n-token window (dual independent xxhash64 keys). */
+  private def gramOccurrences(toks: DataFrame, n: Int): DataFrame = {
+    val gram: Column => Column =
+      i => concat_ws(" ", slice(col("ts"), i + 1, lit(n)))
+    toks
+      .select(col("doc_id"),
+        posexplode(when(size(col("ts")) >= n,
+          transform(sequence(lit(0), size(col("ts")) - n),
+            i => struct(xxhash64(gram(i)).as("h1"),
+              xxhash64(lit(""), gram(i)).as("h2"))))
+          .otherwise(array())).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g.h1"), col("g.h2"))
+  }
+
+  /** Collapse removal occurrences to per-doc start arrays, cut covered
+    * tokens, reassemble: the one token-bearing exchange. */
+  private def assembleSurvivors(toks: DataFrame, removals: DataFrame,
+                                n: Int): DataFrame = {
+    val starts = removals.groupBy(col("doc_id"))
       .agg(collect_set(col("pos")).as("starts"))
-    toks.join(removals, Seq("doc_id"), "left")
+    toks.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("ts"),
         coalesce(col("starts"), array()).as("starts"))
       .withColumn("kept", filter(col("ts"),
@@ -539,5 +556,63 @@ object Dedup {
         size(col("ts")).cast("long").as("n_tokens"),
         (size(col("ts")) - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("kept_text"))
+  }
+
+  /** Persist a batch's DISTINCT n-gram keys `(h1, h2)` — the gram lake
+    * [[incrementalSubstringDedup]] probes so a new ingest batch dedups
+    * against the WHOLE corpus without ever re-reading corpus text: 16
+    * bytes per distinct gram, appended per batch (duplicate keys across
+    * appends are harmless — probes are membership joins). Append the
+    * batch's grams AFTER probing (caller contract, as the signature
+    * lake's). */
+  def writeGramLake(df: DataFrame, id: Column, text: Column, n: Int,
+                    path: String): Unit =
+    gramOccurrences(substrToks(df, id, text), n)
+      .select(col("h1"), col("h2")).distinct()
+      .write.mode("append").parquet(path)
+
+  /** INCREMENTAL [[substringDedup]]: dedup a NEW document batch against
+    * a persisted gram lake ([[writeGramLake]]) plus within the batch
+    * itself. Any batch window whose gram exists in the lake is a
+    * non-first occurrence by construction (the lake predates the batch —
+    * caller keeps batch doc ids above corpus ids, the signature-lake
+    * contract), so its tokens cut; batch-internal duplicates follow the
+    * batch operator's first-occurrence rule. On corpus∪batch with
+    * corpus-lower ids the output equals [[substringDedup]] over the
+    * union RESTRICTED to batch documents (q164 pins this equivalence
+    * against the union oracle; IncrementalDedupSpec on seeded splits).
+    *
+    * Scale shape: only the BATCH is tokenized and hashed; the corpus
+    * contributes membership through one broadcast-semi-joined pruned
+    * scan of the 16-byte-per-gram lake (the lake is never shuffled,
+    * never exchanged), and everything downstream runs on batch-sized
+    * frames. */
+  def incrementalSubstringDedup(newDocs: DataFrame, id: Column,
+                                text: Column, n: Int,
+                                gramPath: String): DataFrame = {
+    require(n >= 2, s"substringDedup: window must be >= 2 tokens (got $n)")
+    val spark = newDocs.sparkSession
+    val toks = substrToks(newDocs, id, text)
+    val occ = gramOccurrences(toks, n).localCheckpoint(false)
+    // corpus hits: the lake filtered where it lies by the batch's
+    // broadcast key set — one pruned scan, no exchange of the lake
+    val touched = spark.read.parquet(gramPath)
+      .join(broadcast(occ.select(col("h1"), col("h2")).distinct()),
+        Seq("h1", "h2"))
+      .select(col("h1"), col("h2")).distinct()
+    val lakeRemovals = occ.join(touched, Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"))
+    // batch-internal duplicates: the batch operator's rule
+    val dupFirst = occ.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("h1"), col("h2"),
+        col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val newNewRemovals = occ.join(dupFirst, Seq("h1", "h2"))
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col("doc_id"), col("pos"))
+    assembleSurvivors(toks,
+      lakeRemovals.unionByName(newNewRemovals).distinct(), n)
   }
 }

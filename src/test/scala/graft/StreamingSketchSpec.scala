@@ -91,4 +91,47 @@ class StreamingSketchSpec extends AnyFunSuite with SparkSpec {
       assert(misses == 0)
     } finally q.stop()
   }
+
+  test("streaming windowed digit-hist equals batch; quantiles serve live") {
+    implicit val sqlCtx = spark.sqlContext
+    // heavy-tailed latencies across two 60s windows, three micro-batches
+    val rows = (0 until 600).map(i =>
+      ((i.toLong * i * 7) % 99991, (i % 2) * 60L + i % 55))
+    val mem = MemoryStream[(Long, Long)]
+    val name = s"skdh_${System.nanoTime()}"
+    def render(h: org.apache.spark.sql.Column) =
+      transform(h, x => concat_ws(":", x("lb"), x("n")))
+    val q = mem.toDS().toDF("v", "tsSec")
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .groupBy(window(col("eventTime"), "60 seconds").as("win"))
+      .agg(KernelAggs.digit_hist(col("v"), 2).as("h"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      rows.grouped(230).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table(name)
+        .select(col("win.start").cast("long").as("ws"),
+          render(col("h")).as("h"),
+          graft.functions.KernelExprs.digit_quantile(col("h"), 0.95).as("p95"))
+        .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+      val batch = rows.toDF("v", "tsSec")
+        .withColumn("ws", expr("tsSec div 60 * 60"))
+        .groupBy(col("ws"))
+        .agg(KernelAggs.digit_hist(col("v"), 2).as("h"))
+        .select(col("ws"), render(col("h")).as("h"),
+          graft.functions.KernelExprs.digit_quantile(col("h"), 0.95).as("p95"))
+        .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+      assert(streamed.length == 2)
+      assert(streamed.toSeq == batch.toSeq,
+        "streamed digit-hist state diverged from the batch sketch")
+      // the live per-window sketches roll up to the exact global sketch
+      val global = spark.table(name)
+        .groupBy().agg(KernelAggs.digit_hist_merge(col("h")).as("h"))
+        .select(render(col("h"))).as[Seq[String]].head()
+      val globalBatch = rows.toDF("v", "tsSec")
+        .agg(KernelAggs.digit_hist(col("v"), 2).as("h"))
+        .select(render(col("h"))).as[Seq[String]].head()
+      assert(global == globalBatch,
+        "window partials must merge to the exact global histogram")
+    } finally q.stop()
+  }
 }

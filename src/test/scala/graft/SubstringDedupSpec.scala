@@ -46,6 +46,33 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec
     assert(got == ((7L, 9L, 3L, "p q r u1 u2 u3")))
   }
 
+  test("incremental lane equals the batch operator on the union") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x a b c d e f y"),          // dup of corpus doc 1's span
+      (11L, "u1 u2 u3 u4 u5 u6 u7"),     // clean
+      (12L, "u1 u2 u3 u4 u5 u6 u7")      // batch-internal dup of 11
+    ).toDF("doc_id", "text")
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-gram-spec").toString + "/grams"
+    Dedup.writeGramLake(corpus, col("doc_id"), col("text"), 6, lake)
+    val inc = Dedup.incrementalSubstringDedup(batch, col("doc_id"),
+        col("text"), 6, lake)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val full = Dedup.substringDedup(corpus.unionByName(batch),
+        col("doc_id"), col("text"), 6)
+      .filter(col("doc_id") >= 10L)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(inc == full, s"incremental must equal batch-over-union:\n$inc\n$full")
+    assert(inc == Seq(
+      (10L, 8L, 6L, "x y"),
+      (11L, 7L, 0L, "u1 u2 u3 u4 u5 u6 u7"),
+      (12L, 7L, 7L, "")))
+  }
+
   test("plan: window-free, dedup exchanges are text-free") {
     val plan = Dedup.substringDedup(docs, col("doc_id"), col("text"), 6)
       .queryExecution.executedPlan
