@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GROUP BY over a registered base lake → re-aggregate its maintained
     // MaterializedAgg view (warehouse-style materialized-view rewriting)
     ext.injectOptimizerRule(sp => graft.plans.MvRewrite(sp))
+    // ORDER BY cosine(vec, <query>) DESC LIMIT k over a corpus with a
+    // registered IVF index → cell-pruned index probe (pgvector-planner
+    // pattern; approximate by declared opt-in, deterministic in result)
+    ext.injectOptimizerRule(sp => graft.plans.AnnRewrite(sp))
     // ANSI DELETE FROM / MERGE INTO over a live zlake target → the
     // journaled copy-on-write mutation path (Delta-style v1 interception)
     ext.injectPostHocResolutionRule(sp => graft.plans.GraftDml(sp))

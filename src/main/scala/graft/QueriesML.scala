@@ -43,6 +43,26 @@ object QueriesML {
     val n = s"sqrt(CAST(${dkDot(a, a)} AS DOUBLE) * CAST(${dkDot(b, b)} AS DOUBLE))"
     s"CASE WHEN $n > 0 THEN ${dkQround(s"CAST(${dkDot(a, b)} AS DOUBLE) / $n", 6)} ELSE 0.0 END"
   }
+  /** The deterministic IVF cell pipeline as a DuckDB CTE block (the q54/
+    * q125 chain): seeds = vec_id < `seedMax`, one Lloyd step, corpus
+    * re-assigned to the refined centroids. Ends at `r2`; callers define
+    * their own `cell2` slice. Mirrors [[Similarity.ivfCentroids]] +
+    * [[Similarity.assignCell]] bit-for-bit. */
+  private def dkIvfCells(seedMax: Int): String = s"""
+      q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < $seedMax),
+      a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, sid) AS rn FROM a1),
+      cell1 AS (SELECT vec_id, qv, sid AS cell FROM r1 WHERE rn = 1),
+      sums AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS c
+               FROM cell1, range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT cell, ${dkQuant(s"list(${dkQround("CAST(s AS DOUBLE) / c", 6)} ORDER BY i)")} AS cq
+               FROM sums GROUP BY cell),
+      a2 AS (SELECT q.vec_id, q.qv, cent.cell, ${dkCos("q.qv", "cent.cq")} AS cos FROM q, cent),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) AS rn FROM a2)"""
+
   /** Minhash component j over a shingle-list column. */
   private def dkMinhash(sh: String, j: Int): String =
     s"coalesce(list_min(list_transform($sh, s -> ${dkHash60(s"s || '#' || $j")})), 0)"
@@ -2129,6 +2149,138 @@ object QueriesML {
         graft.operators.TextClassifier.naiveBayes(
           T(s, dir, "documents"), col("doc_id"), col("text"), col("lang"),
           vocabSize = 500)
-          .orderBy(col("doc_id")))
+          .orderBy(col("doc_id"))),
+
+    // -- DECLARATIVE ANN: the user writes the brute-force ORDER BY cosine
+    //    DESC LIMIT k; the optimizer ([[graft.plans.AnnRewrite]])
+    //    substitutes the registered IVF index's cell-pruned probe — the
+    //    pgvector-planner pattern. The oracle replays the INDEX answer
+    //    (stored-centroid probe at nprobe=2, query = vec_id 4's quantized
+    //    embedding), so q165 green PROVES the rewrite fired: the exact
+    //    scan would return a different top-12 wherever a true neighbor
+    //    lives outside the probed cells.
+    QueryDef("q165_ann_declarative", Some(s"""
+      WITH ${dkIvfCells(8)},
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      qv0 AS (SELECT qv AS xv FROM q WHERE vec_id = 4),
+      qa AS (SELECT cent.cell, ${dkCos("xv", "cent.cq")} AS cos FROM qv0, cent),
+      qr AS (SELECT cell, row_number() OVER (ORDER BY cos DESC, cell) AS rn FROM qa),
+      probed AS (SELECT cell FROM qr WHERE rn <= 2),
+      cand AS (SELECT neighbor_id AS vec_id, ${dkCos("cv", "xv")} AS cosine
+               FROM cell2 JOIN probed USING (cell) CROSS JOIN qv0)
+      SELECT vec_id, cosine FROM cand
+      ORDER BY cosine DESC, vec_id LIMIT 12"""),
+      (s, dir) => {
+        val cp = s"$dir/embeddings.parquet"
+        val emb = T(s, dir, "embeddings")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q165-ann").toString + "/idx"
+        Similarity.writeIvfIndex(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        graft.plans.AnnIndex.register(s, cp, path,
+          idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+        val qv = emb.filter(col("vec_id") === 4)
+          .select(col("embedding")).head.getSeq[Float](0)
+          .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong)
+        s.read.parquet(cp)
+          .select(col("vec_id"),
+            F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+              typedlit(qv)).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(12)
+      }),
+
+    // -- SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means cells from
+    //    the deterministic IVF pipeline, then min-id keep within every
+    //    cell's >=threshold cosine pairs. Lexical dedup can't see these;
+    //    all-pairs can't afford them — Σ|cell|² is the paper's own cost.
+    QueryDef("q166_semantic_dedup", Some(s"""
+      WITH ${dkIvfCells(8)},
+      cell2 AS (SELECT vec_id, qv, cell FROM r2 WHERE rn = 1),
+      dropped AS (SELECT DISTINCT b.vec_id
+                  FROM cell2 a JOIN cell2 b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  WHERE ${dkCos("a.qv", "b.qv")} >= 0.35)
+      SELECT c.vec_id AS vid, c.cell, d.vec_id IS NULL AS keep
+      FROM cell2 c LEFT JOIN dropped d USING (vec_id)
+      ORDER BY vid"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Dedup.semanticDedup(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            threshold = 0.35)
+          .orderBy(col("vid"))
+      }),
+
+    // -- STUPID-BACKOFF n-gram LM (Brants 2007) — the CCNet perplexity
+    //    filter lane: train a trigram model over the corpus (one
+    //    map-side-combined count for all orders, minCount=2 prune,
+    //    deterministic per-order cap), score every document with the
+    //    codegen'd zero-shuffle kernel. The oracle replays train AND
+    //    score: counts → rank cap → per-position backoff CASE (factor-
+    //    first products, exact-integer micros) → order-free decimal sum.
+    QueryDef("q167_ngram_lm", Some(s"""
+      WITH toks AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS total FROM toks),
+      allg AS (
+        SELECT unnest(${dkShingles("ts", 1)}) AS gram FROM toks
+        UNION ALL SELECT unnest(${dkShingles("ts", 2)}) FROM toks
+        UNION ALL SELECT unnest(${dkShingles("ts", 3)}) FROM toks),
+      cnts AS (SELECT gram, count(*) AS cnt,
+                      len(string_split(gram, ' ')) AS ord
+               FROM allg GROUP BY 1),
+      kept AS (SELECT gram, cnt FROM (
+        SELECT gram, cnt, row_number() OVER (PARTITION BY ord
+                 ORDER BY cnt DESC, gram) AS rk
+        FROM cnts WHERE cnt >= 2) WHERE rk <= 100000),
+      p AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
+      px AS (SELECT doc_id, i,
+        ts[i+1] AS w1,
+        CASE WHEN i >= 1 THEN array_to_string(ts[i:i+1], ' ') END AS g2,
+        CASE WHEN i >= 1 THEN ts[i] END AS x2,
+        CASE WHEN i >= 2 THEN array_to_string(ts[i-1:i+1], ' ') END AS g3,
+        CASE WHEN i >= 2 THEN array_to_string(ts[i-1:i], ' ') END AS x3
+      FROM p),
+      lk AS (SELECT px.doc_id, px.i, px.g3, px.g2,
+               c1.cnt AS c1, cg2.cnt AS c2g, cx2.cnt AS c2x,
+               cg3.cnt AS c3g, cx3.cnt AS c3x
+             FROM px
+             LEFT JOIN kept c1  ON c1.gram  = px.w1
+             LEFT JOIN kept cg2 ON cg2.gram = px.g2
+             LEFT JOIN kept cx2 ON cx2.gram = px.x2
+             LEFT JOIN kept cg3 ON cg3.gram = px.g3
+             LEFT JOIN kept cx3 ON cx3.gram = px.x3),
+      sc AS (SELECT doc_id, CAST(floor((CASE
+        WHEN g3 IS NOT NULL AND c3g IS NOT NULL AND c3x IS NOT NULL THEN
+          ln(CAST(c3g AS DOUBLE) / CAST(c3x AS DOUBLE))
+        WHEN g2 IS NOT NULL AND c2g IS NOT NULL AND c2x IS NOT NULL THEN
+          ln((CASE WHEN g3 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE) END)
+             * (CAST(c2g AS DOUBLE) / CAST(c2x AS DOUBLE)))
+        ELSE
+          ln((CASE WHEN g3 IS NOT NULL
+                THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+               WHEN g2 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE) END)
+             * (CAST(coalesce(c1, 1) AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE)))
+        END) * 1000000.0 + 0.5) AS BIGINT) AS micros
+      FROM lk),
+      agg AS (SELECT doc_id, sum(micros) AS m FROM sc GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        coalesce(a.m, 0) AS logscore_micros,
+        CASE WHEN len(t.ts) > 0 THEN
+          ${dkQround("CAST(coalesce(a.m, 0) AS DOUBLE) / 1000000.0 / len(t.ts)", 6)}
+        END AS avg_logp
+      FROM toks t LEFT JOIN agg a USING (doc_id)
+      ORDER BY t.doc_id"""),
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
+          minCount = 2, maxGramsPerOrder = 100000)
+        graft.operators.NgramLm.scores(d, col("doc_id"), col("text"), lm)
+          .orderBy(col("doc_id"))
+      })
   )
 }

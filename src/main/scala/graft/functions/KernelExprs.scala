@@ -356,6 +356,26 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** Stupid-backoff n-gram LM document score ([[NgramLmTable.scoreText]]):
+    * struct(n_tokens, logscore_micros) — the exact-integer form that makes
+    * the per-doc sum order-free. One codegen'd pass per document; the
+    * model ships with the plan. */
+  case class NgramLmScore(child: Expression, table: NgramLmTable)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("logscore_micros", LongType, nullable = false)))
+    override protected def nullSafeEval(input: Any): Any =
+      table.scoreText(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngramLmTable", table,
+        classOf[NgramLmTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.scoreText($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NgramLmScore =
+      copy(child = newChild)
+  }
+
   // --- Column-level wrappers -------------------------------------------------
 
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -399,4 +419,6 @@ object KernelExprs {
     ColumnBridge.column(UnigramCount(e(text), table))
   def digit_quantile(hist: Column, q: Double): Column =
     ColumnBridge.column(DigitQuantile(e(hist), q))
+  def ngram_lm_score(text: Column, table: NgramLmTable): Column =
+    ColumnBridge.column(NgramLmScore(e(text), table))
 }

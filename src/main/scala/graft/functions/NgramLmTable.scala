@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A counted n-gram language model scored with STUPID BACKOFF (Brants et
+  * al. 2007, "Large Language Models in Machine Translation" — the scheme
+  * designed for exactly this setting: distributed count-based LMs where
+  * normalized Kneser-Ney smoothing is not worth its global passes). The
+  * kernel behind [[KernelExprs.NgramLmScore]] — serializable, ships to
+  * executors WITH the plan via `addReferenceObj`, same pattern as
+  * [[BpeTable]]/[[UnigramTable]].
+  *
+  * Score of token w at position i (0-based), context capped at the
+  * document start (no BOS padding — deterministic and engine-neutral):
+  *
+  *   kmax = min(n, i+1); descend k = kmax..2:
+  *     S = count(w_{i-k+1..i}) / count(w_{i-k+1..i-1})   if BOTH counts
+  *         are present (minCount/top-K pruning can drop a context while
+  *         keeping an extension — such levels are skipped, same as "not
+  *         found");
+  *   each failed level multiplies the final score by `alpha` (0.4 in the
+  *   paper); the unigram base case is count(w)/total, with an OOV floor
+  *   of ONE pseudo-count: 1/total. Scores are relative frequencies, not
+  *   normalized probabilities — exactly what corpus-quality filtering
+  *   (the CCNet perplexity gate) needs.
+  *
+  * Determinism: the per-position value is qround6(ln(S)) scaled to
+  * integer MICROS; a document's score is the EXACT long sum of its
+  * positions' micros — order-free, so Spark partitioning and the SQL
+  * oracle's aggregation order cannot move it. The backoff product is
+  * built factor-first (((1·α)·α)·ratio), matching the oracle's
+  * left-associated `a*a*ratio` spelling bit-for-bit.
+  *
+  * Tokenization mirrors [[TextFunctions.tokens]] (lowercase, split on
+  * `[^a-z0-9]+`) — one vocabulary across the engine's text operators and
+  * their oracles.
+  */
+final class NgramLmTable(
+    val n: Int,
+    val alpha: Double,
+    val total: Long,
+    counts: java.util.HashMap[String, java.lang.Long]) extends Serializable {
+
+  require(n >= 1, s"ngram order must be >= 1 (got $n)")
+  require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1] (got $alpha)")
+  require(total > 0, s"the model must be trained on a non-empty corpus")
+
+  def count(gram: String): Long = {
+    val v = counts.get(gram)
+    if (v == null) 0L else v.longValue()
+  }
+  def size: Int = counts.size
+
+  private[graft] def gramEntries: Iterator[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    counts.entrySet().iterator().asScala
+      .map(e => e.getKey -> e.getValue.longValue())
+  }
+
+  /** [[TextFunctions.tokens]] semantics on the JVM side: Spark's
+    * UTF8String lowercase, the same Java regex engine, empties dropped
+    * (split keeps a leading empty for punctuation-initial text). */
+  private def tokenize(text: UTF8String): Array[String] =
+    text.toLowerCase.toString.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  private def join(ts: Array[String], from: Int, to: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var i = from
+    while (i <= to) {
+      if (i > from) sb.append(' ')
+      sb.append(ts(i)); i += 1
+    }
+    sb.toString
+  }
+
+  /** struct(n_tokens int, logscore_micros long) for one document. */
+  def scoreText(text: UTF8String): InternalRow = {
+    val ts = tokenize(text)
+    var micros = 0L
+    var i = 0
+    while (i < ts.length) {
+      var k = math.min(n, i + 1)
+      var backoffs = 0
+      var ratio = -1.0
+      while (ratio < 0 && k >= 2) {
+        val cg = count(join(ts, i - k + 1, i))
+        val cc = count(join(ts, i - k + 1, i - 1))
+        if (cg > 0 && cc > 0) ratio = cg.toDouble / cc.toDouble
+        else { backoffs += 1; k -= 1 }
+      }
+      if (ratio < 0) {
+        val c1 = count(ts(i))
+        ratio = (if (c1 > 0) c1.toDouble else 1.0) / total.toDouble
+      }
+      var s = 1.0
+      var b = 0
+      while (b < backoffs) { s *= alpha; b += 1 }
+      s *= ratio
+      micros += math.floor(math.log(s) * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    val row = new GenericInternalRow(2)
+    row.setInt(0, ts.length)
+    row.setLong(1, micros)
+    row
+  }
+}

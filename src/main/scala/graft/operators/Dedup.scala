@@ -615,4 +615,53 @@ object Dedup {
     assembleSurvivors(toks,
       lakeRemovals.unionByName(newNewRemovals).distinct(), n)
   }
+
+  /** SEMANTIC deduplication — SemDeDup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the corpus' embeddings with k-means, then
+    * compare pairs ONLY within a cluster and drop all but one of every
+    * semantically-near group. Catches the paraphrase/boilerplate-variant
+    * duplicates that lexical MinHash/SimHash can't see, at k-means cost
+    * instead of all-pairs.
+    *
+    * This engine's composition: cells come from the SAME deterministic
+    * Lloyd pipeline every IVF entry point uses
+    * ([[Similarity.ivfCentroids]] — quantized integer dots, q6 rounding,
+    * ties to the lowest cell id, so the ANSI-SQL oracle replays it, q166);
+    * within a cell, every `id_a < id_b` pair with q6 cosine >= `threshold`
+    * marks `id_b` a duplicate. KEEP POLICY: a row survives unless an
+    * EARLIER id in its cell is within the threshold — deterministic
+    * min-id representative (the paper keeps the row farthest from the
+    * centroid and notes random choice performs identically; min-id is
+    * that same arbitrary-pick, made reproducible).
+    *
+    * Scale shape: assignment is a broadcast-centroid projection (the
+    * corpus never shuffles to cluster); the pair stage is one self-join
+    * ON the cell key, Σ|cell|² work — the paper's own cost model, bounded
+    * by cell balance, which extra `lloydIters` tighten (measured in
+    * IvfSpec: max/mean 1.216 → 1.136 at 1 → 3 iters). `nlist` (seed
+    * count) sets the knob: at 100 TB you size nlist so corpus/nlist² stays
+    * flat per cell, exactly as SemDeDup runs k=50k clusters over LAION.
+    *
+    * Output: one row per input — (vid, cell, keep). */
+  def semanticDedup(corpus: DataFrame, id: Column, vec: Column,
+                    seeds: DataFrame, seedId: Column, seedVec: Column,
+                    threshold: Double, lloydIters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(id.as("vid"), F.vec_quantize(vec, 1000).as("qv"))
+    val cents = Similarity.ivfCentroids(
+      c.select(col("vid").as("neighbor_id"), col("qv").as("cv")),
+      seeds, seedId, seedVec, lloydIters)
+    val assigned = c.withColumn("cell",
+      Similarity.assignCell(spark, cents)(col("qv")))
+    val dropped = assigned.alias("a")
+      .join(assigned.alias("b"), col("a.cell") === col("b.cell") &&
+        col("a.vid") < col("b.vid"))
+      .filter(F.vec_cosine_q6(col("a.qv"), col("b.qv")) >= threshold)
+      .select(col("b.vid").as("vid")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("vid"), "left")
+      .select(col("vid"), col("cell"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
+  }
 }

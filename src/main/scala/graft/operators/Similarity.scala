@@ -194,9 +194,10 @@ object Similarity {
       .parquet(s"$path/assign")
   }
 
-  /** The stored centroid array of an index at `path`. */
-  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Array[(Int, Array[Long])] =
+  /** The stored centroid array of an index at `path` (also consumed by
+    * [[graft.plans.AnnRewrite]] for plan-time centroid probing). */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[(Int, Array[Long])] =
     spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)

@@ -74,7 +74,7 @@ object MvRewrite {
     * the OTHER lake's view. Qualification resolves a scheme-less path
     * against the active session's default FS — the same resolution the
     * scan's own rootPath went through, so lookup and register agree. */
-  private def norm(path: String): String = {
+  private[plans] def norm(path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())

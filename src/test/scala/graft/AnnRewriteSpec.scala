@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Kernels, Functions => F}
+import graft.operators.Similarity
+import graft.plans.AnnIndex
+
+/** Declarative ANN rewriting ([[graft.plans.AnnRewrite]]): `ORDER BY
+  * cosine DESC LIMIT k` over a corpus with a registered IVF index is
+  * answered from the cell-pruned index probe; every unsupported or
+  * unverifiable shape keeps the exact scan. */
+class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 8
+  private val k = 10
+
+  // deterministic spread-out corpus: 240 rows, 8 dims
+  private lazy val (corpusPath, idxPath) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annrw").toString
+    val cp = dir + "/emb"
+    (0 until 240).map { i =>
+      (i.toLong,
+        (0 until dim).map(j => math.sin(i * 0.37 + j * 1.13) * 0.9))
+    }.toDF("vec_id", "embedding")
+      .repartition(3).write.parquet(cp)
+    val emb = spark.read.parquet(cp)
+    Similarity.writeIvfIndex(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 6), col("vec_id"), col("embedding"),
+      dir + "/idx")
+    AnnIndex.register(spark, cp, dir + "/idx",
+      idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+    (cp, dir + "/idx")
+  }
+
+  // fixed query vector, pre-quantized (what a caller ships to the engine)
+  private lazy val qv: Array[Long] =
+    Array.tabulate(dim)(j => math.cos(j * 0.71) * 0.8)
+      .map(x => math.floor(x * 1000 + 0.5).toLong)
+
+  private def declarative(scale: Int = 1000): DataFrame =
+    spark.read.parquet(corpusPath)
+      .select(col("vec_id"),
+        F.vec_cosine_q6(F.vec_quantize(col("embedding"), scale),
+          typedlit(qv.toSeq)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+
+  private def scanRoots(df: DataFrame): Seq[String] = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("declarative top-k answers from the index probe, not the corpus") {
+    val df = declarative()
+    val got = rows(df)
+    val roots = scanRoots(df)
+    assert(roots.nonEmpty && roots.forall(_.contains("/idx")),
+      s"query still scans the corpus: $roots")
+
+    // expected: the same probe assembled by hand through the operator API
+    val cents = Similarity.readCentroids(spark, idxPath)
+    val probed = cents
+      .map { case (cid, c) => (cid, Kernels.cosineQ6Arrays(qv, c)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }.take(2).map(_._1)
+    val expected = rows(spark.read.parquet(s"$idxPath/assign")
+      .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+      .select(col("neighbor_id").as("vec_id"),
+        F.vec_cosine_q6(col("cv"), typedlit(qv.toSeq)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k))
+    assert(got === expected)
+    assert(got.size === k)
+  }
+
+  test("the probe scans only the probed cell directories") {
+    val df = declarative()
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).head
+    val cellDirs = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.values.getInt(0)).toSet
+    assert(cellDirs.size <= 2, s"probed more than nprobe cells: $cellDirs")
+  }
+
+  test("unregistered corpus keeps the exact scan") {
+    AnnIndex.unregister(corpusPath)
+    try {
+      val df = declarative()
+      assert(scanRoots(df).forall(_.contains("/emb")))
+    } finally AnnIndex.register(spark, corpusPath, idxPath,
+      "vec_id", "embedding", nprobe = 2)
+  }
+
+  test("exact vs indexed: the rewrite is a declared approximation") {
+    val approx = rows(declarative())
+    AnnIndex.unregister(corpusPath)
+    val exact =
+      try rows(declarative())
+      finally AnnIndex.register(spark, corpusPath, idxPath,
+        "vec_id", "embedding", nprobe = 2)
+    // every indexed answer is a true corpus row with its true cosine
+    val exactAll = rows(spark.read.parquet(corpusPath)
+      .select(col("vec_id"),
+        F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(240)).toMap
+    approx.foreach { case (id, cos) => assert(exactAll(id) === cos) }
+    assert(exact.size === k)
+  }
+
+  test("bails: wrong quantization scale (behavioral gate)") {
+    val df = declarative(scale = 100)
+    assert(scanRoots(df).forall(_.contains("/emb")),
+      "a different quantization must keep the scan")
+  }
+
+  test("bails: extra projected column (index does not cover it)") {
+    val df = spark.read.parquet(corpusPath)
+      .select(col("vec_id"), col("embedding"),
+        F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    assert(scanRoots(df).forall(_.contains("/emb")))
+  }
+
+  test("bails: filter between the sort and the corpus") {
+    val df = spark.read.parquet(corpusPath)
+      .select(col("vec_id"),
+        F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("cosine"))
+      .filter(col("vec_id") > 10)
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    assert(scanRoots(df).forall(_.contains("/emb")))
+  }
+
+  test("bails: ascending cosine (nearest-by-distance is a different query)") {
+    val df = spark.read.parquet(corpusPath)
+      .select(col("vec_id"),
+        F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("cosine"))
+      .orderBy(col("cosine").asc, col("vec_id")).limit(k)
+    assert(scanRoots(df).forall(_.contains("/emb")))
+  }
+
+  test("freshness: a corpus append keeps the scan until refresh") {
+    Seq((1000L, (0 until dim).map(_ => 0.5)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(corpusPath)
+    try {
+      val stale = declarative()
+      assert(scanRoots(stale).forall(_.contains("/emb")),
+        "stale index must not answer for a grown corpus")
+      // catch the index up, re-assert coverage: the rewrite resumes
+      val extra = spark.read.parquet(corpusPath)
+        .filter(col("vec_id") === 1000L)
+      Similarity.appendIvfIndex(extra, col("vec_id"), col("embedding"),
+        idxPath)
+      AnnIndex.refresh(spark, corpusPath)
+      val freshDf = declarative()
+      assert(scanRoots(freshDf).forall(_.contains("/idx")))
+    } finally AnnIndex.refresh(spark, corpusPath)
+  }
+
+  test("kill switch spark.graft.annRewrite=false keeps the scan") {
+    spark.conf.set("spark.graft.annRewrite", "false")
+    try {
+      val df = declarative()
+      assert(scanRoots(df).forall(_.contains("/emb")))
+    } finally spark.conf.set("spark.graft.annRewrite", "true")
+  }
+}
