@@ -2281,6 +2281,35 @@ object QueriesML {
           minCount = 2, maxGramsPerOrder = 100000)
         graft.operators.NgramLm.scores(d, col("doc_id"), col("text"), lm)
           .orderBy(col("doc_id"))
+      }),
+
+    // -- WORDPIECE (BERT tokenizer; third tokenizer family): scored
+    //    merges (freq(ab)/(freq(a)·freq(b)), exact-rational argmax) +
+    //    greedy longest-match encode. Like q146: DuckDB cannot train it,
+    //    but the conservation property gates the whole chain — the
+    //    uncapped alphabet guarantees no [UNK] on the training corpus,
+    //    so every doc's pieces (## stripped) must re-concatenate to its
+    //    whitespace-stripped chars; one wrong merge, vocab entry, or
+    //    longest-match step flips `conserved` and the hash mismatches.
+    QueryDef("q168_wordpiece_tokens", Some("""
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+               AS n_chars_nosp,
+             TRUE AS conserved
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val model = graft.operators.WordPiece.train(docs, col("text"),
+          numMerges = 200, maxWords = 1 << 17, minFreq = 2L)
+        docs.select(col("doc_id"),
+            regexp_replace(col("text"), "\\s", "").as("nosp"),
+            graft.operators.WordPiece.encode(col("text"), model).as("toks"))
+          .select(col("doc_id"),
+            length(col("nosp")).cast("long").as("n_chars_nosp"),
+            (concat_ws("", transform(col("toks"),
+              t => regexp_replace(t, "^##", ""))) === col("nosp"))
+              .as("conserved"))
+          .orderBy(col("doc_id"))
       })
   )
 }

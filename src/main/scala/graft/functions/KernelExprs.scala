@@ -356,6 +356,38 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** WordPiece greedy longest-match encode
+    * ([[WordPieceTable.encodeText]]): array<string> pieces; the
+    * vocabulary ships with the plan. */
+  case class WpEncode(child: Expression, table: WordPieceTable)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      table.encodeText(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wpTable", table,
+        classOf[WordPieceTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.encodeText($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): WpEncode =
+      copy(child = newChild)
+  }
+
+  /** WordPiece token count without materializing the pieces. */
+  case class WpCount(child: Expression, table: WordPieceTable)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      table.countTokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wpTable", table,
+        classOf[WordPieceTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.countTokens($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): WpCount =
+      copy(child = newChild)
+  }
+
   /** Stupid-backoff n-gram LM document score ([[NgramLmTable.scoreText]]):
     * struct(n_tokens, logscore_micros) — the exact-integer form that makes
     * the per-doc sum order-free. One codegen'd pass per document; the
@@ -421,4 +453,8 @@ object KernelExprs {
     ColumnBridge.column(DigitQuantile(e(hist), q))
   def ngram_lm_score(text: Column, table: NgramLmTable): Column =
     ColumnBridge.column(NgramLmScore(e(text), table))
+  def wp_encode(text: Column, table: WordPieceTable): Column =
+    ColumnBridge.column(WpEncode(e(text), table))
+  def wp_count(text: Column, table: WordPieceTable): Column =
+    ColumnBridge.column(WpCount(e(text), table))
 }
