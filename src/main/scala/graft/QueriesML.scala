@@ -63,6 +63,62 @@ object QueriesML {
       r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY cos DESC, cell) AS rn FROM a2)"""
 
+  /** The trigram stupid-backoff LM chain as a DuckDB CTE block over a
+    * docs-shaped source `src` (doc_id, text): token lane, one gram count
+    * shared by all orders, minCount=2 prune + per-order rank cap 100000,
+    * per-position backoff scores (factor-first products, exact-integer
+    * micros), per-doc sum. Ends at `toks` (doc_id, ts) and `agg`
+    * (doc_id, m); mirrors [[graft.operators.NgramLm]] at
+    * (n=3, minCount=2, cap=100000, alpha=0.4) bit-for-bit. */
+  private def dkNgramLmChain(src: String): String = s"""
+      toks AS (SELECT doc_id, ${dkToks("text")} AS ts FROM $src),
+      tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS total FROM toks),
+      allg AS (
+        SELECT unnest(${dkShingles("ts", 1)}) AS gram FROM toks
+        UNION ALL SELECT unnest(${dkShingles("ts", 2)}) FROM toks
+        UNION ALL SELECT unnest(${dkShingles("ts", 3)}) FROM toks),
+      cnts AS (SELECT gram, count(*) AS cnt,
+                      len(string_split(gram, ' ')) AS ord
+               FROM allg GROUP BY 1),
+      kept AS (SELECT gram, cnt FROM (
+        SELECT gram, cnt, row_number() OVER (PARTITION BY ord
+                 ORDER BY cnt DESC, gram) AS rk
+        FROM cnts WHERE cnt >= 2) WHERE rk <= 100000),
+      p AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
+      px AS (SELECT doc_id, i,
+        ts[i+1] AS w1,
+        CASE WHEN i >= 1 THEN array_to_string(ts[i:i+1], ' ') END AS g2,
+        CASE WHEN i >= 1 THEN ts[i] END AS x2,
+        CASE WHEN i >= 2 THEN array_to_string(ts[i-1:i+1], ' ') END AS g3,
+        CASE WHEN i >= 2 THEN array_to_string(ts[i-1:i], ' ') END AS x3
+      FROM p),
+      lk AS (SELECT px.doc_id, px.i, px.g3, px.g2,
+               c1.cnt AS c1, cg2.cnt AS c2g, cx2.cnt AS c2x,
+               cg3.cnt AS c3g, cx3.cnt AS c3x
+             FROM px
+             LEFT JOIN kept c1  ON c1.gram  = px.w1
+             LEFT JOIN kept cg2 ON cg2.gram = px.g2
+             LEFT JOIN kept cx2 ON cx2.gram = px.x2
+             LEFT JOIN kept cg3 ON cg3.gram = px.g3
+             LEFT JOIN kept cx3 ON cx3.gram = px.x3),
+      sc AS (SELECT doc_id, CAST(floor((CASE
+        WHEN g3 IS NOT NULL AND c3g IS NOT NULL AND c3x IS NOT NULL THEN
+          ln(CAST(c3g AS DOUBLE) / CAST(c3x AS DOUBLE))
+        WHEN g2 IS NOT NULL AND c2g IS NOT NULL AND c2x IS NOT NULL THEN
+          ln((CASE WHEN g3 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE) END)
+             * (CAST(c2g AS DOUBLE) / CAST(c2x AS DOUBLE)))
+        ELSE
+          ln((CASE WHEN g3 IS NOT NULL
+                THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+               WHEN g2 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE) END)
+             * (CAST(coalesce(c1, 1) AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE)))
+        END) * 1000000.0 + 0.5) AS BIGINT) AS micros
+      FROM lk),
+      agg AS (SELECT doc_id, sum(micros) AS m FROM sc GROUP BY doc_id)"""
+
   /** Minhash component j over a shingle-list column. */
   private def dkMinhash(sh: String, j: Int): String =
     s"coalesce(list_min(list_transform($sh, s -> ${dkHash60(s"s || '#' || $j")})), 0)"
@@ -2221,53 +2277,7 @@ object QueriesML {
     //    score: counts → rank cap → per-position backoff CASE (factor-
     //    first products, exact-integer micros) → order-free decimal sum.
     QueryDef("q167_ngram_lm", Some(s"""
-      WITH toks AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
-      tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS total FROM toks),
-      allg AS (
-        SELECT unnest(${dkShingles("ts", 1)}) AS gram FROM toks
-        UNION ALL SELECT unnest(${dkShingles("ts", 2)}) FROM toks
-        UNION ALL SELECT unnest(${dkShingles("ts", 3)}) FROM toks),
-      cnts AS (SELECT gram, count(*) AS cnt,
-                      len(string_split(gram, ' ')) AS ord
-               FROM allg GROUP BY 1),
-      kept AS (SELECT gram, cnt FROM (
-        SELECT gram, cnt, row_number() OVER (PARTITION BY ord
-                 ORDER BY cnt DESC, gram) AS rk
-        FROM cnts WHERE cnt >= 2) WHERE rk <= 100000),
-      p AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
-      px AS (SELECT doc_id, i,
-        ts[i+1] AS w1,
-        CASE WHEN i >= 1 THEN array_to_string(ts[i:i+1], ' ') END AS g2,
-        CASE WHEN i >= 1 THEN ts[i] END AS x2,
-        CASE WHEN i >= 2 THEN array_to_string(ts[i-1:i+1], ' ') END AS g3,
-        CASE WHEN i >= 2 THEN array_to_string(ts[i-1:i], ' ') END AS x3
-      FROM p),
-      lk AS (SELECT px.doc_id, px.i, px.g3, px.g2,
-               c1.cnt AS c1, cg2.cnt AS c2g, cx2.cnt AS c2x,
-               cg3.cnt AS c3g, cx3.cnt AS c3x
-             FROM px
-             LEFT JOIN kept c1  ON c1.gram  = px.w1
-             LEFT JOIN kept cg2 ON cg2.gram = px.g2
-             LEFT JOIN kept cx2 ON cx2.gram = px.x2
-             LEFT JOIN kept cg3 ON cg3.gram = px.g3
-             LEFT JOIN kept cx3 ON cx3.gram = px.x3),
-      sc AS (SELECT doc_id, CAST(floor((CASE
-        WHEN g3 IS NOT NULL AND c3g IS NOT NULL AND c3x IS NOT NULL THEN
-          ln(CAST(c3g AS DOUBLE) / CAST(c3x AS DOUBLE))
-        WHEN g2 IS NOT NULL AND c2g IS NOT NULL AND c2x IS NOT NULL THEN
-          ln((CASE WHEN g3 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
-               ELSE CAST(1.0 AS DOUBLE) END)
-             * (CAST(c2g AS DOUBLE) / CAST(c2x AS DOUBLE)))
-        ELSE
-          ln((CASE WHEN g3 IS NOT NULL
-                THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
-               WHEN g2 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
-               ELSE CAST(1.0 AS DOUBLE) END)
-             * (CAST(coalesce(c1, 1) AS DOUBLE)
-                / CAST((SELECT total FROM tot) AS DOUBLE)))
-        END) * 1000000.0 + 0.5) AS BIGINT) AS micros
-      FROM lk),
-      agg AS (SELECT doc_id, sum(micros) AS m FROM sc GROUP BY doc_id)
+      WITH ${dkNgramLmChain("documents")}
       SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
         coalesce(a.m, 0) AS logscore_micros,
         CASE WHEN len(t.ts) > 0 THEN
@@ -2309,6 +2319,72 @@ object QueriesML {
             (concat_ws("", transform(col("toks"),
               t => regexp_replace(t, "^##", ""))) === col("nosp"))
               .as("conserved"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- CCNet CURATION PIPELINE (Wenzek 2020), composed end to end:
+    //    exact dedup (min-id per content hash) → language id → trigram
+    //    stupid-backoff LM trained on the deduped corpus → per-language
+    //    HEAD/MIDDLE/TAIL by per-token NLL, with third-boundaries from
+    //    the exact-decimal digit-histogram sketch (NO per-language global
+    //    sort — CCNet's own cutoff-and-compare shape). Every stage
+    //    replays in the oracle: md5 dedup, marker-lexicon argmax, the
+    //    q167 LM chain, the q162 digit-bucket walk, the bucket CASE.
+    QueryDef("q169_ccnet_curation", Some {
+      val hits = TF.langMarkers.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(ts, t -> list_contains($lst, t))) AS h_$l"
+      }.mkString(", ")
+      val best = TF.langMarkers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
+      val cases = TF.langMarkers.map { case (l, _) =>
+        s"WHEN best > 0 AND h_$l = best THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH ded AS (SELECT min(doc_id) AS doc_id FROM documents
+                   GROUP BY md5(text)),
+      docs0 AS (SELECT d.doc_id, d.text FROM documents d JOIN ded USING (doc_id)),
+      ${dkNgramLmChain("docs0")},
+      lh AS (SELECT doc_id, $hits FROM toks),
+      lb2 AS (SELECT *, $best AS best FROM lh),
+      lng AS (SELECT doc_id, CASE $cases
+                ELSE '${TF.langMarkers.head._1}' END AS lang FROM lb2),
+      base AS (SELECT t.doc_id, l.lang, len(t.ts) AS n, coalesce(a.m, 0) AS m
+               FROM toks t JOIN lng l USING (doc_id)
+               LEFT JOIN agg a USING (doc_id)
+               WHERE len(t.ts) > 0),
+      nl0 AS (SELECT doc_id, lang, n, (-m) // n AS nll FROM base),
+      nl AS (SELECT doc_id, lang, n, nll,
+               CAST(CASE WHEN length(CAST(nll AS VARCHAR)) <= 3
+                         THEN CAST(nll AS VARCHAR)
+                    ELSE rpad(substring(CAST(nll AS VARCHAR), 1, 3),
+                              CAST(length(CAST(nll AS VARCHAR)) AS INTEGER),
+                              '0') END
+                    AS BIGINT) AS lb
+             FROM nl0),
+      hh AS (SELECT lang, lb, count(*) AS cnt2 FROM nl GROUP BY 1, 2),
+      tt AS (SELECT lang, sum(cnt2) AS tot FROM hh GROUP BY 1),
+      cw AS (SELECT hh.lang, hh.lb,
+                    sum(hh.cnt2) OVER (PARTITION BY hh.lang
+                      ORDER BY hh.lb) AS cn, tt.tot
+             FROM hh JOIN tt USING (lang)),
+      cuts AS (SELECT lang,
+        min(CASE WHEN cn >= greatest(1,
+          CAST(ceil(0.33 * tot) AS BIGINT)) THEN lb END) AS t_head,
+        min(CASE WHEN cn >= greatest(1,
+          CAST(ceil(0.67 * tot) AS BIGINT)) THEN lb END) AS t_mid
+        FROM cw GROUP BY lang)
+      SELECT n2.doc_id, n2.lang, CAST(n2.n AS BIGINT) AS n_tokens, n2.nll,
+        CASE WHEN n2.lb <= c.t_head THEN 'head'
+             WHEN n2.lb <= c.t_mid THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM nl n2 JOIN cuts c USING (lang)
+      ORDER BY n2.doc_id"""
+    },
+      (s, dir) => {
+        val d = Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
+        val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
+          minCount = 2, maxGramsPerOrder = 100000)
+        TrainPrep.curationBuckets(d, col("doc_id"), col("text"), lm)
           .orderBy(col("doc_id"))
       })
   )

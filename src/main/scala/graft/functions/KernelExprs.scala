@@ -356,6 +356,23 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** Per-row digit-histogram bucket lower bound
+    * ([[Kernels.digitBucket]]): the row-side companion of
+    * [[graft.functions.KernelAggs.DigitHistAgg]], for comparing a value
+    * against sketch-derived grid cutoffs on the SAME grid. */
+  case class DigitBucket(child: Expression, digits: Int)
+      extends UnaryExpression {
+    require(digits >= 1, s"digit_bucket: digits must be >= 1 (got $digits)")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.digitBucket(input.asInstanceOf[Number].longValue(), digits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Kernels.digitBucket($c, $digits)")
+    override protected def withNewChildInternal(newChild: Expression): DigitBucket =
+      copy(child = newChild)
+  }
+
   /** WordPiece greedy longest-match encode
     * ([[WordPieceTable.encodeText]]): array<string> pieces; the
     * vocabulary ships with the plan. */
@@ -451,6 +468,8 @@ object KernelExprs {
     ColumnBridge.column(UnigramCount(e(text), table))
   def digit_quantile(hist: Column, q: Double): Column =
     ColumnBridge.column(DigitQuantile(e(hist), q))
+  def digit_bucket(v: Column, digits: Int): Column =
+    ColumnBridge.column(DigitBucket(e(v), digits))
   def ngram_lm_score(text: Column, table: NgramLmTable): Column =
     ColumnBridge.column(NgramLmScore(e(text), table))
   def wp_encode(text: Column, table: WordPieceTable): Column =

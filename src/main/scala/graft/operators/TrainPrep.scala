@@ -328,4 +328,58 @@ object TrainPrep {
           .orderBy(col("okey"), col("doc_id"), col("epoch"))).cast("long") - 1L)
       .select(col("shard"), col("pos"), col("doc_id"), col("epoch"))
   }
+
+  /** CCNet-style perplexity curation (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data"):
+    * per language, split the corpus into HEAD / MIDDLE / TAIL by the
+    * reference LM's per-token negative log-score — head is the most
+    * fluent third, the slice CCNet keeps for pretraining.
+    *
+    * Scale shape — NO per-language global sort (CCNet itself computes
+    * percentile CUTOFFS and buckets by comparison, precisely because a
+    * total order over a web crawl is unaffordable): one codegen'd pass
+    * scores and language-ids every document ([[graft.functions
+    * .KernelExprs.NgramLmScore]] + [[TF.lang_id]]); per-language
+    * third-boundaries come from the exact-decimal digit-histogram sketch
+    * ([[graft.functions.KernelAggs.digit_hist]], map-side combined,
+    * languages × ~hundreds of buckets) at q = 0.33 / 0.67 (conservative
+    * rank rule); documents bucket by comparing against the broadcast
+    * cutoffs. Everything is integer-exact: the metric is
+    * `nll = (-logscore_micros) div n_tokens` (truncating division of
+    * non-negatives), so sketch, cutoffs, and buckets replay bit-for-bit
+    * in the SQL oracle (q169). Cutoff granularity is the sketch's ≤10%
+    * relative bucket width at 2 digits — the boundary lands on a grid
+    * value, ties bucket toward head/middle, deterministic both engines.
+    *
+    * Token-free documents are dropped (CCNet drops them; their NLL is
+    * undefined). Output: (doc_id, lang, n_tokens, nll, bucket). */
+  def curationBuckets(docs: DataFrame, id: Column, text: Column,
+                      lm: graft.functions.NgramLmTable): DataFrame = {
+    import graft.functions.{KernelAggs => KA, KernelExprs => KE}
+    val scored = docs.select(id.as("doc_id"), TF.lang_id(text).as("lang"),
+        KE.ngram_lm_score(text, lm).as("s"))
+      .filter(col("s.n_tokens") > 0)
+      .select(col("doc_id"), col("lang"),
+        col("s.n_tokens").cast("long").as("n_tokens"),
+        F.bind(-col("s.logscore_micros")) { neg =>
+          // exact truncating division: subtract the remainder first so
+          // the double division is of a divisible pair (< 2^53 — exact)
+          ((neg - neg % col("s.n_tokens")) / col("s.n_tokens")).cast("long")
+        }.as("nll"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(KA.digit_hist(col("nll"), 3).as("h"))
+      .select(col("lang"),
+        KE.digit_quantile(col("h"), 0.33).as("t_head"),
+        KE.digit_quantile(col("h"), 0.67).as("t_mid"))
+    // grid-to-grid comparison: the cutoffs are digit-bucket LOWER BOUNDS,
+    // so the row compares its OWN bucket — values sharing the boundary
+    // bucket land together (in the better bucket), on both engines
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+        F.bind(KE.digit_bucket(col("nll"), 3)) { lb =>
+          when(lb <= col("t_head"), "head")
+            .when(lb <= col("t_mid"), "middle")
+            .otherwise("tail")
+        }.as("bucket"))
+  }
 }
