@@ -111,6 +111,8 @@ object GraftExtensions {
       graft.functions.KernelAggs.DigitHistMergeAgg(a.head)),
     "graft_digit_quantile" -> ((a: Seq[Expression]) =>
       KernelExprs.DigitQuantile(a(0), doubleArg(a(1), "q"))),
+    "graft_digit_bucket" -> ((a: Seq[Expression]) =>
+      KernelExprs.DigitBucket(a(0), intArg(a(1), "digits"))),
     "graft_zorder2" -> ((a: Seq[Expression]) =>
       KernelExprs.ZOrder2(a(0), a(1), intArg(a(2), "bits"))),
     "graft_zorder3" -> ((a: Seq[Expression]) =>

@@ -2386,6 +2386,31 @@ object QueriesML {
           minCount = 2, maxGramsPerOrder = 100000)
         TrainPrep.curationBuckets(d, col("doc_id"), col("text"), lm)
           .orderBy(col("doc_id"))
-      })
+      }),
+
+    // -- OVERLAPPING TOKEN CHUNKING (size=32, stride=24 → 8-token
+    //    overlap): the document → context-window mapping of every
+    //    embedding/RAG pipeline. Window k = tokens [k·24, k·24+32);
+    //    count = 1 + ceil(max(0, n-32)/24) (integer arithmetic both
+    //    engines); last window short; token-free docs emit nothing.
+    QueryDef("q170_token_chunks", Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                     x -> len(x) > 0) AS ts
+                 FROM documents),
+      k AS (SELECT doc_id, ts, len(ts) AS n,
+              (greatest(0, len(ts) - 32) + 23) // 24 AS last_k
+            FROM t WHERE len(ts) > 0),
+      c AS (SELECT doc_id, ts, n, unnest(range(0, last_k + 1)) AS chunk_id
+            FROM k)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tokens,
+             array_to_string(ts[chunk_id*24 + 1 : chunk_id*24 + 32], ' ')
+               AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id"""),
+      (s, dir) =>
+        TrainPrep.chunkTokens(T(s, dir, "documents"),
+            col("doc_id"), col("text"), size = 32, stride = 24)
+          .orderBy(col("doc_id"), col("chunk_id")))
   )
 }

@@ -329,6 +329,43 @@ object TrainPrep {
       .select(col("shard"), col("pos"), col("doc_id"), col("epoch"))
   }
 
+  /** Overlapping token-window CHUNKING — the document → context-window
+    * mapping every embedding/RAG pipeline runs before vectorizing, and
+    * the sliding-window variant of training-sequence preparation: window
+    * k covers tokens `[k·stride, k·stride + size)`, so consecutive
+    * chunks overlap by `size - stride` tokens (overlap preserves
+    * cross-boundary context; `stride = size` gives disjoint chunks).
+    * Chunk count per doc = 1 + ⌈max(0, n − size) / stride⌉ — every token
+    * is covered, the last window may be short, token-free docs emit no
+    * chunks. Whitespace tokenization, single-space rejoin (the standard
+    * splitter trade); all arithmetic integral.
+    *
+    * Scale shape: one projection + posexplode — embarrassingly parallel,
+    * no shuffle at all; output order is (doc, chunk_id) within each
+    * input row. Output: (doc_id, chunk_id, n_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, id: Column, text: Column,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0, s"size must be positive (got $size)")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size] (got $stride)")
+    docs.select(id.as("doc_id"),
+        filter(split(text, "\\s+"), t => length(t) > 0).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        org.apache.spark.sql.functions.size(col("ts")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            expr(s"(greatest(0L, n - $size) + ${stride - 1}) div $stride")),
+          k => struct(
+            least(lit(size.toLong), col("n") - k * stride).as("nt"),
+            concat_ws(" ", slice(col("ts"),
+              (k * stride + 1).cast("int"), lit(size))).as("ct"))))
+          .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.nt").as("n_tokens"), col("c.ct").as("chunk_text"))
+  }
+
   /** CCNet-style perplexity curation (Wenzek et al. 2020, "CCNet:
     * Extracting high quality monolingual datasets from web crawl data"):
     * per language, split the corpus into HEAD / MIDDLE / TAIL by the

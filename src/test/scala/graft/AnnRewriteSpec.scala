@@ -187,6 +187,22 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
     } finally AnnIndex.refresh(spark, corpusPath)
   }
 
+  test("the pure-SQL spelling rewrites too (graft_* function surface)") {
+    spark.read.parquet(corpusPath).createOrReplaceTempView("ann_corpus")
+    val qlit = qv.mkString("array(", "L, ", "L)")
+    val df = spark.sql(s"""
+      SELECT vec_id,
+             graft_cosine_q6(graft_vec_quantize(embedding, 1000),
+                             $qlit) AS cosine
+      FROM ann_corpus
+      ORDER BY cosine DESC, vec_id LIMIT $k""")
+    val got = rows(df)
+    assert(scanRoots(df).forall(_.contains("/idx")),
+      "SQL spelling must hit the index probe")
+    assert(got === rows(declarative()),
+      "SQL and DataFrame spellings must agree")
+  }
+
   test("kill switch spark.graft.annRewrite=false keeps the scan") {
     spark.conf.set("spark.graft.annRewrite", "false")
     try {

@@ -81,6 +81,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "graft_digit_hist" -> "(SELECT graft_digit_hist(v, 2) FROM (SELECT 12345L AS v))",
       "graft_digit_hist_merge" -> "(SELECT graft_digit_hist_merge(h) FROM (SELECT graft_digit_hist(v, 2) AS h FROM (SELECT 12345L AS v) GROUP BY v))",
       "graft_digit_quantile" -> "(SELECT graft_digit_quantile(graft_digit_hist(v, 2), 0.5D) FROM (SELECT 12345L AS v))",
+      "graft_digit_bucket" -> "graft_digit_bucket(12345L, 2)",
       "graft_zorder2" -> "graft_zorder2(3, 5, 8)",
       "graft_zorder3" -> "graft_zorder3(3, 5, 7, 8)",
       "graft_hilbert2" -> "graft_hilbert2(3, 5, 8)",

@@ -226,4 +226,45 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
     val total = (0L until 200L).map(d => (d * 13 % 6) + 1 + 1).sum
     assert(total - emitted < 4L * seqLen)
   }
+
+  test("chunkTokens: coverage, overlap, short tail, empty docs") {
+    val docs = Seq(
+      (0L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 toks: 3 chunks
+      (1L, (1 to 8).map(i => s"u$i").mkString(" ")),  // 8 toks: 1 chunk
+      (2L, "   "),                                    // token-free: none
+      (3L, (1 to 32).map(i => s"v$i").mkString(" "))) // exactly one window
+      .toDF("doc_id", "text")
+    val out = TrainPrep.chunkTokens(docs, col("doc_id"), col("text"),
+        size = 32, stride = 24)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 0: k up to ceil(18/24)=1 -> chunks 0 (32 toks) and 1 (toks 25..50)
+    val d0 = out.filter(_._1 == 0L)
+    assert(d0.map(_._2).toSeq === Seq(0L, 1L))
+    assert(d0(0)._3 === 32L && d0(1)._3 === 26L)
+    assert(d0(0)._4.startsWith("t1 ") && d0(1)._4.startsWith("t25 "))
+    // 8-token overlap: chunk 0's last 8 tokens reappear in chunk 1
+    assert(d0(0)._4.split(" ").takeRight(8).toSeq ===
+      d0(1)._4.split(" ").take(8).toSeq)
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq ===
+      Seq((0L, 8L)))
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq ===
+      Seq((0L, 32L)))
+    // every token covered exactly: union of chunk tokens = original
+    val covered = d0.flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 50).map(i => s"t$i").toSet)
+  }
+
+  test("chunkTokens plans with no exchange at all") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws(" ", array_repeat(lit("w"), 40)).as("text"))
+    val df = TrainPrep.chunkTokens(docs, col("doc_id"), col("text"), 16, 16)
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, "chunking must be a pure projection")
+  }
 }
