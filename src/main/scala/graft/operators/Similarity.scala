@@ -192,6 +192,12 @@ object Similarity {
     c.withColumn("cell", assignCell(spark, refined)(col("cv")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assign")
+    // a rebuild resets any compaction pointer — readers must resolve to
+    // the freshly written directory, not a retired version
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_assign"), false)
+    ()
   }
 
   /** The stored centroid array of an index at `path` (also consumed by
@@ -201,6 +207,72 @@ object Similarity {
     spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
+
+  /** The index's ACTIVE assignment directory: named by the `_assign`
+    * pointer file when present (written atomically by
+    * [[compactIvfIndex]] — the Iceberg version-hint pattern), the
+    * original `assign` otherwise. Every reader and [[appendIvfIndex]]
+    * resolve through this. */
+  private[graft] def assignDir(spark: org.apache.spark.sql.SparkSession,
+                               path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val ptr = new org.apache.hadoop.fs.Path(root, "_assign")
+    val name =
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } else "assign"
+    s"$path/$name"
+  }
+
+  /** COMPACT the assignment lake: every append ([[appendIvfIndex]]) adds
+    * files under the hot cells' directories, and at 100 TB the
+    * small-files tax on probe reads grows without bound. Compaction
+    * rewrites the whole assignment hash-partitioned by `cell` (each cell
+    * lands wholly in one task → one file per cell) into a NEW versioned
+    * directory, then publishes it with one ATOMIC pointer overwrite —
+    * readers resolve the pointer, so they see the old or the new
+    * assignment, never a mix, and a crash mid-compaction leaves the old
+    * index fully live. Retired directories stay on disk for in-flight
+    * readers until [[vacuumIvfIndex]]. Row content is unchanged, so
+    * probe results are bit-identical (AnnRewriteSpec). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val cur = assignDir(spark, path)
+    val curName = cur.substring(cur.lastIndexOf('/') + 1)
+    val nextName =
+      if (curName == "assign") "assign-v1"
+      else "assign-v" + (curName.stripPrefix("assign-v").toInt + 1)
+    spark.read.parquet(cur)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/$nextName")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_assign.tmp-$nextName")
+    val out = fs.create(tmp, true)
+    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+      new org.apache.hadoop.fs.Path(root, "_assign"))
+  }
+
+  /** Delete retired assignment directories (everything `assign*` except
+    * the active one) — run once in-flight readers of the pre-compaction
+    * index have drained. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Int = {
+    val active = assignDir(spark, path)
+      .substring(assignDir(spark, path).lastIndexOf('/') + 1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("assign")
+        && st.getPath.getName != active)
+      .map { st => fs.delete(st.getPath, true); 1 }.sum
+  }
 
   /** Assign a NEW corpus batch to the index's STORED centroids and append
     * it under the matching `cell=` directories — incremental corpus
@@ -214,7 +286,8 @@ object Similarity {
     corpus.select(corpusId.as("neighbor_id"),
         F.vec_quantize(corpusVec, 1000).as("cv"))
       .withColumn("cell", assignCell(spark, cents)(col("cv")))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/assign")
+      .write.mode("append").partitionBy("cell")
+      .parquet(assignDir(spark, path))
   }
 
   /** ANN top-k over a persisted IVF index ([[writeIvfIndex]]): queries
@@ -237,7 +310,7 @@ object Similarity {
       .localCheckpoint(false)
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val assigned = spark.read.parquet(s"$path/assign")
+    val assigned = spark.read.parquet(assignDir(spark, path))
       .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

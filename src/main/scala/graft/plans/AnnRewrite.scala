@@ -224,7 +224,8 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // the cosine the query asked for
     val qLit = ColumnBridge.column(
       Literal.create(qArr, ArrayType(LongType, containsNull = false)))
-    val probeDf = spark.read.parquet(s"${reg.indexPath}/assign")
+    val probeDf = spark.read
+      .parquet(Similarity.assignDir(spark, reg.indexPath))
       .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
       .select(col("neighbor_id").cast(idOut.dataType).as(idOut.name),
         F.vec_cosine_q6(col("cv"), qLit).as(cosOut.name))

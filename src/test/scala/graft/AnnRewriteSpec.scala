@@ -203,6 +203,41 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
       "SQL and DataFrame spellings must agree")
   }
 
+  test("index compaction: pointer swap, identical answers, old dirs vacuum") {
+    val before = rows(declarative())
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(dir: String): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val fragmented = files(s"$idxPath/assign")
+    Similarity.compactIvfIndex(spark, idxPath)
+    val active = Similarity.assignDir(spark, idxPath)
+    assert(active.endsWith("assign-v1"), s"pointer not swapped: $active")
+    assert(rows(declarative()) === before,
+      "compaction must not change probe answers")
+    assert(files(active) < fragmented,
+      s"compaction did not reduce files: ${files(active)} vs $fragmented")
+    // retired dirs removable once readers drain
+    assert(Similarity.vacuumIvfIndex(spark, idxPath) === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/assign")))
+    assert(rows(declarative()) === before)
+    // appends resolve the pointer and land in the ACTIVE directory
+    val preAppend = files(active)
+    Similarity.appendIvfIndex(
+      spark.read.parquet(corpusPath).filter(col("vec_id") === 1000L),
+      col("vec_id"), col("embedding"), idxPath)
+    AnnIndex.refresh(spark, corpusPath)
+    assert(files(active) > preAppend,
+      "append must land in the active compacted directory")
+    assert(rows(declarative()).size === k)
+  }
+
   test("kill switch spark.graft.annRewrite=false keeps the scan") {
     spark.conf.set("spark.graft.annRewrite", "false")
     try {
