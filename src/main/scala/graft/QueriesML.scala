@@ -2411,6 +2411,46 @@ object QueriesML {
       (s, dir) =>
         TrainPrep.chunkTokens(T(s, dir, "documents"),
             col("doc_id"), col("text"), size = 32, stride = 24)
-          .orderBy(col("doc_id"), col("chunk_id")))
+          .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // -- FILTERED declarative ANN (the pgvector filtered-search shape):
+    //    covered predicates (id below the projection, cosine above it)
+    //    ride the probe — filter-then-top-k WITHIN the probed cells. The
+    //    oracle replays probe → filters → top-k, so green proves both
+    //    the substitution and the predicate placement.
+    QueryDef("q171_ann_filtered", Some(s"""
+      WITH ${dkIvfCells(8)},
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      qv0 AS (SELECT qv AS xv FROM q WHERE vec_id = 4),
+      qa AS (SELECT cent.cell, ${dkCos("xv", "cent.cq")} AS cos FROM qv0, cent),
+      qr AS (SELECT cell, row_number() OVER (ORDER BY cos DESC, cell) AS rn FROM qa),
+      probed AS (SELECT cell FROM qr WHERE rn <= 2),
+      cand AS (SELECT neighbor_id AS vec_id, ${dkCos("cv", "xv")} AS cosine
+               FROM cell2 JOIN probed USING (cell) CROSS JOIN qv0)
+      SELECT vec_id, cosine FROM cand
+      WHERE vec_id % 3 = 0 AND cosine > 0.0
+      ORDER BY cosine DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val cp = s"$dir/embeddings.parquet"
+        val emb = T(s, dir, "embeddings")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q171-ann").toString + "/idx"
+        Similarity.writeIvfIndex(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        graft.plans.AnnIndex.register(s, cp, path,
+          idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+        val qv = emb.filter(col("vec_id") === 4)
+          .select(col("embedding")).head.getSeq[Float](0)
+          .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong)
+        s.read.parquet(cp)
+          .filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id"),
+            F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+              typedlit(qv)).as("cosine"))
+          .filter(col("cosine") > 0.0)
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      })
   )
 }

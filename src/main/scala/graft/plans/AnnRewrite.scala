@@ -37,9 +37,12 @@ import graft.operators.Similarity
   *
   * Match shape (anything else keeps the scan):
   *  - `GlobalLimit(k, LocalLimit(k, Sort(orders, Project(outs, corpus))))`
-  *    where the corpus relation's root path is registered. No Filter
-  *    anywhere in the peel — a predicate changes which rows may answer,
-  *    and the index stores only (cell, id, quantized vector).
+  *    where the corpus relation's root path is registered. Deterministic
+  *    FILTERS are admitted when they touch only columns the index covers
+  *    — the id column below the Project, the id/cosine outputs above it
+  *    (filtered ANN, the pgvector pattern: the predicate applies within
+  *    the probed cells before the top-k). Any other predicate keeps the
+  *    scan — the index stores only (cell, id, quantized vector).
   *  - `outs`: the registered id column, plus exactly one
   *    `Alias(cosExpr, _)`. Any other output column keeps the scan — the
   *    index COVERS only (id, cosine), the classic covering-index gate.
@@ -125,7 +128,8 @@ object AnnIndex {
     fingerprint(spark, reg.corpusPath) == reg.fingerprint
 }
 
-case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private val confKey = "spark.graft.annRewrite"
 
@@ -147,17 +151,31 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * probe; the Sort + Limit stay and execute over nprobe cells' rows —
     * a TakeOrderedAndProject over the pruned candidate set. */
   private def rewrite(sort: Sort): Option[LogicalPlan] = {
-    // peel: Project over (SubqueryAlias*) LogicalRelation — no Filter
-    def peel(p: LogicalPlan): Option[LogicalRelation] = p match {
-      case l: LogicalRelation if !l.isStreaming => Some(l)
-      case sa: SubqueryAlias => peel(sa.child)
-      case _ => None
-    }
-    val proj = sort.child match {
-      case pr: Project => pr
+    // peel: Project over (SubqueryAlias* / id-only Filter*) LogicalRelation.
+    // FILTERED ANN (the pgvector pain point): deterministic predicates are
+    // admitted when they touch only columns the index COVERS — the id
+    // column below the Project, the id/cosine outputs above it. They
+    // re-attach verbatim over the probe (output exprIds are preserved),
+    // so the semantics stay filter-then-top-k WITHIN the probed cells —
+    // approximate in exactly the way the registration opted into. A
+    // predicate on any other column (e.g. the raw vector) keeps the scan.
+    val (upperFilters, proj) = sort.child match {
+      case f @ Filter(cond, pr: Project) if cond.deterministic =>
+        (splitConjunctivePredicates(cond), pr)
+      case pr: Project => (Nil, pr)
       case _ => return None
     }
-    val rel = peel(proj.child).getOrElse(return None)
+    def peel(p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+      p match {
+        case l: LogicalRelation if !l.isStreaming => Some((l, Nil))
+        case sa: SubqueryAlias => peel(sa.child)
+        case f: Filter if f.condition.deterministic =>
+          peel(f.child).map { case (l, cs) =>
+            (l, splitConjunctivePredicates(f.condition) ++ cs)
+          }
+        case _ => None
+      }
+    val (rel, lowerFilters) = peel(proj.child).getOrElse(return None)
     val reg = rel.relation match {
       case h: HadoopFsRelation =>
         h.location.rootPaths.headOption
@@ -175,6 +193,10 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (proj.projectList.size != 2 ||
       !proj.projectList.toSet.equals(Set[NamedExpression](idOut, cosOut)))
       return None
+
+    // filters above the Project must stay inside the covered outputs
+    if (!upperFilters.forall(_.references.forall(a =>
+      a.exprId == idOut.exprId || a.exprId == cosOut.exprId))) return None
 
     // cosine expression: CosineQ6(quantized corpus vec, constant query)
     val (cexpr, qexpr) = cosOut.child match {
@@ -196,6 +218,16 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (!verifyQuantization(cexpr, rel, vecAttr, qArr.length)) return None
+
+    // filters below the Project: predicate pushdown substitutes the
+    // cosine alias with its full expression, so re-anchor any subtree
+    // semantically equal to it back onto the cosine output — after which
+    // a covered conjunct references only id/cosine
+    val loweredFilters = lowerFilters.map(_.transform {
+      case e if e.semanticEquals(cosOut.child) => cosOut.toAttribute
+    })
+    if (!loweredFilters.forall(_.references.forall(a =>
+      a.exprId == idOut.exprId || a.exprId == cosOut.exprId))) return None
 
     // sort orders: cosine DESC NULLS LAST [, id ASC NULLS FIRST]
     sort.order match {
@@ -240,7 +272,11 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (n.dataType != o.dataType) return None
       Alias(n, o.name)(exprId = o.exprId)
     }
-    Some(Project(outs, newPlan))
+    val projected: LogicalPlan = Project(outs, newPlan)
+    // covered predicates re-attach verbatim: the aliases above carry the
+    // original output exprIds, so both filter layers resolve unchanged
+    Some((loweredFilters ++ upperFilters).reduceOption(And)
+      .map(c => Filter(c, projected)).getOrElse(projected))
   }
 
   /** Behavioral gate: bound against the relation, `cexpr` must reproduce

@@ -149,12 +149,41 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(scanRoots(df).forall(_.contains("/emb")))
   }
 
-  test("bails: filter between the sort and the corpus") {
+  test("filtered ANN: covered predicates ride the probe") {
+    def filtered(probe: Boolean): Seq[(Long, Double)] = {
+      if (!probe) AnnIndex.unregister(corpusPath)
+      try {
+        val df = spark.read.parquet(corpusPath)
+          .filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id"),
+            F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+              typedlit(qv.toSeq)).as("cosine"))
+          .filter(col("cosine") > 0.0)
+          .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+        val r = rows(df)
+        val want = if (probe) "/idx" else "/emb"
+        assert(scanRoots(df).forall(_.contains(want)))
+        r
+      } finally if (!probe) AnnIndex.register(spark, corpusPath, idxPath,
+        "vec_id", "embedding", nprobe = 2)
+    }
+    val probed = filtered(probe = true)
+    assert(probed.nonEmpty)
+    probed.foreach { case (id, cos) =>
+      assert(id % 3 == 0 && cos > 0.0, s"predicate violated: ($id, $cos)")
+    }
+    // probe answers are a filter of the probe universe: every id also
+    // appears in the exact filtered ranking's candidate set
+    val exact = filtered(probe = false).toMap
+    probed.foreach { case (id, cos) => assert(exact.get(id).forall(_ == cos)) }
+  }
+
+  test("bails: a predicate on a column the index does not cover") {
     val df = spark.read.parquet(corpusPath)
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) > 0)
       .select(col("vec_id"),
         F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
           typedlit(qv.toSeq)).as("cosine"))
-      .filter(col("vec_id") > 10)
       .orderBy(col("cosine").desc, col("vec_id")).limit(k)
     assert(scanRoots(df).forall(_.contains("/emb")))
   }
