@@ -473,7 +473,15 @@ object Queries {
     // digit-histogram quantiles (sketch build + merge + reads). The
     // tokenizer-training queries (q146/q154/q160) stay gate-only: their
     // cost is the driver loop, not a repeatable engine lane.
-    "q159_substring_dedup", "q161_training_order", "q162_digit_quantiles")
+    "q159_substring_dedup", "q161_training_order", "q162_digit_quantiles",
+    // round-11 third wave: semantic dedup (IVF cells + within-cell pairs),
+    // the trigram LM (one distributed gram count + zero-shuffle scoring),
+    // the composed CCNet curation pipeline, and token chunking. The
+    // declarative-ANN queries (q165/q171) stay gate-only: each builds a
+    // fresh index fixture per call, which would bill writes to a read
+    // lane.
+    "q166_semantic_dedup", "q167_ngram_lm", "q169_ccnet_curation",
+    "q170_token_chunks")
   // The composite lake lanes (q96/q103/q106/q109/q110/q111) left this
   // list in r9 (VERDICT r8 #2): each billed 4-8 z-ordered WRITES per run
   // and hid the zero-task reads it existed to measure. Bench now times
