@@ -48,8 +48,8 @@ object QueriesML {
     * re-assigned to the refined centroids. Ends at `r2`; callers define
     * their own `cell2` slice. Mirrors [[Similarity.ivfCentroids]] +
     * [[Similarity.assignCell]] bit-for-bit. */
-  private def dkIvfCells(seedMax: Int): String = s"""
-      q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+  private def dkIvfCells(seedMax: Int, where: String = ""): String = s"""
+      q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings $where),
       seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < $seedMax),
       a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),
       r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -2451,6 +2451,47 @@ object QueriesML {
           .filter(col("cosine") > 0.0)
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
+      }),
+
+    // -- INCREMENTAL semantic dedup vs a persisted IVF index: the
+    //    arriving batch (vec_id < 50) assigns to the STORED centroids
+    //    (trained on the indexed corpus, vec_id >= 50) and drops when an
+    //    indexed same-cell row — read cell-pruned — or an earlier-id
+    //    batch row is within threshold. The oracle replays the whole
+    //    chain: corpus-subset Lloyd, batch assignment, both pair lanes.
+    QueryDef("q172_semantic_dedup_incremental", Some(s"""
+      WITH ${dkIvfCells(58, "WHERE vec_id >= 50")},
+      cell2 AS (SELECT vec_id, qv, cell FROM r2 WHERE rn = 1),
+      nb AS (SELECT vec_id AS vid, ${dkQuant("embedding")} AS bqv
+             FROM embeddings WHERE vec_id < 50),
+      ba AS (SELECT nb.vid, nb.bqv, cent.cell,
+                    ${dkCos("nb.bqv", "cent.cq")} AS cos
+             FROM nb, cent),
+      br AS (SELECT *, row_number() OVER (PARTITION BY vid
+                       ORDER BY cos DESC, cell) AS rn FROM ba),
+      bc AS (SELECT vid, bqv, cell FROM br WHERE rn = 1),
+      d1 AS (SELECT DISTINCT bc.vid
+             FROM bc JOIN cell2 c2 ON bc.cell = c2.cell
+             WHERE ${dkCos("c2.qv", "bc.bqv")} >= 0.3),
+      d2 AS (SELECT DISTINCT x.vid
+             FROM bc a JOIN bc x ON a.cell = x.cell AND a.vid < x.vid
+             WHERE ${dkCos("a.bqv", "x.bqv")} >= 0.3),
+      dropped AS (SELECT vid FROM d1 UNION SELECT vid FROM d2)
+      SELECT b.vid, b.cell, d.vid IS NULL AS keep
+      FROM bc b LEFT JOIN dropped d USING (vid)
+      ORDER BY vid"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val corpus0 = emb.filter(col("vec_id") >= 50)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q172-sem").toString + "/idx"
+        Similarity.writeIvfIndex(corpus0, col("vec_id"), col("embedding"),
+          corpus0.filter(col("vec_id") < 58), col("vec_id"), col("embedding"),
+          path)
+        Dedup.incrementalSemanticDedup(s, path,
+            emb.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
+            threshold = 0.3)
+          .orderBy(col("vid"))
       })
   )
 }

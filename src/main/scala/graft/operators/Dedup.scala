@@ -664,4 +664,45 @@ object Dedup {
       .select(col("vid"), col("cell"),
         coalesce(!col("dup"), lit(true)).as("keep"))
   }
+
+  /** INCREMENTAL semantic dedup against a persisted IVF index
+    * ([[Similarity.writeIvfIndex]]) — the arriving-batch shape: new
+    * vectors assign to the STORED centroids (broadcast projection, the
+    * corpus never re-clusters), and each new vector is compared against
+    * (a) the indexed corpus rows of ITS OWN CELL — read via partition
+    * pruning on the batch's cells, the same nprobe-style pruned read
+    * every indexed ANN query does — and (b) earlier-id batch rows in the
+    * same cell. A new row is dropped when anything indexed is within
+    * `threshold` (the index always wins: its rows are the kept
+    * representatives) or an earlier batch id is. Batch cost follows the
+    * batch (|batch| × cell size + batch-internal pairs), never the
+    * corpus — the [[incrementalMinhashCandidates]] contract, semantic
+    * edition. Output: (vid, cell, keep) for BATCH rows only. */
+  def incrementalSemanticDedup(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String,
+                               batch: DataFrame, id: Column, vec: Column,
+                               threshold: Double): DataFrame = {
+    val cents = Similarity.readCentroids(spark, indexPath)
+    val b = batch.select(id.as("vid"), F.vec_quantize(vec, 1000).as("qv"))
+      .withColumn("cell", Similarity.assignCell(spark, cents)(col("qv")))
+      .localCheckpoint(false)
+    val cells = b.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val indexed = spark.read
+      .parquet(Similarity.assignDir(spark, indexPath))
+      .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
+    val vsIndex = indexed.join(broadcast(b), Seq("cell"))
+      .filter(F.vec_cosine_q6(col("cv"), col("qv")) >= threshold)
+      .select(col("vid")).distinct()
+    val vsBatch = b.alias("a")
+      .join(b.alias("x"), col("a.cell") === col("x.cell") &&
+        col("a.vid") < col("x.vid"))
+      .filter(F.vec_cosine_q6(col("a.qv"), col("x.qv")) >= threshold)
+      .select(col("x.vid").as("vid")).distinct()
+    val dropped = vsIndex.unionByName(vsBatch).distinct()
+      .withColumn("dup", lit(true))
+    b.join(dropped, Seq("vid"), "left")
+      .select(col("vid"), col("cell"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
+  }
 }

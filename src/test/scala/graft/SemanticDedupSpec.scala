@@ -58,4 +58,25 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
   test("output is one row per input, exhaustively") {
     assert(run(0.5).keySet === (0L to 5L).toSet)
   }
+
+  test("incremental vs persisted index: index wins, batch order breaks ties") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semdd-inc").toString + "/idx"
+    // index = the two-cluster corpus
+    graft.operators.Similarity.writeIvfIndex(
+      corpus, col("vec_id"), col("embedding"),
+      corpus.filter(col("vec_id").isin(0L, 3L)),
+      col("vec_id"), col("embedding"), dir)
+    val batch = Seq(
+      (100L, v(0.97, 0.01)),  // near cluster A's indexed rows -> drop
+      (101L, v(0.01, 0.99)),  // near cluster B's indexed rows -> drop
+      (102L, v(0.7, 0.7)),    // novel direction -> keep
+      (103L, v(0.71, 0.69))   // near 102 (batch-internal, later id) -> drop
+    ).toDF("vec_id", "embedding")
+    val res = Dedup.incrementalSemanticDedup(spark, dir, batch,
+        col("vec_id"), col("embedding"), threshold = 0.98)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(res === Map(100L -> false, 101L -> false,
+      102L -> true, 103L -> false))
+  }
 }
