@@ -443,7 +443,8 @@ object Queries {
 
   /** Core + ML/text + DNS-report + ops suites. */
   def combined: Vector[QueryDef] =
-    all ++ QueriesML.all ++ QueriesDns.all ++ QueriesOps.all
+    all ++ QueriesML.all ++ QueriesDns.all ++ QueriesOps.all ++
+      QueriesRetrieval.all
 
   /** Headline queries timed by [[Bench]] — one per operator family: scan+agg,
     * range join, equi join, global and per-group top-K, scalar kernels,

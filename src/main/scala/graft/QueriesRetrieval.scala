@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dsir, Retrieval}
+
+/** Lexical + hybrid retrieval and importance-resampling queries, with
+  * DuckDB oracles replaying every stage (BM25 formula, rank fusion,
+  * hashed-n-gram importance weights) under the repo-wide exact-micros
+  * contract. */
+object QueriesRetrieval {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- DuckDB fragments mirroring graft.functions (QueriesML twins) ----
+  private def dkToks(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  private def dkHash60(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+  private def dkQuant(e: String): String =
+    s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+  private def dkDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+  private def dkQround(e: String, decimals: Int): String = {
+    val s = "1" + "0" * decimals
+    s"CAST(floor(($e) * $s.0 + 0.5) AS DOUBLE) / $s.0"
+  }
+  private def dkCos(a: String, b: String): String = {
+    val n = s"sqrt(CAST(${dkDot(a, a)} AS DOUBLE) * CAST(${dkDot(b, b)} AS DOUBLE))"
+    s"CASE WHEN $n > 0 THEN ${dkQround(s"CAST(${dkDot(a, b)} AS DOUBLE) / $n", 6)} ELSE 0.0 END"
+  }
+
+  /** The fixed query-term set the BM25 gate lanes use: one rare term
+    * (high idf), two common ones. */
+  private val QTerms = Seq("dup", "vector", "spark")
+
+  /** BM25 per-term micros for DuckDB, spelled in the EXACT association
+    * order [[Retrieval.termMicros]] uses:
+    * `floor(idf6 · ((tf·(k1+1)) / (tf + k1·((1−b) + b·dl·N/TT))) · 10⁶ + 0.5)`
+    * with `idf6 = round6(ln(1 + (N − df + 0.5)/(df + 0.5)))`. `n`/`tt`
+    * are scalar columns from the stats CTE; `df$i` from the df CTE. */
+  private def dkBm25Term(term: String, dfCol: String,
+                         p: Retrieval.Bm25Params): String = {
+    val idf = s"${dkQround(s"ln(1.0 + (CAST(n AS DOUBLE) - $dfCol + 0.5) / ($dfCol + 0.5))", 6)}"
+    val tf = s"CAST(len(list_filter(ts, x -> x = '$term')) AS DOUBLE)"
+    val norm = s"(${1.0 - p.b} + ${p.b} * CAST(len(ts) AS DOUBLE) * " +
+      s"CAST(n AS DOUBLE) / CAST(tt AS DOUBLE))"
+    s"CASE WHEN $tf > 0 THEN CAST(floor($idf * ($tf * ${p.k1 + 1.0} / " +
+      s"($tf + ${p.k1} * $norm)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"
+  }
+
+  /** Shared CTE block: tokenized docs, corpus stats, per-term dfs, and
+    * per-doc BM25 micros for [[QTerms]]. Ends at `scored(doc_id,
+    * score_micros)` (matching docs only). */
+  private def dkBm25Chain(p: Retrieval.Bm25Params): String = {
+    val dfAggs = QTerms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(ts, '$t') THEN 1.0 ELSE 0.0 END) AS df$i"
+    }.mkString(", ")
+    val termSum = QTerms.zipWithIndex
+      .map { case (t, i) => dkBm25Term(t, s"df$i", p) }
+      .mkString(" + ")
+    s"""
+      d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      s AS (SELECT count(*) AS n, coalesce(sum(len(ts)), 0) AS tt FROM d),
+      f AS (SELECT $dfAggs FROM d),
+      scored AS (SELECT doc_id, $termSum AS score_micros
+                 FROM d, s, f)"""
+  }
+
+  /** Hashed uni+bigram feature CTE block for DSIR (B = `b` buckets):
+    * `feats(doc_id, bucket)` one row per feature occurrence — mirrors
+    * [[Dsir.featureBuckets]] (unigrams then adjacent bigrams joined by a
+    * single space, 60-bit md5-prefix hash mod B). */
+  private def dkDsirFeats(b: Int): String = s"""
+      d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      feats AS (SELECT doc_id, unnest(list_concat(
+                  list_transform(ts, t -> ${dkHash60("t")} % $b),
+                  CASE WHEN len(ts) >= 2 THEN
+                    list_transform(range(0, len(ts) - 1),
+                      i -> ${dkHash60("ts[i+1] || ' ' || ts[i+2]")} % $b)
+                  ELSE CAST([] AS BIGINT[]) END)) AS bucket
+                FROM d)"""
+
+  /** Per-bucket add-one-smoothed log-ratio micros for DSIR, target =
+    * `source = 'src18'`, raw = all documents — spelled exactly as
+    * [[Dsir.logRatioMicros]]: `floor(ln(((ct+1)/Tt) / ((cr+1)/Tr))·10⁶
+    * + 0.5)` with `Tt/Tr = Σcounts + B`. Ends at `lam(bucket, lam)` and
+    * `wt(doc_id, n_features, weight_micros)` over ALL docs. */
+  private def dkDsirChain(b: Int): String = s"""
+      ${dkDsirFeats(b)},
+      tgt AS (SELECT bucket, count(*) AS c FROM feats f
+              JOIN documents USING (doc_id) WHERE source = 'src18'
+              GROUP BY 1),
+      raw AS (SELECT bucket, count(*) AS c FROM feats GROUP BY 1),
+      lam AS (SELECT g.i AS bucket,
+                CAST(floor(ln(((coalesce(t.c, 0) + 1.0) /
+                      CAST((SELECT coalesce(sum(c), 0) + $b FROM tgt) AS DOUBLE))
+                    / ((coalesce(r.c, 0) + 1.0) /
+                      CAST((SELECT coalesce(sum(c), 0) + $b FROM raw) AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS lam
+              FROM range(0, $b) g(i)
+              LEFT JOIN tgt t ON t.bucket = g.i
+              LEFT JOIN raw r ON r.bucket = g.i),
+      wt AS (SELECT d.doc_id,
+               CAST(coalesce(a.nf, 0) AS BIGINT) AS n_features,
+               CAST(coalesce(a.w, 0) AS BIGINT) AS weight_micros
+             FROM d LEFT JOIN (
+               SELECT f.doc_id, count(*) AS nf, sum(l.lam) AS w
+               FROM feats f JOIN lam l USING (bucket) GROUP BY 1) a
+             USING (doc_id))"""
+
+  private val P = Retrieval.Bm25Params()
+
+  val all: Vector[QueryDef] = Vector(
+
+    // -- BM25 (Robertson TREC-3; Lucene k1=1.2 b=0.75 variant with the
+    //    always-positive idf): every matching doc's score as integer
+    //    micros. Spark side: ONE tiny stats aggregate + ONE zero-shuffle
+    //    projection; the oracle replays idf→tf-fraction→micros in the
+    //    identical association order.
+    QueryDef("q173_bm25_scores", Some(s"""
+      WITH ${dkBm25Chain(P)}
+      SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
+      FROM scored WHERE score_micros > 0 ORDER BY doc_id"""),
+      (s, dir) =>
+        Retrieval.bm25Scores(T(s, dir, "documents"), col("doc_id"),
+            col("text"), QTerms)
+          .orderBy(col("doc_id"))),
+
+    // -- Persisted inverted index: postings (term, doc_id, tf, dl)
+    //    hash-bucketed BY TERM (partition-pruned probe reads ≤|terms|
+    //    buckets), df derived from the pruned postings. The oracle
+    //    replays the same scores from the RAW corpus — green proves
+    //    index build + pruned probe ≡ full scan. Top-10, score desc /
+    //    doc_id asc (TakeOrdered both engines).
+    QueryDef("q174_bm25_index_topk", Some(s"""
+      WITH ${dkBm25Chain(P)}
+      SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
+      FROM scored WHERE score_micros > 0
+      ORDER BY score_micros DESC, doc_id LIMIT 10"""),
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bm25").toString + "/idx"
+        Retrieval.writeBm25Index(T(s, dir, "documents"), col("doc_id"),
+          col("text"), path, nBuckets = 16)
+        Retrieval.searchBm25Index(s, path, QTerms, 10)
+      }),
+
+    // -- INCREMENTAL index: build on doc_id < 250, append the rest, then
+    //    probe — must equal the full-corpus oracle (same SQL as q174).
+    //    Pins that appendBm25Index keeps df/stats consistent: df comes
+    //    from the postings themselves, the sidecar advances atomically.
+    QueryDef("q178_bm25_index_append", Some(s"""
+      WITH ${dkBm25Chain(P)}
+      SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
+      FROM scored WHERE score_micros > 0
+      ORDER BY score_micros DESC, doc_id LIMIT 10"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bm25-inc").toString + "/idx"
+        Retrieval.writeBm25Index(docs.filter(col("doc_id") < 250),
+          col("doc_id"), col("text"), path, nBuckets = 16)
+        Retrieval.appendBm25Index(docs.filter(col("doc_id") >= 250),
+          col("doc_id"), col("text"), path)
+        Retrieval.searchBm25Index(s, path, QTerms, 10)
+      }),
+
+    // -- HYBRID search (RRF, Cormack 2009): BM25 top-50 pool fused with
+    //    the dense cosine top-50 pool (query vector = embedding 7); rank
+    //    points are EXACT integers round(10⁶/(60+rank)) via the
+    //    (2a+b) div 2b identity, fused score = integer sum. The oracle
+    //    replays both rankings and the fusion bit-for-bit.
+    QueryDef("q175_hybrid_rrf", Some(s"""
+      WITH ${dkBm25Chain(P)},
+      lex AS (SELECT doc_id, row_number() OVER (
+                ORDER BY score_micros DESC, doc_id) AS r
+              FROM (SELECT * FROM scored WHERE score_micros > 0
+                    ORDER BY score_micros DESC, doc_id LIMIT 50)),
+      qv AS (SELECT ${dkQuant("embedding")} AS q FROM embeddings
+             WHERE vec_id = 7),
+      dns AS (SELECT vec_id AS doc_id, row_number() OVER (
+                ORDER BY cos DESC, vec_id) AS r
+              FROM (SELECT vec_id, ${dkCos(dkQuant("embedding"), "q")} AS cos
+                    FROM embeddings, qv
+                    ORDER BY cos DESC, vec_id LIMIT 50)),
+      fused AS (SELECT coalesce(l.doc_id, n.doc_id) AS doc_id,
+                  coalesce((2000000 + 60 + l.r) // (2 * (60 + l.r)), 0) +
+                  coalesce((2000000 + 60 + n.r) // (2 * (60 + n.r)), 0)
+                    AS rrf_micros,
+                  l.r AS bm25_rank, n.r AS ann_rank
+                FROM lex l FULL OUTER JOIN dns n ON l.doc_id = n.doc_id)
+      SELECT doc_id, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+             CAST(bm25_rank AS BIGINT) AS bm25_rank,
+             CAST(ann_rank AS BIGINT) AS ann_rank
+      FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT 20"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        Retrieval.hybridTopK(T(s, dir, "documents"), col("doc_id"),
+          col("text"), emb, col("vec_id"), col("embedding"),
+          QTerms, qv, k = 20, poolK = 50)
+      }),
+
+    // -- DSIR importance weights (Xie 2023, arXiv:2302.03169): hashed
+    //    uni+bigram bucket models (B=64, add-one smoothed), target =
+    //    source 'src18', raw = the whole corpus; per-doc weight = integer
+    //    sum of per-bucket log-ratio micros. Spark: two B-bounded
+    //    aggregates + one zero-shuffle projection (the log-ratio table is
+    //    an array literal in the plan). The oracle recomputes the models
+    //    AND the weights relationally.
+    QueryDef("q176_dsir_scores", Some(s"""
+      WITH ${dkDsirChain(64)}
+      SELECT doc_id, n_features, weight_micros FROM wt ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        Dsir.scores(docs, col("doc_id"), col("text"),
+            docs.filter(col("source") === "src18"), col("text"),
+            numBuckets = 64)
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- DSIR selection: Gumbel-top-k (the Gumbel-max trick = weight-
+    //    proportional sampling without replacement), seeded via the
+    //    60-bit hash so the draw replays: u = (hash60('42:'||id)+1)/2⁶⁰,
+    //    key = weight + floor(−ln(−ln(u))·10⁶ + 0.5).
+    QueryDef("q177_dsir_select", Some(s"""
+      WITH ${dkDsirChain(64)},
+      keyed AS (SELECT doc_id, weight_micros,
+                  weight_micros + CAST(floor(-ln(-ln(
+                      (CAST(${dkHash60("'42:' || CAST(doc_id AS VARCHAR)")}
+                         AS DOUBLE) + 1.0) / 1152921504606846976.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS key_micros
+                FROM wt)
+      SELECT doc_id, weight_micros, key_micros
+      FROM keyed ORDER BY key_micros DESC, doc_id LIMIT 50"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        Dsir.select(docs, col("doc_id"), col("text"),
+          docs.filter(col("source") === "src18"), col("text"),
+          k = 50, seed = 42L, numBuckets = 64)
+      })
+  )
+}

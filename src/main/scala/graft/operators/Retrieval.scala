@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Functions => F, TextFunctions => TF}
+
+/** Lexical retrieval: BM25 scoring, a persisted partition-pruned inverted
+  * index, and reciprocal-rank-fusion hybrid search (BM25 ∘ ANN).
+  *
+  * The missing retrieval family next to the embedding ANN lanes: every
+  * RAG/data-curation stack pairs dense (vector) retrieval with sparse
+  * (lexical) retrieval — BM25 (Robertson et al., TREC-3; the Lucene
+  * `k1 = 1.2, b = 0.75` practical variant with the always-positive
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf) is the standard sparse side.
+  *
+  * Determinism (the repo-wide exact-replay contract): every per-term score
+  * is rounded to integer MICROS (`floor(x·10⁶ + 0.5)`) and document scores
+  * are integer sums of term micros — order-free, so Spark partitioning
+  * cannot move a score and DuckDB replays the whole formula bit-for-bit.
+  * The idf itself is q6-rounded before use so the one `ln` call cannot
+  * leak ulps into the fraction.
+  *
+  * Scale shape:
+  *  - [[bm25Scores]]: ONE tiny stats aggregate (corpus size + one df per
+  *    query term, map-side combined to a single row) and ONE projection
+  *    pass — zero shuffles; top-k callers get TakeOrdered, never a global
+  *    sort.
+  *  - [[writeBm25Index]]: postings `(term, doc_id, tf, dl)` hash-bucketed
+  *    BY TERM into `bucket=` directories, so a query prunes the read to
+  *    ≤ |query terms| buckets — query cost follows matching postings, not
+  *    the corpus. df(term) is derived from the pruned postings themselves
+  *    (a term's postings live entirely in its bucket), so the index needs
+  *    no separate df table to stay consistent under [[appendBm25Index]].
+  *  - [[hybridTopK]]: fuses the BM25 ranking with the ANN cosine ranking
+  *    via reciprocal-rank fusion (Cormack et al. 2009) — rank points are
+  *    EXACT integers (`round(10⁶/(60+rank))` in integer arithmetic), so
+  *    fusion is replayable and engine-independent.
+  */
+object Retrieval {
+
+  /** BM25 parameters — the Lucene defaults. */
+  final case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
+
+  /** Corpus statistics for a fixed query-term set. */
+  final case class Bm25Stats(nDocs: Long, totalTokens: Long,
+                             df: Map[String, Long]) {
+    /** q6-rounded Lucene idf: `ln(1 + (N - df + 0.5)/(df + 0.5))`. */
+    def idf6(term: String): Double = {
+      val d = df.getOrElse(term, 0L).toDouble
+      val raw = math.log(1.0 + (nDocs.toDouble - d + 0.5) / (d + 0.5))
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+  }
+
+  /** ONE map-side-combined aggregate: corpus size, total token count, and
+    * one `df` per query term (a sum of per-row containment flags). The
+    * result is a single driver row — O(|terms|), never corpus-sized. */
+  def bm25Stats(docs: DataFrame, text: Column,
+                terms: Seq[String]): Bm25Stats = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val ts = TF.tokens(text)
+    val aggs =
+      count(lit(1)).as("n") +:
+      coalesce(sum(size(ts)), lit(0L)).cast("long").as("tt") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(array_contains(ts, lit(t)), 1L).otherwise(0L)),
+          lit(0L)).as(s"df_$i")
+      }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    Bm25Stats(row.getLong(0), row.getLong(1),
+      terms.zipWithIndex.map { case (t, i) => t -> row.getLong(i + 2) }.toMap)
+  }
+
+  /** Per-term score in integer micros, given tokenized doc `ts` and its
+    * length `dl`. Shapes the double expression EXACTLY as the DuckDB
+    * oracle spells it (same association order), then rounds:
+    * `floor(idf6 · tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/totalTokens)) · 10⁶ + 0.5)`. */
+  private def termMicros(ts: Column, dl: Column, term: String,
+                         stats: Bm25Stats, p: Bm25Params): Column = {
+    val tf = size(filter(ts, x => x === lit(term))).cast("double")
+    val norm = lit(1.0 - p.b) +
+      lit(p.b) * dl.cast("double") * lit(stats.nDocs.toDouble) /
+        lit(stats.totalTokens.toDouble)
+    val frac = tf * lit(p.k1 + 1.0) / (tf + lit(p.k1) * norm)
+    when(tf > 0,
+      floor(lit(stats.idf6(term)) * frac * lit(1e6) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** BM25 scores for every document matching ≥1 query term: one stats
+    * aggregate + one zero-shuffle projection. Output
+    * `(doc_id, score_micros)`, unordered — compose with TakeOrdered for
+    * top-k ([[bm25TopK]]). */
+  def bm25Scores(docs: DataFrame, id: Column, text: Column,
+                 terms: Seq[String],
+                 params: Bm25Params = Bm25Params()): DataFrame = {
+    val stats = bm25Stats(docs, text, terms)
+    docs.select(id.cast("long").as("doc_id"), TF.tokens(text).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        size(col("ts")).cast("long").as("dl"))
+      .select(col("doc_id"),
+        terms.map(t => termMicros(col("ts"), col("dl"), t, stats, params))
+          .reduce(_ + _).as("score_micros"))
+      .filter(col("score_micros") > 0)
+  }
+
+  /** Top-k BM25: score desc, doc_id asc — a deterministic total order the
+    * planner executes as TakeOrderedAndProject (per-partition top-k + one
+    * driver merge, never a global sort). */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               terms: Seq[String], k: Int,
+               params: Bm25Params = Bm25Params()): DataFrame =
+    bm25Scores(docs, id, text, terms, params)
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+
+  // ---- persisted inverted index --------------------------------------
+
+  private val StatsFile = "_bm25_stats.json"
+
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(F.hash60(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Build the postings lake: `(term, doc_id, tf, dl)` partitioned by
+    * `bucket = hash60(term) mod nBuckets`, plus a `(nDocs, totalTokens)`
+    * sidecar. ONE exchange — the (term, doc) count is map-side combined
+    * (each doc contributes each term once, pre-counted in a projection),
+    * then routed to its term bucket by the partitioned write. */
+  def writeBm25Index(docs: DataFrame, id: Column, text: Column,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    val postings = postingsOf(docs, id, text)
+    postings
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val row = docs.agg(count(lit(1)),
+      coalesce(sum(size(TF.tokens(text))), lit(0L)).cast("long")).head()
+    writeStats(spark, path, row.getLong(0), row.getLong(1), nBuckets)
+  }
+
+  /** Postings via explode + map-side-combined count: the (term, doc)
+    * exchange carries ONE row per distinct (term, doc) after partial
+    * aggregation — the standard inverted-index build shape. `dl` is a
+    * functional dependency of `doc_id` and rides in the grouping key. */
+  private def postingsOf(docs: DataFrame, id: Column,
+                         text: Column): DataFrame =
+    docs.select(id.cast("long").as("doc_id"), TF.tokens(text).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+
+  private def writeStats(spark: SparkSession, path: String, nDocs: Long,
+                         totalTokens: Long, nBuckets: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, s".$StatsFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,"n_buckets":$nBuckets}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+      new org.apache.hadoop.fs.Path(path, StatsFile))
+  }
+
+  private def readStats(spark: SparkSession,
+                        path: String): (Long, Long, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, StatsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(txt)
+    (node.get("n_docs").asLong, node.get("total_tokens").asLong,
+      node.get("n_buckets").asInt)
+  }
+
+  /** Append a NEW batch of documents to the index: postings land in their
+    * term buckets (same hash, same layout), the stats sidecar advances by
+    * one atomic overwrite. Doc ids must be new — a re-appended doc would
+    * double its tf rows. df stays consistent for free: it is derived from
+    * the postings at query time, never stored. */
+  def appendBm25Index(docs: DataFrame, id: Column, text: Column,
+                      path: String): Unit = {
+    val spark = docs.sparkSession
+    val (n0, t0, nBuckets) = readStats(spark, path)
+    postingsOf(docs, id, text)
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    val row = docs.agg(count(lit(1)),
+      coalesce(sum(size(TF.tokens(text))), lit(0L)).cast("long")).head()
+    writeStats(spark, path, n0 + row.getLong(0), t0 + row.getLong(1),
+      nBuckets)
+  }
+
+  /** Query the persisted index: the scan prunes to the ≤ |terms| buckets
+    * the query hashes into (partition pruning on `bucket`), df per term
+    * comes from the pruned postings themselves, and the only shuffle is
+    * the per-doc sum over MATCHING postings — cost follows the match set,
+    * not the corpus. Returns the top-k `(doc_id, score_micros)`. */
+  def searchBm25Index(spark: SparkSession, path: String, terms: Seq[String],
+                      k: Int,
+                      params: Bm25Params = Bm25Params()): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val (nDocs, totalTokens, nBuckets) = readStats(spark, path)
+    val buckets = terms.map(t =>
+      // the same 60-bit md5-prefix hash the write side's bucketOf uses
+      (graft.functions.Kernels.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        % nBuckets.toLong).toInt)
+    val hits = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+    val dfByTerm = hits.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"))
+    val stats = Bm25Stats(nDocs, totalTokens,
+      dfByTerm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val scored = hits.select(col("doc_id"), col("term"),
+      col("tf").cast("double").as("tf"), col("dl"))
+    val perTerm = terms.map { t =>
+      val norm = lit(1.0 - params.b) +
+        lit(params.b) * col("dl").cast("double") *
+          lit(stats.nDocs.toDouble) / lit(stats.totalTokens.toDouble)
+      val frac = col("tf") * lit(params.k1 + 1.0) /
+        (col("tf") + lit(params.k1) * norm)
+      when(col("term") === lit(t),
+        floor(lit(stats.idf6(t)) * frac * lit(1e6) + lit(0.5)).cast("long"))
+    }.reduce((a, b) => coalesce(a, b))
+    scored.select(col("doc_id"), perTerm.as("m"))
+      .groupBy("doc_id").agg(sum(col("m")).as("score_micros"))
+      .filter(col("score_micros") > 0)
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // ---- hybrid search (RRF) --------------------------------------------
+
+  /** Reciprocal-rank-fusion points for 1-based `rank`: EXACT integer
+    * `round(10⁶ / (c + rank))` via `(2·10⁶ + (c+rank)) div (2·(c+rank))`
+    * — round-half-up in pure integer arithmetic, replayable anywhere. */
+  private def rrfPoints(rank: Column, c: Int): Column = {
+    val num = lit(2L * 1000000L) + (lit(c.toLong) + rank)
+    val den = lit(2L) * (lit(c.toLong) + rank)
+    // exact integer division: (num - num mod den) is a multiple of den ≤
+    // ~2·10⁶, so the double quotient is exact
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
+  /** Hybrid top-k: fuse the BM25 lexical ranking with the dense cosine
+    * ranking by reciprocal-rank fusion (Cormack et al. 2009, the standard
+    * hybrid-search combiner; `c = 60`). Each side contributes its top
+    * `poolK` candidates ranked by its own deterministic total order; a
+    * document's fused score is the integer sum of its rank points. The
+    * two candidate pools are `poolK`-sized — the fusion join is
+    * broadcast-trivial at any corpus size. Output
+    * `(doc_id, rrf_micros, bm25_rank, ann_rank)`. */
+  def hybridTopK(docs: DataFrame, id: Column, text: Column,
+                 emb: DataFrame, embId: Column, embVec: Column,
+                 terms: Seq[String], queryVec: Seq[Double],
+                 k: Int, poolK: Int = 50, c: Int = 60,
+                 params: Bm25Params = Bm25Params()): DataFrame = {
+    require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
+    val lexPool = bm25TopK(docs, id, text, terms, poolK, params)
+      .select(col("doc_id"), col("score_micros"))
+    val lex = lexPool.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("score_micros").desc,
+        col("doc_id"))).cast("long").as("bm25_rank"))
+    val qv = F.vec_quantize(
+      lit(queryVec.map(_.toFloat).toArray).cast("array<float>"), 1000)
+    val densePool = emb.select(embId.cast("long").as("doc_id"),
+        F.vec_cosine_q6(F.vec_quantize(embVec, 1000), qv).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(poolK)
+    val dense = densePool.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
+        .cast("long").as("ann_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(rrfPoints(col("bm25_rank"), c), lit(0L)) +
+          coalesce(rrfPoints(col("ann_rank"), c), lit(0L)))
+          .as("rrf_micros"),
+        col("bm25_rank"), col("ann_rank"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+}

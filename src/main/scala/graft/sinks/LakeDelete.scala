@@ -278,9 +278,13 @@ object LakeDelete {
             catch { case NonFatal(_) => () }
           }
         }
-        if (fs.exists(txn) && fs.listStatus(txn).isEmpty) {
-          fs.delete(txn, true); ()
-        }
+        // do NOT delete the empty `_txn` container: staging runs OUTSIDE
+        // the commit lock, so "lists empty" races a concurrent appender's
+        // fresh `mkdirs(_txn/<uuid>)` — the recursive container delete
+        // would rip its in-flight Spark write out from under it (observed
+        // as TASK_WRITE_FAILED: Mkdirs failed under `.add/_temporary`).
+        // An empty `_`-prefixed dir costs nothing and data listings skip
+        // it.
       }
       val legacy = new Path(root, StageDirName)
       if (fs.exists(legacy) && !fs.exists(new Path(root, JournalName))) {

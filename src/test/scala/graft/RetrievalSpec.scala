@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AdaptiveSparkPlanHelper}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+/** BM25 + inverted index + RRF hybrid: ranking behavior (tf/idf/length
+  * normalization), the zero-shuffle scoring plan, bucket-pruned index
+  * probes, build∘append ≡ full build, and exact integer rank fusion. */
+class RetrievalSpec extends AnyFunSuite with SparkSpec
+    with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/idx"
+
+  private def scores(d: DataFrame, terms: Seq[String]): Map[Long, Long] =
+    Retrieval.bm25Scores(d, col("doc_id"), col("text"), terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("tf raises the score, length normalization lowers it, rare terms " +
+      "outweigh common ones") {
+    val d = docs(
+      1L -> "cat dog",            // tf(cat)=1, dl=2
+      2L -> "cat cat dog",        // tf(cat)=2 — must beat doc 1
+      3L -> "cat dog dog dog dog dog dog dog", // tf=1, longer — below doc 1
+      4L -> "dog dog",
+      5L -> "dog bird")
+    val s = scores(d, Seq("cat"))
+    assert(s.keySet == Set(1L, 2L, 3L), "only matching docs emit scores")
+    assert(s(2L) > s(1L), "higher tf must score higher")
+    assert(s(1L) > s(3L), "longer doc at equal tf must score lower")
+
+    // 'bird' (df=1) must contribute more than 'dog' (df=5) at equal tf/dl
+    val s2 = scores(d, Seq("bird", "dog"))
+    val birdOnly = s2(5L)
+    val dogOnly = s2(4L)
+    assert(birdOnly > dogOnly,
+      s"rare term must outweigh common term ($birdOnly vs $dogOnly)")
+  }
+
+  test("scoring is one zero-shuffle projection (stats ride as literals)") {
+    val d = docs((1L to 50L).map(i => i -> s"tok$i cat dog"): _*)
+    val scored = Retrieval.bm25Scores(d, col("doc_id"), col("text"),
+      Seq("cat", "tok7"))
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val ex = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    assert(ex.isEmpty, s"scoring must not shuffle:\n$plan")
+  }
+
+  test("index probe reads only the query terms' buckets and matches the " +
+      "direct scan's top-k exactly") {
+    val d = docs((1L to 200L).map(i =>
+      i -> s"w${i % 31} w${i % 17} cat ${if (i % 50 == 0) "rare" else "dog"}"): _*)
+    val path = tmp("bm25")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path,
+      nBuckets = 16)
+    val probe = Retrieval.searchBm25Index(spark, path, Seq("rare", "cat"), 10)
+    val direct = Retrieval.bm25TopK(d, col("doc_id"), col("text"),
+      Seq("rare", "cat"), 10)
+    assert(probe.collect().map(_.toSeq).toSeq ==
+      direct.collect().map(_.toSeq).toSeq,
+      "pruned index probe must equal the direct-scan ranking")
+
+    // the postings scan must touch ≤ 2 bucket partitions (2 query terms)
+    val hits = spark.read.parquet(path)
+      .filter(col("bucket").isin(Seq("rare", "cat").map(t =>
+        Integer.valueOf((graft.functions.Kernels.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          % 16L).toInt)): _*))
+    hits.collect()
+    val plan = hits.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val parts = scans.map(_.metrics("numPartitions").value).sum
+    assert(parts <= 2, s"probe must prune to the terms' buckets, read $parts")
+  }
+
+  test("append ≡ full build: same stats sidecar, same rankings") {
+    val d = docs((1L to 120L).map(i =>
+      i -> s"alpha w${i % 13} ${if (i % 3 == 0) "beta" else "gamma"}"): _*)
+    val full = tmp("bm25-full"); val inc = tmp("bm25-inc")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), full, 8)
+    Retrieval.writeBm25Index(d.filter(col("doc_id") <= 60),
+      col("doc_id"), col("text"), inc, 8)
+    Retrieval.appendBm25Index(d.filter(col("doc_id") > 60),
+      col("doc_id"), col("text"), inc)
+    val q = Seq("alpha", "beta")
+    assert(Retrieval.searchBm25Index(spark, inc, q, 25).collect().toSeq ==
+      Retrieval.searchBm25Index(spark, full, q, 25).collect().toSeq,
+      "appended index must rank identically to a fresh full build")
+  }
+
+  test("RRF fusion: exact integer points, both-pools docs outrank " +
+      "single-pool docs at similar ranks") {
+    // round(1e6/(60+rank)) spot values
+    def pts(rank: Long): Long = {
+      val c = 60L; val num = 2L * 1000000L + (c + rank)
+      (num - (num % (2L * (c + rank)))) / (2L * (c + rank))
+    }
+    assert(pts(1) == math.round(1e6 / 61))
+    assert(pts(50) == math.round(1e6 / 110))
+
+    val texts = docs((1L to 30L).map(i =>
+      i -> (if (i <= 10) s"needle common w$i" else s"common w$i")): _*)
+    // embeddings: doc 5 and 25 get the query vector (cosine 1), others noise
+    val emb = (1L to 30L).map { i =>
+      val v = Array.tabulate(64)(j =>
+        if (i == 5 || i == 25) (if (j == 0) 1f else 0f)
+        else (((i * 7 + j) % 13).toFloat - 6f) / 13f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val qv = Seq.tabulate(64)(j => if (j == 0) 1.0 else 0.0)
+    val fused = Retrieval.hybridTopK(texts, col("doc_id"), col("text"),
+      emb, col("vec_id"), col("embedding"), Seq("needle"), qv,
+      k = 10, poolK = 15)
+    val rows = fused.collect()
+    val top = rows.head
+    // doc 5 is in BOTH pools (lexical match + exact cosine) — must lead
+    assert(top.getLong(0) == 5L,
+      s"dual-pool doc must win the fusion, got ${top.getLong(0)}")
+    assert(!top.isNullAt(2) && !top.isNullAt(3),
+      "winner carries both ranks")
+    val expected = pts(top.getLong(2)) + pts(top.getLong(3))
+    assert(top.getLong(1) == expected, "fused score is the exact point sum")
+  }
+}
