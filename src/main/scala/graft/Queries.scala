@@ -482,7 +482,13 @@ object Queries {
     // fresh index fixture per call, which would bill writes to a read
     // lane.
     "q166_semantic_dedup", "q167_ngram_lm", "q169_ccnet_curation",
-    "q170_token_chunks")
+    "q170_token_chunks",
+    // round-11 fourth wave: BM25 lexical scoring (stats aggregate +
+    // zero-shuffle projection) and DSIR importance weights (two bucket
+    // models + literal-table scoring). The index lanes (q174/q178) and
+    // the hybrid lane (q175) stay gate-only: each builds a fresh postings
+    // index per call, which would bill writes to a read lane.
+    "q173_bm25_scores", "q176_dsir_scores")
   // The composite lake lanes (q96/q103/q106/q109/q110/q111) left this
   // list in r9 (VERDICT r8 #2): each billed 4-8 z-ordered WRITES per run
   // and hid the zero-task reads it existed to measure. Bench now times

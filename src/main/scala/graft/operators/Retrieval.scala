@@ -183,6 +183,14 @@ object Retrieval {
       node.get("n_buckets").asInt)
   }
 
+  /** Whether a postings index (its stats sidecar) exists at `path` —
+    * the first-batch test a streaming `foreachBatch` maintainer needs to
+    * pick between [[writeBm25Index]] and [[appendBm25Index]]. */
+  def indexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, StatsFile)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Append a NEW batch of documents to the index: postings land in their
     * term buckets (same hash, same layout), the stats sidecar advances by
     * one atomic overwrite. Doc ids must be new — a re-appended doc would

@@ -106,6 +106,38 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       "appended index must rank identically to a fresh full build")
   }
 
+  test("streamed index maintenance: per-batch appends converge to the " +
+      "batch-built index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 90L).map(i =>
+      i -> s"alpha w${i % 13} ${if (i % 3 == 0) "beta" else "gamma"}")
+    val streamed = tmp("bm25-stream"); val batch = tmp("bm25-batch")
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bm25-ck").toString
+    val q = mem.toDS().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!Retrieval.indexExists(b.sparkSession, streamed))
+          Retrieval.writeBm25Index(b, col("doc_id"), col("text"),
+            streamed, nBuckets = 8)
+        else
+          Retrieval.appendBm25Index(b, col("doc_id"), col("text"), streamed)
+      }.start()
+    rows.grouped(30).foreach { g =>
+      mem.addData(g: _*); q.processAllAvailable()
+    }
+    q.stop()
+    Retrieval.writeBm25Index(rows.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), batch, nBuckets = 8)
+    val terms = Seq("alpha", "beta")
+    assert(
+      Retrieval.searchBm25Index(spark, streamed, terms, 25).collect().toSeq ==
+      Retrieval.searchBm25Index(spark, batch, terms, 25).collect().toSeq,
+      "three streamed appends must rank identically to one batch build")
+  }
+
   test("RRF fusion: exact integer points, both-pools docs outrank " +
       "single-pool docs at similar ranks") {
     // round(1e6/(60+rank)) spot values
