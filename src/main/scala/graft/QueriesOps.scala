@@ -2177,6 +2177,64 @@ object QueriesOps {
           .orderBy(col("phase"), col("w"))
       }),
 
+    // -- SNAPSHOT RESTORE (r11, Snapshots.restore — Delta's RESTORE
+    //    TABLE verb): pin v1, damage the lake three ways (a CoW delete
+    //    rewriting boundary files, a journaled append adding new files, a
+    //    MoR delete growing a deletion-vector store), then roll back IN
+    //    PLACE. The restored live read must equal the original dataset
+    //    exactly, and the row-level change feed v1 → live must be EMPTY
+    //    (zero inserts, zero deletes — file identities may differ where
+    //    trash copies came back, but not one row). A leaked append row, a
+    //    lost trash file, or a surviving deletion vector breaks a lane.
+    QueryDef("q179_snapshot_restore", Some("""
+      WITH f AS (SELECT c_custkey AS id,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                        c_custkey % 2 AS w
+                 FROM customer),
+           g AS (SELECT 'restored' AS phase, CAST(w AS BIGINT) AS w,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(cents) AS BIGINT) AS sum_cents
+                 FROM f GROUP BY w)
+      SELECT * FROM g
+      UNION ALL
+      SELECT 'row_changes', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      ORDER BY phase, w"""),
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-restore-gate").toString + "/t"
+        val base = T(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (col("c_custkey") % 64).cast("long").as("a"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        for (w <- 0 to 1)
+          graft.sinks.Sinks.zorderedWrite(base.filter(col("id") % 2 === w),
+            "a", "cents", s"$root/win=$w", numFiles = 4, bits = 6,
+            bloomCols = Seq("id"))
+        Snapshots.snapshot(s, root, "v1")
+        // damage 1: copy-on-write delete (drops + rewrites boundary files)
+        graft.sinks.LakeDelete.deleteFromLake(s, root, col("id") % 131 === 0)
+        // damage 2: journaled append (new files the restore must drop)
+        graft.sinks.LakeDelete.appendLake(s, root,
+          base.limit(500).withColumn("id", col("id") + 900000)
+            .withColumn("win", col("id") % 2))
+        // damage 3: merge-on-read delete (a DV store to roll away)
+        graft.sinks.DeletionVectors.deleteMoR(s, root,
+          col("id") % 211 === 0)
+        Snapshots.restore(s, root, "v1")
+        val restored = graft.sources.ZLake.read(s, root)
+          .groupBy(col("win").cast("long").as("w"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .withColumn("phase", lit("restored"))
+          .select("phase", "w", "n", "sum_cents")
+        val changes = Snapshots.diff(s, root, "v1", None, rowLevel = true)
+          .agg(count(lit(1)).as("n"))
+          .select(lit("row_changes").as("phase"), lit(-1L).as("w"),
+            col("n"), lit(0L).as("sum_cents"))
+        restored.unionByName(changes).orderBy(col("phase"), col("w"))
+      }),
+
     // -- CONDITIONED MERGE (r11, LakeDelete.mergeLake via ANSI SQL): the
     //    CDC spelling the exact keyed-upsert shape can't express —
     //    `WHEN MATCHED AND c THEN UPDATE SET <subset>` (values read BOTH

@@ -58,6 +58,7 @@ import graft.sources.{Snapshots, ZLake}
   *    CALL graft.dv_compact('/lake/t')           -- materialize vectors
   *    CALL graft.bucket_compact('/lake/t')       -- within-bucket compact
   *    CALL graft.export('/lake/t', 'v1', '/dest') -- snapshot → new lake
+  *    CALL graft.restore('/lake/t', 'v1')         -- roll back to snapshot
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -621,6 +622,9 @@ object GraftSqlParser {
             arity(args.length == 3,
               "export('<root>', '<snapshot tag>', '<dest>')")
             Some(GraftExportCommand(args(0), args(1), args(2)))
+          case "restore" =>
+            arity(args.length == 2, "restore('<root>', '<snapshot tag>')")
+            Some(GraftRestoreCommand(args(0), args(1)))
           case "upsert" =>
             arity(args.length == 3,
               "upsert('<root>', '<source view>', '<keyCol>')")
@@ -739,6 +743,24 @@ case class GraftExportCommand(root: String, tag: String, dest: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val rep = Snapshots.export(spark, root, tag, dest)
     Seq(Row(rep.filesCopied, rep.bytesCopied, rep.dvStoresCopied))
+  }
+}
+
+/** `CALL graft.restore(root, tag)` — roll the live lake back to snapshot
+  * `tag` in place ([[graft.sources.Snapshots.restore]]): Delta's
+  * `RESTORE TABLE ... TO VERSION AS OF` verb, journal-atomic. */
+case class GraftRestoreCommand(root: String, tag: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_kept", IntegerType)(),
+    AttributeReference("files_restored", IntegerType)(),
+    AttributeReference("files_dropped", IntegerType)(),
+    AttributeReference("dv_stores_restored", IntegerType)(),
+    AttributeReference("dv_stores_dropped", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = Snapshots.restore(spark, root, tag)
+    Seq(Row(rep.filesKept, rep.filesRestored, rep.filesDropped,
+      rep.dvStoresRestored, rep.dvStoresDropped))
   }
 }
 

@@ -133,11 +133,25 @@ object LakeDelete {
     * staging dir or overwriting the other's journal. Locks older than
     * [[staleLockMs]] are broken (crashed writer) — safe because the
     * commit point is the journal, not the lock. NOTE: create-if-absent is
-    * atomic on HDFS/local/ABFS; on S3-like stores without atomic create
-    * this remains advisory, exactly like Delta's S3 single-writer
-    * caveat. */
+    * atomic on HDFS/ABFS; on raw-local and S3-like stores it is
+    * check-then-act, so SAME-PROCESS writers additionally serialize on a
+    * JVM monitor keyed by the lake root (two threads of one driver must
+    * never both enter the commit window — observed on local FS as a
+    * journal read racing a journal replace). Cross-process on such
+    * stores the file lock remains advisory, exactly like Delta's S3
+    * single-writer caveat. */
+  private val processLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def withWriterLock[T](fs: FileSystem, root: Path)
                                       (body: => T): T = {
+    val monitor = processLocks.computeIfAbsent(
+      fs.makeQualified(root).toUri.toString, _ => new Object)
+    monitor.synchronized { withWriterFileLock(fs, root)(body) }
+  }
+
+  private def withWriterFileLock[T](fs: FileSystem, root: Path)
+                                   (body: => T): T = {
     val lock = new Path(root, LockName)
     def tryAcquire(): Boolean =
       try {
@@ -216,7 +230,7 @@ object LakeDelete {
   /** Read-set validation: files in `fes` that no longer exist with the
     * `(len, mtime)` identity triage captured. Journaled paths never reuse
     * a relative name, so identity change ⇒ a concurrent writer moved it. */
-  private[sinks] def changedIdentities(fs: FileSystem,
+  private[graft] def changedIdentities(fs: FileSystem,
                                 fes: Seq[ZLake.FileEnvelope]): Seq[String] =
     fes.flatMap { fe =>
       val p = fe.status.getPath
@@ -231,7 +245,7 @@ object LakeDelete {
   /** Every data file's `(rel, len, mtime)` — the FULL-set check
     * [[rewriteLake]] needs (it must also see additions, which a read-set
     * check cannot). */
-  private def listDataIdentities(fs: FileSystem,
+  private[graft] def listDataIdentities(fs: FileSystem,
                                  root: Path): Set[(String, Long, Long)] = {
     val rootUri = root.toUri.getPath.stripSuffix("/")
     def rel(p: Path): String =
@@ -301,6 +315,11 @@ object LakeDelete {
     var seen = 0
     while (t != null && seen < 16) {
       if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      // a retire/swap renames data file and checksum sidecar non-
+      // atomically on ChecksumFileSystem (local FS): a staging read
+      // caught mid-swap surfaces as a checksum mismatch — the same
+      // event HDFS reports as FileNotFound
+      if (t.isInstanceOf[org.apache.hadoop.fs.ChecksumException]) return true
       // path checked at ANALYSIS time (spark.read over explicit files):
       // a racer's commit between listing and analysis surfaces as
       // PATH_NOT_FOUND with no FileNotFoundException in the chain
@@ -319,7 +338,7 @@ object LakeDelete {
     * leftovers from failed attempts inside it die with it. On terminal
     * failure the dir is cleaned UNLESS a published journal may reference
     * it (then [[recover]] owns it). */
-  private[sinks] def withConflictRetry[T](what: String, fs: FileSystem,
+  private[graft] def withConflictRetry[T](what: String, fs: FileSystem,
                                    rootPath: Path, attempts: Int = 3)
                                   (body: (Path, String)
                                     => Either[Seq[String], T]): T = {
@@ -365,7 +384,7 @@ object LakeDelete {
     * read-set, then publish + apply the journal. Left = the read-set
     * moved (caller restages); the lock is held for file-ops only — never
     * for a Spark job except [[applyJournal]]'s manifest repair. */
-  private[sinks] def commitStaged(spark: SparkSession, fs: FileSystem,
+  private[graft] def commitStaged(spark: SparkSession, fs: FileSystem,
                            rootPath: Path, stageRel: String,
                            drops: Seq[String], adds: Seq[String],
                            fence: Option[String],

@@ -522,6 +522,122 @@ object Snapshots {
     ExportReport(snap.files.size, bytes.get(), snap.dv.size)
   }
 
+  final case class RestoreReport(filesKept: Int, filesRestored: Int,
+                                 filesDropped: Int, dvStoresRestored: Int,
+                                 dvStoresDropped: Int)
+
+  /** RESTORE the live lake to snapshot `tag` IN PLACE — Delta's
+    * `RESTORE TABLE ... TO VERSION AS OF`, the rollback verb: after a bad
+    * upsert, an over-eager retention delete, or a botched backfill, the
+    * table returns to the exact pinned state, and every downstream reader
+    * (SQL views, streaming tails after their own reset, metadata
+    * aggregates) sees it without re-pointing anywhere.
+    *
+    * Mechanics — one journaled optimistic-commit mutation, like every
+    * other lake write:
+    *  - pinned files still live with a matching `(len, mtime)` identity
+    *    are KEPT untouched (the common case: a restore right after a bad
+    *    mutation copies only what that mutation displaced — cost follows
+    *    the damage, not the table);
+    *  - pinned files now resolving to the trash are COPIED back to their
+    *    original relative paths (copy, not move: other snapshots — and
+    *    `tag` itself — keep resolving through the trash bytes, which stay
+    *    exactly where their identities name them);
+    *  - live data files NOT in the pinned set drop through the journal's
+    *    retire path, so snapshots taken AFTER `tag` keep reading their
+    *    own pinned state (the files retire to trash, not die);
+    *  - the pinned DELETION-VECTOR store generation is restored the same
+    *    way (a snapshot taken with vectors live rolls back to exactly
+    *    those vectors; one taken without rolls the store away), so the
+    *    restored read is row-identical to `readSnapshot(tag)`;
+    *  - the read-set is the FULL data-file identity set: any concurrent
+    *    append/mutation between triage and commit is a conflict and
+    *    restages (a restore must produce exactly the pinned state, so
+    *    even an addition — invisible to a per-file check — conflicts).
+    *
+    * Crash-safe via the shared journal (old state or new, never half);
+    * constraints and bucket-layout sidecars are NOT versioned by
+    * snapshots and stay as they are (current policy, same as [[export]]).
+    * Raises — never partial — when a pinned file was vacuumed away. */
+  def restore(spark: SparkSession, root: String, tag: String): RestoreReport = {
+    val rootPath = new Path(root)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    graft.sinks.LakeDelete.recover(spark, root)
+    graft.sinks.LakeDelete.withConflictRetry("RESTORE", fs, rootPath) {
+      (txnDir, txnRel) =>
+        restoreAttempt(spark, root, tag, txnDir, txnRel)
+    }
+  }
+
+  private def restoreAttempt(spark: SparkSession, root: String, tag: String,
+                             txnDir: Path, txnRel: String)
+      : Either[Seq[String], RestoreReport] = {
+    import graft.sinks.{DeletionVectors, LakeDelete}
+    val rootPath = new Path(root)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val snap = readSnap(fs, rootPath, tag)
+    val pinnedIds = snap.files.map(sf => (sf.rel, sf.len, sf.mtime)).toSet
+
+    // triage: the FULL live identity set (also the optimistic read-set)
+    val before = LakeDelete.listDataIdentities(fs, rootPath)
+    val keptIds = before.intersect(pinnedIds)
+    val dropRels = (before -- pinnedIds).toSeq.map(_._1).sorted
+    val missing = snap.files.filterNot(sf =>
+      keptIds.contains((sf.rel, sf.len, sf.mtime)))
+
+    // DV store generation: keep identity-matched stores, drop the rest,
+    // resurrect pinned stores that have since retired
+    def dvIdentity(p: Path): (String, Long, Long) = {
+      val st = fs.getFileStatus(p)
+      (Z.relPath(rootPath, p), st.getLen, st.getModificationTime)
+    }
+    val curDv = DeletionVectors.storeFiles(fs, rootPath)
+    val curDvIds = curDv.map(dvIdentity).toSet
+    val pinnedDvIds = snap.dv.toSet
+    val dvDropRels = (curDvIds -- pinnedDvIds).toSeq.map(_._1).sorted
+    val dvMissing = snap.dv.filterNot(curDvIds.contains)
+
+    if (dropRels.isEmpty && missing.isEmpty &&
+      dvDropRels.isEmpty && dvMissing.isEmpty)
+      return Right(RestoreReport(keptIds.size, 0, 0, 0, 0))
+
+    // stage resurrected files: copy trash → txn dir at the original rel
+    // (copy, not move — other snapshots keep resolving the trash bytes)
+    (missing.map(sf => (sf.rel, sf.len, sf.mtime)) ++ dvMissing).foreach {
+      case (rel, len, mtime) =>
+        val src = resolve(fs, rootPath, tag, rel, len, mtime).getPath
+        val dst = new Path(txnDir, rel)
+        fs.mkdirs(dst.getParent)
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          false, true, conf), s"restore failed copying $src to $dst")
+    }
+
+    LakeDelete.stagedHook.get()()
+    LakeDelete.commitStaged(spark, fs, rootPath, txnRel,
+      dropRels ++ dvDropRels,
+      missing.map(_.rel) ++ dvMissing.map(_._1), None,
+      () => {
+        // full-set check: an APPEND between triage and commit must
+        // conflict too — the restored state must be exactly the pin
+        val dataMoved =
+          if (LakeDelete.listDataIdentities(fs, rootPath) != before)
+            Seq(s"data file set changed under RESTORE at $root")
+          else Nil
+        val dvMoved =
+          if (DeletionVectors.storeFiles(fs, rootPath)
+            .map(dvIdentity).toSet != curDvIds)
+            Seq(s"deletion-vector store changed under RESTORE at $root")
+          else Nil
+        dataMoved ++ dvMoved
+      }) match {
+      case Left(c) => Left(c)
+      case Right(()) => Right(RestoreReport(keptIds.size, missing.size,
+        dropRels.size, dvMissing.size, dvDropRels.size))
+    }
+  }
+
   // ---- the retire path (called by the lake's journaled mutations) --------
 
   /** refs cache: lake root URI → (snapshot-dir signature, refs). The

@@ -341,4 +341,80 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
         s"exported bucketed lake must aggregate exchange-free:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("restore rolls back CoW delete + append + MoR delete in place; " +
+    "later snapshots keep reading their own state") {
+    val root = tmp("snap-restore")
+    Sinks.zorderedWrite(corpus(4096), "a", "b", root, numFiles = 8,
+      bits = 6, bloomCols = Seq("uid"))
+    val v1rows = rows(ZLake.read(spark, root))
+    Snapshots.snapshot(spark, root, "v1")
+
+    LakeDelete.deleteFromLake(spark, root, col("a") < 16)
+    LakeDelete.appendLake(spark, root,
+      corpus(64).withColumn("id", col("id") + 900000))
+    Snapshots.snapshot(spark, root, "v2")
+    val v2rows = rows(ZLake.read(spark, root))
+    graft.sinks.DeletionVectors.deleteMoR(spark, root, col("id") % 97 === 0)
+    assert(graft.sinks.DeletionVectors.present(spark, root))
+
+    val rep = Snapshots.restore(spark, root, "v1")
+    assert(rep.filesRestored > 0, "CoW-displaced files should copy back")
+    assert(rep.filesDropped > 0, "appended/rewritten files should drop")
+    assert(rep.dvStoresDropped == 1, "the MoR store should roll away")
+    assert(!graft.sinks.DeletionVectors.present(spark, root))
+    assert(rows(ZLake.read(spark, root)) == v1rows,
+      "restored live read must equal the pinned state")
+    // row-level change feed v1 -> live is EMPTY (identities may differ
+    // where trash copies came back; rows may not)
+    assert(Snapshots.diff(spark, root, "v1", None).count() == 0L)
+    // the later snapshot still reads ITS pinned state (restore retired
+    // its files to trash, not to oblivion)
+    assert(rows(Snapshots.readSnapshot(spark, root, "v2")) == v2rows,
+      "restore broke a later snapshot")
+    // the restored lake stays fully mutable
+    val rep2 = LakeDelete.deleteFromLake(spark, root, col("a") >= 48)
+    assert(rep2.rowsDeleted > 0)
+    assert(ZLake.read(spark, root).filter(col("a") >= 48).count() == 0L)
+  }
+
+  test("restore reinstates a pinned deletion-vector generation") {
+    val root = tmp("snap-restore-dv")
+    Sinks.zorderedWrite(corpus(2048), "a", "b", root, numFiles = 4,
+      bits = 6)
+    graft.sinks.DeletionVectors.deleteMoR(spark, root, col("id") % 53 === 0)
+    val dvRows = rows(ZLake.read(spark, root))
+    Snapshots.snapshot(spark, root, "vdv")
+    // materializing clears the store (and retires the pinned generation
+    // to trash); restore must bring the vectors back
+    graft.sinks.DeletionVectors.compact(spark, root)
+    assert(!graft.sinks.DeletionVectors.present(spark, root))
+    val rep = Snapshots.restore(spark, root, "vdv")
+    assert(rep.dvStoresRestored == 1)
+    assert(graft.sinks.DeletionVectors.present(spark, root))
+    assert(rows(ZLake.read(spark, root)) == dvRows,
+      "restored read must re-apply the pinned vectors")
+  }
+
+  test("restore is a no-op on an unchanged lake; SQL spelling works") {
+    val root = tmp("snap-restore-noop")
+    Sinks.zorderedWrite(corpus(1024), "a", "b", root, numFiles = 4,
+      bits = 6)
+    Snapshots.snapshot(spark, root, "v1")
+    val rep = Snapshots.restore(spark, root, "v1")
+    assert(rep.filesRestored == 0 && rep.filesDropped == 0 &&
+      rep.dvStoresRestored == 0 && rep.dvStoresDropped == 0)
+    assert(rep.filesKept == 4)
+    // the SQL verb: CALL graft.restore after a delete
+    val before = rows(ZLake.read(spark, root))
+    LakeDelete.deleteFromLake(spark, root, col("a") < 8)
+    val r = spark.sql(s"CALL graft.restore('$root', 'v1')").collect()
+    assert(r.head.getAs[Int]("files_restored") > 0)
+    assert(rows(ZLake.read(spark, root)) == before)
+    // unknown tag fails loud
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, root, "nope")
+    }
+    assert(e.getMessage.contains("no snapshot"))
+  }
 }
