@@ -205,6 +205,40 @@ object QueriesRetrieval {
           QTerms, qv, k = 20, poolK = 50)
       }),
 
+    // -- PHRASE query over the positional index (Lucene PhraseQuery,
+    //    slop 0): exact token-sequence match via per-term position lists
+    //    (p in pos(t0), p+1 in pos(t1)), scored as one BM25 term whose tf
+    //    is the phrase frequency and df the phrase-matching doc count.
+    //    The oracle recomputes matches positionally from the RAW text and
+    //    replays the scoring — a missed adjacency, an off-by-one in the
+    //    position walk, or stale index stats all hash-mismatch.
+    QueryDef("q180_phrase_search", Some(s"""
+      WITH d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      h AS (SELECT doc_id, len(ts) AS dl,
+              len(list_filter(range(1, greatest(len(ts) - 1, 0) + 1),
+                i -> ts[i] = 'table' AND ts[i+1] = 'scan')) AS n
+            FROM d),
+      m AS (SELECT * FROM h WHERE n > 0),
+      s AS (SELECT count(*) AS nd, coalesce(sum(len(ts)), 0) AS tt FROM d),
+      f AS (SELECT count(*) AS dfp FROM m)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_matches,
+             CAST(floor(
+               ${dkQround("ln(1.0 + (CAST(nd AS DOUBLE) - dfp + 0.5) / (dfp + 0.5))", 6)}
+               * (CAST(n AS DOUBLE) * ${P.k1 + 1.0} /
+                  (CAST(n AS DOUBLE) + ${P.k1} *
+                   (${1.0 - P.b} + ${P.b} * CAST(dl AS DOUBLE) *
+                    CAST(nd AS DOUBLE) / CAST(tt AS DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS score_micros
+      FROM m, s, f
+      ORDER BY score_micros DESC, doc_id LIMIT 15"""),
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bm25-phrase").toString + "/idx"
+        Retrieval.writeBm25Index(T(s, dir, "documents"), col("doc_id"),
+          col("text"), path, nBuckets = 16)
+        Retrieval.searchPhraseIndex(s, path, Seq("table", "scan"), 15)
+      }),
+
     // -- DSIR importance weights (Xie 2023, arXiv:2302.03169): hashed
     //    uni+bigram bucket models (B=64, add-one smoothed), target =
     //    source 'src18', raw = the whole corpus; per-doc weight = integer

@@ -142,19 +142,25 @@ object Retrieval {
     writeStats(spark, path, row.getLong(0), row.getLong(1), nBuckets)
   }
 
-  /** Postings via explode + map-side-combined count: the (term, doc)
+  /** Postings via posexplode + map-side-combined count: the (term, doc)
     * exchange carries ONE row per distinct (term, doc) after partial
     * aggregation — the standard inverted-index build shape. `dl` is a
-    * functional dependency of `doc_id` and rides in the grouping key. */
+    * functional dependency of `doc_id` and rides in the grouping key.
+    * Each posting also carries the term's sorted POSITIONS (0-based token
+    * offsets — what Lucene stores by default): the payload phrase queries
+    * ([[searchPhraseIndex]]) need, a per-posting `array<int>` whose total
+    * size across the index is exactly one entry per corpus token. */
   private def postingsOf(docs: DataFrame, id: Column,
                          text: Column): DataFrame =
     docs.select(id.cast("long").as("doc_id"), TF.tokens(text).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-        explode(col("ts")).as("term"))
+        posexplode(col("ts")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"))
 
   private def writeStats(spark: SparkSession, path: String, nDocs: Long,
                          totalTokens: Long, nBuckets: Int): Unit = {
@@ -247,6 +253,72 @@ object Retrieval {
     scored.select(col("doc_id"), perTerm.as("m"))
       .groupBy("doc_id").agg(sum(col("m")).as("score_micros"))
       .filter(col("score_micros") > 0)
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** PHRASE query over the positional index (Lucene's `PhraseQuery`,
+    * slop 0): documents where the exact token sequence `phrase` occurs,
+    * scored like a single BM25 term whose `tf` is the PHRASE frequency
+    * and whose `df` is the number of phrase-matching documents — the
+    * classic phrase-scoring recipe.
+    *
+    * Scale shape: the scan prunes to the ≤ |distinct terms| buckets the
+    * phrase hashes into; candidate docs pivot their per-term position
+    * arrays into one map (one shuffle over MATCHING postings only); the
+    * adjacency walk — `p ∈ positions(t₀)` with `p+i ∈ positions(tᵢ)` for
+    * every later term — is a codegen'd higher-order-function filter, no
+    * join. The phrase-match set is `localCheckpoint`ed (it is
+    * result-sized) so the df aggregate and the final scoring read it
+    * without re-scanning the index.
+    *
+    * Determinism: positions are exact integers, the adjacency count is
+    * integer, and scoring reuses the q6-idf + integer-micros contract —
+    * the whole query replays in the oracle from the raw corpus. Output
+    * `(doc_id, n_matches, score_micros)`, score desc / doc_id asc. */
+  def searchPhraseIndex(spark: SparkSession, path: String,
+                        phrase: Seq[String], k: Int,
+                        params: Bm25Params = Bm25Params()): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val (nDocs, totalTokens, nBuckets) = readStats(spark, path)
+    val distinctTerms = phrase.distinct
+    val buckets = distinctTerms.map(t =>
+      (graft.functions.Kernels.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        % nBuckets.toLong).toInt)
+    val hits = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(distinctTerms: _*))
+    // pivot: one row per candidate doc with term -> positions (keys are
+    // unique: the index holds one posting per (term, doc))
+    val byDoc = hits.groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"),
+        map_from_entries(collect_list(struct(col("term"), col("positions"))))
+          .as("pm"))
+    val starts = element_at(col("pm"), lit(phrase.head))
+    val nCol =
+      if (phrase.length == 1) coalesce(size(starts), lit(0))
+      else coalesce(size(filter(starts, p =>
+        phrase.tail.zipWithIndex.map { case (t, i) =>
+          array_contains(element_at(col("pm"), lit(t)), p + lit(i + 1))
+        }.reduce(_ && _))), lit(0))
+    val matched = byDoc
+      .select(col("doc_id"), col("dl"), nCol.cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .localCheckpoint(true) // phrase-match-set-sized; read twice below
+    val dfPhrase = matched.agg(count(lit(1))).head().getLong(0)
+    if (dfPhrase == 0L)
+      return matched.select(col("doc_id"), col("n_matches"),
+        lit(0L).as("score_micros")) // empty, right schema
+    val idf6 = Bm25Stats(nDocs, totalTokens, Map("" -> dfPhrase)).idf6("")
+    val tf = col("n_matches").cast("double")
+    val norm = lit(1.0 - params.b) +
+      lit(params.b) * col("dl").cast("double") * lit(nDocs.toDouble) /
+        lit(totalTokens.toDouble)
+    val frac = tf * lit(params.k1 + 1.0) / (tf + lit(params.k1) * norm)
+    matched.select(col("doc_id"), col("n_matches"),
+      floor(lit(idf6) * frac * lit(1e6) + lit(0.5)).cast("long")
+        .as("score_micros"))
       .orderBy(col("score_micros").desc, col("doc_id"))
       .limit(k)
   }

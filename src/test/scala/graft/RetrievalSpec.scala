@@ -171,4 +171,58 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
     val expected = pts(top.getLong(2)) + pts(top.getLong(3))
     assert(top.getLong(1) == expected, "fused score is the exact point sum")
   }
+
+  test("phrase search: exact adjacency, overlapping matches, repeated " +
+      "terms, and a 3-term phrase") {
+    val d = docs(
+      1L -> "table scan merge",         // 1 x "table scan"
+      2L -> "table scan table scan",    // 2 x
+      3L -> "table merge scan",         // terms present, NOT adjacent
+      4L -> "scan table",               // reversed — no match
+      5L -> "a a a",                    // overlapping "a a" -> 2 matches
+      6L -> "x y x",                    // repeated-term phrase "x y x"
+      7L -> "table scan merge table scan merge")
+    val path = tmp("bm25-phrase")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path, 8)
+
+    def m(phrase: Seq[String]): Map[Long, Long] =
+      Retrieval.searchPhraseIndex(spark, path, phrase, 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(m(Seq("table", "scan")) ==
+      Map(1L -> 1L, 2L -> 2L, 7L -> 2L),
+      "adjacency must hold exactly; non-adjacent/reversed docs excluded")
+    assert(m(Seq("a", "a")) == Map(5L -> 2L),
+      "overlapping occurrences both count")
+    assert(m(Seq("x", "y", "x")) == Map(6L -> 1L),
+      "repeated-term phrases resolve through one positions map")
+    assert(m(Seq("table", "scan", "merge")) == Map(1L -> 1L, 7L -> 2L),
+      "3-term phrase walks p, p+1, p+2")
+    assert(m(Seq("table", "nosuch")).isEmpty, "unknown term: empty, no error")
+
+    // ranking: phrase tf dominates at similar dl; deterministic order
+    val ranked = Retrieval.searchPhraseIndex(spark, path,
+      Seq("table", "scan"), 10).collect()
+    assert(ranked.head.getLong(0) == 2L,
+      "doc 2 (tf=2, shortest) must rank first")
+    assert(ranked.map(_.getLong(2)).toSeq ==
+      ranked.map(_.getLong(2)).toSeq.sorted(Ordering[Long].reverse),
+      "output is score-descending")
+  }
+
+  test("phrase search through append equals a fresh full build") {
+    val d = docs((1L to 80L).map(i =>
+      i -> (if (i % 5 == 0) s"alpha beta w${i % 7}"
+            else s"beta alpha w${i % 7}")): _*)
+    val full = tmp("phrase-full"); val inc = tmp("phrase-inc")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), full, 8)
+    Retrieval.writeBm25Index(d.filter(col("doc_id") <= 40),
+      col("doc_id"), col("text"), inc, 8)
+    Retrieval.appendBm25Index(d.filter(col("doc_id") > 40),
+      col("doc_id"), col("text"), inc)
+    val q = Seq("alpha", "beta")
+    assert(Retrieval.searchPhraseIndex(spark, inc, q, 30).collect().toSeq ==
+      Retrieval.searchPhraseIndex(spark, full, q, 30).collect().toSeq,
+      "positions must ride appends unchanged")
+  }
 }
