@@ -284,6 +284,18 @@ object Bench {
                 Some(col("s.flag") === 1L), None)))
           ()
         }),
+        // snapshot + CoW damage + RESTORE (r11): the rollback round trip
+        // against a fresh lake — the delta vs qW_cow_delete is the
+        // snapshot pin plus the restore's trash copy-back and journal
+        new Timed("qW_restore", {
+          val root = freshDir("wrst") + "/customer"
+          lakes.writeFlat(root)
+          graft.sources.Snapshots.snapshot(spark, root, "pin")
+          graft.sinks.LakeDelete.deleteFromLake(spark, root,
+            col("c_custkey") % 97 === 13)
+          graft.sources.Snapshots.restore(spark, root, "pin")
+          ()
+        }),
         // within-bucket compaction (r11): fragmented bucketed lake
         // (bootstrap + 3 appends) pooled back to one file per bucket
         new Timed("qW_bucket_compact", {

@@ -239,6 +239,40 @@ object QueriesRetrieval {
         Retrieval.searchPhraseIndex(s, path, Seq("table", "scan"), 15)
       }),
 
+    // -- BOOLEAN query (Lucene BooleanQuery): +spark -slow with should
+    //    terms vector/dup — MUST gates and scores, SHOULD only scores,
+    //    MUST_NOT only gates; score = BM25 micros summed over the
+    //    scoring terms the doc contains. One bucket-pruned postings scan
+    //    + one per-doc aggregate. The oracle replays gating via
+    //    list_contains and the scoring per term — a doc leaking past
+    //    -slow, a must-gate miss, or a wrong df all hash-mismatch.
+    QueryDef("q181_boolean_search", Some(s"""
+      WITH d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      s AS (SELECT count(*) AS n, coalesce(sum(len(ts)), 0) AS tt FROM d),
+      f AS (SELECT
+              sum(CASE WHEN list_contains(ts, 'spark') THEN 1.0 ELSE 0.0 END) AS df0,
+              sum(CASE WHEN list_contains(ts, 'vector') THEN 1.0 ELSE 0.0 END) AS df1,
+              sum(CASE WHEN list_contains(ts, 'dup') THEN 1.0 ELSE 0.0 END) AS df2
+            FROM d),
+      scored AS (SELECT doc_id,
+                   ${dkBm25Term("spark", "df0", P)} +
+                   ${dkBm25Term("vector", "df1", P)} +
+                   ${dkBm25Term("dup", "df2", P)} AS score_micros
+                 FROM d, s, f
+                 WHERE list_contains(ts, 'spark')
+                   AND NOT list_contains(ts, 'slow'))
+      SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
+      FROM scored WHERE score_micros > 0
+      ORDER BY score_micros DESC, doc_id LIMIT 15"""),
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bm25-bool").toString + "/idx"
+        Retrieval.writeBm25Index(T(s, dir, "documents"), col("doc_id"),
+          col("text"), path, nBuckets = 16)
+        Retrieval.searchBooleanIndex(s, path, must = Seq("spark"),
+          should = Seq("vector", "dup"), mustNot = Seq("slow"), k = 15)
+      }),
+
     // -- DSIR importance weights (Xie 2023, arXiv:2302.03169): hashed
     //    uni+bigram bucket models (B=64, add-one smoothed), target =
     //    source 'src18', raw = the whole corpus; per-doc weight = integer

@@ -323,6 +323,74 @@ object Retrieval {
       .limit(k)
   }
 
+  /** BOOLEAN query over the index (Lucene's `BooleanQuery`): documents
+    * containing ALL `must` terms and NONE of the `mustNot` terms, scored
+    * by the BM25 sum over the `must ++ should` terms they contain —
+    * MUST gates and scores, SHOULD only scores, MUST_NOT only gates.
+    *
+    * Scale shape: one bucket-pruned scan over the involved terms'
+    * postings, one per-doc aggregate that computes gate flags and the
+    * score in the same pass (postings are unique per (term, doc), so
+    * "all must terms present" is an integer sum of indicators — no
+    * distinct, no second pass); `mustNot` rides the same aggregate as a
+    * max-indicator instead of an anti-join. df per scoring term comes
+    * from the pruned postings (a term's postings live entirely in its
+    * bucket), exactly like [[searchBm25Index]]. Output
+    * `(doc_id, score_micros)`, score desc / doc_id asc. */
+  def searchBooleanIndex(spark: SparkSession, path: String,
+                         must: Seq[String], should: Seq[String] = Nil,
+                         mustNot: Seq[String] = Nil, k: Int = 10,
+                         params: Bm25Params = Bm25Params()): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty,
+      "boolean query needs at least one must or should term")
+    val mustD = must.distinct
+    val negD = mustNot.distinct
+    val scoring = (must ++ should).distinct
+    require(scoring.intersect(negD).isEmpty,
+      s"terms cannot be both scored and excluded: " +
+        s"${scoring.intersect(negD)}")
+    val (nDocs, totalTokens, nBuckets) = readStats(spark, path)
+    val involved = (scoring ++ negD).distinct
+    val buckets = involved.map(t =>
+      (graft.functions.Kernels.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        % nBuckets.toLong).toInt)
+    val hits = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(involved: _*))
+    val dfByTerm = hits.filter(col("term").isin(scoring: _*))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val stats = Bm25Stats(nDocs, totalTokens,
+      dfByTerm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val perTerm = scoring.map { t =>
+      val norm = lit(1.0 - params.b) +
+        lit(params.b) * col("dl").cast("double") *
+          lit(stats.nDocs.toDouble) / lit(stats.totalTokens.toDouble)
+      val frac = col("tf").cast("double") * lit(params.k1 + 1.0) /
+        (col("tf").cast("double") + lit(params.k1) * norm)
+      when(col("term") === lit(t),
+        floor(lit(stats.idf6(t)) * frac * lit(1e6) + lit(0.5)).cast("long"))
+    }.reduceOption((a, b) => coalesce(a, b))
+      .getOrElse(lit(null).cast("long"))
+    hits.select(col("doc_id"), col("term"),
+        coalesce(perTerm, lit(0L)).as("m"),
+        (if (mustD.isEmpty) lit(0L)
+         else when(col("term").isin(mustD: _*), 1L).otherwise(0L))
+          .as("is_must"),
+        (if (negD.isEmpty) lit(0L)
+         else when(col("term").isin(negD: _*), 1L).otherwise(0L))
+          .as("is_neg"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("score_micros"),
+        sum(col("is_must")).as("must_hits"),
+        max(col("is_neg")).as("neg"))
+      .filter(col("must_hits") === lit(mustD.size.toLong) &&
+        col("neg") === 0L && col("score_micros") > 0)
+      .select(col("doc_id"), col("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ---- hybrid search (RRF) --------------------------------------------
 
   /** Reciprocal-rank-fusion points for 1-based `rank`: EXACT integer

@@ -210,6 +210,42 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       "output is score-descending")
   }
 
+  test("boolean search: must gates and scores, mustNot excludes, " +
+      "should only scores") {
+    val d = docs(
+      1L -> "spark fast",       // must only
+      2L -> "spark vector",     // must + one should
+      3L -> "spark slow fast",  // killed by mustNot
+      4L -> "vector dup",       // no must term
+      5L -> "spark vector dup") // must + both shoulds
+    val path = tmp("bm25-bool")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path, 8)
+
+    def ids(must: Seq[String], should: Seq[String],
+            not: Seq[String]): Seq[Long] =
+      Retrieval.searchBooleanIndex(spark, path, must, should, not, 10)
+        .collect().map(_.getLong(0)).toSeq
+
+    val r = Retrieval.searchBooleanIndex(spark, path, Seq("spark"),
+      Seq("vector", "dup"), Seq("slow"), 10).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L, 2L, 5L),
+      "must gates, mustNot excludes, should alone does not gate")
+    val score = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(score(5L) > score(2L) && score(2L) > score(1L),
+      "more matched scoring terms must score higher")
+
+    assert(ids(Seq("spark", "vector"), Nil, Nil).toSet == Set(2L, 5L),
+      "ALL must terms required")
+    assert(ids(Nil, Seq("dup"), Nil).toSet == Set(4L, 5L),
+      "should-only query matches any scoring term")
+    assert(ids(Seq("spark"), Nil, Seq("nosuch")).toSet ==
+      Set(1L, 2L, 3L, 5L), "unknown mustNot term excludes nothing")
+    intercept[IllegalArgumentException](
+      Retrieval.searchBooleanIndex(spark, path, Seq("x"), Nil, Seq("x"), 5))
+    intercept[IllegalArgumentException](
+      Retrieval.searchBooleanIndex(spark, path, Nil, Nil, Seq("slow"), 5))
+  }
+
   test("phrase search through append equals a fresh full build") {
     val d = docs((1L to 80L).map(i =>
       i -> (if (i % 5 == 0) s"alpha beta w${i % 7}"

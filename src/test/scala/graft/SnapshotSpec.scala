@@ -396,6 +396,25 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
       "restored read must re-apply the pinned vectors")
   }
 
+  test("restore crash between journal publish and apply heals to the " +
+      "pinned state") {
+    val root = tmp("snap-restore-crash")
+    Sinks.zorderedWrite(corpus(2048), "a", "b", root, numFiles = 4,
+      bits = 6)
+    val pinned = rows(ZLake.read(spark, root))
+    Snapshots.snapshot(spark, root, "pin")
+    LakeDelete.deleteFromLake(spark, root, col("a") < 24)
+    LakeDelete.journalPublishedHook.set(() =>
+      throw new RuntimeException("crash: restore committed, not applied"))
+    try intercept[RuntimeException](Snapshots.restore(spark, root, "pin"))
+    finally LakeDelete.journalPublishedHook.set(() => ())
+    // the journal is the commit point: recovery must finish the restore
+    assert(LakeDelete.recover(spark, root))
+    assert(rows(ZLake.read(spark, root)) == pinned,
+      "healed restore must serve the pinned state")
+    assert(rows(Snapshots.readSnapshot(spark, root, "pin")) == pinned)
+  }
+
   test("restore is a no-op on an unchanged lake; SQL spelling works") {
     val root = tmp("snap-restore-noop")
     Sinks.zorderedWrite(corpus(1024), "a", "b", root, numFiles = 4,
