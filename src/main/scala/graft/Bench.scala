@@ -112,6 +112,9 @@ object Bench {
     val windowed: String = tmp("zwin") + "/customer"
     /** 8-file time-enveloped event lake (annotated TIMESTAMP stats). */
     val timeLake: String = tmp("ztime") + "/events"
+    /** Term-bucketed positional BM25 postings index over documents
+      * (q174/q180/q181's shape) — the retrieval serving path. */
+    val bm25Idx: String = tmp("bm25") + "/idx"
 
     def customerProj: DataFrame = T("customer").select(col("c_custkey"),
       (col("c_custkey") % 256).cast("long").as("a"),
@@ -164,6 +167,8 @@ object Bench {
       // pin the flat lake for the snapshot read lane: qR_snapshot_agg
       // measures time-travel planning against qR_envelope_agg's live read
       graft.sources.Snapshots.snapshot(spark, flat, "bench")
+      graft.operators.Retrieval.writeBm25Index(T("documents"),
+        col("doc_id"), col("text"), bm25Idx, nBuckets = 64)
     }
   }
 
@@ -358,7 +363,19 @@ object Bench {
           graft.sources.Snapshots.readSnapshot(spark, lakes.flat, "bench")
             .filter(col("a").between(32, 63) && col("b").between(64, 127))
             .agg(count("*"), sum("a"), sum("b"),
-              sum(floor(col("c_acctbal") * 100).cast("long"))).collect()))
+              sum(floor(col("c_acctbal") * 100).cast("long"))).collect()),
+        // retrieval SERVING lanes over the pre-built postings index: the
+        // bucket-pruned probes the gate proves correct (q174/q180/q181)
+        new Timed("qR_bm25_probe",
+          graft.operators.Retrieval.searchBm25Index(spark, lakes.bm25Idx,
+            Seq("dup", "vector", "spark"), 10).collect()),
+        new Timed("qR_phrase_probe",
+          graft.operators.Retrieval.searchPhraseIndex(spark, lakes.bm25Idx,
+            Seq("table", "scan"), 10).collect()),
+        new Timed("qR_bool_probe",
+          graft.operators.Retrieval.searchBooleanIndex(spark, lakes.bm25Idx,
+            must = Seq("spark"), should = Seq("vector", "dup"),
+            mustNot = Seq("slow"), k = 10).collect()))
 
     // q68_synth must be warmed before q68_pipeline can run at all, and the
     // lake fixtures before the qR_* lanes — warm-up order is listing order
@@ -438,11 +455,14 @@ object Bench {
     println(summary)
     // ... and the summary as a FILE (r9 verdict #4): sbt's `[info] `
     // decoration and the driver's capture window have twice corrupted the
-    // stdout lane ("parsed": null); a committed file survives both.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: java.io.IOException => () } // read-only cwd: stdout stands
+    // stdout lane ("parsed": null); a committed file survives both. A
+    // SPARK_GRAFT_BENCH_ONLY-filtered run is an investigation, not the
+    // artifact — it must not overwrite the full run's summary.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => () } // read-only cwd: stdout stands
     spark.stop()
     if (breaches.nonEmpty) {
       System.err.println(s"bench floors breached: $breachesJson")
