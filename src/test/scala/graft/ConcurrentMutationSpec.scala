@@ -204,4 +204,29 @@ class ConcurrentMutationSpec extends AnyFunSuite with SparkSpec {
       "txn dir with fresh staged writes must survive the sweep")
     fs.delete(live, true)
   }
+
+  test("an append lands inside a RESTORE's staging window: the full-set " +
+      "read-set conflicts, the retry converges to exactly the pin") {
+    val root = buildLake()
+    graft.sources.Snapshots.snapshot(spark, root, "pin")
+    val pinned = ids(root)
+    LakeDelete.deleteFromLake(spark, root, col("a") < 8)
+    val before = LakeDelete.conflictRetries.get()
+    // an append races the restore's staging: appends never conflict with
+    // anything, but the RESTORE must — a per-file read-set cannot see an
+    // ADDITION, and a restore that missed it would leave extra rows
+    onceStaged {
+      val extra = source(n, n + 16)
+        .withColumn("win", (col("id") % 2).cast("string"))
+      LakeDelete.appendLake(spark, root, extra); ()
+    }
+    try {
+      val rep = graft.sources.Snapshots.restore(spark, root, "pin")
+      assert(rep.filesDropped > 0)
+    } finally LakeDelete.stagedHook.set(() => ())
+    assert(LakeDelete.conflictRetries.get() > before,
+      "the racing append must have cost the restore a conflict retry")
+    assert(ids(root) == pinned,
+      "restored state must be exactly the pin — racing append included")
+  }
 }
