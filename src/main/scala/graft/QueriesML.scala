@@ -2492,6 +2492,38 @@ object QueriesML {
             emb.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
             threshold = 0.3)
           .orderBy(col("vid"))
-      })
+      }),
+
+    // -- DATASET CARD (r11, TrainPrep.corpusReport): the per-source
+    //    release summary — docs, tokens, exact-dup pressure via distinct
+    //    text hashes, dominant language (count desc / lang asc argmax),
+    //    token extremes — all exact integers. The oracle recomputes every
+    //    column relationally; a wrong distinct, a nondeterministic argmax
+    //    tie, or a token-count drift all hash-mismatch.
+    QueryDef("q182_corpus_report", Some(s"""
+      WITH d AS (SELECT source, lang, len(${dkToks("text")}) AS n_tok,
+                        md5(text) AS h
+                 FROM documents),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+                     CAST(min(n_tok) AS BIGINT) AS min_tokens,
+                     CAST(max(n_tok) AS BIGINT) AS max_tokens
+              FROM d GROUP BY source),
+      tl AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+      t1 AS (SELECT source, lang AS top_lang,
+                    CAST(c AS BIGINT) AS top_lang_docs,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY c DESC, lang) AS rk
+             FROM tl)
+      SELECT p.source, p.n_docs, p.n_tokens, p.n_unique_texts,
+             p.n_docs - p.n_unique_texts AS n_dup_docs,
+             t1.top_lang, t1.top_lang_docs, p.min_tokens, p.max_tokens
+      FROM per p JOIN t1 ON p.source = t1.source AND t1.rk = 1
+      ORDER BY p.source"""),
+      (s, dir) =>
+        TrainPrep.corpusReport(T(s, dir, "documents"), col("text"),
+            col("source"), col("lang"))
+          .orderBy(col("source")))
   )
 }

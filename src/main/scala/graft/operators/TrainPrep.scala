@@ -419,4 +419,41 @@ object TrainPrep {
             .otherwise("tail")
         }.as("bucket"))
   }
+
+  /** DATASET CARD: the per-source summary every corpus release ships —
+    * document and token counts, exact-duplicate pressure (distinct text
+    * hashes vs rows), dominant language, and token-length extremes, all
+    * as exact integers so the card replays bit-for-bit in the oracle.
+    *
+    * Scale shape: ONE grouped aggregate over (source) with a two-phase
+    * exact count-distinct on the 128-bit text hash (Spark's expand-based
+    * distinct aggregate — partial per partition, one exchange on the
+    * group key), plus a (source, lang)-grained count whose argmax
+    * (count desc, lang asc — deterministic) broadcasts back. No
+    * driver-side iteration; output is source-cardinality-sized. */
+  def corpusReport(docs: DataFrame, text: Column, source: Column,
+                   lang: Column): DataFrame = {
+    val base = docs.select(source.as("source"), lang.as("lang"),
+      size(TF.tokens(text)).cast("long").as("n_tok"),
+      md5(text.cast("string")).as("h"))
+    val per = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      countDistinct(col("h")).as("n_unique_texts"),
+      min("n_tok").as("min_tokens"),
+      max("n_tok").as("max_tokens"))
+    val topLang = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("lang_docs"))
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("lang_docs").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("lang_docs").as("top_lang_docs"))
+    per.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_unique_texts"),
+        (col("n_docs") - col("n_unique_texts")).as("n_dup_docs"),
+        col("top_lang"), col("top_lang_docs"),
+        col("min_tokens"), col("max_tokens"))
+  }
 }

@@ -267,4 +267,34 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
     }
     assert(shuffles.isEmpty, "chunking must be a pure projection")
   }
+
+  test("corpusReport: exact dup pressure, deterministic top-lang ties, " +
+      "token extremes") {
+    import spark.implicits._
+    val docs = Seq(
+      // src a: 3 docs, one exact dup pair; langs en=1, fr=1, de=1 — the
+      // count tie must resolve to the lexicographically SMALLEST lang
+      (1L, "one two", "en", "a"),
+      (2L, "one two", "fr", "a"),
+      (3L, "one two three four", "de", "a"),
+      // src b: all unique, en dominates
+      (4L, "x", "en", "b"),
+      (5L, "y z", "en", "b"),
+      (6L, "w", "zz", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.TrainPrep.corpusReport(docs, col("text"),
+        col("source"), col("lang"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_tokens") == 8)
+    assert(a.getAs[Long]("n_unique_texts") == 2 &&
+      a.getAs[Long]("n_dup_docs") == 1)
+    assert(a.getAs[String]("top_lang") == "de",
+      "count ties must resolve to the smallest lang")
+    assert(a.getAs[Long]("min_tokens") == 2 && a.getAs[Long]("max_tokens") == 4)
+    val b = r("b")
+    assert(b.getAs[String]("top_lang") == "en" &&
+      b.getAs[Long]("top_lang_docs") == 2)
+    assert(b.getAs[Long]("n_dup_docs") == 0)
+  }
 }
