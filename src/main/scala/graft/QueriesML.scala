@@ -2007,6 +2007,64 @@ object QueriesML {
     //    the ids are a DuckDB-expressible synthetic so the oracle replays
     //    the PACKING algebra exactly (order, cuts, EOS placement, tail
     //    drops) token by token.
+    // -- PACKING with DOCUMENT BOUNDARIES (TrainPrep.packWithBoundaries,
+    //    r11): the block-diagonal-attention payload — every packed row's
+    //    doc_spans partition [0, seqLen) by source document (EOS counted
+    //    with its doc). ids are bit-identical to q157's packer (unit-
+    //    asserted); here the SPAN algebra replays relationally: doc
+    //    offsets via per-shard cumulative sums, sequence windows via
+    //    integer division, span = interval intersection. A doc split
+    //    across a cut, a dropped tail leaking a span, or an off-by-one
+    //    at a boundary all hash-mismatch.
+    QueryDef("q183_packing_boundaries", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                        CAST(doc_id % 5 + 2 AS BIGINT) AS n
+                 FROM documents),
+           off AS (SELECT shard, doc_id, n,
+                          sum(n) OVER (PARTITION BY shard
+                            ORDER BY doc_id) - n AS st
+                   FROM d),
+           tot AS (SELECT shard, sum(n) AS t FROM d GROUP BY shard),
+           seqs AS (SELECT shard,
+                           unnest(range(0, CAST(t // 16 AS BIGINT)))
+                             AS seq_id
+                    FROM tot),
+           spans AS (SELECT o.shard, s.seq_id, o.doc_id,
+                            greatest(o.st, s.seq_id * 16)
+                              - s.seq_id * 16 AS sp_start,
+                            least(o.st + o.n, (s.seq_id + 1) * 16)
+                              - greatest(o.st, s.seq_id * 16) AS sp_len
+                     FROM off o JOIN seqs s ON o.shard = s.shard
+                       AND o.st < (s.seq_id + 1) * 16
+                       AND o.st + o.n > s.seq_id * 16),
+           idx AS (SELECT shard, seq_id, doc_id, sp_start, sp_len,
+                          row_number() OVER (PARTITION BY shard, seq_id
+                            ORDER BY sp_start) - 1 AS span_idx
+                   FROM spans)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(seq_id AS BIGINT) AS seq_id,
+             CAST(span_idx AS BIGINT) AS span_idx, doc_id,
+             CAST(sp_start AS BIGINT) AS sp_start,
+             CAST(sp_len AS BIGINT) AS sp_len
+      FROM idx ORDER BY shard, seq_id, span_idx"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val withIds = docs.select(col("doc_id"),
+          transform(sequence(lit(0L), pmod(col("doc_id"), lit(5L))),
+            i => ((col("doc_id") * 7 + i) % 256).cast("int")).as("ids"))
+        graft.operators.TrainPrep.packWithBoundaries(withIds,
+            col("doc_id"), col("ids"), pmod(col("doc_id"), lit(8L)),
+            seqLen = 16, eosId = 999)
+          .select(col("shard"), col("seq_id"),
+            posexplode(col("doc_spans")).as(Seq("span_idx", "sp")))
+          .select(col("shard"), col("seq_id"),
+            col("span_idx").cast("long").as("span_idx"),
+            col("sp.doc_id").as("doc_id"),
+            col("sp.start").cast("long").as("sp_start"),
+            col("sp.len").cast("long").as("sp_len"))
+          .orderBy(col("shard"), col("seq_id"), col("span_idx"))
+      }),
+
     QueryDef("q157_token_packing", Some("""
       WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
                         list_append(list_transform(

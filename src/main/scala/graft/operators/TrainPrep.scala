@@ -105,6 +105,84 @@ object TrainPrep {
       }.toDF("shard", "seq_id", "ids")
   }
 
+  /** One document's slice of a packed sequence: `ids[start, start+len)`
+    * came from `doc_id` (its trailing EOS counted as the document's). */
+  final case class DocSpan(doc_id: Long, start: Int, len: Int)
+  private final case class PackedSeq(shard: Long, seq_id: Long,
+                                     ids: Array[Int],
+                                     doc_spans: Array[DocSpan])
+
+  /** [[packTokenIds]] that ALSO emits each sequence's DOCUMENT SPANS —
+    * `doc_spans: array<struct<doc_id, start, len>>` partitioning
+    * `[0, seqLen)` in stream order. This is what block-diagonal
+    * ("sample packing") attention masks and per-document loss masking
+    * need: without the spans, a packed row silently attends across
+    * document boundaries. The `ids` column is BIT-IDENTICAL to
+    * [[packTokenIds]] (same cuts, same EOS placement, same tail drops) —
+    * the spans are bookkeeping carried through the same single streaming
+    * pass, so the cost over plain packing is one tiny array per row. */
+  def packWithBoundaries(docs: DataFrame, id: Column, ids: Column,
+                         shardBy: Column, seqLen: Int,
+                         eosId: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val in = docs.select(shardBy.cast("long").as("shard"),
+      id.cast("long").as("doc_id"), ids.as("ids"))
+    val sp = in.sparkSession
+    import sp.implicits._
+    in.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { rows =>
+        new Iterator[PackedSeq] {
+          private var curShard = 0L
+          private var started = false
+          private var seqId = 0L
+          private val buf = new scala.collection.mutable.ArrayBuffer[Int](
+            seqLen * 2)
+          // (doc_id, tokens of it still in buf) — heads drain as cuts land
+          private val segs =
+            new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+          private val out =
+            new scala.collection.mutable.Queue[PackedSeq]()
+          private def drain(): Unit =
+            while (buf.length >= seqLen) {
+              val spans =
+                new scala.collection.mutable.ArrayBuffer[DocSpan]()
+              var cursor = 0
+              while (cursor < seqLen) {
+                val (d, rem) = segs.head
+                val take = math.min(rem, seqLen - cursor)
+                spans += DocSpan(d, cursor, take)
+                if (rem == take) { segs.remove(0); () }
+                else segs(0) = (d, rem - take)
+                cursor += take
+              }
+              out.enqueue(PackedSeq(curShard, seqId,
+                buf.take(seqLen).toArray, spans.toArray))
+              buf.remove(0, seqLen)
+              seqId += 1
+            }
+          @annotation.tailrec
+          private def fill(): Unit =
+            if (out.isEmpty && rows.hasNext) {
+              val r = rows.next()
+              val shard = r.getLong(0)
+              if (!started || shard != curShard) {
+                buf.clear(); segs.clear()
+                seqId = 0L; curShard = shard; started = true
+              }
+              val arr = r.getSeq[Int](2)
+              buf ++= arr
+              buf += eosId
+              segs += ((r.getLong(1), arr.length + 1))
+              drain()
+              fill()
+            }
+          override def hasNext: Boolean = { fill(); out.nonEmpty }
+          override def next(): PackedSeq = { fill(); out.dequeue() }
+        }
+      }.toDF()
+  }
+
   /** Corpus-wide PARAGRAPH-level exact deduplication — the line/paragraph
     * dedup step web-scale pipelines run before document-level MinHash
     * (boilerplate navigation, cookie banners, repeated headers): every

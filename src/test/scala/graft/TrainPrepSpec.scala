@@ -268,6 +268,62 @@ class TrainPrepSpec extends AnyFunSuite with SparkSpec
     assert(shuffles.isEmpty, "chunking must be a pure projection")
   }
 
+  test("packWithBoundaries: ids bit-identical to packTokenIds; spans " +
+      "partition each sequence; docs split exactly across cuts") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until (i % 7 + 1).toInt).map(j => (i * 3 + j).toInt % 50)))
+      .toDF("doc_id", "ids")
+    val plain = TrainPrep.packTokenIds(docs, col("doc_id"), col("ids"),
+        pmod(col("doc_id"), lit(3L)), seqLen = 8, eosId = 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getSeq[Int](2).toList).toMap
+    val rows = TrainPrep.packWithBoundaries(docs, col("doc_id"),
+        col("ids"), pmod(col("doc_id"), lit(3L)), seqLen = 8, eosId = 99)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getSeq[Int](2).toList == plain(key),
+        s"ids drifted from packTokenIds at $key")
+      val spans = r.getSeq[org.apache.spark.sql.Row](3)
+        .map(s => (s.getLong(0), s.getInt(1), s.getInt(2)))
+      // spans tile [0, 8) contiguously, no gaps or overlaps
+      assert(spans.head._2 == 0 && spans.map(_._3).sum == 8)
+      spans.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, _)) => assert(s1 + l1 == s2)
+        case _ =>
+      }
+      assert(spans.forall(_._3 > 0))
+    }
+    // a document split across a cut appears in consecutive sequences
+    // with its length conserved: per (shard, doc) total span length ==
+    // len(ids) + 1 (EOS) for every doc NOT lost to a dropped tail whose
+    // spans are all present
+    val perDoc = rows.flatMap { r =>
+      r.getSeq[org.apache.spark.sql.Row](3).map(s =>
+        ((r.getLong(0), s.getLong(0)), s.getInt(2).toLong))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = (1L to 40L).map(i => (i % 3, i) -> (i % 7 + 1 + 1)).toMap
+    // docs fully or partially in the dropped tail may undershoot; every
+    // doc that appears must never OVERSHOOT its true length
+    perDoc.foreach { case (k, got) =>
+      assert(got <= expect(k), s"doc $k overshot: $got > ${expect(k)}")
+    }
+    // and at least one doc is split across a cut (sanity that the
+    // fixture exercises the split path): some sequence ends mid-doc
+    assert(rows.exists { r =>
+      val last = r.getSeq[org.apache.spark.sql.Row](3).last
+      val k = (r.getLong(0), last.getLong(0))
+      perDoc(k) == expect(k) &&
+        rows.exists(r2 => r2.getLong(0) == r.getLong(0) &&
+          r2.getLong(1) == r.getLong(1) + 1 &&
+          r2.getSeq[org.apache.spark.sql.Row](3).head.getLong(0)
+            == last.getLong(0))
+    }, "fixture must exercise a document split across a cut")
+  }
+
   test("corpusReport: exact dup pressure, deterministic top-lang ties, " +
       "token extremes") {
     import spark.implicits._
