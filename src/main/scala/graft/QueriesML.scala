@@ -2007,6 +2007,31 @@ object QueriesML {
     //    the ids are a DuckDB-expressible synthetic so the oracle replays
     //    the PACKING algebra exactly (order, cuts, EOS placement, tail
     //    drops) token by token.
+    // -- DICTIONARY KEYWORD TAGGING (Aho-Corasick 1975, shipped into
+    //    whole-stage codegen like the tokenizer tables): which of K
+    //    patterns occur as substrings — ONE pass over the text however
+    //    large the dictionary, vs the K-rescan OR-chain. Substring
+    //    semantics on lower(text), so the oracle replays it verbatim
+    //    with contains(); output order = dictionary order (sorted). A
+    //    missed overlap, a fail-link bug, or a phantom match all
+    //    hash-mismatch on the array column.
+    QueryDef("q184_keyword_tagging", Some("""
+      SELECT doc_id,
+             list_filter(['big data', 'dup', 'fast key', 'merge',
+                          'nosuchkw', 'slow', 'spark', 'table scan',
+                          'vector', 'window'],
+               kw -> contains(lower(text), kw)) AS hits
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val table = graft.functions.KeywordTable.build(Seq(
+          "big data", "dup", "fast key", "merge", "nosuchkw", "slow",
+          "spark", "table scan", "vector", "window"))
+        T(s, dir, "documents").select(col("doc_id"),
+            graft.functions.KernelExprs.keyword_hits(
+              lower(col("text")), table).as("hits"))
+          .orderBy(col("doc_id"))
+      }),
+
     // -- PACKING with DOCUMENT BOUNDARIES (TrainPrep.packWithBoundaries,
     //    r11): the block-diagonal-attention payload — every packed row's
     //    doc_spans partition [0, seqLen) by source document (EOS counted

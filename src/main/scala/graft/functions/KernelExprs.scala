@@ -425,6 +425,25 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** Dictionary keyword tagging via the shipped [[KeywordTable]]
+    * automaton: distinct matched substrings, lexicographic order, one
+    * pass over the text however large the dictionary. */
+  case class KeywordHits(child: Expression, table: KeywordTable)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      table.hits(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("keywordTable", table,
+        classOf[KeywordTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.hits($c)")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): KeywordHits = copy(child = newChild)
+  }
+
   // --- Column-level wrappers -------------------------------------------------
 
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -446,6 +465,8 @@ object KernelExprs {
   def hilbert2(a: Column, b: Column, bits: Int): Column =
     ColumnBridge.column(Hilbert2(e(a), e(b), bits))
   def nfc(c: Column): Column = ColumnBridge.column(Nfc(e(c)))
+  def keyword_hits(text: Column, table: KeywordTable): Column =
+    ColumnBridge.column(KeywordHits(e(text), table))
   def bpe_encode(text: Column, table: BpeTable): Column =
     ColumnBridge.column(BpeEncode(e(text), table))
   def bpe_count(text: Column, table: BpeTable): Column =

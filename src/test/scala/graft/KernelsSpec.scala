@@ -229,4 +229,42 @@ class KernelsSpec extends AnyFunSuite with SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("KeywordTable: Aho-Corasick matches == naive contains, incl. " +
+      "the classic overlap case; codegen path agrees with eval") {
+    import graft.functions.{KernelExprs, KeywordTable}
+    // the textbook automaton: suffix overlaps force real fail links
+    val t = KeywordTable.build(Seq("he", "she", "his", "hers"))
+    def m(s: String): Seq[String] =
+      t.hits(UTF8String.fromString(s)).toSeq[UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+    assert(m("ushers") == Seq("he", "hers", "she"),
+      "all overlapping suffix matches must surface")
+    assert(m("this") == Seq("his"))
+    assert(m("xyz").isEmpty && m("").isEmpty)
+    assert(m("hehehe") == Seq("he"), "repeats dedup")
+
+    // equality vs naive contains over randomized inputs
+    val dict = Seq("ab", "bab", "bc", "bca", "c", "caa", "aaa")
+    val t2 = KeywordTable.build(dict)
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(20))("abc" (rnd.nextInt(3))).mkString
+      val got = t2.hits(UTF8String.fromString(s)).toSeq[UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+      val want = dict.sorted.filter(s.contains(_))
+      assert(got == want, s"mismatch on '$s'")
+    }
+
+    // through the plan (codegen) — same answers as direct eval
+    val df = Seq("ushers live here", "nothing", "she said hers")
+      .toDF("text")
+      .select(KernelExprs.keyword_hits(col("text"), t).as("hits"))
+    assert(df.collect().map(_.getSeq[String](0).toList).toList ==
+      List(List("he", "hers", "she"), Nil, List("he", "hers", "she")))
+
+    // build-time refusals
+    intercept[IllegalArgumentException](KeywordTable.build(Nil))
+    intercept[IllegalArgumentException](KeywordTable.build(Seq("a", "")))
+  }
 }
