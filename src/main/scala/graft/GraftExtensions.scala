@@ -85,6 +85,7 @@ object GraftExtensions {
     "graft_simhash60" -> ((a: Seq[Expression]) => KernelExprs.SimHash60(a.head)),
     "graft_dot_long" -> ((a: Seq[Expression]) => KernelExprs.DotLong(a(0), a(1))),
     "graft_cosine_q6" -> ((a: Seq[Expression]) => KernelExprs.CosineQ6(a(0), a(1))),
+    "graft_l2sq_long" -> ((a: Seq[Expression]) => KernelExprs.L2sqLong(a(0), a(1))),
     "graft_srp_bucket" -> ((a: Seq[Expression]) =>
       KernelExprs.SrpBucket(a(0), intArg(a(1), "planes"))),
     // aggregates: the analyzer wraps a bare AggregateFunction automatically

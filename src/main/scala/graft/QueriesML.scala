@@ -463,6 +463,34 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- exact L2 top-k (the second standard ANN metric — pgvector `<->`,
+    //    FAISS METRIC_L2): integer SQUARED Euclidean distance over the
+    //    quantized vectors, distance asc / neighbor asc. No rounding rule
+    //    at all — the integer distance replays bit-for-bit.
+    QueryDef("q185_ann_l2", Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, ${dkQuant("embedding")} AS cv
+            FROM embeddings),
+      s AS (SELECT query_id, neighbor_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                     i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))) AS BIGINT)
+                     AS l2sq
+            FROM c, q WHERE neighbor_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY l2sq, neighbor_id) AS BIGINT) AS rn
+            FROM s)
+      SELECT query_id, neighbor_id, l2sq, rn FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.l2TopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- similarity: SRP-LSH bucketed ANN ------------------------------------
     QueryDef("q36_ann_lsh", Some(s"""
       WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv FROM embeddings

@@ -204,4 +204,11 @@ object Functions {
     * [[KernelExprs.CosineQ6]]: one codegen'd call per pair instead of three
     * interpreted array-aggregate trees. */
   def vec_cosine_q6(a: Column, b: Column): Column = KernelExprs.cosine_q6(a, b)
+
+  /** EXACT integer squared Euclidean distance of two quantized (long)
+    * vectors (native [[KernelExprs.L2sqLong]]) — the second standard ANN
+    * metric next to cosine (pgvector `<->`, FAISS METRIC_L2). Squared
+    * form on purpose: sqrt is monotone, so top-k by l2² is top-k by l2,
+    * and the integer value replays bit-for-bit with no rounding rule. */
+  def vec_l2sq_long(a: Column, b: Column): Column = KernelExprs.l2sq_long(a, b)
 }

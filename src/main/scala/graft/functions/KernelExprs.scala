@@ -66,6 +66,21 @@ object KernelExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Exact integer squared L2 distance of two array<long> columns. */
+  case class L2sqLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.l2sqLong(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.l2sqLong($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): L2sqLong =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Quantized cosine (q6-rounded) of two array<long> columns. */
   case class CosineQ6(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -453,6 +468,8 @@ object KernelExprs {
     ColumnBridge.column(MinHashSig(e(shingles), numHashes))
   def simhash60(hashes: Column): Column = ColumnBridge.column(SimHash60(e(hashes)))
   def dot_long(a: Column, b: Column): Column = ColumnBridge.column(DotLong(e(a), e(b)))
+  def l2sq_long(a: Column, b: Column): Column =
+    ColumnBridge.column(L2sqLong(e(a), e(b)))
   def cosine_q6(a: Column, b: Column): Column = ColumnBridge.column(CosineQ6(e(a), e(b)))
   def srp_bucket(qv: Column, planes: Int): Column =
     ColumnBridge.column(SrpBucket(e(qv), planes))

@@ -116,6 +116,23 @@ object Kernels {
     acc
   }
 
+  /** Exact integer SQUARED Euclidean distance of two long-array columns
+    * (quantized vectors): Σ(aᵢ−bᵢ)² — EXACT, so rank order and the SQL
+    * oracle agree bit-for-bit with no rounding step at all (sqrt is
+    * monotone: top-k by l2² IS top-k by l2). Length mismatch truncates
+    * to the shorter, like [[dotLong]]. */
+  def l2sqLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Engine-agnostic rounding: floor(x*10^d + 0.5)/10^d ([[Functions.qround]]). */
   def qround(x: Double, decimals: Int): Double = {
     val s = math.pow(10, decimals)

@@ -35,6 +35,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
   }
 
+  /** [[bruteForceTopK]] under the L2 metric (pgvector `<->` / FAISS
+    * METRIC_L2): exact top-k by integer SQUARED Euclidean distance over
+    * the quantized vectors — distance asc, neighbor asc. Squared on
+    * purpose (sqrt is monotone: same ranking, zero rounding rules), so
+    * the whole lane replays bit-for-bit in the oracle. Same scale shape
+    * as the cosine lane: broadcast queries, one codegen'd kernel per
+    * pair, per-group top-k — the exact baseline every approximate L2
+    * index is measured against. */
+  def l2TopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("l2sq").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("l2sq"), col("rn"))
+  }
+
   /** Sign-random-projection bucket id (0 .. 2^planes-1) for a quantized
     * vector column: bit p = sign of <v, hyperplane_p>, where hyperplane
     * component (p, d) = hash60("plane_<p>_<d>") % 1000 - 500 — deterministic,

@@ -67,6 +67,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "graft_simhash60" -> "graft_simhash60(transform(graft_tokens(t), x -> graft_hash60(x)))",
       "graft_dot_long" -> "graft_dot_long(array(1L, 2L), array(3L, 4L))",
       "graft_cosine_q6" -> "graft_cosine_q6(array(1L, 2L), array(3L, 4L))",
+      "graft_l2sq_long" -> "graft_l2sq_long(array(1L, 2L), array(3L, 4L))",
       "graft_srp_bucket" -> "graft_srp_bucket(array(1L, 2L), 4)",
       "graft_vec_mean" -> "(SELECT graft_vec_mean(v) FROM (SELECT array(1L, 2L) AS v))",
       "graft_cms_sketch" -> "(SELECT graft_cms_sketch(x, 2, 8) FROM (SELECT 'a' AS x))",

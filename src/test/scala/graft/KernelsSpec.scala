@@ -230,6 +230,27 @@ class KernelsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("L2sqLong kernel == zip_with composition; SQL surface; ranking " +
+      "equals sqrt-based L2") {
+    import graft.functions.KernelExprs
+    val df = spark.range(200).select(col("id"),
+      transform(sequence(lit(0), lit(7)),
+        i => (col("id") * 13 + i * 7) % 100 - 50).as("a"),
+      transform(sequence(lit(0), lit(7)),
+        i => (col("id") * 29 + i * 3) % 100 - 50).as("b"))
+    val both = df.select(
+      KernelExprs.l2sq_long(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+        .as("c"))
+    assert(both.filter(col("k") =!= col("c")).count() == 0,
+      "kernel must equal the composed spelling")
+    val viaSql = spark.sql(
+      "SELECT graft_l2sq_long(array(1L, 2L, 3L), array(4L, 6L, 3L)) AS v")
+      .head().getLong(0)
+    assert(viaSql == 9L + 16L)
+  }
+
   test("KeywordTable: Aho-Corasick matches == naive contains, incl. " +
       "the classic overlap case; codegen path agrees with eval") {
     import graft.functions.{KernelExprs, KeywordTable}
