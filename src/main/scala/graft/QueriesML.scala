@@ -38,6 +38,11 @@ object QueriesML {
   /** Exact integer dot of two 64-dim quantized list columns. */
   private def dkDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+  /** Exact integer squared L2 of two 64-dim quantized list columns —
+    * mirrors [[graft.functions.Kernels.l2sqLong]]. */
+  private def dkL2(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), " +
+      s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))) AS BIGINT)"
   /** Quantized cosine, qround-6 — mirrors [[F.vec_cosine_q6]]. */
   private def dkCos(a: String, b: String): String = {
     val n = s"sqrt(CAST(${dkDot(a, a)} AS DOUBLE) * CAST(${dkDot(b, b)} AS DOUBLE))"
@@ -487,6 +492,53 @@ object QueriesML {
         Similarity.l2TopK(emb, col("vec_id"), col("embedding"),
             emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
             k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
+    // -- IVF under the L2 metric (FAISS IndexIVFFlat METRIC_L2,
+    //    pre-trained-centroid mode): quantized seeds as centroids, corpus
+    //    assigned to its l2-nearest cell, queries probe nprobe=2 cells,
+    //    candidates rank by exact integer l2² — every step integer
+    //    arithmetic, the whole lane (assignment ties included) replayed
+    //    relationally.
+    QueryDef("q186_ann_ivf_l2", Some(s"""
+      WITH cent AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                           ${dkQuant("embedding")} AS cq
+                    FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, ${dkQuant("embedding")} AS cv
+            FROM embeddings),
+      ca AS (SELECT neighbor_id, cv, cell,
+                    row_number() OVER (PARTITION BY neighbor_id
+                      ORDER BY d, cell) AS arn
+             FROM (SELECT c.neighbor_id, c.cv, cent.cell,
+                          ${dkL2("c.cv", "cent.cq")} AS d
+                   FROM c, cent)),
+      cc AS (SELECT neighbor_id, cv, cell FROM ca WHERE arn = 1),
+      q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv
+            FROM embeddings WHERE vec_id < 5),
+      qa AS (SELECT query_id, qv, cell,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY d, cell) AS prn
+             FROM (SELECT q.query_id, q.qv, cent.cell,
+                          ${dkL2("q.qv", "cent.cq")} AS d
+                   FROM q, cent)),
+      qp AS (SELECT query_id, qv, cell FROM qa WHERE prn <= 2),
+      s AS (SELECT query_id, cell, neighbor_id,
+                   ${dkL2("cv", "qv")} AS l2sq
+            FROM cc JOIN qp USING (cell)
+            WHERE neighbor_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY l2sq, neighbor_id) AS BIGINT) AS rn
+            FROM s)
+      SELECT query_id, cell, neighbor_id, l2sq, rn FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfL2TopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            k = 5, nprobe = 2)
           .withColumn("rn", col("rn").cast("long"))
           .orderBy(col("query_id"), col("rn"))
       }),

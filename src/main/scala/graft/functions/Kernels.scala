@@ -133,6 +133,19 @@ object Kernels {
     acc
   }
 
+  /** [[l2sqLong]] over plain JVM arrays (driver/UDF-side helper). */
+  def l2sqArrays(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a(i) - b(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Engine-agnostic rounding: floor(x*10^d + 0.5)/10^d ([[Functions.qround]]). */
   def qround(x: Double, decimals: Int): Double = {
     val s = math.pow(10, decimals)

@@ -113,6 +113,88 @@ object Similarity {
     fn(qvec)
   }
 
+  /** [[assignCell]] under the L2 metric: nearest centroid by EXACT
+    * integer squared Euclidean distance (ties → lowest id) — FAISS
+    * METRIC_L2's assignment rule, with no rounding step at all. */
+  def assignCellL2(spark: org.apache.spark.sql.SparkSession,
+                   centroids: Array[(Int, Array[Long])])
+                  (qvec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val fn = udf((v: Seq[Long]) => {
+      if (v == null) -1
+      else {
+        val arr = v.toArray
+        var bestId = Int.MaxValue
+        var best = Long.MaxValue
+        for ((id, c) <- bc.value) {
+          val d = graft.functions.Kernels.l2sqArrays(arr, c)
+          if (d < best || (d == best && id < bestId)) {
+            best = d; bestId = id
+          }
+        }
+        bestId
+      }
+    })
+    fn(qvec)
+  }
+
+  /** The `nprobe` nearest centroid ids by integer l2² (asc, ties →
+    * lowest id) — [[assignCells]] under the L2 metric. */
+  def assignCellsL2(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[(Int, Array[Long])], nprobe: Int)
+                   (qvec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val fn = udf((v: Seq[Long]) => {
+      if (v == null) Seq.empty[Int]
+      else {
+        val arr = v.toArray
+        bc.value
+          .map { case (id, c) =>
+            (id, graft.functions.Kernels.l2sqArrays(arr, c)) }
+          .sortBy { case (id, d) => (d, id) }
+          .take(nprobe).map(_._1).toSeq
+      }
+    })
+    fn(qvec)
+  }
+
+  /** IVF under the L2 METRIC (FAISS `IndexIVFFlat` with METRIC_L2): the
+    * quantized SEEDS are the centroids (the pre-trained-centroid mode —
+    * the engine's Lloyd refinement is cosine-metric and deliberately not
+    * mixed in), corpus rows assign to their l2-nearest centroid, each
+    * query probes its `nprobe` nearest cells, candidates rank by exact
+    * integer l2² asc / neighbor asc. Every step is integer arithmetic —
+    * the whole lane replays bit-for-bit in the oracle. Same scale shape
+    * as [[ivfTopK]]: assignment is a broadcast projection, the probe
+    * join touches nprobe/nlist of the corpus. */
+  def ivfL2TopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                seeds: DataFrame, seedId: Column, seedVec: Column,
+                k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val spark = corpus.sparkSession
+    val cents: Array[(Int, Array[Long])] = seeds
+      .select(seedId.cast("int").as("cell"),
+        F.vec_quantize(seedVec, 1000).as("cq"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val c = corpus.select(corpusId.as("neighbor_id"),
+        F.vec_quantize(corpusVec, 1000).as("cv"))
+      .withColumn("cell", assignCellL2(spark, cents)(col("cv")))
+    val q = queries.select(queryId.as("query_id"),
+        F.vec_quantize(queryVec, 1000).as("qv"))
+      .withColumn("cell",
+        explode(assignCellsL2(spark, cents, nprobe)(col("qv"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("l2sq").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("l2sq"), col("rn"))
+  }
+
   /** Shared IVF cell pipeline: seed centroids → `iters` exact Lloyd steps
     * (assign the quantized corpus, per-cell vec_mean, requantize) → refined
     * centroid array. Used by [[ivfTopK]], [[ivfPqTopK]], and

@@ -131,4 +131,34 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
       .head().getSeq[Double](0)
     assert(m == Seq(3.0, 6.0))
   }
+
+  test("L2 IVF: full probe (nprobe = nlist) equals brute-force L2 " +
+      "exactly; partial probe stays within its cells") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        ((i * 37 + d * 11) % 100).toFloat / 10f - 5f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val seeds = vecs.filter(col("vec_id") < 6)
+    // nprobe = nlist: every cell probed -> candidate set is the whole
+    // corpus, so the ranking must equal the exact brute-force lane
+    val full = Similarity.ivfL2TopK(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        seeds, col("vec_id"), col("embedding"), k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "l2sq", "rn")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val brute = Similarity.l2TopK(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(full == brute, "full-probe IVF-L2 must equal brute-force L2")
+
+    // partial probe: every returned neighbor sits in one of the query's
+    // nprobe nearest cells (candidates never leak across cells)
+    val part = Similarity.ivfL2TopK(vecs, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"),
+      seeds, col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+    val cells = part.select("query_id", "cell").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet)
+    cells.foreach { case (_, cs) => assert(cs.size <= 2) }
+  }
 }
