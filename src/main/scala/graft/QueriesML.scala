@@ -496,6 +496,32 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- exact INNER-PRODUCT top-k (pgvector `<#>` / FAISS
+    //    METRIC_INNER_PRODUCT — the metric for non-normalized learned
+    //    embeddings, e.g. DPR): exact integer dot over quantized
+    //    vectors, score desc / neighbor asc.
+    QueryDef("q187_ann_inner_product", Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, ${dkQuant("embedding")} AS cv
+            FROM embeddings),
+      s AS (SELECT query_id, neighbor_id,
+                   CAST(${dkDot("cv", "qv")} AS BIGINT) AS dot
+            FROM c, q WHERE neighbor_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rn
+            FROM s)
+      SELECT query_id, neighbor_id, dot, rn FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ipTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- IVF under the L2 metric (FAISS IndexIVFFlat METRIC_L2,
     //    pre-trained-centroid mode): quantized seeds as centroids, corpus
     //    assigned to its l2-nearest cell, queries probe nprobe=2 cells,

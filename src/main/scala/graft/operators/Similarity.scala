@@ -113,6 +113,25 @@ object Similarity {
     fn(qvec)
   }
 
+  /** [[bruteForceTopK]] under the INNER-PRODUCT metric (pgvector `<#>` /
+    * FAISS METRIC_INNER_PRODUCT — the metric for non-normalized learned
+    * embeddings where magnitude carries signal, e.g. DPR retrievers):
+    * exact integer dot product over the quantized vectors, score desc /
+    * neighbor asc — zero rounding rules, bit-replayable. */
+  def ipTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", F.vec_dot_long(col("cv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("dot").desc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("rn"))
+  }
+
   /** [[assignCell]] under the L2 metric: nearest centroid by EXACT
     * integer squared Euclidean distance (ties → lowest id) — FAISS
     * METRIC_L2's assignment rule, with no rounding step at all. */
