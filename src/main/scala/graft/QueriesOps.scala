@@ -2235,6 +2235,59 @@ object QueriesOps {
         restored.unionByName(changes).orderBy(col("phase"), col("w"))
       }),
 
+    // -- GROUP SNAPSHOT (r11, Snapshots.snapshotTables): two lakes pinned
+    //    CONSISTENTLY under one tag (all writer locks held across the
+    //    group), then both mutated — each snapshot must serve its own
+    //    pre-mutation state while the live reads move on. Four lanes vs
+    //    one relational oracle; a pin leaking a mutation, or the group
+    //    tag drifting between tables, breaks a lane.
+    QueryDef("q188_group_snapshot", Some("""
+      WITH f AS (SELECT c_custkey AS id,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer),
+           g AS (SELECT o_orderkey AS id,
+                        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT 'snap_a' AS src, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents FROM f
+      UNION ALL
+      SELECT 'snap_b', CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM g
+      UNION ALL
+      SELECT 'live_a', CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM f WHERE id % 131 <> 0
+      UNION ALL
+      SELECT 'live_b', CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM g WHERE id % 97 <> 0
+      ORDER BY src"""),
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-gsnap-gate").toString
+        val (ra, rb) = (s"$base/a/t", s"$base/b/t")
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "customer").select(col("c_custkey").as("id"),
+            (col("c_custkey") % 64).cast("long").as("a"),
+            floor(col("c_acctbal") * 100).cast("long").as("cents")),
+          "a", "cents", ra, numFiles = 4, bits = 6)
+        graft.sinks.Sinks.zorderedWrite(
+          T(s, dir, "orders").select(col("o_orderkey").as("id"),
+            (col("o_orderkey") % 64).cast("long").as("a"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents")),
+          "a", "cents", rb, numFiles = 4, bits = 6)
+        Snapshots.snapshotTables(s, Seq(ra, rb), "g")
+        graft.sinks.LakeDelete.deleteFromLake(s, ra, col("id") % 131 === 0)
+        graft.sinks.LakeDelete.deleteFromLake(s, rb, col("id") % 97 === 0)
+        def lane(df: org.apache.spark.sql.DataFrame, src: String) = df
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(src).as("src"), col("n"), col("sum_cents"))
+        lane(Snapshots.readSnapshot(s, ra, "g"), "snap_a")
+          .unionByName(lane(Snapshots.readSnapshot(s, rb, "g"), "snap_b"))
+          .unionByName(lane(graft.sources.ZLake.read(s, ra), "live_a"))
+          .unionByName(lane(graft.sources.ZLake.read(s, rb), "live_b"))
+          .orderBy(col("src"))
+      }),
+
     // -- CONDITIONED MERGE (r11, LakeDelete.mergeLake via ANSI SQL): the
     //    CDC spelling the exact keyed-upsert shape can't express —
     //    `WHEN MATCHED AND c THEN UPDATE SET <subset>` (values read BOTH

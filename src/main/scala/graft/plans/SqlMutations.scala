@@ -59,6 +59,7 @@ import graft.sources.{Snapshots, ZLake}
   *    CALL graft.bucket_compact('/lake/t')       -- within-bucket compact
   *    CALL graft.export('/lake/t', 'v1', '/dest') -- snapshot → new lake
   *    CALL graft.restore('/lake/t', 'v1')         -- roll back to snapshot
+  *    CALL graft.snapshot_all('v1', '/lake/a', '/lake/b') -- group pin
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -625,6 +626,10 @@ object GraftSqlParser {
           case "restore" =>
             arity(args.length == 2, "restore('<root>', '<snapshot tag>')")
             Some(GraftRestoreCommand(args(0), args(1)))
+          case "snapshot_all" =>
+            arity(args.length >= 2,
+              "snapshot_all('<tag>', '<root>'[, '<root>'...])")
+            Some(GraftSnapshotAllCommand(args.head, args.tail))
           case "upsert" =>
             arity(args.length == 3,
               "upsert('<root>', '<source view>', '<keyCol>')")
@@ -743,6 +748,20 @@ case class GraftExportCommand(root: String, tag: String, dest: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val rep = Snapshots.export(spark, root, tag, dest)
     Seq(Row(rep.filesCopied, rep.bytesCopied, rep.dvStoresCopied))
+  }
+}
+
+/** `CALL graft.snapshot_all(tag, root...)` — pin N lakes consistently
+  * under one tag ([[graft.sources.Snapshots.snapshotTables]]): every
+  * writer lock held across the group, all-or-nothing. */
+case class GraftSnapshotAllCommand(tag: String, roots: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType)(),
+    AttributeReference("tables", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    Snapshots.snapshotTables(spark, roots, tag)
+    Seq(Row(tag, roots.distinct.size))
   }
 }
 

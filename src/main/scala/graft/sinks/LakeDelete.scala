@@ -1376,7 +1376,8 @@ object LakeDelete {
   }
 
   /** [[recover]] for callers already holding the writer lock. */
-  private def recoverUnlocked(spark: SparkSession, root: String): Boolean = {
+  private[graft] def recoverUnlocked(spark: SparkSession,
+                                     root: String): Boolean = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(
       spark.sessionState.newHadoopConf())

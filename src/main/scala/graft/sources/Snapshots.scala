@@ -70,11 +70,63 @@ object Snapshots {
 
   /** Record the lake's current live file set under `tag`. Stats ride from
     * the manifests (or footers where uncovered) so the snapshot read keeps
-    * full pruning. Refuses an existing tag — snapshots are immutable. */
+    * full pruning. Refuses an existing tag — snapshots are immutable.
+    * Runs under the writer lock (r11): the harvest→sidecar window used to
+    * race a concurrent mutation's commit — the mutation's retire pass saw
+    * no reference yet and plain-deleted files the sidecar was about to
+    * pin, leaving a broken (fail-loud, but avoidable) snapshot. */
   def snapshot(spark: SparkSession, root: String, tag: String): Unit = {
-    // heal any half-applied journaled mutation first: a snapshot must pin
-    // a consistent committed state, not a mid-commit one
-    graft.sinks.LakeDelete.recover(spark, root)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sinks.LakeDelete.withWriterLock(fs, rootPath) {
+      // heal any half-applied journaled mutation first: a snapshot must
+      // pin a consistent committed state, not a mid-commit one
+      graft.sinks.LakeDelete.recoverUnlocked(spark, root)
+      snapshotLocked(spark, root, tag)
+    }
+  }
+
+  /** GROUP snapshot: pin N lakes under ONE tag, CONSISTENTLY — every
+    * writer lock is held for the whole group, so no mutation can land
+    * between any two pins (the cross-table guarantee a training run
+    * reading documents + embeddings + token lakes actually needs, and
+    * one that per-table Delta/Iceberg snapshots cannot give). Locks
+    * acquire in sorted-root order (deadlock-free against any other
+    * group), and a failure mid-group removes the tags already written —
+    * all lakes carry `tag`, or none do. */
+  def snapshotTables(spark: SparkSession, roots: Seq[String],
+                     tag: String): Unit = {
+    val sorted = roots.distinct.sorted
+    require(sorted.nonEmpty, "snapshotTables needs at least one root")
+    val conf = spark.sessionState.newHadoopConf()
+    def go(i: Int): Unit =
+      if (i == sorted.length) {
+        val done = scala.collection.mutable.ArrayBuffer[String]()
+        try sorted.foreach { r =>
+          graft.sinks.LakeDelete.recoverUnlocked(spark, r)
+          snapshotLocked(spark, r, tag)
+          done += r
+        } catch {
+          case e: Throwable =>
+            // all-or-nothing: retract the tags already written
+            done.foreach { r =>
+              val p = snapPath(new Path(r), tag)
+              try { p.getFileSystem(conf).delete(p, false); () }
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            throw e
+        }
+      } else {
+        val p = new Path(sorted(i))
+        graft.sinks.LakeDelete.withWriterLock(p.getFileSystem(conf), p) {
+          go(i + 1)
+        }
+      }
+    go(0)
+  }
+
+  private def snapshotLocked(spark: SparkSession, root: String,
+                             tag: String): Unit = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val dst = snapPath(rootPath, tag)

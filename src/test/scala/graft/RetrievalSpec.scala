@@ -246,6 +246,37 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       Retrieval.searchBooleanIndex(spark, path, Nil, Nil, Seq("slow"), 5))
   }
 
+  test("phrase and boolean probes prune to the involved terms' buckets") {
+    val d = docs((1L to 300L).map(i =>
+      i -> s"w${i % 61} w${i % 23} table ${if (i % 9 == 0) "scan" else "x"}"): _*)
+    val path = tmp("bm25-prune2")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path,
+      nBuckets = 32)
+    def prunedParts(terms: Seq[String]): Long = {
+      val hits = spark.read.parquet(path)
+        .filter(col("bucket").isin(terms.map(t =>
+          Integer.valueOf((graft.functions.Kernels.hash60(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+            % 32L).toInt)): _*))
+      hits.collect()
+      val plan = hits.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numPartitions").value).sum
+    }
+    // the probes read through this exact filter shape — the partition
+    // count bound is the scale contract for both query families
+    assert(prunedParts(Seq("table", "scan")) <= 2)
+    assert(prunedParts(Seq("table", "scan", "w7")) <= 3)
+    // and the results stay correct through the pruned read
+    assert(Retrieval.searchPhraseIndex(spark, path,
+      Seq("table", "scan"), 5).count() == 5)
+    assert(Retrieval.searchBooleanIndex(spark, path, Seq("table"),
+      Nil, Seq("scan"), 500).count() > 0)
+  }
+
   test("phrase search through append equals a fresh full build") {
     val d = docs((1L to 80L).map(i =>
       i -> (if (i % 5 == 0) s"alpha beta w${i % 7}"

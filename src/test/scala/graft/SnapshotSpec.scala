@@ -415,6 +415,36 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(rows(Snapshots.readSnapshot(spark, root, "pin")) == pinned)
   }
 
+  test("group snapshot pins N lakes consistently under one tag; a " +
+      "mid-group failure leaves NO tag anywhere") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-snap-group").toString
+    val (r1, r2) = (s"$base/a/t", s"$base/b/t")
+    Sinks.zorderedWrite(corpus(1024), "a", "b", r1, numFiles = 4, bits = 6)
+    Sinks.zorderedWrite(corpus(2048).withColumn("id", col("id") + 5000),
+      "a", "b", r2, numFiles = 4, bits = 6)
+    val (v1, v2) = (rows(ZLake.read(spark, r1)), rows(ZLake.read(spark, r2)))
+    val r = spark.sql(s"CALL graft.snapshot_all('g0', '$r1', '$r2')")
+      .collect()
+    assert(r.head.getAs[Int]("tables") == 2)
+    LakeDelete.deleteFromLake(spark, r1, col("a") < 16)
+    LakeDelete.deleteFromLake(spark, r2, col("a") >= 48)
+    assert(rows(Snapshots.readSnapshot(spark, r1, "g0")) == v1)
+    assert(rows(Snapshots.readSnapshot(spark, r2, "g0")) == v2)
+    // the group restores table-by-table through the same machinery
+    Snapshots.restore(spark, r1, "g0")
+    assert(rows(ZLake.read(spark, r1)) == v1)
+
+    // mid-group failure: the tag pre-exists on the LATER root in lock
+    // order, so the first pin lands then the second refuses — the
+    // rollback must retract the first
+    Snapshots.snapshot(spark, r2, "g1")
+    intercept[IllegalArgumentException](
+      Snapshots.snapshotTables(spark, Seq(r1, r2), "g1"))
+    assert(!Snapshots.listSnapshots(spark, r1).contains("g1"),
+      "mid-group failure must retract already-written tags")
+  }
+
   test("restore is a no-op on an unchanged lake; SQL spelling works") {
     val root = tmp("snap-restore-noop")
     Sinks.zorderedWrite(corpus(1024), "a", "b", root, numFiles = 4,
