@@ -164,6 +164,10 @@ object QueriesRetrieval {
           col("doc_id"), col("text"), path, nBuckets = 16)
         Retrieval.appendBm25Index(docs.filter(col("doc_id") >= 250),
           col("doc_id"), col("text"), path)
+        // the maintenance path rides the gate too: compaction + vacuum
+        // must leave the rankings byte-identical (pointer-swap layout)
+        Retrieval.compactBm25Index(s, path)
+        Retrieval.vacuumBm25Index(s, path)
         Retrieval.searchBm25Index(s, path, QTerms, 10)
       }),
 

@@ -119,6 +119,91 @@ object Retrieval {
   // ---- persisted inverted index --------------------------------------
 
   private val StatsFile = "_bm25_stats.json"
+  private val PostingsPtr = "_bm25_postings"
+
+  /** The ACTIVE postings directory: the version the `_bm25_postings`
+    * pointer names, or the index root itself (the original layout) when
+    * no pointer exists. Every reader and appender resolves through this,
+    * so a [[compactBm25Index]] pointer swap retargets them atomically —
+    * versioned dirs are `_`-prefixed, invisible to a root-layout reader
+    * while being built (the Iceberg version-hint pattern, same as the
+    * IVF index's `_assign`). */
+  private def postingsDir(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, PostingsPtr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) path
+    else {
+      val in = fs.open(p)
+      val name = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      s"$path/$name"
+    }
+  }
+
+  /** COMPACT the postings: every [[appendBm25Index]] batch adds small
+    * files to each touched bucket directory — the small-files tax every
+    * probe pays grows with append count. Compaction rewrites the active
+    * postings hash-partitioned by bucket (ONE file per bucket) into a
+    * fresh versioned directory and publishes it with one atomic pointer
+    * overwrite: readers see the old postings or the new, never a mix; a
+    * crash leaves the old index live. Retired versions are removed by
+    * [[vacuumBm25Index]] once in-flight readers drain. Returns
+    * (filesBefore, filesAfter). */
+  def compactBm25Index(spark: SparkSession, path: String): (Int, Int) = {
+    val cur = postingsDir(spark, path)
+    val curName = cur.substring(cur.lastIndexOf('/') + 1)
+    val nextName =
+      if (!curName.startsWith("_postings-v")) "_postings-v1"
+      else "_postings-v" + (curName.stripPrefix("_postings-v").toInt + 1)
+    def countFiles(dir: String): Int = {
+      val d = new org.apache.hadoop.fs.Path(dir)
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(p).map { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("bucket=")) walk(st.getPath)
+          else if (!st.isDirectory && n.endsWith(".parquet")) 1
+          else 0
+        }.sum
+      walk(d)
+    }
+    val before = countFiles(cur)
+    spark.read.parquet(cur)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$nextName")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$PostingsPtr.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+      new org.apache.hadoop.fs.Path(root, PostingsPtr))
+    // the root-layout bucket dirs (if this was the first compaction) are
+    // now retired too — vacuum removes them with the old versions
+    (before, countFiles(s"$path/$nextName"))
+  }
+
+  /** Delete retired postings (old `_postings-v*` dirs, and the original
+    * root-layout `bucket=*` dirs once a versioned dir is active) — run
+    * after in-flight readers of the pre-compaction index have drained. */
+  def vacuumBm25Index(spark: SparkSession, path: String): Int = {
+    val active = postingsDir(spark, path)
+    // root layout live (fresh build or rebuild-reset): every versioned
+    // dir is retired; versioned layout live: old versions AND the
+    // original root-layout bucket dirs are retired
+    val activeName =
+      if (active == path) "" else active.substring(active.lastIndexOf('/') + 1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq.filter { st =>
+      st.isDirectory && st.getPath.getName != activeName &&
+        (st.getPath.getName.startsWith("_postings-v") ||
+          (activeName.nonEmpty && st.getPath.getName.startsWith("bucket=")))
+    }.map { st => fs.delete(st.getPath, true); 1 }.sum
+  }
 
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(F.hash60(term), lit(nBuckets.toLong)).cast("int")
@@ -140,6 +225,12 @@ object Retrieval {
     val row = docs.agg(count(lit(1)),
       coalesce(sum(size(TF.tokens(text))), lit(0L)).cast("long")).head()
     writeStats(spark, path, row.getLong(0), row.getLong(1), nBuckets)
+    // a rebuild resets any compaction pointer — readers must resolve to
+    // the freshly written root layout, not a retired version
+    val ptr = new org.apache.hadoop.fs.Path(path, PostingsPtr)
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(ptr, false)
+    ()
   }
 
   /** Postings via posexplode + map-side-combined count: the (term, doc)
@@ -209,7 +300,8 @@ object Retrieval {
     postingsOf(docs, id, text)
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(postingsDir(spark, path))
     val row = docs.agg(count(lit(1)),
       coalesce(sum(size(TF.tokens(text))), lit(0L)).cast("long")).head()
     writeStats(spark, path, n0 + row.getLong(0), t0 + row.getLong(1),
@@ -232,7 +324,7 @@ object Retrieval {
       (graft.functions.Kernels.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         % nBuckets.toLong).toInt)
-    val hits = spark.read.parquet(path)
+    val hits = spark.read.parquet(postingsDir(spark, path))
       .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
     val dfByTerm = hits.groupBy("term")
@@ -286,7 +378,7 @@ object Retrieval {
       (graft.functions.Kernels.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         % nBuckets.toLong).toInt)
-    val hits = spark.read.parquet(path)
+    val hits = spark.read.parquet(postingsDir(spark, path))
       .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
         col("term").isin(distinctTerms: _*))
     // pivot: one row per candidate doc with term -> positions (keys are
@@ -355,7 +447,7 @@ object Retrieval {
       (graft.functions.Kernels.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         % nBuckets.toLong).toInt)
-    val hits = spark.read.parquet(path)
+    val hits = spark.read.parquet(postingsDir(spark, path))
       .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
         col("term").isin(involved: _*))
     val dfByTerm = hits.filter(col("term").isin(scoring: _*))

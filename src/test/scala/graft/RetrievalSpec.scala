@@ -277,6 +277,50 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       Nil, Seq("scan"), 500).count() > 0)
   }
 
+  test("postings compaction: one file per bucket, identical rankings, " +
+      "appends keep landing in the active version, vacuum reclaims") {
+    val d = docs((1L to 150L).map(i =>
+      i -> s"alpha w${i % 11} ${if (i % 4 == 0) "beta" else "gamma"}"): _*)
+    val path = tmp("bm25-compact")
+    Retrieval.writeBm25Index(d.filter(col("doc_id") <= 50),
+      col("doc_id"), col("text"), path, 8)
+    for (lo <- Seq(51L, 101L))
+      Retrieval.appendBm25Index(
+        d.filter(col("doc_id") > lo - 1 && col("doc_id") <= lo + 49),
+        col("doc_id"), col("text"), path)
+    val q = Seq("alpha", "beta")
+    val before = Retrieval.searchBm25Index(spark, path, q, 30)
+      .collect().toSeq
+
+    val (nBefore, nAfter) = Retrieval.compactBm25Index(spark, path)
+    assert(nAfter < nBefore, s"compaction must shrink files ($nBefore -> $nAfter)")
+    assert(Retrieval.searchBm25Index(spark, path, q, 30).collect().toSeq
+      == before, "compaction must not move a single ranking")
+    assert(Retrieval.searchPhraseIndex(spark, path,
+      Seq("alpha", "w3"), 30).count() > 0,
+      "phrase probe must read through the pointer too")
+
+    // vacuum reclaims the retired root layout; search unaffected
+    assert(Retrieval.vacuumBm25Index(spark, path) > 0)
+    assert(Retrieval.searchBm25Index(spark, path, q, 30).collect().toSeq
+      == before)
+
+    // appends land in the ACTIVE version and stay visible
+    Retrieval.appendBm25Index(
+      d.filter(col("doc_id") > 150).limit(0)
+        .unionByName(docs(9001L -> "alpha beta")), // one fresh doc
+      col("doc_id"), col("text"), path)
+    val after = Retrieval.searchBm25Index(spark, path, q, 300).collect()
+    assert(after.exists(_.getLong(0) == 9001L),
+      "post-compaction append must be immediately searchable")
+
+    // a second compaction advances the version; a rebuild resets it
+    val (_, n2) = Retrieval.compactBm25Index(spark, path)
+    assert(n2 <= 8 + 1)
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path, 8)
+    assert(Retrieval.searchBm25Index(spark, path, q, 30).count() == 30)
+  }
+
   test("phrase search through append equals a fresh full build") {
     val d = docs((1L to 80L).map(i =>
       i -> (if (i % 5 == 0) s"alpha beta w${i % 7}"
