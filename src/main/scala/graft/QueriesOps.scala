@@ -2288,6 +2288,61 @@ object QueriesOps {
           .orderBy(col("src"))
       }),
 
+    // -- GROUP RESTORE (r11, Snapshots.restoreTables): both lakes pinned
+    //    under one tag, both damaged (CoW delete + append), then rolled
+    //    back AS A GROUP under held locks — live reads must equal the
+    //    originals on both tables and the row-level change feeds must be
+    //    EMPTY. The oracle is the raw relational state; a table the group
+    //    missed, a leaked append row, or a lost trash file breaks a lane.
+    QueryDef("q189_group_restore", Some("""
+      WITH f AS (SELECT c_custkey AS id,
+                        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer),
+           g AS (SELECT o_orderkey AS id,
+                        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT 'a' AS src, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents FROM f
+      UNION ALL
+      SELECT 'b', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      FROM g
+      UNION ALL
+      SELECT 'changes', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      ORDER BY src"""),
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-grestore-gate").toString
+        val (ra, rb) = (s"$base/a/t", s"$base/b/t")
+        def mk(t: String, id: String, price: org.apache.spark.sql.Column,
+               root: String): Unit =
+          graft.sinks.Sinks.zorderedWrite(
+            T(s, dir, t).select(col(id).as("id"),
+              (col(id) % 64).cast("long").as("a"),
+              floor(price * 100).cast("long").as("cents")),
+            "a", "cents", root, numFiles = 4, bits = 6)
+        mk("customer", "c_custkey", col("c_acctbal"), ra)
+        mk("orders", "o_orderkey", col("o_totalprice"), rb)
+        Snapshots.snapshotTables(s, Seq(ra, rb), "g")
+        graft.sinks.LakeDelete.deleteFromLake(s, ra, col("id") % 131 === 0)
+        graft.sinks.LakeDelete.appendLake(s, rb,
+          s.range(300).select((col("id") + 900000).as("id"),
+            (col("id") % 64).as("a"), col("id").as("cents")))
+        Snapshots.restoreTables(s, Seq(ra, rb), "g")
+        def lane(df: org.apache.spark.sql.DataFrame, src: String) = df
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(src).as("src"), col("n"), col("sum_cents"))
+        val changes = Snapshots.diff(s, ra, "g", None)
+          .unionByName(Snapshots.diff(s, rb, "g", None))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("changes").as("src"), col("n"),
+            lit(0L).as("sum_cents"))
+        lane(graft.sources.ZLake.read(s, ra), "a")
+          .unionByName(lane(graft.sources.ZLake.read(s, rb), "b"))
+          .unionByName(changes)
+          .orderBy(col("src"))
+      }),
+
     // -- CONDITIONED MERGE (r11, LakeDelete.mergeLake via ANSI SQL): the
     //    CDC spelling the exact keyed-upsert shape can't express —
     //    `WHEN MATCHED AND c THEN UPDATE SET <subset>` (values read BOTH

@@ -60,6 +60,7 @@ import graft.sources.{Snapshots, ZLake}
   *    CALL graft.export('/lake/t', 'v1', '/dest') -- snapshot → new lake
   *    CALL graft.restore('/lake/t', 'v1')         -- roll back to snapshot
   *    CALL graft.snapshot_all('v1', '/lake/a', '/lake/b') -- group pin
+  *    CALL graft.restore_all('v1', '/lake/a', '/lake/b')  -- group rollback
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -630,6 +631,10 @@ object GraftSqlParser {
             arity(args.length >= 2,
               "snapshot_all('<tag>', '<root>'[, '<root>'...])")
             Some(GraftSnapshotAllCommand(args.head, args.tail))
+          case "restore_all" =>
+            arity(args.length >= 2,
+              "restore_all('<tag>', '<root>'[, '<root>'...])")
+            Some(GraftRestoreAllCommand(args.head, args.tail))
           case "upsert" =>
             arity(args.length == 3,
               "upsert('<root>', '<source view>', '<keyCol>')")
@@ -762,6 +767,24 @@ case class GraftSnapshotAllCommand(tag: String, roots: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     Snapshots.snapshotTables(spark, roots, tag)
     Seq(Row(tag, roots.distinct.size))
+  }
+}
+
+/** `CALL graft.restore_all(tag, root...)` — roll N lakes back to one
+  * group tag ([[graft.sources.Snapshots.restoreTables]]): all writer
+  * locks held across the group, every table prechecked before any
+  * mutates. One row per table. */
+case class GraftRestoreAllCommand(tag: String, roots: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("root", StringType)(),
+    AttributeReference("files_kept", IntegerType)(),
+    AttributeReference("files_restored", IntegerType)(),
+    AttributeReference("files_dropped", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    Snapshots.restoreTables(spark, roots, tag).toSeq.sortBy(_._1)
+      .map { case (r, rep) =>
+        Row(r, rep.filesKept, rep.filesRestored, rep.filesDropped) }
   }
 }
 

@@ -143,11 +143,26 @@ object LakeDelete {
   private val processLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Roots whose writer lock THIS thread already holds — the lock is
+    * REENTRANT per thread (group operations hold several tables' locks
+    * while the per-table machinery re-enters its own root's lock; the
+    * file create-if-absent would self-deadlock without this). */
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
   private[graft] def withWriterLock[T](fs: FileSystem, root: Path)
                                       (body: => T): T = {
-    val monitor = processLocks.computeIfAbsent(
-      fs.makeQualified(root).toUri.toString, _ => new Object)
-    monitor.synchronized { withWriterFileLock(fs, root)(body) }
+    val key = fs.makeQualified(root).toUri.toString
+    if (heldLocks.get().contains(key)) body // reentrant: already ours
+    else {
+      val monitor = processLocks.computeIfAbsent(key, _ => new Object)
+      monitor.synchronized {
+        heldLocks.set(heldLocks.get() + key)
+        try withWriterFileLock(fs, root)(body)
+        finally heldLocks.set(heldLocks.get() - key)
+      }
+    }
   }
 
   private def withWriterFileLock[T](fs: FileSystem, root: Path)

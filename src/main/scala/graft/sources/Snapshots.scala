@@ -622,6 +622,43 @@ object Snapshots {
     }
   }
 
+  /** GROUP restore: roll N lakes back to one group tag ([[snapshotTables]])
+    * with every writer lock held across the whole operation — no mutation
+    * can interleave between any two per-table restores, so the group
+    * lands as the consistent cross-table state the tag pinned. Before ANY
+    * table mutates, every table is prechecked (healed, tag present, every
+    * pinned data/DV file resolvable live-or-trash): the failures a group
+    * restore can actually hit — a missing tag, a vacuumed file — surface
+    * with ZERO tables touched. Per-table restores are individually
+    * journal-atomic; locks acquire in sorted-root order (deadlock-free,
+    * reentrant under the per-table machinery's own acquisitions). */
+  def restoreTables(spark: SparkSession, roots: Seq[String],
+                    tag: String): Map[String, RestoreReport] = {
+    val sorted = roots.distinct.sorted
+    require(sorted.nonEmpty, "restoreTables needs at least one root")
+    val conf = spark.sessionState.newHadoopConf()
+    def go(i: Int): Map[String, RestoreReport] =
+      if (i == sorted.length) {
+        sorted.foreach { r =>
+          val rp = new Path(r)
+          val fs = rp.getFileSystem(conf)
+          graft.sinks.LakeDelete.recoverUnlocked(spark, r)
+          val snap = readSnap(fs, rp, tag)
+          (snap.files.map(sf => (sf.rel, sf.len, sf.mtime)) ++ snap.dv)
+            .foreach { case (rel, len, mtime) =>
+              resolve(fs, rp, tag, rel, len, mtime); ()
+            }
+        }
+        sorted.map(r => r -> restore(spark, r, tag)).toMap
+      } else {
+        val p = new Path(sorted(i))
+        graft.sinks.LakeDelete.withWriterLock(p.getFileSystem(conf), p) {
+          go(i + 1)
+        }
+      }
+    go(0)
+  }
+
   private def restoreAttempt(spark: SparkSession, root: String, tag: String,
                              txnDir: Path, txnRel: String)
       : Either[Seq[String], RestoreReport] = {

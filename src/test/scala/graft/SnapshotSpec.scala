@@ -431,9 +431,23 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
     LakeDelete.deleteFromLake(spark, r2, col("a") >= 48)
     assert(rows(Snapshots.readSnapshot(spark, r1, "g0")) == v1)
     assert(rows(Snapshots.readSnapshot(spark, r2, "g0")) == v2)
-    // the group restores table-by-table through the same machinery
-    Snapshots.restore(spark, r1, "g0")
+    // GROUP restore: both tables roll back under held locks (the deletes
+    // here align with whole z-order envelopes, so the damage is pure
+    // file DROPS — restore COPIES those back and drops nothing)
+    val reps = Snapshots.restoreTables(spark, Seq(r1, r2), "g0")
+    assert(reps(r1).filesRestored > 0 && reps(r2).filesRestored > 0)
     assert(rows(ZLake.read(spark, r1)) == v1)
+    assert(rows(ZLake.read(spark, r2)) == v2)
+
+    // precheck: a tag missing on ONE table fails with ZERO tables
+    // touched — damage r1, then group-restore to a tag r2 lacks
+    Snapshots.snapshot(spark, r1, "only1")
+    LakeDelete.deleteFromLake(spark, r1, col("a") < 8)
+    val damaged = rows(ZLake.read(spark, r1))
+    intercept[IllegalArgumentException](
+      Snapshots.restoreTables(spark, Seq(r1, r2), "only1"))
+    assert(rows(ZLake.read(spark, r1)) == damaged,
+      "a failed group precheck must not have touched any table")
 
     // mid-group failure: the tag pre-exists on the LATER root in lock
     // order, so the first pin lands then the second refuses — the
