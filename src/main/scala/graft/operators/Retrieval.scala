@@ -149,7 +149,13 @@ object Retrieval {
     * overwrite: readers see the old postings or the new, never a mix; a
     * crash leaves the old index live. Retired versions are removed by
     * [[vacuumBm25Index]] once in-flight readers drain. Returns
-    * (filesBefore, filesAfter). */
+    * (filesBefore, filesAfter).
+    *
+    * Single-MAINTAINER contract (same as the IVF index): an append that
+    * lands in the old directory while a compaction is reading it misses
+    * the swap and is lost — serialize appends and compactions through
+    * one maintenance schedule (the streaming foreachBatch maintainer
+    * already is one). Readers need no coordination. */
   def compactBm25Index(spark: SparkSession, path: String): (Int, Int) = {
     val cur = postingsDir(spark, path)
     val curName = cur.substring(cur.lastIndexOf('/') + 1)

@@ -93,7 +93,11 @@ object Snapshots {
     * one that per-table Delta/Iceberg snapshots cannot give). Locks
     * acquire in sorted-root order (deadlock-free against any other
     * group), and a failure mid-group removes the tags already written —
-    * all lakes carry `tag`, or none do. */
+    * all lakes carry `tag`, or none do. (A hard CRASH mid-group can
+    * leave the tag on a prefix of the tables — sidecars are per-table
+    * files, there is no cross-table journal; re-run `snapshotTables`
+    * under a fresh tag, or delete the partial tag's sidecars. The
+    * exception path, the one a driver actually hits, is all-or-nothing.) */
   def snapshotTables(spark: SparkSession, roots: Seq[String],
                      tag: String): Unit = {
     val sorted = roots.distinct.sorted
