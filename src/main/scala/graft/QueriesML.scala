@@ -1165,6 +1165,39 @@ object QueriesML {
         Multimodal.imageStats(pngs).toDF().orderBy(col("media_id"))
       }),
 
+    // -- multimodal: REAL pixel resize (nearest-neighbor, integer source
+    //    indexing, PNG re-encode) verified through the REAL decoder: the
+    //    solid-color synthetic PNGs make even the RESAMPLED pixel sums
+    //    exactly replayable (nearest of a constant image is constant), so
+    //    dims math AND pixels are hash-gated end to end — decode → resize
+    //    → encode → decode, all through ImageIO.
+    QueryDef("q190_image_resize", Some("""
+      WITH d AS (SELECT vec_id AS media_id,
+              CAST(vec_id % 16 + 1 AS BIGINT) AS w,
+              CAST(vec_id % 12 + 1 AS BIGINT) AS h,
+              vec_id % 256 AS r, (vec_id*7) % 256 AS g,
+              (vec_id*13) % 256 AS b
+            FROM embeddings),
+      n AS (SELECT media_id, r, g, b,
+              CASE WHEN greatest(w, h) <= 6 THEN w
+                   ELSE greatest(1, w * 6 // greatest(w, h)) END AS nw,
+              CASE WHEN greatest(w, h) <= 6 THEN h
+                   ELSE greatest(1, h * 6 // greatest(w, h)) END AS nh
+            FROM d)
+      SELECT media_id, CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
+             CAST(3 AS INT) AS bands,
+             CAST(nw*nh*r AS BIGINT) AS r_sum,
+             CAST(nw*nh*g AS BIGINT) AS g_sum,
+             CAST(nw*nh*b AS BIGINT) AS b_sum,
+             true AS decode_ok
+      FROM n ORDER BY media_id"""),
+      (s, dir) => {
+        val pngs = Multimodal.syntheticPngs(s, T(s, dir, "embeddings"),
+          "vec_id")
+        Multimodal.imageStats(Multimodal.resizeImages(pngs, maxSide = 6))
+          .toDF().orderBy(col("media_id"))
+      }),
+
     // -- multimodal: REAL audio decode (javax.sound.sampled, JDK built-in) --
     // WAV payloads synthesized through the real AudioSystem encoder from an
     // integer closed-form waveform; decode recovers exact PCM16 samples, so

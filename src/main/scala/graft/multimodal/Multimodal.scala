@@ -93,6 +93,61 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL pixel RESIZE — decode (ImageIO), NEAREST-NEIGHBOR downscale to
+    * `maxSide` on the longest side, re-encode as PNG: the thumbnail
+    * stage of every vision-data pipeline, with deterministic integer
+    * source indexing (`src = (dst * srcDim) / dstDim`, floor division)
+    * so the resampled pixels are bit-reproducible across runs and
+    * partitionings — no AreaAveraging/bilinear float kernels whose
+    * rounding could drift. New dims: unchanged when the longest side
+    * already fits, else `max(1, dim * maxSide / longest)` (integer
+    * division — replayable in the oracle). Aspect is preserved within
+    * integer truncation. Undecodable payloads pass through unchanged
+    * with `width/height` zeroed — the same never-throw contract as
+    * [[imageStats]]. Per-partition batching; PNG is lossless, so a
+    * downstream [[imageStats]] sees exact resampled sums. */
+  def resizeImages(media: Dataset[MediaRecord],
+                   maxSide: Int): Dataset[MediaRecord] = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              if (m.payload == null) Array.empty else m.payload)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val longest = math.max(w, h)
+            if (longest <= maxSide)
+              m.copy(kind = "image", width = w, height = h)
+            else {
+              val nw = math.max(1, w * maxSide / longest)
+              val nh = math.max(1, h * maxSide / longest)
+              val out = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < nh) {
+                var x = 0
+                while (x < nw) {
+                  out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              m.copy(kind = "image", payload = bos.toByteArray,
+                width = nw, height = nh)
+            }
+          case None => m.copy(width = 0, height = 0)
+        }
+      }
+    }
+  }
+
   /** Batched real decode → [[ImageStats]]: per-partition iteration (one
     * ImageIO context per task), undecodable payloads flagged, never thrown.
     * Partition count is the parallelism knob — repartition upstream so each
