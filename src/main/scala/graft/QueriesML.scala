@@ -1220,6 +1220,59 @@ object QueriesML {
         Multimodal.audioStats(wavs).toDF().orderBy(col("media_id"))
       }),
 
+    // -- multimodal: REAL frame sampling (every-Nth-frame keyframe
+    //    extraction through the RIFF/AVI demuxer): one row per kept
+    //    frame with exact channel sums — the uncompressed fixture makes
+    //    every sampled frame's sums replayable in closed form.
+    QueryDef("q192_video_frame_sample", Some("""
+      WITH ids AS (SELECT vec_id AS media_id FROM embeddings
+                   WHERE vec_id < 150),
+      st AS (SELECT media_id, media_id % 8 + 2 AS w, media_id % 6 + 2 AS h,
+                    media_id % 5 + 2 AS nf
+             FROM ids),
+      fr AS (SELECT media_id, w, h,
+                    unnest(range(0, CAST((nf + 1) // 2 AS INT))) AS k
+             FROM st)
+      SELECT media_id, CAST(k * 2 AS BIGINT) AS frame_idx,
+             CAST(w*h*((media_id + k*2) % 256) AS BIGINT) AS r_sum,
+             CAST(w*h*((media_id*7 + k*2*11) % 256) AS BIGINT) AS g_sum,
+             CAST(w*h*((media_id*13 + k*2*17) % 256) AS BIGINT) AS b_sum
+      FROM fr ORDER BY media_id, frame_idx"""),
+      (s, dir) => {
+        val avis = Multimodal.syntheticAvis(
+          s, T(s, dir, "embeddings").filter(col("vec_id") < 150), "vec_id")
+        Multimodal.sampleFrames(avis, everyN = 2)
+          .toDF().orderBy(col("media_id"), col("frame_idx"))
+      }),
+
+    // -- multimodal: REAL audio decimation (every-Nth-sample downsample,
+    //    exact integer selection — no interpolation kernel) verified
+    //    through the real codec: decode → decimate → WAV re-encode →
+    //    decode; the closed-form waveform makes the KEPT samples' exact
+    //    aggregates replayable (kept k = source k·3).
+    QueryDef("q191_audio_decimate", Some("""
+      WITH ids AS (SELECT vec_id AS media_id FROM embeddings
+                   WHERE vec_id < 200),
+      st AS (SELECT media_id, media_id % 50 + 10 AS frames FROM ids),
+      d AS (SELECT media_id, (frames + 2) // 3 AS kept FROM st)
+      SELECT media_id, CAST(2666 AS INT) AS sample_rate,
+             CAST(1 AS INT) AS channels,
+             CAST(kept AS BIGINT) AS frames,
+             CAST(list_sum(list_transform(range(0, CAST(kept AS INT)),
+                  k -> abs(((media_id*31 + k*3*7) % 2003 - 1001) * 16)))
+               AS BIGINT) AS sum_abs,
+             CAST(list_max(list_transform(range(0, CAST(kept AS INT)),
+                  k -> abs(((media_id*31 + k*3*7) % 2003 - 1001) * 16)))
+               AS BIGINT) AS max_abs,
+             true AS decode_ok
+      FROM d ORDER BY media_id"""),
+      (s, dir) => {
+        val wavs = Multimodal.syntheticWavs(
+          s, T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id")
+        Multimodal.audioStats(Multimodal.decimateAudio(wavs, factor = 3))
+          .toDF().orderBy(col("media_id"))
+      }),
+
     // -- decontamination: candidate n-gram overlap vs a benchmark corpus -----
     // Benchmark = docs with doc_id % 20 == 0; candidates = the rest. The
     // benchmark's distinct 3-gram set is broadcast; candidates explode and

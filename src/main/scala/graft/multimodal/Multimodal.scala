@@ -232,6 +232,61 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL audio DECIMATION — the audio analogue of [[resizeImages]]
+    * (speech pipelines downsample 44.1/48 kHz field recordings toward
+    * the 16 kHz most ASR models expect): decode mono PCM16 through the
+    * real `javax.sound.sampled` codec, keep every `factor`-th sample
+    * (exact integer selection — no interpolation filter whose float
+    * kernel could drift), re-encode WAV at `rate / factor`. Duration is
+    * preserved; aliasing above the new Nyquist is the standard
+    * decimation trade (the deterministic choice — a windowed-sinc
+    * low-pass would be better audio and unreproducible integers).
+    * Non-mono/non-16-bit/undecodable payloads pass through unchanged
+    * with `durationMs` zeroed — the never-throw contract. */
+  def decimateAudio(media: Dataset[MediaRecord],
+                    factor: Int): Dataset[MediaRecord] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val decoded =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(
+                if (m.payload == null) Array.empty else m.payload))
+            try {
+              val f = ais.getFormat
+              if (f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+              else {
+                val bytes = ais.readAllBytes()
+                val n = bytes.length / 2
+                val kept = new Array[Short]((n + factor - 1) / factor)
+                var i = 0
+                while (i * factor < n) {
+                  val j = i * factor
+                  val s: Int =
+                    if (f.isBigEndian)
+                      (bytes(2 * j).toInt << 8) | (bytes(2 * j + 1) & 0xFF)
+                    else
+                      (bytes(2 * j + 1).toInt << 8) | (bytes(2 * j) & 0xFF)
+                  kept(i) = s.toShort
+                  i += 1
+                }
+                Some((kept, f.getSampleRate.toInt / factor))
+              }
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((kept, rate)) =>
+            m.copy(kind = "audio", payload = wavBytes(kept, rate),
+              durationMs =
+                if (rate > 0) kept.length.toLong * 1000 / rate else 0L)
+          case None => m.copy(durationMs = 0L)
+        }
+      }
+    }
+  }
+
   /** Batched real audio decode → [[AudioStats]]: same per-partition batch
     * shape as [[imageStats]] — one codec context per task, undecodable
     * payloads flagged, never thrown. */
@@ -315,17 +370,24 @@ object Multimodal {
     * [[decodeStub]]). payload bytes → (width, height, frames, µs/frame,
     * Σr, Σg, Σb). DIB row stride is 4-byte padded per spec; pixel order in
     * a DIB frame is BGR bottom-up, irrelevant to channel sums. */
-  private[multimodal] def decodeVideo(payload: Array[Byte])
-      : Option[(Int, Int, Long, Long, Long, Long, Long)] =
+  /** The chunk walk shared by [[decodeVideo]] (whole-payload aggregates)
+    * and [[sampleFrames]] (per-frame rows): `onFrame(idx, Σr, Σg, Σb)`
+    * fires once per decoded frame in stream order. Returns
+    * (width, height, frames, µs/frame) when the payload is a decodable
+    * AVI of a supported codec, None otherwise. */
+  private def walkVideo(payload: Array[Byte])
+                       (onFrame: (Long, Long, Long, Long) => Unit)
+      : Option[(Int, Int, Long, Long)] =
     try {
       if (payload.length < 12 || fourcc(payload, 0) != "RIFF"
         || fourcc(payload, 8) != "AVI ") return None
       var width = 0; var height = 0; var usPerFrame = 0L
       var bitCount = -1; var compression = -1
-      var frames = 0L; var rs = 0L; var gs = 0L; var bs = 0L
+      var frames = 0L
 
-      def frameSums(off: Int): Unit = {
+      def frameSums(off: Int): (Long, Long, Long) = {
         val stride = (width * 3 + 3) & ~3
+        var rs = 0L; var gs = 0L; var bs = 0L
         var y = 0
         while (y < height) {
           var x = 0
@@ -338,6 +400,7 @@ object Multimodal {
           }
           y += 1
         }
+        (rs, gs, bs)
       }
 
       // walk [from, to) as a sequence of (fourcc, size, data) chunks
@@ -360,15 +423,17 @@ object Multimodal {
             case "00db" | "00dc" =>
               if (bitCount == 24 && compression == 0 && width > 0 && height > 0
                 && size >= ((width * 3 + 3) & ~3) * height) {
+                val (fr, fg, fb) = frameSums(data)
+                onFrame(frames, fr, fg, fb)
                 frames += 1
-                frameSums(data)
               } else if (compression == MJPG && width > 0 && height > 0) {
                 // an MJPEG chunk IS a JPEG image: same imageio decode the
                 // image path uses; a bad frame is skipped, not thrown
                 decodeImage(java.util.Arrays.copyOfRange(
                   payload, data, data + size)).foreach {
                   case (_, _, _, fr, fg, fb) =>
-                    frames += 1; rs += fr; gs += fg; bs += fb
+                    onFrame(frames, fr, fg, fb)
+                    frames += 1
                 }
               }
             case _ => ()
@@ -379,9 +444,46 @@ object Multimodal {
       walk(12, math.min(payload.length, 8 + le32(payload, 4)))
       if (width > 0 && height > 0 &&
           ((bitCount == 24 && compression == 0) || compression == MJPG))
-        Some((width, height, frames, usPerFrame, rs, gs, bs))
+        Some((width, height, frames, usPerFrame))
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[multimodal] def decodeVideo(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long, Long, Long)] = {
+    var rs = 0L; var gs = 0L; var bs = 0L
+    walkVideo(payload) { (_, r, g, b) => rs += r; gs += g; bs += b }
+      .map { case (w, h, f, us) => (w, h, f, us, rs, gs, bs) }
+  }
+
+  /** One sampled frame's exact channel sums. */
+  final case class FrameStats(media_id: Long, frame_idx: Long,
+                              r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL frame SAMPLING — the keyframe-extraction stage of every video
+    * pipeline (vision-language training reads every Nth frame, not 30
+    * fps): demux the AVI through the same chunk walker as [[videoStats]]
+    * and emit a row per KEPT frame (indices 0, N, 2N, ... in stream
+    * order) with its exact channel sums. Deterministic integer
+    * selection; undecodable payloads emit no rows (compose with
+    * [[videoStats]]' decode_ok for the audit lane). One row per kept
+    * frame ≈ frames/N rows — flatMap keeps it streaming, never a
+    * per-payload buffer of all frames. */
+  def sampleFrames(media: Dataset[MediaRecord],
+                   everyN: Int): Dataset[FrameStats] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val out = scala.collection.mutable.ArrayBuffer[FrameStats]()
+        walkVideo(if (m.payload == null) Array.empty else m.payload) {
+          (idx, r, g, b) =>
+            if (idx % everyN == 0)
+              out += FrameStats(m.media_id, idx, r, g, b)
+        }
+        out
+      }
+    }
+  }
 
   /** Batched real video demux → [[VideoStats]]: same per-partition batch
     * shape as [[imageStats]]/[[audioStats]] — undecodable payloads flagged,

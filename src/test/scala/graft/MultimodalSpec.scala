@@ -203,4 +203,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       maxSide = 2).collect().head
     assert(bad.width == 0 && bad.payload.toSeq == Seq[Byte](9, 9))
   }
+
+  test("decimateAudio keeps exactly every Nth sample; frame sampling " +
+      "keeps exactly every Nth frame") {
+    // synthetic wav id=9: 19 frames of the closed-form waveform
+    // s(i) = ((9*31 + 7i) % 2003 - 1001) * 16; factor 3 keeps i = 0,3,...,18
+    val media = Multimodal.syntheticWavs(spark, Seq(9L).toDF("id"), "id")
+    val dec = Multimodal.decimateAudio(media, factor = 3)
+    val stats = Multimodal.audioStats(dec).collect().head
+    def s(i: Int): Long = math.abs(((9L * 31 + 7L * i) % 2003 - 1001) * 16)
+    val keptIdx = 0 to 18 by 3
+    assert(stats.sample_rate == 8000 / 3 && stats.frames == keptIdx.length)
+    assert(stats.sum_abs == keptIdx.map(s).sum)
+    assert(stats.max_abs == keptIdx.map(s).max)
+
+    // frame sampling: 5 distinguishable frames, everyN=2 keeps 0,2,4
+    val ids = Seq(7L).toDF("id")
+    val avi = Multimodal.syntheticAvis(spark, ids, "id") // 7%5+2=4 frames
+    val kept = Multimodal.sampleFrames(avi, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(kept.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    val (w, h) = ((7 % 8 + 2), (7 % 6 + 2))
+    kept.foreach { f =>
+      assert(f.r_sum == w.toLong * h * ((7 + f.frame_idx) % 256))
+    }
+  }
 }
