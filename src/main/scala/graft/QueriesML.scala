@@ -1245,6 +1245,39 @@ object QueriesML {
           .toDF().orderBy(col("media_id"), col("frame_idx"))
       }),
 
+    // -- multimodal: frame EXTRACTION as standalone images (the video →
+    //    image handoff): every 2nd frame re-encoded as lossless PNG and
+    //    pushed through the REAL image decoder — dims, frame identity,
+    //    and exact pixel sums all replay; a broken DIB rebuild, a wrong
+    //    stride, or a non-decodable emitted payload breaks the lane.
+    QueryDef("q193_video_frame_extract", Some("""
+      WITH ids AS (SELECT vec_id AS media_id FROM embeddings
+                   WHERE vec_id < 150),
+      st AS (SELECT media_id, media_id % 8 + 2 AS w, media_id % 6 + 2 AS h,
+                    media_id % 5 + 2 AS nf
+             FROM ids),
+      fr AS (SELECT media_id, w, h,
+                    unnest(range(0, CAST((nf + 1) // 2 AS INT))) AS k
+             FROM st)
+      SELECT media_id * 1000 + k * 2 AS media_id,
+             CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST(3 AS INT) AS bands,
+             CAST(w*h*((media_id + k*2) % 256) AS BIGINT) AS r_sum,
+             CAST(w*h*((media_id*7 + k*2*11) % 256) AS BIGINT) AS g_sum,
+             CAST(w*h*((media_id*13 + k*2*17) % 256) AS BIGINT) AS b_sum,
+             true AS decode_ok
+      FROM fr ORDER BY media_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val avis = Multimodal.syntheticAvis(
+          s, T(s, dir, "embeddings").filter(col("vec_id") < 150), "vec_id")
+        val frames = Multimodal.extractFrames(avis, everyN = 2)
+        val asMedia = frames.map(vf => Multimodal.MediaRecord(
+          vf.media_id * 1000 + vf.frame_idx, "image", vf.payload,
+          vf.width, vf.height, 0L))
+        Multimodal.imageStats(asMedia).toDF().orderBy(col("media_id"))
+      }),
+
     // -- multimodal: REAL audio decimation (every-Nth-sample downsample,
     //    exact integer selection — no interpolation kernel) verified
     //    through the real codec: decode → decimate → WAV re-encode →

@@ -375,8 +375,19 @@ object Multimodal {
     * fires once per decoded frame in stream order. Returns
     * (width, height, frames, µs/frame) when the payload is a decodable
     * AVI of a supported codec, None otherwise. */
-  private def walkVideo(payload: Array[Byte])
-                       (onFrame: (Long, Long, Long, Long) => Unit)
+  /** One video chunk handed to a [[walkChunks]] consumer: frame index
+    * (among COUNTED frames), codec (DIB vs MJPEG), the chunk's byte
+    * range, and the stream dims (headers precede frame data in AVI). */
+  private final case class FrameChunk(idx: Long, isDib: Boolean,
+                                      off: Int, size: Int,
+                                      w: Int, h: Int)
+
+  /** Lowest-level AVI walk: `onVideoFrame` fires per video chunk of a
+    * supported codec and returns whether the frame COUNTED (MJPEG
+    * consumers return false for an undecodable chunk, so frame indices
+    * stay consistent across every consumer). */
+  private def walkChunks(payload: Array[Byte])
+                        (onVideoFrame: FrameChunk => Boolean)
       : Option[(Int, Int, Long, Long)] =
     try {
       if (payload.length < 12 || fourcc(payload, 0) != "RIFF"
@@ -384,24 +395,6 @@ object Multimodal {
       var width = 0; var height = 0; var usPerFrame = 0L
       var bitCount = -1; var compression = -1
       var frames = 0L
-
-      def frameSums(off: Int): (Long, Long, Long) = {
-        val stride = (width * 3 + 3) & ~3
-        var rs = 0L; var gs = 0L; var bs = 0L
-        var y = 0
-        while (y < height) {
-          var x = 0
-          val row = off + y * stride
-          while (x < width) {
-            bs += payload(row + 3 * x) & 0xFF
-            gs += payload(row + 3 * x + 1) & 0xFF
-            rs += payload(row + 3 * x + 2) & 0xFF
-            x += 1
-          }
-          y += 1
-        }
-        (rs, gs, bs)
-      }
 
       // walk [from, to) as a sequence of (fourcc, size, data) chunks
       def walk(from: Int, to: Int): Unit = {
@@ -423,18 +416,11 @@ object Multimodal {
             case "00db" | "00dc" =>
               if (bitCount == 24 && compression == 0 && width > 0 && height > 0
                 && size >= ((width * 3 + 3) & ~3) * height) {
-                val (fr, fg, fb) = frameSums(data)
-                onFrame(frames, fr, fg, fb)
-                frames += 1
+                if (onVideoFrame(FrameChunk(frames, isDib = true, data,
+                  size, width, height))) frames += 1
               } else if (compression == MJPG && width > 0 && height > 0) {
-                // an MJPEG chunk IS a JPEG image: same imageio decode the
-                // image path uses; a bad frame is skipped, not thrown
-                decodeImage(java.util.Arrays.copyOfRange(
-                  payload, data, data + size)).foreach {
-                  case (_, _, _, fr, fg, fb) =>
-                    onFrame(frames, fr, fg, fb)
-                    frames += 1
-                }
+                if (onVideoFrame(FrameChunk(frames, isDib = false, data,
+                  size, width, height))) frames += 1
               }
             case _ => ()
           }
@@ -447,6 +433,102 @@ object Multimodal {
         Some((width, height, frames, usPerFrame))
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[walkChunks]] with per-frame channel SUMS — the callback
+    * [[decodeVideo]] and [[sampleFrames]] share. DIB sums read the
+    * padded-stride rows directly; MJPEG chunks are plain JPEGs decoded
+    * by the same imageio path the image operators use (a bad frame is
+    * skipped, not thrown). */
+  private def walkVideo(payload: Array[Byte])
+                       (onFrame: (Long, Long, Long, Long) => Unit)
+      : Option[(Int, Int, Long, Long)] =
+    walkChunks(payload) { fc =>
+      if (fc.isDib) {
+        val stride = (fc.w * 3 + 3) & ~3
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < fc.h) {
+          var x = 0
+          val row = fc.off + y * stride
+          while (x < fc.w) {
+            bs += payload(row + 3 * x) & 0xFF
+            gs += payload(row + 3 * x + 1) & 0xFF
+            rs += payload(row + 3 * x + 2) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        onFrame(fc.idx, rs, gs, bs)
+        true
+      } else {
+        decodeImage(java.util.Arrays.copyOfRange(payload, fc.off,
+          fc.off + fc.size))
+          .exists { case (_, _, _, fr, fg, fb) =>
+            onFrame(fc.idx, fr, fg, fb); true }
+      }
+    }
+
+  /** One extracted frame: a REAL standalone image payload (PNG for DIB
+    * sources — lossless; the original JPEG bytes for MJPEG sources). */
+  final case class VideoFrame(media_id: Long, frame_idx: Long,
+                              width: Int, height: Int,
+                              payload: Array[Byte])
+
+  /** EXTRACT every `everyN`-th frame as a standalone IMAGE payload — the
+    * video → image handoff of a vision-language pipeline (sampled frames
+    * flow into [[resizeImages]] / [[extractFeatures]] / [[imageStats]]
+    * like any other image). DIB frames rebuild a `BufferedImage`
+    * (bottom-up BGR per the BMP spec) and re-encode as lossless PNG;
+    * MJPEG frames ARE JPEGs and travel byte-verbatim (no second lossy
+    * pass). Frame indices match [[sampleFrames]]/[[videoStats]] exactly
+    * (same walker, same counting rule). */
+  def extractFrames(media: Dataset[MediaRecord],
+                    everyN: Int): Dataset[VideoFrame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val payload = if (m.payload == null) Array.empty[Byte] else m.payload
+        val out = scala.collection.mutable.ArrayBuffer[VideoFrame]()
+        walkChunks(payload) { fc =>
+          if (fc.isDib) {
+            if (fc.idx % everyN == 0) {
+              val img = new java.awt.image.BufferedImage(fc.w, fc.h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val stride = (fc.w * 3 + 3) & ~3
+              var y = 0
+              while (y < fc.h) {
+                var x = 0
+                val row = fc.off + y * stride
+                while (x < fc.w) {
+                  val b = payload(row + 3 * x) & 0xFF
+                  val g = payload(row + 3 * x + 1) & 0xFF
+                  val r = payload(row + 3 * x + 2) & 0xFF
+                  // DIB rows are bottom-up: data row y is image row h-1-y
+                  img.setRGB(x, fc.h - 1 - y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              out += VideoFrame(m.media_id, fc.idx, fc.w, fc.h,
+                bos.toByteArray)
+            }
+            true
+          } else {
+            val jpeg = java.util.Arrays.copyOfRange(payload, fc.off,
+              fc.off + fc.size)
+            val ok = decodeImage(jpeg).isDefined
+            if (ok && fc.idx % everyN == 0)
+              out += VideoFrame(m.media_id, fc.idx, fc.w, fc.h, jpeg)
+            ok
+          }
+        }
+        out
+      }
+    }
+  }
 
   private[multimodal] def decodeVideo(payload: Array[Byte])
       : Option[(Int, Int, Long, Long, Long, Long, Long)] = {

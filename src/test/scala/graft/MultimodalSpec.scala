@@ -227,5 +227,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     kept.foreach { f =>
       assert(f.r_sum == w.toLong * h * ((7 + f.frame_idx) % 256))
     }
+
+    // frame EXTRACTION: emitted payloads are real standalone images the
+    // image decoder accepts, with matching dims and per-frame colors
+    val frames = Multimodal.extractFrames(avi, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    frames.foreach { vf =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(vf.payload))
+      assert(img.getWidth == w && img.getHeight == h)
+      val p = img.getRGB(0, 0)
+      assert(((p >> 16) & 0xFF) == ((7 + vf.frame_idx) % 256),
+        "extracted frame pixel must carry the frame's color")
+    }
   }
 }
