@@ -256,7 +256,10 @@ object Multimodal {
                 if (m.payload == null) Array.empty else m.payload))
             try {
               val f = ais.getFormat
-              if (f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+              // factor beyond the rate would build a 0 Hz WAV — treat as
+              // unsupported (pass-through) rather than throw in the task
+              if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+                f.getSampleRate.toInt / factor < 1) None
               else {
                 val bytes = ais.readAllBytes()
                 val n = bytes.length / 2
