@@ -85,8 +85,19 @@ object ZLake {
   private[sources] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path)
       : Seq[(FileStatus, Seq[(String, String)])] = {
     def walk(dir: Path, parts: Seq[(String, String)])
-        : Seq[(FileStatus, Seq[(String, String)])] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
+        : Seq[(FileStatus, Seq[(String, String)])] = {
+      // A subdir observed in the parent listing can be retired by a
+      // concurrent mutation before its own listStatus runs (live-tail
+      // readers race rewrites by design). A vanished subtree is an empty
+      // subtree: per-file (rel, len, mtime) identities — not this listing
+      // snapshot — are what correctness reconciles against. The ROOT
+      // stays fail-loud (a missing lake is an error, not a race).
+      val listed =
+        try fs.listStatus(dir).toSeq
+        catch {
+          case _: java.io.FileNotFoundException if (dir != root) => Nil
+        }
+      listed.flatMap { st =>
         val name = st.getPath.getName
         // '_'/'.' prefixes are metadata by Hadoop convention (Spark's own
         // InMemoryFileIndex skips them) — and [[graft.sinks.Sinks
@@ -102,6 +113,7 @@ object ZLake {
         } else if (name.endsWith(".parquet")) Seq((st, parts))
         else Nil
       }
+    }
     walk(root, Nil).sortBy(_._1.getPath.toString)
   }
 
