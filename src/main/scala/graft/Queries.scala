@@ -17,8 +17,20 @@ import graft.operators.{RangeJoin, TopK}
   *  - counts/ranks cast to bigint (DuckDB's hugeint/int32 would otherwise
   *    mismatch Spark's long).
   */
-final case class QueryDef(name: String, oracle: Option[String],
-                          fn: (SparkSession, String) => DataFrame)
+final class QueryDef(val name: String, oracleByName: => Option[String],
+                     val fn: (SparkSession, String) => DataFrame) {
+  /** Re-evaluated per read so an oracle may splice model-derived literal
+    * tables captured by the query fn at run time (q167/q169's integer
+    * ln-micros lookup) — [[Verify]] dumps oracle_sql.json AFTER running
+    * every query, so the thunk sees the tables trained on the exact sfDir
+    * under test. */
+  def oracle: Option[String] = oracleByName
+}
+object QueryDef {
+  def apply(name: String, oracle: => Option[String],
+            fn: (SparkSession, String) => DataFrame): QueryDef =
+    new QueryDef(name, oracle, fn)
+}
 
 object Queries {
 

@@ -68,14 +68,53 @@ object QueriesML {
       r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY cos DESC, cell) AS rn FROM a2)"""
 
+  /** Trained-model deposit box for the LM oracles: the q167/q169 fns
+    * register their [[graft.functions.NgramLmTable]] here, and the
+    * (per-read-evaluated) oracle thunks splice that model's integer
+    * ln-micros table into the SQL as a literal — so DuckDB replays the
+    * score in pure integer arithmetic, never calling its own `ln`
+    * (whose libm need not bit-match fdlibm at every evaluated ratio —
+    * the r11 q167/q169 hash-red). [[Verify]] dumps oracle_sql.json after
+    * running every query, so the thunk always sees the model trained on
+    * the exact sfDir under test. */
+  private[graft] object LmOracle {
+    private val models =
+      new scala.collection.concurrent.TrieMap[String, graft.functions.NgramLmTable]()
+    def register(key: String, t: graft.functions.NgramLmTable): Unit = {
+      models.put(key, t); ()
+    }
+    /** `lnm(v, m)` CTE body: the registered model's literal
+      * (count → floor(ln·10⁶+0.5)) pairs; if no run deposited a model
+      * (standalone dump), fall back to a DuckDB-`ln` recompute over the
+      * chain's own `kept`/`tot` counts so the SQL stays self-contained. */
+    def lnmCte(key: String): String = models.get(key) match {
+      case Some(t) =>
+        val rows = t.lnmEntries.toVector.sorted
+          .map { case (v, m) => s"($v,$m)" }.mkString(",")
+        s"lnm(v, m) AS (VALUES $rows)"
+      case None =>
+        """lnm AS (SELECT v, CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0
+                     + 0.5) AS BIGINT) AS m
+                   FROM (SELECT DISTINCT cnt AS v FROM kept
+                         UNION SELECT 1 UNION SELECT total FROM tot))"""
+    }
+  }
+
+  /** floor(ln(0.4)·10⁶+0.5) — the per-backoff-level penalty, evaluated
+    * once here (fdlibm) and spliced into the oracle as an integer. */
+  private val lmPenaltyMicros: Long =
+    math.floor(StrictMath.log(0.4) * 1000000.0 + 0.5).toLong
+
   /** The trigram stupid-backoff LM chain as a DuckDB CTE block over a
     * docs-shaped source `src` (doc_id, text): token lane, one gram count
     * shared by all orders, minCount=2 prune + per-order rank cap 100000,
-    * per-position backoff scores (factor-first products, exact-integer
-    * micros), per-doc sum. Ends at `toks` (doc_id, ts) and `agg`
-    * (doc_id, m); mirrors [[graft.operators.NgramLm]] at
-    * (n=3, minCount=2, cap=100000, alpha=0.4) bit-for-bit. */
-  private def dkNgramLmChain(src: String): String = s"""
+    * per-position backoff level selection, then PURE-INTEGER scoring —
+    * micros = lnm(num) − lnm(den) + backoffs · penalty, with `lnm` joined
+    * from [[LmOracle.lnmCte]] (literal, engine-proof) — per-doc sum. Ends
+    * at `toks` (doc_id, ts) and `agg` (doc_id, m); mirrors
+    * [[graft.operators.NgramLm]] at (n=3, minCount=2, cap=100000,
+    * alpha=0.4) bit-for-bit. */
+  private def dkNgramLmChain(src: String, lmKey: String): String = s"""
       toks AS (SELECT doc_id, ${dkToks("text")} AS ts FROM $src),
       tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS total FROM toks),
       allg AS (
@@ -106,22 +145,29 @@ object QueriesML {
              LEFT JOIN kept cx2 ON cx2.gram = px.x2
              LEFT JOIN kept cg3 ON cg3.gram = px.g3
              LEFT JOIN kept cx3 ON cx3.gram = px.x3),
-      sc AS (SELECT doc_id, CAST(floor((CASE
-        WHEN g3 IS NOT NULL AND c3g IS NOT NULL AND c3x IS NOT NULL THEN
-          ln(CAST(c3g AS DOUBLE) / CAST(c3x AS DOUBLE))
-        WHEN g2 IS NOT NULL AND c2g IS NOT NULL AND c2x IS NOT NULL THEN
-          ln((CASE WHEN g3 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
-               ELSE CAST(1.0 AS DOUBLE) END)
-             * (CAST(c2g AS DOUBLE) / CAST(c2x AS DOUBLE)))
-        ELSE
-          ln((CASE WHEN g3 IS NOT NULL
-                THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
-               WHEN g2 IS NOT NULL THEN CAST(0.4 AS DOUBLE)
-               ELSE CAST(1.0 AS DOUBLE) END)
-             * (CAST(coalesce(c1, 1) AS DOUBLE)
-                / CAST((SELECT total FROM tot) AS DOUBLE)))
-        END) * 1000000.0 + 0.5) AS BIGINT) AS micros
+      ${LmOracle.lnmCte(lmKey)},
+      sel AS (SELECT doc_id,
+        CASE
+          WHEN g3 IS NOT NULL AND c3g IS NOT NULL AND c3x IS NOT NULL THEN c3g
+          WHEN g2 IS NOT NULL AND c2g IS NOT NULL AND c2x IS NOT NULL THEN c2g
+          ELSE coalesce(c1, 1) END AS num,
+        CASE
+          WHEN g3 IS NOT NULL AND c3g IS NOT NULL AND c3x IS NOT NULL THEN c3x
+          WHEN g2 IS NOT NULL AND c2g IS NOT NULL AND c2x IS NOT NULL THEN c2x
+          ELSE (SELECT total FROM tot) END AS den,
+        CASE
+          WHEN g3 IS NOT NULL AND c3g IS NOT NULL AND c3x IS NOT NULL THEN 0
+          WHEN g2 IS NOT NULL AND c2g IS NOT NULL AND c2x IS NOT NULL THEN
+            (CASE WHEN g3 IS NOT NULL THEN 1 ELSE 0 END)
+          ELSE (CASE WHEN g3 IS NOT NULL THEN 2
+                     WHEN g2 IS NOT NULL THEN 1 ELSE 0 END) END AS backoffs
       FROM lk),
+      sc AS (SELECT doc_id,
+               lnn.m - lnd.m + backoffs * CAST($lmPenaltyMicros AS BIGINT)
+                 AS micros
+             FROM sel
+             JOIN lnm lnn ON lnn.v = sel.num
+             JOIN lnm lnd ON lnd.v = sel.den),
       agg AS (SELECT doc_id, sum(micros) AS m FROM sc GROUP BY doc_id)"""
 
   /** Minhash component j over a shingle-list column. */
@@ -2239,21 +2285,24 @@ object QueriesML {
     //    semantics on lower(text), so the oracle replays it verbatim
     //    with contains(); output order = dictionary order (sorted). A
     //    missed overlap, a fail-link bug, or a phantom match all
-    //    hash-mismatch on the array column.
+    //    hash-mismatch. The hit list is rendered '|'-joined on BOTH
+    //    sides — the gate's comparator sorts cells and cannot sort raw
+    //    array columns (the round-2 q43/q44 convention).
     QueryDef("q184_keyword_tagging", Some("""
       SELECT doc_id,
-             list_filter(['big data', 'dup', 'fast key', 'merge',
-                          'nosuchkw', 'slow', 'spark', 'table scan',
-                          'vector', 'window'],
-               kw -> contains(lower(text), kw)) AS hits
+             coalesce(array_to_string(
+               list_filter(['big data', 'dup', 'fast key', 'merge',
+                            'nosuchkw', 'slow', 'spark', 'table scan',
+                            'vector', 'window'],
+                 kw -> contains(lower(text), kw)), '|'), '') AS hits
       FROM documents ORDER BY doc_id"""),
       (s, dir) => {
         val table = graft.functions.KeywordTable.build(Seq(
           "big data", "dup", "fast key", "merge", "nosuchkw", "slow",
           "spark", "table scan", "vector", "window"))
         T(s, dir, "documents").select(col("doc_id"),
-            graft.functions.KernelExprs.keyword_hits(
-              lower(col("text")), table).as("hits"))
+            array_join(graft.functions.KernelExprs.keyword_hits(
+              lower(col("text")), table), "|").as("hits"))
           .orderBy(col("doc_id"))
       }),
 
@@ -2333,9 +2382,12 @@ object QueriesML {
                         list(tok ORDER BY rn) AS ids, count(*) AS n
                  FROM seqd GROUP BY shard, rn // 16)
       SELECT CAST(shard AS BIGINT) AS shard,
-             CAST(seq_id AS BIGINT) AS seq_id, ids
+             CAST(seq_id AS BIGINT) AS seq_id,
+             array_to_string(ids, ' ') AS ids
       FROM g WHERE n = 16 ORDER BY shard, seq_id"""),
       (s, dir) => {
+        // ids rendered space-joined on BOTH sides: the gate's comparator
+        // sorts cells and crashes on raw array columns (round-2 convention)
         val docs = T(s, dir, "documents")
         val withIds = docs.select(col("doc_id"),
           transform(sequence(lit(0L), pmod(col("doc_id"), lit(5L))),
@@ -2343,6 +2395,8 @@ object QueriesML {
         graft.operators.TrainPrep.packTokenIds(withIds, col("doc_id"),
             col("ids"), pmod(col("doc_id"), lit(8L)), seqLen = 16,
             eosId = 999)
+          .select(col("shard"), col("seq_id"),
+            array_join(col("ids").cast("array<string>"), " ").as("ids"))
           .orderBy(col("shard"), col("seq_id"))
       }),
 
@@ -2585,7 +2639,7 @@ object QueriesML {
     //    score: counts → rank cap → per-position backoff CASE (factor-
     //    first products, exact-integer micros) → order-free decimal sum.
     QueryDef("q167_ngram_lm", Some(s"""
-      WITH ${dkNgramLmChain("documents")}
+      WITH ${dkNgramLmChain("documents", "q167_ngram_lm")}
       SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
         coalesce(a.m, 0) AS logscore_micros,
         CASE WHEN len(t.ts) > 0 THEN
@@ -2597,6 +2651,7 @@ object QueriesML {
         val d = T(s, dir, "documents")
         val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
           minCount = 2, maxGramsPerOrder = 100000)
+        LmOracle.register("q167_ngram_lm", lm)
         graft.operators.NgramLm.scores(d, col("doc_id"), col("text"), lm)
           .orderBy(col("doc_id"))
       }),
@@ -2651,7 +2706,7 @@ object QueriesML {
       WITH ded AS (SELECT min(doc_id) AS doc_id FROM documents
                    GROUP BY md5(text)),
       docs0 AS (SELECT d.doc_id, d.text FROM documents d JOIN ded USING (doc_id)),
-      ${dkNgramLmChain("docs0")},
+      ${dkNgramLmChain("docs0", "q169_ccnet_curation")},
       lh AS (SELECT doc_id, $hits FROM toks),
       lb2 AS (SELECT *, $best AS best FROM lh),
       lng AS (SELECT doc_id, CASE $cases
@@ -2692,6 +2747,7 @@ object QueriesML {
         val d = Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
         val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
           minCount = 2, maxGramsPerOrder = 100000)
+        LmOracle.register("q169_ccnet_curation", lm)
         TrainPrep.curationBuckets(d, col("doc_id"), col("text"), lm)
           .orderBy(col("doc_id"))
       }),

@@ -3,6 +3,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Types the driver's pandas comparator can sort — everything except
+    * array/map/struct (those must be string-rendered in the query). */
+  def comparable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType => false
+    case _: org.apache.spark.sql.types.MapType => false
+    case _: org.apache.spark.sql.types.StructType => false
+    case _ => true
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [namePrefix] — the optional prefix restricts the
     // dump to matching queries (fast local iteration on one query).
@@ -14,7 +23,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        // Schema lint: the gate's pandas comparator sorts cells and crashes
+        // on array/map/struct values (r11: q157/q184 ERR'd this way).
+        // Refuse the dump loudly instead of handing the driver a result it
+        // cannot compare — render complex columns as strings in the query.
+        val complex = df.schema.fields.collect {
+          case f if !Verify.comparable(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+        }
+        if (complex.nonEmpty) throw new IllegalStateException(
+          s"result has non-comparable columns [${complex.mkString(", ")}] — " +
+            "string-render them (array_join / concat_ws) on both sides")
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // q96 driver-gate evidence: after the pruned-read query executes,
         // dump its lake's per-file envelopes + the (kept, total) pruning

@@ -20,18 +20,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *         are present (minCount/top-K pruning can drop a context while
   *         keeping an extension — such levels are skipped, same as "not
   *         found");
-  *   each failed level multiplies the final score by `alpha` (0.4 in the
-  *   paper); the unigram base case is count(w)/total, with an OOV floor
-  *   of ONE pseudo-count: 1/total. Scores are relative frequencies, not
-  *   normalized probabilities — exactly what corpus-quality filtering
-  *   (the CCNet perplexity gate) needs.
+  *   each failed level adds one ln(α) penalty (α = 0.4 in the paper) to
+  *   the position's log-score; the unigram base case is count(w)/total,
+  *   with an OOV floor of ONE pseudo-count: 1/total. Scores are
+  *   log-relative-frequencies, not normalized probabilities — exactly
+  *   what corpus-quality filtering (the CCNet perplexity gate) needs.
   *
-  * Determinism: the per-position value is qround6(ln(S)) scaled to
-  * integer MICROS; a document's score is the EXACT long sum of its
-  * positions' micros — order-free, so Spark partitioning and the SQL
-  * oracle's aggregation order cannot move it. The backoff product is
-  * built factor-first (((1·α)·α)·ratio), matching the oracle's
-  * left-associated `a*a*ratio` spelling bit-for-bit.
+  * Determinism — the ENGINE-PROOF integer contract (r12): a per-position
+  * score decomposes additively over ln-micros of INTEGER COUNTS,
+  *
+  *   micros(i) = lnm(num) − lnm(den) + backoffs · lnm-style ln(α) penalty
+  *   lnm(v)    = floor(StrictMath.log(v) · 10⁶ + 0.5)
+  *
+  * and a document's score is the EXACT long sum of its positions' micros
+  * — order-free, so Spark partitioning and the SQL oracle's aggregation
+  * order cannot move it. `StrictMath.log` is fdlibm, bit-identical on
+  * every JVM by spec; the oracle never calls its OWN `ln` — it joins a
+  * literal `lnm(v, m)` table computed HERE (distinct model counts + 1 +
+  * total are model-sized), so a libm delta between engines cannot land a
+  * value on a rounding boundary (the r11 q167/q169 hash-red class).
   *
   * Tokenization mirrors [[TextFunctions.tokens]] (lowercase, split on
   * `[^a-z0-9]+`) — one vocabulary across the engine's text operators and
@@ -52,6 +59,42 @@ final class NgramLmTable(
     if (v == null) 0L else v.longValue()
   }
   def size: Int = counts.size
+
+  /** floor(ln(v)·10⁶ + 0.5) via fdlibm — the one place either engine
+    * evaluates a logarithm for this model. */
+  def lnMicros(v: Long): Long = {
+    val c = lnmCache.get(v)
+    if (c != null) c.longValue()
+    else math.floor(StrictMath.log(v.toDouble) * 1000000.0 + 0.5).toLong
+  }
+
+  /** Per-backoff-level additive penalty: floor(ln(α)·10⁶ + 0.5). */
+  val penaltyMicros: Long =
+    math.floor(StrictMath.log(alpha) * 1000000.0 + 0.5).toLong
+
+  // distinct count values are Zipf-few; caching their ln keeps the scoring
+  // loop off fdlibm's software path for every in-model position
+  private val lnmCache: java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val v = it.next().longValue()
+      if (!m.containsKey(v))
+        m.put(v, math.floor(StrictMath.log(v.toDouble) * 1000000.0 + 0.5).toLong)
+    }
+    m.put(1L, 0L)
+    m.put(total,
+      math.floor(StrictMath.log(total.toDouble) * 1000000.0 + 0.5).toLong)
+    m
+  }
+
+  /** Every (count value → ln-micros) pair a score can touch — the literal
+    * lookup the SQL oracle joins instead of calling `ln` itself. */
+  def lnmEntries: Iterator[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    lnmCache.entrySet().iterator().asScala
+      .map(e => e.getKey.longValue() -> e.getValue.longValue())
+  }
 
   private[graft] def gramEntries: Iterator[(String, Long)] = {
     import scala.jdk.CollectionConverters._
@@ -83,22 +126,20 @@ final class NgramLmTable(
     while (i < ts.length) {
       var k = math.min(n, i + 1)
       var backoffs = 0
-      var ratio = -1.0
-      while (ratio < 0 && k >= 2) {
+      var num = -1L
+      var den = -1L
+      while (num < 0 && k >= 2) {
         val cg = count(join(ts, i - k + 1, i))
         val cc = count(join(ts, i - k + 1, i - 1))
-        if (cg > 0 && cc > 0) ratio = cg.toDouble / cc.toDouble
+        if (cg > 0 && cc > 0) { num = cg; den = cc }
         else { backoffs += 1; k -= 1 }
       }
-      if (ratio < 0) {
+      if (num < 0) {
         val c1 = count(ts(i))
-        ratio = (if (c1 > 0) c1.toDouble else 1.0) / total.toDouble
+        num = if (c1 > 0) c1 else 1L
+        den = total
       }
-      var s = 1.0
-      var b = 0
-      while (b < backoffs) { s *= alpha; b += 1 }
-      s *= ratio
-      micros += math.floor(math.log(s) * 1000000.0 + 0.5).toLong
+      micros += lnMicros(num) - lnMicros(den) + backoffs * penaltyMicros
       i += 1
     }
     val row = new GenericInternalRow(2)

@@ -25,19 +25,27 @@ import graft.functions.{KernelExprs, NgramLmTable, Functions => F, TextFunctions
   * SCORE — zero joins, zero shuffles: the capped model ships inside a
   * codegen'd expression ([[KernelExprs.NgramLmScore]], the
   * [[graft.functions.BpeTable]] pattern), each document scored in one
-  * whole-stage-codegen pass. Per-position values are qround6(ln(S))
-  * scaled to integer micros and summed exactly — partitioning and
-  * aggregation order cannot move a score, and the SQL oracle (q167)
-  * replays train AND score bit-for-bit.
+  * whole-stage-codegen pass. Per-position values are integer ln-micros
+  * of model COUNTS (fdlibm, evaluated once per distinct count — see
+  * [[NgramLmTable]]) combined additively and summed exactly —
+  * partitioning and aggregation order cannot move a score, and the SQL
+  * oracle (q167) replays train AND score bit-for-bit from a literal
+  * ln-micros table, never calling its own `ln`.
   */
 object NgramLm {
 
   /** Train an order-`n` model over `text`. `minCount` drops rare grams
     * (CCNet prunes its KenLM the same way); `maxGramsPerOrder` bounds
     * driver/model memory — binding it trades tail coverage for size,
-    * deterministically. */
+    * deterministically. The capped model is SERIALIZED INTO EVERY PLAN
+    * that scores with it (addReferenceObj), so the default keeps n·cap at
+    * a few-hundred-thousand grams (tens of MB of plan); larger reference
+    * LMs should stay persisted ([[save]]/[[load]]) and be scored
+    * per-partition from an executor-cached load rather than shipped —
+    * raising the cap past ~2²⁰ trades every job submission's plan size
+    * for tail coverage. */
   def train(docs: DataFrame, text: Column, n: Int,
-            minCount: Int = 1, maxGramsPerOrder: Int = 1 << 22,
+            minCount: Int = 1, maxGramsPerOrder: Int = 1 << 17,
             alpha: Double = 0.4): NgramLmTable = {
     require(n >= 1, s"ngram order must be >= 1 (got $n)")
     require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")

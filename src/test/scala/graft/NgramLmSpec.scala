@@ -31,26 +31,30 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     grams.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
   }
 
+  private def lnm(v: Long): Long =
+    math.floor(StrictMath.log(v.toDouble) * 1e6 + 0.5).toLong
+  private def pen(alpha: Double): Long =
+    math.floor(StrictMath.log(alpha) * 1e6 + 0.5).toLong
+
   private def refScore(text: String, n: Int, alpha: Double,
                        counts: Map[String, Long], total: Long): (Int, Long) = {
     val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     var micros = 0L
     for (i <- ts.indices) {
-      var k = math.min(n, i + 1); var backoffs = 0; var ratio = -1.0
-      while (ratio < 0 && k >= 2) {
+      var k = math.min(n, i + 1); var backoffs = 0
+      var num = -1L; var den = -1L
+      while (num < 0 && k >= 2) {
         val cg = counts.getOrElse(ts.slice(i - k + 1, i + 1).mkString(" "), 0L)
         val cc = counts.getOrElse(ts.slice(i - k + 1, i).mkString(" "), 0L)
-        if (cg > 0 && cc > 0) ratio = cg.toDouble / cc.toDouble
+        if (cg > 0 && cc > 0) { num = cg; den = cc }
         else { backoffs += 1; k -= 1 }
       }
-      if (ratio < 0) {
+      if (num < 0) {
         val c1 = counts.getOrElse(ts(i), 0L)
-        ratio = (if (c1 > 0) c1.toDouble else 1.0) / total.toDouble
+        num = if (c1 > 0) c1 else 1L
+        den = total
       }
-      var s = 1.0
-      for (_ <- 0 until backoffs) s *= alpha
-      s *= ratio
-      micros += math.floor(math.log(s) * 1000000.0 + 0.5).toLong
+      micros += lnm(num) - lnm(den) + backoffs * pen(alpha)
     }
     (ts.length, micros)
   }
@@ -78,12 +82,10 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("OOV floor: a fully unseen unigram scores ln(1/total)") {
+  test("OOV floor: a fully unseen unigram scores lnm(1) - lnm(total)") {
     val t = NgramLm.train(docs, col("text"), n = 2)
     val got = t.scoreText(UTF8String.fromString("zzz"))
-    val expect = math.floor(
-      math.log(1.0 / t.total.toDouble) * 1000000.0 + 0.5).toLong
-    assert(got.getLong(1) === expect)
+    assert(got.getLong(1) === -lnm(t.total))
   }
 
   test("training is partition-invariant") {
@@ -98,12 +100,10 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(t.count("quietly") === 0) // appears once
     assert(t.count("the cat") === 3)
     // "sat quietly" (cnt 1) pruned -> position backs off to the unigram
-    // floor: alpha * 1/total
+    // floor: one penalty + lnm(1) - lnm(total)
     val got = t.scoreText(UTF8String.fromString("sat quietly"))
-    val satLn = math.floor(
-      math.log(t.count("sat").toDouble / t.total) * 1e6 + 0.5).toLong
-    val quietLn = math.floor(
-      math.log(0.4 * (1.0 / t.total)) * 1e6 + 0.5).toLong
+    val satLn = lnm(t.count("sat")) - lnm(t.total)
+    val quietLn = -lnm(t.total) + pen(0.4)
     assert(got.getLong(1) === satLn + quietLn)
   }
 
@@ -122,10 +122,10 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     m.put("x y", 5L); m.put("y", 2L) // bigram kept, its context 'x' absent
     val t = new NgramLmTable(2, 0.4, 10L, m)
     val got = t.scoreText(UTF8String.fromString("x y"))
-    val xLn = math.floor(math.log(1.0 / 10.0) * 1e6 + 0.5).toLong // OOV x
+    val xLn = -lnm(10L) // OOV x: lnm(1) - lnm(total)
     // position 1: bigram 'x y' found but count('x')==0 -> back off to
-    // unigram 'y' with one backoff factor
-    val yLn = math.floor(math.log(0.4 * (2.0 / 10.0)) * 1e6 + 0.5).toLong
+    // unigram 'y' with one backoff penalty
+    val yLn = lnm(2L) - lnm(10L) + pen(0.4)
     assert(got.getLong(1) === xLn + yLn)
   }
 
@@ -140,6 +140,31 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     val a = NgramLm.scores(docs, col("doc_id"), col("text"), t).collect()
     val b = NgramLm.scores(docs, col("doc_id"), col("text"), l).collect()
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("lnm table covers every model count plus 1 and total, fdlibm-exact") {
+    val t = NgramLm.train(docs, col("text"), n = 3)
+    val m = t.lnmEntries.toMap
+    assert(m(1L) === 0L)
+    assert(m(t.total) ===
+      math.floor(StrictMath.log(t.total.toDouble) * 1e6 + 0.5).toLong)
+    t.gramEntries.foreach { case (g, c) =>
+      assert(m.get(c).contains(lnm(c)), s"count $c of '$g'")
+    }
+    assert(t.penaltyMicros === pen(0.4))
+  }
+
+  test("a gate-scale capped model stays plan-shippable (serialized size)") {
+    // the model is addReferenceObj'd into every scoring plan — pin the
+    // serialized footprint of a 100k-gram model (the q167 cap) so a
+    // representation change that bloats plans fails here, not on a cluster
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    (0 until 100000).foreach(i => m.put(s"token$i context$i", (i % 97 + 2).toLong))
+    val t = new NgramLmTable(2, 0.4, 1000000L, m)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(t); oos.close()
+    assert(bos.size() < 8 * 1024 * 1024, s"serialized ${bos.size()} bytes")
   }
 
   test("scores frame: empty doc gets null avg, zero micros") {
