@@ -83,19 +83,29 @@ object ZLake {
   /** Recursively list data files under `root`, carrying the `col=value`
     * segments each file sits beneath. */
   private[sources] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path)
-      : Seq[(FileStatus, Seq[(String, String)])] = {
+      : Seq[(FileStatus, Seq[(String, String)])] =
+    listDataFilesDetectTorn(fs, root)._1
+
+  /** [[listDataFiles]] plus a TORN flag: true when a subdir observed in
+    * its parent's listing vanished before its own listStatus ran (a
+    * concurrent rewrite swapped it mid-walk). Read paths treat a vanished
+    * subtree as empty — per-file (rel, len, mtime) identities, not this
+    * listing snapshot, are what correctness reconciles against — but
+    * IDENTITY consumers ([[stateFingerprint]]) must not: a torn listing
+    * can momentarily equal an older pinned fingerprint and wave a stale
+    * materialized view or ANN index through its freshness guard. */
+  private[graft] def listDataFilesDetectTorn(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path)
+      : (Seq[(FileStatus, Seq[(String, String)])], Boolean) = {
+    var torn = false
     def walk(dir: Path, parts: Seq[(String, String)])
         : Seq[(FileStatus, Seq[(String, String)])] = {
-      // A subdir observed in the parent listing can be retired by a
-      // concurrent mutation before its own listStatus runs (live-tail
-      // readers race rewrites by design). A vanished subtree is an empty
-      // subtree: per-file (rel, len, mtime) identities — not this listing
-      // snapshot — are what correctness reconciles against. The ROOT
-      // stays fail-loud (a missing lake is an error, not a race).
+      // The ROOT stays fail-loud (a missing lake is an error, not a race).
       val listed =
         try fs.listStatus(dir).toSeq
         catch {
-          case _: java.io.FileNotFoundException if (dir != root) => Nil
+          case _: java.io.FileNotFoundException if (dir != root) =>
+            torn = true; Nil
         }
       listed.flatMap { st =>
         val name = st.getPath.getName
@@ -114,7 +124,7 @@ object ZLake {
         else Nil
       }
     }
-    walk(root, Nil).sortBy(_._1.getPath.toString)
+    (walk(root, Nil).sortBy(_._1.getPath.toString), torn)
   }
 
   /** Manifest file written beside the data (underscore prefix: invisible
@@ -195,13 +205,33 @@ object ZLake {
   def stateFingerprint(spark: SparkSession, path: String): String = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fingerprintWith(fs, root)
+  }
+
+  private[graft] def fingerprintWith(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): String = {
     if (!fs.exists(root)) return "absent"
-    val s = listDataFiles(fs, root).map { case (st, _) =>
-      s"${relPath(root, st.getPath)}:${st.getLen}:${st.getModificationTime}"
-    }.mkString("\n")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    // A TORN listing (subtree vanished mid-walk under a concurrent
+    // rewrite) may coincide byte-for-byte with an older pinned state —
+    // e.g. a compaction swap racing this walk can hide exactly the
+    // partition added since an MV registration, and the freshness guard
+    // would wave the stale view through. Retry until the walk is stable;
+    // a persistently torn lake yields a UNIQUE token so equality (the
+    // only operation consumers perform) can never hold.
+    var attempt = 0
+    while (attempt < 3) {
+      val (files, torn) = listDataFilesDetectTorn(fs, root)
+      if (!torn) {
+        val s = files.map { case (st, _) =>
+          s"${relPath(root, st.getPath)}:${st.getLen}:${st.getModificationTime}"
+        }.mkString("\n")
+        return java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      }
+      attempt += 1
+    }
+    s"torn:${java.util.UUID.randomUUID()}"
   }
 
   /** Partition column names (lowercase) from the DIRECTORY layout alone —
@@ -264,11 +294,20 @@ object ZLake {
         manifests.get(st.getPath.getParent)
           .flatMap(_.files.get(st.getPath.getName))
           .filter(_.len == st.getLen))
-    val fes = files.map { case (st, parts) =>
+    val fes = files.flatMap { case (st, parts) =>
       entryFor(st)
         .map(e => FileEnvelope(st, e.rowGroups, e.cols, parts, e.rows,
           e.nulls, e.sketches, e.blooms, e.sums))
-        .getOrElse(envelopeOf(st, parts, conf))
+        .orElse {
+          // the listing race, one step later: a file listed above can be
+          // retired by a concurrent rewrite before its footer opens —
+          // same read-path tolerance as the vanished-subtree rule (the
+          // file set reconciles by identity, not by this snapshot);
+          // WRITE paths (writeManifest) stay fail-loud by design, their
+          // journal commit would conflict on the race anyway
+          try Some(envelopeOf(st, parts, conf))
+          catch { case _: java.io.FileNotFoundException => None }
+        }
     }
     val covered = files.nonEmpty && files.forall { case (st, _) =>
       entryFor(st).isDefined
