@@ -151,20 +151,19 @@ object Retrieval {
     * [[vacuumBm25Index]] once in-flight readers drain. Returns
     * (filesBefore, filesAfter).
     *
-    * Single-MAINTAINER contract (same as the IVF index): an append that
-    * lands in the old directory while a compaction is reading it misses
-    * the swap and is lost — serialize appends and compactions through
-    * one maintenance schedule (the streaming foreachBatch maintainer
-    * already is one). Readers need no coordination. */
+    * CONCURRENCY (r12, [[IndexOcc]]): the rewrite stages OUTSIDE the
+    * writer lock into an invisible `.compacting-*` dir; the lock guards
+    * only validate → rename → pointer swap, where validate re-checks the
+    * read-set (pointer still names the directory that was read, and its
+    * file-identity fingerprint is unchanged). An append landing
+    * mid-rewrite makes the validate fail and the compaction RESTAGE from
+    * current state (bounded retries) — the r11 silently-lost-append
+    * window is closed. Readers still need no coordination. */
   def compactBm25Index(spark: SparkSession, path: String): (Int, Int) = {
-    val cur = postingsDir(spark, path)
-    val curName = cur.substring(cur.lastIndexOf('/') + 1)
-    val nextName =
-      if (!curName.startsWith("_postings-v")) "_postings-v1"
-      else "_postings-v" + (curName.stripPrefix("_postings-v").toInt + 1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def countFiles(dir: String): Int = {
       val d = new org.apache.hadoop.fs.Path(dir)
-      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def walk(p: org.apache.hadoop.fs.Path): Int =
         fs.listStatus(p).map { st =>
           val n = st.getPath.getName
@@ -174,22 +173,57 @@ object Retrieval {
         }.sum
       walk(d)
     }
-    val before = countFiles(cur)
-    spark.read.parquet(cur)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/$nextName")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$PostingsPtr.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
-      new org.apache.hadoop.fs.Path(root, PostingsPtr))
-    // the root-layout bucket dirs (if this was the first compaction) are
-    // now retired too — vacuum removes them with the old versions
-    (before, countFiles(s"$path/$nextName"))
+    var attempt = 0
+    while (attempt < IndexOcc.maxCompactionRetries) {
+      val cur = postingsDir(spark, path)
+      val fp = IndexOcc.fingerprint(fs, new org.apache.hadoop.fs.Path(cur))
+      val before = countFiles(cur)
+      val staging =
+        new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("compacting"))
+      spark.read.parquet(cur)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(staging.toString)
+      IndexOcc.stagedHook.get()()
+      val published = graft.sinks.LakeDelete.withWriterLock(fs, root) {
+        val stillCur = postingsDir(spark, path) == cur &&
+          IndexOcc.fingerprint(fs, new org.apache.hadoop.fs.Path(cur)) == fp
+        if (!stillCur) { fs.delete(staging, true); None }
+        else {
+          val curName = cur.substring(cur.lastIndexOf('/') + 1)
+          val nextName =
+            if (!curName.startsWith("_postings-v")) "_postings-v1"
+            else "_postings-v" + (curName.stripPrefix("_postings-v").toInt + 1)
+          val target = new org.apache.hadoop.fs.Path(root, nextName)
+          // a crashed predecessor's unpublished leftovers — safe to clear,
+          // the name is claimed under the lock
+          if (fs.exists(target)) fs.delete(target, true)
+          if (!fs.rename(staging, target))
+            throw new java.io.IOException(
+              s"failed to publish compacted postings at $target")
+          val tmp = new org.apache.hadoop.fs.Path(root, s".$PostingsPtr.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(
+            nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+            new org.apache.hadoop.fs.Path(root, PostingsPtr))
+          Some(nextName)
+        }
+      }
+      published match {
+        // the root-layout bucket dirs (if this was the first compaction)
+        // are now retired too — vacuum removes them with the old versions
+        case Some(n) => return (before, countFiles(s"$path/$n"))
+        case None =>
+          IndexOcc.compactionConflicts.incrementAndGet()
+          attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"compacting $path lost to concurrent index mutations " +
+        s"${IndexOcc.maxCompactionRetries} times — giving up (the staged " +
+        "rewrites were discarded; the live index is untouched)")
   }
 
   /** Delete retired postings (old `_postings-v*` dirs, and the original
@@ -208,7 +242,8 @@ object Retrieval {
       st.isDirectory && st.getPath.getName != activeName &&
         (st.getPath.getName.startsWith("_postings-v") ||
           (activeName.nonEmpty && st.getPath.getName.startsWith("bucket=")))
-    }.map { st => fs.delete(st.getPath, true); 1 }.sum
+    }.map { st => fs.delete(st.getPath, true); 1 }.sum +
+      IndexOcc.sweepStaleStages(fs, root) // crashed append/compaction stages
   }
 
   private def bucketOf(term: Column, nBuckets: Int): Column =
@@ -298,20 +333,38 @@ object Retrieval {
     * term buckets (same hash, same layout), the stats sidecar advances by
     * one atomic overwrite. Doc ids must be new — a re-appended doc would
     * double its tf rows. df stays consistent for free: it is derived from
-    * the postings at query time, never stored. */
+    * the postings at query time, never stored.
+    *
+    * CONCURRENCY (r12, [[IndexOcc]]): the postings stage outside the
+    * writer lock; the lock guards only the adopt-into-active-dir moves
+    * and the stats advance, with the active directory RE-RESOLVED under
+    * the lock — a concurrent compaction's pointer swap can no longer
+    * strand this batch in a retired directory. */
   def appendBm25Index(docs: DataFrame, id: Column, text: Column,
                       path: String): Unit = {
     val spark = docs.sparkSession
-    val (n0, t0, nBuckets) = readStats(spark, path)
+    val (_, _, nBuckets) = readStats(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage =
+      new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("append"))
     postingsOf(docs, id, text)
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(postingsDir(spark, path))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(stage.toString)
     val row = docs.agg(count(lit(1)),
       coalesce(sum(size(TF.tokens(text))), lit(0L)).cast("long")).head()
-    writeStats(spark, path, n0 + row.getLong(0), t0 + row.getLong(1),
-      nBuckets)
+    IndexOcc.stagedHook.get()()
+    graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      IndexOcc.adoptStaged(fs, stage,
+        new org.apache.hadoop.fs.Path(postingsDir(spark, path)))
+      // stats re-read under the lock: a concurrent append's advance survives
+      val (n1, t1, nb) = readStats(spark, path)
+      writeStats(spark, path, n1 + row.getLong(0), t1 + row.getLong(1), nb)
+    }
+    fs.delete(stage, true)
+    ()
   }
 
   /** Query the persisted index: the scan prunes to the ≤ |terms| buckets

@@ -363,23 +363,56 @@ object Similarity {
     * probe results are bit-identical (AnnRewriteSpec). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
-    val cur = assignDir(spark, path)
-    val curName = cur.substring(cur.lastIndexOf('/') + 1)
-    val nextName =
-      if (curName == "assign") "assign-v1"
-      else "assign-v" + (curName.stripPrefix("assign-v").toInt + 1)
-    spark.read.parquet(cur)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/$nextName")
+    // CONCURRENCY (r12, [[IndexOcc]]): rewrite stages outside the writer
+    // lock into an invisible `.compacting-*` dir; the lock guards only
+    // validate (pointer + active-dir fingerprint unchanged) → rename →
+    // atomic pointer swap. An append landing mid-rewrite restages the
+    // compaction instead of being silently stranded in a retired dir.
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(root, s"_assign.tmp-$nextName")
-    val out = fs.create(tmp, true)
-    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
-      new org.apache.hadoop.fs.Path(root, "_assign"))
+    var attempt = 0
+    while (attempt < IndexOcc.maxCompactionRetries) {
+      val cur = assignDir(spark, path)
+      val fp = IndexOcc.fingerprint(fs, new org.apache.hadoop.fs.Path(cur))
+      val staging =
+        new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("compacting"))
+      spark.read.parquet(cur)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(staging.toString)
+      IndexOcc.stagedHook.get()()
+      val published = graft.sinks.LakeDelete.withWriterLock(fs, root) {
+        val stillCur = assignDir(spark, path) == cur &&
+          IndexOcc.fingerprint(fs, new org.apache.hadoop.fs.Path(cur)) == fp
+        if (!stillCur) { fs.delete(staging, true); false }
+        else {
+          val curName = cur.substring(cur.lastIndexOf('/') + 1)
+          val nextName =
+            if (curName == "assign") "assign-v1"
+            else "assign-v" + (curName.stripPrefix("assign-v").toInt + 1)
+          val target = new org.apache.hadoop.fs.Path(root, nextName)
+          if (fs.exists(target)) fs.delete(target, true) // crashed predecessor
+          if (!fs.rename(staging, target))
+            throw new java.io.IOException(
+              s"failed to publish compacted assignment at $target")
+          val tmp = new org.apache.hadoop.fs.Path(root, s"_assign.tmp-$nextName")
+          val out = fs.create(tmp, true)
+          try out.write(
+            nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+            new org.apache.hadoop.fs.Path(root, "_assign"))
+          true
+        }
+      }
+      if (published) return
+      IndexOcc.compactionConflicts.incrementAndGet()
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"compacting $path lost to concurrent index mutations " +
+        s"${IndexOcc.maxCompactionRetries} times — giving up (staged " +
+        "rewrites discarded; the live index is untouched)")
   }
 
   /** Delete retired assignment directories (everything `assign*` except
@@ -394,7 +427,8 @@ object Similarity {
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("assign")
         && st.getPath.getName != active)
-      .map { st => fs.delete(st.getPath, true); 1 }.sum
+      .map { st => fs.delete(st.getPath, true); 1 }.sum +
+      IndexOcc.sweepStaleStages(fs, root) // crashed append/compaction stages
   }
 
   /** Assign a NEW corpus batch to the index's STORED centroids and append
@@ -404,13 +438,27 @@ object Similarity {
     * vectors). */
   def appendIvfIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                      path: String): Unit = {
+    // CONCURRENCY (r12, [[IndexOcc]]): stage outside the writer lock, then
+    // adopt into the active dir RE-RESOLVED under the lock — a concurrent
+    // compaction's pointer swap can no longer strand this batch.
     val spark = corpus.sparkSession
     val cents = readCentroids(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage =
+      new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("append"))
     corpus.select(corpusId.as("neighbor_id"),
         F.vec_quantize(corpusVec, 1000).as("cv"))
       .withColumn("cell", assignCell(spark, cents)(col("cv")))
-      .write.mode("append").partitionBy("cell")
-      .parquet(assignDir(spark, path))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(stage.toString)
+    IndexOcc.stagedHook.get()()
+    graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      IndexOcc.adoptStaged(fs, stage,
+        new org.apache.hadoop.fs.Path(assignDir(spark, path)))
+    }
+    fs.delete(stage, true)
+    ()
   }
 
   /** ANN top-k over a persisted IVF index ([[writeIvfIndex]]): queries
