@@ -2609,6 +2609,47 @@ object QueriesML {
           .limit(12)
       }),
 
+    // -- INDEX GENERATION RESTORE, IVF lane (r12, pairs with q194): pin
+    //    the even-vector index generation, append the odd vectors,
+    //    compact (new version + pointer swap), RESTORE the pin, probe.
+    //    The oracle replays the full IVF chain over the EVEN half only
+    //    (seeds = even ids < 16), queries = even ids < 12, nprobe 2 —
+    //    a leaked odd vector in any probed cell, a stale pointer, or a
+    //    centroid drift all change the hash.
+    QueryDef("q195_ivf_gen_restore", Some(s"""
+      WITH ${dkIvfCells(16, "WHERE vec_id % 2 = 0")},
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 12),
+      qa AS (SELECT query_id, qv, cent.cell, ${dkCos("qv", "cent.cq")} AS cos FROM qs, cent),
+      qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cell) AS rn FROM qa),
+      qcell AS (SELECT query_id, qv, cell FROM qr WHERE rn <= 2),
+      cand AS (SELECT query_id, cell, neighbor_id, ${dkCos("cv", "qv")} AS cosine
+               FROM cell2 JOIN qcell USING (cell) WHERE neighbor_id <> query_id),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM cand)
+      SELECT query_id, cell, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val even = emb.filter(col("vec_id") % 2 === 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q195-gen").toString + "/idx"
+        Similarity.writeIvfIndex(even, col("vec_id"), col("embedding"),
+          even.filter(col("vec_id") < 16), col("vec_id"), col("embedding"),
+          path)
+        graft.operators.IndexSnapshots.snapshot(s, path, "pin")
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 =!= 0),
+          col("vec_id"), col("embedding"), path)
+        Similarity.compactIvfIndex(s, path)
+        graft.operators.IndexSnapshots.restore(s, path, "pin")
+        Similarity.ivfTopKIndexed(s, path,
+            even.filter(col("vec_id") < 12), col("vec_id"),
+            col("embedding"), k = 5, nprobe = 2)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means cells from
     //    the deterministic IVF pipeline, then min-id keep within every
     //    cell's >=threshold cosine pairs. Lexical dedup can't see these;

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dsir, Retrieval}
+import graft.operators.{Dsir, IndexSnapshots, Retrieval}
 
 /** Lexical + hybrid retrieval and importance-resampling queries, with
   * DuckDB oracles replaying every stage (BM25 formula, rank fusion,
@@ -52,8 +52,10 @@ object QueriesRetrieval {
 
   /** Shared CTE block: tokenized docs, corpus stats, per-term dfs, and
     * per-doc BM25 micros for [[QTerms]]. Ends at `scored(doc_id,
-    * score_micros)` (matching docs only). */
-  private def dkBm25Chain(p: Retrieval.Bm25Params): String = {
+    * score_micros)` (matching docs only). `where` restricts the corpus
+    * (the q194 pinned-generation lane). */
+  private def dkBm25Chain(p: Retrieval.Bm25Params,
+                          where: String = ""): String = {
     val dfAggs = QTerms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN list_contains(ts, '$t') THEN 1.0 ELSE 0.0 END) AS df$i"
     }.mkString(", ")
@@ -61,7 +63,7 @@ object QueriesRetrieval {
       .map { case (t, i) => dkBm25Term(t, s"df$i", p) }
       .mkString(" + ")
     s"""
-      d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents $where),
       s AS (SELECT count(*) AS n, coalesce(sum(len(ts)), 0) AS tt FROM d),
       f AS (SELECT $dfAggs FROM d),
       scored AS (SELECT doc_id, $termSum AS score_micros
@@ -169,6 +171,32 @@ object QueriesRetrieval {
         Retrieval.compactBm25Index(s, path)
         Retrieval.vacuumBm25Index(s, path)
         Retrieval.searchBm25Index(s, path, QTerms, 10)
+      }),
+
+    // -- INDEX GENERATION RESTORE, BM25 lane (r12): pin the even-doc
+    //    index generation, append the odd docs, compact (new version +
+    //    pointer swap), then RESTORE the pin — the probe must answer for
+    //    the pinned corpus exactly (stats sidecar included: n/tt/idf all
+    //    roll back). The oracle replays the scores from the raw EVEN
+    //    half only; a leaked odd posting, a stale stats sidecar, or a
+    //    restore that missed the pointer all change the hash.
+    QueryDef("q194_bm25_gen_restore", Some(s"""
+      WITH ${dkBm25Chain(P, "WHERE doc_id % 2 = 0")}
+      SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
+      FROM scored WHERE score_micros > 0
+      ORDER BY score_micros DESC, doc_id LIMIT 15"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bm25-gen").toString + "/idx"
+        Retrieval.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), path, nBuckets = 16)
+        IndexSnapshots.snapshot(s, path, "pin")
+        Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+          col("doc_id"), col("text"), path)
+        Retrieval.compactBm25Index(s, path)
+        IndexSnapshots.restore(s, path, "pin")
+        Retrieval.searchBm25Index(s, path, QTerms, 15)
       }),
 
     // -- HYBRID search (RRF, Cormack 2009): BM25 top-50 pool fused with

@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{ZLake => Z}
+
+/** GENERATION snapshots for the derived indexes (BM25 postings lake, IVF
+  * assignment lake) — VERDICT r11 #4: [[graft.sources.Snapshots]] rolls
+  * LAKES back atomically, but the indexes' version pointers stayed live,
+  * so after a group restore a registered ANN/BM25 index still reflected
+  * the rolled-back-away corpus (the ANN fingerprint guard degrades to
+  * scans; a direct `searchBm25Index` serves stale postings unguarded).
+  *
+  * A generation pin records, in a JSON sidecar under
+  * `_graft_index_snapshots/`, the POINTER value (active directory name),
+  * the active directory's file identities `(rel, len, mtime)`, the stats
+  * sidecar bytes (BM25), and the identities of immutable companion dirs
+  * (IVF centroids). Restore republishes exactly that state as a FRESH
+  * version directory (copy-on-restore — index-sized, never corpus-sized)
+  * plus one atomic pointer swap, so concurrent readers see old or
+  * restored, never a mix, and no existing version dir is ever mutated.
+  * The vacuums skip pinned versions; a pin whose files were force-removed
+  * fails the restore loudly, never partially.
+  *
+  * Both verbs run under the index root's writer lock — the same lock
+  * [[IndexOcc]] routes appends and compactions through — so a pin is a
+  * consistent cut of the maintenance stream. */
+object IndexSnapshots {
+
+  val SnapDirName = "_graft_index_snapshots"
+
+  /** What makes each index kind tick; sniffed from the layout. */
+  private final case class Layout(ptrName: String, versionPrefix: String,
+                                  defaultActive: String,
+                                  statsFile: Option[String],
+                                  companionDirs: Seq[String])
+  private val Bm25Layout = Layout("_bm25_postings", "_postings-v", "",
+    Some("_bm25_stats.json"), Nil)
+  private val IvfLayout = Layout("_assign", "assign-v", "assign",
+    None, Seq("centroids"))
+
+  private def layoutOf(fs: FileSystem, root: Path): Layout =
+    if (fs.exists(new Path(root, "_bm25_stats.json"))) Bm25Layout
+    else if (fs.exists(new Path(root, "centroids"))) IvfLayout
+    else throw new IllegalArgumentException(
+      s"$root is not a recognized derived index (no _bm25_stats.json, " +
+        "no centroids/)")
+
+  private def pointerName(fs: FileSystem, root: Path, l: Layout): String = {
+    val ptr = new Path(root, l.ptrName)
+    if (!fs.exists(ptr)) l.defaultActive
+    else {
+      val in = fs.open(ptr)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+  }
+
+  private def activeDir(root: Path, name: String): Path =
+    if (name.isEmpty) root else new Path(root, name)
+
+  /** `(rel, len, mtime)` of every data file under `dir` (rel to `dir`). */
+  private def identities(fs: FileSystem, dir: Path): Seq[(String, Long, Long)] =
+    Z.listDataFiles(fs, dir).map { case (st, _) =>
+      (Z.relPath(dir, st.getPath), st.getLen, st.getModificationTime)
+    }
+
+  private def snapPath(root: Path, tag: String): Path = {
+    require(tag.nonEmpty && !tag.contains('/') && !tag.startsWith("."),
+      s"bad snapshot tag '$tag'")
+    new Path(new Path(root, SnapDirName), s"$tag.json")
+  }
+
+  /** Pin the index's current generation under `tag`. */
+  def snapshot(spark: SparkSession, indexRoot: String, tag: String): Unit = {
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val l = layoutOf(fs, root)
+    graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      val dst = snapPath(root, tag)
+      require(!fs.exists(dst), s"index snapshot '$tag' exists at $indexRoot")
+      val ptr = pointerName(fs, root, l)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.createObjectNode()
+      node.put("version", 1)
+      node.put("created", System.currentTimeMillis())
+      node.put("pointer", ptr)
+      val filesNode = node.putObject("files")
+      identities(fs, activeDir(root, ptr)).foreach { case (rel, len, mt) =>
+        val o = filesNode.putObject(rel)
+        o.put("len", len); o.put("mtime", mt); ()
+      }
+      l.statsFile.foreach { sf =>
+        val p = new Path(root, sf)
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        node.put("stats", new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8)); ()
+      }
+      val compNode = node.putObject("companions")
+      l.companionDirs.foreach { d =>
+        val arr = compNode.putArray(d)
+        identities(fs, new Path(root, d)).foreach { case (rel, len, mt) =>
+          val o = arr.addObject()
+          o.put("rel", rel); o.put("len", len); o.put("mtime", mt); ()
+        }
+      }
+      fs.mkdirs(new Path(root, SnapDirName))
+      val tmp = new Path(new Path(root, SnapDirName), s".$tag.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(om.writeValueAsBytes(node)) finally out.close()
+      require(fs.rename(tmp, dst), s"could not publish index snapshot $dst")
+    }
+  }
+
+  private final case class Pin(pointer: String,
+                               files: Seq[(String, Long, Long)],
+                               stats: Option[String],
+                               companions: Map[String, Seq[(String, Long, Long)]])
+
+  private def readPin(fs: FileSystem, root: Path, tag: String): Pin = {
+    val p = snapPath(root, tag)
+    require(fs.exists(p), s"no index snapshot '$tag' at $root")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(txt)
+    import scala.jdk.CollectionConverters._
+    val files = node.path("files").fields().asScala.toSeq.map { e =>
+      (e.getKey, e.getValue.get("len").asLong, e.getValue.get("mtime").asLong)
+    }
+    val comps = node.path("companions").fields().asScala.toSeq.map { e =>
+      e.getKey -> e.getValue.elements().asScala.toSeq.map(o =>
+        (o.get("rel").asText, o.get("len").asLong, o.get("mtime").asLong))
+    }.toMap
+    Pin(node.get("pointer").asText,
+      files.sortBy(_._1),
+      Option(node.get("stats")).map(_.asText),
+      comps)
+  }
+
+  /** All version-dir names any pin references (the vacuums must keep
+    * them; "" = the root layout's own partition dirs). */
+  private[graft] def pinnedPointers(fs: FileSystem, root: Path): Set[String] = {
+    val dir = new Path(root, SnapDirName)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".json"))
+      .map(st => readPin(fs, root,
+        st.getPath.getName.stripSuffix(".json")).pointer)
+      .toSet
+  }
+
+  final case class IndexRestoreReport(filesRestored: Int, newVersion: String)
+
+  /** Republish the pinned generation: a fresh version dir holding exactly
+    * the pinned file set (copied from wherever the pinned identities
+    * still live — the pinned version dir, kept by vacuum), the pinned
+    * stats bytes, one atomic pointer swap. Fails loudly — never partially
+    * — when a pinned file was force-removed or a companion dir (IVF
+    * centroids) no longer matches the pin (a full rebuild happened; the
+    * pinned generation is meaningless against new centroids). */
+  def restore(spark: SparkSession, indexRoot: String,
+              tag: String): IndexRestoreReport = {
+    val root = new Path(indexRoot)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val l = layoutOf(fs, root)
+    graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      val pin = readPin(fs, root, tag)
+      // companions must be bit-identical: centroids define the cell space
+      pin.companions.foreach { case (d, pinned) =>
+        val cur = identities(fs, new Path(root, d)).sortBy(_._1)
+        require(cur == pinned.sortBy(_._1),
+          s"companion dir '$d' of $indexRoot changed since pin '$tag' " +
+            "(full rebuild?) — the pinned generation cannot be restored")
+      }
+      val srcDir = activeDir(root, pin.pointer)
+      // every pinned identity must still resolve in its pinned dir
+      val missing = pin.files.filterNot { case (rel, len, mt) =>
+        try {
+          val st = fs.getFileStatus(new Path(srcDir, rel))
+          st.getLen == len && st.getModificationTime == mt
+        } catch { case _: java.io.FileNotFoundException => false }
+      }
+      require(missing.isEmpty,
+        s"index snapshot '$tag' at $indexRoot is unrestorable: " +
+          s"${missing.size} pinned file(s) gone or changed, first: " +
+          s"${missing.head._1} (vacuumed without pin awareness?)")
+      // fast path: the live state IS the pin
+      val curPtr = pointerName(fs, root, l)
+      val alreadyPinned = curPtr == pin.pointer &&
+        identities(fs, activeDir(root, curPtr)).sortBy(_._1) == pin.files &&
+        pin.stats.forall { s =>
+          val p = new Path(root, l.statsFile.get)
+          val in = fs.open(p)
+          val cur = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          cur == s
+        }
+      if (alreadyPinned) IndexRestoreReport(0, curPtr)
+      else {
+        // copy-on-restore into a fresh version dir (never mutate a
+        // published one: other pins and in-flight readers reference it)
+        val maxV = fs.listStatus(root).toSeq.collect {
+          case st if st.isDirectory &&
+            st.getPath.getName.startsWith(l.versionPrefix) =>
+            st.getPath.getName.stripPrefix(l.versionPrefix)
+              .takeWhile(_.isDigit) match {
+              case "" => 0
+              case d => d.toInt
+            }
+        }.foldLeft(0)(math.max)
+        val nextName = s"${l.versionPrefix}${maxV + 1}"
+        val staging =
+          new Path(root, s".restoring-${java.util.UUID.randomUUID()}")
+        pin.files.foreach { case (rel, _, _) =>
+          val src = new Path(srcDir, rel)
+          val dst = new Path(staging, rel)
+          fs.mkdirs(dst.getParent)
+          require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+            false, true, conf), s"index restore failed copying $src")
+        }
+        val target = new Path(root, nextName)
+        if (fs.exists(target)) fs.delete(target, true) // crashed predecessor
+        require(fs.rename(staging, target),
+          s"index restore failed publishing $target")
+        pin.stats.foreach { s =>
+          val sf = l.statsFile.get
+          val stmp = new Path(root, s".$sf.tmp")
+          val out = fs.create(stmp, true)
+          try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          graft.sinks.LakeDelete.atomicOverwrite(fs, stmp, new Path(root, sf))
+        }
+        val tmp = new Path(root, s".${l.ptrName}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(
+          nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+          new Path(root, l.ptrName))
+        IndexRestoreReport(pin.files.size, nextName)
+      }
+    }
+  }
+
+  /** Group-restore precheck: the tag exists, companions are unchanged,
+    * and every pinned file still resolves — everything [[restore]] would
+    * refuse on, surfaced with ZERO indexes touched. */
+  private[graft] def precheck(spark: SparkSession, indexRoot: String,
+                              tag: String): Unit = {
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = readPin(fs, root, tag)
+    pin.companions.foreach { case (d, pinned) =>
+      val cur = identities(fs, new Path(root, d)).sortBy(_._1)
+      require(cur == pinned.sortBy(_._1),
+        s"companion dir '$d' of $indexRoot changed since pin '$tag'")
+    }
+    val srcDir = activeDir(root, pin.pointer)
+    pin.files.foreach { case (rel, len, mt) =>
+      val ok =
+        try {
+          val st = fs.getFileStatus(new Path(srcDir, rel))
+          st.getLen == len && st.getModificationTime == mt
+        } catch { case _: java.io.FileNotFoundException => false }
+      require(ok, s"pinned index file $rel of '$tag' at $indexRoot is " +
+        "gone or changed")
+    }
+  }
+
+  /** Tags pinned at `indexRoot`, sorted. */
+  def list(spark: SparkSession, indexRoot: String): Seq[String] = {
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(root, SnapDirName)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
+  /** Drop a pin (its version dir becomes vacuumable again). */
+  def deleteSnapshot(spark: SparkSession, indexRoot: String,
+                     tag: String): Boolean = {
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(snapPath(root, tag), false)
+  }
+}

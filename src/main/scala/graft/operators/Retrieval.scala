@@ -228,7 +228,9 @@ object Retrieval {
 
   /** Delete retired postings (old `_postings-v*` dirs, and the original
     * root-layout `bucket=*` dirs once a versioned dir is active) — run
-    * after in-flight readers of the pre-compaction index have drained. */
+    * after in-flight readers of the pre-compaction index have drained.
+    * Versions pinned by an [[IndexSnapshots]] generation snapshot are
+    * KEPT (deleting them would make the pin unrestorable). */
   def vacuumBm25Index(spark: SparkSession, path: String): Int = {
     val active = postingsDir(spark, path)
     // root layout live (fresh build or rebuild-reset): every versioned
@@ -238,10 +240,13 @@ object Retrieval {
       if (active == path) "" else active.substring(active.lastIndexOf('/') + 1)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinned = IndexSnapshots.pinnedPointers(fs, root)
     fs.listStatus(root).toSeq.filter { st =>
-      st.isDirectory && st.getPath.getName != activeName &&
-        (st.getPath.getName.startsWith("_postings-v") ||
-          (activeName.nonEmpty && st.getPath.getName.startsWith("bucket=")))
+      val n = st.getPath.getName
+      st.isDirectory && n != activeName && !pinned.contains(n) &&
+        (n.startsWith("_postings-v") ||
+          (activeName.nonEmpty && n.startsWith("bucket=") &&
+            !pinned.contains(""))) // "" = a pin of the root layout itself
     }.map { st => fs.delete(st.getPath, true); 1 }.sum +
       IndexOcc.sweepStaleStages(fs, root) // crashed append/compaction stages
   }

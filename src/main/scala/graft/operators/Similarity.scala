@@ -417,16 +417,20 @@ object Similarity {
 
   /** Delete retired assignment directories (everything `assign*` except
     * the active one) — run once in-flight readers of the pre-compaction
-    * index have drained. */
+    * index have drained. Versions pinned by an
+    * [[IndexSnapshots]] generation snapshot are KEPT (deleting them would
+    * make the pin unrestorable). */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String): Int = {
     val active = assignDir(spark, path)
       .substring(assignDir(spark, path).lastIndexOf('/') + 1)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pinned = IndexSnapshots.pinnedPointers(fs, root)
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("assign")
-        && st.getPath.getName != active)
+        && st.getPath.getName != active
+        && !pinned.contains(st.getPath.getName))
       .map { st => fs.delete(st.getPath, true); 1 }.sum +
       IndexOcc.sweepStaleStages(fs, root) // crashed append/compaction stages
   }

@@ -99,17 +99,29 @@ object Snapshots {
     * under a fresh tag, or delete the partial tag's sidecars. The
     * exception path, the one a driver actually hits, is all-or-nothing.) */
   def snapshotTables(spark: SparkSession, roots: Seq[String],
-                     tag: String): Unit = {
+                     tag: String, indexRoots: Seq[String] = Nil): Unit = {
     val sorted = roots.distinct.sorted
+    val idxSorted = indexRoots.distinct.sorted
     require(sorted.nonEmpty, "snapshotTables needs at least one root")
     val conf = spark.sessionState.newHadoopConf()
     def go(i: Int): Unit =
       if (i == sorted.length) {
         val done = scala.collection.mutable.ArrayBuffer[String]()
-        try sorted.foreach { r =>
-          graft.sinks.LakeDelete.recoverUnlocked(spark, r)
-          snapshotLocked(spark, r, tag)
-          done += r
+        val idxDone = scala.collection.mutable.ArrayBuffer[String]()
+        try {
+          sorted.foreach { r =>
+            graft.sinks.LakeDelete.recoverUnlocked(spark, r)
+            snapshotLocked(spark, r, tag)
+            done += r
+          }
+          // derived-index GENERATIONS pin under the same tag while every
+          // lake lock is still held: no corpus mutation can land between
+          // the lake pins and the index pins (r12 — a group restore can
+          // then reinstate index pointers consistent with the lakes)
+          idxSorted.foreach { r =>
+            graft.operators.IndexSnapshots.snapshot(spark, r, tag)
+            idxDone += r
+          }
         } catch {
           case e: Throwable =>
             // all-or-nothing: retract the tags already written
@@ -117,6 +129,12 @@ object Snapshots {
               val p = snapPath(new Path(r), tag)
               try { p.getFileSystem(conf).delete(p, false); () }
               catch { case scala.util.control.NonFatal(_) => () }
+            }
+            idxDone.foreach { r =>
+              try {
+                graft.operators.IndexSnapshots.deleteSnapshot(spark, r, tag)
+                ()
+              } catch { case scala.util.control.NonFatal(_) => () }
             }
             throw e
         }
@@ -637,8 +655,10 @@ object Snapshots {
     * journal-atomic; locks acquire in sorted-root order (deadlock-free,
     * reentrant under the per-table machinery's own acquisitions). */
   def restoreTables(spark: SparkSession, roots: Seq[String],
-                    tag: String): Map[String, RestoreReport] = {
+                    tag: String, indexRoots: Seq[String] = Nil)
+      : Map[String, RestoreReport] = {
     val sorted = roots.distinct.sorted
+    val idxSorted = indexRoots.distinct.sorted
     require(sorted.nonEmpty, "restoreTables needs at least one root")
     val conf = spark.sessionState.newHadoopConf()
     def go(i: Int): Map[String, RestoreReport] =
@@ -653,7 +673,18 @@ object Snapshots {
               resolve(fs, rp, tag, rel, len, mtime); ()
             }
         }
-        sorted.map(r => r -> restore(spark, r, tag)).toMap
+        // index pins prechecked with the lakes: a vacuumed-away pinned
+        // generation surfaces here with ZERO tables or indexes touched
+        idxSorted.foreach(r =>
+          graft.operators.IndexSnapshots.precheck(spark, r, tag))
+        val reports = sorted.map(r => r -> restore(spark, r, tag)).toMap
+        // reinstate the pinned index generations — after the group
+        // restore a registered ANN/BM25 index answers for the restored
+        // corpus again instead of serving the rolled-back-away state
+        idxSorted.foreach { r =>
+          graft.operators.IndexSnapshots.restore(spark, r, tag); ()
+        }
+        reports
       } else {
         val p = new Path(sorted(i))
         graft.sinks.LakeDelete.withWriterLock(p.getFileSystem(conf), p) {

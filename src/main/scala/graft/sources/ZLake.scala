@@ -82,7 +82,7 @@ object ZLake {
 
   /** Recursively list data files under `root`, carrying the `col=value`
     * segments each file sits beneath. */
-  private[sources] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+  private[graft] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path)
       : Seq[(FileStatus, Seq[(String, String)])] =
     listDataFilesDetectTorn(fs, root)._1
 
@@ -261,7 +261,7 @@ object ZLake {
   }
 
   /** `p` relative to `root`, as the key a consolidated manifest stores. */
-  private[sources] def relPath(root: Path, p: Path): String = {
+  private[graft] def relPath(root: Path, p: Path): String = {
     val r = root.toUri.getPath.stripSuffix("/")
     p.toUri.getPath.stripPrefix(r).stripPrefix("/")
   }

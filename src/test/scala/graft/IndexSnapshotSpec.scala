@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IndexSnapshots, Retrieval, Similarity}
+import graft.sources.Snapshots
+
+/** Derived-index GENERATION snapshots (VERDICT r11 #4): pin → mutate
+  * (append + compact) → restore must serve the pinned probe answers
+  * again; vacuum must keep pinned versions restorable; a group restore
+  * with indexRoots reinstates index state consistent with the lakes. */
+class IndexSnapshotSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs(r: Range): DataFrame = r.map(i =>
+    i.toLong -> s"alpha w${i % 13} ${if (i % 3 == 0) "beta" else "gamma"}")
+    .toDF("doc_id", "text")
+  private def vecs(r: Range): DataFrame = r.map { i =>
+    (i.toLong, Array.tabulate(8)(d => ((i % 4) * 10 + d + (i % 7)).toFloat))
+  }.toDF("vec_id", "embedding")
+  private def tmp(p: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft-$p").toString + "/idx"
+  private val q = Seq("alpha", "beta")
+
+  test("BM25: pin → append + compact → restore serves the pinned answers; " +
+      "stats sidecar rolls back too") {
+    val path = tmp("isnap-bm25")
+    Retrieval.writeBm25Index(docs(1 to 60), col("doc_id"), col("text"),
+      path, 8)
+    val pinnedAnswers =
+      Retrieval.searchBm25Index(spark, path, q, 30).collect().toSeq
+    IndexSnapshots.snapshot(spark, path, "pin")
+    Retrieval.appendBm25Index(docs(61 to 120), col("doc_id"), col("text"),
+      path)
+    Retrieval.compactBm25Index(spark, path)
+    assert(Retrieval.searchBm25Index(spark, path, q, 30).collect().toSeq
+      != pinnedAnswers, "mutations must be visible before the restore")
+    val rep = IndexSnapshots.restore(spark, path, "pin")
+    assert(rep.filesRestored > 0)
+    assert(Retrieval.searchBm25Index(spark, path, q, 30).collect().toSeq
+      == pinnedAnswers,
+      "a restored generation must serve exactly the pinned answers")
+  }
+
+  test("BM25: restore is idempotent (fast path) and round-trips forward") {
+    val path = tmp("isnap-bm25-idem")
+    Retrieval.writeBm25Index(docs(1 to 60), col("doc_id"), col("text"),
+      path, 8)
+    IndexSnapshots.snapshot(spark, path, "pin")
+    assert(IndexSnapshots.restore(spark, path, "pin").filesRestored == 0,
+      "restoring an unmutated pin must be a no-op")
+    Retrieval.appendBm25Index(docs(61 to 120), col("doc_id"), col("text"),
+      path)
+    IndexSnapshots.snapshot(spark, path, "later")
+    val laterAnswers =
+      Retrieval.searchBm25Index(spark, path, q, 30).collect().toSeq
+    IndexSnapshots.restore(spark, path, "pin")
+    IndexSnapshots.restore(spark, path, "later")
+    assert(Retrieval.searchBm25Index(spark, path, q, 30).collect().toSeq
+      == laterAnswers, "restore forward to a later pin must work too")
+  }
+
+  test("IVF: pin → append + compact → restore serves the pinned cells; " +
+      "vacuum keeps the pinned version restorable") {
+    val path = tmp("isnap-ivf")
+    val base = vecs(0 until 80)
+    Similarity.writeIvfIndex(base, col("vec_id"), col("embedding"),
+      base.filter(col("vec_id") < 8), col("vec_id"), col("embedding"), path)
+    IndexSnapshots.snapshot(spark, path, "pin")
+    Similarity.appendIvfIndex(vecs(80 until 120), col("vec_id"),
+      col("embedding"), path)
+    Similarity.compactIvfIndex(spark, path)
+    // vacuum must NOT delete the pinned original layout
+    Similarity.vacuumIvfIndex(spark, path)
+    val rep = IndexSnapshots.restore(spark, path, "pin")
+    assert(rep.filesRestored > 0)
+    val ids = spark.read.parquet(Similarity.assignDir(spark, path))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ids == (0L until 80L).toSet,
+      "the restored generation must hold exactly the pinned vectors")
+  }
+
+  test("IVF: a full rebuild (new centroids) makes the pin refuse loudly") {
+    val path = tmp("isnap-ivf-rebuild")
+    val base = vecs(0 until 80)
+    Similarity.writeIvfIndex(base, col("vec_id"), col("embedding"),
+      base.filter(col("vec_id") < 8), col("vec_id"), col("embedding"), path)
+    IndexSnapshots.snapshot(spark, path, "pin")
+    Similarity.writeIvfIndex(vecs(0 until 40), col("vec_id"),
+      col("embedding"), vecs(0 until 40).filter(col("vec_id") < 4),
+      col("vec_id"), col("embedding"), path)
+    val e = intercept[IllegalArgumentException] {
+      IndexSnapshots.restore(spark, path, "pin")
+    }
+    assert(e.getMessage.contains("companion"))
+  }
+
+  test("unpinned versions stay vacuumable; pinned ones survive") {
+    val path = tmp("isnap-vac")
+    Retrieval.writeBm25Index(docs(1 to 60), col("doc_id"), col("text"),
+      path, 8)
+    Retrieval.compactBm25Index(spark, path) // -> _postings-v1
+    IndexSnapshots.snapshot(spark, path, "pin") // pins _postings-v1
+    Retrieval.appendBm25Index(docs(61 to 90), col("doc_id"), col("text"),
+      path)
+    // files appended into the PINNED active dir after the pin do not
+    // break it: restore copies only the pinned subset
+    Retrieval.compactBm25Index(spark, path) // -> _postings-v2
+    val removed = Retrieval.vacuumBm25Index(spark, path)
+    assert(removed > 0, "the original root layout must be vacuumable")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_postings-v1")),
+      "the pinned version must survive vacuum")
+    val rep = IndexSnapshots.restore(spark, path, "pin")
+    assert(rep.filesRestored > 0)
+    assert(IndexSnapshots.deleteSnapshot(spark, path, "pin"))
+  }
+
+  test("group snapshot/restore with indexRoots rolls lakes AND index " +
+      "generations back together") {
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-isnap-lake").toString + "/t"
+    val idx = tmp("isnap-group")
+    val base = docs(1 to 60)
+      .withColumn("a", col("doc_id") % 8).withColumn("b", col("doc_id") % 5)
+    graft.sinks.Sinks.zorderedWrite(base, "a", "b", lake, numFiles = 4,
+      bits = 6)
+    Retrieval.writeBm25Index(base, col("doc_id"), col("text"), idx, 8)
+    val pinnedAnswers =
+      Retrieval.searchBm25Index(spark, idx, q, 30).collect().toSeq
+    Snapshots.snapshotTables(spark, Seq(lake), "grp", indexRoots = Seq(idx))
+    // corpus and index both advance
+    val extra = docs(61 to 120)
+      .withColumn("a", col("doc_id") % 8).withColumn("b", col("doc_id") % 5)
+    graft.sinks.LakeDelete.appendLake(spark, lake, extra)
+    Retrieval.appendBm25Index(extra, col("doc_id"), col("text"), idx)
+    Retrieval.compactBm25Index(spark, idx)
+    Snapshots.restoreTables(spark, Seq(lake), "grp", indexRoots = Seq(idx))
+    assert(graft.sources.ZLake.read(spark, lake).count() == 60,
+      "the lake must roll back")
+    assert(Retrieval.searchBm25Index(spark, idx, q, 30).collect().toSeq
+      == pinnedAnswers,
+      "the index must answer for the restored corpus, not the live one")
+  }
+}
