@@ -43,6 +43,32 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Pure floor-breach arithmetic (r12, VERDICT r11 #5): the committed
+    * floors carry ×1.5 headroom, but the driver host has shown median
+    * 1.41× (max 2.9×) uniform inflation against the committed close-out
+    * on IDENTICAL code — six false breaches in r11. A CANARY lane
+    * normalizes for host weather: `hostFactor = max(1, canary_best /
+    * committed_canary_best)` (capped at 3× so a catastrophic canary
+    * cannot hide unbounded regressions), and every lane's best is
+    * compared against `floor × hostFactor`. A loaded host scales every
+    * ceiling together; a genuine single-lane plan regression still trips
+    * (it moves one lane, not the canary). Raw numbers stay unscaled in
+    * the artifact. Returns (hostFactor, lane → (best, effectiveMax)). */
+  private[graft] def floorBreaches(best: Map[String, Double],
+      floors: Map[String, Double],
+      canary: Option[(String, Double)])
+      : (Double, Map[String, (Double, Double)]) = {
+    val hostFactor = canary.flatMap { case (lane, committed) =>
+      best.get(lane).filter(_ => committed > 0)
+        .map(b => math.min(3.0, math.max(1.0, b / committed)))
+    }.getOrElse(1.0)
+    val breaches = best.collect {
+      case (n, b) if floors.contains(n) && b > floors(n) * hostFactor =>
+        n -> ((b, floors(n) * hostFactor))
+    }
+    (hostFactor, breaches)
+  }
+
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
@@ -430,27 +456,34 @@ object Bench {
     // r10 — a breach must fail LOUD: it lands in the summary's
     // "floor_breaches" AND flips the exit code. Only enforced at the
     // driver's sf0.1 operating point (other SFs have no seeded numbers).
-    val floors: Map[String, Double] =
+    val (floors, canary): (Map[String, Double], Option[(String, Double)]) =
       try {
         val p = java.nio.file.Paths.get("BENCH_FLOORS.json")
         if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(p))
-          Map.empty
+          (Map.empty, None)
         else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val node = om.readTree(java.nio.file.Files.readAllBytes(p))
           import scala.jdk.CollectionConverters._
-          node.path("floors").fields().asScala
+          val fl = node.path("floors").fields().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          val cn = node.path("canary")
+          val c = if (cn.isMissingNode) None
+            else Some((cn.path("lane").asText, cn.path("best").asDouble))
+          (fl, c)
         }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val breaches = results.collect {
-      case t if !t.failed && floors.contains(t.name) &&
-        t.wall.min > floors(t.name) =>
-        s""""${t.name}":{"best":${jnum(t.wall.min)},"max":${jnum(floors(t.name))}}"""
+      } catch { case scala.util.control.NonFatal(_) => (Map.empty, None) }
+    val bestByLane = results.collect {
+      case t if !t.failed => t.name -> t.wall.min
+    }.toMap
+    val (hostFactor, breachMap) = floorBreaches(bestByLane, floors, canary)
+    val breaches = breachMap.toSeq.sortBy(_._1).map {
+      case (n, (b, m)) =>
+        s""""$n":{"best":${jnum(b)},"max":${jnum(m)}}"""
     }
     val breachesJson = breaches.mkString("{", ",", "}")
     // detail first, compact summary LAST: the driver keeps the tail
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
     println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)},"jit":${arrays(_.jit.toSeq)}}}""")
     println(summary)
     // ... and the summary as a FILE (r9 verdict #4): sbt's `[info] `
