@@ -2609,6 +2609,94 @@ object QueriesML {
           .limit(12)
       }),
 
+    // -- DECLARATIVE ANN, L2 metric (r12, pgvector `<->`): the user
+    //    writes the brute-force `ORDER BY l2sq ASC NULLS LAST LIMIT k`
+    //    over a corpus registered with an L2-metric IVF index
+    //    (seeds-as-centroids, l2 assignment) — the planner substitutes
+    //    the cell-pruned probe. The oracle replays the PROBE (assign →
+    //    2 nearest cells to embedding 4 → exact integer l2² ranking), so
+    //    green PROVES the rewrite fired: the exact scan's top-k differs
+    //    (the probe sees only 2 cells). Corpus copied to a private path
+    //    so the q165 cosine registration of the shared embeddings path
+    //    stays untouched.
+    QueryDef("q196_ann_l2_declarative", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      cent AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cq FROM q WHERE vec_id < 8),
+      a AS (SELECT vec_id, qv, cell, ${dkL2("qv", "cq")} AS d FROM q, cent),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d ASC, cell) AS rn FROM a),
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r WHERE rn = 1),
+      qv0 AS (SELECT qv AS xv FROM q WHERE vec_id = 4),
+      qa AS (SELECT cent.cell, ${dkL2("xv", "cq")} AS d FROM qv0, cent),
+      qr AS (SELECT cell, row_number() OVER (ORDER BY d ASC, cell) AS rn FROM qa),
+      probed AS (SELECT cell FROM qr WHERE rn <= 2),
+      cand AS (SELECT neighbor_id AS vec_id, ${dkL2("cv", "xv")} AS l2sq
+               FROM cell2 JOIN probed USING (cell) CROSS JOIN qv0)
+      SELECT vec_id, l2sq FROM cand
+      ORDER BY l2sq ASC, vec_id LIMIT 12"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-q196-l2").toString
+        val cp = base + "/emb"; val path = base + "/idx"
+        emb.write.parquet(cp)
+        Similarity.writeIvfIndexL2(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        graft.plans.AnnIndex.register(s, cp, path,
+          idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+        val qv = emb.filter(col("vec_id") === 4)
+          .select(col("embedding")).head.getSeq[Float](0)
+          .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong)
+        s.read.parquet(cp)
+          .select(col("vec_id"),
+            F.vec_l2sq_long(F.vec_quantize(col("embedding"), 1000),
+              typedlit(qv)).as("l2sq"))
+          .orderBy(col("l2sq").asc_nulls_last, col("vec_id"))
+          .limit(12)
+      }),
+
+    // -- DECLARATIVE ANN, inner-product metric (r12, pgvector `<#>`):
+    //    `ORDER BY dot DESC LIMIT k` over an IP-registered corpus
+    //    substitutes the max-dot cell probe; same proof shape as q196.
+    QueryDef("q197_ann_ip_declarative", Some(s"""
+      WITH q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings),
+      cent AS (SELECT CAST(vec_id AS INT) AS cell, qv AS cq FROM q WHERE vec_id < 8),
+      a AS (SELECT vec_id, qv, cell, ${dkDot("qv", "cq")} AS d FROM q, cent),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cell) AS rn FROM a),
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r WHERE rn = 1),
+      qv0 AS (SELECT qv AS xv FROM q WHERE vec_id = 4),
+      qa AS (SELECT cent.cell, ${dkDot("xv", "cq")} AS d FROM qv0, cent),
+      qr AS (SELECT cell, row_number() OVER (ORDER BY d DESC, cell) AS rn FROM qa),
+      probed AS (SELECT cell FROM qr WHERE rn <= 2),
+      cand AS (SELECT neighbor_id AS vec_id,
+                 CAST(${dkDot("cv", "xv")} AS BIGINT) AS dot
+               FROM cell2 JOIN probed USING (cell) CROSS JOIN qv0)
+      SELECT vec_id, dot FROM cand
+      ORDER BY dot DESC, vec_id LIMIT 12"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-q197-ip").toString
+        val cp = base + "/emb"; val path = base + "/idx"
+        emb.write.parquet(cp)
+        Similarity.writeIvfIndexIp(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        graft.plans.AnnIndex.register(s, cp, path,
+          idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+        val qv = emb.filter(col("vec_id") === 4)
+          .select(col("embedding")).head.getSeq[Float](0)
+          .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong)
+        s.read.parquet(cp)
+          .select(col("vec_id"),
+            F.vec_dot_long(F.vec_quantize(col("embedding"), 1000),
+              typedlit(qv)).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(12)
+      }),
+
     // -- INDEX GENERATION RESTORE, IVF lane (r12, pairs with q194): pin
     //    the even-vector index generation, append the odd vectors,
     //    compact (new version + pointer swap), RESTORE the pin, probe.

@@ -133,6 +133,15 @@ object Kernels {
     acc
   }
 
+  /** [[dotLong]] over plain JVM arrays (driver/UDF-side helper). */
+  def dotArrays(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** [[l2sqLong]] over plain JVM arrays (driver/UDF-side helper). */
   def l2sqArrays(a: Array[Long], b: Array[Long]): Long = {
     val n = math.min(a.length, b.length)

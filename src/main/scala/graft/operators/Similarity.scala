@@ -320,7 +320,185 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(root, "_assign"), false)
-    ()
+    writeMetric(spark, path, "cosine")
+  }
+
+  /** [[assignCell]] under the INNER-PRODUCT metric: centroid with the
+    * largest exact integer dot (ties → lowest id) — FAISS
+    * METRIC_INNER_PRODUCT's search rule applied to assignment. */
+  def assignCellIp(spark: org.apache.spark.sql.SparkSession,
+                   centroids: Array[(Int, Array[Long])])
+                  (qvec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val fn = udf((v: Seq[Long]) => {
+      if (v == null) -1
+      else {
+        val arr = v.toArray
+        var bestId = Int.MaxValue
+        var best = Long.MinValue
+        for ((id, c) <- bc.value) {
+          val d = graft.functions.Kernels.dotArrays(arr, c)
+          if (d > best || (d == best && id < bestId)) {
+            best = d; bestId = id
+          }
+        }
+        bestId
+      }
+    })
+    fn(qvec)
+  }
+
+  /** The `nprobe` largest-dot centroid ids (desc, ties → lowest id) —
+    * [[assignCells]] under the inner-product metric. */
+  def assignCellsIp(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[(Int, Array[Long])], nprobe: Int)
+                   (qvec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val fn = udf((v: Seq[Long]) => {
+      if (v == null) Seq.empty[Int]
+      else {
+        val arr = v.toArray
+        bc.value
+          .map { case (id, c) =>
+            (id, graft.functions.Kernels.dotArrays(arr, c)) }
+          .sortBy { case (id, d) => (-d, id) }
+          .take(nprobe).map(_._1).toSeq
+      }
+    })
+    fn(qvec)
+  }
+
+  /** Metric sidecar: `_metric` names the distance the index was built
+    * under ("cosine" / "l2" / "ip"); absence = cosine (the pre-r12
+    * layout). [[graft.plans.AnnRewrite]] reads it at registration so the
+    * declarative rewrite only answers queries in the INDEX'S metric —
+    * pgvector's per-operator-class index binding. */
+  private def writeMetric(spark: org.apache.spark.sql.SparkSession,
+                          path: String, metric: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, "._metric.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(metric.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+      new org.apache.hadoop.fs.Path(root, "_metric"))
+  }
+
+  private[graft] def indexMetric(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, "_metric")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "cosine"
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+  }
+
+  /** Persist an IVF index under the L2 metric: the quantized SEEDS are
+    * the centroids (the pre-trained-centroid mode, exactly [[ivfL2TopK]])
+    * and the corpus assigns to its l2-nearest cell. Same layout as
+    * [[writeIvfIndex]] (same maintenance: append/compact/vacuum/
+    * generation-snapshot all apply) plus the `_metric` sidecar. */
+  def writeIvfIndexL2(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                      seeds: DataFrame, seedId: Column, seedVec: Column,
+                      path: String): Unit =
+    writeIvfIndexMetric(corpus, corpusId, corpusVec, seeds, seedId, seedVec,
+      path, "l2")
+
+  /** Persist an IVF index under the INNER-PRODUCT metric (seeds as
+    * centroids, max-dot assignment). */
+  def writeIvfIndexIp(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                      seeds: DataFrame, seedId: Column, seedVec: Column,
+                      path: String): Unit =
+    writeIvfIndexMetric(corpus, corpusId, corpusVec, seeds, seedId, seedVec,
+      path, "ip")
+
+  private def writeIvfIndexMetric(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, seeds: DataFrame, seedId: Column, seedVec: Column,
+      path: String, metric: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Int, Array[Long])] = seeds
+      .select(seedId.cast("int").as("cell"),
+        F.vec_quantize(seedVec, 1000).as("cq"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell", "cq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assign = metric match {
+      case "l2" => assignCellL2(spark, cents) _
+      case "ip" => assignCellIp(spark, cents) _
+      case m => throw new IllegalArgumentException(s"unknown metric $m")
+    }
+    corpus.select(corpusId.as("neighbor_id"),
+        F.vec_quantize(corpusVec, 1000).as("cv"))
+      .withColumn("cell", assign(col("cv")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assign")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_assign"), false)
+    writeMetric(spark, path, metric)
+  }
+
+  /** [[ivfTopKIndexed]] under the L2 metric: probe the `nprobe`
+    * l2-nearest stored cells, rank by exact integer l2² asc / neighbor
+    * asc. Output: (query_id, cell, neighbor_id, l2sq, rn). */
+  def ivfL2TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, queryId: Column,
+                       queryVec: Column, k: Int,
+                       nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val cents = readCentroids(spark, path)
+    val q = queries.select(queryId.as("query_id"),
+        F.vec_quantize(queryVec, 1000).as("qv"))
+      .withColumn("cell",
+        explode(assignCellsL2(spark, cents, nprobe)(col("qv"))))
+      .localCheckpoint(false)
+    val cells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val assigned = spark.read.parquet(assignDir(spark, path))
+      .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("l2sq").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("l2sq"), col("rn"))
+  }
+
+  /** [[ivfTopKIndexed]] under the inner-product metric: probe the
+    * `nprobe` largest-dot stored cells, rank by exact integer dot desc /
+    * neighbor asc. Output: (query_id, cell, neighbor_id, dot, rn). */
+  def ivfIpTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, queryId: Column,
+                       queryVec: Column, k: Int,
+                       nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val cents = readCentroids(spark, path)
+    val q = queries.select(queryId.as("query_id"),
+        F.vec_quantize(queryVec, 1000).as("qv"))
+      .withColumn("cell",
+        explode(assignCellsIp(spark, cents, nprobe)(col("qv"))))
+      .localCheckpoint(false)
+    val cells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val assigned = spark.read.parquet(assignDir(spark, path))
+      .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", F.vec_dot_long(col("cv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("dot").desc, col("neighbor_id").asc))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("dot"), col("rn"))
   }
 
   /** The stored centroid array of an index at `path` (also consumed by
@@ -447,13 +625,21 @@ object Similarity {
     // compaction's pointer swap can no longer strand this batch.
     val spark = corpus.sparkSession
     val cents = readCentroids(spark, path)
+    // assignment follows the INDEX'S metric (the _metric sidecar): an
+    // append into an L2/IP index must land rows in the cells its probes
+    // will search, not cosine's
+    val assign: Column => Column = indexMetric(spark, path) match {
+      case "l2" => assignCellL2(spark, cents)
+      case "ip" => assignCellIp(spark, cents)
+      case _ => assignCell(spark, cents)
+    }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val stage =
       new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("append"))
     corpus.select(corpusId.as("neighbor_id"),
         F.vec_quantize(corpusVec, 1000).as("cv"))
-      .withColumn("cell", assignCell(spark, cents)(col("cv")))
+      .withColumn("cell", assign(col("cv")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(stage.toString)
     IndexOcc.stagedHook.get()()

@@ -24,6 +24,12 @@ import graft.operators.Similarity
   * the index. At 100 TB the difference is "scan the world per query"
   * versus "read nprobe/nlist of a pre-clustered lake".
   *
+  * METRICS (r12): the registration carries the index's `_metric` sidecar
+  * value and the rule answers only that metric's kernel + ordering —
+  * `CosineQ6 DESC` / `DotLong DESC` (similarity) / `L2sqLong ASC NULLS
+  * LAST` (distance) — pgvector's `<=>`/`<#>`/`<->` operator classes.
+  * An L2 query over a cosine index (or any cross pairing) keeps the scan.
+  *
   * UNLIKE the engine's other rewrite rules ([[ManifestAggs]], [[MvRewrite]]
   * — exactness-gated), an IVF probe is APPROXIMATE by construction: rows
   * outside the probed cells are never scored. Registering an index is
@@ -80,10 +86,14 @@ import graft.operators.Similarity
 object AnnIndex {
 
   /** A corpus' declarative-ANN opt-in: probe the IVF index at `indexPath`
-    * with `nprobe` cells for top-k queries over (`idCol`, `vecCol`). */
+    * with `nprobe` cells for top-k queries over (`idCol`, `vecCol`).
+    * `metric` is the index's distance (from its `_metric` sidecar —
+    * "cosine" / "l2" / "ip"); the rule answers only queries in that
+    * metric, pgvector's per-operator-class binding. */
   final case class Registration(indexPath: String, corpusPath: String,
                                 idCol: String, vecCol: String, nprobe: Int,
-                                fingerprint: String)
+                                fingerprint: String,
+                                metric: String = "cosine")
 
   /** normalized corpus path → registration (process-wide, like the
     * session catalogs optimizer rules consult). */
@@ -99,7 +109,8 @@ object AnnIndex {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     registry.put(MvRewrite.norm(corpusPath),
       Registration(indexPath, corpusPath, idCol, vecCol, nprobe,
-        fingerprint(spark, corpusPath)))
+        fingerprint(spark, corpusPath),
+        metric = Similarity.indexMetric(spark, indexPath)))
     ()
   }
 
@@ -198,10 +209,22 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (!upperFilters.forall(_.references.forall(a =>
       a.exprId == idOut.exprId || a.exprId == cosOut.exprId))) return None
 
-    // cosine expression: CosineQ6(quantized corpus vec, constant query)
-    val (cexpr, qexpr) = cosOut.child match {
-      case KernelExprs.CosineQ6(l, r) if r.foldable && !l.foldable => (l, r)
-      case KernelExprs.CosineQ6(l, r) if l.foldable && !r.foldable => (r, l)
+    // score expression: the registered metric's kernel over (quantized
+    // corpus vec, constant query) — any other metric's kernel keeps the
+    // scan (an L2 index cannot answer a cosine query and vice versa)
+    val (cexpr, qexpr) = (reg.metric, cosOut.child) match {
+      case ("cosine", KernelExprs.CosineQ6(l, r))
+          if r.foldable && !l.foldable => (l, r)
+      case ("cosine", KernelExprs.CosineQ6(l, r))
+          if l.foldable && !r.foldable => (r, l)
+      case ("l2", KernelExprs.L2sqLong(l, r))
+          if r.foldable && !l.foldable => (l, r)
+      case ("l2", KernelExprs.L2sqLong(l, r))
+          if l.foldable && !r.foldable => (r, l)
+      case ("ip", KernelExprs.DotLong(l, r))
+          if r.foldable && !l.foldable => (l, r)
+      case ("ip", KernelExprs.DotLong(l, r))
+          if l.foldable && !r.foldable => (r, l)
       case _ => return None
     }
     val qArr = qexpr.eval() match {
@@ -229,13 +252,21 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (!loweredFilters.forall(_.references.forall(a =>
       a.exprId == idOut.exprId || a.exprId == cosOut.exprId))) return None
 
-    // sort orders: cosine DESC NULLS LAST [, id ASC NULLS FIRST]
+    // sort orders: similarity metrics (cosine/ip) take the BEST score
+    // first — DESC NULLS LAST; the distance metric (l2) ASC NULLS LAST
+    // (`.asc_nulls_last` — plain .asc puts null-vector rows FIRST, a
+    // query no index can cover). Optionally followed by id ASC.
+    val scoreOrderOk: SortOrder => Boolean = so => (so, reg.metric) match {
+      case (SortOrder(c: AttributeReference, Descending, NullsLast, _),
+            "cosine" | "ip") => c.exprId == cosOut.exprId
+      case (SortOrder(c: AttributeReference, Ascending, NullsLast, _),
+            "l2") => c.exprId == cosOut.exprId
+      case _ => false
+    }
     sort.order match {
-      case Seq(SortOrder(c: AttributeReference, Descending, NullsLast, _))
-          if c.exprId == cosOut.exprId =>
-      case Seq(SortOrder(c: AttributeReference, Descending, NullsLast, _),
-               SortOrder(i: AttributeReference, Ascending, NullsFirst, _))
-          if c.exprId == cosOut.exprId && i.exprId == idOut.exprId =>
+      case Seq(so) if scoreOrderOk(so) =>
+      case Seq(so, SortOrder(i: AttributeReference, Ascending, NullsFirst, _))
+          if scoreOrderOk(so) && i.exprId == idOut.exprId =>
       case _ => return None
     }
 
@@ -243,24 +274,37 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // asserted index coverage for
     if (!AnnIndex.fresh(spark, reg)) return None
 
-    // plan-time centroid probe: nprobe nearest stored cells to the query
+    // plan-time centroid probe: nprobe best stored cells to the query,
+    // under the INDEX'S metric (the cells were assigned with it)
     val cents = Similarity.readCentroids(spark, reg.indexPath)
     if (cents.isEmpty) return None
     if (cents.head._2.length != qArr.length) return None
-    val probed = cents
-      .map { case (id, c) => (id, Kernels.cosineQ6Arrays(qArr, c)) }
-      .sortBy { case (id, cos) => (-cos, id) }
-      .take(reg.nprobe).map(_._1)
+    val probed = (reg.metric match {
+      case "l2" => cents
+        .map { case (id, c) => (id, Kernels.l2sqArrays(qArr, c).toDouble) }
+        .sortBy { case (id, d) => (d, id) }
+      case "ip" => cents
+        .map { case (id, c) => (id, Kernels.dotArrays(qArr, c).toDouble) }
+        .sortBy { case (id, d) => (-d, id) }
+      case _ => cents
+        .map { case (id, c) => (id, Kernels.cosineQ6Arrays(qArr, c)) }
+        .sortBy { case (id, cos) => (-cos, id) }
+    }).take(reg.nprobe).map(_._1)
 
     // replacement: read ONLY the probed cell= directories, score exactly
-    // the cosine the query asked for
+    // the metric expression the query asked for
     val qLit = ColumnBridge.column(
       Literal.create(qArr, ArrayType(LongType, containsNull = false)))
+    val score = reg.metric match {
+      case "l2" => F.vec_l2sq_long(col("cv"), qLit)
+      case "ip" => F.vec_dot_long(col("cv"), qLit)
+      case _ => F.vec_cosine_q6(col("cv"), qLit)
+    }
     val probeDf = spark.read
       .parquet(Similarity.assignDir(spark, reg.indexPath))
       .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
       .select(col("neighbor_id").cast(idOut.dataType).as(idOut.name),
-        F.vec_cosine_q6(col("cv"), qLit).as(cosOut.name))
+        score.as(cosOut.name))
     val newPlan = PlanBridge.plan(probeDf)
 
     // type fidelity, then re-anchor the original output attribute ids so

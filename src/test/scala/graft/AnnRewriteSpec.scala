@@ -274,4 +274,131 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
       assert(scanRoots(df).forall(_.contains("/emb")))
     } finally spark.conf.set("spark.graft.annRewrite", "true")
   }
+
+  // ---- metric matrix (r12): L2 / inner-product indexes -------------------
+
+  private lazy val (l2CorpusPath, l2IdxPath, ipCorpusPath, ipIdxPath) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annrw-metric").toString
+    val cpL2 = dir + "/embl2"; val cpIp = dir + "/embip"
+    val df = (0 until 240).map { i =>
+      (i.toLong,
+        (0 until dim).map(j => math.sin(i * 0.37 + j * 1.13) * 0.9))
+    }.toDF("vec_id", "embedding")
+    df.repartition(3).write.parquet(cpL2)
+    df.repartition(3).write.parquet(cpIp)
+    val embL2 = spark.read.parquet(cpL2)
+    Similarity.writeIvfIndexL2(embL2, col("vec_id"), col("embedding"),
+      embL2.filter(col("vec_id") < 6), col("vec_id"), col("embedding"),
+      dir + "/idxl2")
+    AnnIndex.register(spark, cpL2, dir + "/idxl2",
+      idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+    val embIp = spark.read.parquet(cpIp)
+    Similarity.writeIvfIndexIp(embIp, col("vec_id"), col("embedding"),
+      embIp.filter(col("vec_id") < 6), col("vec_id"), col("embedding"),
+      dir + "/idxip")
+    AnnIndex.register(spark, cpIp, dir + "/idxip",
+      idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+    (cpL2, dir + "/idxl2", cpIp, dir + "/idxip")
+  }
+
+  private def declarativeL2(cp: String): DataFrame =
+    spark.read.parquet(cp)
+      .select(col("vec_id"),
+        F.vec_l2sq_long(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("l2sq"))
+      .orderBy(col("l2sq").asc_nulls_last, col("vec_id"))
+      .limit(k)
+
+  private def declarativeIp(cp: String): DataFrame =
+    spark.read.parquet(cp)
+      .select(col("vec_id"),
+        F.vec_dot_long(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+
+  private def longRows(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("L2: ORDER BY l2sq ASC answers from the L2 index probe") {
+    val df = declarativeL2(l2CorpusPath)
+    val got = longRows(df)
+    val roots = scanRoots(df)
+    assert(roots.nonEmpty && roots.forall(_.contains("/idxl2")),
+      s"query still scans the corpus: $roots")
+    val cents = Similarity.readCentroids(spark, l2IdxPath)
+    val probed = cents
+      .map { case (cid, c) => (cid, Kernels.l2sqArrays(qv, c)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+    val expected = longRows(spark.read.parquet(s"$l2IdxPath/assign")
+      .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+      .select(col("neighbor_id").as("vec_id"),
+        F.vec_l2sq_long(col("cv"), typedlit(qv.toSeq)).as("l2sq"))
+      .orderBy(col("l2sq").asc_nulls_last, col("vec_id")).limit(k))
+    assert(got === expected)
+  }
+
+  test("IP: ORDER BY dot DESC answers from the IP index probe") {
+    val df = declarativeIp(ipCorpusPath)
+    val got = longRows(df)
+    val roots = scanRoots(df)
+    assert(roots.nonEmpty && roots.forall(_.contains("/idxip")),
+      s"query still scans the corpus: $roots")
+    val cents = Similarity.readCentroids(spark, ipIdxPath)
+    val probed = cents
+      .map { case (cid, c) => (cid, Kernels.dotArrays(qv, c)) }
+      .sortBy { case (cid, d) => (-d, cid) }.take(2).map(_._1)
+    val expected = longRows(spark.read.parquet(s"$ipIdxPath/assign")
+      .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+      .select(col("neighbor_id").as("vec_id"),
+        F.vec_dot_long(col("cv"), typedlit(qv.toSeq)).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id")).limit(k))
+    assert(got === expected)
+  }
+
+  test("cross-metric queries keep the scan (per-operator-class binding)") {
+    // cosine query over the L2-registered corpus
+    val cosOverL2 = spark.read.parquet(l2CorpusPath)
+      .select(col("vec_id"),
+        F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    assert(scanRoots(cosOverL2).forall(_.contains("/embl2")))
+    // l2 query over the cosine-registered corpus
+    val l2OverCos = spark.read.parquet(corpusPath)
+      .select(col("vec_id"),
+        F.vec_l2sq_long(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("l2sq"))
+      .orderBy(col("l2sq").asc_nulls_last, col("vec_id")).limit(k)
+    assert(scanRoots(l2OverCos).forall(_.contains("/emb")))
+  }
+
+  test("L2 with plain .asc (NULLS FIRST) keeps the scan — an index " +
+      "cannot surface null-vector rows the ordering puts first") {
+    val df = spark.read.parquet(l2CorpusPath)
+      .select(col("vec_id"),
+        F.vec_l2sq_long(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id")).limit(k)
+    assert(scanRoots(df).forall(_.contains("/embl2")))
+  }
+
+  test("append into an L2 index assigns under the L2 metric") {
+    val extra = Seq((5000L,
+      (0 until dim).map(j => math.sin(5000 * 0.37 + j * 1.13) * 0.9)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(extra, col("vec_id"), col("embedding"),
+      l2IdxPath)
+    val cents = Similarity.readCentroids(spark, l2IdxPath)
+    val qvec = extra.select(F.vec_quantize(col("embedding"), 1000))
+      .head.getSeq[Long](0).toArray
+    val expectCell = cents
+      .map { case (cid, c) => (cid, Kernels.l2sqArrays(qvec, c)) }
+      .minBy { case (cid, d) => (d, cid) }._1
+    val gotCell = spark.read.parquet(Similarity.assignDir(spark, l2IdxPath))
+      .filter(col("neighbor_id") === 5000L).select("cell").head.getInt(0)
+    assert(gotCell === expectCell,
+      "an L2-index append must use l2 assignment, not cosine's")
+  }
 }
