@@ -141,6 +141,9 @@ object Bench {
     /** Term-bucketed positional BM25 postings index over documents
       * (q174/q180/q181's shape) — the retrieval serving path. */
     val bm25Idx: String = tmp("bm25") + "/idx"
+    /** Cell-partitioned cosine IVF index over embeddings (q198's dense
+      * serving side; 8 seed cells). */
+    val ivfIdx: String = tmp("ivf") + "/idx"
 
     def customerProj: DataFrame = T("customer").select(col("c_custkey"),
       (col("c_custkey") % 256).cast("long").as("a"),
@@ -195,7 +198,16 @@ object Bench {
       graft.sources.Snapshots.snapshot(spark, flat, "bench")
       graft.operators.Retrieval.writeBm25Index(T("documents"),
         col("doc_id"), col("text"), bm25Idx, nBuckets = 64)
+      val emb = T("embeddings")
+      graft.operators.Similarity.writeIvfIndex(emb, col("vec_id"),
+        col("embedding"), emb.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), ivfIdx)
     }
+
+    /** Fixed hybrid query vector (embedding 7, q198's). */
+    lazy val hybridQv: Seq[Double] = T("embeddings")
+      .filter(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
   }
 
   /** IVF-PQ recall@10 against exact brute-force cosine top-10 at the q99
@@ -401,7 +413,11 @@ object Bench {
         new Timed("qR_bool_probe",
           graft.operators.Retrieval.searchBooleanIndex(spark, lakes.bm25Idx,
             must = Seq("spark"), should = Seq("vector", "dup"),
-            mustNot = Seq("slow"), k = 10).collect()))
+            mustNot = Seq("slow"), k = 10).collect()),
+        new Timed("qR_hybrid_probe",
+          graft.operators.Retrieval.hybridIndexTopK(spark, lakes.bm25Idx,
+            lakes.ivfIdx, Seq("dup", "vector", "spark"), lakes.hybridQv,
+            k = 20, poolK = 50, nprobe = 2).collect()))
 
     // q68_synth must be warmed before q68_pipeline can run at all, and the
     // lake fixtures before the qR_* lanes — warm-up order is listing order

@@ -53,7 +53,7 @@ object QueriesML {
     * re-assigned to the refined centroids. Ends at `r2`; callers define
     * their own `cell2` slice. Mirrors [[Similarity.ivfCentroids]] +
     * [[Similarity.assignCell]] bit-for-bit. */
-  private def dkIvfCells(seedMax: Int, where: String = ""): String = s"""
+  private[graft] def dkIvfCells(seedMax: Int, where: String = ""): String = s"""
       q AS (SELECT vec_id, ${dkQuant("embedding")} AS qv FROM embeddings $where),
       seeds AS (SELECT CAST(vec_id AS INT) AS sid, qv AS sv FROM q WHERE vec_id < $seedMax),
       a1 AS (SELECT vec_id, qv, sid, ${dkCos("qv", "sv")} AS cos FROM q, seeds),

@@ -237,6 +237,58 @@ object QueriesRetrieval {
           QTerms, qv, k = 20, poolK = 50)
       }),
 
+    // -- HYBRID search FROM THE PERSISTED INDEXES (r12): the lexical pool
+    //    from the bucket-pruned BM25 probe, the dense pool from the
+    //    2-cell IVF probe (query = embedding 7), fused with the same
+    //    exact-integer RRF as q175 — one query touches only index dirs,
+    //    never either corpus (plan-asserted in RetrievalSpec). The oracle
+    //    replays BOTH pruned pools and the fusion; a full-corpus dense
+    //    pool (the q175 answer) hash-mismatches, proving the probe lane.
+    QueryDef("q198_hybrid_index", Some(s"""
+      WITH ${dkBm25Chain(P)},
+      ${graft.QueriesML.dkIvfCells(8)},
+      lex AS (SELECT doc_id, row_number() OVER (
+                ORDER BY score_micros DESC, doc_id) AS r
+              FROM (SELECT * FROM scored WHERE score_micros > 0
+                    ORDER BY score_micros DESC, doc_id LIMIT 50)),
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell FROM r2 WHERE rn = 1),
+      qv0 AS (SELECT qv AS xv FROM q WHERE vec_id = 7),
+      qa AS (SELECT cent.cell, ${dkCos("xv", "cent.cq")} AS cos FROM qv0, cent),
+      qr AS (SELECT cell, row_number() OVER (ORDER BY cos DESC, cell) AS rn FROM qa),
+      probed AS (SELECT cell FROM qr WHERE rn <= 2),
+      dns AS (SELECT doc_id, row_number() OVER (
+                ORDER BY cos DESC, doc_id) AS r
+              FROM (SELECT neighbor_id AS doc_id, ${dkCos("cv", "xv")} AS cos
+                    FROM cell2 JOIN probed USING (cell) CROSS JOIN qv0
+                    ORDER BY cos DESC, doc_id LIMIT 50)),
+      fused AS (SELECT coalesce(l.doc_id, n.doc_id) AS doc_id,
+                  coalesce((2000000 + 60 + l.r) // (2 * (60 + l.r)), 0) +
+                  coalesce((2000000 + 60 + n.r) // (2 * (60 + n.r)), 0)
+                    AS rrf_micros,
+                  l.r AS bm25_rank, n.r AS ann_rank
+                FROM lex l FULL OUTER JOIN dns n ON l.doc_id = n.doc_id)
+      SELECT doc_id, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+             CAST(bm25_rank AS BIGINT) AS bm25_rank,
+             CAST(ann_rank AS BIGINT) AS ann_rank
+      FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT 20"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val emb = T(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-q198-hyb").toString
+        val bm25 = base + "/bm25"; val ivf = base + "/ivf"
+        Retrieval.writeBm25Index(docs, col("doc_id"), col("text"),
+          bm25, nBuckets = 16)
+        graft.operators.Similarity.writeIvfIndex(emb, col("vec_id"),
+          col("embedding"), emb.filter(col("vec_id") < 8),
+          col("vec_id"), col("embedding"), ivf)
+        val qv = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        Retrieval.hybridIndexTopK(s, bm25, ivf, QTerms, qv,
+          k = 20, poolK = 50, nprobe = 2)
+      }),
+
     // -- PHRASE query over the positional index (Lucene PhraseQuery,
     //    slop 0): exact token-sequence match via per-term position lists
     //    (p in pos(t0), p+1 in pos(t1)), scored as one BM25 term whose tf

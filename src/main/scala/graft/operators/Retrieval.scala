@@ -597,4 +597,55 @@ object Retrieval {
       .orderBy(col("rrf_micros").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** [[hybridTopK]] SERVED FROM THE PERSISTED INDEXES (r12, VERDICT r11
+    * #7): the lexical pool comes from the bucket-pruned BM25 probe
+    * ([[searchBm25Index]] — reads ≤ |terms| bucket dirs) and the dense
+    * pool from the cell-pruned IVF probe (reads nprobe cell dirs of the
+    * cosine index at `ivfPath`), fused with the SAME exact-integer RRF.
+    * One query touches index directories only — never either corpus —
+    * which is the serving-path composition a 100 TB deployment needs
+    * (the recompute-from-corpus [[hybridTopK]] stays as the oracle-exact
+    * batch lane). The dense pool is nprobe-approximate exactly like every
+    * IVF probe; ranks within each pool are deterministic (score desc,
+    * doc_id asc), so the fusion replays bit-for-bit in the q198 oracle. */
+  def hybridIndexTopK(spark: SparkSession, bm25Path: String, ivfPath: String,
+                      terms: Seq[String], queryVec: Seq[Double],
+                      k: Int, poolK: Int = 50, c: Int = 60, nprobe: Int = 1,
+                      params: Bm25Params = Bm25Params()): DataFrame = {
+    require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val lexPool = searchBm25Index(spark, bm25Path, terms, poolK, params)
+      .select(col("doc_id"), col("score_micros"))
+    val lex = lexPool.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("score_micros").desc,
+        col("doc_id"))).cast("long").as("bm25_rank"))
+    // the same float→q3 quantization hybridTopK applies to the raw query
+    val qvArr: Array[Long] = queryVec
+      .map(d => math.floor(d.toFloat.toDouble * 1000 + 0.5).toLong).toArray
+    val cents = Similarity.readCentroids(spark, ivfPath)
+    val probed = cents
+      .map { case (id, cv) =>
+        (id, graft.functions.Kernels.cosineQ6Arrays(qvArr, cv)) }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(nprobe).map(_._1)
+    val densePool = spark.read
+      .parquet(Similarity.assignDir(spark, ivfPath))
+      .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+      .select(col("neighbor_id").cast("long").as("doc_id"),
+        F.vec_cosine_q6(col("cv"), typedlit(qvArr.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(poolK)
+    val dense = densePool.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
+        .cast("long").as("ann_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(rrfPoints(col("bm25_rank"), c), lit(0L)) +
+          coalesce(rrfPoints(col("ann_rank"), c), lit(0L)))
+          .as("rrf_micros"),
+        col("bm25_rank"), col("ann_rank"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -336,4 +336,67 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       Retrieval.searchPhraseIndex(spark, full, q, 30).collect().toSeq,
       "positions must ride appends unchanged")
   }
+
+  test("hybridIndexTopK serves from the indexes only — neither corpus " +
+      "is scanned — and fuses the pruned pools exactly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hybidx").toString
+    val docsPath = s"$dir/docs"; val embPath = s"$dir/emb"
+    val bm25 = s"$dir/bm25"; val ivf = s"$dir/ivf"
+    docs((1L to 120L).map(i =>
+      i -> s"alpha w${i % 13} ${if (i % 3 == 0) "beta" else "gamma"}"): _*)
+      .write.parquet(docsPath)
+    (0 until 120).map { i =>
+      (i.toLong,
+        (0 until 8).map(j => (math.sin(i * 0.37 + j * 1.13) * 0.9).toFloat))
+    }.toDF("vec_id", "embedding").write.parquet(embPath)
+    val d = spark.read.parquet(docsPath)
+    val e = spark.read.parquet(embPath)
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), bm25, 8)
+    graft.operators.Similarity.writeIvfIndex(e, col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") < 6),
+      col("vec_id"), col("embedding"), ivf)
+    val qv = e.filter(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val fused = Retrieval.hybridIndexTopK(spark, bm25, ivf,
+      Seq("alpha", "beta"), qv, k = 10, poolK = 25, nprobe = 2)
+    val got = fused.collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq
+    // plan: every file scan reads an index dir, never a corpus dir
+    def scanRoots(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      collectWithSubqueries(p) { case f: FileSourceScanExec => f }
+        .flatMap(_.relation.location.rootPaths.map(_.toString))
+    val roots = scanRoots(fused.queryExecution.executedPlan)
+    assert(roots.nonEmpty)
+    assert(roots.forall(r => r.contains("/bm25") || r.contains("/ivf")),
+      s"hybrid serving must not touch a corpus: $roots")
+    // exact fusion replay from the two pruned pools, assembled by hand
+    def rrf(rank: Long): Long = {
+      val num = 2L * 1000000L + (60L + rank); val den = 2L * (60L + rank)
+      num / den
+    }
+    val lexRanks = Retrieval
+      .searchBm25Index(spark, bm25, Seq("alpha", "beta"), 25)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val qvq = qv.map(x => math.floor(x.toFloat.toDouble * 1000 + 0.5).toLong)
+    val cents = graft.operators.Similarity.readCentroids(spark, ivf)
+    val probed = cents.map { case (id, c) =>
+        (id, graft.functions.Kernels.cosineQ6Arrays(qvq.toArray, c)) }
+      .sortBy { case (id, cos) => (-cos, id) }.take(2).map(_._1)
+    val denseRanks = spark.read
+      .parquet(graft.operators.Similarity.assignDir(spark, ivf))
+      .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+      .select(col("neighbor_id").cast("long").as("id"),
+        graft.functions.Functions.vec_cosine_q6(col("cv"),
+          typedlit(qvq)).as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(25)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val expected = (lexRanks.keySet ++ denseRanks.keySet).toSeq
+      .map(id => (id, lexRanks.get(id).map(rrf).getOrElse(0L) +
+        denseRanks.get(id).map(rrf).getOrElse(0L)))
+      .sortBy { case (id, pts) => (-pts, id) }.take(10)
+    assert(got === expected)
+  }
 }
