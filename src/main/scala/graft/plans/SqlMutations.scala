@@ -61,6 +61,12 @@ import graft.sources.{Snapshots, ZLake}
   *    CALL graft.restore('/lake/t', 'v1')         -- roll back to snapshot
   *    CALL graft.snapshot_all('v1', '/lake/a', '/lake/b') -- group pin
   *    CALL graft.restore_all('v1', '/lake/a', '/lake/b')  -- group rollback
+  *    -- 'index:<path>' members pin/restore a derived index's GENERATION
+  *    -- (BM25 postings / IVF assignment) with the group:
+  *    CALL graft.snapshot_all('v1', '/lake/a', 'index:/idx/bm25')
+  *    CALL graft.index_snapshot('/idx/bm25', 'v1')   -- single-index pin
+  *    CALL graft.index_restore('/idx/bm25', 'v1')
+  *    CALL graft.index_snapshots('/idx/bm25')        -- list pins
   *    }}}
   *    Everything else delegates to Spark's parser verbatim.
   *
@@ -629,12 +635,21 @@ object GraftSqlParser {
             Some(GraftRestoreCommand(args(0), args(1)))
           case "snapshot_all" =>
             arity(args.length >= 2,
-              "snapshot_all('<tag>', '<root>'[, '<root>'...])")
+              "snapshot_all('<tag>', '<root>'[, 'index:<path>'...])")
             Some(GraftSnapshotAllCommand(args.head, args.tail))
           case "restore_all" =>
             arity(args.length >= 2,
-              "restore_all('<tag>', '<root>'[, '<root>'...])")
+              "restore_all('<tag>', '<root>'[, 'index:<path>'...])")
             Some(GraftRestoreAllCommand(args.head, args.tail))
+          case "index_snapshot" =>
+            arity(args.length == 2, "index_snapshot('<index root>', '<tag>')")
+            Some(GraftIndexSnapshotCommand(args(0), args(1)))
+          case "index_restore" =>
+            arity(args.length == 2, "index_restore('<index root>', '<tag>')")
+            Some(GraftIndexRestoreCommand(args(0), args(1)))
+          case "index_snapshots" =>
+            arity(args.length == 1, "index_snapshots('<index root>')")
+            Some(GraftIndexSnapshotsListCommand(args(0)))
           case "upsert" =>
             arity(args.length == 3,
               "upsert('<root>', '<source view>', '<keyCol>')")
@@ -763,10 +778,15 @@ case class GraftSnapshotAllCommand(tag: String, roots: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("tag", StringType)(),
-    AttributeReference("tables", IntegerType)())
+    AttributeReference("tables", IntegerType)(),
+    AttributeReference("indexes", IntegerType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    Snapshots.snapshotTables(spark, roots, tag)
-    Seq(Row(tag, roots.distinct.size))
+    // an 'index:<path>'-prefixed member is a DERIVED-INDEX root: its
+    // GENERATION pins under the same tag while every lake lock is held
+    val (idx, lakes) = roots.partition(_.startsWith("index:"))
+    val idxRoots = idx.map(_.stripPrefix("index:"))
+    Snapshots.snapshotTables(spark, lakes, tag, indexRoots = idxRoots)
+    Seq(Row(tag, lakes.distinct.size, idxRoots.distinct.size))
   }
 }
 
@@ -782,10 +802,48 @@ case class GraftRestoreAllCommand(tag: String, roots: Seq[String])
     AttributeReference("files_restored", IntegerType)(),
     AttributeReference("files_dropped", IntegerType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    Snapshots.restoreTables(spark, roots, tag).toSeq.sortBy(_._1)
+    val (idx, lakes) = roots.partition(_.startsWith("index:"))
+    val idxRoots = idx.map(_.stripPrefix("index:"))
+    Snapshots.restoreTables(spark, lakes, tag, indexRoots = idxRoots)
+      .toSeq.sortBy(_._1)
       .map { case (r, rep) =>
         Row(r, rep.filesKept, rep.filesRestored, rep.filesDropped) }
   }
+}
+
+/** `CALL graft.index_snapshot(indexRoot, tag)` — pin a derived index's
+  * GENERATION ([[graft.operators.IndexSnapshots.snapshot]]): pointer,
+  * active-dir file identities, stats sidecar, companion dirs. */
+case class GraftIndexSnapshotCommand(root: String, tag: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.IndexSnapshots.snapshot(spark, root, tag)
+    Seq(Row(tag))
+  }
+}
+
+/** `CALL graft.index_restore(indexRoot, tag)` — republish the pinned
+  * generation ([[graft.operators.IndexSnapshots.restore]]). */
+case class GraftIndexRestoreCommand(root: String, tag: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_restored", IntegerType)(),
+    AttributeReference("version", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = graft.operators.IndexSnapshots.restore(spark, root, tag)
+    Seq(Row(rep.filesRestored, rep.newVersion))
+  }
+}
+
+/** `CALL graft.index_snapshots(indexRoot)` — list generation pins. */
+case class GraftIndexSnapshotsListCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.operators.IndexSnapshots.list(spark, root).map(Row(_))
 }
 
 /** `CALL graft.restore(root, tag)` — roll the live lake back to snapshot

@@ -119,6 +119,41 @@ class IndexSnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(IndexSnapshots.deleteSnapshot(spark, path, "pin"))
   }
 
+  test("SQL spellings: index_snapshot / index_snapshots / index_restore, " +
+      "and 'index:' members in snapshot_all/restore_all") {
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-isnap-sql-lake").toString + "/t"
+    val idx = tmp("isnap-sql")
+    val base = docs(1 to 60)
+      .withColumn("a", col("doc_id") % 8).withColumn("b", col("doc_id") % 5)
+    graft.sinks.Sinks.zorderedWrite(base, "a", "b", lake, numFiles = 4,
+      bits = 6)
+    Retrieval.writeBm25Index(base, col("doc_id"), col("text"), idx, 8)
+    val pinned = Retrieval.searchBm25Index(spark, idx, q, 30).collect().toSeq
+    val r = spark
+      .sql(s"CALL graft.snapshot_all('sq', '$lake', 'index:$idx')").collect()
+    assert(r.head.getAs[Int]("tables") == 1)
+    assert(r.head.getAs[Int]("indexes") == 1)
+    assert(spark.sql(s"CALL graft.index_snapshots('$idx')")
+      .collect().map(_.getString(0)).toSeq == Seq("sq"))
+    Retrieval.appendBm25Index(docs(61 to 120), col("doc_id"), col("text"),
+      idx)
+    Retrieval.compactBm25Index(spark, idx)
+    spark.sql(s"CALL graft.restore_all('sq', '$lake', 'index:$idx')")
+      .collect()
+    assert(Retrieval.searchBm25Index(spark, idx, q, 30).collect().toSeq
+      == pinned)
+    // single-index verbs round-trip too
+    spark.sql(s"CALL graft.index_snapshot('$idx', 'sq2')").collect()
+    Retrieval.appendBm25Index(docs(121 to 150), col("doc_id"), col("text"),
+      idx)
+    val rep = spark.sql(s"CALL graft.index_restore('$idx', 'sq2')")
+      .collect().head
+    assert(rep.getAs[Int]("files_restored") > 0)
+    assert(Retrieval.searchBm25Index(spark, idx, q, 30).collect().toSeq
+      == pinned)
+  }
+
   test("group snapshot/restore with indexRoots rolls lakes AND index " +
       "generations back together") {
     val lake = java.nio.file.Files
