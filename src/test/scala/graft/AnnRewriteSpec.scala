@@ -384,6 +384,31 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(scanRoots(df).forall(_.contains("/embl2")))
   }
 
+  test("filtered ANN works under the L2 metric too (covered predicates " +
+      "ride the probe)") {
+    val df = spark.read.parquet(l2CorpusPath)
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        F.vec_l2sq_long(F.vec_quantize(col("embedding"), 1000),
+          typedlit(qv.toSeq)).as("l2sq"))
+      .orderBy(col("l2sq").asc_nulls_last, col("vec_id"))
+      .limit(k)
+    val got = longRows(df)
+    assert(scanRoots(df).forall(_.contains("/idxl2")),
+      "covered id filter must not keep the scan")
+    val cents = Similarity.readCentroids(spark, l2IdxPath)
+    val probed = cents
+      .map { case (cid, c) => (cid, Kernels.l2sqArrays(qv, c)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+    val expected = longRows(spark.read.parquet(s"$l2IdxPath/assign")
+      .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+      .filter(col("neighbor_id") % 3 === 0)
+      .select(col("neighbor_id").as("vec_id"),
+        F.vec_l2sq_long(col("cv"), typedlit(qv.toSeq)).as("l2sq"))
+      .orderBy(col("l2sq").asc_nulls_last, col("vec_id")).limit(k))
+    assert(got === expected)
+  }
+
   test("append into an L2 index assigns under the L2 metric") {
     val extra = Seq((5000L,
       (0 until dim).map(j => math.sin(5000 * 0.37 + j * 1.13) * 0.9)))

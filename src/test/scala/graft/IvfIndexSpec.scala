@@ -98,4 +98,59 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     val all = spark.read.parquet(s"$path/assign").count()
     assert(all == 60L, s"append lost rows: $all")
   }
+
+  test("L2 indexed probe is row-identical to the one-shot ivfL2TopK") {
+    val corpus = vecs(80)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val seeds = corpus.filter(col("vec_id") < 8)
+    val path = tmp()
+    Similarity.writeIvfIndexL2(corpus, col("vec_id"), col("embedding"),
+      seeds, col("vec_id"), col("embedding"), path)
+    val direct = Similarity.ivfL2TopK(corpus, col("vec_id"),
+        col("embedding"), queries, col("vec_id"), col("embedding"),
+        seeds, col("vec_id"), col("embedding"), k = 4, nprobe = 2)
+      .as[(Long, Int, Long, Long, Int)].collect().toSet
+    val indexed = Similarity.ivfL2TopKIndexed(spark, path, queries,
+        col("vec_id"), col("embedding"), k = 4, nprobe = 2)
+      .as[(Long, Int, Long, Long, Int)].collect().toSet
+    assert(indexed == direct,
+      s"only-indexed: ${indexed -- direct}\nonly-direct: ${direct -- indexed}")
+    assert(indexed.nonEmpty)
+  }
+
+  test("IP indexed probe ranks by exact integer dot within probed cells") {
+    val corpus = vecs(80)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val seeds = corpus.filter(col("vec_id") < 8)
+    val path = tmp()
+    Similarity.writeIvfIndexIp(corpus, col("vec_id"), col("embedding"),
+      seeds, col("vec_id"), col("embedding"), path)
+    val got = Similarity.ivfIpTopKIndexed(spark, path, queries,
+        col("vec_id"), col("embedding"), k = 4, nprobe = 2)
+      .as[(Long, Int, Long, Long, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    // hand-replay: probe the 2 max-dot cells, rank candidates by dot
+    val cents = Similarity.readCentroids(spark, path)
+    val byId = corpus.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f =>
+          math.floor(f.toDouble * 1000 + 0.5).toLong).toArray).toMap
+    val assigned = spark.read
+      .parquet(Similarity.assignDir(spark, path))
+      .select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val qv = byId(qid)
+      val probed = cents
+        .map { case (cid, c) =>
+          (cid, graft.functions.Kernels.dotArrays(qv, c)) }
+        .sortBy { case (cid, d) => (-d, cid) }.take(2).map(_._1).toSet
+      val expect = assigned.collect {
+        case (nid, cell) if probed.contains(cell) && nid != qid =>
+          (nid, graft.functions.Kernels.dotArrays(byId(nid), qv))
+      }.toSeq.sortBy { case (nid, d) => (-d, nid) }.take(4)
+      assert(rows.sortBy(_._5).map(r => (r._3, r._4)) == expect,
+        s"query $qid")
+    }
+  }
 }
