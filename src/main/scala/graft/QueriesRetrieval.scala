@@ -114,6 +114,52 @@ object QueriesRetrieval {
 
   private val P = Retrieval.Bm25Params()
 
+  /** Engine-deposited (df → idf-micros) pairs for the MLT oracles — the
+    * q167 lnm pattern: the engine's own `floor(ln(·)·10⁶+0.5)` values
+    * ship into the SQL as a literal `idf(df_v, m)` table, so DuckDB
+    * replays selection and scoring in pure integer / IEEE-division
+    * arithmetic and never calls its own `ln`. Standalone dumps (no run)
+    * fall back to a self-contained ln recompute over the chain's own
+    * distinct df values. */
+  private[graft] object IdfOracle {
+    private val tables =
+      new scala.collection.concurrent.TrieMap[String, Seq[(Long, Long)]]()
+    def register(key: String, pairs: Seq[(Long, Long)]): Unit = {
+      tables.put(key, pairs.distinct.sorted); ()
+    }
+    def cte(key: String): String = tables.get(key) match {
+      case Some(ps) if ps.nonEmpty =>
+        val rows = ps.map { case (d, m) => s"($d,$m)" }.mkString(",")
+        s"idf(df_v, m) AS (VALUES $rows)"
+      case _ =>
+        """idf AS (SELECT df AS df_v,
+             CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) /
+               (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS m
+           FROM (SELECT DISTINCT df FROM dfq), s)"""
+    }
+  }
+
+  /** Shared MLT CTE block (source doc 42, minTermFreq = 2, minDocFreq =
+    * 1): source-doc tf, corpus df per candidate (`list_contains` join —
+    * the relational spelling of the index's postings presence), idf from
+    * [[IdfOracle]], selection score = exact integer tf·m. Ends at
+    * `sel(term, tf, df, m, sel_micros)` over ALL candidates plus the
+    * corpus stats `s(n, tt)` and token lane `d`. */
+  private def dkMltChain(idfCte: String): String = s"""
+      src AS (SELECT ${dkToks("text")} AS ts FROM documents
+              WHERE doc_id = 42),
+      d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      cand AS (SELECT term, count(*) AS tf
+               FROM (SELECT unnest(ts) AS term FROM src)
+               GROUP BY 1 HAVING count(*) >= 2),
+      s AS (SELECT count(*) AS n, coalesce(sum(len(ts)), 0) AS tt FROM d),
+      dfq AS (SELECT c.term, c.tf, count(*) AS df
+              FROM cand c JOIN d ON list_contains(d.ts, c.term)
+              GROUP BY 1, 2),
+      $idfCte,
+      sel AS (SELECT q.term, q.tf, q.df, i.m, q.tf * i.m AS sel_micros
+              FROM dfq q JOIN idf i ON q.df = i.df_v)"""
+
   val all: Vector[QueryDef] = Vector(
 
     // -- BM25 (Robertson TREC-3; Lucene k1=1.2 b=0.75 variant with the
@@ -394,6 +440,72 @@ object QueriesRetrieval {
         Dsir.select(docs, col("doc_id"), col("text"),
           docs.filter(col("source") === "src18"), col("text"),
           k = 50, seed = 42L, numBuckets = 64)
+      }),
+
+    // -- MORE-LIKE-THIS term selection (Lucene MoreLikeThis, r12): the
+    //    source doc's terms with tf >= 2 ranked by the exact integer
+    //    tf · idf-micros (idf = the repo's q6 Lucene-BM25 idf, df from
+    //    the index postings), top 8. The oracle replays tf, df, and the
+    //    ranking over ALL candidates with the engine-deposited idf
+    //    table — a wrong df, a dropped candidate, or a selection-order
+    //    slip all change the hash.
+    QueryDef("q199_mlt_terms", Some(s"""
+      WITH ${dkMltChain(IdfOracle.cte("q199_mlt_terms"))}
+      SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             CAST(sel_micros AS BIGINT) AS sel_micros
+      FROM sel ORDER BY sel_micros DESC, term LIMIT 8"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-mlt-terms").toString + "/idx"
+        Retrieval.writeBm25Index(docs, col("doc_id"), col("text"), path,
+          nBuckets = 16)
+        val txt = docs.filter(col("doc_id") === 42)
+          .select(col("text")).head().getString(0)
+        IdfOracle.register("q199_mlt_terms",
+          Retrieval.mltCandidateTerms(s, path, txt, 2, 1)
+            .map(m => (m.df, m.idfMicros)))
+        Retrieval.mltTerms(s, path, txt, maxQueryTerms = 8)
+      }),
+
+    // -- MORE-LIKE-THIS search (r12): the 8 selected terms run as a BM25
+    //    query through the bucket-pruned probe, source doc excluded
+    //    BEFORE the top-k cut. The oracle replays selection AND scoring
+    //    (idf6 = m/10⁶ — the IEEE division both engines round
+    //    identically — in the probe's exact association order); a leaked
+    //    source doc, a post-limit exclusion, or a term-set drift all
+    //    hash-mismatch.
+    QueryDef("q200_mlt_search", Some(s"""
+      WITH ${dkMltChain(IdfOracle.cte("q200_mlt_search"))},
+      selt AS (SELECT term, m FROM sel
+               ORDER BY sel_micros DESC, term LIMIT 8),
+      sc AS (SELECT d.doc_id, CAST(floor((CAST(t.m AS DOUBLE) / 1000000.0) *
+               (CAST(len(list_filter(d.ts, x -> x = t.term)) AS DOUBLE)
+                  * ${P.k1 + 1.0} /
+                (CAST(len(list_filter(d.ts, x -> x = t.term)) AS DOUBLE)
+                  + ${P.k1} * (${1.0 - P.b} + ${P.b} *
+                    CAST(len(d.ts) AS DOUBLE) * CAST(s.n AS DOUBLE) /
+                    CAST(s.tt AS DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS mm
+            FROM d JOIN selt t ON list_contains(d.ts, t.term)
+            CROSS JOIN s)
+      SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
+      FROM (SELECT doc_id, sum(mm) AS score_micros FROM sc GROUP BY 1)
+      WHERE score_micros > 0 AND doc_id <> 42
+      ORDER BY score_micros DESC, doc_id LIMIT 15"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-mlt-search").toString + "/idx"
+        Retrieval.writeBm25Index(docs, col("doc_id"), col("text"), path,
+          nBuckets = 16)
+        val txt = docs.filter(col("doc_id") === 42)
+          .select(col("text")).head().getString(0)
+        IdfOracle.register("q200_mlt_search",
+          Retrieval.mltCandidateTerms(s, path, txt, 2, 1)
+            .map(m => (m.df, m.idfMicros)))
+        Retrieval.moreLikeThis(s, path, txt, k = 15,
+          excludeDocId = Some(42L), maxQueryTerms = 8)
       })
   )
 }

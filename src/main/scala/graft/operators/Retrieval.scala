@@ -379,7 +379,18 @@ object Retrieval {
     * not the corpus. Returns the top-k `(doc_id, score_micros)`. */
   def searchBm25Index(spark: SparkSession, path: String, terms: Seq[String],
                       k: Int,
-                      params: Bm25Params = Bm25Params()): DataFrame = {
+                      params: Bm25Params = Bm25Params()): DataFrame =
+    indexScores(spark, path, terms, params)
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+
+  /** The bucket-pruned scored lane [[searchBm25Index]] orders: every
+    * matching document's `(doc_id, score_micros)` with micros > 0,
+    * unordered. [[moreLikeThis]] filters the source document out of this
+    * BEFORE its top-k cut (an exclusion after `limit` would lose a row). */
+  private def indexScores(spark: SparkSession, path: String,
+                          terms: Seq[String],
+                          params: Bm25Params): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
     val (nDocs, totalTokens, nBuckets) = readStats(spark, path)
@@ -409,6 +420,107 @@ object Retrieval {
     scored.select(col("doc_id"), perTerm.as("m"))
       .groupBy("doc_id").agg(sum(col("m")).as("score_micros"))
       .filter(col("score_micros") > 0)
+  }
+
+  // ---- more-like-this (Lucene MoreLikeThis) ---------------------------
+
+  /** One selected MLT query term: source-document frequency `tf`, corpus
+    * document frequency `df` (from the index postings), the q6 idf as
+    * integer micros, and the selection score `selMicros = tf · idfMicros`
+    * — exact integer, so selection order replays in any engine. */
+  final case class MltTerm(term: String, tf: Long, df: Long,
+                           idfMicros: Long, selMicros: Long)
+
+  /** The "interesting terms" of Lucene's `MoreLikeThis`: the source
+    * document's terms ranked by tf·idf, capped at `maxQueryTerms`.
+    *
+    * Deviations from classic MLT, both deliberate: the idf is the SAME
+    * q6-rounded Lucene-BM25 idf the rest of the repo uses (one idf
+    * contract, not MLT's `log(N/df)`), and the selection score is the
+    * exact integer `tf · floor(idf·10⁶ + 0.5)` so ranking ties break
+    * identically everywhere (micros desc, term asc).
+    *
+    * Scale shape: the source text tokenizes in one single-row local job
+    * (the SAME [[TF.tokens]] kernel the index build used — no second
+    * tokenizer contract); df for the candidate terms comes from ONE
+    * bucket-pruned postings probe reading ≤ |candidate| buckets. Cost
+    * follows the source document's vocabulary, never the corpus. */
+  def mltSelectTerms(spark: SparkSession, path: String, docText: String,
+                     maxQueryTerms: Int, minTermFreq: Int = 2,
+                     minDocFreq: Int = 1): Seq[MltTerm] = {
+    require(maxQueryTerms >= 1, s"maxQueryTerms must be >= 1 (got $maxQueryTerms)")
+    mltCandidateTerms(spark, path, docText, minTermFreq, minDocFreq)
+      .sortBy(m => (-m.selMicros, m.term)).take(maxQueryTerms)
+  }
+
+  /** Every candidate MLT term (tf/df gates applied, NO top cut), term
+    * order — the full set [[mltSelectTerms]] ranks. Exposed to the gate
+    * so its oracle can deposit the (df → idf-micros) pairs for ALL
+    * candidates and replay the selection itself. */
+  private[graft] def mltCandidateTerms(spark: SparkSession, path: String,
+                                       docText: String, minTermFreq: Int,
+                                       minDocFreq: Int): Seq[MltTerm] = {
+    require(minTermFreq >= 1, s"minTermFreq must be >= 1 (got $minTermFreq)")
+    require(minDocFreq >= 1, s"minDocFreq must be >= 1 (got $minDocFreq)")
+    val (nDocs, _, nBuckets) = readStats(spark, path)
+    val ts = spark.range(1)
+      .select(TF.tokens(lit(docText)).as("ts")).head().getSeq[String](0)
+    val tf: Map[String, Long] =
+      ts.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val cands = tf.filter(_._2 >= minTermFreq).keys.toSeq.sorted
+    if (cands.isEmpty) return Seq.empty
+    val buckets = cands.map(t =>
+      (graft.functions.Kernels.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        % nBuckets.toLong).toInt)
+    val dfByTerm = spark.read.parquet(postingsDir(spark, path))
+      .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
+        col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cands.flatMap { t =>
+      dfByTerm.get(t).filter(_ >= minDocFreq).map { d =>
+        // the inner expression of Bm25Stats.idf6 BEFORE its /1e6 round
+        // trip — kept as the integer so selMicros is an exact product
+        val idfMicros = math.floor(math.log(
+          1.0 + (nDocs.toDouble - d.toDouble + 0.5) / (d.toDouble + 0.5))
+          * 1e6 + 0.5).toLong
+        MltTerm(t, tf(t), d, idfMicros, tf(t) * idfMicros)
+      }
+    }
+  }
+
+  /** [[mltSelectTerms]] as a DataFrame lane (term, tf, df, sel_micros) in
+    * selection order — the q199 gate surface. The result is
+    * query-term-sized (≤ maxQueryTerms rows) by construction. */
+  def mltTerms(spark: SparkSession, path: String, docText: String,
+               maxQueryTerms: Int, minTermFreq: Int = 2,
+               minDocFreq: Int = 1): DataFrame = {
+    import spark.implicits._
+    mltSelectTerms(spark, path, docText, maxQueryTerms, minTermFreq,
+        minDocFreq)
+      .map(m => (m.term, m.tf, m.df, m.selMicros))
+      .toDF("term", "tf", "df", "sel_micros")
+  }
+
+  /** Lucene `MoreLikeThis` over the persisted index: select the source
+    * document's top tf·idf terms ([[mltSelectTerms]]) and run them as a
+    * BM25 query through the bucket-pruned probe, excluding the source
+    * document itself (the exclusion lands BEFORE the top-k cut). The
+    * whole query touches ≤ |candidate terms| + |selected terms| bucket
+    * directories — never the corpus. Output `(doc_id, score_micros)`,
+    * score desc / doc_id asc. */
+  def moreLikeThis(spark: SparkSession, path: String, docText: String,
+                   k: Int, excludeDocId: Option[Long] = None,
+                   maxQueryTerms: Int = 10, minTermFreq: Int = 2,
+                   minDocFreq: Int = 1,
+                   params: Bm25Params = Bm25Params()): DataFrame = {
+    val sel = mltSelectTerms(spark, path, docText, maxQueryTerms,
+      minTermFreq, minDocFreq)
+    require(sel.nonEmpty,
+      s"no MLT query terms survive tf >= $minTermFreq && df >= $minDocFreq")
+    indexScores(spark, path, sel.map(_.term), params)
+      .filter(excludeDocId.map(col("doc_id") =!= _).getOrElse(lit(true)))
       .orderBy(col("score_micros").desc, col("doc_id"))
       .limit(k)
   }

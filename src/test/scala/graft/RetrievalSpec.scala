@@ -106,6 +106,67 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       "appended index must rank identically to a fresh full build")
   }
 
+  test("MLT term selection matches an independent tf·idf recount, " +
+      "respects both gates and the top cut") {
+    val d = docs((1L to 80L).map(i =>
+      i -> (s"common w${i % 9} " +
+        (if (i % 4 == 0) "scarce scarce " else "") +
+        (if (i == 5) "cat cat cat dog dog unique bird" else "filler"))): _*)
+    val path = tmp("mlt-sel")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path, 16)
+    val src = "cat cat cat dog dog scarce scarce common unique bird bird"
+
+    // independent recount: same tokenizer contract, df by corpus scan
+    val corpus = d.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet).toMap
+    val toks = src.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val tf = toks.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val expected = tf.filter(_._2 >= 2).keys.toSeq
+      .map { t =>
+        val df = corpus.values.count(_.contains(t)).toLong
+        val m = math.floor(math.log(
+          1.0 + (80.0 - df.toDouble + 0.5) / (df.toDouble + 0.5))
+          * 1e6 + 0.5).toLong
+        (t, tf(t), df, tf(t) * m)
+      }
+      .filter(_._3 >= 1)
+      .sortBy { case (t, _, _, s) => (-s, t) }.take(3)
+    val got = Retrieval.mltSelectTerms(spark, path, src, maxQueryTerms = 3)
+      .map(m => (m.term, m.tf, m.df, m.selMicros))
+    assert(got == expected, s"selection must replay the recount:\n$got\n$expected")
+    // tf gate: 'unique' (tf=1) must never be a candidate even though its
+    // idf is the corpus maximum
+    assert(!got.exists(_._1 == "unique"))
+    // high-tf·high-idf beats high-tf·low-idf: 'cat' (tf=3, df=1) first
+    assert(got.head._1 == "cat")
+  }
+
+  test("moreLikeThis excludes the source document before the top-k cut " +
+      "and equals the probe over the selected terms") {
+    val d = docs((1L to 60L).map(i =>
+      i -> (s"base w${i % 7} " +
+        (if (i % 5 == 0) "topic topic " else "") +
+        (if (i == 9) "topic topic theme theme motif" else ""))): _*)
+    val path = tmp("mlt-probe")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path, 16)
+    val src = d.filter(col("doc_id") === 9)
+      .select(col("text")).head().getString(0)
+    val sel = Retrieval.mltSelectTerms(spark, path, src, maxQueryTerms = 4)
+    assert(sel.nonEmpty)
+    val like = Retrieval.moreLikeThis(spark, path, src, k = 10,
+      excludeDocId = Some(9L), maxQueryTerms = 4)
+    val got = like.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!got.exists(_._1 == 9L), "source doc must be excluded")
+    // the source doc scores #1 on its own terms, so an exclusion applied
+    // AFTER the cut would return only 9 rows here — demand the full 10
+    val ref = Retrieval.searchBm25Index(spark, path, sel.map(_.term), 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ref.exists(_._1 == 9L),
+      "fixture must put the source doc inside the raw top-k window")
+    assert(got == ref.filterNot(_._1 == 9L).take(10),
+      "moreLikeThis must equal the selected-term probe minus the source")
+  }
+
   test("streamed index maintenance: per-batch appends converge to the " +
       "batch-built index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
