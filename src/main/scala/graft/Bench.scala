@@ -208,6 +208,11 @@ object Bench {
     lazy val hybridQv: Seq[Double] = T("embeddings")
       .filter(col("vec_id") === 7).select(col("embedding"))
       .head().getSeq[Float](0).map(_.toDouble).toSeq
+
+    /** Fixed MLT source text (document 42, q199/q200's). */
+    lazy val mltText: String = T("documents")
+      .filter(col("doc_id") === 42).select(col("text"))
+      .head().getString(0)
   }
 
   /** IVF-PQ recall@10 against exact brute-force cosine top-10 at the q99
@@ -417,7 +422,13 @@ object Bench {
         new Timed("qR_hybrid_probe",
           graft.operators.Retrieval.hybridIndexTopK(spark, lakes.bm25Idx,
             lakes.ivfIdx, Seq("dup", "vector", "spark"), lakes.hybridQv,
-            k = 20, poolK = 50, nprobe = 2).collect()))
+            k = 20, poolK = 50, nprobe = 2).collect()),
+        // more-like-this over the same pre-built index: candidate df
+        // probe + selected-term scoring probe, both bucket-pruned (q200)
+        new Timed("qR_mlt_probe",
+          graft.operators.Retrieval.moreLikeThis(spark, lakes.bm25Idx,
+            lakes.mltText, k = 10, excludeDocId = Some(42L),
+            maxQueryTerms = 8).collect()))
 
     // q68_synth must be warmed before q68_pipeline can run at all, and the
     // lake fixtures before the qR_* lanes — warm-up order is listing order

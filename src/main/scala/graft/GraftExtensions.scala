@@ -86,6 +86,10 @@ object GraftExtensions {
     "graft_dot_long" -> ((a: Seq[Expression]) => KernelExprs.DotLong(a(0), a(1))),
     "graft_cosine_q6" -> ((a: Seq[Expression]) => KernelExprs.CosineQ6(a(0), a(1))),
     "graft_l2sq_long" -> ((a: Seq[Expression]) => KernelExprs.L2sqLong(a(0), a(1))),
+    "graft_sq8_encode" -> ((a: Seq[Expression]) =>
+      KernelExprs.Sq8Encode(a(0), a(1), a(2))),
+    "graft_sq8_recon" -> ((a: Seq[Expression]) =>
+      KernelExprs.Sq8Recon(a(0), a(1), a(2))),
     "graft_srp_bucket" -> ((a: Seq[Expression]) =>
       KernelExprs.SrpBucket(a(0), intArg(a(1), "planes"))),
     // aggregates: the analyzer wraps a bare AggregateFunction automatically

@@ -500,7 +500,13 @@ object Queries {
     // models + literal-table scoring). The index lanes (q174/q178) and
     // the hybrid lane (q175) stay gate-only: each builds a fresh postings
     // index per call, which would bill writes to a read lane.
-    "q173_bm25_scores", "q176_dsir_scores")
+    "q173_bm25_scores", "q176_dsir_scores",
+    // round-12: SQ8 scalar-quantized ANN (bounds aggregate + one
+    // codegen'd encode/recon/distance pass — a repeatable engine lane).
+    // The range-search queries (q201-q203) stay gate-only: they share
+    // q185/q35's brute plan shape, already timed. MLT serves from the
+    // persisted index — timed as the qR_mlt_probe read lane instead.
+    "q204_sq8_topk")
   // The composite lake lanes (q96/q103/q106/q109/q110/q111) left this
   // list in r9 (VERDICT r8 #2): each billed 4-8 z-ordered WRITES per run
   // and hid the zero-task reads it existed to measure. Bench now times

@@ -615,6 +615,177 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- RANGE SEARCH, exact L2 (FAISS range_search / pgvector
+    //    `WHERE v <-> q < r`, r12): every pair within the squared radius,
+    //    no per-group cut — output size follows the radius, the FAISS
+    //    contract. Integer distances: the radius cut replays exactly.
+    QueryDef("q201_l2_range", Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, ${dkQuant("embedding")} AS cv
+            FROM embeddings),
+      s AS (SELECT query_id, neighbor_id,
+                   CAST(${dkL2("cv", "qv")} AS BIGINT) AS l2sq
+            FROM c, q WHERE neighbor_id <> query_id)
+      SELECT query_id, neighbor_id, l2sq FROM s WHERE l2sq <= 1500000
+      ORDER BY query_id, l2sq, neighbor_id"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.l2Range(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            r2 = 1500000L)
+          .orderBy(col("query_id"), col("l2sq"), col("neighbor_id"))
+      }),
+
+    // -- RANGE SEARCH over the IVF cells (FAISS IndexIVFFlat
+    //    .range_search, r12): nprobe=2 l2-nearest cells per query, exact
+    //    integer radius cut inside — the probe set AND the cut replay;
+    //    a candidate from an unprobed cell appearing (or a probed-cell
+    //    candidate missing) changes the hash.
+    QueryDef("q202_ivf_l2_range", Some(s"""
+      WITH cent AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                           ${dkQuant("embedding")} AS cq
+                    FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, ${dkQuant("embedding")} AS cv
+            FROM embeddings),
+      ca AS (SELECT neighbor_id, cv, cell,
+                    row_number() OVER (PARTITION BY neighbor_id
+                      ORDER BY d, cell) AS arn
+             FROM (SELECT c.neighbor_id, c.cv, cent.cell,
+                          ${dkL2("c.cv", "cent.cq")} AS d
+                   FROM c, cent)),
+      cc AS (SELECT neighbor_id, cv, cell FROM ca WHERE arn = 1),
+      q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv
+            FROM embeddings WHERE vec_id < 5),
+      qa AS (SELECT query_id, qv, cell,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY d, cell) AS prn
+             FROM (SELECT q.query_id, q.qv, cent.cell,
+                          ${dkL2("q.qv", "cent.cq")} AS d
+                   FROM q, cent)),
+      qp AS (SELECT query_id, qv, cell FROM qa WHERE prn <= 2),
+      s AS (SELECT query_id, cell, neighbor_id,
+                   CAST(${dkL2("cv", "qv")} AS BIGINT) AS l2sq
+            FROM cc JOIN qp USING (cell)
+            WHERE neighbor_id <> query_id)
+      SELECT query_id, cell, neighbor_id, l2sq FROM s WHERE l2sq <= 1500000
+      ORDER BY query_id, l2sq, neighbor_id"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfL2Range(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+            r2 = 1500000L, nprobe = 2)
+          .orderBy(col("query_id"), col("l2sq"), col("neighbor_id"))
+      }),
+
+    // -- RANGE SEARCH, cosine similarity (pgvector `<=>` radius, r12):
+    //    pairs with q6 cosine >= 0.3 — both engines compare the same
+    //    q6-rounded double against the same parsed literal.
+    QueryDef("q203_cosine_range", Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, ${dkQuant("embedding")} AS cv
+            FROM embeddings),
+      s AS (SELECT query_id, neighbor_id, ${dkCos("cv", "qv")} AS cosine
+            FROM c, q WHERE neighbor_id <> query_id)
+      SELECT query_id, neighbor_id, cosine FROM s WHERE cosine >= 0.3
+      ORDER BY query_id, cosine DESC, neighbor_id"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.cosineRange(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            minCos = 0.3)
+          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+      }),
+
+    // -- SQ8 scalar-quantized ANN (FAISS IndexScalarQuantizer QT_8bit,
+    //    r12): per-dim min/max bounds over the corpus, byte codes 0..255,
+    //    asymmetric distance = exact integer L2² of query vs RECONSTRUCTED
+    //    corpus. Encode/recon/distance all integer round-half-up — the
+    //    oracle replays bounds, codes, and the ADC ranking bit-for-bit.
+    QueryDef("q204_sq8_topk", Some(s"""
+      WITH t AS (SELECT vec_id, ${dkQuant("embedding")} AS v FROM embeddings),
+      mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+             FROM t, range(1, 65) r(i) GROUP BY i),
+      ma AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+             FROM mm),
+      enc AS (SELECT vec_id AS neighbor_id,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN 0 ELSE (2*255*(LEAST(mx[i], GREATEST(mn[i], v[i]))
+                   - mn[i]) + (mx[i]-mn[i])) // (2*(mx[i]-mn[i])) END)
+                 AS codes
+              FROM t, ma),
+      rec AS (SELECT neighbor_id,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN mn[i] ELSE mn[i] + (2*codes[i]*(mx[i]-mn[i]) + 255)
+                   // 510 END) AS rv
+              FROM enc, ma),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+      s AS (SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (rv[i]-qv[i])*(rv[i]-qv[i]))) AS BIGINT) AS adc_dist
+            FROM rec, q WHERE neighbor_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+            FROM s)
+      SELECT query_id, neighbor_id, adc_dist, rn FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.sq8TopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
+    // -- SQ8 shortlist + exact rerank (r12, the standard two-stage
+    //    recipe): compressed lane proposes k·4, exact integer L2²
+    //    re-ranks the shortlist only. Both stages replayed.
+    QueryDef("q205_sq8_rerank", Some(s"""
+      WITH t AS (SELECT vec_id, ${dkQuant("embedding")} AS v FROM embeddings),
+      mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+             FROM t, range(1, 65) r(i) GROUP BY i),
+      ma AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+             FROM mm),
+      enc AS (SELECT vec_id AS neighbor_id, v AS cv,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN 0 ELSE (2*255*(LEAST(mx[i], GREATEST(mn[i], v[i]))
+                   - mn[i]) + (mx[i]-mn[i])) // (2*(mx[i]-mn[i])) END)
+                 AS codes
+              FROM t, ma),
+      rec AS (SELECT neighbor_id, cv,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN mn[i] ELSE mn[i] + (2*codes[i]*(mx[i]-mn[i]) + 255)
+                   // 510 END) AS rv
+              FROM enc, ma),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+      s AS (SELECT query_id, neighbor_id, cv, qv,
+             list_sum(list_transform(range(1, 65),
+               i -> (rv[i]-qv[i])*(rv[i]-qv[i]))) AS adc
+            FROM rec, q WHERE neighbor_id <> query_id),
+      short AS (SELECT * FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY adc, neighbor_id) AS srn
+                FROM s) WHERE srn <= 20),
+      ex AS (SELECT query_id, neighbor_id,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> (cv[i]-qv[i])*(cv[i]-qv[i]))) AS BIGINT) AS l2sq
+             FROM short),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY l2sq, neighbor_id) AS BIGINT) AS rn
+            FROM ex)
+      SELECT query_id, neighbor_id, l2sq, rn FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.sq8RerankTopK(emb, col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            k = 5, mult = 4)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- similarity: SRP-LSH bucketed ANN ------------------------------------
     QueryDef("q36_ann_lsh", Some(s"""
       WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv FROM embeddings

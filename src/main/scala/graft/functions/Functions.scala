@@ -211,4 +211,12 @@ object Functions {
     * form on purpose: sqrt is monotone, so top-k by l2² is top-k by l2,
     * and the integer value replays bit-for-bit with no rounding rule. */
   def vec_l2sq_long(a: Column, b: Column): Column = KernelExprs.l2sq_long(a, b)
+
+  /** SQ8 scalar quantization ([[KernelExprs.Sq8Encode]]/[[KernelExprs
+    * .Sq8Recon]]): integer-exact encode to per-dim codes 0..255 against
+    * per-dim `[mn, mx]` bounds, and the matching reconstruction. */
+  def vec_sq8_encode(v: Column, mn: Column, mx: Column): Column =
+    KernelExprs.sq8_encode(v, mn, mx)
+  def vec_sq8_recon(codes: Column, mn: Column, mx: Column): Column =
+    KernelExprs.sq8_recon(codes, mn, mx)
 }

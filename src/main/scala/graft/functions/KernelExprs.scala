@@ -172,6 +172,42 @@ object KernelExprs {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** SQ8 encode: per-dim integer codes 0..255 of an array<long> vector
+    * against literal array<long> bounds ([[Kernels.sq8Encode]]). */
+  case class Sq8Encode(first: Expression, second: Expression,
+                       third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(v: Any, mn: Any, mx: Any): Any =
+      Kernels.sq8Encode(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        mn.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        mx.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b, c) => s"graft.functions.Kernels.sq8Encode($a, $b, $c)")
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Sq8Encode =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  /** SQ8 reconstruct: array<long> approximation from codes + bounds
+    * ([[Kernels.sq8Recon]]). */
+  case class Sq8Recon(first: Expression, second: Expression,
+                      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(codes: Any, mn: Any, mx: Any): Any =
+      Kernels.sq8Recon(
+        codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        mn.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        mx.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b, c) => s"graft.functions.Kernels.sq8Recon($a, $b, $c)")
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Sq8Recon =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** SRP-LSH bucket id of a quantized vector (array<long>). */
   case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -470,6 +506,10 @@ object KernelExprs {
   def dot_long(a: Column, b: Column): Column = ColumnBridge.column(DotLong(e(a), e(b)))
   def l2sq_long(a: Column, b: Column): Column =
     ColumnBridge.column(L2sqLong(e(a), e(b)))
+  def sq8_encode(v: Column, mn: Column, mx: Column): Column =
+    ColumnBridge.column(Sq8Encode(e(v), e(mn), e(mx)))
+  def sq8_recon(codes: Column, mn: Column, mx: Column): Column =
+    ColumnBridge.column(Sq8Recon(e(codes), e(mn), e(mx)))
   def cosine_q6(a: Column, b: Column): Column = ColumnBridge.column(CosineQ6(e(a), e(b)))
   def srp_bucket(qv: Column, planes: Int): Column =
     ColumnBridge.column(SrpBucket(e(qv), planes))

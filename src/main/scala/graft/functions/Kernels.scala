@@ -155,6 +155,46 @@ object Kernels {
     acc
   }
 
+  /** SQ8 scalar-quantization encode (FAISS `IndexScalarQuantizer`
+    * QT_8bit): per-dimension codes 0..255 for a quantized integer vector
+    * against trained per-dim `[mn, mx]` bounds. Integer-exact
+    * round-half-up — `code = floor(255·(vc−mn)/(mx−mn) + ½)` spelled as
+    * `(2·255·(vc−mn) + (mx−mn)) / (2·(mx−mn))`; `vc` clamps v into
+    * `[mn, mx]` FIRST so every operand is non-negative and JVM
+    * truncation ≡ floor ≡ the oracle's `//`. A degenerate dimension
+    * (mx == mn) codes to 0. */
+  def sq8Encode(v: ArrayData, mn: ArrayData, mx: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val lo = mn.getLong(i); val hi = mx.getLong(i); val x = v.getLong(i)
+      val vc = if (x < lo) lo else if (x > hi) hi else x
+      if (hi != lo)
+        out(i) =
+          ((2L * 255L * (vc - lo) + (hi - lo)) / (2L * (hi - lo))).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SQ8 reconstruction: `recon = mn + round(code·(mx−mn)/255)`, the
+    * integer spelling `mn + (2·code·(mx−mn) + 255) / 510` — exact and
+    * engine-independent (all operands non-negative). */
+  def sq8Recon(codes: ArrayData, mn: ArrayData, mx: ArrayData): ArrayData = {
+    val n = codes.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val lo = mn.getLong(i); val hi = mx.getLong(i)
+      out(i) =
+        if (hi == lo) lo
+        else lo + (2L * codes.getInt(i) * (hi - lo) + 255L) / 510L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Engine-agnostic rounding: floor(x*10^d + 0.5)/10^d ([[Functions.qround]]). */
   def qround(x: Double, decimals: Int): Double = {
     val s = math.pow(10, decimals)

@@ -57,6 +57,175 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("l2sq"), col("rn"))
   }
 
+  /** RANGE SEARCH under the L2 metric (FAISS `range_search` on
+    * METRIC_L2 / pgvector `WHERE v <-> q < r`): every (query, neighbor)
+    * pair with integer squared distance `l2sq <= r2`, self-pairs
+    * excluded — the radius analog of [[l2TopK]]. `r2` is the SQUARED
+    * radius in quantized units (sqrt is monotone — no rounding rule to
+    * replay). Output `(query_id, neighbor_id, l2sq)`, unordered and
+    * result-sized: there is deliberately no per-group cut, matching the
+    * FAISS contract that radius queries return everything in range (the
+    * caller picks the radius; output size follows it).
+    *
+    * Scale shape: identical to the brute top-k lane — broadcast queries,
+    * ONE codegen'd kernel pass, a filter; zero shuffles. */
+  def l2Range(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              r2: Long): DataFrame = {
+    require(r2 >= 0, s"squared radius must be >= 0 (got $r2)")
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
+      .filter(col("l2sq") <= r2)
+      .select(col("query_id"), col("neighbor_id"), col("l2sq"))
+  }
+
+  /** RANGE SEARCH under the cosine metric (pgvector
+    * `WHERE v <=> q < r`, spelled as similarity): every pair with q6
+    * cosine `>= minCos`, self-pairs excluded. Both engines compare the
+    * SAME q6-rounded double against the same parsed literal, so the
+    * threshold cut replays exactly. Same zero-shuffle shape as
+    * [[l2Range]]. */
+  def cosineRange(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                  queries: DataFrame, queryId: Column, queryVec: Column,
+                  minCos: Double): DataFrame = {
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("qv")))
+      .filter(col("cosine") >= minCos)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF RANGE SEARCH under the L2 metric (FAISS
+    * `IndexIVFFlat.range_search`): each query probes its `nprobe`
+    * l2-nearest cells and returns every candidate there with
+    * `l2sq <= r2` — nprobe-approximate exactly like every IVF probe (a
+    * neighbor assigned outside the probed cells is missed; FAISS makes
+    * the same trade), exact integer arithmetic inside, so the probe set
+    * AND the radius cut replay bit-for-bit. Output
+    * `(query_id, cell, neighbor_id, l2sq)`. Probe cost: nprobe/nlist of
+    * the corpus per query, the IVF contract. */
+  def ivfL2Range(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                 queries: DataFrame, queryId: Column, queryVec: Column,
+                 seeds: DataFrame, seedId: Column, seedVec: Column,
+                 r2: Long, nprobe: Int = 1): DataFrame = {
+    require(r2 >= 0, s"squared radius must be >= 0 (got $r2)")
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val spark = corpus.sparkSession
+    val cents: Array[(Int, Array[Long])] = seeds
+      .select(seedId.cast("int").as("cell"),
+        F.vec_quantize(seedVec, 1000).as("cq"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val c = corpus.select(corpusId.as("neighbor_id"),
+        F.vec_quantize(corpusVec, 1000).as("cv"))
+      .withColumn("cell", assignCellL2(spark, cents)(col("cv")))
+    val q = queries.select(queryId.as("query_id"),
+        F.vec_quantize(queryVec, 1000).as("qv"))
+      .withColumn("cell",
+        explode(assignCellsL2(spark, cents, nprobe)(col("qv"))))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
+      .filter(col("l2sq") <= r2)
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("l2sq"))
+  }
+
+  // ---- SQ8 scalar quantization (FAISS IndexScalarQuantizer) -----------
+
+  /** SQ8 per-dimension bounds: `(mn, mx)` over the quantized training
+    * vectors — ONE map-side-combined aggregate of dim rows (posexplode →
+    * min/max per dimension), a driver-sized collect at any corpus scale.
+    * FAISS trains the same way (QT_8bit = per-dim min/max). */
+  def sq8Train(train: DataFrame, vec: Column): (Array[Long], Array[Long]) = {
+    val rows = train
+      .select(posexplode(F.vec_quantize(vec, 1000)).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i")).collect()
+    require(rows.nonEmpty, "SQ8 training set must be non-empty")
+    (rows.map(_.getLong(1)), rows.map(_.getLong(2)))
+  }
+
+  /** SQ8 ANN (FAISS `IndexScalarQuantizer` QT_8bit, asymmetric distance):
+    * the per-dimension-scalar sibling of [[pqTopK]]'s codebook
+    * compression — each vector stores one byte-range code per dimension
+    * (4× smaller than the quantized ints; parquet bit-packs the 0..255
+    * range further at rest), and queries score EXACT integer L2² against
+    * the RECONSTRUCTED vector while staying exact on the query side.
+    * Encode, reconstruction, and distance are all integer arithmetic
+    * ([[graft.functions.Kernels.sq8Encode]]/`sq8Recon`), so the whole
+    * lane — bounds, codes, ADC ranking — replays bit-for-bit in the
+    * oracle. Scale shape: bounds are a dim-row aggregate; encode +
+    * recon + distance are one codegen'd projection pass over a broadcast
+    * query join — zero shuffles, same as the brute lanes.
+    * Output `(query_id, neighbor_id, adc_dist, rn)`, distance asc /
+    * neighbor asc. Trains on the corpus itself (pass an explicit sample
+    * via [[sq8TopKWithBounds]] when training must not scan the corpus). */
+  def sq8TopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int): DataFrame = {
+    val (mn, mx) = sq8Train(corpus, corpusVec)
+    sq8TopKWithBounds(corpus, corpusId, corpusVec, queries, queryId,
+      queryVec, k, mn, mx)
+  }
+
+  /** [[sq8TopK]] against pre-trained bounds (the production shape: train
+    * once on a sample, serve many corpora/batches). */
+  def sq8TopKWithBounds(corpus: DataFrame, corpusId: Column,
+                        corpusVec: Column, queries: DataFrame,
+                        queryId: Column, queryVec: Column, k: Int,
+                        mn: Array[Long], mx: Array[Long]): DataFrame = {
+    require(mn.length == mx.length && mn.nonEmpty,
+      s"mn/mx bounds must be same-length and non-empty")
+    val mnL = typedlit(mn.toSeq); val mxL = typedlit(mx.toSeq)
+    // recon lands BEFORE the query join: one decode per corpus row, not
+    // one per (corpus, query) pair
+    val c = corpus.select(corpusId.as("neighbor_id"),
+        F.vec_sq8_encode(F.vec_quantize(corpusVec, 1000), mnL, mxL)
+          .as("codes"))
+      .withColumn("rv", F.vec_sq8_recon(col("codes"), mnL, mxL))
+    val q = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", F.vec_l2sq_long(col("rv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("adc_dist").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rn"))
+  }
+
+  /** SQ8 shortlist + EXACT rerank (the standard two-stage recipe): the
+    * compressed lane proposes `k·mult` candidates per query, the exact
+    * integer L2² re-ranks only those — at scale the raw vectors are
+    * fetched for shortlist rows alone (a semi-join against the corpus),
+    * never the corpus. Output `(query_id, neighbor_id, l2sq, rn)`. */
+  def sq8RerankTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    k: Int, mult: Int = 4): DataFrame = {
+    require(mult >= 1, s"mult must be >= 1 (got $mult)")
+    val shortlist = sq8TopK(corpus, corpusId, corpusVec, queries, queryId,
+        queryVec, k * mult)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    val joined = shortlist.join(exact, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
+    TopK.perGroup(joined, k, Seq(col("query_id")),
+        Seq(col("l2sq").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("l2sq"), col("rn"))
+  }
+
   /** Sign-random-projection bucket id (0 .. 2^planes-1) for a quantized
     * vector column: bit p = sign of <v, hyperplane_p>, where hyperplane
     * component (p, d) = hash60("plane_<p>_<d>") % 1000 - 500 — deterministic,

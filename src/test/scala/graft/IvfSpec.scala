@@ -161,4 +161,89 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet)
     cells.foreach { case (_, cs) => assert(cs.size <= 2) }
   }
+
+  test("range search: l2Range matches a naive recount, nests by radius, " +
+      "and excludes self") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 40).toFloat / 4f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    // naive recount on quantized integers (same ×1000 floor rule)
+    val qz = vecs.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong).toArray
+    }.toMap
+    def naive(r2: Long): Set[(Long, Long, Long)] =
+      (for {
+        q <- 0L until 4L; n <- qz.keys if n != q
+        d = qz(n).zip(qz(q)).map { case (a, b) => (a - b) * (a - b) }.sum
+        if d <= r2
+      } yield (q, n, d)).toSet
+    def got(r2: Long): Set[(Long, Long, Long)] =
+      Similarity.l2Range(vecs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), r2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val small = got(300000L); val big = got(1200000L)
+    assert(small == naive(300000L) && big == naive(1200000L))
+    assert(small.nonEmpty && big.size > small.size,
+      "fixture must make both radii informative")
+    assert(small.subsetOf(big), "smaller radius must nest inside larger")
+    assert(!big.exists(p => p._1 == p._2), "self-pairs excluded")
+  }
+
+  test("range search: full-probe ivfL2Range equals l2Range; partial " +
+      "probe returns exactly the in-range candidates of probed cells") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        ((i * 37 + d * 11) % 100).toFloat / 10f - 5f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val seeds = vecs.filter(col("vec_id") < 6)
+    val r2 = 2000000L
+    val full = Similarity.ivfL2Range(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        seeds, col("vec_id"), col("embedding"), r2, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val brute = Similarity.l2Range(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), r2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute, "full-probe IVF range must equal brute range")
+    assert(brute.nonEmpty)
+
+    // partial probe: a subset of brute, in-range, and never from an
+    // unprobed cell (replay the probe rule on the collected assignment)
+    val part = Similarity.ivfL2Range(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        seeds, col("vec_id"), col("embedding"), r2, nprobe = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(part.map(p => (p._1, p._3, p._4)).toSet.subsetOf(brute))
+    assert(part.forall(_._4 <= r2))
+    part.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.length <= 2) }
+  }
+
+  test("range search: cosineRange respects the threshold and matches " +
+      "the q6-cosine recount") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (if ((i + d) % 3 == 0) 1f else -1f) * ((d + 1).toFloat / 4f)))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val got = Similarity.cosineRange(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.forall(_._3 >= 0.5))
+    // recount via the exact kernel on one collected pair set
+    val qz = vecs.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong).toArray
+    }.toMap
+    val expect = (for {
+      q <- 0L until 3L; n <- qz.keys if n != q
+      c = graft.functions.Kernels.cosineQ6Arrays(qz(n), qz(q))
+      if c >= 0.5
+    } yield (q, n, c)).toSet
+    assert(got.toSet == expect)
+  }
 }
