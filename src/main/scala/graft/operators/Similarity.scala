@@ -586,6 +586,120 @@ object Similarity {
     writeIvfIndexMetric(corpus, corpusId, corpusVec, seeds, seedId, seedVec,
       path, "ip")
 
+  /** Persist the FAISS production recipe `IVF,SQ8` (L2 metric): corpus
+    * rows assign to their l2-nearest seed centroid on the RAW quantized
+    * vector (FAISS assigns before encoding), then land in their cell
+    * directory as SQ8 CODES ONLY — the assignment lake stores no raw
+    * vectors, which is the 4× at-rest compression the recipe exists for
+    * (parquet bit-packs the 0..255 range further). Bounds ([[sq8Train]]
+    * over the corpus) ship as a one-row sidecar; the `_metric` sidecar
+    * says `l2-sq8` so the declarative-ANN rewrite (which expects raw
+    * `cv` columns) correctly keeps the scan for this layout.
+    *
+    * Maintenance composes unchanged: [[compactIvfIndex]] /
+    * [[vacuumIvfIndex]] rewrite the assignment rows column-agnostically,
+    * and [[graft.operators.IndexSnapshots]] pins pointer + file
+    * identities the same way (Sq8Spec proves probes survive a
+    * compaction). */
+  def writeIvfIndexSq8(corpus: DataFrame, corpusId: Column,
+                       corpusVec: Column, seeds: DataFrame, seedId: Column,
+                       seedVec: Column, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Int, Array[Long])] = seeds
+      .select(seedId.cast("int").as("cell"),
+        F.vec_quantize(seedVec, 1000).as("cq"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell", "cq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val (mn, mx) = sq8Train(corpus, corpusVec)
+    Seq((mn.toSeq, mx.toSeq)).toDF("mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sq8_bounds")
+    corpus.select(corpusId.as("neighbor_id"),
+        F.vec_quantize(corpusVec, 1000).as("cv"))
+      .withColumn("cell", assignCellL2(spark, cents)(col("cv")))
+      .withColumn("codes", F.vec_sq8_encode(col("cv"),
+        typedlit(mn.toSeq), typedlit(mx.toSeq)))
+      .drop("cv")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assign")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_assign"), false)
+    writeMetric(spark, path, "l2-sq8")
+  }
+
+  /** The persisted SQ8 index's trained bounds. */
+  private[graft] def readSq8Bounds(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): (Array[Long], Array[Long]) = {
+    val row = spark.read.parquet(s"$path/sq8_bounds").head()
+    (row.getSeq[Long](0).toArray, row.getSeq[Long](1).toArray)
+  }
+
+  /** Probe the persisted `IVF,SQ8` index: `nprobe` l2-nearest cells per
+    * query, candidates RECONSTRUCTED from their codes (one codegen'd
+    * decode per candidate row), ranked by exact integer ADC l2² asc /
+    * neighbor asc. Reads nprobe cell directories + two tiny sidecars —
+    * never a raw vector. Output
+    * `(query_id, cell, neighbor_id, adc_dist, rn)`. */
+  def ivfSq8TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame, queryId: Column,
+                        queryVec: Column, k: Int,
+                        nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val cents = readCentroids(spark, path)
+    val (mn, mx) = readSq8Bounds(spark, path)
+    val q = queries.select(queryId.as("query_id"),
+        F.vec_quantize(queryVec, 1000).as("qv"))
+      .withColumn("cell",
+        explode(assignCellsL2(spark, cents, nprobe)(col("qv"))))
+      .localCheckpoint(false)
+    val cells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val assigned = spark.read.parquet(assignDir(spark, path))
+      .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
+      .withColumn("rv", F.vec_sq8_recon(col("codes"),
+        typedlit(mn.toSeq), typedlit(mx.toSeq)))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", F.vec_l2sq_long(col("rv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("adc_dist").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("adc_dist"), col("rn"))
+  }
+
+  /** The full FAISS serving recipe: SQ8 shortlist from the index
+    * ([[ivfSq8TopKIndexed]], `k·mult` per query), exact integer L2²
+    * rerank against raw vectors fetched from the PRIMARY store for
+    * shortlist rows only (at scale: a semi-join of shortlist-many point
+    * reads, never a corpus scan). Output
+    * `(query_id, neighbor_id, l2sq, rn)`. */
+  def ivfSq8RerankTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                              path: String, corpus: DataFrame,
+                              corpusId: Column, corpusVec: Column,
+                              queries: DataFrame, queryId: Column,
+                              queryVec: Column, k: Int, nprobe: Int = 1,
+                              mult: Int = 4): DataFrame = {
+    require(mult >= 1, s"mult must be >= 1 (got $mult)")
+    val shortlist = ivfSq8TopKIndexed(spark, path, queries, queryId,
+        queryVec, k * mult, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    val joined = shortlist.join(exact, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
+    TopK.perGroup(joined, k, Seq(col("query_id")),
+        Seq(col("l2sq").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("l2sq"), col("rn"))
+  }
+
   private def writeIvfIndexMetric(corpus: DataFrame, corpusId: Column,
       corpusVec: Column, seeds: DataFrame, seedId: Column, seedVec: Column,
       path: String, metric: String): Unit = {

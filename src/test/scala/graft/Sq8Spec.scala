@@ -92,6 +92,50 @@ class Sq8Spec extends AnyFunSuite with SparkSpec {
     assert(rr == brute, "covered rerank must equal the exact lane")
   }
 
+  test("persisted IVF,SQ8 index: codes only at rest, full probe equals " +
+      "the one-shot SQ8 ranking, probes survive compaction byte-identically") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        ((i * 37 + d * 11) % 100).toFloat / 10f - 5f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sq8idx").toString + "/idx"
+    Similarity.writeIvfIndexSq8(vecs, col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") < 6), col("vec_id"), col("embedding"), path)
+
+    // the compression claim: the assignment lake holds codes, never a
+    // raw vector column
+    val fields = spark.read.parquet(s"$path/assign").schema.fieldNames.toSet
+    assert(fields.contains("codes") && !fields.contains("cv"),
+      s"assign lake must store codes only, got $fields")
+
+    // nprobe = nlist: candidate set is the whole corpus, so the indexed
+    // ADC ranking must equal the one-shot lane trained on the same bounds
+    val (mn, mx) = Similarity.sq8Train(vecs, col("embedding"))
+    val full = Similarity.ivfSq8TopKIndexed(spark, path, queries,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "adc_dist", "rn")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val oneShot = Similarity.sq8TopKWithBounds(vecs, col("vec_id"),
+        col("embedding"), queries, col("vec_id"), col("embedding"), k = 5,
+        mn, mx)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(full == oneShot, "full-probe IVF,SQ8 must equal one-shot SQ8")
+
+    // maintenance is column-agnostic: compaction + vacuum leave the
+    // partial probe byte-identical
+    val before = Similarity.ivfSq8TopKIndexed(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    Similarity.compactIvfIndex(spark, path)
+    Similarity.vacuumIvfIndex(spark, path)
+    val after = Similarity.ivfSq8TopKIndexed(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(before == after, "compaction must not move an SQ8 probe")
+  }
+
   test("SQ8 recall@10 vs brute force on real embeddings clears a floor") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
