@@ -86,6 +86,8 @@ object GraftExtensions {
     "graft_dot_long" -> ((a: Seq[Expression]) => KernelExprs.DotLong(a(0), a(1))),
     "graft_cosine_q6" -> ((a: Seq[Expression]) => KernelExprs.CosineQ6(a(0), a(1))),
     "graft_l2sq_long" -> ((a: Seq[Expression]) => KernelExprs.L2sqLong(a(0), a(1))),
+    "graft_best_window" -> ((a: Seq[Expression]) =>
+      KernelExprs.BestWindow(a(0), a(1), intArg(a(2), "w"))),
     "graft_sq8_encode" -> ((a: Seq[Expression]) =>
       KernelExprs.Sq8Encode(a(0), a(1), a(2))),
     "graft_sq8_recon" -> ((a: Seq[Expression]) =>

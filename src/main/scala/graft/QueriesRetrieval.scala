@@ -114,6 +114,28 @@ object QueriesRetrieval {
 
   private val P = Retrieval.Bm25Params()
 
+  /** Best-snippet-window CTE block over a `(doc_id, ts)` relation `src`:
+    * every start `ws`, distinct-hit and total-hit counts for the w-token
+    * window, and the per-doc argmax (`brn = 1`) under the kernel's exact
+    * order (distinct desc, total desc, earliest start) — mirrors
+    * [[graft.functions.Kernels.bestWindow]]. */
+  private def dkBestWindow(src: String, w: Int): String = {
+    val dh = QTerms.map(t =>
+      s"CASE WHEN list_contains(ts[ws+1:ws+$w], '$t') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val inList = QTerms.map(t => s"x = '$t'").mkString(" OR ")
+    s"""
+      wins AS (SELECT doc_id, ts,
+                unnest(range(0, greatest(len(ts) - $w, 0) + 1)) AS ws
+               FROM $src),
+      wsc AS (SELECT doc_id, ts, ws, ($dh) AS dh,
+               len(list_filter(ts[ws+1:ws+$w], x -> $inList)) AS th
+              FROM wins),
+      best AS (SELECT doc_id, ts, ws, dh, th, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY dh DESC, th DESC, ws) AS brn
+               FROM wsc)"""
+  }
+
   /** Engine-deposited (df → idf-micros) pairs for the MLT oracles — the
     * q167 lnm pattern: the engine's own `floor(ln(·)·10⁶+0.5)` values
     * ship into the SQL as a literal `idf(df_v, m)` table, so DuckDB
@@ -506,6 +528,51 @@ object QueriesRetrieval {
             .map(m => (m.df, m.idfMicros)))
         Retrieval.moreLikeThis(s, path, txt, k = 15,
           excludeDocId = Some(42L), maxQueryTerms = 8)
+      }),
+
+    // -- SNIPPETS (Lucene Highlighter fragment selection, r12): for
+    //    every matching doc, the best 6-token window by (distinct query
+    //    terms, total hits, earliest start) plus its text. The oracle
+    //    enumerates EVERY window relationally and replays the argmax —
+    //    a sliding-count slip, a tie broken late, or an off-by-one slice
+    //    all change the hash.
+    QueryDef("q208_snippets", Some(s"""
+      WITH d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      ${dkBestWindow("d", 6)}
+      SELECT doc_id, CAST(ws AS BIGINT) AS win_start,
+             CAST(dh AS BIGINT) AS distinct_hits,
+             CAST(th AS BIGINT) AS total_hits,
+             array_to_string(ts[ws+1:ws+6], ' ') AS snippet
+      FROM best WHERE brn = 1 AND dh > 0 ORDER BY doc_id"""),
+      (s, dir) =>
+        Retrieval.snippets(T(s, dir, "documents"), col("doc_id"),
+            col("text"), QTerms, w = 6)
+          .orderBy(col("doc_id"))),
+
+    // -- SEARCH + SNIPPETS serving composition (r12): top-10 from the
+    //    bucket-pruned probe, snippets computed for the 10 result rows
+    //    only (the text join touches k primary-store docs, never the
+    //    corpus). Oracle replays ranking AND window selection.
+    QueryDef("q209_search_snippets", Some(s"""
+      WITH ${dkBm25Chain(P)},
+      top AS (SELECT doc_id, score_micros FROM scored
+              WHERE score_micros > 0
+              ORDER BY score_micros DESC, doc_id LIMIT 10),
+      td AS (SELECT d.doc_id, d.ts FROM d JOIN top USING (doc_id)),
+      ${dkBestWindow("td", 6)}
+      SELECT b.doc_id, CAST(t.score_micros AS BIGINT) AS score_micros,
+             CAST(b.ws AS BIGINT) AS win_start,
+             array_to_string(b.ts[b.ws+1:b.ws+6], ' ') AS snippet
+      FROM best b JOIN top t USING (doc_id) WHERE b.brn = 1
+      ORDER BY t.score_micros DESC, b.doc_id"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-snip").toString + "/idx"
+        Retrieval.writeBm25Index(docs, col("doc_id"), col("text"), path,
+          nBuckets = 16)
+        Retrieval.searchWithSnippets(s, path, docs, col("doc_id"),
+          col("text"), QTerms, k = 10, w = 6)
       })
   )
 }

@@ -172,6 +172,25 @@ object KernelExprs {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** Best snippet window `[start, distinct_hits, total_hits]` of an
+    * array<string> token column for a literal query-term array
+    * ([[Kernels.bestWindow]]). */
+  case class BestWindow(left: Expression, right: Expression, w: Int)
+      extends BinaryExpression {
+    require(w >= 1, s"snippet window must be >= 1 (got $w)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(ts: Any, terms: Any): Any =
+      Kernels.bestWindow(
+        ts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        terms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Kernels.bestWindow($a, $b, $w)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BestWindow =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** SQ8 encode: per-dim integer codes 0..255 of an array<long> vector
     * against literal array<long> bounds ([[Kernels.sq8Encode]]). */
   case class Sq8Encode(first: Expression, second: Expression,
@@ -506,6 +525,8 @@ object KernelExprs {
   def dot_long(a: Column, b: Column): Column = ColumnBridge.column(DotLong(e(a), e(b)))
   def l2sq_long(a: Column, b: Column): Column =
     ColumnBridge.column(L2sqLong(e(a), e(b)))
+  def best_window(ts: Column, terms: Column, w: Int): Column =
+    ColumnBridge.column(BestWindow(e(ts), e(terms), w))
   def sq8_encode(v: Column, mn: Column, mx: Column): Column =
     ColumnBridge.column(Sq8Encode(e(v), e(mn), e(mx)))
   def sq8_recon(codes: Column, mn: Column, mx: Column): Column =

@@ -155,6 +155,54 @@ object Kernels {
     acc
   }
 
+  /** Best snippet window (Lucene Highlighter's core selection, made
+    * deterministic): over all `w`-token windows of `ts`, pick the one
+    * maximizing (distinct query terms present, then total term hits),
+    * ties to the SMALLEST start. Sliding-window counts — O(n·|terms|)
+    * membership tests + O(1) per slide, so long documents stay linear.
+    * Returns `[start, distinct_hits, total_hits]` (start 0-based; a doc
+    * shorter than `w` is its own window). */
+  def bestWindow(ts: ArrayData, terms: ArrayData, w: Int): ArrayData = {
+    val n = ts.numElements(); val m = terms.numElements()
+    // term index per position (-1 = not a query term); O(n·m), m tiny
+    val tidx = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      tidx(i) = -1
+      val tok = ts.getUTF8String(i)
+      var j = 0
+      while (j < m && tidx(i) < 0) {
+        if (tok.equals(terms.getUTF8String(j))) tidx(i) = j
+        j += 1
+      }
+      i += 1
+    }
+    val win = math.min(w, math.max(n, 1))
+    val cnt = new Array[Int](math.max(m, 1))
+    var distinct = 0; var total = 0
+    def add(p: Int): Unit = if (tidx(p) >= 0) {
+      if (cnt(tidx(p)) == 0) distinct += 1
+      cnt(tidx(p)) += 1; total += 1
+    }
+    def drop(p: Int): Unit = if (tidx(p) >= 0) {
+      cnt(tidx(p)) -= 1
+      if (cnt(tidx(p)) == 0) distinct -= 1
+      total -= 1
+    }
+    i = 0
+    while (i < math.min(win, n)) { add(i); i += 1 }
+    var bestS = 0; var bestD = distinct; var bestT = total
+    var s = 1
+    while (s + win <= n) {
+      drop(s - 1); add(s + win - 1)
+      if (distinct > bestD || (distinct == bestD && total > bestT)) {
+        bestS = s; bestD = distinct; bestT = total
+      }
+      s += 1
+    }
+    new GenericArrayData(Array(bestS.toLong, bestD.toLong, bestT.toLong))
+  }
+
   /** SQ8 scalar-quantization encode (FAISS `IndexScalarQuantizer`
     * QT_8bit): per-dimension codes 0..255 for a quantized integer vector
     * against trained per-dim `[mn, mx]` bounds. Integer-exact

@@ -422,6 +422,54 @@ object Retrieval {
       .filter(col("score_micros") > 0)
   }
 
+  // ---- snippets (Lucene Highlighter) ----------------------------------
+
+  /** Search-result SNIPPETS (Lucene Highlighter's fragment selection,
+    * made deterministic): for every document containing ≥1 query term,
+    * the best `w`-token window — maximizing (distinct query terms, then
+    * total hits), ties to the earliest start — plus the window's text.
+    * One codegen'd sliding-window pass per row
+    * ([[graft.functions.Kernels.bestWindow]]); zero shuffles. Output
+    * `(doc_id, win_start, distinct_hits, total_hits, snippet)`. */
+  def snippets(docs: DataFrame, id: Column, text: Column,
+               terms: Seq[String], w: Int): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    docs.select(id.cast("long").as("doc_id"), TF.tokens(text).as("ts"))
+      .withColumn("bw", graft.functions.KernelExprs.best_window(
+        col("ts"), typedlit(terms), w))
+      .select(col("doc_id"), col("ts"),
+        col("bw").getItem(0).as("win_start"),
+        col("bw").getItem(1).as("distinct_hits"),
+        col("bw").getItem(2).as("total_hits"))
+      .filter(col("distinct_hits") > 0)
+      .select(col("doc_id"), col("win_start"), col("distinct_hits"),
+        col("total_hits"),
+        array_join(slice(col("ts"), (col("win_start") + 1).cast("int"),
+          lit(w)), " ").as("snippet"))
+  }
+
+  /** The serving composition: top-k from the bucket-pruned index probe,
+    * then snippets computed for the k RESULT rows only (the text join
+    * touches k documents of the primary store, never the corpus). Output
+    * `(doc_id, score_micros, win_start, snippet)`, score desc / id asc. */
+  def searchWithSnippets(spark: SparkSession, path: String,
+                         docs: DataFrame, id: Column, text: Column,
+                         terms: Seq[String], k: Int, w: Int,
+                         params: Bm25Params = Bm25Params()): DataFrame = {
+    val top = searchBm25Index(spark, path, terms, k, params)
+    val d = docs.select(id.cast("long").as("doc_id"),
+      TF.tokens(text).as("ts"))
+    top.join(d, Seq("doc_id"))
+      .withColumn("bw", graft.functions.KernelExprs.best_window(
+        col("ts"), typedlit(terms), w))
+      .select(col("doc_id"), col("score_micros"),
+        col("bw").getItem(0).as("win_start"),
+        array_join(slice(col("ts"), (col("bw").getItem(0) + 1).cast("int"),
+          lit(w)), " ").as("snippet"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+  }
+
   // ---- more-like-this (Lucene MoreLikeThis) ---------------------------
 
   /** One selected MLT query term: source-document frequency `tf`, corpus

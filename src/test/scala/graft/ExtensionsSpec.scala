@@ -69,6 +69,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "graft_cosine_q6" -> "graft_cosine_q6(array(1L, 2L), array(3L, 4L))",
       "graft_l2sq_long" -> "graft_l2sq_long(array(1L, 2L), array(3L, 4L))",
       "graft_srp_bucket" -> "graft_srp_bucket(array(1L, 2L), 4)",
+      "graft_best_window" -> "graft_best_window(graft_tokens(t), array('contact', 'example'), 3)",
       "graft_sq8_encode" -> "graft_sq8_encode(array(5L, 70L), array(0L, 0L), array(10L, 100L))",
       "graft_sq8_recon" -> "graft_sq8_recon(graft_sq8_encode(array(5L, 70L), array(0L, 0L), array(10L, 100L)), array(0L, 0L), array(10L, 100L))",
       "graft_vec_mean" -> "(SELECT graft_vec_mean(v) FROM (SELECT array(1L, 2L) AS v))",

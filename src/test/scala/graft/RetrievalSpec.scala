@@ -167,6 +167,76 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       "moreLikeThis must equal the selected-term probe minus the source")
   }
 
+  test("snippets: distinct terms beat raw hits, total hits break distinct " +
+      "ties, earliest start breaks full ties, short docs are one window") {
+    val d = docs(
+      // window of 3: [cat dog x] has 2 distinct; [cat cat cat] has 3 hits
+      // but 1 distinct — distinct must win
+      1L -> "cat cat cat pad pad cat dog pad",
+      // equal distinct everywhere; the window with MORE total hits wins
+      2L -> "cat pad pad pad cat cat pad",
+      // full tie: two identical windows — the earliest start wins
+      3L -> "cat pad pad cat pad",
+      // shorter than the window: the doc is its own window, start 0
+      4L -> "dog cat")
+    val out = Retrieval.snippets(d, col("doc_id"), col("text"),
+        Seq("cat", "dog"), w = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // [pad cat dog] at 4 and [cat dog pad] at 5 both hold 2 distinct /
+    // 2 hits — the 3-hit single-term [cat cat cat] window must lose to
+    // both, and the tie resolves to the EARLIER of the two
+    assert(out(1L) == ((4L, 2L, 2L, "pad cat dog")),
+      s"distinct beats hits: ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, 2L, "pad cat cat")),
+      s"total breaks distinct ties: ${out(2L)}")
+    assert(out(3L) == ((0L, 1L, 1L, "cat pad pad")),
+      s"earliest start on full tie: ${out(3L)}")
+    assert(out(4L) == ((0L, 2L, 2L, "dog cat")),
+      s"short doc is its own window: ${out(4L)}")
+  }
+
+  test("snippet kernel equals brute-force window enumeration on 300 " +
+      "randomized documents") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val terms = Vector("a", "c")
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(12) // includes 0-token docs
+      val w = 1 + rnd.nextInt(5)
+      val ts = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val got = graft.functions.Kernels.bestWindow(
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(terms.map(UTF8String.fromString).toArray[Any]),
+        w).toLongArray.toSeq
+      val starts = 0 to math.max(n - w, 0)
+      val expect = starts.map { s =>
+        val win = ts.slice(s, s + w)
+        (terms.count(win.contains).toLong, win.count(terms.contains).toLong, s.toLong)
+      }.zipWithIndex.maxBy { case ((dh, th, s), _) => (dh, th, -s) }._1
+      assert(got == Seq(expect._3, expect._1, expect._2),
+        s"kernel vs brute mismatch: ts=$ts w=$w got=$got expect=$expect")
+    }
+  }
+
+  test("searchWithSnippets: snippets ride the top-k result rows only") {
+    val d = docs((1L to 100L).map(i =>
+      i -> s"w${i % 23} cat ${if (i % 10 == 0) "rare cat" else "dog"}"): _*)
+    val path = tmp("snip")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path, 16)
+    val out = Retrieval.searchWithSnippets(spark, path, d, col("doc_id"),
+      col("text"), Seq("rare", "cat"), k = 7, w = 3).collect()
+    assert(out.length == 7)
+    // ranking identical to the plain probe; every snippet holds a term
+    val plain = Retrieval.searchBm25Index(spark, path, Seq("rare", "cat"), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == plain)
+    assert(out.forall(r => r.getString(3).split(" ")
+      .exists(Set("rare", "cat"))))
+  }
+
   test("streamed index maintenance: per-batch appends converge to the " +
       "batch-built index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
