@@ -230,6 +230,30 @@ object Bench {
       refineFactor = refineFactor)
   }
 
+  /** IVF,SQ8 recall@10 vs exact brute-force L2 top-10 at the q206
+    * operating point (8 seed cells, nprobe=2) — the 4×-compression
+    * quality number next to the PQ lanes' 32×. */
+  private def ivfSq8Recall(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.DataFrame
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bench-sq8").toString + "/idx"
+    graft.operators.Similarity.writeIvfIndexSq8(emb, col("vec_id"),
+      col("embedding"), emb.filter(col("vec_id") < 8),
+      col("vec_id"), col("embedding"), path)
+    def sets(df: DataFrame, idIdx: Int, nIdx: Int): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(idIdx)).view
+        .mapValues(_.map(_.getLong(nIdx)).toSet).toMap
+    val exact = sets(graft.operators.Similarity.l2TopK(emb, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), 10), 0, 1)
+    val got = sets(graft.operators.Similarity.ivfSq8TopKIndexed(spark, path,
+      queries, col("vec_id"), col("embedding"), 10, nprobe = 2), 0, 2)
+    exact.keys.toSeq.map(q =>
+      (exact(q) & got.getOrElse(q, Set.empty)).size.toDouble / 10).sum /
+      math.max(exact.size, 1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -459,6 +483,12 @@ object Bench {
     val (recallRr, recallRrFailed) =
       try (if (runRecall) ivfPqRecall(spark, sfDir, Some(8)) else 0.0, false)
       catch { case _: Throwable => (0.0, true) }
+    // SQ8 at the same shape (8 seed cells, nprobe=2, L2): the 4×
+    // compression's recall, next to PQ's 32× — the artifact shows what
+    // each compression tier costs in quality
+    val (recallSq8, recallSq8Failed) =
+      try (if (runRecall) ivfSq8Recall(spark, sfDir) else 0.0, false)
+      catch { case _: Throwable => (0.0, true) }
 
     val results = timedRun.filterNot(_.fixture)
     val fixtures = timedRun.filter(_.fixture)
@@ -473,7 +503,8 @@ object Bench {
         .mkString("{", ",", "}")
     val failedArr = (timedRun.collect { case t if t.failed => "\"" + t.name + "\"" } ++
       (if (recallFailed) Seq("\"recall\"") else Nil) ++
-      (if (recallRrFailed) Seq("\"recall_rerank\"") else Nil))
+      (if (recallRrFailed) Seq("\"recall_rerank\"") else Nil) ++
+      (if (recallSq8Failed) Seq("\"recall_sq8\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.collect { case t if !t.failed => t.wall.min }.sum
     // ---- per-lane regression floors (r10 verdict #1): BENCH_FLOORS.json
@@ -510,7 +541,7 @@ object Bench {
     }
     val breachesJson = breaches.mkString("{", ",", "}")
     // detail first, compact summary LAST: the driver keeps the tail
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
     println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)},"jit":${arrays(_.jit.toSeq)}}}""")
     println(summary)
     // ... and the summary as a FILE (r9 verdict #4): sbt's `[info] `
