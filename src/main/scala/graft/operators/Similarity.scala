@@ -914,6 +914,10 @@ object Similarity {
     val assign: Column => Column = indexMetric(spark, path) match {
       case "l2" => assignCellL2(spark, cents)
       case "ip" => assignCellIp(spark, cents)
+      // a raw-vector append into a codes-only lake would silently corrupt
+      // every later probe — refuse loudly, the sq8 append encodes
+      case "l2-sq8" => throw new IllegalArgumentException(
+        s"$path is an IVF,SQ8 index (codes-only rows) — use appendIvfIndexSq8")
       case _ => assignCell(spark, cents)
     }
     val root = new org.apache.hadoop.fs.Path(path)
@@ -923,6 +927,41 @@ object Similarity {
     corpus.select(corpusId.as("neighbor_id"),
         F.vec_quantize(corpusVec, 1000).as("cv"))
       .withColumn("cell", assign(col("cv")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(stage.toString)
+    IndexOcc.stagedHook.get()()
+    graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      IndexOcc.adoptStaged(fs, stage,
+        new org.apache.hadoop.fs.Path(assignDir(spark, path)))
+    }
+    fs.delete(stage, true)
+    ()
+  }
+
+  /** Append a batch to a persisted `IVF,SQ8` index: rows assign
+    * l2-nearest on their RAW quantized vectors, ENCODE against the
+    * index's TRAINED bounds (FAISS semantics — bounds never retrain on
+    * append; out-of-range values clamp, which is the quantizer's
+    * saturation contract), and adopt into the active assignment dir
+    * under the same [[IndexOcc]] writer-lock protocol as
+    * [[appendIvfIndex]]. */
+  def appendIvfIndexSq8(corpus: DataFrame, corpusId: Column,
+                        corpusVec: Column, path: String): Unit = {
+    val spark = corpus.sparkSession
+    require(indexMetric(spark, path) == "l2-sq8",
+      s"$path is not an IVF,SQ8 index — use appendIvfIndex")
+    val cents = readCentroids(spark, path)
+    val (mn, mx) = readSq8Bounds(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage =
+      new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("append"))
+    corpus.select(corpusId.as("neighbor_id"),
+        F.vec_quantize(corpusVec, 1000).as("cv"))
+      .withColumn("cell", assignCellL2(spark, cents)(col("cv")))
+      .withColumn("codes", F.vec_sq8_encode(col("cv"),
+        typedlit(mn.toSeq), typedlit(mx.toSeq)))
+      .drop("cv")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(stage.toString)
     IndexOcc.stagedHook.get()()

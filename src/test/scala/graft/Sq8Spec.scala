@@ -136,6 +136,57 @@ class Sq8Spec extends AnyFunSuite with SparkSpec {
     assert(before == after, "compaction must not move an SQ8 probe")
   }
 
+  test("IVF,SQ8 append: batches encode against the TRAINED bounds (never " +
+      "retrained), probes equal a one-shot scan under those bounds, and " +
+      "the raw-vector append verb refuses the codes-only layout") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        ((i * 29 + d * 13) % 90).toFloat / 9f - 5f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val half = vecs.filter(col("vec_id") < 30)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sq8app").toString + "/idx"
+    Similarity.writeIvfIndexSq8(half, col("vec_id"), col("embedding"),
+      half.filter(col("vec_id") < 6), col("vec_id"), col("embedding"), path)
+    Similarity.appendIvfIndexSq8(vecs.filter(col("vec_id") >= 30),
+      col("vec_id"), col("embedding"), path)
+    // FAISS semantics: the appended rows quantize under the HALF-trained
+    // bounds, so the reference is the one-shot lane under THOSE bounds
+    val (mn, mx) = Similarity.readSq8Bounds(spark, path)
+    val (mnH, mxH) = Similarity.sq8Train(half, col("embedding"))
+    assert(mn.toSeq == mnH.toSeq && mx.toSeq == mxH.toSeq,
+      "append must never retrain the bounds")
+    val probed = Similarity.ivfSq8TopKIndexed(spark, path, queries,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "adc_dist", "rn")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val oneShot = Similarity.sq8TopKWithBounds(vecs, col("vec_id"),
+        col("embedding"), queries, col("vec_id"), col("embedding"), k = 5,
+        mn, mx)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(probed == oneShot,
+      "appended index must rank like a one-shot scan under its bounds")
+
+    // cross-verb misuse refuses loudly in BOTH directions — a raw-vector
+    // row in a codes-only lake (or vice versa) would corrupt every probe
+    val rawErr = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(vecs.filter(col("vec_id") >= 30),
+        col("vec_id"), col("embedding"), path)
+    }
+    assert(rawErr.getMessage.contains("appendIvfIndexSq8"))
+    val l2Path = java.nio.file.Files
+      .createTempDirectory("graft-sq8app-l2").toString + "/idx"
+    Similarity.writeIvfIndexL2(half, col("vec_id"), col("embedding"),
+      half.filter(col("vec_id") < 6), col("vec_id"), col("embedding"),
+      l2Path)
+    val sq8Err = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndexSq8(vecs.filter(col("vec_id") >= 30),
+        col("vec_id"), col("embedding"), l2Path)
+    }
+    assert(sq8Err.getMessage.contains("not an IVF,SQ8 index"))
+  }
+
   test("SQ8 recall@10 vs brute force on real embeddings clears a floor") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
