@@ -39,10 +39,19 @@ object IndexSnapshots {
     Some("_bm25_stats.json"), Nil)
   private val IvfLayout = Layout("_assign", "assign-v", "assign",
     None, Seq("centroids"))
+  // IVF,SQ8: the trained bounds are part of the generation's meaning —
+  // restoring pinned codes against rebuilt bounds would silently decode
+  // every distance wrong, so the bounds sidecar is a pinned companion
+  // exactly like the centroids that define the cell space
+  private val IvfSq8Layout = Layout("_assign", "assign-v", "assign",
+    None, Seq("centroids", "sq8_bounds"))
 
   private def layoutOf(fs: FileSystem, root: Path): Layout =
     if (fs.exists(new Path(root, "_bm25_stats.json"))) Bm25Layout
-    else if (fs.exists(new Path(root, "centroids"))) IvfLayout
+    else if (fs.exists(new Path(root, "centroids"))) {
+      if (fs.exists(new Path(root, "sq8_bounds"))) IvfSq8Layout
+      else IvfLayout
+    }
     else throw new IllegalArgumentException(
       s"$root is not a recognized derived index (no _bm25_stats.json, " +
         "no centroids/)")

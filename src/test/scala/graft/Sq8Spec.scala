@@ -187,6 +187,43 @@ class Sq8Spec extends AnyFunSuite with SparkSpec {
     assert(sq8Err.getMessage.contains("not an IVF,SQ8 index"))
   }
 
+  test("IVF,SQ8 generation snapshots: pin -> append -> compact -> " +
+      "restore answers for the pinned corpus; a rebuild refuses restore") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        ((i * 31 + d * 17) % 80).toFloat / 8f - 5f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val half = vecs.filter(col("vec_id") < 30)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sq8snap").toString + "/idx"
+    Similarity.writeIvfIndexSq8(half, col("vec_id"), col("embedding"),
+      half.filter(col("vec_id") < 6), col("vec_id"), col("embedding"), path)
+    val pinned = Similarity.ivfSq8TopKIndexed(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 5, nprobe = 6)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.IndexSnapshots.snapshot(spark, path, "pin")
+    Similarity.appendIvfIndexSq8(vecs.filter(col("vec_id") >= 30),
+      col("vec_id"), col("embedding"), path)
+    Similarity.compactIvfIndex(spark, path)
+    graft.operators.IndexSnapshots.restore(spark, path, "pin")
+    val restored = Similarity.ivfSq8TopKIndexed(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 5, nprobe = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(restored == pinned,
+      "restored IVF,SQ8 generation must answer for the pinned corpus")
+
+    // a full rebuild changes centroids AND bounds — the pin is
+    // meaningless against them and restore must refuse
+    Similarity.writeIvfIndexSq8(vecs, col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") < 6), col("vec_id"), col("embedding"), path)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.IndexSnapshots.restore(spark, path, "pin")
+    }
+    assert(err.getMessage.contains("companion dir"),
+      s"rebuild must refuse via the companion guard: ${err.getMessage}")
+  }
+
   test("SQ8 recall@10 vs brute force on real embeddings clears a floor") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
