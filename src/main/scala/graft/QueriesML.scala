@@ -918,6 +918,76 @@ object QueriesML {
           .orderBy(col("query_id"), col("rn"))
       }),
 
+    // -- IVF,SQ8 full maintenance cycle (r12): build on the even half
+    //    (bounds train THERE and never retrain), append the odd half
+    //    (encoded under the even-trained bounds), compact + vacuum, then
+    //    probe. The oracle replays the split-trained bounds explicitly —
+    //    a bounds retrain on append, a lost append row, or a compaction
+    //    that moved a code all change the hash.
+    QueryDef("q210_ivf_sq8_cycle", Some(s"""
+      WITH t AS (SELECT vec_id, ${dkQuant("embedding")} AS v FROM embeddings),
+      cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cq
+               FROM t WHERE vec_id < 8),
+      ca AS (SELECT neighbor_id, v, cell,
+                    row_number() OVER (PARTITION BY neighbor_id
+                      ORDER BY d, cell) AS arn
+             FROM (SELECT t.vec_id AS neighbor_id, t.v, cent.cell,
+                          ${dkL2("t.v", "cent.cq")} AS d
+                   FROM t, cent)),
+      cc AS (SELECT neighbor_id, v, cell FROM ca WHERE arn = 1),
+      mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+             FROM t, range(1, 65) r(i)
+             WHERE vec_id % 2 = 0 GROUP BY i),
+      ma AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+             FROM mm),
+      enc AS (SELECT neighbor_id, cell,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN 0 ELSE (2*255*(LEAST(mx[i], GREATEST(mn[i], v[i]))
+                   - mn[i]) + (mx[i]-mn[i])) // (2*(mx[i]-mn[i])) END)
+                 AS codes
+              FROM cc, ma),
+      rec AS (SELECT neighbor_id, cell,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN mn[i] ELSE mn[i] + (2*codes[i]*(mx[i]-mn[i]) + 255)
+                   // 510 END) AS rv
+              FROM enc, ma),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+      qa AS (SELECT query_id, qv, cell,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY d, cell) AS prn
+             FROM (SELECT q.query_id, q.qv, cent.cell,
+                          ${dkL2("q.qv", "cent.cq")} AS d
+                   FROM q, cent)),
+      qp AS (SELECT query_id, qv, cell FROM qa WHERE prn <= 2),
+      s AS (SELECT query_id, cell, neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (rv[i]-qv[i])*(rv[i]-qv[i]))) AS BIGINT) AS adc_dist
+            FROM rec JOIN qp USING (cell)
+            WHERE neighbor_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+            FROM s)
+      SELECT query_id, cell, neighbor_id, adc_dist, rn FROM r WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivfsq8-cyc").toString + "/idx"
+        Similarity.writeIvfIndexSq8(emb.filter(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        Similarity.appendIvfIndexSq8(emb.filter(col("vec_id") % 2 =!= 0),
+          col("vec_id"), col("embedding"), path)
+        Similarity.compactIvfIndex(s, path)
+        Similarity.vacuumIvfIndex(s, path)
+        Similarity.ivfSq8TopKIndexed(s, path,
+            emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+            k = 5, nprobe = 2)
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
     // -- similarity: SRP-LSH bucketed ANN ------------------------------------
     QueryDef("q36_ann_lsh", Some(s"""
       WITH q AS (SELECT vec_id AS query_id, ${dkQuant("embedding")} AS qv FROM embeddings
