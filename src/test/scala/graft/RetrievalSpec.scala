@@ -408,6 +408,40 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       Nil, Seq("scan"), 500).count() > 0)
   }
 
+  test("MLT probes prune to the candidate terms' buckets") {
+    // small vocabulary on purpose: few distinct terms -> few buckets, so
+    // the bound is tight enough to prove pruning (not just "< all")
+    val d = docs((1L to 300L).map(i =>
+      i -> s"alpha beta w${i % 5} ${if (i % 7 == 0) "gamma gamma" else "beta"}"): _*)
+    val path = tmp("mlt-prune")
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), path,
+      nBuckets = 32)
+    val src = "gamma gamma alpha alpha beta beta unseen"
+    // candidates = {alpha, beta, gamma} (tf >= 2; 'unseen' gated by tf)
+    val cands = Seq("alpha", "beta", "gamma")
+    val hits = spark.read.parquet(path)
+      .filter(col("bucket").isin(cands.map(t =>
+        Integer.valueOf((graft.functions.Kernels.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          % 32L).toInt)): _*))
+    hits.collect()
+    val plan = hits.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val parts = plan.collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numPartitions").value).sum
+    assert(parts <= 3,
+      s"MLT df probe must prune to the candidates' buckets, read $parts")
+    // the selection reads through this exact filter shape and the
+    // scoring probe through the (narrower) selected-term shape — results
+    // stay correct through both pruned reads
+    val sel = Retrieval.mltSelectTerms(spark, path, src, maxQueryTerms = 3)
+    assert(sel.map(_.term).toSet == Set("alpha", "beta", "gamma"))
+    assert(Retrieval.moreLikeThis(spark, path, src, k = 5,
+      maxQueryTerms = 3).count() == 5)
+  }
+
   test("postings compaction: one file per bucket, identical rankings, " +
       "appends keep landing in the active version, vacuum reclaims") {
     val d = docs((1L to 150L).map(i =>
