@@ -19,11 +19,11 @@ import graft.operators.{RangeJoin, TopK}
   */
 final class QueryDef(val name: String, oracleByName: => Option[String],
                      val fn: (SparkSession, String) => DataFrame) {
-  /** Re-evaluated per read so an oracle may splice model-derived literal
-    * tables captured by the query fn at run time (q167/q169's integer
-    * ln-micros lookup) — [[Verify]] dumps oracle_sql.json AFTER running
-    * every query, so the thunk sees the tables trained on the exact sfDir
-    * under test. */
+  /** By-name for historical reasons; every oracle is now a pure function
+    * of compile-time constants — NO process state (trained models,
+    * run order) may influence a dumped SQL string, so oracle_sql.json is
+    * identical whether or not any query ran first (OracleDumpSpec pins
+    * this: the r11/r12 q167/q169 hash-red class). */
   def oracle: Option[String] = oracleByName
 }
 object QueryDef {

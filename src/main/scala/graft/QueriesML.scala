@@ -68,53 +68,40 @@ object QueriesML {
       r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY cos DESC, cell) AS rn FROM a2)"""
 
-  /** Trained-model deposit box for the LM oracles: the q167/q169 fns
-    * register their [[graft.functions.NgramLmTable]] here, and the
-    * (per-read-evaluated) oracle thunks splice that model's integer
-    * ln-micros table into the SQL as a literal — so DuckDB replays the
-    * score in pure integer arithmetic, never calling its own `ln`
-    * (whose libm need not bit-match fdlibm at every evaluated ratio —
-    * the r11 q167/q169 hash-red). [[Verify]] dumps oracle_sql.json after
-    * running every query, so the thunk always sees the model trained on
-    * the exact sfDir under test. */
-  private[graft] object LmOracle {
-    private val models =
-      new scala.collection.concurrent.TrieMap[String, graft.functions.NgramLmTable]()
-    def register(key: String, t: graft.functions.NgramLmTable): Unit = {
-      models.put(key, t); ()
-    }
-    /** `lnm(v, m)` CTE body: the registered model's literal
-      * (count → floor(ln·10⁶+0.5)) pairs; if no run deposited a model
-      * (standalone dump), fall back to a DuckDB-`ln` recompute over the
-      * chain's own `kept`/`tot` counts so the SQL stays self-contained. */
-    def lnmCte(key: String): String = models.get(key) match {
-      case Some(t) =>
-        val rows = t.lnmEntries.toVector.sorted
-          .map { case (v, m) => s"($v,$m)" }.mkString(",")
-        s"lnm(v, m) AS (VALUES $rows)"
-      case None =>
-        """lnm AS (SELECT v, CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0
-                     + 0.5) AS BIGINT) AS m
-                   FROM (SELECT DISTINCT cnt AS v FROM kept
-                         UNION SELECT 1 UNION SELECT total FROM tot))"""
-    }
-  }
+  /** `lnm(v, m)` CTE block — the PURE-INTEGER fixed-point ln-micros of
+    * [[graft.functions.Kernels.lnFixMicros]], replayed by the engine
+    * itself as a recursive CTE over the chain's own distinct counts
+    * (`kept` counts ∪ {1, total} — everything a score can touch):
+    * bit-length via `bin()`, Q30 normalization, 20 repeated-squaring
+    * log₂ bits, one multiply-shift to micros. Self-contained and
+    * state-free: NO deposited model, NO libm on either side — the r11/
+    * r12 q167/q169 hash-red class (a DuckDB-`ln` fallback that fired on
+    * any dump without the trained model in the same JVM) is structurally
+    * impossible. Callers must open the chain with `WITH RECURSIVE`. */
+  private val dkLnmCtes: String = s"""
+      lnm_src AS (SELECT DISTINCT cnt AS v FROM kept
+                  UNION SELECT CAST(1 AS BIGINT)
+                  UNION SELECT total FROM tot),
+      ${OracleLnFix.ctes("lnm_src")}"""
 
-  /** floor(ln(0.4)·10⁶+0.5) — the per-backoff-level penalty, evaluated
-    * once here (fdlibm) and spliced into the oracle as an integer. */
+  /** The per-backoff-level penalty at α=0.4 — lnm(400000) − lnm(10⁶) in
+    * the same integer fixed-point log, spliced into the oracle as an
+    * integer literal (a compile-time constant: no process state). */
   private val lmPenaltyMicros: Long =
-    math.floor(StrictMath.log(0.4) * 1000000.0 + 0.5).toLong
+    graft.functions.Kernels.lnFixMicros(400000L) -
+      graft.functions.Kernels.lnFixMicros(1000000L)
 
   /** The trigram stupid-backoff LM chain as a DuckDB CTE block over a
     * docs-shaped source `src` (doc_id, text): token lane, one gram count
     * shared by all orders, minCount=2 prune + per-order rank cap 100000,
     * per-position backoff level selection, then PURE-INTEGER scoring —
-    * micros = lnm(num) − lnm(den) + backoffs · penalty, with `lnm` joined
-    * from [[LmOracle.lnmCte]] (literal, engine-proof) — per-doc sum. Ends
-    * at `toks` (doc_id, ts) and `agg` (doc_id, m); mirrors
+    * micros = lnm(num) − lnm(den) + backoffs · penalty, with `lnm`
+    * computed in-query by [[dkLnmCtes]] (the integer fixed-point log,
+    * engine-proof and state-free) — per-doc sum. Ends at `toks`
+    * (doc_id, ts) and `agg` (doc_id, m); mirrors
     * [[graft.operators.NgramLm]] at (n=3, minCount=2, cap=100000,
-    * alpha=0.4) bit-for-bit. */
-  private def dkNgramLmChain(src: String, lmKey: String): String = s"""
+    * alpha=0.4) bit-for-bit. Callers open with `WITH RECURSIVE`. */
+  private def dkNgramLmChain(src: String): String = s"""
       toks AS (SELECT doc_id, ${dkToks("text")} AS ts FROM $src),
       tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS total FROM toks),
       allg AS (
@@ -145,7 +132,7 @@ object QueriesML {
              LEFT JOIN kept cx2 ON cx2.gram = px.x2
              LEFT JOIN kept cg3 ON cg3.gram = px.g3
              LEFT JOIN kept cx3 ON cx3.gram = px.x3),
-      ${LmOracle.lnmCte(lmKey)},
+      $dkLnmCtes,
       sel AS (SELECT doc_id,
         CASE
           WHEN g3 IS NOT NULL AND c3g IS NOT NULL AND c3x IS NOT NULL THEN c3g
@@ -1955,7 +1942,9 @@ object QueriesML {
                FROM filled GROUP BY 1),
       est AS (SELECT event_type, array_to_string(regs, '|') AS reg_str,
                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       list_transform(regs, x -> power(2.0, -x))), (a, b) -> a + b) AS inv_sum
+                       list_transform(regs, x -> 1.0 /
+                         CAST(CAST(1 AS BIGINT) << CAST(x AS INTEGER) AS DOUBLE))),
+                       (a, b) -> a + b) AS inv_sum
               FROM regs),
       ex AS (SELECT event_type, count(DISTINCT user_id) AS exact FROM events GROUP BY 1)
       SELECT e.event_type, e.reg_str,
@@ -1971,7 +1960,8 @@ object QueriesML {
             countDistinct(col("user_id")).as("exact"))
           .withColumn("reg_str", concat_ws("|", transform(col("regs"), _.cast("string"))))
           .withColumn("inv_sum",
-            expr("aggregate(regs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + power(2.0, -x))"))
+            expr("aggregate(regs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + " +
+              "1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(x AS INT)) AS DOUBLE))"))
           .select(col("event_type"), col("reg_str"),
             F.qround(lit(0.673 * m * m) / col("inv_sum"), 6).as("est_raw"),
             col("exact"))
@@ -2009,11 +1999,17 @@ object QueriesML {
                FROM filled GROUP BY 1),
       est AS (SELECT scope, zeros,
                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(regs, x -> power(2.0, -x))), (a, b) -> a + b) AS inv_sum
-              FROM regs)
+                list_transform(regs, x -> 1.0 /
+                  CAST(CAST(1 AS BIGINT) << CAST(x AS INTEGER) AS DOUBLE))),
+                (a, b) -> a + b) AS inv_sum
+              FROM regs),
+      hll_lnm(v, lm) AS (VALUES ${(1 to m).map(z =>
+        s"(CAST($z AS BIGINT),CAST(${graft.functions.Kernels.lnFixMicros(z.toLong)} AS BIGINT))")
+        .mkString(",")})
       SELECT scope, ${dkQround(
         s"CASE WHEN 0.673 * $m * $m / inv_sum <= 2.5 * $m AND zeros > 0 " +
-        s"THEN $m * ln(CAST($m AS DOUBLE) / zeros) " +
+        s"THEN CAST($m * (CAST(${graft.functions.Kernels.lnFixMicros(m.toLong)} AS BIGINT) " +
+        s"- (SELECT lm FROM hll_lnm WHERE v = zeros)) AS DOUBLE) / 1000000.0 " +
         s"ELSE 0.673 * $m * $m / inv_sum END", 6)} AS est_raw
       FROM est ORDER BY scope"""
     },
@@ -2311,18 +2307,24 @@ object QueriesML {
     //    is never shuffled for the lookup. logp quantized into
     //    DECIMAL(18,6) pre-sum, so the mean is order-independent.
     QueryDef("q108_unigram_nll", Some(s"""
-      WITH toks AS (SELECT doc_id, unnest(${dkToks("text")}) AS token FROM documents),
-      tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+      WITH RECURSIVE toks AS (SELECT doc_id, unnest(${dkToks("text")}) AS token FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
       cnt AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
       rk AS (SELECT token, freq, row_number() OVER
                (ORDER BY freq DESC, token) AS rk FROM cnt),
       vocab AS (SELECT token, freq FROM rk WHERE rk <= 2000),
+      u_src AS (SELECT DISTINCT freq AS v FROM vocab
+                UNION SELECT CAST(1 AS BIGINT)
+                UNION SELECT total FROM tot),
+      ${OracleLnFix.ctes("u_src", "ulnm")},
       lp AS (SELECT t.doc_id,
-               CAST(${dkQround("ln(CAST(coalesce(v.freq, 1) AS DOUBLE) / tot.total)", 6)}
-                 AS DECIMAL(18,6)) AS logp
+               (SELECT m FROM ulnm WHERE v = coalesce(v.freq, 1)) -
+               (SELECT m FROM ulnm WHERE v = tot.total) AS lpm
              FROM toks t LEFT JOIN vocab v USING (token), tot)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-             ${dkQround("-(CAST(sum(logp) AS DOUBLE)) / count(*)", 4)} AS nll
+             ${dkQround(
+               "CAST(CAST(-sum(lpm) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*)",
+               4)} AS nll
       FROM lp GROUP BY doc_id ORDER BY doc_id"""),
       (s, dir) => TrainPrep.unigramNll(T(s, dir, "documents"),
           col("doc_id"), col("text"), vocabSize = 2000)
@@ -2819,7 +2821,7 @@ object QueriesML {
       WITH tot AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS dtok
                    FROM documents GROUP BY source),
            tt AS (SELECT SUM(dtok) AS t FROM tot),
-           p AS (SELECT source, pow(dtok / t, 0.5) AS pw
+           p AS (SELECT source, sqrt(dtok / t) AS pw
                  FROM tot, tt WHERE dtok > 0),
            zz AS (SELECT SUM(pw) AS z FROM p),
            w AS (SELECT source,
@@ -2893,10 +2895,10 @@ object QueriesML {
     //    q6-decimal log-prob sums, argmax with min-label ties. Trains on
     //    documents.lang and rescores the corpus (resubstitution).
     QueryDef("q163_nb_classifier", Some(s"""
-      WITH base AS (SELECT doc_id, lang AS cls, ${dkToks("text")} AS toks
+      WITH RECURSIVE base AS (SELECT doc_id, lang AS cls, ${dkToks("text")} AS toks
                     FROM documents),
       toks AS (SELECT doc_id, cls, unnest(toks) AS token FROM base),
-      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM base),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
       cc AS (SELECT cls, count(*) AS n_docs FROM base GROUP BY cls),
       cntall AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
       rk AS (SELECT token, row_number() OVER (ORDER BY freq DESC, token)
@@ -2907,19 +2909,27 @@ object QueriesML {
       iv AS (SELECT t.cls, t.token FROM toks t JOIN vocab USING (token)),
       tc AS (SELECT cls, token, count(*) AS cnt FROM iv GROUP BY 1, 2),
       ct AS (SELECT cls, count(*) AS tot FROM iv GROUP BY 1),
+      nb_src AS (SELECT cnt + 1 AS v FROM tc
+                 UNION SELECT CAST(ct.tot + vc.v + 1 AS BIGINT) FROM ct, vc
+                 UNION SELECT CAST(coalesce(ct.tot, 0) + vc.v + 1 AS BIGINT)
+                       FROM cc LEFT JOIN ct USING (cls), vc
+                 UNION SELECT n_docs FROM cc
+                 UNION SELECT n_all FROM nd),
+      ${OracleLnFix.ctes("nb_src", "nblnm")},
       model AS (SELECT tc.cls, tc.token,
-                  CAST(${dkQround("ln(CAST(tc.cnt + 1 AS DOUBLE) / " +
-                    "CAST(ct.tot + vc.v + 1 AS DOUBLE))", 6)}
-                    AS DECIMAL(18,6)) AS logp
+                  (SELECT m FROM nblnm WHERE v = tc.cnt + 1) -
+                  (SELECT m FROM nblnm
+                   WHERE v = CAST(ct.tot + vc.v + 1 AS BIGINT)) AS logp
                 FROM tc JOIN ct USING (cls), vc),
       ci AS (SELECT cc.cls,
-               CAST(${dkQround("ln(cc.n_docs / nd.n_all)", 6)}
-                 AS DECIMAL(18,6)) AS prior_logp,
-               CAST(${dkQround("ln(1.0 / CAST(coalesce(ct.tot, 0) " +
-                 "+ vc.v + 1 AS DOUBLE))", 6)}
-                 AS DECIMAL(18,6)) AS oov_logp
+               (SELECT m FROM nblnm WHERE v = cc.n_docs) -
+               (SELECT m FROM nblnm WHERE v = nd.n_all) AS prior_logp,
+               -(SELECT m FROM nblnm
+                 WHERE v = CAST(coalesce(ct.tot, 0) + vc.v + 1 AS BIGINT))
+                 AS oov_logp
              FROM cc LEFT JOIN ct USING (cls), vc, nd),
-      matched AS (SELECT t.doc_id, m.cls, sum(m.logp) AS s_in,
+      matched AS (SELECT t.doc_id, m.cls,
+                         CAST(sum(m.logp) AS BIGINT) AS s_in,
                          count(*) AS n_in
                   FROM toks t JOIN model m USING (token) GROUP BY 1, 2),
       nt AS (SELECT doc_id, cls AS true_cls, len(toks) AS n_tok FROM base),
@@ -2932,7 +2942,7 @@ object QueriesML {
                                      AND ma.cls = ci.cls),
       mx AS (SELECT doc_id, max(score) AS m FROM scores GROUP BY doc_id)
       SELECT s.doc_id, min(s.cls) AS pred,
-             CAST(max(s.score) AS DOUBLE) AS score,
+             CAST(max(s.score) AS DOUBLE) / 1000000.0 AS score,
              min(s.cls) = min(s.true_cls) AS matches_label
       FROM scores s JOIN mx ON s.doc_id = mx.doc_id AND s.score = mx.m
       GROUP BY s.doc_id ORDER BY s.doc_id"""),
@@ -3141,7 +3151,7 @@ object QueriesML {
     //    score: counts → rank cap → per-position backoff CASE (factor-
     //    first products, exact-integer micros) → order-free decimal sum.
     QueryDef("q167_ngram_lm", Some(s"""
-      WITH ${dkNgramLmChain("documents", "q167_ngram_lm")}
+      WITH RECURSIVE ${dkNgramLmChain("documents")}
       SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
         coalesce(a.m, 0) AS logscore_micros,
         CASE WHEN len(t.ts) > 0 THEN
@@ -3153,7 +3163,6 @@ object QueriesML {
         val d = T(s, dir, "documents")
         val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
           minCount = 2, maxGramsPerOrder = 100000)
-        LmOracle.register("q167_ngram_lm", lm)
         graft.operators.NgramLm.scores(d, col("doc_id"), col("text"), lm)
           .orderBy(col("doc_id"))
       }),
@@ -3205,10 +3214,10 @@ object QueriesML {
         s"WHEN best > 0 AND h_$l = best THEN '$l'"
       }.mkString(" ")
       s"""
-      WITH ded AS (SELECT min(doc_id) AS doc_id FROM documents
+      WITH RECURSIVE ded AS (SELECT min(doc_id) AS doc_id FROM documents
                    GROUP BY md5(text)),
       docs0 AS (SELECT d.doc_id, d.text FROM documents d JOIN ded USING (doc_id)),
-      ${dkNgramLmChain("docs0", "q169_ccnet_curation")},
+      ${dkNgramLmChain("docs0")},
       lh AS (SELECT doc_id, $hits FROM toks),
       lb2 AS (SELECT *, $best AS best FROM lh),
       lng AS (SELECT doc_id, CASE $cases
@@ -3249,7 +3258,6 @@ object QueriesML {
         val d = Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
         val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
           minCount = 2, maxGramsPerOrder = 100000)
-        LmOracle.register("q169_ccnet_curation", lm)
         TrainPrep.curationBuckets(d, col("doc_id"), col("text"), lm)
           .orderBy(col("doc_id"))
       }),

@@ -38,11 +38,14 @@ object QueriesRetrieval {
   /** BM25 per-term micros for DuckDB, spelled in the EXACT association
     * order [[Retrieval.termMicros]] uses:
     * `floor(idf6 · ((tf·(k1+1)) / (tf + k1·((1−b) + b·dl·N/TT))) · 10⁶ + 0.5)`
-    * with `idf6 = round6(ln(1 + (N − df + 0.5)/(df + 0.5)))`. `n`/`tt`
-    * are scalar columns from the stats CTE; `df$i` from the df CTE. */
-  private def dkBm25Term(term: String, dfCol: String,
+    * with `idf6 = idf-micros / 10⁶` — the integer
+    * `lnm(2N+2) − lnm(2df+1)` of [[Retrieval.Bm25Stats.idfMicros]],
+    * carried in by the caller's `$idfCol` column (computed by the
+    * self-contained recursive integer-log CTE, never DuckDB's `ln`).
+    * `n`/`tt` are scalar columns from the stats CTE. */
+  private def dkBm25Term(term: String, idfCol: String,
                          p: Retrieval.Bm25Params): String = {
-    val idf = s"${dkQround(s"ln(1.0 + (CAST(n AS DOUBLE) - $dfCol + 0.5) / ($dfCol + 0.5))", 6)}"
+    val idf = s"(CAST($idfCol AS DOUBLE) / 1000000.0)"
     val tf = s"CAST(len(list_filter(ts, x -> x = '$term')) AS DOUBLE)"
     val norm = s"(${1.0 - p.b} + ${p.b} * CAST(len(ts) AS DOUBLE) * " +
       s"CAST(n AS DOUBLE) / CAST(tt AS DOUBLE))"
@@ -50,24 +53,44 @@ object QueriesRetrieval {
       s"($tf + ${p.k1} * $norm)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"
   }
 
-  /** Shared CTE block: tokenized docs, corpus stats, per-term dfs, and
-    * per-doc BM25 micros for [[QTerms]]. Ends at `scored(doc_id,
-    * score_micros)` (matching docs only). `where` restricts the corpus
-    * (the q194 pinned-generation lane). */
+  /** Per-term integer idf-micros CTE block over a stats CTE `s(n, ...)`
+    * and a df CTE `f(df0, df1, ...)` (BIGINT dfs): one recursive
+    * integer-log instance covering `{2n+2} ∪ {2·dfᵢ+1}`, then
+    * `idfm(idf0, idf1, ...)` with `idfᵢ = lnm(2n+2) − lnm(2·dfᵢ+1)` —
+    * [[Retrieval.Bm25Stats.idfMicros]] replayed by the engine itself.
+    * Enclosing query must open `WITH RECURSIVE`. */
+  private def dkIdfm(nTerms: Int): String = {
+    val srcUnion = (s"SELECT 2 * n + 2 AS v FROM s" +:
+      (0 until nTerms).map(i => s"SELECT 2 * df$i + 1 FROM f")).mkString(" UNION ")
+    val idfCols = (0 until nTerms).map(i =>
+      s"((SELECT m FROM bmlnm WHERE v = 2 * s.n + 2) - " +
+        s"(SELECT m FROM bmlnm WHERE v = 2 * f.df$i + 1)) AS idf$i").mkString(", ")
+    s"""
+      bm_src AS ($srcUnion),
+      ${OracleLnFix.ctes("bm_src", "bmlnm")},
+      idfm AS (SELECT $idfCols FROM s, f)"""
+  }
+
+  /** Shared CTE block: tokenized docs, corpus stats, per-term dfs,
+    * integer idf-micros ([[dkIdfm]]), and per-doc BM25 micros for
+    * [[QTerms]]. Ends at `scored(doc_id, score_micros)` (matching docs
+    * only). `where` restricts the corpus (the q194 pinned-generation
+    * lane). Enclosing query must open `WITH RECURSIVE`. */
   private def dkBm25Chain(p: Retrieval.Bm25Params,
                           where: String = ""): String = {
     val dfAggs = QTerms.zipWithIndex.map { case (t, i) =>
-      s"sum(CASE WHEN list_contains(ts, '$t') THEN 1.0 ELSE 0.0 END) AS df$i"
+      s"CAST(sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
     }.mkString(", ")
     val termSum = QTerms.zipWithIndex
-      .map { case (t, i) => dkBm25Term(t, s"df$i", p) }
+      .map { case (t, i) => dkBm25Term(t, s"idf$i", p) }
       .mkString(" + ")
     s"""
       d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents $where),
       s AS (SELECT count(*) AS n, coalesce(sum(len(ts)), 0) AS tt FROM d),
       f AS (SELECT $dfAggs FROM d),
+      ${dkIdfm(QTerms.size)},
       scored AS (SELECT doc_id, $termSum AS score_micros
-                 FROM d, s, f)"""
+                 FROM d, s, f, idfm)"""
   }
 
   /** Hashed uni+bigram feature CTE block for DSIR (B = `b` buckets):
@@ -86,21 +109,32 @@ object QueriesRetrieval {
 
   /** Per-bucket add-one-smoothed log-ratio micros for DSIR, target =
     * `source = 'src18'`, raw = all documents — spelled exactly as
-    * [[Dsir.logRatioMicros]]: `floor(ln(((ct+1)/Tt) / ((cr+1)/Tr))·10⁶
-    * + 0.5)` with `Tt/Tr = Σcounts + B`. Ends at `lam(bucket, lam)` and
-    * `wt(doc_id, n_features, weight_micros)` over ALL docs. */
+    * [[Dsir.logRatioMicros]]'s four-integer-log decomposition:
+    * `lam = lnm(ct+1) − lnm(Tt) − lnm(cr+1) + lnm(Tr)` with
+    * `Tt/Tr = Σcounts + B` and `lnm` the self-contained recursive
+    * integer-log CTE (no libm, no overflow at any corpus size). Ends at
+    * `lam(bucket, lam)` and `wt(doc_id, n_features, weight_micros)` over
+    * ALL docs. Enclosing query must open `WITH RECURSIVE`. */
   private def dkDsirChain(b: Int): String = s"""
       ${dkDsirFeats(b)},
       tgt AS (SELECT bucket, count(*) AS c FROM feats f
               JOIN documents USING (doc_id) WHERE source = 'src18'
               GROUP BY 1),
       raw AS (SELECT bucket, count(*) AS c FROM feats GROUP BY 1),
+      dsir_src AS (SELECT c + 1 AS v FROM tgt
+                   UNION SELECT c + 1 FROM raw
+                   UNION SELECT CAST(1 AS BIGINT)
+                   UNION SELECT CAST(coalesce(sum(c), 0) + $b AS BIGINT) FROM tgt
+                   UNION SELECT CAST(coalesce(sum(c), 0) + $b AS BIGINT) FROM raw),
+      ${OracleLnFix.ctes("dsir_src", "dlnm")},
       lam AS (SELECT g.i AS bucket,
-                CAST(floor(ln(((coalesce(t.c, 0) + 1.0) /
-                      CAST((SELECT coalesce(sum(c), 0) + $b FROM tgt) AS DOUBLE))
-                    / ((coalesce(r.c, 0) + 1.0) /
-                      CAST((SELECT coalesce(sum(c), 0) + $b FROM raw) AS DOUBLE)))
-                  * 1000000.0 + 0.5) AS BIGINT) AS lam
+                  (SELECT m FROM dlnm WHERE v = coalesce(t.c, 0) + 1)
+                - (SELECT m FROM dlnm WHERE v =
+                     (SELECT CAST(coalesce(sum(c), 0) + $b AS BIGINT) FROM tgt))
+                - (SELECT m FROM dlnm WHERE v = coalesce(r.c, 0) + 1)
+                + (SELECT m FROM dlnm WHERE v =
+                     (SELECT CAST(coalesce(sum(c), 0) + $b AS BIGINT) FROM raw))
+                  AS lam
               FROM range(0, $b) g(i)
               LEFT JOIN tgt t ON t.bucket = g.i
               LEFT JOIN raw r ON r.bucket = g.i),
@@ -136,38 +170,16 @@ object QueriesRetrieval {
                FROM wsc)"""
   }
 
-  /** Engine-deposited (df → idf-micros) pairs for the MLT oracles — the
-    * q167 lnm pattern: the engine's own `floor(ln(·)·10⁶+0.5)` values
-    * ship into the SQL as a literal `idf(df_v, m)` table, so DuckDB
-    * replays selection and scoring in pure integer / IEEE-division
-    * arithmetic and never calls its own `ln`. Standalone dumps (no run)
-    * fall back to a self-contained ln recompute over the chain's own
-    * distinct df values. */
-  private[graft] object IdfOracle {
-    private val tables =
-      new scala.collection.concurrent.TrieMap[String, Seq[(Long, Long)]]()
-    def register(key: String, pairs: Seq[(Long, Long)]): Unit = {
-      tables.put(key, pairs.distinct.sorted); ()
-    }
-    def cte(key: String): String = tables.get(key) match {
-      case Some(ps) if ps.nonEmpty =>
-        val rows = ps.map { case (d, m) => s"($d,$m)" }.mkString(",")
-        s"idf(df_v, m) AS (VALUES $rows)"
-      case _ =>
-        """idf AS (SELECT df AS df_v,
-             CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) /
-               (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS m
-           FROM (SELECT DISTINCT df FROM dfq), s)"""
-    }
-  }
-
   /** Shared MLT CTE block (source doc 42, minTermFreq = 2, minDocFreq =
     * 1): source-doc tf, corpus df per candidate (`list_contains` join —
-    * the relational spelling of the index's postings presence), idf from
-    * [[IdfOracle]], selection score = exact integer tf·m. Ends at
-    * `sel(term, tf, df, m, sel_micros)` over ALL candidates plus the
-    * corpus stats `s(n, tt)` and token lane `d`. */
-  private def dkMltChain(idfCte: String): String = s"""
+    * the relational spelling of the index's postings presence), integer
+    * idf-micros `lnm(2n+2) − lnm(2df+1)` from the self-contained
+    * recursive integer-log CTE (the engine computes its own idfs — no
+    * deposited table, no `ln`; the r11/r12 hash-red class), selection
+    * score = exact integer tf·m. Ends at `sel(term, tf, df, m,
+    * sel_micros)` over ALL candidates plus the corpus stats `s(n, tt)`
+    * and token lane `d`. Enclosing query must open `WITH RECURSIVE`. */
+  private def dkMltChain: String = s"""
       src AS (SELECT ${dkToks("text")} AS ts FROM documents
               WHERE doc_id = 42),
       d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
@@ -178,7 +190,13 @@ object QueriesRetrieval {
       dfq AS (SELECT c.term, c.tf, count(*) AS df
               FROM cand c JOIN d ON list_contains(d.ts, c.term)
               GROUP BY 1, 2),
-      $idfCte,
+      mlt_src AS (SELECT 2 * df + 1 AS v FROM (SELECT DISTINCT df FROM dfq)
+                  UNION SELECT 2 * n + 2 FROM s),
+      ${OracleLnFix.ctes("mlt_src", "mltlnm")},
+      idf AS (SELECT df AS df_v,
+                (SELECT m FROM mltlnm WHERE v = 2 * s.n + 2) -
+                (SELECT m FROM mltlnm WHERE v = 2 * u.df + 1) AS m
+              FROM (SELECT DISTINCT df FROM dfq) u, s),
       sel AS (SELECT q.term, q.tf, q.df, i.m, q.tf * i.m AS sel_micros
               FROM dfq q JOIN idf i ON q.df = i.df_v)"""
 
@@ -190,7 +208,7 @@ object QueriesRetrieval {
     //    projection; the oracle replays idf→tf-fraction→micros in the
     //    identical association order.
     QueryDef("q173_bm25_scores", Some(s"""
-      WITH ${dkBm25Chain(P)}
+      WITH RECURSIVE ${dkBm25Chain(P)}
       SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
       FROM scored WHERE score_micros > 0 ORDER BY doc_id"""),
       (s, dir) =>
@@ -205,7 +223,7 @@ object QueriesRetrieval {
     //    index build + pruned probe ≡ full scan. Top-10, score desc /
     //    doc_id asc (TakeOrdered both engines).
     QueryDef("q174_bm25_index_topk", Some(s"""
-      WITH ${dkBm25Chain(P)}
+      WITH RECURSIVE ${dkBm25Chain(P)}
       SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
       FROM scored WHERE score_micros > 0
       ORDER BY score_micros DESC, doc_id LIMIT 10"""),
@@ -222,7 +240,7 @@ object QueriesRetrieval {
     //    Pins that appendBm25Index keeps df/stats consistent: df comes
     //    from the postings themselves, the sidecar advances atomically.
     QueryDef("q178_bm25_index_append", Some(s"""
-      WITH ${dkBm25Chain(P)}
+      WITH RECURSIVE ${dkBm25Chain(P)}
       SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
       FROM scored WHERE score_micros > 0
       ORDER BY score_micros DESC, doc_id LIMIT 10"""),
@@ -249,7 +267,7 @@ object QueriesRetrieval {
     //    half only; a leaked odd posting, a stale stats sidecar, or a
     //    restore that missed the pointer all change the hash.
     QueryDef("q194_bm25_gen_restore", Some(s"""
-      WITH ${dkBm25Chain(P, "WHERE doc_id % 2 = 0")}
+      WITH RECURSIVE ${dkBm25Chain(P, "WHERE doc_id % 2 = 0")}
       SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
       FROM scored WHERE score_micros > 0
       ORDER BY score_micros DESC, doc_id LIMIT 15"""),
@@ -273,7 +291,7 @@ object QueriesRetrieval {
     //    (2a+b) div 2b identity, fused score = integer sum. The oracle
     //    replays both rankings and the fusion bit-for-bit.
     QueryDef("q175_hybrid_rrf", Some(s"""
-      WITH ${dkBm25Chain(P)},
+      WITH RECURSIVE ${dkBm25Chain(P)},
       lex AS (SELECT doc_id, row_number() OVER (
                 ORDER BY score_micros DESC, doc_id) AS r
               FROM (SELECT * FROM scored WHERE score_micros > 0
@@ -313,7 +331,7 @@ object QueriesRetrieval {
     //    replays BOTH pruned pools and the fusion; a full-corpus dense
     //    pool (the q175 answer) hash-mismatches, proving the probe lane.
     QueryDef("q198_hybrid_index", Some(s"""
-      WITH ${dkBm25Chain(P)},
+      WITH RECURSIVE ${dkBm25Chain(P)},
       ${graft.QueriesML.dkIvfCells(8)},
       lex AS (SELECT doc_id, row_number() OVER (
                 ORDER BY score_micros DESC, doc_id) AS r
@@ -365,17 +383,21 @@ object QueriesRetrieval {
     //    replays the scoring — a missed adjacency, an off-by-one in the
     //    position walk, or stale index stats all hash-mismatch.
     QueryDef("q180_phrase_search", Some(s"""
-      WITH d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      WITH RECURSIVE d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
       h AS (SELECT doc_id, len(ts) AS dl,
               len(list_filter(range(1, greatest(len(ts) - 1, 0) + 1),
                 i -> ts[i] = 'table' AND ts[i+1] = 'scan')) AS n
             FROM d),
       m AS (SELECT * FROM h WHERE n > 0),
       s AS (SELECT count(*) AS nd, coalesce(sum(len(ts)), 0) AS tt FROM d),
-      f AS (SELECT count(*) AS dfp FROM m)
+      f AS (SELECT count(*) AS dfp FROM m),
+      p_src AS (SELECT 2 * nd + 2 AS v FROM s UNION SELECT 2 * dfp + 1 FROM f),
+      ${OracleLnFix.ctes("p_src", "plnm")}
       SELECT doc_id, CAST(n AS BIGINT) AS n_matches,
              CAST(floor(
-               ${dkQround("ln(1.0 + (CAST(nd AS DOUBLE) - dfp + 0.5) / (dfp + 0.5))", 6)}
+               (CAST((SELECT m FROM plnm WHERE v = 2 * nd + 2) -
+                     (SELECT m FROM plnm WHERE v = 2 * dfp + 1)
+                 AS DOUBLE) / 1000000.0)
                * (CAST(n AS DOUBLE) * ${P.k1 + 1.0} /
                   (CAST(n AS DOUBLE) + ${P.k1} *
                    (${1.0 - P.b} + ${P.b} * CAST(dl AS DOUBLE) *
@@ -399,18 +421,19 @@ object QueriesRetrieval {
     //    list_contains and the scoring per term — a doc leaking past
     //    -slow, a must-gate miss, or a wrong df all hash-mismatch.
     QueryDef("q181_boolean_search", Some(s"""
-      WITH d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
+      WITH RECURSIVE d AS (SELECT doc_id, ${dkToks("text")} AS ts FROM documents),
       s AS (SELECT count(*) AS n, coalesce(sum(len(ts)), 0) AS tt FROM d),
       f AS (SELECT
-              sum(CASE WHEN list_contains(ts, 'spark') THEN 1.0 ELSE 0.0 END) AS df0,
-              sum(CASE WHEN list_contains(ts, 'vector') THEN 1.0 ELSE 0.0 END) AS df1,
-              sum(CASE WHEN list_contains(ts, 'dup') THEN 1.0 ELSE 0.0 END) AS df2
+              CAST(sum(CASE WHEN list_contains(ts, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+              CAST(sum(CASE WHEN list_contains(ts, 'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+              CAST(sum(CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END) AS BIGINT) AS df2
             FROM d),
+      ${dkIdfm(3)},
       scored AS (SELECT doc_id,
-                   ${dkBm25Term("spark", "df0", P)} +
-                   ${dkBm25Term("vector", "df1", P)} +
-                   ${dkBm25Term("dup", "df2", P)} AS score_micros
-                 FROM d, s, f
+                   ${dkBm25Term("spark", "idf0", P)} +
+                   ${dkBm25Term("vector", "idf1", P)} +
+                   ${dkBm25Term("dup", "idf2", P)} AS score_micros
+                 FROM d, s, f, idfm
                  WHERE list_contains(ts, 'spark')
                    AND NOT list_contains(ts, 'slow'))
       SELECT doc_id, CAST(score_micros AS BIGINT) AS score_micros
@@ -433,7 +456,7 @@ object QueriesRetrieval {
     //    an array literal in the plan). The oracle recomputes the models
     //    AND the weights relationally.
     QueryDef("q176_dsir_scores", Some(s"""
-      WITH ${dkDsirChain(64)}
+      WITH RECURSIVE ${dkDsirChain(64)}
       SELECT doc_id, n_features, weight_micros FROM wt ORDER BY doc_id"""),
       (s, dir) => {
         val docs = T(s, dir, "documents")
@@ -446,15 +469,31 @@ object QueriesRetrieval {
     // -- DSIR selection: Gumbel-top-k (the Gumbel-max trick = weight-
     //    proportional sampling without replacement), seeded via the
     //    60-bit hash so the draw replays: u = (hash60('42:'||id)+1)/2⁶⁰,
-    //    key = weight + floor(−ln(−ln(u))·10⁶ + 0.5).
+    //    −ln(−ln(u)) as NESTED INTEGER LOGS (two recursive lnm
+    //    instances): inner = max(lnm(2⁶⁰) − lnm(h+1), 1), key = weight +
+    //    lnm(10⁶) − lnm(inner) — mirrors Dsir.gumbelKey exactly.
     QueryDef("q177_dsir_select", Some(s"""
-      WITH ${dkDsirChain(64)},
+      WITH RECURSIVE ${dkDsirChain(64)},
+      gk AS (SELECT doc_id, weight_micros,
+               ${dkHash60("'42:' || CAST(doc_id AS VARCHAR)")} + 1 AS h1
+             FROM wt),
+      g1_src AS (SELECT DISTINCT h1 AS v FROM gk
+                 UNION SELECT CAST(1152921504606846976 AS BIGINT)),
+      ${OracleLnFix.ctes("g1_src", "g1lnm")},
+      gi AS (SELECT doc_id, weight_micros,
+               greatest((SELECT m FROM g1lnm
+                         WHERE v = CAST(1152921504606846976 AS BIGINT))
+                        - (SELECT m FROM g1lnm WHERE v = gk.h1),
+                        CAST(1 AS BIGINT)) AS ginner
+             FROM gk),
+      g2_src AS (SELECT DISTINCT ginner AS v FROM gi
+                 UNION SELECT CAST(1000000 AS BIGINT)),
+      ${OracleLnFix.ctes("g2_src", "g2lnm")},
       keyed AS (SELECT doc_id, weight_micros,
-                  weight_micros + CAST(floor(-ln(-ln(
-                      (CAST(${dkHash60("'42:' || CAST(doc_id AS VARCHAR)")}
-                         AS DOUBLE) + 1.0) / 1152921504606846976.0))
-                    * 1000000.0 + 0.5) AS BIGINT) AS key_micros
-                FROM wt)
+                  weight_micros
+                  + (SELECT m FROM g2lnm WHERE v = CAST(1000000 AS BIGINT))
+                  - (SELECT m FROM g2lnm WHERE v = gi.ginner) AS key_micros
+                FROM gi)
       SELECT doc_id, weight_micros, key_micros
       FROM keyed ORDER BY key_micros DESC, doc_id LIMIT 50"""),
       (s, dir) => {
@@ -468,11 +507,11 @@ object QueriesRetrieval {
     //    source doc's terms with tf >= 2 ranked by the exact integer
     //    tf · idf-micros (idf = the repo's q6 Lucene-BM25 idf, df from
     //    the index postings), top 8. The oracle replays tf, df, and the
-    //    ranking over ALL candidates with the engine-deposited idf
-    //    table — a wrong df, a dropped candidate, or a selection-order
+    //    ranking over ALL candidates with the self-contained integer-log
+    //    idf — a wrong df, a dropped candidate, or a selection-order
     //    slip all change the hash.
     QueryDef("q199_mlt_terms", Some(s"""
-      WITH ${dkMltChain(IdfOracle.cte("q199_mlt_terms"))}
+      WITH RECURSIVE $dkMltChain
       SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
              CAST(sel_micros AS BIGINT) AS sel_micros
       FROM sel ORDER BY sel_micros DESC, term LIMIT 8"""),
@@ -484,9 +523,6 @@ object QueriesRetrieval {
           nBuckets = 16)
         val txt = docs.filter(col("doc_id") === 42)
           .select(col("text")).head().getString(0)
-        IdfOracle.register("q199_mlt_terms",
-          Retrieval.mltCandidateTerms(s, path, txt, 2, 1)
-            .map(m => (m.df, m.idfMicros)))
         Retrieval.mltTerms(s, path, txt, maxQueryTerms = 8)
       }),
 
@@ -498,7 +534,7 @@ object QueriesRetrieval {
     //    source doc, a post-limit exclusion, or a term-set drift all
     //    hash-mismatch.
     QueryDef("q200_mlt_search", Some(s"""
-      WITH ${dkMltChain(IdfOracle.cte("q200_mlt_search"))},
+      WITH RECURSIVE $dkMltChain,
       selt AS (SELECT term, m FROM sel
                ORDER BY sel_micros DESC, term LIMIT 8),
       sc AS (SELECT d.doc_id, CAST(floor((CAST(t.m AS DOUBLE) / 1000000.0) *
@@ -523,9 +559,6 @@ object QueriesRetrieval {
           nBuckets = 16)
         val txt = docs.filter(col("doc_id") === 42)
           .select(col("text")).head().getString(0)
-        IdfOracle.register("q200_mlt_search",
-          Retrieval.mltCandidateTerms(s, path, txt, 2, 1)
-            .map(m => (m.df, m.idfMicros)))
         Retrieval.moreLikeThis(s, path, txt, k = 15,
           excludeDocId = Some(42L), maxQueryTerms = 8)
       }),
@@ -554,7 +587,7 @@ object QueriesRetrieval {
     //    only (the text join touches k primary-store docs, never the
     //    corpus). Oracle replays ranking AND window selection.
     QueryDef("q209_search_snippets", Some(s"""
-      WITH ${dkBm25Chain(P)},
+      WITH RECURSIVE ${dkBm25Chain(P)},
       top AS (SELECT doc_id, score_micros FROM scored
               WHERE score_micros > 0
               ORDER BY score_micros DESC, doc_id LIMIT 10),

@@ -514,9 +514,26 @@ object KernelExprs {
         newChild: Expression): KeywordHits = copy(child = newChild)
   }
 
+  /** Pure-integer fixed-point ln-micros ([[Kernels.lnFixMicros]]) of a
+    * positive long column — the engine-proof log every score lane shares
+    * with its SQL oracle (which replays the identical recurrence as a
+    * recursive CTE; see OracleLnFix). */
+  case class LnFixMicros(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.lnFixMicros(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lnFixMicros($c)")
+    override protected def withNewChildInternal(newChild: Expression): LnFixMicros =
+      copy(child = newChild)
+  }
+
   // --- Column-level wrappers -------------------------------------------------
 
   private def e(c: Column): Expression = ColumnBridge.expression(c)
+
+  def ln_fix_micros(v: Column): Column =
+    ColumnBridge.column(LnFixMicros(e(v)))
 
   def hash60(c: Column): Column = ColumnBridge.column(Hash60(e(c)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =

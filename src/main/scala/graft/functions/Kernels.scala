@@ -243,6 +243,44 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** `round(ln(2)·10⁶·2¹²)` — converts a Q20 fixed-point log₂ to
+    * ln-micros with one 64-bit multiply-shift (see [[lnFixMicros]]). */
+  val Ln2MicrosQ12: Long = 2839130852L
+
+  /** PURE-INTEGER fixed-point natural log in micros — zero libm:
+    *
+    *   e    = bitLength(v) − 1                       (integer part of log₂)
+    *   x    = v normalized to Q30 in [2³⁰, 2³¹)      (round-half-up if v
+    *                                                  has more than 31 bits)
+    *   f    = 20 fractional log₂ bits by REPEATED SQUARING: each step
+    *          squares x (Q30·Q30 ≫ 30 stays < 2⁶²) and emits 1 iff the
+    *          square crossed 2 (then renormalizes) — the classic
+    *          shift-and-square binary-logarithm recurrence
+    *   out  = ((e·2²⁰ + f) · round(ln2·10⁶·2¹²) + 2³¹) ≫ 32
+    *
+    * Every step is 64-bit integer multiply/shift/compare, so ANY engine
+    * replays it bit-for-bit from the definition alone — the SQL oracle
+    * computes the same recurrence as a recursive CTE instead of joining a
+    * model-deposited literal table (the r11/r12 q167/q169 hash-red class:
+    * a DuckDB-`ln` fallback lane that fired whenever the dump ran without
+    * the trained model in the same JVM). Accuracy vs true ln·10⁶ is ±1
+    * micro over the full long range — irrelevant to correctness, which
+    * only needs both engines to agree exactly. */
+  def lnFixMicros(v: Long): Long = {
+    require(v >= 1, s"lnFixMicros needs v >= 1 (got $v)")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    var x = if (e <= 30) v << (30 - e)
+            else (v + (1L << (e - 31))) >> (e - 30)
+    var f = 0L
+    var i = 0
+    while (i < 20) {
+      x = (x * x) >> 30
+      if (x >= (1L << 31)) { x >>= 1; f = f * 2 + 1 } else f = f * 2
+      i += 1
+    }
+    (((e.toLong << 20) + f) * Ln2MicrosQ12 + (1L << 31)) >> 32
+  }
+
   /** Engine-agnostic rounding: floor(x*10^d + 0.5)/10^d ([[Functions.qround]]). */
   def qround(x: Double, decimals: Int): Double = {
     val s = math.pow(10, decimals)

@@ -26,19 +26,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *   log-relative-frequencies, not normalized probabilities — exactly
   *   what corpus-quality filtering (the CCNet perplexity gate) needs.
   *
-  * Determinism — the ENGINE-PROOF integer contract (r12): a per-position
+  * Determinism — the ENGINE-PROOF integer contract (r13): a per-position
   * score decomposes additively over ln-micros of INTEGER COUNTS,
   *
-  *   micros(i) = lnm(num) − lnm(den) + backoffs · lnm-style ln(α) penalty
-  *   lnm(v)    = floor(StrictMath.log(v) · 10⁶ + 0.5)
+  *   micros(i) = lnm(num) − lnm(den) + backoffs · penalty
+  *   lnm(v)    = [[Kernels.lnFixMicros]] — a PURE-INTEGER fixed-point
+  *               log (bit-length + 20 repeated-squaring log₂ bits, one
+  *               multiply-shift to ln-micros), zero libm
+  *   penalty   = lnm(round(α·10⁶)) − lnm(10⁶)   (≈ ln(α)·10⁶)
   *
   * and a document's score is the EXACT long sum of its positions' micros
   * — order-free, so Spark partitioning and the SQL oracle's aggregation
-  * order cannot move it. `StrictMath.log` is fdlibm, bit-identical on
-  * every JVM by spec; the oracle never calls its OWN `ln` — it joins a
-  * literal `lnm(v, m)` table computed HERE (distinct model counts + 1 +
-  * total are model-sized), so a libm delta between engines cannot land a
-  * value on a rounding boundary (the r11 q167/q169 hash-red class).
+  * order cannot move it. The oracle REPLAYS the same integer recurrence
+  * as a recursive CTE over the chain's own distinct counts — no libm on
+  * either side, no model-deposited literal table, no process-state-
+  * dependent dump lane (the r11/r12 q167/q169 hash-red class: a fallback
+  * that emitted DuckDB-`ln` SQL whenever oracle_sql.json was dumped
+  * without the trained model registered in the same JVM).
   *
   * Tokenization mirrors [[TextFunctions.tokens]] (lowercase, split on
   * `[^a-z0-9]+`) — one vocabulary across the engine's text operators and
@@ -60,40 +64,31 @@ final class NgramLmTable(
   }
   def size: Int = counts.size
 
-  /** floor(ln(v)·10⁶ + 0.5) via fdlibm — the one place either engine
-    * evaluates a logarithm for this model. */
+  /** Integer ln-micros ([[Kernels.lnFixMicros]]) — cached over the
+    * model's Zipf-few distinct count values for the scoring hot loop. */
   def lnMicros(v: Long): Long = {
     val c = lnmCache.get(v)
-    if (c != null) c.longValue()
-    else math.floor(StrictMath.log(v.toDouble) * 1000000.0 + 0.5).toLong
+    if (c != null) c.longValue() else Kernels.lnFixMicros(v)
   }
 
-  /** Per-backoff-level additive penalty: floor(ln(α)·10⁶ + 0.5). */
-  val penaltyMicros: Long =
-    math.floor(StrictMath.log(alpha) * 1000000.0 + 0.5).toLong
+  /** Per-backoff-level additive penalty, libm-free:
+    * lnm(round(α·10⁶)) − lnm(10⁶) ≈ ln(α)·10⁶. The oracle splices this
+    * value as an integer literal (it never computes a log itself). */
+  val penaltyMicros: Long = {
+    val aMicros = math.round(alpha * 1000000.0)
+    Kernels.lnFixMicros(aMicros) - Kernels.lnFixMicros(1000000L)
+  }
 
-  // distinct count values are Zipf-few; caching their ln keeps the scoring
-  // loop off fdlibm's software path for every in-model position
   private val lnmCache: java.util.HashMap[java.lang.Long, java.lang.Long] = {
     val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     val it = counts.values().iterator()
     while (it.hasNext) {
       val v = it.next().longValue()
-      if (!m.containsKey(v))
-        m.put(v, math.floor(StrictMath.log(v.toDouble) * 1000000.0 + 0.5).toLong)
+      if (!m.containsKey(v)) m.put(v, Kernels.lnFixMicros(v))
     }
     m.put(1L, 0L)
-    m.put(total,
-      math.floor(StrictMath.log(total.toDouble) * 1000000.0 + 0.5).toLong)
+    m.put(total, Kernels.lnFixMicros(total))
     m
-  }
-
-  /** Every (count value → ln-micros) pair a score can touch — the literal
-    * lookup the SQL oracle joins instead of calling `ln` itself. */
-  def lnmEntries: Iterator[(Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    lnmCache.entrySet().iterator().asScala
-      .map(e => e.getKey.longValue() -> e.getValue.longValue())
   }
 
   private[graft] def gramEntries: Iterator[(String, Long)] = {

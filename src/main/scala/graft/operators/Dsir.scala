@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
-import graft.functions.{Functions => F, TextFunctions => TF}
+import graft.functions.{Kernels, KernelExprs, Functions => F, TextFunctions => TF}
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
   * arXiv:2302.03169): pick raw-corpus documents that look like a target
@@ -63,18 +63,21 @@ object Dsir {
     out
   }
 
-  /** Add-one-smoothed per-bucket log-ratio micros:
-    * `floor(ln(((ct+1)/(Tt+B)) / ((cr+1)/(Tr+B))) · 10⁶ + 0.5)` — the
-    * EXACT association order the oracle spells. */
+  /** Add-one-smoothed per-bucket log-ratio micros via the PURE-INTEGER
+    * fixed-point log ([[Kernels.lnFixMicros]]) — the ratio decomposes
+    * into four integer-argument logs (no products, so no overflow at any
+    * corpus size):
+    * `lam = lnm(ct+1) − lnm(Tt+B) − lnm(cr+1) + lnm(Tr+B)`.
+    * The oracle replays the identical recurrence as a recursive CTE —
+    * no libm on either side (the r11/r12 hash-red class). */
   private[graft] def logRatioMicros(target: Array[Long],
                                         raw: Array[Long]): Array[Long] = {
     val b = target.length
-    val tt = target.sum.toDouble + b
-    val tr = raw.sum.toDouble + b
+    val tt = Kernels.lnFixMicros(target.sum + b)
+    val tr = Kernels.lnFixMicros(raw.sum + b)
     Array.tabulate(b) { i =>
-      val pt = (target(i) + 1).toDouble / tt
-      val pr = (raw(i) + 1).toDouble / tr
-      math.floor(math.log(pt / pr) * 1e6 + 0.5).toLong
+      Kernels.lnFixMicros(target(i) + 1) - tt -
+        Kernels.lnFixMicros(raw(i) + 1) + tr
     }
   }
 
@@ -100,17 +103,23 @@ object Dsir {
           lit(0L)).as("weight_micros"))
   }
 
-  /** Gumbel key for one scored row: `weight_micros +
-    * floor(g·10⁶ + 0.5)` where `g = −ln(−ln(u))` and
-    * `u = (hash60(seed ':' doc_id) + 1) / 2⁶⁰ ∈ (0, 1]` — a seeded,
-    * engine-independent uniform (the Gumbel-max trick: top-k by
-    * `log w + Gumbel` IS a weight-proportional sample without
-    * replacement, Vieira 2014). */
+  /** Gumbel key for one scored row, all-integer: with
+    * `u = (hash60(seed ':' doc_id) + 1) / 2⁶⁰ ∈ (0, 1]` (a seeded,
+    * engine-independent uniform), `g = −ln(−ln(u))` decomposes into
+    * nested integer logs —
+    * `inner = max(lnm(2⁶⁰) − lnm(h+1), 1)` (≈ −ln(u)·10⁶; the max(·,1)
+    * guards the measure-zero u=1 draw) and
+    * `key = weight + lnm(10⁶) − lnm(inner)` (≈ −ln(inner/10⁶)·10⁶).
+    * The Gumbel-max trick: top-k by `log w + Gumbel` IS a
+    * weight-proportional sample without replacement (Vieira 2014). */
   private def gumbelKey(seed: Long): Column = {
-    val u = (F.hash60(concat_ws(":", lit(seed), col("doc_id")))
-      .cast("double") + lit(1.0)) / lit(1152921504606846976.0 /* 2^60 */)
-    col("weight_micros") +
-      floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
+    val h1 = F.hash60(concat_ws(":", lit(seed), col("doc_id"))) + lit(1L)
+    val inner = greatest(
+      lit(Kernels.lnFixMicros(1152921504606846976L /* 2^60 */)) -
+        KernelExprs.ln_fix_micros(h1),
+      lit(1L))
+    col("weight_micros") + lit(Kernels.lnFixMicros(1000000L)) -
+      KernelExprs.ln_fix_micros(inner)
   }
 
   /** Importance-resample `k` documents: Gumbel-top-k over the importance

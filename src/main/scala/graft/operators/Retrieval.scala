@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{Functions => F, TextFunctions => TF}
+import graft.functions.{Kernels, Functions => F, TextFunctions => TF}
 
 /** Lexical retrieval: BM25 scoring, a persisted partition-pruned inverted
   * index, and reciprocal-rank-fusion hybrid search (BM25 ∘ ANN).
@@ -45,12 +45,20 @@ object Retrieval {
   /** Corpus statistics for a fixed query-term set. */
   final case class Bm25Stats(nDocs: Long, totalTokens: Long,
                              df: Map[String, Long]) {
-    /** q6-rounded Lucene idf: `ln(1 + (N - df + 0.5)/(df + 0.5))`. */
-    def idf6(term: String): Double = {
-      val d = df.getOrElse(term, 0L).toDouble
-      val raw = math.log(1.0 + (nDocs.toDouble - d + 0.5) / (d + 0.5))
-      math.floor(raw * 1e6 + 0.5) / 1e6
+    /** Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))` to 6-decimal
+      * precision, via the PURE-INTEGER fixed-point log — the ratio
+      * rewrites to integer arguments, `(2N+2)/(2df+1)`, so
+      * idf-micros = lnm(2N+2) − lnm(2df+1)
+      * ([[graft.functions.Kernels.lnFixMicros]]) and the SQL oracle
+      * replays the identical recurrence itself: no libm on either side,
+      * no engine-deposited literal table (the r11/r12 hash-red class). */
+    def idfMicros(term: String): Long = {
+      val d = df.getOrElse(term, 0L)
+      Kernels.lnFixMicros(2 * nDocs + 2) - Kernels.lnFixMicros(2 * d + 1)
     }
+    /** [[idfMicros]] / 10⁶ — one IEEE division of the same integer, so
+      * the double is bit-identical in any engine. */
+    def idf6(term: String): Double = idfMicros(term).toDouble / 1e6
   }
 
   /** ONE map-side-combined aggregate: corpus size, total token count, and
@@ -528,11 +536,9 @@ object Retrieval {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     cands.flatMap { t =>
       dfByTerm.get(t).filter(_ >= minDocFreq).map { d =>
-        // the inner expression of Bm25Stats.idf6 BEFORE its /1e6 round
-        // trip — kept as the integer so selMicros is an exact product
-        val idfMicros = math.floor(math.log(
-          1.0 + (nDocs.toDouble - d.toDouble + 0.5) / (d.toDouble + 0.5))
-          * 1e6 + 0.5).toLong
+        // the integer idf-micros of Bm25Stats.idfMicros — kept as the
+        // integer so selMicros is an exact product
+        val idfMicros = Bm25Stats(nDocs, 0L, Map(t -> d)).idfMicros(t)
         MltTerm(t, tf(t), d, idfMicros, tf(t) * idfMicros)
       }
     }

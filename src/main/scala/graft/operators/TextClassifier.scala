@@ -20,9 +20,11 @@ import graft.functions.{Functions => F, TextFunctions => TF}
   * Model: global top-`vocabSize` tokens ([[TF.tokens]]); add-one
   * smoothing — `P(t|c) = (cnt(c,t)+1) / (tot_c + V + 1)` with the same
   * `1/(tot_c+V+1)` floor for in-vocab-but-unseen-in-class AND
-  * out-of-vocab tokens; priors `P(c) = n_c / N`. Every log-prob is
-  * q6-quantized into DECIMAL(18,6) before summing, so per-document
-  * scores are exact decimal sums — order-independent (the q108 recipe).
+  * out-of-vocab tokens; priors `P(c) = n_c / N`. Every log-prob is an
+  * INTEGER ln-micros difference of integer counts
+  * ([[graft.functions.Kernels.lnFixMicros]] — the pure-integer
+  * fixed-point log, no libm on either side), so per-document scores are
+  * exact long sums — order-independent (the q108 recipe).
   *
   * Scale shape: the model is `vocabSize × C` rows and BROADCAST — the
   * token stream is never shuffled against it; per-document partial sums
@@ -60,24 +62,21 @@ object TextClassifier {
     val classTotals = inVocab.groupBy(col("cls"))
       .agg(count(lit(1)).as("tot"))
 
-    def q6dec(c: Column): Column =
-      F.qround(c, 6).cast("decimal(18,6)")
+    def lnm(c: Column): Column =
+      graft.functions.KernelExprs.ln_fix_micros(c.cast("long"))
 
-    // (cls, token) → q6 log P(t|c); vocabSize × C rows, broadcast
+    // (cls, token) → log P(t|c) in integer micros; vocabSize × C rows,
+    // broadcast
     val model = tokCounts.join(classTotals, Seq("cls"))
       .crossJoin(broadcast(vCount))
       .select(col("cls"), col("token"),
-        q6dec(log((col("cnt") + 1).cast("double") /
-          (col("tot") + col("v") + 1).cast("double"))).as("logp"))
-    // per class: prior + the shared unseen/OOV floor
+        (lnm(col("cnt") + 1) - lnm(col("tot") + col("v") + 1)).as("logp"))
+    // per class: prior + the shared unseen/OOV floor (micros)
     val classInfo = classCounts.join(classTotals, Seq("cls"), "left")
       .crossJoin(broadcast(vCount)).crossJoin(broadcast(nDocs))
       .select(col("cls"),
-        q6dec(log(col("n_docs").cast("double") / col("n_all").cast("double")))
-          .as("prior_logp"),
-        q6dec(log(lit(1.0) /
-          (coalesce(col("tot"), lit(0L)) + col("v") + 1).cast("double")))
-          .as("oov_logp"))
+        (lnm(col("n_docs")) - lnm(col("n_all"))).as("prior_logp"),
+        (-lnm(coalesce(col("tot"), lit(0L)) + col("v") + 1)).as("oov_logp"))
 
     // matched lane: one row per (doc token × class that has seen it)
     val matched = toks.select(col("doc_id"), col("token"))
@@ -90,7 +89,7 @@ object TextClassifier {
     val scores = nTok.crossJoin(broadcast(classInfo))
       .join(matched, Seq("doc_id", "cls"), "left")
       .select(col("doc_id"), col("true_cls"), col("cls"),
-        (coalesce(col("s_in"), lit(0).cast("decimal(18,6)")) +
+        (coalesce(col("s_in"), lit(0L)) +
           (col("n_tok") - coalesce(col("n_in"), lit(0L))) * col("oov_logp") +
           col("prior_logp")).as("score"))
 
@@ -100,7 +99,7 @@ object TextClassifier {
       .filter(col("score") === col("mx"))
       .groupBy(col("doc_id"))
       .agg(min(col("cls")).as("pred"),
-        max(col("score")).cast("double").as("score"),
+        (max(col("score")).cast("double") / lit(1000000.0)).as("score"),
         (min(col("cls")) === min(col("true_cls"))).as("matches_label"))
   }
 }

@@ -331,7 +331,15 @@ object TrainPrep {
       .filter(col("t") > 0)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
     val total = byDom.map(_._2).sum
-    val pow = byDom.map { case (d, t) => d -> math.pow(t / total, alpha) }
+    // alpha = 0.5 and 1.0 (the common recipes) avoid libm entirely:
+    // sqrt is IEEE-correctly-rounded in every engine, so the oracle can
+    // replay them exactly; other alphas fall back to pow, whose last-ulp
+    // platform drift the 6-decimal quantization below absorbs
+    def share(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x)
+      else if (alpha == 1.0) x
+      else math.pow(x, alpha)
+    val pow = byDom.map { case (d, t) => d -> share(t / total) }
     val z = pow.map(_._2).sum
     pow.map { case (d, w) =>
       // floor(x*1e6 + 0.5)/1e6: one rounding rule both engines spell the
@@ -351,26 +359,31 @@ object TrainPrep {
     * BROADCAST — the token stream is never shuffled for the lookup;
     * out-of-vocabulary tokens take the floor probability 1/total. The only
     * shuffles are the bounded vocab top-K and the per-document partial
-    * aggregation. Per-token log-probs are quantized (qround 6) into
-    * DECIMAL(18,6) before summing, so the per-document mean is
-    * order-independent — reproducible bit-for-bit in the DuckDB oracle
-    * (q108).
+    * aggregation. Per-token log-probs are INTEGER ln-micros
+    * (lnm(freq) − lnm(total), the pure-integer fixed-point log) summed
+    * exactly, so the per-document mean is order-independent —
+    * reproducible bit-for-bit in the DuckDB oracle (q108), which replays
+    * the identical integer recurrence.
     */
   def unigramNll(docs: DataFrame, id: Column, text: Column,
                  vocabSize: Int): DataFrame = {
     val toks = docs.select(id.as("doc_id"), explode(TF.tokens(text)).as("token"))
-    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    val total = toks.agg(count(lit(1)).as("total"))
     val vocab = TopK.global(
       toks.groupBy(col("token")).agg(count(lit(1)).as("freq")),
       vocabSize, col("freq").desc, col("token").asc)
+    // per-token log-prob as INTEGER ln-micros (lnm(freq) − lnm(total),
+    // the pure-integer fixed-point log — no libm on either side), summed
+    // exactly; the per-document mean divides once in IEEE doubles
     toks.join(broadcast(vocab), Seq("token"), "left")
       .crossJoin(broadcast(total)) // single-row scalar, exact pattern as sketches
-      .withColumn("logp",
-        F.qround(log(coalesce(col("freq"), lit(1L)).cast("double") / col("total")), 6)
-          .cast("decimal(18,6)"))
+      .withColumn("lpm",
+        graft.functions.KernelExprs.ln_fix_micros(coalesce(col("freq"), lit(1L))) -
+          graft.functions.KernelExprs.ln_fix_micros(col("total")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
-        F.qround(sum(col("logp")).cast("double") * -1 / count(lit(1)), 4).as("nll"))
+        F.qround((-sum(col("lpm"))).cast("double") / lit(1000000.0)
+          / count(lit(1)), 4).as("nll"))
   }
 
   /** DETERMINISTIC training-order shuffle: the global pseudo-random

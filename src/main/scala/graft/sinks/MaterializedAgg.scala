@@ -280,14 +280,21 @@ object MaterializedAgg {
     val m = spec.hllM
     val withEst = spec.distinctCols.foldLeft(base) { (df, c) =>
       val regs = col(spec.hllAlias(c))
+      // 2^-r via an exact literal table (1/(1<<r), r ≤ 57 — every value
+      // exactly representable); linear counting via the pure-integer
+      // fixed-point log (m·(lnm(m) − lnm(zeros))/10⁶) — the ZLake
+      // estimator's formulas exactly, libm-free
+      val pow2Inv = typedLit((0 to 57).map(r => 1.0 / (1L << r).toDouble))
       val invSum = aggregate(regs, lit(0.0),
-        (acc, x) => acc + pow(lit(2.0), -x.cast("double")))
+        (acc, x) => acc + element_at(pow2Inv, x.cast("int") + 1))
       val raw = lit(hllAlpha(m) * m * m) / invSum
       val zeros = size(filter(regs, x => x === 0L))
       df.withColumn(c + "_distinct",
         when(raw <= lit(2.5 * m) && zeros > 0,
-          round(lit(m.toDouble) *
-            log(lit(m.toDouble) / zeros.cast("double"))))
+          round((lit(m.toLong) *
+            (lit(graft.functions.Kernels.lnFixMicros(m.toLong)) -
+              graft.functions.KernelExprs.ln_fix_micros(zeros.cast("long"))))
+            .cast("double") / lit(1000000.0)))
           .otherwise(round(raw)).cast("long"))
     }
     withEst.select((grainCols(spec) ++ spec.groupCols ++ spec.aggAliases ++

@@ -453,7 +453,9 @@ object ZLake {
       var i = 0
       while (i < m) { if (r(i) > merged(i)) merged(i) = r(i); i += 1 }
     }
-    val invSum = merged.map(r => math.pow(2.0, -r.toDouble)).sum
+    // 2^-r via an exact shift (identical to pow for r <= 57, and spelled
+    // shift-wise so the oracle is visibly libm-free)
+    val invSum = merged.map(r => 1.0 / (1L << r.toInt).toDouble).sum
     val raw = hllAlpha(m) * m * m / invSum
     // standard small-range correction (Flajolet et al. §4): the raw
     // harmonic estimate is biased high when n ≪ m (a tiny window slice of
@@ -463,8 +465,14 @@ object ZLake {
     // correction branch), so it stays green at any scale factor
     // (ManifestSketchSpec pins both regimes too).
     val zeros = merged.count(_ == 0L)
+    // linear counting via the pure-integer fixed-point log:
+    // m·ln(m/zeros) = m·(lnm(m) − lnm(zeros)) / 10⁶ — both engines
+    // compute the identical integers (no libm; q109 splices the same
+    // lnm literals)
     val estimate =
-      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      if (raw <= 2.5 * m && zeros > 0)
+        (m.toLong * (graft.functions.Kernels.lnFixMicros(m.toLong) -
+          graft.functions.Kernels.lnFixMicros(zeros.toLong))).toDouble / 1e6
       else raw
     Some(SketchEstimate(estimate, survivors.size, h.fes.size))
   }

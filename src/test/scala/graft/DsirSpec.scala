@@ -24,14 +24,18 @@ class DsirSpec extends AnyFunSuite with SparkSpec
 
   test("logRatioMicros: exact spelling of the smoothed log ratio") {
     val lam = Dsir.logRatioMicros(Array(8L, 0L), Array(4L, 4L))
-    // Tt = 8+2 = 10, Tr = 8+2 = 10
-    val expect0 = math.floor(
-      math.log(((8 + 1).toDouble / 10.0) / ((4 + 1).toDouble / 10.0)) * 1e6
-        + 0.5).toLong
-    val expect1 = math.floor(
-      math.log(((0 + 1).toDouble / 10.0) / ((4 + 1).toDouble / 10.0)) * 1e6
-        + 0.5).toLong
+    // Tt = 8+2 = 10, Tr = 8+2 = 10; the four-integer-log decomposition
+    // lam = lnm(ct+1) − lnm(Tt) − lnm(cr+1) + lnm(Tr) (r13 — the
+    // pure-integer fixed-point log, no libm, no product overflow)
+    import graft.functions.Kernels.lnFixMicros
+    val expect0 = lnFixMicros(9) - lnFixMicros(10) -
+      lnFixMicros(5) + lnFixMicros(10)
+    val expect1 = lnFixMicros(1) - lnFixMicros(10) -
+      lnFixMicros(5) + lnFixMicros(10)
     assert(lam.toSeq == Seq(expect0, expect1))
+    // ... and it must still BE the log ratio (±3 micros over 4 logs)
+    val truth0 = math.log((9.0 / 10.0) / (5.0 / 10.0)) * 1e6
+    assert(math.abs(expect0 - truth0) <= 3.0)
     assert(lam(0) > 0 && lam(1) < 0,
       "over-represented target bucket positive, absent bucket negative")
   }

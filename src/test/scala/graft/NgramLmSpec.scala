@@ -31,10 +31,23 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     grams.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
   }
 
-  private def lnm(v: Long): Long =
-    math.floor(StrictMath.log(v.toDouble) * 1e6 + 0.5).toLong
+  /** Independent re-derivation of [[graft.functions.Kernels.lnFixMicros]]
+    * in BigInt (different coding, same recurrence) — the integer
+    * fixed-point log both engines replay. */
+  private def lnm(v: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    var x = if (e <= 30) BigInt(v) << (30 - e)
+            else (BigInt(v) + (BigInt(1) << (e - 31))) >> (e - 30)
+    var f = BigInt(0)
+    for (_ <- 0 until 20) {
+      x = (x * x) >> 30
+      if (x >= (BigInt(1) << 31)) { x >>= 1; f = f * 2 + 1 } else f = f * 2
+    }
+    ((((BigInt(e) << 20) + f) * BigInt(2839130852L) + (BigInt(1) << 31)) >> 32)
+      .toLong
+  }
   private def pen(alpha: Double): Long =
-    math.floor(StrictMath.log(alpha) * 1e6 + 0.5).toLong
+    lnm(math.round(alpha * 1e6)) - lnm(1000000L)
 
   private def refScore(text: String, n: Int, alpha: Double,
                        counts: Map[String, Long], total: Long): (Int, Long) = {
@@ -142,16 +155,22 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
-  test("lnm table covers every model count plus 1 and total, fdlibm-exact") {
+  test("integer lnm matches the independent BigInt reference and true ln") {
     val t = NgramLm.train(docs, col("text"), n = 3)
-    val m = t.lnmEntries.toMap
-    assert(m(1L) === 0L)
-    assert(m(t.total) ===
-      math.floor(StrictMath.log(t.total.toDouble) * 1e6 + 0.5).toLong)
-    t.gramEntries.foreach { case (g, c) =>
-      assert(m.get(c).contains(lnm(c)), s"count $c of '$g'")
-    }
+    assert(t.lnMicros(1L) === 0L)
     assert(t.penaltyMicros === pen(0.4))
+    // every count a score can touch, plus a sweep across the long range
+    val probes = t.gramEntries.map(_._2).toVector :+ t.total :+ 1L
+    val sweep = Vector(2L, 3L, 10L, 999L, 12345L, 1000000L, 1000000007L,
+      1L << 40, (1L << 62) + 12345L)
+    (probes ++ sweep).foreach { v =>
+      assert(t.lnMicros(v) === lnm(v), s"v=$v")
+      assert(graft.functions.Kernels.lnFixMicros(v) === lnm(v), s"kernel v=$v")
+      // the fixed-point log must actually BE ln·10⁶ (±2 micros), so the
+      // determinism contract can't be met by degenerating the function
+      val truth = StrictMath.log(v.toDouble) * 1e6
+      assert(math.abs(lnm(v) - truth) <= 2.0, s"accuracy at v=$v: ${lnm(v)} vs $truth")
+    }
   }
 
   test("a gate-scale capped model stays plan-shippable (serialized size)") {
