@@ -58,16 +58,31 @@ object Bench {
       floors: Map[String, Double],
       canary: Option[(String, Double)])
       : (Double, Map[String, (Double, Double)]) = {
-    val hostFactor = canary.flatMap { case (lane, committed) =>
-      best.get(lane).filter(_ => committed > 0)
-        .map(b => math.min(3.0, math.max(1.0, b / committed)))
+    val rawRatio = canary.flatMap { case (lane, committed) =>
+      best.get(lane).filter(_ => committed > 0).map(_ / committed)
     }.getOrElse(1.0)
+    val hostFactor = math.min(3.0, math.max(1.0, rawRatio))
     val breaches = best.collect {
       case (n, b) if floors.contains(n) && b > floors(n) * hostFactor =>
         n -> ((b, floors(n) * hostFactor))
     }
     (hostFactor, breaches)
   }
+
+  /** The UNCAPPED canary best / committed ratio (ADVICE r12): the capped
+    * hostFactor above scales every floor, so a genuinely uniform
+    * regression (a JVM/codegen-wide slowdown that moves the canary too)
+    * is invisible to the per-lane gate. Reported raw in the artifact,
+    * and — when the host is demonstrably QUIET (load per core below
+    * `quietLoad`) yet the canary still runs past `maxQuietRatio` — turned
+    * into a loud `__canary__` breach: on a quiet host the canary ratio IS
+    * the engine, not the weather. */
+  private[graft] def canaryBreach(rawRatio: Double, loadPerCore: Double,
+      quietLoad: Double = 0.5, maxQuietRatio: Double = 1.5)
+      : Option[(Double, Double)] =
+    if (loadPerCore >= 0 && loadPerCore < quietLoad && rawRatio > maxQuietRatio)
+      Some((rawRatio, maxQuietRatio))
+    else None
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -535,13 +550,25 @@ object Bench {
       case t if !t.failed => t.name -> t.wall.min
     }.toMap
     val (hostFactor, breachMap) = floorBreaches(bestByLane, floors, canary)
+    // raw (uncapped) canary ratio + host load: the uniform-slowdown
+    // discriminators the capped hostFactor cannot see (ADVICE r12)
+    val rawCanaryRatio = canary.flatMap { case (lane, committed) =>
+      bestByLane.get(lane).filter(_ => committed > 0).map(_ / committed)
+    }.getOrElse(1.0)
+    val loadPerCore = {
+      val l = osBean.getSystemLoadAverage
+      if (l < 0) -1.0 else l / math.max(1, Runtime.getRuntime.availableProcessors)
+    }
+    val canaryBr = canaryBreach(rawCanaryRatio, loadPerCore)
     val breaches = breachMap.toSeq.sortBy(_._1).map {
       case (n, (b, m)) =>
         s""""$n":{"best":${jnum(b)},"max":${jnum(m)}}"""
+    } ++ canaryBr.map { case (r, mx) =>
+      s""""__canary__":{"best":${jnum(r)},"max":${jnum(mx)}}"""
     }
     val breachesJson = breaches.mkString("{", ",", "}")
     // detail first, compact summary LAST: the driver keeps the tail
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"canary_ratio":${jnum(rawCanaryRatio)},"load_per_core":${jnum(loadPerCore)},"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
     println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)},"jit":${arrays(_.jit.toSeq)}}}""")
     println(summary)
     // ... and the summary as a FILE (r9 verdict #4): sbt's `[info] `

@@ -337,10 +337,19 @@ object KernelExprs {
       Kernels.digitQuantile(
         input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], q)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => s"""
-        Object r = graft.functions.Kernels.digitQuantile($c, $q);
-        if (r == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = ((Long) r).longValue(); }""")
+      nullSafeCodeGen(ctx, ev, c => {
+        // freshName, NOT a hardcoded local: two digit_quantile calls in
+        // one projection (q169's 0.33/0.67 cutoffs) land in one codegen
+        // scope — a fixed name redefines and throws the whole stage back
+        // to interpreted mode (the intermittent "Redefinition of local
+        // variable r" CompileException of BENCH_NOTES r12, root-caused
+        // r13 by rerunning Verify under spark.sql.codegen.fallback=false)
+        val r = ctx.freshName("dq")
+        s"""
+        Object $r = graft.functions.Kernels.digitQuantile($c, $q);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((Long) $r).longValue(); }"""
+      })
     override protected def withNewChildInternal(newChild: Expression): DigitQuantile =
       copy(child = newChild)
   }

@@ -75,16 +75,19 @@ private[graft] object IndexOcc {
   def fingerprint(fs: FileSystem, dir: Path): String =
     graft.sources.ZLake.fingerprintWith(fs, dir)
 
-  /** Sweep crashed staging dirs (`.append-*` / `.compacting-*` older than
-    * the lake's stale-lock age) — called by the vacuums, which already
-    * run only once in-flight work has drained. */
+  /** Sweep crashed staging dirs (`.append-*` / `.compacting-*` /
+    * `.restoring-*` — the latter from a generation restore that died
+    * after copying, ADVICE r12) older than the lake's stale-lock age —
+    * called by the vacuums, which already run only once in-flight work
+    * has drained. */
   def sweepStaleStages(fs: FileSystem, root: Path): Int = {
     val cutoff = System.currentTimeMillis() -
       graft.sinks.LakeDelete.staleLockMs.get()
     fs.listStatus(root).toSeq.count { st =>
       val n = st.getPath.getName
       val stale = st.isDirectory &&
-        (n.startsWith(".append-") || n.startsWith(".compacting-")) &&
+        (n.startsWith(".append-") || n.startsWith(".compacting-") ||
+          n.startsWith(".restoring-")) &&
         st.getModificationTime < cutoff
       if (stale) fs.delete(st.getPath, true)
       stale

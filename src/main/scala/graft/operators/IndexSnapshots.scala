@@ -165,15 +165,21 @@ object IndexSnapshots {
 
   final case class IndexRestoreReport(filesRestored: Int, newVersion: String)
 
-  /** Republish the pinned generation: a fresh version dir holding exactly
-    * the pinned file set (copied from wherever the pinned identities
-    * still live — the pinned version dir, kept by vacuum), the pinned
-    * stats bytes, one atomic pointer swap. Fails loudly — never partially
-    * — when a pinned file was force-removed or a companion dir (IVF
-    * centroids) no longer matches the pin (a full rebuild happened; the
-    * pinned generation is meaningless against new centroids). */
-  def restore(spark: SparkSession, indexRoot: String,
-              tag: String): IndexRestoreReport = {
+  /** A restore whose IO-heavy copy phase already ran ([[stageRestore]]):
+    * the pinned file set sits in `staging`; [[publishStaged]] makes it
+    * live with a rename + pointer swap (+ stats). `staging == null` means
+    * the live state already IS the pin — publish is a no-op. */
+  private[graft] final case class StagedRestore(tag: String, staging: Path,
+      nFiles: Int, stats: Option[String], pinnedPointer: String)
+
+  /** Validate the pin and copy its file set into a `.restoring-*` staging
+    * dir — everything that can FAIL (missing files, changed companions)
+    * or take time (the copies), with the live index untouched. Group
+    * restores ([[graft.sources.Snapshots.restoreTables]]) stage every
+    * index BEFORE any pointer swaps, so an IO failure surfaces with zero
+    * indexes (and zero tables) mutated — ADVICE r12. */
+  private[graft] def stageRestore(spark: SparkSession, indexRoot: String,
+                                  tag: String): StagedRestore = {
     val root = new Path(indexRoot)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
@@ -210,20 +216,10 @@ object IndexSnapshots {
             java.nio.charset.StandardCharsets.UTF_8) finally in.close()
           cur == s
         }
-      if (alreadyPinned) IndexRestoreReport(0, curPtr)
+      if (alreadyPinned) StagedRestore(tag, null, 0, None, curPtr)
       else {
-        // copy-on-restore into a fresh version dir (never mutate a
-        // published one: other pins and in-flight readers reference it)
-        val maxV = fs.listStatus(root).toSeq.collect {
-          case st if st.isDirectory &&
-            st.getPath.getName.startsWith(l.versionPrefix) =>
-            st.getPath.getName.stripPrefix(l.versionPrefix)
-              .takeWhile(_.isDigit) match {
-              case "" => 0
-              case d => d.toInt
-            }
-        }.foldLeft(0)(math.max)
-        val nextName = s"${l.versionPrefix}${maxV + 1}"
+        // copy-on-restore into staging (never mutate a published version
+        // dir: other pins and in-flight readers reference it)
         val staging =
           new Path(root, s".restoring-${java.util.UUID.randomUUID()}")
         pin.files.foreach { case (rel, _, _) =>
@@ -233,29 +229,71 @@ object IndexSnapshots {
           require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
             false, true, conf), s"index restore failed copying $src")
         }
-        val target = new Path(root, nextName)
-        if (fs.exists(target)) fs.delete(target, true) // crashed predecessor
-        require(fs.rename(staging, target),
-          s"index restore failed publishing $target")
-        pin.stats.foreach { s =>
-          val sf = l.statsFile.get
-          val stmp = new Path(root, s".$sf.tmp")
-          val out = fs.create(stmp, true)
-          try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          graft.sinks.LakeDelete.atomicOverwrite(fs, stmp, new Path(root, sf))
-        }
-        val tmp = new Path(root, s".${l.ptrName}.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(
-          nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
-          new Path(root, l.ptrName))
-        IndexRestoreReport(pin.files.size, nextName)
+        StagedRestore(tag, staging, pin.files.size, pin.stats, pin.pointer)
       }
     }
   }
+
+  /** Publish a [[stageRestore]]d generation: rename the staging dir to a
+    * fresh version dir, swap the pointer, then reinstate the pinned stats
+    * — metadata-sized work only (the copies already happened). Pointer
+    * FIRST, stats second (ADVICE r12): a crash between the two leaves
+    * restored postings with momentarily-stale stats — self-healing (the
+    * alreadyPinned check re-runs the stats write) and strictly better
+    * than stats-first, whose crash window mutated the LIVE index's stats
+    * before any postings moved. */
+  private[graft] def publishStaged(spark: SparkSession, indexRoot: String,
+                                   staged: StagedRestore): IndexRestoreReport = {
+    if (staged.staging == null)
+      return IndexRestoreReport(0, staged.pinnedPointer)
+    val root = new Path(indexRoot)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val l = layoutOf(fs, root)
+    graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      val maxV = fs.listStatus(root).toSeq.collect {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith(l.versionPrefix) =>
+          st.getPath.getName.stripPrefix(l.versionPrefix)
+            .takeWhile(_.isDigit) match {
+            case "" => 0
+            case d => d.toInt
+          }
+      }.foldLeft(0)(math.max)
+      val nextName = s"${l.versionPrefix}${maxV + 1}"
+      val target = new Path(root, nextName)
+      if (fs.exists(target)) fs.delete(target, true) // crashed predecessor
+      require(fs.rename(staged.staging, target),
+        s"index restore failed publishing $target")
+      val tmp = new Path(root, s".${l.ptrName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+        new Path(root, l.ptrName))
+      staged.stats.foreach { s =>
+        val sf = l.statsFile.get
+        val stmp = new Path(root, s".$sf.tmp")
+        val sout = fs.create(stmp, true)
+        try sout.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally sout.close()
+        graft.sinks.LakeDelete.atomicOverwrite(fs, stmp, new Path(root, sf))
+      }
+      IndexRestoreReport(staged.nFiles, nextName)
+    }
+  }
+
+  /** Republish the pinned generation: a fresh version dir holding exactly
+    * the pinned file set (copied from wherever the pinned identities
+    * still live — the pinned version dir, kept by vacuum), the pinned
+    * stats bytes, one atomic pointer swap. Fails loudly — never partially
+    * — when a pinned file was force-removed or a companion dir (IVF
+    * centroids) no longer matches the pin (a full rebuild happened; the
+    * pinned generation is meaningless against new centroids). */
+  def restore(spark: SparkSession, indexRoot: String,
+              tag: String): IndexRestoreReport =
+    publishStaged(spark, indexRoot, stageRestore(spark, indexRoot, tag))
 
   /** Group-restore precheck: the tag exists, companions are unchanged,
     * and every pinned file still resolves — everything [[restore]] would

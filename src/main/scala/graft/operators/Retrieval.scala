@@ -781,6 +781,15 @@ object Retrieval {
                       params: Bm25Params = Bm25Params()): DataFrame = {
     require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    // the dense pool below cosine-scores the stored `cv` rows — pointed
+    // at an L2/IP index it would silently probe cells chosen under the
+    // wrong metric, and at an IVF,SQ8 index it would fail on a missing
+    // column; fail loudly instead (ADVICE r12)
+    val metric = Similarity.indexMetric(spark, ivfPath)
+    require(metric == "cosine",
+      s"hybridIndexTopK needs a cosine IVF index at $ivfPath (found " +
+        s"'$metric') — build one with writeIvfIndex, or fuse an L2/IP " +
+        "pool by ranking it yourself and composing with rrfPoints")
     val lexPool = searchBm25Index(spark, bm25Path, terms, poolK, params)
       .select(col("doc_id"), col("score_micros"))
     val lex = lexPool.select(col("doc_id"),

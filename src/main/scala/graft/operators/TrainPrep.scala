@@ -108,9 +108,35 @@ object TrainPrep {
   /** One document's slice of a packed sequence: `ids[start, start+len)`
     * came from `doc_id` (its trailing EOS counted as the document's). */
   final case class DocSpan(doc_id: Long, start: Int, len: Int)
-  private final case class PackedSeq(shard: Long, seq_id: Long,
-                                     ids: Array[Int],
-                                     doc_spans: Array[DocSpan])
+
+  /** Explicit Row schema for [[packWithBoundaries]] — NOT a Product
+    * encoder: Spark's serializer codegen for a case class holding an
+    * `Array[DocSpan]` field emits an unqualified `doc_spans()` call that
+    * Janino cannot resolve ("No applicable constructor/method found"),
+    * throwing the stage back to interpreted mode on every run (root-
+    * caused r13 under spark.sql.codegen.fallback=false). The Row encoder
+    * takes the standard array<struct> serializer path, which codegens
+    * cleanly. */
+  private val packedSeqSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("seq_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ids",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("doc_spans",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("start",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("len",
+            org.apache.spark.sql.types.IntegerType, nullable = false))),
+        containsNull = false),
+      nullable = false)))
 
   /** [[packTokenIds]] that ALSO emits each sequence's DOCUMENT SPANS —
     * `doc_spans: array<struct<doc_id, start, len>>` partitioning
@@ -127,12 +153,11 @@ object TrainPrep {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val in = docs.select(shardBy.cast("long").as("shard"),
       id.cast("long").as("doc_id"), ids.as("ids"))
-    val sp = in.sparkSession
-    import sp.implicits._
+    import org.apache.spark.sql.Row
     in.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .mapPartitions { rows =>
-        new Iterator[PackedSeq] {
+        new Iterator[Row] {
           private var curShard = 0L
           private var started = false
           private var seqId = 0L
@@ -142,22 +167,22 @@ object TrainPrep {
           private val segs =
             new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
           private val out =
-            new scala.collection.mutable.Queue[PackedSeq]()
+            new scala.collection.mutable.Queue[Row]()
           private def drain(): Unit =
             while (buf.length >= seqLen) {
               val spans =
-                new scala.collection.mutable.ArrayBuffer[DocSpan]()
+                new scala.collection.mutable.ArrayBuffer[Row]()
               var cursor = 0
               while (cursor < seqLen) {
                 val (d, rem) = segs.head
                 val take = math.min(rem, seqLen - cursor)
-                spans += DocSpan(d, cursor, take)
+                spans += Row(d, cursor, take)
                 if (rem == take) { segs.remove(0); () }
                 else segs(0) = (d, rem - take)
                 cursor += take
               }
-              out.enqueue(PackedSeq(curShard, seqId,
-                buf.take(seqLen).toArray, spans.toArray))
+              out.enqueue(Row(curShard, seqId,
+                buf.take(seqLen).toArray, spans.toSeq))
               buf.remove(0, seqLen)
               seqId += 1
             }
@@ -178,9 +203,9 @@ object TrainPrep {
               fill()
             }
           override def hasNext: Boolean = { fill(); out.nonEmpty }
-          override def next(): PackedSeq = { fill(); out.dequeue() }
+          override def next(): Row = { fill(); out.dequeue() }
         }
-      }.toDF()
+      }(org.apache.spark.sql.Encoders.row(packedSeqSchema))
   }
 
   /** Corpus-wide PARAGRAPH-level exact deduplication — the line/paragraph

@@ -677,12 +677,18 @@ object Snapshots {
         // generation surfaces here with ZERO tables or indexes touched
         idxSorted.foreach(r =>
           graft.operators.IndexSnapshots.precheck(spark, r, tag))
+        // STAGE every index restore (the IO-heavy, fail-prone copies)
+        // BEFORE any table or pointer mutates — an IO failure here
+        // surfaces with zero state changed (ADVICE r12); what remains
+        // after the table restores is metadata-sized publishes only
+        val staged = idxSorted.map(r =>
+          r -> graft.operators.IndexSnapshots.stageRestore(spark, r, tag))
         val reports = sorted.map(r => r -> restore(spark, r, tag)).toMap
         // reinstate the pinned index generations — after the group
         // restore a registered ANN/BM25 index answers for the restored
         // corpus again instead of serving the rolled-back-away state
-        idxSorted.foreach { r =>
-          graft.operators.IndexSnapshots.restore(spark, r, tag); ()
+        staged.foreach { case (r, st) =>
+          graft.operators.IndexSnapshots.publishStaged(spark, r, st); ()
         }
         reports
       } else {
