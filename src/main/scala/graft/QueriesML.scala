@@ -3080,6 +3080,72 @@ object QueriesML {
           .limit(12)
       }),
 
+    // -- DECLARATIVE ANN over the IVF,SQ8 layout (r13, VERDICT r12 #6):
+    //    the user writes the brute-force `ORDER BY l2sq ASC NULLS LAST
+    //    LIMIT k`; the planner substitutes the CODES-ONLY cell probe —
+    //    candidates decode against the trained bounds and rank by the
+    //    integer ADC l2², the FAISS serving shape. The oracle replays
+    //    encode → decode → 2-cell probe → ADC, so green PROVES the
+    //    rewrite fired twice over: the exact scan would rank by TRUE l2²
+    //    over raw vectors (no quantization error) AND see every cell.
+    QueryDef("q211_ann_sq8_declarative", Some(s"""
+      WITH t AS (SELECT vec_id, ${dkQuant("embedding")} AS v FROM embeddings),
+      cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cq
+               FROM t WHERE vec_id < 8),
+      ca AS (SELECT neighbor_id, v, cell,
+                    row_number() OVER (PARTITION BY neighbor_id
+                      ORDER BY d, cell) AS arn
+             FROM (SELECT t.vec_id AS neighbor_id, t.v, cent.cell,
+                          ${dkL2("t.v", "cent.cq")} AS d
+                   FROM t, cent)),
+      cc AS (SELECT neighbor_id, v, cell FROM ca WHERE arn = 1),
+      mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+             FROM t, range(1, 65) r(i) GROUP BY i),
+      ma AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+             FROM mm),
+      enc AS (SELECT neighbor_id, cell,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN 0 ELSE (2*255*(LEAST(mx[i], GREATEST(mn[i], v[i]))
+                   - mn[i]) + (mx[i]-mn[i])) // (2*(mx[i]-mn[i])) END)
+                 AS codes
+              FROM cc, ma),
+      rec AS (SELECT neighbor_id, cell,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN mn[i] ELSE mn[i] + (2*codes[i]*(mx[i]-mn[i]) + 255)
+                   // 510 END) AS rv
+              FROM enc, ma),
+      qv0 AS (SELECT v AS xv FROM t WHERE vec_id = 4),
+      qa AS (SELECT cent.cell, ${dkL2("xv", "cent.cq")} AS d FROM qv0, cent),
+      qr AS (SELECT cell, row_number() OVER (ORDER BY d ASC, cell) AS rn FROM qa),
+      probed AS (SELECT cell FROM qr WHERE rn <= 2),
+      cand AS (SELECT neighbor_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (rv[i]-xv[i])*(rv[i]-xv[i]))) AS BIGINT) AS l2sq
+               FROM rec JOIN probed USING (cell) CROSS JOIN qv0)
+      SELECT vec_id, l2sq FROM cand
+      ORDER BY l2sq ASC, vec_id LIMIT 12"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-q211-sq8").toString
+        val cp = base + "/emb"; val path = base + "/idx"
+        emb.write.parquet(cp)
+        Similarity.writeIvfIndexSq8(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        graft.plans.AnnIndex.register(s, cp, path,
+          idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+        val qv = emb.filter(col("vec_id") === 4)
+          .select(col("embedding")).head.getSeq[Float](0)
+          .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong)
+        s.read.parquet(cp)
+          .select(col("vec_id"),
+            F.vec_l2sq_long(F.vec_quantize(col("embedding"), 1000),
+              typedlit(qv)).as("l2sq"))
+          .orderBy(col("l2sq").asc_nulls_last, col("vec_id"))
+          .limit(12)
+      }),
+
     // -- INDEX GENERATION RESTORE, IVF lane (r12, pairs with q194): pin
     //    the even-vector index generation, append the odd vectors,
     //    compact (new version + pointer swap), RESTORE the pin, probe.

@@ -688,8 +688,7 @@ object Dedup {
       .localCheckpoint(false)
     val cells = b.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val indexed = spark.read
-      .parquet(Similarity.assignDir(spark, indexPath))
+    val indexed = Similarity.readAssign(spark, indexPath)
       .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
     val vsIndex = indexed.join(broadcast(b), Seq("cell"))
       .filter(F.vec_cosine_q6(col("cv"), col("qv")) >= threshold)

@@ -34,17 +34,18 @@ object IndexSnapshots {
   private final case class Layout(ptrName: String, versionPrefix: String,
                                   defaultActive: String,
                                   statsFile: Option[String],
-                                  companionDirs: Seq[String])
+                                  companionDirs: Seq[String],
+                                  partition: String)
   private val Bm25Layout = Layout("_bm25_postings", "_postings-v", "",
-    Some("_bm25_stats.json"), Nil)
+    Some("_bm25_stats.json"), Nil, "bucket")
   private val IvfLayout = Layout("_assign", "assign-v", "assign",
-    None, Seq("centroids"))
+    None, Seq("centroids"), "cell")
   // IVF,SQ8: the trained bounds are part of the generation's meaning —
   // restoring pinned codes against rebuilt bounds would silently decode
   // every distance wrong, so the bounds sidecar is a pinned companion
   // exactly like the centroids that define the cell space
   private val IvfSq8Layout = Layout("_assign", "assign-v", "assign",
-    None, Seq("centroids", "sq8_bounds"))
+    None, Seq("centroids", "sq8_bounds"), "cell")
 
   private def layoutOf(fs: FileSystem, root: Path): Layout =
     if (fs.exists(new Path(root, "_bm25_stats.json"))) Bm25Layout
@@ -69,6 +70,18 @@ object IndexSnapshots {
 
   private def activeDir(root: Path, name: String): Path =
     if (name.isEmpty) root else new Path(root, name)
+
+  /** The live generation chain ([[IndexLayers]]), newest first. */
+  private def chainOf(fs: FileSystem, root: Path,
+                      l: Layout): Seq[IndexLayers.Layer] =
+    IndexLayers.chain(fs, activeDir(root, pointerName(fs, root, l)).toString,
+      base => activeDir(root, base).toString)
+
+  /** The chain's RESOLVED data-file identities, ROOT-relative — what a
+    * pin records; spans layers, excludes shadowed partitions. */
+  private def resolvedIdentities(fs: FileSystem, root: Path,
+                                 l: Layout): Seq[(String, Long, Long)] =
+    IndexLayers.resolvedFiles(fs, root, chainOf(fs, root, l), l.partition)
 
   /** `(rel, len, mtime)` of every data file under `dir` (rel to `dir`). */
   private def identities(fs: FileSystem, dir: Path): Seq[(String, Long, Long)] =
@@ -97,7 +110,9 @@ object IndexSnapshots {
       node.put("created", System.currentTimeMillis())
       node.put("pointer", ptr)
       val filesNode = node.putObject("files")
-      identities(fs, activeDir(root, ptr)).foreach { case (rel, len, mt) =>
+      // ROOT-relative and chain-resolved: a pin taken over a layered
+      // generation (selective compaction) spans every live layer
+      resolvedIdentities(fs, root, l).foreach { case (rel, len, mt) =>
         val o = filesNode.putObject(rel)
         o.put("len", len); o.put("mtime", mt); ()
       }
@@ -152,14 +167,22 @@ object IndexSnapshots {
   }
 
   /** All version-dir names any pin references (the vacuums must keep
-    * them; "" = the root layout's own partition dirs). */
+    * them; "" = the root layout's own partition dirs). A pin over a
+    * LAYERED generation references every layer its resolved files live
+    * in, so each leading path component counts (root-layout files — a
+    * `bucket=`/`cell=` first component — map to ""). */
   private[graft] def pinnedPointers(fs: FileSystem, root: Path): Set[String] = {
     val dir = new Path(root, SnapDirName)
     if (!fs.exists(dir)) Set.empty
     else fs.listStatus(dir).toSeq
       .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".json"))
-      .map(st => readPin(fs, root,
-        st.getPath.getName.stripSuffix(".json")).pointer)
+      .flatMap { st =>
+        val pin = readPin(fs, root, st.getPath.getName.stripSuffix(".json"))
+        pin.pointer +: pin.files.map { case (rel, _, _) =>
+          val head = rel.takeWhile(_ != '/')
+          if (head.contains('=')) "" else head
+        }
+      }
       .toSet
   }
 
@@ -193,11 +216,11 @@ object IndexSnapshots {
           s"companion dir '$d' of $indexRoot changed since pin '$tag' " +
             "(full rebuild?) — the pinned generation cannot be restored")
       }
-      val srcDir = activeDir(root, pin.pointer)
-      // every pinned identity must still resolve in its pinned dir
+      // every pinned identity must still resolve (rels are ROOT-relative,
+      // spanning however many layers the pinned generation had)
       val missing = pin.files.filterNot { case (rel, len, mt) =>
         try {
-          val st = fs.getFileStatus(new Path(srcDir, rel))
+          val st = fs.getFileStatus(new Path(root, rel))
           st.getLen == len && st.getModificationTime == mt
         } catch { case _: java.io.FileNotFoundException => false }
       }
@@ -208,7 +231,7 @@ object IndexSnapshots {
       // fast path: the live state IS the pin
       val curPtr = pointerName(fs, root, l)
       val alreadyPinned = curPtr == pin.pointer &&
-        identities(fs, activeDir(root, curPtr)).sortBy(_._1) == pin.files &&
+        resolvedIdentities(fs, root, l) == pin.files &&
         pin.stats.forall { s =>
           val p = new Path(root, l.statsFile.get)
           val in = fs.open(p)
@@ -219,12 +242,20 @@ object IndexSnapshots {
       if (alreadyPinned) StagedRestore(tag, null, 0, None, curPtr)
       else {
         // copy-on-restore into staging (never mutate a published version
-        // dir: other pins and in-flight readers reference it)
+        // dir: other pins and in-flight readers reference it). The staged
+        // dir is a FULL generation — restoring a layered pin flattens its
+        // chain (no _layer.json is written at publish)
         val staging =
           new Path(root, s".restoring-${java.util.UUID.randomUUID()}")
         pin.files.foreach { case (rel, _, _) =>
-          val src = new Path(srcDir, rel)
-          val dst = new Path(staging, rel)
+          val src = new Path(root, rel)
+          // drop the version-dir component: "assign-v2/cell=3/f.parquet"
+          // restores as "cell=3/f.parquet"; root-layout rels
+          // ("bucket=3/f.parquet") keep their shape
+          val head = rel.takeWhile(_ != '/')
+          val inner = if (head.contains('=')) rel
+            else rel.substring(head.length + 1)
+          val dst = new Path(staging, inner)
           fs.mkdirs(dst.getParent)
           require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
             false, true, conf), s"index restore failed copying $src")
@@ -308,11 +339,10 @@ object IndexSnapshots {
       require(cur == pinned.sortBy(_._1),
         s"companion dir '$d' of $indexRoot changed since pin '$tag'")
     }
-    val srcDir = activeDir(root, pin.pointer)
     pin.files.foreach { case (rel, len, mt) =>
       val ok =
         try {
-          val st = fs.getFileStatus(new Path(srcDir, rel))
+          val st = fs.getFileStatus(new Path(root, rel))
           st.getLen == len && st.getModificationTime == mt
         } catch { case _: java.io.FileNotFoundException => false }
       require(ok, s"pinned index file $rel of '$tag' at $indexRoot is " +

@@ -149,59 +149,91 @@ object Retrieval {
     }
   }
 
-  /** COMPACT the postings: every [[appendBm25Index]] batch adds small
-    * files to each touched bucket directory — the small-files tax every
-    * probe pays grows with append count. Compaction rewrites the active
-    * postings hash-partitioned by bucket (ONE file per bucket) into a
-    * fresh versioned directory and publishes it with one atomic pointer
-    * overwrite: readers see the old postings or the new, never a mix; a
-    * crash leaves the old index live. Retired versions are removed by
-    * [[vacuumBm25Index]] once in-flight readers drain. Returns
-    * (filesBefore, filesAfter).
+  /** The postings GENERATION CHAIN, newest first ([[IndexLayers]]): the
+    * active dir plus any base generations a selective compaction layered
+    * over (base "" = the root layout). */
+  private def postingsLayers(spark: SparkSession,
+                             path: String): Seq[IndexLayers.Layer] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexLayers.chain(fs, postingsDir(spark, path),
+      base => if (base.isEmpty) path else s"$path/$base")
+  }
+
+  /** Every probe's view of the postings: the shadow-filtered union of
+    * the generation chain — a plain partitioned read (identical bucket
+    * pruning) when the chain is one layer. */
+  private def readPostings(spark: SparkSession, path: String): DataFrame =
+    IndexLayers.readChain(spark, postingsLayers(spark, path), "bucket")
+
+  /** SELECTIVELY compact the postings (VERDICT r12 #4): every
+    * [[appendBm25Index]] batch adds small files to each touched bucket
+    * directory — the small-files tax every probe pays grows with append
+    * count — but rewriting ALL postings per maintenance cycle is a
+    * full-index rewrite to fix a handful of hot buckets. Compaction now
+    * rewrites ONLY buckets whose visible file count exceeds
+    * `targetFilesPerBucket` into a versioned dir that LAYERS over the
+    * current generation ([[IndexLayers]]); untouched buckets' files are
+    * never rewritten or copied. The chain flattens (full rewrite, no
+    * manifest) at [[IndexLayers.MaxLayers]]. Publication is one atomic
+    * pointer overwrite: readers see the old postings or the new, never a
+    * mix; a crash leaves the old index live. Retired generations are
+    * removed by [[vacuumBm25Index]] once in-flight readers drain.
+    * Returns (visibleFilesBefore, visibleFilesAfter).
     *
     * CONCURRENCY (r12, [[IndexOcc]]): the rewrite stages OUTSIDE the
     * writer lock into an invisible `.compacting-*` dir; the lock guards
     * only validate → rename → pointer swap, where validate re-checks the
-    * read-set (pointer still names the directory that was read, and its
-    * file-identity fingerprint is unchanged). An append landing
+    * read-set (pointer still names the generation that was read, and the
+    * CHAIN's file-identity fingerprint is unchanged). An append landing
     * mid-rewrite makes the validate fail and the compaction RESTAGE from
     * current state (bounded retries) — the r11 silently-lost-append
     * window is closed. Readers still need no coordination. */
-  def compactBm25Index(spark: SparkSession, path: String): (Int, Int) = {
+  def compactBm25Index(spark: SparkSession, path: String,
+                       targetFilesPerBucket: Int = 1): (Int, Int) = {
+    require(targetFilesPerBucket >= 1,
+      s"targetFilesPerBucket must be >= 1, got $targetFilesPerBucket")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def countFiles(dir: String): Int = {
-      val d = new org.apache.hadoop.fs.Path(dir)
-      def walk(p: org.apache.hadoop.fs.Path): Int =
-        fs.listStatus(p).map { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("bucket=")) walk(st.getPath)
-          else if (!st.isDirectory && n.endsWith(".parquet")) 1
-          else 0
-        }.sum
-      walk(d)
-    }
     var attempt = 0
     while (attempt < IndexOcc.maxCompactionRetries) {
-      val cur = postingsDir(spark, path)
-      val fp = IndexOcc.fingerprint(fs, new org.apache.hadoop.fs.Path(cur))
-      val before = countFiles(cur)
+      val layers = postingsLayers(spark, path)
+      val cur = layers.head.dir
+      val fp = IndexLayers.fingerprintChain(fs, layers)
+      val counts = IndexLayers.fileCounts(fs, layers, "bucket")
+      val before = counts.values.sum
+      val eligible =
+        counts.filter(_._2 > targetFilesPerBucket).keys.toVector.sorted
+      val flatten = layers.size >= IndexLayers.MaxLayers ||
+        (eligible.size == counts.size && counts.nonEmpty)
+      if (eligible.isEmpty && !flatten && layers.size == 1)
+        return (before, before) // compact already
       val staging =
         new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("compacting"))
-      spark.read.parquet(cur)
-        .repartition(col("bucket"))
+      val selective = !flatten && eligible.nonEmpty
+      val src = readPostings(spark, path)
+      val toWrite =
+        if (selective)
+          src.filter(col("bucket").isin(eligible.map(v => Int.box(v.toInt)): _*))
+        else src
+      toWrite.repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(staging.toString)
+      // base name as the POINTER spells it ("" = the root layout)
+      val curBase =
+        if (cur == path) "" else cur.substring(cur.lastIndexOf('/') + 1)
+      if (selective)
+        IndexLayers.write(fs, staging, curBase, "bucket", eligible)
       IndexOcc.stagedHook.get()()
       val published = graft.sinks.LakeDelete.withWriterLock(fs, root) {
-        val stillCur = postingsDir(spark, path) == cur &&
-          IndexOcc.fingerprint(fs, new org.apache.hadoop.fs.Path(cur)) == fp
+        val layersNow = postingsLayers(spark, path)
+        val stillCur = layersNow.head.dir == cur &&
+          IndexLayers.fingerprintChain(fs, layersNow) == fp
         if (!stillCur) { fs.delete(staging, true); None }
         else {
-          val curName = cur.substring(cur.lastIndexOf('/') + 1)
           val nextName =
-            if (!curName.startsWith("_postings-v")) "_postings-v1"
-            else "_postings-v" + (curName.stripPrefix("_postings-v").toInt + 1)
+            if (!curBase.startsWith("_postings-v")) "_postings-v1"
+            else "_postings-v" + (curBase.stripPrefix("_postings-v").toInt + 1)
           val target = new org.apache.hadoop.fs.Path(root, nextName)
           // a crashed predecessor's unpublished leftovers — safe to clear,
           // the name is claimed under the lock
@@ -220,9 +252,10 @@ object Retrieval {
         }
       }
       published match {
-        // the root-layout bucket dirs (if this was the first compaction)
-        // are now retired too — vacuum removes them with the old versions
-        case Some(n) => return (before, countFiles(s"$path/$n"))
+        case Some(_) =>
+          val after = IndexLayers.fileCounts(fs,
+            postingsLayers(spark, path), "bucket").values.sum
+          return (before, after)
         case None =>
           IndexOcc.compactionConflicts.incrementAndGet()
           attempt += 1
@@ -240,21 +273,23 @@ object Retrieval {
     * Versions pinned by an [[IndexSnapshots]] generation snapshot are
     * KEPT (deleting them would make the pin unrestorable). */
   def vacuumBm25Index(spark: SparkSession, path: String): Int = {
-    val active = postingsDir(spark, path)
-    // root layout live (fresh build or rebuild-reset): every versioned
-    // dir is retired; versioned layout live: old versions AND the
-    // original root-layout bucket dirs are retired
-    val activeName =
-      if (active == path) "" else active.substring(active.lastIndexOf('/') + 1)
+    // the LIVE GENERATION CHAIN stays ("" = the root layout's own
+    // bucket dirs, still serving as a base layer); retired versions and
+    // — once no live or pinned layer reads through them — the original
+    // root-layout bucket dirs are removed
+    val live = postingsLayers(spark, path).map { l =>
+      if (l.dir == path) ""
+      else l.dir.substring(l.dir.lastIndexOf('/') + 1)
+    }.toSet
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pinned = IndexSnapshots.pinnedPointers(fs, root)
+    val keepRoot = live.contains("") || pinned.contains("")
     fs.listStatus(root).toSeq.filter { st =>
       val n = st.getPath.getName
-      st.isDirectory && n != activeName && !pinned.contains(n) &&
+      st.isDirectory && !live.contains(n) && !pinned.contains(n) &&
         (n.startsWith("_postings-v") ||
-          (activeName.nonEmpty && n.startsWith("bucket=") &&
-            !pinned.contains(""))) // "" = a pin of the root layout itself
+          (n.startsWith("bucket=") && !keepRoot))
     }.map { st => fs.delete(st.getPath, true); 1 }.sum +
       IndexOcc.sweepStaleStages(fs, root) // crashed append/compaction stages
   }
@@ -407,7 +442,7 @@ object Retrieval {
       (graft.functions.Kernels.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         % nBuckets.toLong).toInt)
-    val hits = spark.read.parquet(postingsDir(spark, path))
+    val hits = readPostings(spark, path)
       .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
     val dfByTerm = hits.groupBy("term")
@@ -529,7 +564,7 @@ object Retrieval {
       (graft.functions.Kernels.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         % nBuckets.toLong).toInt)
-    val dfByTerm = spark.read.parquet(postingsDir(spark, path))
+    val dfByTerm = readPostings(spark, path)
       .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
         col("term").isin(cands: _*))
       .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
@@ -608,7 +643,7 @@ object Retrieval {
       (graft.functions.Kernels.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         % nBuckets.toLong).toInt)
-    val hits = spark.read.parquet(postingsDir(spark, path))
+    val hits = readPostings(spark, path)
       .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
         col("term").isin(distinctTerms: _*))
     // pivot: one row per candidate doc with term -> positions (keys are
@@ -677,7 +712,7 @@ object Retrieval {
       (graft.functions.Kernels.hash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         % nBuckets.toLong).toInt)
-    val hits = spark.read.parquet(postingsDir(spark, path))
+    val hits = readPostings(spark, path)
       .filter(col("bucket").isin(buckets.distinct.map(Integer.valueOf): _*) &&
         col("term").isin(involved: _*))
     val dfByTerm = hits.filter(col("term").isin(scoring: _*))
@@ -804,8 +839,7 @@ object Retrieval {
         (id, graft.functions.Kernels.cosineQ6Arrays(qvArr, cv)) }
       .sortBy { case (id, cos) => (-cos, id) }
       .take(nprobe).map(_._1)
-    val densePool = spark.read
-      .parquet(Similarity.assignDir(spark, ivfPath))
+    val densePool = Similarity.readAssign(spark, ivfPath)
       .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
       .select(col("neighbor_id").cast("long").as("doc_id"),
         F.vec_cosine_q6(col("cv"), typedlit(qvArr.toSeq)).as("cos"))

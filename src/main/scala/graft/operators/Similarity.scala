@@ -659,7 +659,7 @@ object Similarity {
       .localCheckpoint(false)
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val assigned = spark.read.parquet(assignDir(spark, path))
+    val assigned = readAssign(spark, path)
       .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
       .withColumn("rv", F.vec_sq8_recon(col("codes"),
         typedlit(mn.toSeq), typedlit(mx.toSeq)))
@@ -693,6 +693,42 @@ object Similarity {
     val q = queries.select(queryId.as("query_id"),
       F.vec_quantize(queryVec, 1000).as("qv"))
     val joined = shortlist.join(exact, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
+    TopK.perGroup(joined, k, Seq(col("query_id")),
+        Seq(col("l2sq").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("l2sq"), col("rn"))
+  }
+
+  /** [[ivfSq8RerankTopKIndexed]] with the exact-rerank fetch served from
+    * a BLOOM-INDEXED PRIMARY LAKE (VERDICT r12 #5): the shortlist's
+    * neighbor ids drive [[DynamicPrune.readSemiFiltered]], so the
+    * raw-vector fetch reads only the lake files whose bloom / min-max
+    * envelopes can hold shortlist rows — shortlist-many point reads,
+    * never a corpus scan (the corpus-DataFrame lane above joins the
+    * shortlist against a FULL scan: fine as the oracle-exact batch
+    * shape, wrong as the serving tail at 100 TB). Row-identical to that
+    * lane on the same data (RerankLakeSpec, which also pins the
+    * file-count pruning). `lakeRoot` is a z-lake whose manifest carries
+    * a bloom on `lakeId` ([[graft.sources.ZLake.writeManifest]]). */
+  def ivfSq8RerankTopKLake(spark: org.apache.spark.sql.SparkSession,
+                           path: String, lakeRoot: String,
+                           lakeId: String, lakeVec: String,
+                           queries: DataFrame, queryId: Column,
+                           queryVec: Column, k: Int, nprobe: Int = 1,
+                           mult: Int = 4): DataFrame = {
+    require(mult >= 1, s"mult must be >= 1 (got $mult)")
+    val shortlist = ivfSq8TopKIndexed(spark, path, queries, queryId,
+        queryVec, k * mult, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false) // drives pruning AND the join — compute once
+    val exact = DynamicPrune.readSemiFiltered(spark, lakeRoot, lakeId,
+        shortlist, col("neighbor_id"))
+      .select(col(lakeId).as("neighbor_id"),
+        F.vec_quantize(col(lakeVec), 1000).as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    val joined = exact.join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
     TopK.perGroup(joined, k, Seq(col("query_id")),
@@ -746,7 +782,7 @@ object Similarity {
       .localCheckpoint(false)
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val assigned = spark.read.parquet(assignDir(spark, path))
+    val assigned = readAssign(spark, path)
       .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -773,7 +809,7 @@ object Similarity {
       .localCheckpoint(false)
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val assigned = spark.read.parquet(assignDir(spark, path))
+    val assigned = readAssign(spark, path)
       .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -811,43 +847,84 @@ object Similarity {
     s"$path/$name"
   }
 
-  /** COMPACT the assignment lake: every append ([[appendIvfIndex]]) adds
-    * files under the hot cells' directories, and at 100 TB the
-    * small-files tax on probe reads grows without bound. Compaction
-    * rewrites the whole assignment hash-partitioned by `cell` (each cell
-    * lands wholly in one task → one file per cell) into a NEW versioned
-    * directory, then publishes it with one ATOMIC pointer overwrite —
-    * readers resolve the pointer, so they see the old or the new
-    * assignment, never a mix, and a crash mid-compaction leaves the old
+  /** The assignment GENERATION CHAIN, newest first ([[IndexLayers]]):
+    * the active dir plus any base generations a selective compaction
+    * layered over. One-element for a fresh or fully-compacted index. */
+  private[graft] def assignLayers(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Seq[IndexLayers.Layer] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    IndexLayers.chain(fs, assignDir(spark, path), base => s"$path/$base")
+  }
+
+  /** Every probe's view of the assignment lake: the shadow-filtered
+    * union of the generation chain. Collapses to a plain partitioned
+    * read (identical plan, identical cell pruning) when the chain is one
+    * layer — the common case between selective compactions. */
+  private[graft] def readAssign(spark: org.apache.spark.sql.SparkSession,
+                                path: String): org.apache.spark.sql.DataFrame =
+    IndexLayers.readChain(spark, assignLayers(spark, path), "cell")
+
+  /** SELECTIVELY compact the assignment lake (VERDICT r12 #4): every
+    * append ([[appendIvfIndex]]) adds files under the hot cells'
+    * directories, and at 100 TB the small-files tax on probe reads grows
+    * without bound — but rewriting the WHOLE assignment per maintenance
+    * cycle is its own scale bug (a full-index rewrite to fix a handful of
+    * hot cells). Compaction now rewrites ONLY cells whose visible file
+    * count exceeds `targetFilesPerCell` into a new versioned dir that
+    * LAYERS over the current generation ([[IndexLayers]] — a
+    * `_layer.json` names the base and the replaced cells); untouched
+    * cells' files are never rewritten, copied, or moved — probes keep
+    * serving them from their original generation, byte-identical. The
+    * chain flattens (full rewrite, no manifest) when it reaches
+    * [[IndexLayers.MaxLayers]], bounding per-probe listings. Publication
+    * is still one ATOMIC pointer overwrite: readers see the old or the
+    * new generation, never a mix; a crash mid-compaction leaves the old
     * index fully live. Retired directories stay on disk for in-flight
     * readers until [[vacuumIvfIndex]]. Row content is unchanged, so
-    * probe results are bit-identical (AnnRewriteSpec). */
+    * probe results are bit-identical (AnnRewriteSpec, CompactionSpec). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
+                      path: String, targetFilesPerCell: Int = 1): Unit = {
+    require(targetFilesPerCell >= 1,
+      s"targetFilesPerCell must be >= 1, got $targetFilesPerCell")
     // CONCURRENCY (r12, [[IndexOcc]]): rewrite stages outside the writer
     // lock into an invisible `.compacting-*` dir; the lock guards only
-    // validate (pointer + active-dir fingerprint unchanged) → rename →
+    // validate (pointer + CHAIN fingerprint unchanged) → rename →
     // atomic pointer swap. An append landing mid-rewrite restages the
     // compaction instead of being silently stranded in a retired dir.
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     var attempt = 0
     while (attempt < IndexOcc.maxCompactionRetries) {
-      val cur = assignDir(spark, path)
-      val fp = IndexOcc.fingerprint(fs, new org.apache.hadoop.fs.Path(cur))
+      val layers = assignLayers(spark, path)
+      val cur = layers.head.dir
+      val fp = IndexLayers.fingerprintChain(fs, layers)
+      val counts = IndexLayers.fileCounts(fs, layers, "cell")
+      val eligible = counts.filter(_._2 > targetFilesPerCell).keys.toVector.sorted
+      val flatten = layers.size >= IndexLayers.MaxLayers ||
+        (eligible.size == counts.size && counts.nonEmpty)
+      if (eligible.isEmpty && !flatten && layers.size == 1) return // compact already
       val staging =
         new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("compacting"))
-      spark.read.parquet(cur)
-        .repartition(col("cell"))
+      val src = readAssign(spark, path)
+      val selective = !flatten && eligible.nonEmpty
+      val toWrite =
+        if (selective)
+          src.filter(col("cell").isin(eligible.map(v => Int.box(v.toInt)): _*))
+        else src
+      toWrite.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(staging.toString)
+      val curName = cur.substring(cur.lastIndexOf('/') + 1)
+      if (selective)
+        IndexLayers.write(fs, staging, curName, "cell", eligible)
       IndexOcc.stagedHook.get()()
       val published = graft.sinks.LakeDelete.withWriterLock(fs, root) {
-        val stillCur = assignDir(spark, path) == cur &&
-          IndexOcc.fingerprint(fs, new org.apache.hadoop.fs.Path(cur)) == fp
+        val layersNow = assignLayers(spark, path)
+        val stillCur = layersNow.head.dir == cur &&
+          IndexLayers.fingerprintChain(fs, layersNow) == fp
         if (!stillCur) { fs.delete(staging, true); false }
         else {
-          val curName = cur.substring(cur.lastIndexOf('/') + 1)
           val nextName =
             if (curName == "assign") "assign-v1"
             else "assign-v" + (curName.stripPrefix("assign-v").toInt + 1)
@@ -876,21 +953,22 @@ object Similarity {
         "rewrites discarded; the live index is untouched)")
   }
 
-  /** Delete retired assignment directories (everything `assign*` except
-    * the active one) — run once in-flight readers of the pre-compaction
-    * index have drained. Versions pinned by an
+  /** Delete retired assignment directories (everything `assign*` outside
+    * the LIVE GENERATION CHAIN) — run once in-flight readers of the
+    * pre-compaction index have drained. Versions pinned by an
     * [[IndexSnapshots]] generation snapshot are KEPT (deleting them would
-    * make the pin unrestorable). */
+    * make the pin unrestorable); a layered chain keeps every base a live
+    * or pinned layer still reads through. */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String): Int = {
-    val active = assignDir(spark, path)
-      .substring(assignDir(spark, path).lastIndexOf('/') + 1)
+    val live = assignLayers(spark, path)
+      .map(l => l.dir.substring(l.dir.lastIndexOf('/') + 1)).toSet
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val pinned = IndexSnapshots.pinnedPointers(fs, root)
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("assign")
-        && st.getPath.getName != active
+        && !live.contains(st.getPath.getName)
         && !pinned.contains(st.getPath.getName))
       .map { st => fs.delete(st.getPath, true); 1 }.sum +
       IndexOcc.sweepStaleStages(fs, root) // crashed append/compaction stages
@@ -993,7 +1071,7 @@ object Similarity {
       .localCheckpoint(false)
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val assigned = spark.read.parquet(assignDir(spark, path))
+    val assigned = readAssign(spark, path)
       .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -1296,6 +1374,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val cv = corpus.select(corpusId.as("neighbor_id"),
       F.vec_quantize(corpusVec, 1000).as("cv")).filter(col("cv").isNotNull)
+    val qv = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv")).filter(col("qv").isNotNull)
+    val scored = cv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("qv")))
+    TopK.perGroup(scored, k, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
+  }
+
+  /** [[ivfPqRerankTopK]] with the exact-rerank fetch served from a
+    * BLOOM-INDEXED PRIMARY LAKE (VERDICT r12 #5): the candidate pool's
+    * neighbor ids drive [[DynamicPrune.readSemiFiltered]], so only the
+    * lake files that can hold candidates are read for the raw-vector
+    * re-score — the ADC stage is unchanged (training/encoding is
+    * corpus-wide by nature), but the refine tail becomes
+    * candidate-many point reads instead of a second full corpus scan.
+    * Row-identical to [[ivfPqRerankTopK]] over the lake's rows
+    * (RerankLakeSpec). */
+  def ivfPqRerankTopKLake(spark: org.apache.spark.sql.SparkSession,
+                          lakeRoot: String, lakeId: String, lakeVec: String,
+                          queries: DataFrame, queryId: Column,
+                          queryVec: Column,
+                          seeds: DataFrame, seedId: Column, seedVec: Column,
+                          m: Int, numCodes: Int, k: Int, nprobe: Int = 1,
+                          refineFactor: Int = 4,
+                          refineCodebook: Boolean = false,
+                          lloydIters: Int = 1): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1 (got $refineFactor)")
+    val corpus = graft.sources.ZLake.read(spark, lakeRoot)
+    val cand = ivfPqTopK(corpus, col(lakeId), col(lakeVec),
+        queries, queryId, queryVec, seeds, seedId, seedVec,
+        m = m, numCodes = numCodes, k = k * refineFactor, nprobe = nprobe,
+        refineCodebook = refineCodebook, lloydIters = lloydIters)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false) // drives pruning AND the join — compute once
+    val cv = DynamicPrune.readSemiFiltered(spark, lakeRoot, lakeId,
+        cand, col("neighbor_id"))
+      .select(col(lakeId).as("neighbor_id"),
+        F.vec_quantize(col(lakeVec), 1000).as("cv"))
+      .filter(col("cv").isNotNull)
     val qv = queries.select(queryId.as("query_id"),
       F.vec_quantize(queryVec, 1000).as("qv")).filter(col("qv").isNotNull)
     val scored = cv.join(broadcast(cand), Seq("neighbor_id"))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, typedlit}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 import org.apache.spark.sql.types._
 
@@ -217,9 +217,9 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           if r.foldable && !l.foldable => (l, r)
       case ("cosine", KernelExprs.CosineQ6(l, r))
           if l.foldable && !r.foldable => (r, l)
-      case ("l2", KernelExprs.L2sqLong(l, r))
+      case ("l2" | "l2-sq8", KernelExprs.L2sqLong(l, r))
           if r.foldable && !l.foldable => (l, r)
-      case ("l2", KernelExprs.L2sqLong(l, r))
+      case ("l2" | "l2-sq8", KernelExprs.L2sqLong(l, r))
           if l.foldable && !r.foldable => (r, l)
       case ("ip", KernelExprs.DotLong(l, r))
           if r.foldable && !l.foldable => (l, r)
@@ -260,7 +260,7 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case (SortOrder(c: AttributeReference, Descending, NullsLast, _),
             "cosine" | "ip") => c.exprId == cosOut.exprId
       case (SortOrder(c: AttributeReference, Ascending, NullsLast, _),
-            "l2") => c.exprId == cosOut.exprId
+            "l2" | "l2-sq8") => c.exprId == cosOut.exprId
       case _ => false
     }
     sort.order match {
@@ -280,7 +280,7 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (cents.isEmpty) return None
     if (cents.head._2.length != qArr.length) return None
     val probed = (reg.metric match {
-      case "l2" => cents
+      case "l2" | "l2-sq8" => cents
         .map { case (id, c) => (id, Kernels.l2sqArrays(qArr, c).toDouble) }
         .sortBy { case (id, d) => (d, id) }
       case "ip" => cents
@@ -295,16 +295,28 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // the metric expression the query asked for
     val qLit = ColumnBridge.column(
       Literal.create(qArr, ArrayType(LongType, containsNull = false)))
-    val score = reg.metric match {
-      case "l2" => F.vec_l2sq_long(col("cv"), qLit)
-      case "ip" => F.vec_dot_long(col("cv"), qLit)
-      case _ => F.vec_cosine_q6(col("cv"), qLit)
-    }
-    val probeDf = spark.read
-      .parquet(Similarity.assignDir(spark, reg.indexPath))
+    // IVF,SQ8 (VERDICT r12 #6): the lake stores CODES only — the probe
+    // decodes against the trained bounds and ADC-scores the
+    // reconstruction, the FAISS serving shape; raw-vector metrics score
+    // the stored cv directly
+    val pruned = Similarity.readAssign(spark, reg.indexPath)
       .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+    val scored = reg.metric match {
+      case "l2-sq8" =>
+        val (mn, mx) = Similarity.readSq8Bounds(spark, reg.indexPath)
+        pruned.select(col("neighbor_id"),
+          F.vec_l2sq_long(F.vec_sq8_recon(col("codes"),
+            typedlit(mn.toSeq), typedlit(mx.toSeq)), qLit).as("__score"))
+      case "l2" => pruned.select(col("neighbor_id"),
+        F.vec_l2sq_long(col("cv"), qLit).as("__score"))
+      case "ip" => pruned.select(col("neighbor_id"),
+        F.vec_dot_long(col("cv"), qLit).as("__score"))
+      case _ => pruned.select(col("neighbor_id"),
+        F.vec_cosine_q6(col("cv"), qLit).as("__score"))
+    }
+    val probeDf = scored
       .select(col("neighbor_id").cast(idOut.dataType).as(idOut.name),
-        score.as(cosOut.name))
+        col("__score").as(cosOut.name))
     val newPlan = PlanBridge.plan(probeDf)
 
     // type fidelity, then re-anchor the original output attribute ids so

@@ -357,6 +357,57 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
+  test("IVF,SQ8: ORDER BY l2sq ASC answers from the codes-only probe " +
+      "(decode + ADC), not the corpus — and not the exact distances") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annrw-sq8").toString
+    val cp = dir + "/emb"; val idx = dir + "/idxsq8"
+    val df = (0 until 240).map { i =>
+      (i.toLong,
+        (0 until dim).map(j => math.sin(i * 0.37 + j * 1.13) * 0.9))
+    }.toDF("vec_id", "embedding")
+    df.repartition(3).write.parquet(cp)
+    val emb = spark.read.parquet(cp)
+    Similarity.writeIvfIndexSq8(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 6), col("vec_id"), col("embedding"), idx)
+    AnnIndex.register(spark, cp, idx,
+      idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+    try {
+      val q = declarativeL2(cp)
+      val got = longRows(q)
+      val roots = scanRoots(q)
+      assert(roots.nonEmpty && roots.forall(_.contains("/idxsq8")),
+        s"query still scans the corpus: $roots")
+      // expected: decode the probed cells' CODES against the trained
+      // bounds, rank by integer ADC l2²
+      val cents = Similarity.readCentroids(spark, idx)
+      val probed = cents
+        .map { case (cid, c) => (cid, Kernels.l2sqArrays(qv, c)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+      val (mn, mx) = Similarity.readSq8Bounds(spark, idx)
+      val expected = longRows(spark.read.parquet(s"$idx/assign")
+        .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+        .select(col("neighbor_id").as("vec_id"),
+          F.vec_l2sq_long(F.vec_sq8_recon(col("codes"),
+            typedlit(mn.toSeq), typedlit(mx.toSeq)),
+            typedlit(qv.toSeq)).as("l2sq"))
+        .orderBy(col("l2sq").asc_nulls_last, col("vec_id")).limit(k))
+      assert(got === expected)
+      // ... and the ADC distances differ from the exact ones, proving
+      // the answer came through the quantized codes (kill switch off so
+      // the control query really scans)
+      spark.conf.set("spark.graft.annRewrite", "false")
+      val exact = try longRows(emb
+        .select(col("vec_id"),
+          F.vec_l2sq_long(F.vec_quantize(col("embedding"), 1000),
+            typedlit(qv.toSeq)).as("l2sq"))
+        .orderBy(col("l2sq").asc_nulls_last, col("vec_id")).limit(k))
+      finally spark.conf.set("spark.graft.annRewrite", "true")
+      assert(got.map(_._2) != exact.map(_._2),
+        "ADC distances should carry quantization error vs exact l2")
+    } finally AnnIndex.unregister(cp)
+  }
+
   test("cross-metric queries keep the scan (per-operator-class binding)") {
     // cosine query over the L2-registered corpus
     val cosOverL2 = spark.read.parquet(l2CorpusPath)

@@ -38,9 +38,13 @@ class IndexOccSpec extends AnyFunSuite with SparkSpec {
     val path = tmp("occ-bm25"); val full = tmp("occ-bm25-full")
     Retrieval.writeBm25Index(docs(corpus(1 to 60)), col("doc_id"),
       col("text"), path, 8)
+    // fragment first: an already-compact index makes compaction a no-op
+    // (r13 selective semantics), which would never open the race window
+    Retrieval.appendBm25Index(docs(corpus(61 to 90)), col("doc_id"),
+      col("text"), path)
     val before = IndexOcc.compactionConflicts.get()
     onceStaged {
-      Retrieval.appendBm25Index(docs(corpus(61 to 120)), col("doc_id"),
+      Retrieval.appendBm25Index(docs(corpus(91 to 120)), col("doc_id"),
         col("text"), path)
     }
     try {
@@ -61,8 +65,13 @@ class IndexOccSpec extends AnyFunSuite with SparkSpec {
     val path = tmp("occ-bm25-rev"); val full = tmp("occ-bm25-rev-full")
     Retrieval.writeBm25Index(docs(corpus(1 to 60)), col("doc_id"),
       col("text"), path, 8)
+    // the wide corpus append fragments EVERY bucket, so the racing
+    // compaction below is a FULL flatten (new version dir + pointer
+    // swap) — the shape whose retired layout must stay vacuumable
+    Retrieval.appendBm25Index(docs(corpus(61 to 90)), col("doc_id"),
+      col("text"), path)
     onceStaged { Retrieval.compactBm25Index(spark, path); () }
-    try Retrieval.appendBm25Index(docs(corpus(61 to 120)), col("doc_id"),
+    try Retrieval.appendBm25Index(docs(corpus(91 to 120)), col("doc_id"),
       col("text"), path)
     finally IndexOcc.stagedHook.set(() => ())
     Retrieval.writeBm25Index(docs(corpus(1 to 120)), col("doc_id"),

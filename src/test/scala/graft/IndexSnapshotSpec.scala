@@ -101,15 +101,20 @@ class IndexSnapshotSpec extends AnyFunSuite with SparkSpec {
     val path = tmp("isnap-vac")
     Retrieval.writeBm25Index(docs(1 to 60), col("doc_id"), col("text"),
       path, 8)
-    Retrieval.compactBm25Index(spark, path) // -> _postings-v1
+    // fragment every bucket so compaction is a FULL flatten into
+    // _postings-v1 (an already-compact index no-ops under the r13
+    // selective semantics), retiring the root layout
+    Retrieval.appendBm25Index(docs(61 to 120), col("doc_id"), col("text"),
+      path)
+    Retrieval.compactBm25Index(spark, path) // -> _postings-v1 (full)
     IndexSnapshots.snapshot(spark, path, "pin") // pins _postings-v1
-    Retrieval.appendBm25Index(docs(61 to 90), col("doc_id"), col("text"),
+    Retrieval.appendBm25Index(docs(121 to 150), col("doc_id"), col("text"),
       path)
     // files appended into the PINNED active dir after the pin do not
     // break it: restore copies only the pinned subset
     Retrieval.compactBm25Index(spark, path) // -> _postings-v2
     val removed = Retrieval.vacuumBm25Index(spark, path)
-    assert(removed > 0, "the original root layout must be vacuumable")
+    assert(removed > 0, "the retired root layout must be vacuumable")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_postings-v1")),
