@@ -159,6 +159,11 @@ object Bench {
     /** Cell-partitioned cosine IVF index over embeddings (q198's dense
       * serving side; 8 seed cells). */
     val ivfIdx: String = tmp("ivf") + "/idx"
+    /** Codes-only IVF,SQ8 index (q206/q207's serving layout). */
+    val sq8Idx: String = tmp("sq8") + "/idx"
+    /** Bloom-manifested embeddings z-lake — the PRIMARY store the
+      * lake-served rerank tail point-reads (RerankLakeSpec's shape). */
+    val embLake: String = tmp("emblake") + "/emb"
 
     def customerProj: DataFrame = T("customer").select(col("c_custkey"),
       (col("c_custkey") % 256).cast("long").as("a"),
@@ -217,6 +222,13 @@ object Bench {
       graft.operators.Similarity.writeIvfIndex(emb, col("vec_id"),
         col("embedding"), emb.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), ivfIdx)
+      graft.operators.Similarity.writeIvfIndexSq8(emb, col("vec_id"),
+        col("embedding"), emb.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), sq8Idx)
+      graft.sinks.Sinks.zorderedWrite(
+        emb.withColumn("pad", (col("vec_id") % 97).cast("long")),
+        "vec_id", "pad", embLake, numFiles = 16, bits = 12,
+        bloomCols = Seq("vec_id"))
     }
 
     /** Fixed hybrid query vector (embedding 7, q198's). */
@@ -467,7 +479,35 @@ object Bench {
         new Timed("qR_mlt_probe",
           graft.operators.Retrieval.moreLikeThis(spark, lakes.bm25Idx,
             lakes.mltText, k = 10, excludeDocId = Some(42L),
-            maxQueryTerms = 8).collect()))
+            maxQueryTerms = 8).collect()),
+        // lake-served SQ8 rerank (r13): codes-only probe shortlist, then
+        // raw vectors point-read from the bloomed primary lake — the
+        // serving tail that used to re-scan the corpus
+        new Timed("qR_sq8_rerank_lake", {
+          val q = ZLake.read(spark, lakes.embLake)
+            .filter(col("vec_id") < 5)
+          graft.operators.Similarity.ivfSq8RerankTopKLake(spark,
+            lakes.sq8Idx, lakes.embLake, "vec_id", "embedding",
+            q, col("vec_id"), col("embedding"),
+            k = 10, nprobe = 2, mult = 4).collect()
+          ()
+        }),
+        // index maintenance (r13): fresh build → flatten → fragmenting
+        // append → SELECTIVE compaction (only hot cells rewrite)
+        new Timed("qW_index_compact", {
+          val d = freshDir("idxc") + "/idx"
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          graft.operators.Similarity.writeIvfIndex(emb, col("vec_id"),
+            col("embedding"), emb.filter(col("vec_id") < 8),
+            col("vec_id"), col("embedding"), d)
+          graft.operators.Similarity.compactIvfIndex(spark, d)
+          graft.operators.Similarity.appendIvfIndex(
+            emb.filter(col("vec_id") % 4 === 1)
+              .select((col("vec_id") + 1000000).as("vec_id"),
+                col("embedding")),
+            col("vec_id"), col("embedding"), d)
+          graft.operators.Similarity.compactIvfIndex(spark, d)
+        }))
 
     // q68_synth must be warmed before q68_pipeline can run at all, and the
     // lake fixtures before the qR_* lanes — warm-up order is listing order

@@ -30,6 +30,9 @@ object QueriesRetrieval {
     val n = s"sqrt(CAST(${dkDot(a, a)} AS DOUBLE) * CAST(${dkDot(b, b)} AS DOUBLE))"
     s"CASE WHEN $n > 0 THEN ${dkQround(s"CAST(${dkDot(a, b)} AS DOUBLE) / $n", 6)} ELSE 0.0 END"
   }
+  private def dkL2(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), " +
+      s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))) AS BIGINT)"
 
   /** The fixed query-term set the BM25 gate lanes use: one rare term
     * (high idf), two common ones. */
@@ -366,6 +369,84 @@ object QueriesRetrieval {
         Retrieval.writeBm25Index(docs, col("doc_id"), col("text"),
           bm25, nBuckets = 16)
         graft.operators.Similarity.writeIvfIndex(emb, col("vec_id"),
+          col("embedding"), emb.filter(col("vec_id") < 8),
+          col("vec_id"), col("embedding"), ivf)
+        val qv = emb.filter(col("vec_id") === 7)
+          .select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        Retrieval.hybridIndexTopK(s, bm25, ivf, QTerms, qv,
+          k = 20, poolK = 50, nprobe = 2)
+      }),
+
+    // -- HYBRID SEARCH over an IVF,SQ8 dense index (r13): the lexical
+    //    pool from the bucket-pruned BM25 probe, the DENSE pool from the
+    //    codes-only SQ8 probe (decode against trained bounds, rank by
+    //    integer ADC l2 ASC — distance metrics rank ascending), fused
+    //    with the same exact-integer RRF. The oracle replays encode →
+    //    decode → 2-cell probe → ADC ranking → fusion; a cosine-scored
+    //    pool, a raw-vector pool, or a descending ADC rank all
+    //    hash-mismatch — proving the metric dispatch.
+    QueryDef("q212_hybrid_sq8", Some(s"""
+      WITH RECURSIVE ${dkBm25Chain(P)},
+      t AS (SELECT vec_id, ${dkQuant("embedding")} AS v FROM embeddings),
+      cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cq
+               FROM t WHERE vec_id < 8),
+      ca AS (SELECT neighbor_id, v, cell,
+                    row_number() OVER (PARTITION BY neighbor_id
+                      ORDER BY d, cell) AS arn
+             FROM (SELECT t.vec_id AS neighbor_id, t.v, cent.cell,
+                          ${dkL2("t.v", "cent.cq")} AS d
+                   FROM t, cent)),
+      cc AS (SELECT neighbor_id, v, cell FROM ca WHERE arn = 1),
+      mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+             FROM t, range(1, 65) r(i) GROUP BY i),
+      ma AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+             FROM mm),
+      enc AS (SELECT neighbor_id, cell,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN 0 ELSE (2*255*(LEAST(mx[i], GREATEST(mn[i], v[i]))
+                   - mn[i]) + (mx[i]-mn[i])) // (2*(mx[i]-mn[i])) END)
+                 AS codes
+              FROM cc, ma),
+      rec AS (SELECT neighbor_id, cell,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN mn[i] ELSE mn[i] + (2*codes[i]*(mx[i]-mn[i]) + 255)
+                   // 510 END) AS rv
+              FROM enc, ma),
+      lex AS (SELECT doc_id, row_number() OVER (
+                ORDER BY score_micros DESC, doc_id) AS r
+              FROM (SELECT * FROM scored WHERE score_micros > 0
+                    ORDER BY score_micros DESC, doc_id LIMIT 50)),
+      qv0 AS (SELECT v AS xv FROM t WHERE vec_id = 7),
+      qa AS (SELECT cent.cell, ${dkL2("xv", "cent.cq")} AS d FROM qv0, cent),
+      qr AS (SELECT cell, row_number() OVER (ORDER BY d ASC, cell) AS rn FROM qa),
+      probed AS (SELECT cell FROM qr WHERE rn <= 2),
+      dns AS (SELECT doc_id, row_number() OVER (
+                ORDER BY adc ASC, doc_id) AS r
+              FROM (SELECT neighbor_id AS doc_id,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> (rv[i]-xv[i])*(rv[i]-xv[i]))) AS BIGINT) AS adc
+                    FROM rec JOIN probed USING (cell) CROSS JOIN qv0
+                    ORDER BY adc ASC, doc_id LIMIT 50)),
+      fused AS (SELECT coalesce(l.doc_id, n.doc_id) AS doc_id,
+                  coalesce((2000000 + 60 + l.r) // (2 * (60 + l.r)), 0) +
+                  coalesce((2000000 + 60 + n.r) // (2 * (60 + n.r)), 0)
+                    AS rrf_micros,
+                  l.r AS bm25_rank, n.r AS ann_rank
+                FROM lex l FULL OUTER JOIN dns n ON l.doc_id = n.doc_id)
+      SELECT doc_id, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+             CAST(bm25_rank AS BIGINT) AS bm25_rank,
+             CAST(ann_rank AS BIGINT) AS ann_rank
+      FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT 20"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val emb = T(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-q212-hyb").toString
+        val bm25 = base + "/bm25"; val ivf = base + "/ivfsq8"
+        Retrieval.writeBm25Index(docs, col("doc_id"), col("text"),
+          bm25, nBuckets = 16)
+        graft.operators.Similarity.writeIvfIndexSq8(emb, col("vec_id"),
           col("embedding"), emb.filter(col("vec_id") < 8),
           col("vec_id"), col("embedding"), ivf)
         val qv = emb.filter(col("vec_id") === 7)

@@ -18,8 +18,8 @@ import graft.functions.{Kernels, Functions => F, TextFunctions => TF}
   * is rounded to integer MICROS (`floor(x·10⁶ + 0.5)`) and document scores
   * are integer sums of term micros — order-free, so Spark partitioning
   * cannot move a score and DuckDB replays the whole formula bit-for-bit.
-  * The idf itself is q6-rounded before use so the one `ln` call cannot
-  * leak ulps into the fraction.
+  * The idf itself is the PURE-INTEGER fixed-point log (r13 —
+  * [[Bm25Stats.idfMicros]]): no libm call exists anywhere in the lane.
   *
   * Scale shape:
   *  - [[bm25Scores]]: ONE tiny stats aggregate (corpus size + one df per
@@ -816,15 +816,6 @@ object Retrieval {
                       params: Bm25Params = Bm25Params()): DataFrame = {
     require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
-    // the dense pool below cosine-scores the stored `cv` rows — pointed
-    // at an L2/IP index it would silently probe cells chosen under the
-    // wrong metric, and at an IVF,SQ8 index it would fail on a missing
-    // column; fail loudly instead (ADVICE r12)
-    val metric = Similarity.indexMetric(spark, ivfPath)
-    require(metric == "cosine",
-      s"hybridIndexTopK needs a cosine IVF index at $ivfPath (found " +
-        s"'$metric') — build one with writeIvfIndex, or fuse an L2/IP " +
-        "pool by ranking it yourself and composing with rrfPoints")
     val lexPool = searchBm25Index(spark, bm25Path, terms, poolK, params)
       .select(col("doc_id"), col("score_micros"))
     val lex = lexPool.select(col("doc_id"),
@@ -833,20 +824,47 @@ object Retrieval {
     // the same float→q3 quantization hybridTopK applies to the raw query
     val qvArr: Array[Long] = queryVec
       .map(d => math.floor(d.toFloat.toDouble * 1000 + 0.5).toLong).toArray
+    // the dense pool DISPATCHES on the index's _metric sidecar (ADVICE
+    // r12 — a cosine-only lane silently probed L2/IP cells chosen under
+    // the wrong metric and crashed on SQ8's codes-only rows): cells are
+    // chosen under the index's metric, candidates scored with it (SQ8
+    // decodes against the trained bounds, the ADC serving shape), and
+    // rank direction follows its kind (similarity desc, distance asc).
+    // RRF fuses RANKS, so the pools compose across metrics unchanged.
+    val K = graft.functions.Kernels
     val cents = Similarity.readCentroids(spark, ivfPath)
-    val probed = cents
-      .map { case (id, cv) =>
-        (id, graft.functions.Kernels.cosineQ6Arrays(qvArr, cv)) }
-      .sortBy { case (id, cos) => (-cos, id) }
-      .take(nprobe).map(_._1)
-    val densePool = Similarity.readAssign(spark, ivfPath)
+    val metric = Similarity.indexMetric(spark, ivfPath)
+    val probed = (metric match {
+      case "l2" | "l2-sq8" => cents
+        .map { case (id, cv) => (id, K.l2sqArrays(qvArr, cv).toDouble) }
+        .sortBy { case (id, d) => (d, id) }
+      case "ip" => cents
+        .map { case (id, cv) => (id, K.dotArrays(qvArr, cv).toDouble) }
+        .sortBy { case (id, d) => (-d, id) }
+      case _ => cents
+        .map { case (id, cv) => (id, K.cosineQ6Arrays(qvArr, cv)) }
+        .sortBy { case (id, cos) => (-cos, id) }
+    }).take(nprobe).map(_._1)
+    val pruned = Similarity.readAssign(spark, ivfPath)
       .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+    val qLit = typedlit(qvArr.toSeq)
+    val (scoreCol, asc) = metric match {
+      case "l2" => (F.vec_l2sq_long(col("cv"), qLit), true)
+      case "l2-sq8" =>
+        val (mn, mx) = Similarity.readSq8Bounds(spark, ivfPath)
+        (F.vec_l2sq_long(F.vec_sq8_recon(col("codes"),
+          typedlit(mn.toSeq), typedlit(mx.toSeq)), qLit), true)
+      case "ip" => (F.vec_dot_long(col("cv"), qLit), false)
+      case _ => (F.vec_cosine_q6(col("cv"), qLit), false)
+    }
+    def ord = if (asc) col("s").asc_nulls_last else col("s").desc
+    val densePool = pruned
       .select(col("neighbor_id").cast("long").as("doc_id"),
-        F.vec_cosine_q6(col("cv"), typedlit(qvArr.toSeq)).as("cos"))
-      .orderBy(col("cos").desc, col("doc_id"))
+        scoreCol.as("s"))
+      .orderBy(ord, col("doc_id"))
       .limit(poolK)
     val dense = densePool.select(col("doc_id"),
-      row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
+      row_number().over(Window.orderBy(ord, col("doc_id")))
         .cast("long").as("ann_rank"))
     lex.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),

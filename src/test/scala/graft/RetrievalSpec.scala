@@ -564,4 +564,62 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       .sortBy { case (id, pts) => (-pts, id) }.take(10)
     assert(got === expected)
   }
+
+  test("hybridIndexTopK dispatches on the index metric: an IVF,SQ8 dense " +
+      "pool decodes codes and ranks ADC distance ascending") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hybsq8").toString
+    val docsPath = s"$dir/docs"; val embPath = s"$dir/emb"
+    val bm25 = s"$dir/bm25"; val ivf = s"$dir/ivfsq8"
+    docs((1L to 120L).map(i =>
+      i -> s"alpha w${i % 13} ${if (i % 3 == 0) "beta" else "gamma"}"): _*)
+      .write.parquet(docsPath)
+    (0 until 120).map { i =>
+      (i.toLong,
+        (0 until 8).map(j => (math.sin(i * 0.37 + j * 1.13) * 0.9).toFloat))
+    }.toDF("vec_id", "embedding").write.parquet(embPath)
+    val d = spark.read.parquet(docsPath)
+    val e = spark.read.parquet(embPath)
+    Retrieval.writeBm25Index(d, col("doc_id"), col("text"), bm25, 8)
+    graft.operators.Similarity.writeIvfIndexSq8(e, col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") < 6),
+      col("vec_id"), col("embedding"), ivf)
+    val qv = e.filter(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val fused = Retrieval.hybridIndexTopK(spark, bm25, ivf,
+      Seq("alpha", "beta"), qv, k = 10, poolK = 25, nprobe = 2)
+    val got = fused.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def rrf(rank: Long): Long = {
+      val num = 2L * 1000000L + (60L + rank); val den = 2L * (60L + rank)
+      num / den
+    }
+    val lexRanks = Retrieval
+      .searchBm25Index(spark, bm25, Seq("alpha", "beta"), 25)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    // expected dense pool: the ADC serving probe itself (self NOT
+    // excluded by the hybrid pool, so recount from the assignment)
+    val qvq = qv.map(x => math.floor(x.toFloat.toDouble * 1000 + 0.5).toLong)
+    val cents = graft.operators.Similarity.readCentroids(spark, ivf)
+    val probed = cents.map { case (id, c) =>
+        (id, graft.functions.Kernels.l2sqArrays(qvq.toArray, c)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(2).map(_._1)
+    val (mn, mx) = graft.operators.Similarity.readSq8Bounds(spark, ivf)
+    val denseRanks = spark.read
+      .parquet(graft.operators.Similarity.assignDir(spark, ivf))
+      .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+      .select(col("neighbor_id").cast("long").as("id"),
+        graft.functions.Functions.vec_l2sq_long(
+          graft.functions.Functions.vec_sq8_recon(col("codes"),
+            typedlit(mn.toSeq), typedlit(mx.toSeq)),
+          typedlit(qvq)).as("dd"))
+      .orderBy(col("dd").asc_nulls_last, col("id")).limit(25)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val expected = (lexRanks.keySet ++ denseRanks.keySet).toSeq
+      .map(id => (id, lexRanks.get(id).map(rrf).getOrElse(0L) +
+        denseRanks.get(id).map(rrf).getOrElse(0L)))
+      .sortBy { case (id, pts) => (-pts, id) }.take(10)
+    assert(got === expected)
+  }
 }
