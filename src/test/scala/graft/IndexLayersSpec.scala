@@ -11,7 +11,8 @@ import graft.operators.{IndexLayers, IndexSnapshots, Retrieval, Similarity}
   * with untouched partitions' files left byte-identical in place (same
   * path, length, mtime), probes unchanged, snapshots spanning layers,
   * and the chain flattening at its depth bound. */
-class IndexLayersSpec extends AnyFunSuite with SparkSpec {
+class IndexLayersSpec extends AnyFunSuite with SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private def vecs(r: Range): DataFrame = r.map { i =>
@@ -195,5 +196,114 @@ class IndexLayersSpec extends AnyFunSuite with SparkSpec {
     val layers = Similarity.assignLayers(spark, path)
     assert(layers.size == 1 && layers.head.replaces.isEmpty,
       s"expected a flattened full generation, got $layers")
+  }
+
+  test("fuzz: random append/compact/vacuum sequences keep IVF probes " +
+      "row-identical to a fresh full build over the accumulated corpus") {
+    val rnd = new scala.util.Random(13)
+    val path = tmp("layers-fuzz")
+    val base = vecs(1 to 160)
+    val seeds = base.filter(col("vec_id") < 4)
+    Similarity.writeIvfIndex(base, col("vec_id"), col("embedding"),
+      seeds, col("vec_id"), col("embedding"), path)
+    var corpus = base
+    var next = 1000L
+    val q = vecs(5 to 8)
+    (1 to 8).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val slice = vecs(1 to 160)
+            .filter(col("vec_id") % 4 === rnd.nextInt(4).toLong)
+            .select((col("vec_id") + next).as("vec_id"), col("embedding"))
+          Similarity.appendIvfIndex(slice, col("vec_id"), col("embedding"),
+            path)
+          corpus = corpus.unionByName(slice)
+          next += 1000
+        case 1 => Similarity.compactIvfIndex(spark, path)
+        case _ => Similarity.vacuumIvfIndex(spark, path); ()
+      }
+      // the maintained (possibly layered) index must answer exactly as a
+      // FRESH build over everything appended so far
+      val fresh = tmp(s"layers-fuzz-ref$step")
+      Similarity.writeIvfIndex(corpus, col("vec_id"), col("embedding"),
+        seeds, col("vec_id"), col("embedding"), fresh)
+      val got = Similarity.ivfTopKIndexed(spark, path, q,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rn")).collect().toSeq
+      val want = Similarity.ivfTopKIndexed(spark, fresh, q,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rn")).collect().toSeq
+      assert(got == want, s"divergence after step $step " +
+        s"(chain ${Similarity.assignLayers(spark, path).size} layers)")
+    }
+  }
+
+  test("fuzz: random append/compact/vacuum sequences keep BM25 rankings " +
+      "row-identical to a fresh full build") {
+    val rnd = new scala.util.Random(29)
+    val path = tmp("layers-fuzz-bm25")
+    val base = docs(1 to 100)
+    Retrieval.writeBm25Index(base, col("doc_id"), col("text"), path, 8)
+    var corpus = base
+    var next = 1000L
+    (1 to 8).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val lo = rnd.nextInt(80) + 1
+          val slice = docs(lo to lo + 19)
+            .select((col("doc_id") + next).as("doc_id"), col("text"))
+          Retrieval.appendBm25Index(slice, col("doc_id"), col("text"), path)
+          corpus = corpus.unionByName(slice)
+          next += 1000
+        case 1 => Retrieval.compactBm25Index(spark, path); ()
+        case _ => Retrieval.vacuumBm25Index(spark, path); ()
+      }
+      val fresh = tmp(s"layers-fuzz-bm25-ref$step")
+      Retrieval.writeBm25Index(corpus, col("doc_id"), col("text"), fresh, 8)
+      val got = Retrieval.searchBm25Index(spark, path,
+        Seq("alpha", "beta"), 30).collect().toSeq
+      val want = Retrieval.searchBm25Index(spark, fresh,
+        Seq("alpha", "beta"), 30).collect().toSeq
+      assert(got == want, s"divergence after step $step")
+    }
+  }
+
+  test("layered probes still PRUNE: every file scan of a 2-layer chain " +
+      "reads only the probed cell directories") {
+    val path = tmp("layers-prune")
+    val base = vecs(1 to 200)
+    Similarity.writeIvfIndex(base, col("vec_id"), col("embedding"),
+      base.filter(col("vec_id") < 4), col("vec_id"), col("embedding"), path)
+    Similarity.compactIvfIndex(spark, path)
+    Similarity.appendIvfIndex(
+      vecs(1 to 200).filter(col("vec_id") % 4 === 1)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"), path)
+    Similarity.compactIvfIndex(spark, path)
+    assert(Similarity.assignLayers(spark, path).size == 2)
+    val q = vecs(5 to 6)
+    val probe = Similarity.ivfTopKIndexed(spark, path, q,
+      col("vec_id"), col("embedding"), k = 5, nprobe = 1)
+    probe.collect()
+    val scans = collectWithSubqueries(probe.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the probed cells are driver-known; the isin must push through the
+    // chain union into each layer's partition filters, so the assign
+    // scans together read no more files than live in the probed cells
+    val assignScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/assign")))
+    assert(assignScans.nonEmpty)
+    assert(assignScans.forall(
+      _.metadata("PartitionFilters").contains("cell")),
+      "every layer scan must carry a cell partition filter")
+    val probedFiles = IndexLayers.fileCounts(fs(path),
+      Similarity.assignLayers(spark, path), "cell")
+    val filesRead = assignScans.map(_.metrics("numFiles").value).sum
+    // 2 queries x nprobe=1 -> at most 2 distinct probed cells
+    val worstCase = probedFiles.values.toSeq.sorted.reverse.take(2).sum
+    assert(filesRead <= worstCase,
+      s"layered probe read $filesRead files (> $worstCase) — pruning lost")
   }
 }
