@@ -68,6 +68,55 @@ private[graft] object IndexOcc {
     walk(stage, Nil)
   }
 
+  /** [[adoptStaged]] with a CALLER-CHOSEN name prefix — the streaming
+    * ingest path tags every adopted file `ingest<batchId>-…` so a
+    * crashed batch's partial adoption is identifiable: the replay (and
+    * the compactions) purge `ingest<B>-*` files with B above the
+    * committed fence before re-adopting, which is what makes the fenced
+    * ingest exactly-once without a journal. */
+  def adoptStagedAs(fs: FileSystem, stage: Path, active: Path,
+                    prefix: String): Unit = {
+    def walk(dir: Path, rel: List[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath, rel :+ n)
+        } else if (n.endsWith(".parquet")) {
+          val tgtDir = rel.foldLeft(active)(new Path(_, _))
+          fs.mkdirs(tgtDir)
+          val tgt = new Path(tgtDir, s"$prefix-$n")
+          if (!fs.rename(st.getPath, tgt))
+            throw new java.io.IOException(
+              s"failed to adopt staged file ${st.getPath} into $tgtDir")
+        }
+      }
+    walk(stage, Nil)
+  }
+
+  private val IngestTag = "ingest(\\d+)-".r
+
+  /** Delete every `ingest<B>-*` data file with `B > fence` under `dirs`
+    * (recursively) — the UNCOMMITTED residue of a crashed fenced ingest.
+    * The fence is the commit point: replays re-adopt the batch from
+    * scratch, and compactions purge first so an uncommitted fraction can
+    * never be baked into a rewritten generation. Returns files removed. */
+  def purgeUncommittedIngest(fs: FileSystem, dirs: Seq[Path],
+                             fence: Long): Int = {
+    def walk(dir: Path): Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).map { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+          walk(st.getPath)
+        else IngestTag.findPrefixMatchOf(n) match {
+          case Some(m) if m.group(1).toLong > fence =>
+            fs.delete(st.getPath, false); 1
+          case _ => 0
+        }
+      }.sum
+    dirs.map(walk).sum
+  }
+
   /** Identity fingerprint of the ACTIVE index directory — the compaction
     * read-set. Torn listings yield a never-equal token
     * ([[graft.sources.ZLake.fingerprintWith]]), so a swap can only

@@ -197,6 +197,14 @@ object Retrieval {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     while (attempt < IndexOcc.maxCompactionRetries) {
+      // a crashed fenced ingest's uncommitted files must never be baked
+      // into a rewritten generation — purge them before reading
+      graft.sinks.LakeDelete.withWriterLock(fs, root) {
+        IndexOcc.purgeUncommittedIngest(fs,
+          postingsLayers(spark, path)
+            .map(l => new org.apache.hadoop.fs.Path(l.dir)),
+          readIngestFence(spark, path).getOrElse(-1L))
+      }
       val layers = postingsLayers(spark, path)
       val cur = layers.head.dir
       val fp = IndexLayers.fingerprintChain(fs, layers)
@@ -342,18 +350,37 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("positions"))
 
+  /** `fence` is the streaming-ingest commit point ([[ingestBatchBm25]]):
+    * stats and fence publish in ONE atomic overwrite, so a batch's
+    * visibility and its stats delta commit together. Plain appends
+    * preserve whatever fence is committed. */
   private def writeStats(spark: SparkSession, path: String, nDocs: Long,
-                         totalTokens: Long, nBuckets: Int): Unit = {
+                         totalTokens: Long, nBuckets: Int,
+                         fence: Option[Long] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path, s".$StatsFile.tmp")
     val out = fs.create(tmp, true)
+    val fencePart = fence.map(b => s""","ingest_batch":$b""").getOrElse("")
     try out.write(
-      s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,"n_buckets":$nBuckets}"""
-        .getBytes("UTF-8"))
+      (s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,""" +
+        s""""n_buckets":$nBuckets$fencePart}""").getBytes("UTF-8"))
     finally out.close()
     graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
       new org.apache.hadoop.fs.Path(path, StatsFile))
+  }
+
+  /** The committed streaming-ingest fence, or None if never ingested. */
+  private[graft] def readIngestFence(spark: SparkSession,
+                                     path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, StatsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Option(om.readTree(txt).get("ingest_batch")).map(_.asLong)
   }
 
   private def readStats(spark: SparkSession,
@@ -409,11 +436,87 @@ object Retrieval {
         new org.apache.hadoop.fs.Path(postingsDir(spark, path)))
       // stats re-read under the lock: a concurrent append's advance survives
       val (n1, t1, nb) = readStats(spark, path)
-      writeStats(spark, path, n1 + row.getLong(0), t1 + row.getLong(1), nb)
+      writeStats(spark, path, n1 + row.getLong(0), t1 + row.getLong(1), nb,
+        readIngestFence(spark, path))
     }
     fs.delete(stage, true)
     ()
   }
+
+  /** FENCED, EXACTLY-ONCE batch ingest — the `foreachBatch` body of a
+    * streaming index maintainer ([[streamIngestBm25]]). Semantics:
+    *
+    *  - batch 0 BOOTSTRAPS the index (full build — idempotent, mode
+    *    overwrite) and commits the fence with the stats;
+    *  - a batch at-or-below the committed fence returns false and does
+    *    NOTHING (the Structured Streaming replay path after a restart);
+    *  - otherwise the postings stage outside the writer lock, and under
+    *    it: any UNCOMMITTED `ingest<B>-*` residue (a crashed attempt's
+    *    partial adoption) is purged, the batch adopts with
+    *    `ingest<batchId>-` names, and stats + fence publish in ONE
+    *    atomic overwrite — the commit point. A crash anywhere before
+    *    that overwrite leaves the fence unmoved, so the replay purges
+    *    and re-adopts; after it, the replay no-ops. Probes may see an
+    *    uncommitted fraction only between a crash and its replay, and
+    *    compaction purges uncommitted files before rewriting, so they
+    *    can never be baked into a generation. */
+  def ingestBatchBm25(batch: DataFrame, id: Column, text: Column,
+                      path: String, batchId: Long,
+                      nBuckets: Int = 64): Boolean = {
+    val spark = batch.sparkSession
+    if (!indexExists(spark, path)) {
+      writeBm25Index(batch, id, text, path, nBuckets)
+      val (n, tt, nb) = readStats(spark, path)
+      writeStats(spark, path, n, tt, nb, Some(batchId))
+      return true
+    }
+    if (readIngestFence(spark, path).exists(_ >= batchId)) return false
+    val (_, _, nb0) = readStats(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage =
+      new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("append"))
+    postingsOf(batch, id, text)
+      .withColumn("bucket", bucketOf(col("term"), nb0))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(stage.toString)
+    val row = batch.agg(count(lit(1)),
+      coalesce(sum(size(TF.tokens(text))), lit(0L)).cast("long")).head()
+    IndexOcc.stagedHook.get()()
+    val adopted = graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      val fence = readIngestFence(spark, path).getOrElse(-1L)
+      if (fence >= batchId) { fs.delete(stage, true); false }
+      else {
+        IndexOcc.purgeUncommittedIngest(fs,
+          postingsLayers(spark, path)
+            .map(l => new org.apache.hadoop.fs.Path(l.dir)), fence)
+        IndexOcc.adoptStagedAs(fs, stage,
+          new org.apache.hadoop.fs.Path(postingsDir(spark, path)),
+          s"ingest$batchId")
+        val (n1, t1, nb) = readStats(spark, path)
+        writeStats(spark, path, n1 + row.getLong(0), t1 + row.getLong(1),
+          nb, Some(batchId))
+        true
+      }
+    }
+    fs.delete(stage, true)
+    adopted
+  }
+
+  /** Maintain the index from a STREAM: checkpointed `foreachBatch` over
+    * [[ingestBatchBm25]] — restarts replay at-least-once, the fence makes
+    * the index exactly-once. */
+  def streamIngestBm25(stream: DataFrame, id: Column, text: Column,
+                       path: String, checkpoint: String,
+                       nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        ingestBatchBm25(b, id, text, path, bid, nBuckets); ()
+      }
+      .start()
 
   /** Query the persisted index: the scan prunes to the ≤ |terms| buckets
     * the query hashes into (partition pruning on `bucket`), df per term

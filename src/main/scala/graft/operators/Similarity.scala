@@ -896,6 +896,14 @@ object Similarity {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     var attempt = 0
     while (attempt < IndexOcc.maxCompactionRetries) {
+      // a crashed fenced ingest's uncommitted files must never be baked
+      // into a rewritten generation — purge them before reading
+      graft.sinks.LakeDelete.withWriterLock(fs, root) {
+        IndexOcc.purgeUncommittedIngest(fs,
+          assignLayers(spark, path)
+            .map(l => new org.apache.hadoop.fs.Path(l.dir)),
+          readIvfFence(spark, path).getOrElse(-1L))
+      }
       val layers = assignLayers(spark, path)
       val cur = layers.head.dir
       val fp = IndexLayers.fingerprintChain(fs, layers)
@@ -1050,6 +1058,107 @@ object Similarity {
     fs.delete(stage, true)
     ()
   }
+
+  private def readIvfFence(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_ingest_fence")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      Some(txt.toLong)
+    }
+  }
+
+  private def writeIvfFence(spark: org.apache.spark.sql.SparkSession,
+                            path: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, "._ingest_fence.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.sinks.LakeDelete.atomicOverwrite(fs, tmp,
+      new org.apache.hadoop.fs.Path(root, "_ingest_fence"))
+  }
+
+  /** FENCED, EXACTLY-ONCE batch ingest into an EXISTING IVF index — the
+    * `foreachBatch` body of [[streamIngestIvf]], with the index's metric
+    * dispatched exactly like the append verbs (an IVF,SQ8 index encodes
+    * the batch against its trained bounds). Semantics mirror
+    * [[Retrieval.ingestBatchBm25]]: a batch at-or-below the committed
+    * `_ingest_fence` no-ops (the streaming replay path); otherwise any
+    * uncommitted `ingest<B>-*` residue from a crashed attempt is purged
+    * under the writer lock, the batch adopts with `ingest<batchId>-`
+    * names, and the fence advance (one atomic overwrite) is the commit
+    * point. Centroids are trained offline (the build verbs) — streaming
+    * ingest only grows cells, the FAISS serving contract. */
+  def ingestBatchIvf(batch: DataFrame, id: Column, vec: Column,
+                     path: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (readIvfFence(spark, path).exists(_ >= batchId)) return false
+    val cents = readCentroids(spark, path)
+    require(cents.nonEmpty, s"no IVF index at $path — build it first " +
+      "(writeIvfIndex*); streaming ingest does not train centroids")
+    val metric = indexMetric(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage =
+      new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("append"))
+    val quantized = batch.select(id.as("neighbor_id"),
+      F.vec_quantize(vec, 1000).as("cv"))
+    val staged = metric match {
+      case "l2-sq8" =>
+        val (mn, mx) = readSq8Bounds(spark, path)
+        quantized
+          .withColumn("cell", assignCellL2(spark, cents)(col("cv")))
+          .withColumn("codes", F.vec_sq8_encode(col("cv"),
+            typedlit(mn.toSeq), typedlit(mx.toSeq)))
+          .drop("cv")
+      case "l2" => quantized
+        .withColumn("cell", assignCellL2(spark, cents)(col("cv")))
+      case "ip" => quantized
+        .withColumn("cell", assignCellIp(spark, cents)(col("cv")))
+      case _ => quantized
+        .withColumn("cell", assignCell(spark, cents)(col("cv")))
+    }
+    staged.write.mode("overwrite").partitionBy("cell")
+      .parquet(stage.toString)
+    IndexOcc.stagedHook.get()()
+    val adopted = graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      val fence = readIvfFence(spark, path).getOrElse(-1L)
+      if (fence >= batchId) { fs.delete(stage, true); false }
+      else {
+        IndexOcc.purgeUncommittedIngest(fs,
+          assignLayers(spark, path)
+            .map(l => new org.apache.hadoop.fs.Path(l.dir)), fence)
+        IndexOcc.adoptStagedAs(fs, stage,
+          new org.apache.hadoop.fs.Path(assignDir(spark, path)),
+          s"ingest$batchId")
+        writeIvfFence(spark, path, batchId)
+        true
+      }
+    }
+    fs.delete(stage, true)
+    adopted
+  }
+
+  /** Maintain an IVF index from a STREAM: checkpointed `foreachBatch`
+    * over [[ingestBatchIvf]] — restarts replay at-least-once, the fence
+    * makes the index exactly-once. */
+  def streamIngestIvf(stream: DataFrame, id: Column, vec: Column,
+                      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        ingestBatchIvf(b, id, vec, path, bid); ()
+      }
+      .start()
 
   /** ANN top-k over a persisted IVF index ([[writeIvfIndex]]): queries
     * assign to their `nprobe` nearest STORED centroids, the probed cell
