@@ -311,7 +311,19 @@ object Retrieval {
     * (each doc contributes each term once, pre-counted in a projection),
     * then routed to its term bucket by the partitioned write. */
   def writeBm25Index(docs: DataFrame, id: Column, text: Column,
-                     path: String, nBuckets: Int = 64): Unit = {
+                     path: String, nBuckets: Int = 64): Unit =
+    writeBm25IndexFenced(docs, id, text, path, nBuckets, None)
+
+  /** [[writeBm25Index]] whose stats sidecar carries an ingest fence —
+    * the BOOTSTRAP path of [[ingestBatchBm25]]: the stats write (which
+    * is also what makes [[indexExists]] true) and the fence commit in
+    * ONE atomic overwrite, so a crash anywhere inside the bootstrap
+    * leaves `indexExists = false` and the replay simply rebuilds
+    * (mode overwrite — idempotent), never appends batch 0 twice. */
+  private def writeBm25IndexFenced(docs: DataFrame, id: Column,
+                                   text: Column, path: String,
+                                   nBuckets: Int,
+                                   fence: Option[Long]): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = docs.sparkSession
     val postings = postingsOf(docs, id, text)
@@ -321,7 +333,7 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val row = docs.agg(count(lit(1)),
       coalesce(sum(size(TF.tokens(text))), lit(0L)).cast("long")).head()
-    writeStats(spark, path, row.getLong(0), row.getLong(1), nBuckets)
+    writeStats(spark, path, row.getLong(0), row.getLong(1), nBuckets, fence)
     // a rebuild resets any compaction pointer — readers must resolve to
     // the freshly written root layout, not a retired version
     val ptr = new org.apache.hadoop.fs.Path(path, PostingsPtr)
@@ -465,9 +477,10 @@ object Retrieval {
                       nBuckets: Int = 64): Boolean = {
     val spark = batch.sparkSession
     if (!indexExists(spark, path)) {
-      writeBm25Index(batch, id, text, path, nBuckets)
-      val (n, tt, nb) = readStats(spark, path)
-      writeStats(spark, path, n, tt, nb, Some(batchId))
+      // bootstrap: postings first, then stats+fence in ONE atomic write
+      // (the stats write is also what flips indexExists) — a crash
+      // anywhere in here replays as a clean rebuild, never as an append
+      writeBm25IndexFenced(batch, id, text, path, nBuckets, Some(batchId))
       return true
     }
     if (readIngestFence(spark, path).exists(_ >= batchId)) return false

@@ -125,4 +125,26 @@ class StreamingIndexSpec extends AnyFunSuite with SparkSpec {
     Similarity.vacuumIvfIndex(spark, path)
     assert(top(path) == streamed)
   }
+
+  test("BM25: a crash inside the bootstrap replays as a clean rebuild — " +
+      "batch 0 is never appended onto its own partial build") {
+    val path = tmp("sidx-bm25-boot") + "/idx"
+    assert(Retrieval.ingestBatchBm25(docsDf(1 to 60), col("doc_id"),
+      col("text"), path, batchId = 0, nBuckets = 8))
+    // simulate the crash window: postings on disk but the stats+fence
+    // overwrite (the bootstrap's single commit point) never landed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_bm25_stats.json"), false)
+    assert(!Retrieval.indexExists(spark, path))
+    // the streaming replay of batch 0 must rebuild, not append
+    assert(Retrieval.ingestBatchBm25(docsDf(1 to 60), col("doc_id"),
+      col("text"), path, batchId = 0, nBuckets = 8))
+    val full = tmp("sidx-bm25-boot-full") + "/idx"
+    Retrieval.writeBm25Index(docsDf(1 to 60), col("doc_id"), col("text"),
+      full, 8)
+    assert(Retrieval.searchBm25Index(spark, path, q, 40).collect().toSeq ==
+      Retrieval.searchBm25Index(spark, full, q, 40).collect().toSeq,
+      "replayed bootstrap must equal a clean build (no doubled postings)")
+  }
 }
