@@ -21,8 +21,8 @@ private[graft] object OracleLnFix {
       ${out}_it AS (
         SELECT v, e, 0 AS i,
                CASE WHEN e <= 30 THEN v << CAST(30 - e AS INTEGER)
-                    ELSE (v + (CAST(1 AS BIGINT) << CAST(e - 31 AS INTEGER)))
-                         >> CAST(e - 30 AS INTEGER) END AS x,
+                    ELSE (v >> CAST(e - 30 AS INTEGER))
+                         + ((v >> CAST(e - 31 AS INTEGER)) & 1) END AS x,
                CAST(0 AS BIGINT) AS f
         FROM ${out}_e
         UNION ALL

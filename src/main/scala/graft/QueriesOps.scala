@@ -2567,11 +2567,11 @@ object QueriesOps {
              FROM h JOIN t ON h.grp = t.grp)
       SELECT grp,
              CAST(min(CASE WHEN cn >= greatest(1,
-               CAST(ceil(0.50 * tot) AS BIGINT)) THEN lb END) AS BIGINT) AS p50,
+               (500000 * tot + 999999) // 1000000) THEN lb END) AS BIGINT) AS p50,
              CAST(min(CASE WHEN cn >= greatest(1,
-               CAST(ceil(0.95 * tot) AS BIGINT)) THEN lb END) AS BIGINT) AS p95,
+               (950000 * tot + 999999) // 1000000) THEN lb END) AS BIGINT) AS p95,
              CAST(min(CASE WHEN cn >= greatest(1,
-               CAST(ceil(0.99 * tot) AS BIGINT)) THEN lb END) AS BIGINT) AS p99,
+               (990000 * tot + 999999) // 1000000) THEN lb END) AS BIGINT) AS p99,
              CAST(max(tot) AS BIGINT) AS n
       FROM cw GROUP BY grp ORDER BY grp"""),
       (s, dir) => {

@@ -48,6 +48,14 @@ object Verify {
           val rows = spark.read.parquet(s"$outDir/$name").collect()
           rows.foreach(r => System.err.println(s"[verify] $name row: $r"))
         }
+        // q167/q169 family (driver-hash-red r11-r13, environment-adjudicated
+        // r13): print the first rows of every LM-chain query so the driver
+        // log carries the actual Spark-side values next to a red verdict —
+        // the same evidence pattern that closed the q96 class.
+        if (name.startsWith("q167") || name.startsWith("q169")) {
+          spark.read.parquet(s"$outDir/$name").limit(5).collect()
+            .foreach(r => System.err.println(s"[verify] $name row: $r"))
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

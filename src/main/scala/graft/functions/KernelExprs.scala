@@ -504,6 +504,30 @@ object KernelExprs {
       copy(child = newChild)
   }
 
+  /** [[NgramLmTable.scoreParts]] — the score's four ingredients summed
+    * separately per document (num/den/backoffs without any logarithm,
+    * plus lnm(num)/lnm(den) sums), for the gate's stage-bisecting q167
+    * companion queries. Same codegen shape as [[NgramLmScore]]. */
+  case class NgramLmParts(child: Expression, table: NgramLmTable)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("sum_num", LongType, nullable = false),
+      StructField("sum_den", LongType, nullable = false),
+      StructField("sum_backoffs", LongType, nullable = false),
+      StructField("sum_lnum", LongType, nullable = false),
+      StructField("sum_lden", LongType, nullable = false)))
+    override protected def nullSafeEval(input: Any): Any =
+      table.scoreParts(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngramLmTable", table,
+        classOf[NgramLmTable].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.scoreParts($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NgramLmParts =
+      copy(child = newChild)
+  }
+
   /** Dictionary keyword tagging via the shipped [[KeywordTable]]
     * automaton: distinct matched substrings, lexicographic order, one
     * pass over the text however large the dictionary. */
@@ -597,6 +621,8 @@ object KernelExprs {
     ColumnBridge.column(DigitBucket(e(v), digits))
   def ngram_lm_score(text: Column, table: NgramLmTable): Column =
     ColumnBridge.column(NgramLmScore(e(text), table))
+  def ngram_lm_parts(text: Column, table: NgramLmTable): Column =
+    ColumnBridge.column(NgramLmParts(e(text), table))
   def wp_encode(text: Column, table: WordPieceTable): Column =
     ColumnBridge.column(WpEncode(e(text), table))
   def wp_count(text: Column, table: WordPieceTable): Column =

@@ -269,8 +269,14 @@ object Kernels {
   def lnFixMicros(v: Long): Long = {
     require(v >= 1, s"lnFixMicros needs v >= 1 (got $v)")
     val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    // round-half-up without the additive carry: (v + 2^(s-1)) >> s equals
+    // (v >> s) + bit_{s-1}(v) exactly, and the latter cannot overflow —
+    // the naive form raises on DuckDB's checked arithmetic (and wraps on
+    // the JVM) for v within 2^(e-31) of Long.MaxValue, so the kernel and
+    // its CTE replay ([[graft.OracleLnFix]]) both use the carry-free form
+    // to stay total AND identical over the full positive long range
     var x = if (e <= 30) v << (30 - e)
-            else (v + (1L << (e - 31))) >> (e - 30)
+            else (v >> (e - 30)) + ((v >> (e - 31)) & 1L)
     var f = 0L
     var i = 0
     while (i < 20) {
@@ -467,7 +473,14 @@ object Kernels {
     var i = 0
     while (i < m) { total += hist.getStruct(i, 2).getLong(1); i += 1 }
     if (total == 0L) return null
-    val rank = math.max(1L, math.ceil(q * total).toLong)
+    // rank via EXACT integer arithmetic on q's micros, not double
+    // ceil(q·total): 0.33·total in IEEE sits ABOVE the rational value, so
+    // at totals divisible by 100 the double ceil lands one rank high —
+    // while the SQL oracle's `0.33 * tot` is DECIMAL-exact in DuckDB.
+    // ceil(qMicros·total / 10⁶) equals the decimal semantics for every
+    // q expressible in 6 decimals, on any engine version.
+    val qMicros = math.round(q * 1000000.0)
+    val rank = math.max(1L, (qMicros * total + 999999L) / 1000000L)
     var cum = 0L
     i = 0
     while (i < m) {

@@ -113,6 +113,50 @@ final class NgramLmTable(
     sb.toString
   }
 
+  /** struct(n_tokens, sum_num, sum_den, sum_backoffs, sum_lnum, sum_lden)
+    * — the SAME per-position walk as [[scoreText]] with the score's four
+    * ingredients summed separately, so a gate divergence names its stage:
+    * sum_num/sum_den/sum_backoffs need no logarithm (isolating the model
+    * lookup + backoff selection), sum_lnum/sum_lden isolate the integer
+    * log of exactly those arguments, and
+    * logscore = sum_lnum − sum_lden + sum_backoffs · penaltyMicros ties
+    * them back to [[scoreText]] (the r13 q167/q169 driver-gate
+    * bisection). */
+  def scoreParts(text: UTF8String): InternalRow = {
+    val ts = tokenize(text)
+    var sNum = 0L; var sDen = 0L; var sBack = 0L
+    var sLnum = 0L; var sLden = 0L
+    var i = 0
+    while (i < ts.length) {
+      var k = math.min(n, i + 1)
+      var backoffs = 0
+      var num = -1L
+      var den = -1L
+      while (num < 0 && k >= 2) {
+        val cg = count(join(ts, i - k + 1, i))
+        val cc = count(join(ts, i - k + 1, i - 1))
+        if (cg > 0 && cc > 0) { num = cg; den = cc }
+        else { backoffs += 1; k -= 1 }
+      }
+      if (num < 0) {
+        val c1 = count(ts(i))
+        num = if (c1 > 0) c1 else 1L
+        den = total
+      }
+      sNum += num; sDen += den; sBack += backoffs
+      sLnum += lnMicros(num); sLden += lnMicros(den)
+      i += 1
+    }
+    val row = new GenericInternalRow(6)
+    row.setInt(0, ts.length)
+    row.setLong(1, sNum)
+    row.setLong(2, sDen)
+    row.setLong(3, sBack)
+    row.setLong(4, sLnum)
+    row.setLong(5, sLden)
+    row
+  }
+
   /** struct(n_tokens int, logscore_micros long) for one document. */
   def scoreText(text: UTF8String): InternalRow = {
     val ts = tokenize(text)

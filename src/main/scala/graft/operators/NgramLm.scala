@@ -90,6 +90,46 @@ object NgramLm {
           F.qround(col("s.logscore_micros").cast("double") / 1000000.0
             / col("s.n_tokens"), 6)).as("avg_logp"))
 
+  /** Stage-bisected per-document score ingredients
+    * ([[graft.functions.NgramLmTable.scoreParts]]): the same position
+    * walk as [[scores]] with num/den/backoffs and lnm(num)/lnm(den)
+    * summed separately — the q167 companion-gate surface that lets a
+    * driver-side hash divergence name the stage (model lookup vs backoff
+    * selection vs integer log) instead of just the query. */
+  def parts(docs: DataFrame, id: Column, text: Column,
+            table: NgramLmTable): DataFrame =
+    docs.select(id.as("doc_id"),
+        KernelExprs.ngram_lm_parts(text, table).as("p"))
+      .select(col("doc_id"),
+        col("p.n_tokens").cast("long").as("n_tokens"),
+        col("p.sum_num").as("sum_num"),
+        col("p.sum_den").as("sum_den"),
+        col("p.sum_backoffs").as("sum_backoffs"),
+        col("p.sum_lnum").as("sum_lnum"),
+        col("p.sum_lden").as("sum_lden"))
+
+  /** The trained model's own surface as a per-order summary — gram count,
+    * total count mass, and an order-free content fingerprint
+    * (Σ hash60(gram ‖ ':' ‖ cnt) mod 1e9+7) per order, plus an
+    * `ord = 0` row carrying the unigram total — so the q167 companion
+    * gate (q167a) pins exactly what the scorer will look up. The model is
+    * driver-sized by construction (the per-order cap), so building the
+    * frame from its entries is not a collect of corpus data. */
+  def modelSummary(spark: SparkSession, table: NgramLmTable): DataFrame = {
+    import spark.implicits._
+    val Mod = 1000000007L
+    def h(s: String): Long = graft.functions.Kernels.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)) % Mod
+    val perOrd = table.gramEntries.toSeq
+      .map { case (g, c) => (g.count(_ == ' ') + 1L, c, h(s"$g:$c")) }
+      .groupBy(_._1).toSeq
+      .map { case (ord, xs) =>
+        (ord, xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum) }
+    val totRow = (0L, 1L, table.total, h(table.total.toString))
+    (perOrd :+ totRow).toDF("ord", "n_grams", "sum_cnt", "fp")
+      .orderBy(col("ord"))
+  }
+
   /** Persist a trained model: `(gram, cnt)` rows plus a one-row meta
     * parquet (n, alpha, total) — engine-neutral like [[Bpe.save]]. */
   def save(table: NgramLmTable, path: String): Unit = {

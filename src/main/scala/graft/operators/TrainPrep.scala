@@ -506,10 +506,15 @@ object TrainPrep {
     *
     * Token-free documents are dropped (CCNet drops them; their NLL is
     * undefined). Output: (doc_id, lang, n_tokens, nll, bucket). */
-  def curationBuckets(docs: DataFrame, id: Column, text: Column,
-                      lm: graft.functions.NgramLmTable): DataFrame = {
-    import graft.functions.{KernelAggs => KA, KernelExprs => KE}
-    val scored = docs.select(id.as("doc_id"), TF.lang_id(text).as("lang"),
+  /** The curation pipeline's pre-bucket surface — (doc_id, lang,
+    * n_tokens, nll) for every token-bearing document — exposed on its own
+    * so the q169 companion gate (q169a) can pin the score/language stage
+    * independently of the cutoff/bucket stage ([[curationBuckets]] = this
+    * + digit-histogram cutoffs + the bucket comparison). */
+  def curationScores(docs: DataFrame, id: Column, text: Column,
+                     lm: graft.functions.NgramLmTable): DataFrame = {
+    import graft.functions.{KernelExprs => KE}
+    docs.select(id.as("doc_id"), TF.lang_id(text).as("lang"),
         KE.ngram_lm_score(text, lm).as("s"))
       .filter(col("s.n_tokens") > 0)
       .select(col("doc_id"), col("lang"),
@@ -519,6 +524,12 @@ object TrainPrep {
           // the double division is of a divisible pair (< 2^53 — exact)
           ((neg - neg % col("s.n_tokens")) / col("s.n_tokens")).cast("long")
         }.as("nll"))
+  }
+
+  def curationBuckets(docs: DataFrame, id: Column, text: Column,
+                      lm: graft.functions.NgramLmTable): DataFrame = {
+    import graft.functions.{KernelAggs => KA, KernelExprs => KE}
+    val scored = curationScores(docs, id, text, lm)
     val cuts = scored.groupBy(col("lang"))
       .agg(KA.digit_hist(col("nll"), 3).as("h"))
       .select(col("lang"),

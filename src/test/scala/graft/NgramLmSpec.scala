@@ -162,7 +162,11 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     // every count a score can touch, plus a sweep across the long range
     val probes = t.gramEntries.map(_._2).toVector :+ t.total :+ 1L
     val sweep = Vector(2L, 3L, 10L, 999L, 12345L, 1000000L, 1000000007L,
-      1L << 40, (1L << 62) + 12345L)
+      1L << 40, (1L << 62) + 12345L,
+      // the old carry-form overflow zone (v + 2^(e-31) past Long.Max):
+      // the carry-free kernel must stay total and equal the BigInt
+      // reference all the way to the top of the positive long range
+      Long.MaxValue - (1L << 32) + 1, Long.MaxValue - 1, Long.MaxValue)
     (probes ++ sweep).foreach { v =>
       assert(t.lnMicros(v) === lnm(v), s"v=$v")
       assert(graft.functions.Kernels.lnFixMicros(v) === lnm(v), s"kernel v=$v")
