@@ -106,7 +106,10 @@ object IndexSnapshots {
       val ptr = pointerName(fs, root, l)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.createObjectNode()
-      node.put("version", 1)
+      // format 2 = file rels are ROOT-relative (chain-resolved, r13);
+      // format 1 pins (pre-r13) stored rels relative to the pinned
+      // version dir — readPin rewrites those on load (ADVICE r13)
+      node.put("version", 2)
       node.put("created", System.currentTimeMillis())
       node.put("pointer", ptr)
       val filesNode = node.putObject("files")
@@ -153,14 +156,23 @@ object IndexSnapshots {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(txt)
     import scala.jdk.CollectionConverters._
+    val pointer = node.get("pointer").asText
+    val fmt = node.path("version").asInt(1)
     val files = node.path("files").fields().asScala.toSeq.map { e =>
-      (e.getKey, e.getValue.get("len").asLong, e.getValue.get("mtime").asLong)
+      // format 1 (pre-r13) rels are relative to the PINNED VERSION DIR;
+      // format 2 rels are root-relative. Rewrite v1 on load so every
+      // consumer (restore staging, precheck, vacuum pin-awareness) sees
+      // one shape — without this, any pre-r13 pin fails restore loudly
+      // as "pinned file gone" (ADVICE r13)
+      val rel = if (fmt >= 2 || pointer.isEmpty) e.getKey
+                else s"$pointer/${e.getKey}"
+      (rel, e.getValue.get("len").asLong, e.getValue.get("mtime").asLong)
     }
     val comps = node.path("companions").fields().asScala.toSeq.map { e =>
       e.getKey -> e.getValue.elements().asScala.toSeq.map(o =>
         (o.get("rel").asText, o.get("len").asLong, o.get("mtime").asLong))
     }.toMap
-    Pin(node.get("pointer").asText,
+    Pin(pointer,
       files.sortBy(_._1),
       Option(node.get("stats")).map(_.asText),
       comps)
@@ -191,9 +203,15 @@ object IndexSnapshots {
   /** A restore whose IO-heavy copy phase already ran ([[stageRestore]]):
     * the pinned file set sits in `staging`; [[publishStaged]] makes it
     * live with a rename + pointer swap (+ stats). `staging == null` means
-    * the live state already IS the pin — publish is a no-op. */
+    * the live state already IS the pin — publish is a no-op.
+    * `basePointer`/`baseFiles` are the LIVE generation at stage time —
+    * publish revalidates against them under the writer lock, so anything
+    * that advanced the index between stage and publish (a concurrent
+    * append, a rebuild's changed companions) fails the publish instead of
+    * being silently discarded by the pointer swap (ADVICE r13). */
   private[graft] final case class StagedRestore(tag: String, staging: Path,
-      nFiles: Int, stats: Option[String], pinnedPointer: String)
+      nFiles: Int, stats: Option[String], pinnedPointer: String,
+      basePointer: String = "", baseFiles: Seq[(String, Long, Long)] = Nil)
 
   /** Validate the pin and copy its file set into a `.restoring-*` staging
     * dir — everything that can FAIL (missing files, changed companions)
@@ -230,8 +248,9 @@ object IndexSnapshots {
           s"${missing.head._1} (vacuumed without pin awareness?)")
       // fast path: the live state IS the pin
       val curPtr = pointerName(fs, root, l)
+      val curFiles = resolvedIdentities(fs, root, l)
       val alreadyPinned = curPtr == pin.pointer &&
-        resolvedIdentities(fs, root, l) == pin.files &&
+        curFiles == pin.files &&
         pin.stats.forall { s =>
           val p = new Path(root, l.statsFile.get)
           val in = fs.open(p)
@@ -241,6 +260,8 @@ object IndexSnapshots {
         }
       if (alreadyPinned) StagedRestore(tag, null, 0, None, curPtr)
       else {
+        val basePtr = curPtr
+        val baseFiles = curFiles
         // copy-on-restore into staging (never mutate a published version
         // dir: other pins and in-flight readers reference it). The staged
         // dir is a FULL generation — restoring a layered pin flattens its
@@ -260,7 +281,8 @@ object IndexSnapshots {
           require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
             false, true, conf), s"index restore failed copying $src")
         }
-        StagedRestore(tag, staging, pin.files.size, pin.stats, pin.pointer)
+        StagedRestore(tag, staging, pin.files.size, pin.stats, pin.pointer,
+          basePtr, baseFiles)
       }
     }
   }
@@ -282,6 +304,23 @@ object IndexSnapshots {
     val fs = root.getFileSystem(conf)
     val l = layoutOf(fs, root)
     graft.sinks.LakeDelete.withWriterLock(fs, root) {
+      // revalidate what stageRestore checked — the stage→publish window
+      // is LONG in group restores (every table restore runs in between):
+      // a concurrent append must not be silently discarded by the pointer
+      // swap, and rebuilt companions (centroids/sq8_bounds) must not be
+      // published under pinned codes (ADVICE r13)
+      val pin = readPin(fs, root, staged.tag)
+      pin.companions.foreach { case (d, pinned) =>
+        val cur = identities(fs, new Path(root, d)).sortBy(_._1)
+        require(cur == pinned.sortBy(_._1),
+          s"companion dir '$d' of $indexRoot changed between staging and " +
+            s"publish of pin '${staged.tag}' — aborting the restore publish")
+      }
+      require(pointerName(fs, root, l) == staged.basePointer &&
+          resolvedIdentities(fs, root, l) == staged.baseFiles,
+        s"$indexRoot advanced between staging and publish of pin " +
+          s"'${staged.tag}' (concurrent append/compaction?) — aborting " +
+          "the restore publish; re-run the restore")
       val maxV = fs.listStatus(root).toSeq.collect {
         case st if st.isDirectory &&
           st.getPath.getName.startsWith(l.versionPrefix) =>

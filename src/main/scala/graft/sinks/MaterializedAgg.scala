@@ -271,31 +271,39 @@ object MaterializedAgg {
     case _ => 0.7213 / (1.0 + 1.079 / m)
   }
 
+  /** HLL distinct estimate from a register-array column — harmonic mean
+    * with the standard small-range linear-counting correction, libm-free.
+    * 2^-r via an exact literal table (1/(1<<r) — every value exactly
+    * representable). r runs to 60, NOT 57: [[graft.functions.KernelAggs
+    * .HllAgg]]'s rank is ntz(hash60/m)+1, which reaches 58-60 when
+    * m < 8 (m = 1/2/4 pass the power-of-two require), and element_at
+    * past the table end is an ANSI runtime error / silent NULL estimate
+    * (ADVICE r13). Linear counting via the pure-integer fixed-point log
+    * (m·(lnm(m) − lnm(zeros))/10⁶) — the ZLake estimator's formulas
+    * exactly. */
+  private[graft] def hllEstimate(regs: Column, m: Int): Column = {
+    val pow2Inv = typedLit((0 to 60).map(r => 1.0 / (1L << r).toDouble))
+    val invSum = aggregate(regs, lit(0.0),
+      (acc, x) => acc + element_at(pow2Inv, x.cast("int") + 1))
+    val raw = lit(hllAlpha(m) * m * m) / invSum
+    val zeros = size(filter(regs, x => x === 0L))
+    when(raw <= lit(2.5 * m) && zeros > 0,
+      round((lit(m.toLong) *
+        (lit(graft.functions.Kernels.lnFixMicros(m.toLong)) -
+          graft.functions.KernelExprs.ln_fix_micros(zeros.cast("long"))))
+        .cast("double") / lit(1000000.0)))
+      .otherwise(round(raw)).cast("long")
+  }
+
   /** The view's rows: group columns + `cnt` + per-column sums/extrema +
     * HLL registers, plus a derived `<c>_distinct` estimate per distinct
-    * column (harmonic mean with the standard small-range linear-counting
-    * correction). The internal key/layout columns drop out. */
+    * column ([[hllEstimate]]). The internal key/layout columns drop
+    * out. */
   def readView(spark: SparkSession, root: String, spec: Spec): DataFrame = {
     val base = ZLake.read(spark, root)
     val m = spec.hllM
     val withEst = spec.distinctCols.foldLeft(base) { (df, c) =>
-      val regs = col(spec.hllAlias(c))
-      // 2^-r via an exact literal table (1/(1<<r), r ≤ 57 — every value
-      // exactly representable); linear counting via the pure-integer
-      // fixed-point log (m·(lnm(m) − lnm(zeros))/10⁶) — the ZLake
-      // estimator's formulas exactly, libm-free
-      val pow2Inv = typedLit((0 to 57).map(r => 1.0 / (1L << r).toDouble))
-      val invSum = aggregate(regs, lit(0.0),
-        (acc, x) => acc + element_at(pow2Inv, x.cast("int") + 1))
-      val raw = lit(hllAlpha(m) * m * m) / invSum
-      val zeros = size(filter(regs, x => x === 0L))
-      df.withColumn(c + "_distinct",
-        when(raw <= lit(2.5 * m) && zeros > 0,
-          round((lit(m.toLong) *
-            (lit(graft.functions.Kernels.lnFixMicros(m.toLong)) -
-              graft.functions.KernelExprs.ln_fix_micros(zeros.cast("long"))))
-            .cast("double") / lit(1000000.0)))
-          .otherwise(round(raw)).cast("long"))
+      df.withColumn(c + "_distinct", hllEstimate(col(spec.hllAlias(c)), m))
     }
     withEst.select((grainCols(spec) ++ spec.groupCols ++ spec.aggAliases ++
       spec.distinctCols.map(_ + "_distinct")).map(col): _*)

@@ -97,6 +97,72 @@ class IndexSnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("companion"))
   }
 
+  test("a pre-r13 (format-1) pin with version-dir-relative rels restores") {
+    // ADVICE r13: r13 made pin rels ROOT-relative, which silently
+    // invalidated every pin written before it (their rels were relative
+    // to the pinned version dir). readPin now rewrites format-1 rels on
+    // load — simulate an old pin by downgrading a fresh one in place.
+    val path = tmp("isnap-v1pin")
+    val emb = vecs(0 until 60)
+    Similarity.writeIvfIndex(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"), path)
+    def ids() = spark.read.parquet(Similarity.assignDir(spark, path))
+      .select("neighbor_id").as[Long].collect().toSet
+    val pinnedIds = ids()
+    IndexSnapshots.snapshot(spark, path, "old")
+    // downgrade the pin JSON to format 1: strip the version-dir prefix
+    // from every file rel and drop the format marker
+    val pinFile = java.nio.file.Paths.get(path,
+      IndexSnapshots.SnapDirName, "old.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(java.nio.file.Files.readAllBytes(pinFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val ptr = node.get("pointer").asText
+    assert(ptr.nonEmpty, "IVF pins record a version-dir pointer")
+    node.put("version", 1)
+    val files = node.path("files")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val oldFiles = om.createObjectNode()
+    files.fields().forEachRemaining { e =>
+      assert(e.getKey.startsWith(s"$ptr/"), s"unexpected rel ${e.getKey}")
+      oldFiles.set(e.getKey.stripPrefix(s"$ptr/"), e.getValue); ()
+    }
+    node.set("files", oldFiles)
+    java.nio.file.Files.write(pinFile, om.writeValueAsBytes(node))
+    // the NIO rewrite bypasses Hadoop's checksummed local FS — drop the
+    // stale .crc sidecar so readPin's fs.open sees the downgraded bytes
+    java.nio.file.Files.deleteIfExists(
+      pinFile.getParent.resolve(s".${pinFile.getFileName}.crc"))
+    // mutate, then restore THROUGH the downgraded pin
+    Similarity.appendIvfIndex(vecs(60 until 90), col("vec_id"),
+      col("embedding"), path)
+    assert(ids() != pinnedIds, "the append must be visible before the restore")
+    val rep = IndexSnapshots.restore(spark, path, "old")
+    assert(rep.filesRestored > 0)
+    assert(ids() == pinnedIds,
+      "a format-1 pin must restore exactly the pinned generation")
+  }
+
+  test("publish revalidates under its lock: an index that advanced " +
+      "between stage and publish fails the publish, not silently") {
+    val path = tmp("isnap-stage-race")
+    Retrieval.writeBm25Index(docs(1 to 60), col("doc_id"), col("text"),
+      path, 8)
+    IndexSnapshots.snapshot(spark, path, "pin")
+    Retrieval.appendBm25Index(docs(61 to 90), col("doc_id"), col("text"),
+      path)
+    val staged = IndexSnapshots.stageRestore(spark, path, "pin")
+    // the stage→publish window: a concurrent append advances the index
+    Retrieval.appendBm25Index(docs(91 to 120), col("doc_id"), col("text"),
+      path)
+    val ex = intercept[IllegalArgumentException] {
+      IndexSnapshots.publishStaged(spark, path, staged)
+    }
+    assert(ex.getMessage.contains("advanced between staging and publish"))
+    // and a clean re-run still restores
+    assert(IndexSnapshots.restore(spark, path, "pin").filesRestored > 0)
+  }
+
   test("unpinned versions stay vacuumable; pinned ones survive") {
     val path = tmp("isnap-vac")
     Retrieval.writeBm25Index(docs(1 to 60), col("doc_id"), col("text"),

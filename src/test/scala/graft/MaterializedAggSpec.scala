@@ -89,6 +89,27 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
     assert(ests.forall(e => e > 40 && e < 200), s"wild estimate: ${ests.toSeq}")
   }
 
+  test("hllEstimate survives ranks 58-60 (hllM < 8) and deep-rank arrays") {
+    // ADVICE r13: the 2^-r literal table stopped at r=57, but HllAgg's
+    // rank = ntz(hash60/m)+1 reaches 58-60 when m < 8 — element_at past
+    // the table end is a runtime error under ANSI / a silent NULL
+    // estimate otherwise. Deep ranks are 2^-57-rare through real hashes,
+    // so pin the estimator directly on literal register arrays.
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("regs",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+    def est(m: Int, regs: Seq[Long]): Long =
+      spark.createDataFrame(
+          java.util.List.of(Row(regs)), schema)
+        .select(MaterializedAgg.hllEstimate(col("regs"), m).as("e"))
+        .head.getLong(0)
+    assert(est(1, Seq(60L)) > 0L)
+    assert(est(2, Seq(58L, 59L)) > 0L)
+    assert(est(4, Seq(0L, 57L, 58L, 60L)) > 0L)
+    // and the common regime is unchanged: all-zero registers estimate 0
+    assert(est(4, Seq(0L, 0L, 0L, 0L)) === 0L)
+  }
+
   test("multi-grain lattice: every grouping set equals its direct recompute") {
     val root = tmp("mv-lattice")
     val latSpec = Spec(groupCols = Seq("g", "h"), sumCols = Seq("v"),
