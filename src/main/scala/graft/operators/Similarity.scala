@@ -1144,6 +1144,11 @@ object Similarity {
       }
     }
     fs.delete(stage, true)
+    // declaratively-served corpora registered with autoRefresh re-arm
+    // their freshness fingerprint on every committed batch (VERDICT r13
+    // #5) — without this, streaming ingest advances the index while the
+    // AnnRewrite guard keeps failing and silently serves full scans
+    if (adopted) graft.plans.AnnIndex.onIndexAdvanced(spark, path)
     adopted
   }
 

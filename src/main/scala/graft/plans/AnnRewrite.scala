@@ -93,7 +93,8 @@ object AnnIndex {
   final case class Registration(indexPath: String, corpusPath: String,
                                 idCol: String, vecCol: String, nprobe: Int,
                                 fingerprint: String,
-                                metric: String = "cosine")
+                                metric: String = "cosine",
+                                autoRefresh: Boolean = false)
 
   /** normalized corpus path → registration (process-wide, like the
     * session catalogs optimizer rules consult). */
@@ -105,12 +106,14 @@ object AnnIndex {
     * `idCol`/`vecCol`). Captures the corpus fingerprint AS OF NOW — the
     * rule keeps the scan once the corpus changes, until [[refresh]]. */
   def register(spark: SparkSession, corpusPath: String, indexPath: String,
-               idCol: String, vecCol: String, nprobe: Int): Unit = {
+               idCol: String, vecCol: String, nprobe: Int,
+               autoRefresh: Boolean = false): Unit = {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     registry.put(MvRewrite.norm(corpusPath),
       Registration(indexPath, corpusPath, idCol, vecCol, nprobe,
         fingerprint(spark, corpusPath),
-        metric = Similarity.indexMetric(spark, indexPath)))
+        metric = Similarity.indexMetric(spark, indexPath),
+        autoRefresh = autoRefresh))
     ()
   }
 
@@ -120,6 +123,26 @@ object AnnIndex {
     val k = MvRewrite.norm(corpusPath)
     Option(registry.get(k)).foreach { r =>
       registry.put(k, r.copy(fingerprint = fingerprint(spark, corpusPath)))
+    }
+  }
+
+  /** Streaming-maintenance hook (VERDICT r13 #5): called by
+    * [[Similarity.ingestBatchIvf]] after a COMMITTED ingest batch
+    * advanced the index at `indexPath`. Registrations made with
+    * `autoRefresh = true` — the caller's declaration that corpus and
+    * index are maintained batch-synchronously (one `foreachBatch` writes
+    * both, corpus first) — re-capture the corpus fingerprint, so a
+    * continuously-ingested corpus keeps being served from the index
+    * instead of failing the freshness check until a manual [[refresh]].
+    * Default registrations are untouched: without the synchronous-
+    * maintenance declaration, re-arming on fence advance could declare a
+    * corpus fresh that the index does not cover. */
+  private[graft] def onIndexAdvanced(spark: SparkSession,
+                                     indexPath: String): Unit = {
+    val idx = MvRewrite.norm(indexPath)
+    registry.forEach { (k, r) =>
+      if (r.autoRefresh && MvRewrite.norm(r.indexPath) == idx)
+        registry.put(k, r.copy(fingerprint = fingerprint(spark, r.corpusPath)))
     }
   }
 

@@ -216,6 +216,63 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
     } finally AnnIndex.refresh(spark, corpusPath)
   }
 
+  test("autoRefresh: three streamed ingest batches, no manual refresh, " +
+      "the rewrite still probes and serves the ingested rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ann-auto").toString
+    val cp = s"$base/emb"; val idx = s"$base/idx"; val ckpt = s"$base/ckpt"
+    (0 until 20).map { i =>
+      (i.toLong,
+        (0 until dim).map(j => math.sin(i * 0.37 + j * 1.13) * 0.9))
+    }.toDF("vec_id", "embedding").write.parquet(cp)
+    val emb0 = spark.read.parquet(cp)
+    Similarity.writeIvfIndex(emb0, col("vec_id"), col("embedding"),
+      emb0.filter(col("vec_id") < 6), col("vec_id"), col("embedding"), idx)
+    AnnIndex.register(spark, cp, idx, "vec_id", "embedding", nprobe = 6,
+      autoRefresh = true)
+    try {
+      // one foreachBatch maintains corpus AND index (corpus first) — the
+      // batch-synchronous contract autoRefresh declares
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val sq = mem.toDS().toDF("vec_id", "embedding").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val batch = b.cache()
+          batch.write.mode("append").parquet(cp)
+          Similarity.ingestBatchIvf(batch, col("vec_id"),
+            col("embedding"), idx, bid)
+          batch.unpersist(); ()
+        }.start()
+      try {
+        // batch 3 plants the global best match for qv
+        Seq(100 until 110, 110 until 120, 120 until 121).zipWithIndex
+          .foreach { case (r, bi) =>
+            mem.addData(r.map { i =>
+              val v =
+                if (bi == 2) (0 until dim).map(j => qv(j).toDouble / 1000.0)
+                else (0 until dim).map(j => math.sin(i * 0.37 + j * 1.13) * 0.9)
+              (i.toLong, v)
+            })
+            sq.processAllAvailable()
+          }
+      } finally sq.stop()
+      // NO manual AnnIndex.refresh — the fence advances re-armed it
+      val df = spark.read.parquet(cp)
+        .select(col("vec_id"),
+          F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+            typedlit(qv.toSeq)).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+      val roots = scanRoots(df)
+      assert(roots.nonEmpty && roots.forall(_.contains("/idx")),
+        s"auto-refreshed registration must still probe the index: $roots")
+      assert(rows(df).head._1 === 120L,
+        "the probe must serve the streamed-in best match")
+    } finally AnnIndex.unregister(cp)
+  }
+
   test("the pure-SQL spelling rewrites too (graft_* function surface)") {
     spark.read.parquet(corpusPath).createOrReplaceTempView("ann_corpus")
     val qlit = qv.mkString("array(", "L, ", "L)")
