@@ -105,22 +105,41 @@ object Bench {
     else 0L
   }
 
-  /** (wall sec, process-cpu sec, gc sec, jit sec, failed) for one
-    * execution. gc/jit are the JVM-wide deltas over the run window — the
-    * discriminators for "the engine got slower" vs "the JVM was busy
-    * collecting / recompiling" (the r10→r11 q30 drift adjudication). */
+  /** Executor TASK cpu nanos, accumulated by a listener — unlike the
+    * process-cpu delta (which bills listener/UI/GC threads too), this is
+    * the work the QUERY's tasks did, the per-lane discriminator VERDICT
+    * r13 #4 asked for (host weather moves wall, not task cpu). Listener
+    * delivery is async; lanes end in a blocking collect, so attribution
+    * error is bus-lag-sized (ms). */
+  private val taskCpuNs = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val taskCpuListener =
+    new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) { taskCpuNs.addAndGet(m.executorCpuTime); () }
+      }
+    }
+
+  /** (wall sec, process-cpu sec, gc sec, jit sec, task-cpu sec, failed)
+    * for one execution. gc/jit are the JVM-wide deltas over the run
+    * window — the discriminators for "the engine got slower" vs "the JVM
+    * was busy collecting / recompiling" (the r10→r11 q30 drift
+    * adjudication). */
   private def time(body: => Unit)
-      : (Double, Double, Double, Double, Boolean) = {
+      : (Double, Double, Double, Double, Double, Boolean) = {
     val j0 = jitMillis()
     val g0 = gcMillis()
     val c0 = osBean.getProcessCpuTime
+    val k0 = taskCpuNs.get()
     val t0 = System.nanoTime()
     val ok = try { body; true } catch { case _: Throwable => false }
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = (osBean.getProcessCpuTime - c0) / 1e9
     val gc = (gcMillis() - g0) / 1e3
     val jit = (jitMillis() - j0) / 1e3
-    (wall, cpu, gc, jit, !ok)
+    val tcpu = (taskCpuNs.get() - k0) / 1e9
+    (wall, cpu, gc, jit, tcpu, !ok)
   }
 
   private final class Timed(val name: String, body0: => Unit, val fixture: Boolean = false) {
@@ -129,11 +148,12 @@ object Bench {
     val cpu = collection.mutable.ArrayBuffer[Double]()
     val gc = collection.mutable.ArrayBuffer[Double]()
     val jit = collection.mutable.ArrayBuffer[Double]()
+    val tcpu = collection.mutable.ArrayBuffer[Double]()
     var failed = false
-    def warmUp(): Unit = { failed ||= time(body)._5 } // JIT + codegen, not billed
+    def warmUp(): Unit = { failed ||= time(body)._6 } // JIT + codegen, not billed
     def run(): Unit = {
-      val (w, c, g, j, f) = time(body)
-      wall += w; cpu += c; gc += g; jit += j; failed ||= f
+      val (w, c, g, j, k, f) = time(body)
+      wall += w; cpu += c; gc += g; jit += j; tcpu += k; failed ||= f
     }
   }
 
@@ -156,6 +176,11 @@ object Bench {
     /** Term-bucketed positional BM25 postings index over documents
       * (q174/q180/q181's shape) — the retrieval serving path. */
     val bm25Idx: String = tmp("bm25") + "/idx"
+    /** The SAME index shape at the layered-compaction steady state: base
+      * + 3 uncompacted appends = a MaxLayers-deep generation chain, so
+      * the per-probe layer-listing tax is a measured number next to the
+      * flat twin above, not an assumption (VERDICT r13 #6). */
+    val bm25IdxChain: String = tmp("bm25c") + "/idx"
     /** Cell-partitioned cosine IVF index over embeddings (q198's dense
       * serving side; 8 seed cells). */
     val ivfIdx: String = tmp("ivf") + "/idx"
@@ -218,6 +243,16 @@ object Bench {
       graft.sources.Snapshots.snapshot(spark, flat, "bench")
       graft.operators.Retrieval.writeBm25Index(T("documents"),
         col("doc_id"), col("text"), bm25Idx, nBuckets = 64)
+      // layered twin: 3 appends, NO compaction → a 4-layer chain (appends
+      // stack layers; only compaction flattens at MaxLayers)
+      graft.operators.Retrieval.writeBm25Index(T("documents"),
+        col("doc_id"), col("text"), bm25IdxChain, nBuckets = 64)
+      (1 to 3).foreach { i =>
+        graft.operators.Retrieval.appendBm25Index(
+          T("documents").filter(col("doc_id") % 16 === i)
+            .select((col("doc_id") + i * 1000000L).as("doc_id"), col("text")),
+          col("doc_id"), col("text"), bm25IdxChain)
+      }
       val emb = T("embeddings")
       graft.operators.Similarity.writeIvfIndex(emb, col("vec_id"),
         col("embedding"), emb.filter(col("vec_id") < 8),
@@ -286,6 +321,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.addSparkListener(taskCpuListener)
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // session warm-up
 
@@ -463,6 +499,12 @@ object Bench {
         new Timed("qR_bm25_probe",
           graft.operators.Retrieval.searchBm25Index(spark, lakes.bm25Idx,
             Seq("dup", "vector", "spark"), 10).collect()),
+        // the same probe against the 4-layer (uncompacted steady-state)
+        // twin: pays ≤ MaxLayers directory listings per bucket — the
+        // layered-compaction read tax as a number (VERDICT r13 #6)
+        new Timed("qR_bm25_probe_chain",
+          graft.operators.Retrieval.searchBm25Index(spark, lakes.bm25IdxChain,
+            Seq("dup", "vector", "spark"), 10).collect()),
         new Timed("qR_phrase_probe",
           graft.operators.Retrieval.searchPhraseIndex(spark, lakes.bm25Idx,
             Seq("table", "scan"), 10).collect()),
@@ -549,9 +591,15 @@ object Bench {
     val fixtures = timedRun.filter(_.fixture)
     def jnum(d: Double): String = // ms precision, '.' regardless of locale
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // summary entries are 10-ms precision: the driver keeps only the LAST
+    // ~2000 stdout chars, and at 3 decimals the 60+-lane summary line
+    // already brushed that window in r13 — full 3-decimal arrays live on
+    // the detail line and in BENCH_DETAIL.json
+    def jq(d: Double): String =
+      "%.2f".formatLocal(java.util.Locale.ROOT, d)
     def entries(rs: Seq[Timed]): String =
       rs.map { t =>
-        "\"" + t.name + "\":" + (if (t.failed) "null" else jnum(t.wall.min))
+        "\"" + t.name + "\":" + (if (t.failed) "null" else jq(t.wall.min))
       }.mkString(",")
     def arrays(f: Timed => Seq[Double]): String =
       timedRun.map(t => "\"" + t.name + "\":" + f(t).map(jnum).mkString("[", ",", "]"))
@@ -607,9 +655,16 @@ object Bench {
       s""""__canary__":{"best":${jnum(r)},"max":${jnum(mx)}}"""
     }
     val breachesJson = breaches.mkString("{", ",", "}")
+    // total TASK cpu (best run per lane): the one-number uniform-slowdown
+    // discriminator — wall drifting while task_cpu_total holds says host
+    // weather / scheduling, task cpu moving with wall says the engine
+    val taskCpuTotal = results.collect {
+      case t if !t.failed && t.tcpu.nonEmpty => t.tcpu.min
+    }.sum
     // detail first, compact summary LAST: the driver keeps the tail
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"canary_ratio":${jnum(rawCanaryRatio)},"load_per_core":${jnum(loadPerCore)},"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
-    println(s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)},"jit":${arrays(_.jit.toSeq)}}}""")
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"canary_ratio":${jnum(rawCanaryRatio)},"load_per_core":${jnum(loadPerCore)},"task_cpu_total":${jnum(taskCpuTotal)},"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
+    val detail = s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)},"jit":${arrays(_.jit.toSeq)},"task_cpu":${arrays(_.tcpu.toSeq)}}}"""
+    println(detail)
     println(summary)
     // ... and the summary as a FILE (r9 verdict #4): sbt's `[info] `
     // decoration and the driver's capture window have twice corrupted the
@@ -617,9 +672,17 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY-filtered run is an investigation, not the
     // artifact — it must not overwrite the full run's summary.
     if (only.isEmpty)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+          (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // full per-run arrays (wall/cpu/gc/jit/task-cpu): the stdout
+        // detail line is truncated by the driver's 2000-char capture
+        // window, so round-over-round drift adjudication reads this file
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_DETAIL.json"),
+          (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       catch { case _: java.io.IOException => () } // read-only cwd: stdout stands
     spark.stop()
     if (breaches.nonEmpty) {

@@ -59,18 +59,31 @@ object NgramLm {
       .withColumn("ord", size(split(col("gram"), " ", -1)))
       .persist()
     try {
+      // the per-order caps are independent TakeOrdered jobs over the one
+      // persisted count frame — submit them CONCURRENTLY instead of as n
+      // sequential driver round-trips; results are per-order
+      // deterministic either way (the (cnt DESC, gram) total order), only
+      // the wall-clock changes
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // total runs FIRST (alone): it materializes the persisted counts,
+      // so the concurrent cap jobs read the cache instead of racing to
+      // recompute the same partitions
       val total = counts.filter(col("ord") === 1)
         .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
       require(total > 0, "ngram training corpus has no tokens")
+      val capsF = Future.sequence((1 to n).map { o =>
+        Future {
+          counts.filter(col("ord") === o && col("cnt") >= minCount)
+            .orderBy(col("cnt").desc, col("gram").asc)
+            .limit(maxGramsPerOrder)
+            .select(col("gram"), col("cnt"))
+            .collect()
+        }
+      })
       val map = new java.util.HashMap[String, java.lang.Long]()
-      (1 to n).foreach { o =>
-        counts.filter(col("ord") === o && col("cnt") >= minCount)
-          .orderBy(col("cnt").desc, col("gram").asc)
-          .limit(maxGramsPerOrder)
-          .select(col("gram"), col("cnt"))
-          .collect()
-          .foreach(r => map.put(r.getString(0), r.getLong(1)))
-      }
+      Await.result(capsF, scala.concurrent.duration.Duration.Inf)
+        .foreach(_.foreach(r => map.put(r.getString(0), r.getLong(1))))
       new NgramLmTable(n, alpha, total, map)
     } finally { counts.unpersist(); () }
   }
