@@ -529,7 +529,14 @@ object TrainPrep {
   def curationBuckets(docs: DataFrame, id: Column, text: Column,
                       lm: graft.functions.NgramLmTable): DataFrame = {
     import graft.functions.{KernelAggs => KA, KernelExprs => KE}
-    val scored = curationScores(docs, id, text, lm)
+    // scored feeds TWO consumers (the cutoff aggregate and the output
+    // join); without a checkpoint each re-runs the dedup + LM-score
+    // lineage — two full corpus scoring passes. The frame is OUTPUT-sized
+    // (4 narrow columns, no text), so materializing it is the cheap side
+    // of that trade at any scale. Lazy localCheckpoint, not persist():
+    // the blocks die with the DataFrame instead of leaking a CacheManager
+    // entry per call (the Dedup.minhashCandidates convention).
+    val scored = curationScores(docs, id, text, lm).localCheckpoint(false)
     val cuts = scored.groupBy(col("lang"))
       .agg(KA.digit_hist(col("nll"), 3).as("h"))
       .select(col("lang"),
