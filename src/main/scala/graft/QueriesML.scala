@@ -3356,6 +3356,37 @@ object QueriesML {
           .orderBy(col("doc_id"))
       }),
 
+    // -- Integer-log SWEEP: the lnm kernel vs its recursive-CTE replay
+    //    over a deterministic 20k-value sweep plus EVERY bit-length
+    //    boundary (2^k−1, 2^k, 2^k+1 for k=0..62) and the top of the
+    //    long range — the core primitive under q167/q169/16 other
+    //    oracles, tested in the driver's OWN engine with no corpus, no
+    //    model, no chain. A red here localizes to the CTE recurrence
+    //    itself (and the failing v is in the evidence prints).
+    QueryDef("q167x_lnm_sweep", Some(s"""
+      WITH RECURSIVE lnm_src AS (
+        SELECT CAST(unnest(range(1, 20001)) AS BIGINT) AS v
+        UNION
+        SELECT (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) + d AS v
+        FROM range(0, 63) t(k), (VALUES (-1), (0), (1)) dd(d)
+        WHERE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) + d >= 1
+        UNION
+        SELECT 9223372036854775807 - i AS v FROM range(0, 100) t2(i)),
+      ${OracleLnFix.ctes("lnm_src")}
+      SELECT v, m FROM lnm ORDER BY v"""),
+      (s, dir) => {
+        import s.implicits._
+        val boundary = ((0 to 62).flatMap { k =>
+          val p = 1L << k; Seq(p - 1, p, p + 1)
+        }.filter(_ >= 1) ++ (0 until 100).map(Long.MaxValue - _)).distinct
+        s.range(1, 20001).select(col("id").as("v"))
+          .union(boundary.toDF("v"))
+          .distinct()
+          .select(col("v"),
+            graft.functions.KernelExprs.ln_fix_micros(col("v")).as("m"))
+          .orderBy(col("v"))
+      }),
+
     // -- Engine construct probe: every SQL construct the q167/q169 chain
     //    leans on, evaluated on LITERALS by the driver's own DuckDB and
     //    compared against the value DuckDB v1.0.0 (the locally-tested

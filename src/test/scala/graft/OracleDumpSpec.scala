@@ -51,7 +51,8 @@ class OracleDumpSpec extends AnyFunSuite {
 
   test("LM oracles carry the self-contained recursive integer-log CTE") {
     Seq("q167_ngram_lm", "q167b_lm_backoff_parts", "q167c_lm_lnm_sums",
-        "q169_ccnet_curation", "q169a_ccnet_scores").foreach { q =>
+        "q167x_lnm_sweep", "q169_ccnet_curation",
+        "q169a_ccnet_scores").foreach { q =>
       val sql = dump(q)
       assert(sql.contains("WITH RECURSIVE"), s"$q must open WITH RECURSIVE")
       assert(sql.contains("lnm_it"), s"$q must inline the integer-log CTE")
