@@ -95,6 +95,25 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("parts tie back to the score exactly: logscore = Σlnm(num) − " +
+      "Σlnm(den) + Σbackoffs·penalty (the q167 bisection contract)") {
+    val t = NgramLm.train(docs, col("text"), n = 3, minCount = 2,
+      maxGramsPerOrder = 100000)
+    val probes = texts :+ "the cat sat on a zebra" :+ "unseen words only" :+ ""
+    probes.foreach { p =>
+      val u = UTF8String.fromString(p)
+      val s = t.scoreText(u)
+      val q = t.scoreParts(u)
+      assert(q.getInt(0) === s.getInt(0), s"n_tokens for '$p'")
+      assert(q.getLong(4) - q.getLong(5) +
+        q.getLong(3) * t.penaltyMicros === s.getLong(1),
+        s"parts must reconstruct the score for '$p'")
+      // and every per-position num/den is a real count, 1, or the total:
+      // the sums are bounded by n·max(count,total) (no negative lanes)
+      assert(q.getLong(1) >= 0 && q.getLong(2) >= 0 && q.getLong(3) >= 0)
+    }
+  }
+
   test("OOV floor: a fully unseen unigram scores lnm(1) - lnm(total)") {
     val t = NgramLm.train(docs, col("text"), n = 2)
     val got = t.scoreText(UTF8String.fromString("zzz"))
