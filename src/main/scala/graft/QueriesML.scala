@@ -3663,6 +3663,54 @@ object QueriesML {
       (s, dir) =>
         TrainPrep.corpusReport(T(s, dir, "documents"), col("text"),
             col("source"), col("lang"))
-          .orderBy(col("source")))
+          .orderBy(col("source"))),
+
+    // -- DETERMINISTIC NAMED SPLITS (r14): train/val/test assignment by
+    //    hash threshold — a pure per-row function of hash60(key#seed)
+    //    mod 1e6 against integer-micros boundaries: zero shuffles, and a
+    //    doc's split NEVER moves when the corpus grows (the eval-set
+    //    honesty property). The oracle replays hash, modulus, and the
+    //    boundary CASE; one drifted boundary or hash re-spelling flips
+    //    rows.
+    QueryDef("q213_split_assign", Some(s"""
+      WITH b AS (SELECT doc_id,
+                   ${dkHash60("CAST(doc_id AS VARCHAR) || '#7'")} % 1000000
+                     AS bk
+                 FROM documents)
+      SELECT doc_id, CASE WHEN bk < 800000 THEN 'train'
+                          WHEN bk < 900000 THEN 'val'
+                          ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""),
+      (s, dir) => TrainPrep.splitAssign(T(s, dir, "documents"),
+          col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // -- EXACT per-stratum split quotas: within every language, rows
+    //    rank by (hash60, key) and cut at floor(cumMicros·n / 1e6) —
+    //    split sizes are exact integers of the stratum count on any
+    //    engine (the bounded-stratum eval-slice tool; the hash-threshold
+    //    form above is the open-corpus path). The oracle replays rank,
+    //    count, and the integer boundaries.
+    QueryDef("q214_split_exact", Some(s"""
+      WITH b AS (SELECT doc_id, lang,
+                   ${dkHash60("CAST(doc_id AS VARCHAR) || '#7'")} AS h
+                 FROM documents),
+      r AS (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY h, CAST(doc_id AS VARCHAR)) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM b)
+      SELECT doc_id, lang,
+             CASE WHEN rk <= (800000 * n) // 1000000 THEN 'train'
+                  WHEN rk <= (900000 * n) // 1000000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r ORDER BY doc_id"""),
+      (s, dir) => TrainPrep.splitExact(T(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id")))
   )
 }

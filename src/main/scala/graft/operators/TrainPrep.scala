@@ -554,6 +554,80 @@ object TrainPrep {
         }.as("bucket"))
   }
 
+  /** Parse + validate named split weights into CUMULATIVE micros
+    * boundaries: each weight quantizes to round(w·10⁶) and the quantized
+    * weights must sum to exactly 10⁶ — the splits partition the corpus by
+    * construction, with no float accumulating anywhere. */
+  private def splitBoundsMicros(weights: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(weights.nonEmpty, "at least one split required")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate split names in ${weights.map(_._1)}")
+    val micros = weights.map { case (nm, w) =>
+      val m = math.round(w * 1000000.0)
+      require(m > 0, s"split '$nm' weight $w rounds to zero micros")
+      nm -> m
+    }
+    require(micros.map(_._2).sum == 1000000L,
+      s"split weights must sum to exactly 1.0 " +
+        s"(got ${micros.map(_._2).sum} micros from ${weights.map(_._2)})")
+    micros.scanLeft(("", 0L)) { case ((_, acc), (nm, m)) => (nm, acc + m) }
+      .drop(1)
+  }
+
+  /** DETERMINISTIC NAMED SPLITS by hash threshold — the train/val/test
+    * assignment every corpus release needs, in the shape that survives
+    * 100 TB and a growing corpus: `split` is a pure per-row function of
+    * `hash60(key ‖ '#seed') mod 10⁶` against cumulative integer-micros
+    * boundaries. Zero shuffles, zero state, codegen'd — and GROWTH-
+    * STABLE: a document's split NEVER changes when other documents
+    * arrive or leave (the property that keeps eval sets honest across
+    * corpus refreshes; per-row hashing is also how a distributed
+    * pipeline avoids coordinating a global permutation). Proportions are
+    * exact in expectation, ±binomial noise per stratum — use
+    * [[splitExact]] when a bounded stratum needs exact quotas. */
+  def splitAssign(docs: DataFrame, key: Column,
+                  weights: Seq[(String, Double)], seed: Int = 0): DataFrame = {
+    val bounds = splitBoundsMicros(weights)
+    val bucket = F.hash60(key.cast("string"), seed) % 1000000L
+    val expr = bounds.init.foldRight(lit(bounds.last._1)) {
+      case ((nm, hi), alt) => when(bucket < hi, nm).otherwise(alt)
+    }
+    docs.withColumn("split", expr)
+  }
+
+  /** EXACT per-stratum quotas: within every stratum, rows rank by
+    * `(hash60(key ‖ '#seed'), key)` — a deterministic shuffle — and the
+    * boundary for cumulative weight W over n rows is `(W_micros·n) div
+    * 10⁶` (floor; the last split takes the remainder), so split sizes
+    * are EXACT integers of the stratum count on any engine. One
+    * exchange + per-stratum sort: the right tool for bounded strata
+    * (per-language eval quotas, benchmark slices) — for the open-ended
+    * corpus-wide assignment use [[splitAssign]], whose membership is
+    * also stable under growth (exact quotas inherently are not: row n+1
+    * can move a boundary). */
+  def splitExact(docs: DataFrame, key: Column, strata: Column,
+                 weights: Seq[(String, Double)], seed: Int = 0): DataFrame = {
+    val bounds = splitBoundsMicros(weights)
+    val h = F.hash60(key.cast("string"), seed)
+    val w = Window.partitionBy(col("_stratum"))
+    val ranked = docs
+      .withColumn("_stratum", strata)
+      .withColumn("_rk", row_number().over(
+        w.orderBy(h.asc, key.cast("string").asc)))
+      .withColumn("_n", count(lit(1)).over(w))
+    val expr = bounds.init.foldRight(lit(bounds.last._1)) {
+      case ((nm, hi), alt) =>
+        // exact truncating division (the curationScores pattern): strip
+        // the remainder first so the double division is of a divisible
+        // pair — hi·n ≤ 10⁶·n stays a long, the quotient stays < 2^53
+        val boundary = F.bind(lit(hi) * col("_n")) { prod =>
+          ((prod - prod % 1000000L) / 1000000L).cast("long")
+        }
+        when(col("_rk") <= boundary, nm).otherwise(alt)
+    }
+    ranked.withColumn("split", expr).drop("_stratum", "_rk", "_n")
+  }
+
   /** DATASET CARD: the per-source summary every corpus release ships —
     * document and token counts, exact-duplicate pressure (distinct text
     * hashes vs rows), dominant language, and token-length extremes, all
