@@ -149,7 +149,9 @@ object QueriesML {
     * micros = lnm(num) − lnm(den) + backoffs · penalty, with `lnm`
     * computed in-query by [[dkLnmCtes]] (the integer fixed-point log,
     * engine-proof and state-free) — per-doc sum. Ends at `toks`
-    * (doc_id, ts), `sel` (doc_id, num, den, backoffs) and `agg`
+    * (doc_id, ts), `sel` (doc_id, num, den, backoffs), `lnp` (doc_id,
+    * ln_n, ln_d, backoffs), `lnmiss` (n_missing — the lnm-coverage
+    * guard, 0 when `lnm` covers every score argument) and `agg`
     * (doc_id, m); mirrors [[graft.operators.NgramLm]] at (n=3,
     * minCount=2, cap=100000, alpha=0.4) bit-for-bit. Callers open with
     * `WITH RECURSIVE`. Every construct is spelled in a form some
@@ -157,7 +159,16 @@ object QueriesML {
     * element concatenations (`ts[i] || ' ' || ts[i+1]`, the dkDot-family
     * variable indexing), never negative-relative slices; `total` arrives
     * by explicit CROSS JOIN (q108's form), never a correlated subquery;
-    * lnm values come from q108-shaped scalar lookups. */
+    * lnm values come from q108-shaped scalar lookups — and, after four
+    * driver-red rounds bisected the divergence to exactly this stage
+    * (r14 verdict #1), the two lookups are MATERIALIZED as bare columns
+    * of their own CTE (`lnp`, the spelling the driver-GREEN q167c
+    * proved) before any arithmetic or aggregation touches them: no
+    * oracle anywhere embeds a correlated scalar subquery inside
+    * aggregated arithmetic. `lnmiss` exists because the lookups return
+    * silent NULLs on a coverage gap in `lnm_src` and the consumers'
+    * `coalesce(m, 0)` would launder that into a plausible score
+    * (r14 verdict #4): the chain's outputs pin it to 0 instead. */
   private def dkNgramLmChain(src: String): String = s"""
       ${dkLmCountLanes(src)},
       p AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
@@ -194,10 +205,14 @@ object QueriesML {
           ELSE (CASE WHEN g3 IS NOT NULL THEN 2
                      WHEN g2 IS NOT NULL THEN 1 ELSE 0 END) END AS backoffs
       FROM lk, tot),
+      lnp AS (SELECT doc_id, ${OracleLnFix.lookup("sel.num")} AS ln_n,
+                     ${OracleLnFix.lookup("sel.den")} AS ln_d, backoffs
+              FROM sel),
       sc AS (SELECT doc_id,
-               ${OracleLnFix.lookup("sel.num")} - ${OracleLnFix.lookup("sel.den")}
-                 + backoffs * CAST($lmPenaltyMicros AS BIGINT) AS micros
-             FROM sel),
+               ln_n - ln_d + backoffs * CAST($lmPenaltyMicros AS BIGINT) AS micros
+             FROM lnp),
+      lnmiss AS (SELECT CAST(count(*) AS BIGINT) AS n_missing
+                 FROM lnp WHERE ln_n IS NULL OR ln_d IS NULL),
       agg AS (SELECT doc_id, sum(micros) AS m FROM sc GROUP BY doc_id)"""
 
   /** Minhash component j over a shingle-list column. */
@@ -3265,14 +3280,22 @@ object QueriesML {
         coalesce(a.m, 0) AS logscore_micros,
         CASE WHEN len(t.ts) > 0 THEN
           ${dkQround("CAST(coalesce(a.m, 0) AS DOUBLE) / 1000000.0 / len(t.ts)", 6)}
-        END AS avg_logp
-      FROM toks t LEFT JOIN agg a USING (doc_id)
+        END AS avg_logp,
+        g.n_missing AS lnm_missing
+      FROM toks t LEFT JOIN agg a USING (doc_id), lnmiss g
       ORDER BY t.doc_id"""),
       (s, dir) => {
         val d = T(s, dir, "documents")
         val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
           minCount = 2, maxGramsPerOrder = 100000)
+        // lnm_missing pins the ORACLE's lnm coverage (r14 verdict #4): the
+        // Spark kernel computes lnFixMicros directly — a total function of
+        // its positive-long argument, no lookup table to gap — so 0 is the
+        // only value this side can produce; the column exists so a DuckDB
+        // coverage hole names itself instead of laundering through the
+        // consumers' coalesce(m, 0).
         graft.operators.NgramLm.scores(d, col("doc_id"), col("text"), lm)
+          .withColumn("lnm_missing", lit(0L))
           .orderBy(col("doc_id"))
       }),
 
@@ -3289,7 +3312,15 @@ object QueriesML {
     //    differently (the probe names it); a red, b/c green → count/cap
     //    lanes; b red → position/backoff CASE or the kept joins; c red,
     //    b green → the lnm CTE or its lookups; all green, q167 red →
-    //    the final projection/comparator.
+    //    the final projection/comparator. r14 fired exactly that LAST
+    //    branch (a/b/c/p/x green, q167/q169/q169a red), which localized
+    //    the divergence to the old `sc` CTE — the one place a correlated
+    //    scalar lookup sat inside aggregated arithmetic. r15 re-spelled
+    //    the chain to materialize the lookups first (the `lnp` CTE,
+    //    q167c's driver-GREEN form) and added the one-notch-down
+    //    companions q167d (integer score, no double) and q169b
+    //    ((m, n) before the division) so any surviving red names its
+    //    half instead of a fifth "unknown" round.
     QueryDef("q167a_lm_model_fp", Some(s"""
       WITH ${dkLmCountLanes("documents")},
       per AS (SELECT CAST(ord AS BIGINT) AS ord,
@@ -3335,9 +3366,6 @@ object QueriesML {
 
     QueryDef("q167c_lm_lnm_sums", Some(s"""
       WITH RECURSIVE ${dkNgramLmChain("documents")},
-      lnp AS (SELECT doc_id, ${OracleLnFix.lookup("sel.num")} AS ln_n,
-                     ${OracleLnFix.lookup("sel.den")} AS ln_d
-              FROM sel),
       prt AS (SELECT doc_id, CAST(sum(ln_n) AS BIGINT) AS sum_lnum,
                      CAST(sum(ln_d) AS BIGINT) AS sum_lden
               FROM lnp GROUP BY doc_id)
@@ -3353,6 +3381,29 @@ object QueriesML {
         graft.operators.NgramLm.parts(d, col("doc_id"), col("text"), lm)
           .select(col("doc_id"), col("n_tokens"), col("sum_lnum"),
             col("sum_lden"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- q167 bisection, one notch below the full output (r14 verdict
+    //    #2): the INTEGER score only — q167 minus its one non-integer
+    //    column (`avg_logp`, a rendered double) and minus the guard.
+    //    Decision table: d green + q167 red → the double column's
+    //    rendering/comparator lane (re-contract avg_logp as integer
+    //    micros-per-token); d red → the `agg` evaluation itself (the
+    //    five-way LEFT JOIN against `kept` under aggregation) survives
+    //    the r15 lnp re-spell and the construct set needs widening.
+    QueryDef("q167d_lm_int_score", Some(s"""
+      WITH RECURSIVE ${dkNgramLmChain("documents")}
+      SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        coalesce(a.m, 0) AS logscore_micros
+      FROM toks t LEFT JOIN agg a USING (doc_id)
+      ORDER BY t.doc_id"""),
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
+          minCount = 2, maxGramsPerOrder = 100000)
+        graft.operators.NgramLm.scores(d, col("doc_id"), col("text"), lm)
+          .select(col("doc_id"), col("n_tokens"), col("logscore_micros"))
           .orderBy(col("doc_id"))
       }),
 
@@ -3498,15 +3549,20 @@ object QueriesML {
       SELECT n2.doc_id, n2.lang, CAST(n2.n AS BIGINT) AS n_tokens, n2.nll,
         CASE WHEN n2.lb <= c.t_head THEN 'head'
              WHEN n2.lb <= c.t_mid THEN 'middle'
-             ELSE 'tail' END AS bucket
-      FROM nl n2 JOIN cuts c USING (lang)
+             ELSE 'tail' END AS bucket,
+        g.n_missing AS lnm_missing
+      FROM nl n2 JOIN cuts c USING (lang), lnmiss g
       ORDER BY n2.doc_id"""
     },
       (s, dir) => {
         val d = Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
         val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
           minCount = 2, maxGramsPerOrder = 100000)
+        // lnm_missing: the oracle-side lnm coverage guard (see q167) —
+        // structurally 0 on this side, pinned so a DuckDB lnm_src gap
+        // cannot masquerade as a score divergence.
         TrainPrep.curationBuckets(d, col("doc_id"), col("text"), lm)
+          .withColumn("lnm_missing", lit(0L))
           .orderBy(col("doc_id"))
       }),
 
@@ -3517,13 +3573,34 @@ object QueriesML {
     //    which); q169a green + q169 red → the cutoff/bucket stage alone.
     QueryDef("q169a_ccnet_scores", Some(s"""
       WITH RECURSIVE $dkCcnetNllCtes
-      SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens, nll
-      FROM nl0 ORDER BY doc_id"""),
+      SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens, nll,
+        g.n_missing AS lnm_missing
+      FROM nl0, lnmiss g ORDER BY doc_id"""),
       (s, dir) => {
         val d = Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
         val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
           minCount = 2, maxGramsPerOrder = 100000)
         TrainPrep.curationScores(d, col("doc_id"), col("text"), lm)
+          .withColumn("lnm_missing", lit(0L))
+          .orderBy(col("doc_id"))
+      }),
+
+    // -- q169 bisection, one notch below the NLL (r14 verdict #2): the
+    //    per-doc (score_micros, n_tokens) pair BEFORE the `(-m) // n`
+    //    truncating division. Decision table: b green + q169a red → the
+    //    division/negation spelling alone; b red + q167d green → the
+    //    dedup/lang-id lanes feeding the SAME chain diverge (the chain
+    //    over `documents` scored, the chain over `docs0` didn't).
+    QueryDef("q169b_ccnet_parts", Some(s"""
+      WITH RECURSIVE $dkCcnetNllCtes
+      SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+        m AS score_micros
+      FROM base ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
+        val lm = graft.operators.NgramLm.train(d, col("text"), n = 3,
+          minCount = 2, maxGramsPerOrder = 100000)
+        TrainPrep.curationParts(d, col("doc_id"), col("text"), lm)
           .orderBy(col("doc_id"))
       }),
 

@@ -526,6 +526,23 @@ object TrainPrep {
         }.as("nll"))
   }
 
+  /** One bisection notch below [[curationScores]] (the q169b companion
+    * surface): the per-document (lang, n_tokens, score_micros) pair
+    * BEFORE the `(-m) div n` truncating division — same single-pass
+    * select, same token-free drop, no arithmetic past the LM kernel. A
+    * gate red that hits [[curationScores]] but not this names the
+    * division/negation spelling alone. */
+  def curationParts(docs: DataFrame, id: Column, text: Column,
+                    lm: graft.functions.NgramLmTable): DataFrame = {
+    import graft.functions.{KernelExprs => KE}
+    docs.select(id.as("doc_id"), TF.lang_id(text).as("lang"),
+        KE.ngram_lm_score(text, lm).as("s"))
+      .filter(col("s.n_tokens") > 0)
+      .select(col("doc_id"), col("lang"),
+        col("s.n_tokens").cast("long").as("n_tokens"),
+        col("s.logscore_micros").as("score_micros"))
+  }
+
   def curationBuckets(docs: DataFrame, id: Column, text: Column,
                       lm: graft.functions.NgramLmTable): DataFrame = {
     import graft.functions.{KernelAggs => KA, KernelExprs => KE}
