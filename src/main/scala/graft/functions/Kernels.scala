@@ -480,7 +480,15 @@ object Kernels {
     // ceil(qMicros·total / 10⁶) equals the decimal semantics for every
     // q expressible in 6 decimals, on any engine version.
     val qMicros = math.round(q * 1000000.0)
-    val rank = math.max(1L, (qMicros * total + 999999L) / 1000000L)
+    // overflow-free split of ceil(qMicros·total / 10⁶) (ADVICE r14: the
+    // direct product wraps past total ≈ 9.2e12 and silently returns the
+    // minimum bucket while the DuckDB twin raises on checked overflow):
+    // total = a·10⁶ + b ⇒ rank = qMicros·a + ceil(qMicros·b / 10⁶).
+    // Both terms stay in range for every qMicros ≤ 10⁶ and any long
+    // total: qMicros·b < 10¹², qMicros·a ≤ 10⁶·(Long.Max/10⁶) < Long.Max.
+    val rank = math.max(1L,
+      qMicros * (total / 1000000L) +
+        (qMicros * (total % 1000000L) + 999999L) / 1000000L)
     var cum = 0L
     i = 0
     while (i < m) {

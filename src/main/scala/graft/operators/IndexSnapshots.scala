@@ -163,9 +163,18 @@ object IndexSnapshots {
       // format 2 rels are root-relative. Rewrite v1 on load so every
       // consumer (restore staging, precheck, vacuum pin-awareness) sees
       // one shape — without this, any pre-r13 pin fails restore loudly
-      // as "pinned file gone" (ADVICE r13)
-      val rel = if (fmt >= 2 || pointer.isEmpty) e.getKey
-                else s"$pointer/${e.getKey}"
+      // as "pinned file gone" (ADVICE r13). One v1 cohort is ALREADY
+      // root-relative: the r13 writer chain-resolved rels while still
+      // stamping version:1, so unconditional prefixing would double the
+      // version dir (ADVICE r14). Disambiguate by the first path
+      // component: a version-dir-relative rel always starts with a
+      // `partition=` dir (both index layouts store data files only under
+      // bucket=/cell= dirs), a root-relative one with a version-dir name
+      // — the same convention [[pinnedPointers]] reads back.
+      val key = e.getKey
+      val verRelative = key.takeWhile(_ != '/').contains('=')
+      val rel = if (fmt >= 2 || pointer.isEmpty || !verRelative) key
+                else s"$pointer/$key"
       (rel, e.getValue.get("len").asLong, e.getValue.get("mtime").asLong)
     }
     val comps = node.path("companions").fields().asScala.toSeq.map { e =>

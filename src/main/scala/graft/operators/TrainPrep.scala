@@ -626,23 +626,33 @@ object TrainPrep {
                  weights: Seq[(String, Double)], seed: Int = 0): DataFrame = {
     val bounds = splitBoundsMicros(weights)
     val h = F.hash60(key.cast("string"), seed)
-    val w = Window.partitionBy(col("_stratum"))
+    // collision-proof working columns (ADVICE r14: fixed `_stratum`/
+    // `_rk`/`_n` names silently overwrote-then-dropped caller columns):
+    // suffix underscores until the name is free of the input schema
+    val taken = docs.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def fresh(base: String): String = {
+      var n = base
+      while (taken.contains(n.toLowerCase(java.util.Locale.ROOT))) n += "_"
+      n
+    }
+    val (cS, cRk, cN) = (fresh("_stratum"), fresh("_rk"), fresh("_n"))
+    val w = Window.partitionBy(col(cS))
     val ranked = docs
-      .withColumn("_stratum", strata)
-      .withColumn("_rk", row_number().over(
+      .withColumn(cS, strata)
+      .withColumn(cRk, row_number().over(
         w.orderBy(h.asc, key.cast("string").asc)))
-      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn(cN, count(lit(1)).over(w))
     val expr = bounds.init.foldRight(lit(bounds.last._1)) {
       case ((nm, hi), alt) =>
         // exact truncating division (the curationScores pattern): strip
         // the remainder first so the double division is of a divisible
         // pair — hi·n ≤ 10⁶·n stays a long, the quotient stays < 2^53
-        val boundary = F.bind(lit(hi) * col("_n")) { prod =>
+        val boundary = F.bind(lit(hi) * col(cN)) { prod =>
           ((prod - prod % 1000000L) / 1000000L).cast("long")
         }
-        when(col("_rk") <= boundary, nm).otherwise(alt)
+        when(col(cRk) <= boundary, nm).otherwise(alt)
     }
-    ranked.withColumn("split", expr).drop("_stratum", "_rk", "_n")
+    ranked.withColumn("split", expr).drop(cS, cRk, cN)
   }
 
   /** DATASET CARD: the per-source summary every corpus release ships —

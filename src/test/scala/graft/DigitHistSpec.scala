@@ -27,6 +27,24 @@ class DigitHistSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Kernels.digitBucket(-1L, 2))
   }
 
+  test("digitQuantile rank arithmetic survives totals past Long.Max/10⁶ " +
+      "(ADVICE r14: the direct qMicros·total product wrapped)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // two buckets holding 6e12 values each: total 1.2e13 > 9.2e12, where
+    // qMicros·total used to wrap negative, clamp rank to 1, and return
+    // the minimum bucket for EVERY q
+    val big = 6000000000000L
+    val hist = new GenericArrayData(Array[Any](
+      InternalRow(100L, big), InternalRow(200L, big)))
+    assert(Kernels.digitQuantile(hist, 0.25) == 100L)
+    assert(Kernels.digitQuantile(hist, 0.75) == 200L)
+    assert(Kernels.digitQuantile(hist, 1.0) == 200L)
+    // and the exact boundary: rank ceil(0.5·total) is the last value of
+    // the first bucket
+    assert(Kernels.digitQuantile(hist, 0.5) == 100L)
+  }
+
   test("quantiles walk the conservative rank; relative error bounded") {
     val vals = (1L to 1000L).toDF("v")
     val got = vals.agg(KA.digit_hist(col("v"), 2).as("h"))

@@ -143,6 +143,41 @@ class IndexSnapshotSpec extends AnyFunSuite with SparkSpec {
       "a format-1 pin must restore exactly the pinned generation")
   }
 
+  test("an r13-cohort pin (version:1 stamp, ROOT-relative rels) restores " +
+      "without a doubled version prefix") {
+    // ADVICE r14: the r13 snapshot() already wrote root-relative,
+    // chain-resolved rels while still stamping version:1 — unconditional
+    // v1 prefixing would rewrite them to version_N/version_N/... and fail
+    // the restore loudly as "pinned file gone". readPin disambiguates by
+    // the first path component (partition= dir ⇒ version-dir-relative);
+    // simulate the cohort by downgrading ONLY the format marker.
+    val path = tmp("isnap-r13pin")
+    val emb = vecs(0 until 60)
+    Similarity.writeIvfIndex(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"), path)
+    def ids() = spark.read.parquet(Similarity.assignDir(spark, path))
+      .select("neighbor_id").as[Long].collect().toSet
+    val pinnedIds = ids()
+    IndexSnapshots.snapshot(spark, path, "r13")
+    val pinFile = java.nio.file.Paths.get(path,
+      IndexSnapshots.SnapDirName, "r13.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(java.nio.file.Files.readAllBytes(pinFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    assert(node.get("pointer").asText.nonEmpty)
+    node.put("version", 1) // rels stay root-relative — the r13 shape
+    java.nio.file.Files.write(pinFile, om.writeValueAsBytes(node))
+    java.nio.file.Files.deleteIfExists(
+      pinFile.getParent.resolve(s".${pinFile.getFileName}.crc"))
+    Similarity.appendIvfIndex(vecs(60 until 90), col("vec_id"),
+      col("embedding"), path)
+    assert(ids() != pinnedIds)
+    val rep = IndexSnapshots.restore(spark, path, "r13")
+    assert(rep.filesRestored > 0)
+    assert(ids() == pinnedIds,
+      "an r13-cohort pin must restore exactly the pinned generation")
+  }
+
   test("publish revalidates under its lock: an index that advanced " +
       "between stage and publish fails the publish, not silently") {
     val path = tmp("isnap-stage-race")

@@ -209,6 +209,35 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(bos.size() < 8 * 1024 * 1024, s"serialized ${bos.size()} bytes")
   }
 
+  test("the concurrent cap collects run inside the caller's job group " +
+      "(ADVICE r14: global-pool threads dropped localProperties)") {
+    val sc = spark.sparkContext
+    val groups = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        groups.add(Option(e.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse("")); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup("graft-lm-train", "cap collects must be cancellable")
+      try NgramLm.train(docs, col("text"), n = 3)
+      finally sc.clearJobGroup()
+      // listener delivery is async — poll for the training jobs (≥ 4:
+      // the total agg + 3 cap collects)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (groups.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val seen = groups.toArray(Array.empty[String]).toSeq
+      assert(seen.size >= 4, s"expected >=4 training jobs, saw $seen")
+      assert(seen.forall(_ == "graft-lm-train"),
+        s"every training job must carry the caller's job group: $seen")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("scores frame: empty doc gets null avg, zero micros") {
     val d2 = Seq((0L, "the cat"), (1L, ""), (2L, "...")).toDF("doc_id", "text")
     val t = NgramLm.train(docs, col("text"), n = 2)

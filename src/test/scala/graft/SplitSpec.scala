@@ -77,6 +77,26 @@ class SplitSpec extends AnyFunSuite with SparkSpec {
       e.orderBy("doc_id").collect().toSeq)
   }
 
+  test("splitExact keeps caller columns that collide with its working " +
+      "names (ADVICE r14: `_rk`/`_stratum`/`_n` were silently dropped)") {
+    val d = docs(300)
+      .withColumn("_rk", col("doc_id") * 2)
+      .withColumn("_stratum", lit("mine"))
+      .withColumn("_n", col("doc_id") + 7)
+    val e = TrainPrep.splitExact(d, col("doc_id"), col("lang"),
+      weights, seed = 7)
+    assert(Seq("_rk", "_stratum", "_n").forall(e.columns.contains))
+    val row = e.filter(col("doc_id") === 5L)
+      .select("_rk", "_stratum", "_n").head()
+    assert(row.getLong(0) === 10L && row.getString(1) === "mine" &&
+      row.getLong(2) === 12L)
+    // and the split assignment itself is unchanged by the collision
+    val clean = TrainPrep.splitExact(docs(300), col("doc_id"), col("lang"),
+      weights, seed = 7)
+    assert(e.select("doc_id", "split").orderBy("doc_id").collect().toSeq ===
+      clean.select("doc_id", "split").orderBy("doc_id").collect().toSeq)
+  }
+
   test("weights must be named uniquely, positive, and sum to exactly 1") {
     intercept[IllegalArgumentException] {
       TrainPrep.splitAssign(docs(10), col("doc_id"),
