@@ -43,45 +43,64 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** Pure floor-breach arithmetic (r12, VERDICT r11 #5): the committed
-    * floors carry ×1.5 headroom, but the driver host has shown median
-    * 1.41× (max 2.9×) uniform inflation against the committed close-out
-    * on IDENTICAL code — six false breaches in r11. A CANARY lane
-    * normalizes for host weather: `hostFactor = max(1, canary_best /
-    * committed_canary_best)` (capped at 3× so a catastrophic canary
-    * cannot hide unbounded regressions), and every lane's best is
-    * compared against `floor × hostFactor`. A loaded host scales every
-    * ceiling together; a genuine single-lane plan regression still trips
-    * (it moves one lane, not the canary). Raw numbers stay unscaled in
-    * the artifact. Returns (hostFactor, lane → (best, effectiveMax)). */
-  private[graft] def floorBreaches(best: Map[String, Double],
+  /** Pure floor-breach arithmetic, PER PASS (r15, VERDICT r14 #3b; the
+    * best-of canary of r12-r14 could not protect a lane whose every run
+    * sat inside a host storm while the canary's best run fell outside
+    * it — BENCH_r14's q68_stream billed 5.32 s from runs [5.3, 80, 55]
+    * while q01's best escaped the storm and scaled the floors by only
+    * 1.16×). The canary lane is timed IN every pass, so each pass gets
+    * its own weather factor `clamp(canary_p / committed, 1, 3)` (capped
+    * so a catastrophic canary cannot hide unbounded regressions), every
+    * lane run is discounted by ITS OWN pass's factor, and the floor
+    * compares against the best normalized run. A storm that swallows
+    * pass 2 inflates pass 2's canary too — the lane's pass-2 run
+    * self-discounts instead of breaching. A genuine single-lane plan
+    * regression still trips: it moves one lane in every pass, not the
+    * canary. Raw numbers stay unscaled in the artifact; normalization
+    * exists only inside the breach comparison. Returns (per-pass
+    * factors, lane → (normalizedBest, floor)). */
+  private[graft] def floorBreachesPerPass(runs: Map[String, Seq[Double]],
       floors: Map[String, Double],
       canary: Option[(String, Double)])
-      : (Double, Map[String, (Double, Double)]) = {
-    val rawRatio = canary.flatMap { case (lane, committed) =>
-      best.get(lane).filter(_ => committed > 0).map(_ / committed)
-    }.getOrElse(1.0)
-    val hostFactor = math.min(3.0, math.max(1.0, rawRatio))
-    val breaches = best.collect {
-      case (n, b) if floors.contains(n) && b > floors(n) * hostFactor =>
-        n -> ((b, floors(n) * hostFactor))
+      : (Seq[Double], Map[String, (Double, Double)]) = {
+    val nPasses = runs.values.foldLeft(0)(_ max _.size)
+    val factors = (0 until nPasses).map { p =>
+      canary.flatMap { case (lane, committed) =>
+        runs.get(lane).filter(r => committed > 0 && r.size > p)
+          .map(r => math.min(3.0, math.max(1.0, r(p) / committed)))
+      }.getOrElse(1.0)
     }
-    (hostFactor, breaches)
+    def normBest(rs: Seq[Double]): Double =
+      rs.zipWithIndex.map { case (w, p) =>
+        w / (if (p < factors.size) factors(p) else 1.0)
+      }.min
+    val breaches = runs.collect {
+      case (n, rs) if rs.nonEmpty && floors.contains(n) &&
+          normBest(rs) > floors(n) =>
+        n -> ((normBest(rs), floors(n)))
+    }
+    (factors, breaches)
   }
 
-  /** The UNCAPPED canary best / committed ratio (ADVICE r12): the capped
-    * hostFactor above scales every floor, so a genuinely uniform
+  /** The UNCAPPED per-pass canary ratios (ADVICE r12, re-armed r15): the
+    * capped factors above scale every floor, so a genuinely uniform
     * regression (a JVM/codegen-wide slowdown that moves the canary too)
-    * is invisible to the per-lane gate. Reported raw in the artifact,
-    * and — when the host is demonstrably QUIET (load per core below
-    * `quietLoad`) yet the canary still runs past `maxQuietRatio` — turned
-    * into a loud `__canary__` breach: on a quiet host the canary ratio IS
-    * the engine, not the weather. */
-  private[graft] def canaryBreach(rawRatio: Double, loadPerCore: Double,
-      quietLoad: Double = 0.5, maxQuietRatio: Double = 1.5)
+    * is invisible to the per-lane gate. Turned into a loud `__canary__`
+    * breach only when the host is demonstrably QUIET (load per core
+    * below `quietLoad`) AND EVERY pass's canary ran past
+    * `maxQuietRatio`: on a quiet host a consistently slow canary IS the
+    * engine, while one slow pass is weather that the other passes
+    * acquit. r14's false alarm (ratio 1.633 at load/core 0.108 — ~3.5
+    * cores of background work misread as quiet) sets the threshold:
+    * quietLoad dropped 0.5 → 0.07, below every observed genuinely-idle
+    * close-out (0.053-0.066) and every observed mildly-loaded false
+    * fire. Returns (worst ratio, bound) when it fires. */
+  private[graft] def canaryBreach(ratios: Seq[Double], loadPerCore: Double,
+      quietLoad: Double = 0.07, maxQuietRatio: Double = 1.5)
       : Option[(Double, Double)] =
-    if (loadPerCore >= 0 && loadPerCore < quietLoad && rawRatio > maxQuietRatio)
-      Some((rawRatio, maxQuietRatio))
+    if (ratios.nonEmpty && loadPerCore >= 0 && loadPerCore < quietLoad &&
+        ratios.forall(_ > maxQuietRatio))
+      Some((ratios.min, maxQuietRatio))
     else None
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -149,11 +168,20 @@ object Bench {
     val gc = collection.mutable.ArrayBuffer[Double]()
     val jit = collection.mutable.ArrayBuffer[Double]()
     val tcpu = collection.mutable.ArrayBuffer[Double]()
+    // solo-retry window (VERDICT r14 #3a): a second, post-bench chance
+    // for lanes the main window breached — never billed into the totals,
+    // only consulted by the breach adjudication
+    val wallRetry = collection.mutable.ArrayBuffer[Double]()
+    val tcpuRetry = collection.mutable.ArrayBuffer[Double]()
     var failed = false
     def warmUp(): Unit = { failed ||= time(body)._6 } // JIT + codegen, not billed
     def run(): Unit = {
       val (w, c, g, j, k, f) = time(body)
       wall += w; cpu += c; gc += g; jit += j; tcpu += k; failed ||= f
+    }
+    def runRetry(): Unit = {
+      val (w, _, _, _, k, f) = time(body)
+      if (!f) { wallRetry += w; tcpuRetry += k }
     }
   }
 
@@ -522,6 +550,21 @@ object Bench {
           graft.operators.Retrieval.moreLikeThis(spark, lakes.bm25Idx,
             lakes.mltText, k = 10, excludeDocId = Some(42L),
             maxQueryTerms = 8).collect()),
+        // MaxSim serving (r15): per-token IVF probe over the pre-built
+        // embeddings index → candidate docs → exact rerank — the ColBERT
+        // two-stage path the gate proves correct (q216)
+        new Timed("qR_maxsim_probe", {
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val docsMv = emb.select(
+            floor(col("vec_id") / 4).cast("long").as("doc"),
+            col("vec_id").as("tok"), (col("vec_id") % 4).as("tokpos"),
+            col("embedding"))
+          graft.operators.Similarity.maxSimTopKIndexed(spark, lakes.ivfIdx,
+            docsMv, col("doc"), col("tok"), col("embedding"),
+            docsMv.filter(col("doc") < 3), col("doc"), col("tokpos"),
+            col("embedding"), k = 5, nprobe = 2, tokK = 8).collect()
+          ()
+        }),
         // lake-served SQ8 rerank (r13): codes-only probe shortlist, then
         // raw vectors point-read from the bloomed primary lake — the
         // serving tail that used to re-scan the corpus
@@ -637,17 +680,67 @@ object Bench {
     val bestByLane = results.collect {
       case t if !t.failed => t.name -> t.wall.min
     }.toMap
-    val (hostFactor, breachMap) = floorBreaches(bestByLane, floors, canary)
-    // raw (uncapped) canary ratio + host load: the uniform-slowdown
-    // discriminators the capped hostFactor cannot see (ADVICE r12)
+    val runsByLane = results.collect {
+      case t if !t.failed => t.name -> t.wall.toSeq
+    }.toMap
+    // per-pass weather normalization (VERDICT r14 #3b): each lane run is
+    // discounted by its own pass's canary factor before meeting the floor
+    val (passFactors, mainBreaches) =
+      floorBreachesPerPass(runsByLane, floors, canary)
+    // raw (uncapped) canary ratios + host load: the uniform-slowdown
+    // discriminators the capped factors cannot see (ADVICE r12)
+    val canaryRatios = canary.toSeq.flatMap { case (lane, committed) =>
+      if (committed > 0) runsByLane.getOrElse(lane, Nil).map(_ / committed)
+      else Nil
+    }
     val rawCanaryRatio = canary.flatMap { case (lane, committed) =>
       bestByLane.get(lane).filter(_ => committed > 0).map(_ / committed)
     }.getOrElse(1.0)
-    val loadPerCore = {
+    def loadPerCoreNow(): Double = {
       val l = osBean.getSystemLoadAverage
       if (l < 0) -1.0 else l / math.max(1, Runtime.getRuntime.availableProcessors)
     }
-    val canaryBr = canaryBreach(rawCanaryRatio, loadPerCore)
+    val loadPerCore = loadPerCoreNow()
+    val canaryBrMain = canaryBreach(canaryRatios, loadPerCore)
+    // ---- solo retry (VERDICT r14 #3a): a breach must survive a SECOND
+    // best-of-N window, run after the main bench with only the canary and
+    // the breached lanes in play — a host storm wide enough to swallow
+    // the whole main window AND the retry is the only false positive
+    // left. Retry runs are never billed into totals or lane numbers; they
+    // exist solely to confirm or acquit the breach.
+    val needRetry = mainBreaches.nonEmpty || canaryBrMain.nonEmpty
+    val retryLanes: Seq[Timed] =
+      if (!needRetry) Nil
+      else results.filter(t =>
+        mainBreaches.contains(t.name) || canary.exists(_._1 == t.name))
+    if (needRetry) {
+      System.err.println(s"bench: retrying breached lanes solo: " +
+        retryLanes.map(_.name).mkString(", "))
+      (1 to passes).foreach(_ => retryLanes.foreach(_.runRetry()))
+    }
+    val retryRuns: Map[String, Seq[Double]] = retryLanes
+      .filter(_.wallRetry.nonEmpty).map(t => t.name -> t.wallRetry.toSeq).toMap
+    val (retryFactors, retryBreachesAll) =
+      floorBreachesPerPass(retryRuns, floors, canary)
+    // a lane breach stands only if BOTH windows breach (a retry run that
+    // failed outright keeps the main verdict — no silent acquittal)
+    val breachMap: Map[String, (Double, Double)] = mainBreaches.collect {
+      case (n, mainBr) if !needRetry => n -> mainBr
+      case (n, mainBr) if retryRuns.contains(n) && retryBreachesAll.contains(n) =>
+        n -> retryBreachesAll(n)
+      case (n, mainBr) if !retryRuns.contains(n) => n -> mainBr
+    }
+    val retryCanaryRatios = canary.toSeq.flatMap { case (lane, committed) =>
+      if (committed > 0) retryRuns.getOrElse(lane, Nil).map(_ / committed)
+      else Nil
+    }
+    // the quiet-host alarm too must survive its retry (fresh ratios AND a
+    // fresh load reading — r14's judge-side false fire came from a single
+    // mildly-loaded window)
+    val canaryBr = canaryBrMain.flatMap { _ =>
+      if (retryCanaryRatios.isEmpty) canaryBrMain
+      else canaryBreach(retryCanaryRatios, loadPerCoreNow())
+    }
     val breaches = breachMap.toSeq.sortBy(_._1).map {
       case (n, (b, m)) =>
         s""""$n":{"best":${jnum(b)},"max":${jnum(m)}}"""
@@ -655,14 +748,28 @@ object Bench {
       s""""__canary__":{"best":${jnum(r)},"max":${jnum(mx)}}"""
     }
     val breachesJson = breaches.mkString("{", ",", "}")
+    val hostFactor =
+      if (passFactors.isEmpty) 1.0 else passFactors.min
     // total TASK cpu (best run per lane): the one-number uniform-slowdown
     // discriminator — wall drifting while task_cpu_total holds says host
     // weather / scheduling, task cpu moving with wall says the engine
     val taskCpuTotal = results.collect {
       case t if !t.failed && t.tcpu.nonEmpty => t.tcpu.min
     }.sum
+    // per-pass weather factors + (when a retry ran) the retry evidence:
+    // the adjudication trail the r14 verdict had to reconstruct from raw
+    // arrays lives in the artifact itself now
+    val passFactorsJson = passFactors.map(jq).mkString("[", ",", "]")
+    val retryJson =
+      if (!needRetry) ""
+      else {
+        val lanes = retryRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
+          "\"" + n + "\":" + rs.map(jnum).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        s""","retry":{"lanes":$lanes,"pass_factors":${retryFactors.map(jq).mkString("[", ",", "]")}}"""
+      }
     // detail first, compact summary LAST: the driver keeps the tail
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"canary_ratio":${jnum(rawCanaryRatio)},"load_per_core":${jnum(loadPerCore)},"task_cpu_total":${jnum(taskCpuTotal)},"floor_breaches":$breachesJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"canary_ratio":${jnum(rawCanaryRatio)},"pass_factors":$passFactorsJson,"load_per_core":${jnum(loadPerCore)},"task_cpu_total":${jnum(taskCpuTotal)},"floor_breaches":$breachesJson$retryJson,"sf":"$sfDir"}"""
     val detail = s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)},"jit":${arrays(_.jit.toSeq)},"task_cpu":${arrays(_.tcpu.toSeq)}}}"""
     println(detail)
     println(summary)
