@@ -506,7 +506,12 @@ object Queries {
     // The range-search queries (q201-q203) stay gate-only: they share
     // q185/q35's brute plan shape, already timed. MLT serves from the
     // persisted index — timed as the qR_mlt_probe read lane instead.
-    "q204_sq8_topk")
+    "q204_sq8_topk",
+    // round-15: exact multi-vector MaxSim (ColBERT late interaction) —
+    // the brute baseline; the IVF-pruned serving path is timed against
+    // the pre-built index as the qR_maxsim_probe read lane (q216 stays
+    // gate-only: it builds a fresh token index per call).
+    "q215_maxsim")
   // The composite lake lanes (q96/q103/q106/q109/q110/q111) left this
   // list in r9 (VERDICT r8 #2): each billed 4-8 z-ordered WRITES per run
   // and hid the zero-task reads it existed to measure. Bench now times

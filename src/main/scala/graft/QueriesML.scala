@@ -3788,6 +3788,103 @@ object QueriesML {
           col("doc_id"), col("lang"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
         .select(col("doc_id"), col("lang"), col("split"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // -- MULTI-VECTOR MaxSim top-k (ColBERT late interaction, Khattab &
+    //    Zaharia 2020) — r15 serving capability (VERDICT r14 #6): docs
+    //    and queries are bags of token vectors (embeddings grouped 4 per
+    //    doc: doc = vec_id // 4, tok = vec_id % 4; queries = docs 0-2);
+    //    score = Σ_qtok max_ctok cos, in exact integer micros (each q6
+    //    tok-max via floor(x·1e6 + 0.5) — no double ever accumulates).
+    //    This is the exact brute baseline the pruned lane below is
+    //    measured against.
+    QueryDef("q215_maxsim", Some(s"""
+      WITH c AS (SELECT vec_id // 4 AS cdoc, ${dkQuant("embedding")} AS cv
+                 FROM embeddings),
+      qt AS (SELECT vec_id // 4 AS qdoc, vec_id % 4 AS qtok,
+               ${dkQuant("embedding")} AS qv
+             FROM embeddings WHERE vec_id < 12),
+      s AS (SELECT qt.qdoc, qt.qtok, c.cdoc, ${dkCos("c.cv", "qt.qv")} AS cos
+            FROM c, qt WHERE c.cdoc <> qt.qdoc),
+      tm AS (SELECT qdoc, qtok, cdoc, max(cos) AS tok_max
+             FROM s GROUP BY 1, 2, 3),
+      pair AS (SELECT qdoc, cdoc,
+                 CAST(sum(CAST(floor(tok_max * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS score_micros
+               FROM tm GROUP BY 1, 2),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qdoc
+                   ORDER BY score_micros DESC, cdoc) AS BIGINT) AS rn
+                 FROM pair)
+      SELECT qdoc AS query_id, cdoc AS neighbor_id, score_micros, rn
+      FROM ranked WHERE rn <= 5 ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val docs = emb.select(floor(col("vec_id") / 4).cast("long").as("doc"),
+          (col("vec_id") % 4).as("tok"), col("embedding"))
+        Similarity.maxSimTopK(docs, col("doc"), col("embedding"),
+            docs.filter(col("doc") < 3), col("doc"), col("tok"),
+            col("embedding"), k = 5)
+          .orderBy(col("query_id"), col("rn"))
+      }),
+
+    // -- MaxSim SERVING path (ColBERT's own two-stage shape): per-token
+    //    IVF probe over a persisted token-vector index (nprobe=2 cells,
+    //    top-8 tokens per query token — only the probed cell dirs are
+    //    read), matched tokens' docs union into the candidate set, exact
+    //    MaxSim reranks ONLY the candidates. The oracle replays probe →
+    //    candidate union → rerank, so green proves the pruning, not just
+    //    the scores. (The probe's self-id exclusion is vacuous: packed
+    //    probe ids sit above 2^20 > every corpus token id.)
+    QueryDef("q216_maxsim_pruned", Some(s"""
+      WITH ${dkIvfCells(8)},
+      cell2 AS (SELECT vec_id AS ctok, vec_id // 4 AS cdoc, qv AS cv, cell
+                FROM r2 WHERE rn = 1),
+      qt AS (SELECT vec_id // 4 AS qdoc, vec_id % 4 AS qtok, qv
+             FROM q WHERE vec_id < 12),
+      pa AS (SELECT qdoc, qtok, qv, cent.cell,
+               ${dkCos("qv", "cent.cq")} AS cos
+             FROM qt, cent),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY qdoc, qtok
+               ORDER BY cos DESC, cell) AS rn FROM pa),
+      pc AS (SELECT qdoc, qtok, qv, cell FROM pr WHERE rn <= 2),
+      tkc AS (SELECT p.qdoc, p.qtok, c.ctok, c.cdoc,
+                ${dkCos("c.cv", "p.qv")} AS cos
+              FROM cell2 c JOIN pc p USING (cell)),
+      tkr AS (SELECT *, row_number() OVER (PARTITION BY qdoc, qtok
+                ORDER BY cos DESC, ctok) AS rn FROM tkc),
+      cand AS (SELECT DISTINCT qdoc, cdoc FROM tkr
+               WHERE rn <= 8 AND cdoc <> qdoc),
+      ct AS (SELECT vec_id // 4 AS cdoc, ${dkQuant("embedding")} AS cv
+             FROM embeddings),
+      s AS (SELECT a.qdoc, t.qtok, a.cdoc, ${dkCos("c.cv", "t.qv")} AS cos
+            FROM cand a JOIN ct c ON c.cdoc = a.cdoc
+                        JOIN qt t ON t.qdoc = a.qdoc),
+      tm AS (SELECT qdoc, qtok, cdoc, max(cos) AS tok_max
+             FROM s GROUP BY 1, 2, 3),
+      pair AS (SELECT qdoc, cdoc,
+                 CAST(sum(CAST(floor(tok_max * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS score_micros
+               FROM tm GROUP BY 1, 2),
+      ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qdoc
+                   ORDER BY score_micros DESC, cdoc) AS BIGINT) AS rn
+                 FROM pair)
+      SELECT qdoc AS query_id, cdoc AS neighbor_id, score_micros, rn
+      FROM ranked WHERE rn <= 5 ORDER BY query_id, rn"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q216-gen").toString + "/idx"
+        Similarity.writeIvfIndex(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        val docs = emb.select(floor(col("vec_id") / 4).cast("long").as("doc"),
+          col("vec_id").as("tok"), (col("vec_id") % 4).as("qtokpos"),
+          col("embedding"))
+        Similarity.maxSimTopKIndexed(s, path,
+            docs, col("doc"), col("tok"), col("embedding"),
+            docs.filter(col("doc") < 3), col("doc"), col("qtokpos"),
+            col("embedding"), k = 5, nprobe = 2, tokK = 8)
+          .orderBy(col("query_id"), col("rn"))
+      })
   )
 }

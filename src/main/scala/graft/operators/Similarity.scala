@@ -83,6 +83,120 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("l2sq"))
   }
 
+  // --- ColBERT-style late interaction (multi-vector MaxSim) ----------------
+
+  /** Shared MaxSim tail: per-(query, query-token, doc) MAX cosine, then
+    * the per-pair SUM of the maxes in EXACT integer micros (each q6
+    * tok-max converts via the engine-agnostic `floor(x·10⁶ + 0.5)` —
+    * doubles never accumulate, so the score is order-free on any
+    * engine), then the deterministic per-query top-k. Two grouped
+    * aggregates, both map-side combined: the first collapses to
+    * |query tokens| rows per candidate doc per partition before its
+    * exchange, the second is pair-sized. */
+  private def maxSimRank(scored: DataFrame, k: Int): DataFrame = {
+    val tokMax = scored
+      .groupBy(col("query_id"), col("qtok"), col("neighbor_id"))
+      .agg(max(col("cos")).as("tok_max"))
+    val pairs = tokMax
+      .withColumn("tok_micros",
+        floor(col("tok_max") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("tok_micros")).as("score_micros"))
+    TopK.perGroup(pairs, k, Seq(col("query_id")),
+        Seq(col("score_micros").desc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("score_micros"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** MULTI-VECTOR top-k by MaxSim late interaction (ColBERT — Khattab &
+    * Zaharia 2020): documents and queries are BAGS of vectors (one per
+    * token); score(q, d) = Σ over q's tokens of the MAX cosine against
+    * any of d's tokens. The single-vector ANN lanes compress a document
+    * to one point and lose term-level matching; MaxSim keeps it while
+    * staying embarrassingly parallel — this is the exact brute-force
+    * baseline (the [[bruteForceTopK]] analog): corpus token vectors
+    * never shuffle, queries broadcast, one codegen'd cosine kernel pass,
+    * then the [[maxSimRank]] aggregate tail. Self-docs excluded.
+    * Output: (query_id, neighbor_id, score_micros, rn).
+    *
+    * `queryTok` identifies the token WITHIN its query document (the
+    * per-token max groups on it); any dense or sparse numbering works. */
+  def maxSimTopK(corpus: DataFrame, corpusDoc: Column, corpusVec: Column,
+                 queries: DataFrame, queryDoc: Column, queryTok: Column,
+                 queryVec: Column, k: Int): DataFrame = {
+    val c = corpus.select(corpusDoc.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+    val q = queries.select(queryDoc.as("query_id"), queryTok.as("qtok"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", F.vec_cosine_q6(col("cv"), col("qv")))
+    maxSimRank(scored, k)
+  }
+
+  /** Packing base for the per-token probe ids of
+    * [[maxSimTopKIndexed]]: `quid = (doc + 1) · 2²⁰ + tok`. A power of
+    * two, so the unpack division is IEEE-exact; the `+1` offset keeps
+    * every packed id above any corpus token id `< 2²⁰`, so the probe's
+    * self-id exclusion can never fire against a corpus token. */
+  private val MaxSimPackBase = 1L << 20
+
+  /** The SERVING path of [[maxSimTopK]] (ColBERT's own two-stage shape):
+    * stage 1 probes a persisted IVF index over the CORPUS TOKEN vectors
+    * once per query token (nprobe cells, top-`tokK` tokens — reads only
+    * the probed cell directories, the q54/q195 machinery), the matched
+    * tokens' documents union into a per-query candidate set; stage 2
+    * re-scores ONLY the candidate documents with the exact MaxSim
+    * aggregate. Candidates are (queries × query-tokens × tokK)-bounded —
+    * never corpus-proportional — and broadcast to both the token fetch
+    * and the rerank, so the corpus is touched by exactly one
+    * token→document map pass plus the candidate-token fetch.
+    *
+    * The index at `indexPath` must be a [[writeIvfIndex]] lake keyed by
+    * `corpusTok` (the token id), with token ids `< 2²⁰` (see
+    * [[MaxSimPackBase]]) and `queryTok` in `[0, 2²⁰)`. Recall is
+    * governed by (nprobe, tokK) exactly as in the ANN lanes: a document
+    * is found iff ANY of its tokens surfaces in some token probe. */
+  def maxSimTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String,
+                        corpus: DataFrame, corpusDoc: Column,
+                        corpusTok: Column, corpusVec: Column,
+                        queries: DataFrame, queryDoc: Column,
+                        queryTok: Column, queryVec: Column,
+                        k: Int, nprobe: Int, tokK: Int): DataFrame = {
+    require(tokK >= 1, s"tokK must be >= 1 (got $tokK)")
+    val q = queries.select(queryDoc.cast("long").as("qdoc"),
+      queryTok.cast("long").as("qtok"), queryVec.as("qv"))
+    val packed = q.select(
+      ((col("qdoc") + 1) * MaxSimPackBase + col("qtok")).as("quid"),
+      col("qv"))
+    val probe = ivfTopKIndexed(spark, indexPath, packed, col("quid"),
+      col("qv"), k = tokK, nprobe = nprobe)
+    val tokDoc = corpus.select(corpusTok.cast("long").as("ctok"),
+      corpusDoc.cast("long").as("cdoc"))
+    // candidate pairs: probe hits map token → document (one streamed pass
+    // over the corpus-sized map, probe side broadcast), unpack the query
+    // id, drop self-docs — the division is exact (power-of-two base)
+    val cand = tokDoc
+      .join(broadcast(probe.select(col("neighbor_id").as("ctok"),
+        col("query_id").as("quid"))), Seq("ctok"))
+      .select(((col("quid") / MaxSimPackBase).cast("long") - 1)
+        .as("query_id"), col("cdoc").as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
+      .localCheckpoint(false)
+    // exact MaxSim over the shortlist: candidate docs' tokens only
+    val c = corpus.select(corpusDoc.cast("long").as("neighbor_id"),
+        F.vec_quantize(corpusVec, 1000).as("cv"))
+      .join(broadcast(cand.select(col("neighbor_id")).distinct()),
+        Seq("neighbor_id"))
+    val qq = q.select(col("qdoc").as("query_id"), col("qtok"),
+      F.vec_quantize(col("qv"), 1000).as("qv"))
+    val scored = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qq), Seq("query_id"))
+      .withColumn("cos", F.vec_cosine_q6(col("cv"), col("qv")))
+    maxSimRank(scored, k)
+  }
+
   /** RANGE SEARCH under the cosine metric (pgvector
     * `WHERE v <=> q < r`, spelled as similarity): every pair with q6
     * cosine `>= minCos`, self-pairs excluded. Both engines compare the
