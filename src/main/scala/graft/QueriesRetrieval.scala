@@ -687,6 +687,42 @@ object QueriesRetrieval {
           nBuckets = 16)
         Retrieval.searchWithSnippets(s, path, docs, col("doc_id"),
           col("text"), QTerms, k = 10, w = 6)
+      }),
+
+    // -- CROSS-ENCODER-STYLE RERANK HOOK (r15, Nogueira & Cho 2019's
+    //    retrieve-then-rerank): BM25 pools top-20, a pairwise scorer
+    //    re-scores the POOL ONLY, and the final order is the reranker's.
+    //    The scorer here is the deterministic term-interaction stub that
+    //    stands in for the learned model (an external-model boundary,
+    //    the Multimodal decode-stub convention): per query term,
+    //    hash60('ce:'||term) % 1000 times the term's document frequency,
+    //    summed as exact integers. The oracle replays pool, weights,
+    //    interaction sums, and the rerank order — green proves the
+    //    two-stage plumbing, which is what the hook exists to serve.
+    QueryDef("q217_ce_rerank", Some {
+      val ceSum = QTerms.map(t =>
+        s"(${dkHash60(s"'ce:$t'")} % 1000) * " +
+          s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT)")
+        .mkString(" + ")
+      s"""
+      WITH RECURSIVE ${dkBm25Chain(P)},
+      pool AS (SELECT doc_id, CAST(score_micros AS BIGINT) AS stage1_micros
+               FROM scored WHERE score_micros > 0
+               ORDER BY score_micros DESC, doc_id LIMIT 20),
+      ce AS (SELECT p.doc_id, p.stage1_micros,
+               CAST($ceSum AS BIGINT) AS ce_micros
+             FROM pool p JOIN d USING (doc_id)),
+      ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY ce_micros DESC,
+                   doc_id) AS BIGINT) AS rn FROM ce)
+      SELECT doc_id, ce_micros, stage1_micros, rn FROM ranked
+      WHERE rn <= 10 ORDER BY rn"""
+    },
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val pool = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+          QTerms, k = 20)
+        Retrieval.crossEncoderRerank(docs, col("doc_id"), col("text"),
+          pool, col("doc_id"), col("score_micros"), QTerms, k = 10)
       })
   )
 }

@@ -124,6 +124,61 @@ object Retrieval {
       .orderBy(col("score_micros").desc, col("doc_id"))
       .limit(k)
 
+  // ---- second-stage reranking hook ------------------------------------
+
+  /** The default pair scorer for [[crossEncoderRerank]]: a DETERMINISTIC
+    * term-interaction stand-in for a learned cross-encoder. A real
+    * cross-encoder is an external model (the
+    * [[graft.multimodal.Multimodal]] decode-stub convention: the model
+    * is not a Spark concern and is not in this environment), so the slot
+    * ships with a replayable stub — per query term, a pinned
+    * hash-derived weight `hash60("ce:" ‖ term) mod 1000` times the
+    * term's frequency in the document, summed as exact integers. The
+    * plumbing the stub exercises (candidate pooling, text point-reads,
+    * per-pair scoring, re-ranking) is the real serving path; production
+    * swaps in a scorer backed by a model UDF with the same signature. */
+  def interactionStubScorer(text: Column, terms: Seq[String]): Column =
+    F.bind(TF.tokens(text)) { toks =>
+      terms.map { t =>
+        val w = Kernels.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"ce:$t")) % 1000L
+        lit(w) * size(filter(toks, x => x === lit(t))).cast("long")
+      }.reduce(_ + _)
+    }
+
+  /** CROSS-ENCODER-STYLE RERANK HOOK (the two-stage serving shape of
+    * every production retrieval stack — Nogueira & Cho 2019's
+    * retrieve-then-rerank): a first-stage candidate pool (BM25 / ANN /
+    * hybrid — anything producing `(doc, stage1 score)`) is re-scored
+    * pairwise against the query by `scorer` and re-ranked. The expensive
+    * model runs on CANDIDATES ONLY — the pool is broadcast and the
+    * corpus streamed once for the text point-read (against a bloomed
+    * documents lake, the same read [[graft.operators.Similarity]]'s
+    * lake rerank uses becomes a file-pruned point lookup), so the
+    * stage-2 cost is pool-sized at any corpus size.
+    * Output: `(doc_id, ce_micros, stage1_micros, rn)` — `rn` over
+    * (ce desc, doc asc), the deterministic total order. */
+  def crossEncoderRerank(docs: DataFrame, id: Column, text: Column,
+                         candidates: DataFrame, candDoc: Column,
+                         candScore: Column, terms: Seq[String], k: Int,
+                         scorer: (Column, Seq[String]) => Column =
+                           interactionStubScorer): DataFrame = {
+    val cand = candidates.select(candDoc.cast("long").as("doc_id"),
+      candScore.cast("long").as("stage1_micros"))
+    val scored = docs
+      .select(id.cast("long").as("doc_id"), text.as("_ce_text"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .withColumn("ce_micros", scorer(col("_ce_text"), terms).cast("long"))
+      .drop("_ce_text")
+    scored
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("ce_micros").desc, col("doc_id"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("ce_micros"), col("stage1_micros"),
+        col("rn"))
+      .orderBy(col("rn"))
+  }
+
   // ---- persisted inverted index --------------------------------------
 
   private val StatsFile = "_bm25_stats.json"

@@ -111,6 +111,29 @@ class MaxSimSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"recall@5 $recall below the serving floor")
   }
 
+  test("the exact lane's corpus side reaches the cosine kernel unshuffled " +
+      "(broadcast queries, no corpus exchange before the first partial agg)") {
+    val data = tokVecs(0 until 120)
+    val df = Similarity.maxSimTopK(data, col("doc"), col("embedding"),
+      data.filter(col("doc") < 3), col("doc"), col("tokpos"),
+      col("embedding"), k = 5)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"),
+      s"queries must broadcast, never shuffle the corpus to them:\n$s")
+    // the join feeding the cosine kernel sits BELOW every exchange: the
+    // first shuffle in the plan (reading bottom-up) must be the partial
+    // aggregate's, not a join input's
+    val lines = s.linesIterator.toSeq
+    val joinIdx = lines.lastIndexWhere(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("BroadcastHashJoin"))
+    val exchBelowJoin = lines.drop(joinIdx)
+      .exists(l => l.contains("ShuffleExchange") || l.contains("ShuffleQueryStage"))
+    assert(!exchBelowJoin,
+      s"no exchange may sit below the scoring join:\n$s")
+  }
+
   test("packed probe ids can never collide with corpus token ids") {
     // doc 0, tok 0 packs to 2^20 — strictly above any corpus token < 2^20,
     // so ivfTopKIndexed's self-id exclusion is vacuous by construction

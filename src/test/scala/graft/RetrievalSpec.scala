@@ -622,4 +622,40 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
       .sortBy { case (id, pts) => (-pts, id) }.take(10)
     assert(got === expected)
   }
+
+  test("crossEncoderRerank: the stub matches an independent recount, the " +
+      "final order is the reranker's, and only the pool is scored") {
+    val d = docs(
+      1L -> "spark spark spark engine", 2L -> "spark vector engine",
+      3L -> "vector vector spark dup", 4L -> "dup dup dup dup",
+      5L -> "nothing relevant here", 6L -> "spark dup vector")
+    val terms = Seq("spark", "dup")
+    val pool = Retrieval.bm25TopK(d, col("doc_id"), col("text"), terms, 4)
+    val poolIds = pool.collect().map(_.getLong(0)).toSet
+    val got = Retrieval.crossEncoderRerank(d, col("doc_id"), col("text"),
+        pool, col("doc_id"), col("score_micros"), terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // only pooled docs appear, rn is dense from 1
+    assert(got.map(_._1).toSet.subsetOf(poolIds))
+    assert(got.map(_._3).toSeq == (1L to got.length))
+    // independent stub recount: hash60("ce:"||t) % 1000 · tf
+    def w(t: String): Long = graft.functions.Kernels.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"ce:$t")) % 1000L
+    val texts = Map(1L -> "spark spark spark engine",
+      2L -> "spark vector engine", 3L -> "vector vector spark dup",
+      4L -> "dup dup dup dup", 6L -> "spark dup vector")
+    def stub(id: Long): Long = terms.map(t =>
+      w(t) * texts(id).split(" ").count(_ == t)).sum
+    got.foreach { case (id, ce, _) => assert(ce == stub(id), s"doc $id") }
+    // the order is ce desc, doc asc — not the stage-1 order
+    assert(got.map(x => (-x._2, x._1)).sortBy(identity).toSeq ==
+      got.map(x => (-x._2, x._1)).toSeq)
+    // a custom scorer rides the same hook (the production model slot)
+    val custom = Retrieval.crossEncoderRerank(d, col("doc_id"), col("text"),
+        pool, col("doc_id"), col("score_micros"), terms, k = 1,
+        scorer = (text, _) => -length(text).cast("long"))
+      .collect()
+    assert(custom.length == 1 &&
+      custom(0).getLong(0) == poolIds.minBy(id => texts(id).length))
+  }
 }
