@@ -723,6 +723,56 @@ object QueriesRetrieval {
           QTerms, k = 20)
         Retrieval.crossEncoderRerank(docs, col("doc_id"), col("text"),
           pool, col("doc_id"), col("score_micros"), QTerms, k = 10)
+      }),
+
+    // -- LATE-INTERACTION HYBRID (r15): BM25 lexical pool ∘ multi-vector
+    //    MaxSim pool (q215's chain — embeddings grouped 4 per doc, the
+    //    query = doc 0's token bag, corpus doc 0 self-excluded), fused by
+    //    the exact-integer RRF of q198. The oracle replays both rankings
+    //    and the fusion; a single-vector dense pool in MaxSim's place
+    //    hash-mismatches, proving the late-interaction side.
+    QueryDef("q218_hybrid_maxsim", Some(s"""
+      WITH RECURSIVE ${dkBm25Chain(P)},
+      cmv AS (SELECT vec_id // 4 AS cdoc, ${dkQuant("embedding")} AS cv
+              FROM embeddings),
+      qmv AS (SELECT vec_id % 4 AS qtok, ${dkQuant("embedding")} AS qv
+              FROM embeddings WHERE vec_id < 4),
+      ms AS (SELECT cmv.cdoc, qmv.qtok, ${dkCos("cmv.cv", "qmv.qv")} AS cos
+             FROM cmv, qmv WHERE cmv.cdoc <> 0),
+      tm AS (SELECT cdoc, qtok, max(cos) AS tok_max FROM ms GROUP BY 1, 2),
+      pairms AS (SELECT cdoc AS doc_id,
+                   CAST(sum(CAST(floor(tok_max * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS ms_micros
+                 FROM tm GROUP BY 1),
+      msr AS (SELECT doc_id, row_number() OVER (
+                ORDER BY ms_micros DESC, doc_id) AS r
+              FROM (SELECT * FROM pairms
+                    ORDER BY ms_micros DESC, doc_id LIMIT 20)),
+      lex AS (SELECT doc_id, row_number() OVER (
+                ORDER BY score_micros DESC, doc_id) AS r
+              FROM (SELECT * FROM scored WHERE score_micros > 0
+                    ORDER BY score_micros DESC, doc_id LIMIT 20)),
+      fused AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+                  coalesce((2000000 + 60 + l.r) // (2 * (60 + l.r)), 0) +
+                  coalesce((2000000 + 60 + m.r) // (2 * (60 + m.r)), 0)
+                    AS rrf_micros,
+                  l.r AS bm25_rank, m.r AS maxsim_rank
+                FROM lex l FULL OUTER JOIN msr m ON l.doc_id = m.doc_id)
+      SELECT doc_id, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+             CAST(bm25_rank AS BIGINT) AS bm25_rank,
+             CAST(maxsim_rank AS BIGINT) AS maxsim_rank
+      FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT 10"""),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val emb = T(s, dir, "embeddings")
+        val corpusToks = emb.select(
+          floor(col("vec_id") / 4).cast("long").as("doc"), col("embedding"))
+        val queryToks = emb.filter(col("vec_id") < 4).select(
+          lit(0L).as("qd"), (col("vec_id") % 4).as("qtok"), col("embedding"))
+        Retrieval.hybridMaxSimTopK(docs, col("doc_id"), col("text"),
+          corpusToks, col("doc"), col("embedding"),
+          queryToks, col("qd"), col("qtok"), col("embedding"),
+          QTerms, k = 10, poolK = 20)
       })
   )
 }

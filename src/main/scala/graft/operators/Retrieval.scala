@@ -970,6 +970,48 @@ object Retrieval {
       .limit(k)
   }
 
+  /** LATE-INTERACTION HYBRID (r15): fuse the BM25 lexical ranking with a
+    * MULTI-VECTOR MaxSim ranking ([[Similarity.maxSimTopK]] — ColBERT
+    * late interaction) by the same exact-integer RRF as [[hybridTopK]].
+    * The single-vector dense side of [[hybridTopK]] compresses a
+    * document to one point; the MaxSim side keeps term-level semantic
+    * matching, which is the hybrid modern retrieval stacks actually run
+    * (BM25 ∘ late interaction, fused by RRF — Cormack 2009's combiner
+    * over Khattab & Zaharia 2020's scorer).
+    *
+    * `queryToks` is ONE query's bag of token vectors (`queryDoc` a
+    * constant id; a corpus document with the same id is excluded from
+    * the MaxSim pool, [[Similarity.maxSimTopK]]'s self-doc rule). Both
+    * pools are `poolK`-sized, so the fusion join is broadcast-trivial at
+    * any corpus size. Output
+    * `(doc_id, rrf_micros, bm25_rank, maxsim_rank)`. */
+  def hybridMaxSimTopK(docs: DataFrame, id: Column, text: Column,
+                       corpusToks: DataFrame, corpusDoc: Column,
+                       corpusVec: Column,
+                       queryToks: DataFrame, queryDoc: Column,
+                       queryTok: Column, queryVec: Column,
+                       terms: Seq[String], k: Int, poolK: Int = 50,
+                       c: Int = 60,
+                       params: Bm25Params = Bm25Params()): DataFrame = {
+    require(poolK >= k, s"poolK ($poolK) must be >= k ($k)")
+    val lex = bm25TopK(docs, id, text, terms, poolK, params)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score_micros").desc,
+          col("doc_id"))).cast("long").as("bm25_rank"))
+    val ms = Similarity.maxSimTopK(corpusToks, corpusDoc, corpusVec,
+        queryToks, queryDoc, queryTok, queryVec, k = poolK)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rn").as("maxsim_rank"))
+    lex.join(ms, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(rrfPoints(col("bm25_rank"), c), lit(0L)) +
+          coalesce(rrfPoints(col("maxsim_rank"), c), lit(0L)))
+          .as("rrf_micros"),
+        col("bm25_rank"), col("maxsim_rank"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** [[hybridTopK]] SERVED FROM THE PERSISTED INDEXES (r12, VERDICT r11
     * #7): the lexical pool comes from the bucket-pruned BM25 probe
     * ([[searchBm25Index]] — reads ≤ |terms| bucket dirs) and the dense

@@ -623,6 +623,43 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec
     assert(got === expected)
   }
 
+  test("hybridMaxSimTopK fuses the two rankings by exact RRF (independent " +
+      "recount from each side's own pool)") {
+    import graft.operators.Similarity
+    val d = docs(
+      1L -> "spark vector dup engine", 2L -> "spark spark table scan",
+      3L -> "dup dup vector", 4L -> "unrelated words here",
+      5L -> "vector table", 6L -> "spark dup")
+    // 6 docs x 2 token vectors each, deterministic
+    val toks = (0 until 12).map { i =>
+      (i.toLong / 2 + 1, i.toLong % 2,
+        Array.tabulate(8)(k => (((i % 5) * 3 + k * (1 + i % 3)) % 11).toFloat))
+    }.toDF("doc", "tokpos", "embedding")
+    val qToks = toks.filter(col("doc") === 1)
+      .select(lit(1L).as("qd"), col("tokpos"), col("embedding"))
+    val terms = Seq("spark", "dup")
+    val got = Retrieval.hybridMaxSimTopK(d, col("doc_id"), col("text"),
+        toks, col("doc"), col("embedding"),
+        qToks, col("qd"), col("tokpos"), col("embedding"),
+        terms, k = 6, poolK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // independent recount: each side's own deterministic ranking
+    def rrf(r: Long): Long = { val den = 2 * (60 + r); (2000000 + 60 + r) / den }
+    val lexRanks = Retrieval.bm25TopK(d, col("doc_id"), col("text"), terms, 6)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val msRanks = Similarity.maxSimTopK(toks, col("doc"), col("embedding"),
+        qToks, col("qd"), col("tokpos"), col("embedding"), k = 6)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val expected = (lexRanks.keySet ++ msRanks.keySet).toSeq
+      .map(id => (id, lexRanks.get(id).map(rrf).getOrElse(0L) +
+        msRanks.get(id).map(rrf).getOrElse(0L)))
+      .sortBy { case (id, pts) => (-pts, id) }.take(6)
+    assert(got == expected)
+    // the MaxSim side self-excludes the query doc id
+    assert(!msRanks.contains(1L))
+  }
+
   test("crossEncoderRerank: the stub matches an independent recount, the " +
       "final order is the reranker's, and only the pool is scored") {
     val d = docs(
