@@ -40,7 +40,20 @@ def main():
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
     n_pass = n_fail = n_noracle = 0
+    # Output-type gate (VERDICT r15 #2): the driver hashes SERIALIZED
+    # results, so an oracle projecting HUGEINT/DECIMAL(38) hash-reds
+    # against Spark's INT64 even when every value matches. DESCRIBE is
+    # data-free; fail here so the violation class can't re-enter.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oracle_type_gate import gate as type_gate
+    type_bad = set()
+    for name, why in type_gate(con, oracles):
+        print(f"FAIL  {name}: type gate: {why}")
+        type_bad.add(name)
+    n_fail += len(type_bad)
     for name in names:
+        if name in type_bad:
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL  {name}: no spark output"); n_fail += 1; continue

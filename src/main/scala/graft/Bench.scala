@@ -64,23 +64,35 @@ object Bench {
       canary: Option[(String, Double)])
       : (Seq[Double], Map[String, (Double, Double)]) = {
     val nPasses = runs.values.foldLeft(0)(_ max _.size)
+    // NaN slots (ADVICE r15: failed retry runs hold their pass position)
+    // carry no evidence: a NaN canary run means pass p has no weather
+    // reading (factor 1.0 — no discount), a NaN lane run is skipped
     val factors = (0 until nPasses).map { p =>
       canary.flatMap { case (lane, committed) =>
-        runs.get(lane).filter(r => committed > 0 && r.size > p)
+        runs.get(lane)
+          .filter(r => committed > 0 && r.size > p && !r(p).isNaN)
           .map(r => math.min(3.0, math.max(1.0, r(p) / committed)))
       }.getOrElse(1.0)
     }
     def normBest(rs: Seq[Double]): Double =
-      rs.zipWithIndex.map { case (w, p) =>
+      rs.zipWithIndex.collect { case (w, p) if !w.isNaN =>
         w / (if (p < factors.size) factors(p) else 1.0)
       }.min
     val breaches = runs.collect {
-      case (n, rs) if rs.nonEmpty && floors.contains(n) &&
+      case (n, rs) if rs.exists(!_.isNaN) && floors.contains(n) &&
           normBest(rs) > floors(n) =>
         n -> ((normBest(rs), floors(n)))
     }
     (factors, breaches)
   }
+
+  /** Which passes' weather factors saturated the 3.0 clamp (VERDICT r15
+    * #6): a clamped pass means the canary itself ran ≥3× its committed
+    * best, so a real regression up to (ratio/3)× could hide inside the
+    * discount that pass. Recorded in the artifact so a 4× move in a
+    * 3×-storm window is visible evidence, not a silent absorption. */
+  private[graft] def clampSaturated(ratios: Seq[Double]): Seq[Boolean] =
+    ratios.map(r => !r.isNaN && r >= 3.0)
 
   /** The UNCAPPED per-pass canary ratios (ADVICE r12, re-armed r15): the
     * capped factors above scale every floor, so a genuinely uniform
@@ -181,7 +193,11 @@ object Bench {
     }
     def runRetry(): Unit = {
       val (w, _, _, _, k, f) = time(body)
-      if (!f) { wallRetry += w; tcpuRetry += k }
+      // ADVICE r15: a failed retry run keeps its SLOT as NaN so the
+      // retry arrays stay pass-aligned — silently compacting them paired
+      // a lane's pass-p run with the wrong pass's canary weather factor
+      wallRetry += (if (f) Double.NaN else w)
+      tcpuRetry += (if (f) Double.NaN else k)
     }
   }
 
@@ -633,7 +649,8 @@ object Bench {
     val results = timedRun.filterNot(_.fixture)
     val fixtures = timedRun.filter(_.fixture)
     def jnum(d: Double): String = // ms precision, '.' regardless of locale
-      "%.3f".formatLocal(java.util.Locale.ROOT, d)
+      if (d.isNaN) "null" // failed-retry placeholder slots (ADVICE r15)
+      else "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // summary entries are 10-ms precision: the driver keeps only the LAST
     // ~2000 stdout chars, and at 3 decimals the 60+-lane summary line
     // already brushed that window in r13 — full 3-decimal arrays live on
@@ -719,7 +736,8 @@ object Bench {
       (1 to passes).foreach(_ => retryLanes.foreach(_.runRetry()))
     }
     val retryRuns: Map[String, Seq[Double]] = retryLanes
-      .filter(_.wallRetry.nonEmpty).map(t => t.name -> t.wallRetry.toSeq).toMap
+      .filter(_.wallRetry.exists(d => !d.isNaN))
+      .map(t => t.name -> t.wallRetry.toSeq).toMap
     val (retryFactors, retryBreachesAll) =
       floorBreachesPerPass(retryRuns, floors, canary)
     // a lane breach stands only if BOTH windows breach (a retry run that
@@ -731,7 +749,8 @@ object Bench {
       case (n, mainBr) if !retryRuns.contains(n) => n -> mainBr
     }
     val retryCanaryRatios = canary.toSeq.flatMap { case (lane, committed) =>
-      if (committed > 0) retryRuns.getOrElse(lane, Nil).map(_ / committed)
+      if (committed > 0) retryRuns.getOrElse(lane, Nil)
+        .filter(d => !d.isNaN).map(_ / committed)
       else Nil
     }
     // the quiet-host alarm too must survive its retry (fresh ratios AND a
@@ -760,16 +779,23 @@ object Bench {
     // the adjudication trail the r14 verdict had to reconstruct from raw
     // arrays lives in the artifact itself now
     val passFactorsJson = passFactors.map(jq).mkString("[", ",", "]")
+    // clamp-saturation evidence (VERDICT r15 #6): BENCH_r15's pass 3 hit
+    // the 3.0 cap — flag such passes so a real 4× regression inside a
+    // 3×-storm window reads as "clamped pass" in the artifact, not noise
+    val passClampedJson = clampSaturated(canaryRatios)
+      .map(_.toString).mkString("[", ",", "]")
     val retryJson =
       if (!needRetry) ""
       else {
         val lanes = retryRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
           "\"" + n + "\":" + rs.map(jnum).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
-        s""","retry":{"lanes":$lanes,"pass_factors":${retryFactors.map(jq).mkString("[", ",", "]")}}"""
+        val clamped = clampSaturated(retryCanaryRatios)
+          .map(_.toString).mkString("[", ",", "]")
+        s""","retry":{"lanes":$lanes,"pass_factors":${retryFactors.map(jq).mkString("[", ",", "]")},"pass_clamped":$clamped}"""
       }
     // detail first, compact summary LAST: the driver keeps the tail
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"canary_ratio":${jnum(rawCanaryRatio)},"pass_factors":$passFactorsJson,"load_per_core":${jnum(loadPerCore)},"task_cpu_total":${jnum(taskCpuTotal)},"floor_breaches":$breachesJson$retryJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{${entries(results)}},"fixtures":{${entries(fixtures)}},"recall_ivfpq_at10":${jnum(recall)},"recall_ivfpq_rerank_at10":${jnum(recallRr)},"recall_ivfsq8_at10":${jnum(recallSq8)},"failed":$failedArr,"host_factor":${jnum(hostFactor)},"canary_ratio":${jnum(rawCanaryRatio)},"pass_factors":$passFactorsJson,"pass_clamped":$passClampedJson,"load_per_core":${jnum(loadPerCore)},"task_cpu_total":${jnum(taskCpuTotal)},"floor_breaches":$breachesJson$retryJson,"sf":"$sfDir"}"""
     val detail = s"""{"detail":{"runs":${arrays(_.wall.toSeq)},"cpu":${arrays(_.cpu.toSeq)},"gc":${arrays(_.gc.toSeq)},"jit":${arrays(_.jit.toSeq)},"task_cpu":${arrays(_.tcpu.toSeq)}}}"""
     println(detail)
     println(summary)

@@ -108,7 +108,8 @@ object QueriesML {
       lb2 AS (SELECT *, $best AS best FROM lh),
       lng AS (SELECT doc_id, CASE $cases
                 ELSE '${TF.langMarkers.head._1}' END AS lang FROM lb2),
-      base AS (SELECT t.doc_id, l.lang, len(t.ts) AS n, coalesce(a.m, 0) AS m
+      base AS (SELECT t.doc_id, l.lang, len(t.ts) AS n,
+                 CAST(coalesce(a.m, 0) AS BIGINT) AS m
                FROM toks t JOIN lng l USING (doc_id)
                LEFT JOIN agg a USING (doc_id)
                WHERE len(t.ts) > 0),
@@ -3277,7 +3278,7 @@ object QueriesML {
     QueryDef("q167_ngram_lm", Some(s"""
       WITH RECURSIVE ${dkNgramLmChain("documents")}
       SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
-        coalesce(a.m, 0) AS logscore_micros,
+        CAST(coalesce(a.m, 0) AS BIGINT) AS logscore_micros,
         CASE WHEN len(t.ts) > 0 THEN
           ${dkQround("CAST(coalesce(a.m, 0) AS DOUBLE) / 1000000.0 / len(t.ts)", 6)}
         END AS avg_logp,
@@ -3395,7 +3396,7 @@ object QueriesML {
     QueryDef("q167d_lm_int_score", Some(s"""
       WITH RECURSIVE ${dkNgramLmChain("documents")}
       SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
-        coalesce(a.m, 0) AS logscore_micros
+        CAST(coalesce(a.m, 0) AS BIGINT) AS logscore_micros
       FROM toks t LEFT JOIN agg a USING (doc_id)
       ORDER BY t.doc_id"""),
       (s, dir) => {

@@ -166,16 +166,30 @@ object IndexSnapshots {
       // as "pinned file gone" (ADVICE r13). One v1 cohort is ALREADY
       // root-relative: the r13 writer chain-resolved rels while still
       // stamping version:1, so unconditional prefixing would double the
-      // version dir (ADVICE r14). Disambiguate by the first path
-      // component: a version-dir-relative rel always starts with a
-      // `partition=` dir (both index layouts store data files only under
-      // bucket=/cell= dirs), a root-relative one with a version-dir name
-      // — the same convention [[pinnedPointers]] reads back.
+      // version dir (ADVICE r14). The r14 name-shape rule (`=` in the
+      // first component ⇒ version-dir-relative) broke the r13 cohort's
+      // ROOT-LAYER files (rels like `bucket=3/part-...` directly under
+      // the index root — the case [[pinnedPointers]] maps to "").
+      // Disambiguate by EVIDENCE instead (ADVICE r15): an ambiguous rel
+      // resolves to whichever candidate exists with the pinned
+      // (len, mtime) identity — unprefixed first (the r13 cohort), then
+      // pointer-prefixed (the pre-r13 cohort); when neither matches, the
+      // prefixed form keeps the r14 behavior so a genuinely-gone pinned
+      // file still fails restore loudly at precheck.
       val key = e.getKey
+      val len = e.getValue.get("len").asLong
+      val mt = e.getValue.get("mtime").asLong
+      def matchesPin(rel: String): Boolean =
+        try {
+          val st = fs.getFileStatus(new Path(root, rel))
+          st.getLen == len && st.getModificationTime == mt
+        } catch { case _: java.io.FileNotFoundException => false }
       val verRelative = key.takeWhile(_ != '/').contains('=')
-      val rel = if (fmt >= 2 || pointer.isEmpty || !verRelative) key
-                else s"$pointer/$key"
-      (rel, e.getValue.get("len").asLong, e.getValue.get("mtime").asLong)
+      val rel =
+        if (fmt >= 2 || pointer.isEmpty || !verRelative) key
+        else if (matchesPin(key)) key
+        else s"$pointer/$key"
+      (rel, len, mt)
     }
     val comps = node.path("companions").fields().asScala.toSeq.map { e =>
       e.getKey -> e.getValue.elements().asScala.toSeq.map(o =>

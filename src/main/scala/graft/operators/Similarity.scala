@@ -166,12 +166,29 @@ object Similarity {
     require(tokK >= 1, s"tokK must be >= 1 (got $tokK)")
     val q = queries.select(queryDoc.cast("long").as("qdoc"),
       queryTok.cast("long").as("qtok"), queryVec.as("qv"))
+    // Packing-contract guard (ADVICE r15): the doc'd bounds — queryTok in
+    // [0, 2²⁰), qdoc+1 < 2³³ so quid < 2⁵³ stays IEEE-exact under the
+    // unpack division, corpus token ids in [0, 2²⁰) so probe hits can
+    // never collide with packed query ids — were comment-only; a violator
+    // silently corrupted the candidate mapping. assert_true rides the
+    // existing row passes (two codegen'd comparisons), and the
+    // `when(...isNull, x)` wrapper forces evaluation so the optimizer
+    // cannot prune the check away.
+    def guarded(x: Column, lo: Long, hiExcl: Long, what: String): Column =
+      when(assert_true(x >= lo && x < hiExcl,
+        concat(lit(s"maxSimTopKIndexed: $what out of packing range " +
+          s"[$lo, $hiExcl): "), x.cast("string"))).isNull, x)
     val packed = q.select(
-      ((col("qdoc") + 1) * MaxSimPackBase + col("qtok")).as("quid"),
+      ((guarded(col("qdoc"), 0L, (1L << 33) - 1, "query doc id") + 1) *
+        MaxSimPackBase +
+        guarded(col("qtok"), 0L, MaxSimPackBase, "query token id"))
+        .as("quid"),
       col("qv"))
     val probe = ivfTopKIndexed(spark, indexPath, packed, col("quid"),
       col("qv"), k = tokK, nprobe = nprobe)
-    val tokDoc = corpus.select(corpusTok.cast("long").as("ctok"),
+    val tokDoc = corpus.select(
+      guarded(corpusTok.cast("long"), 0L, MaxSimPackBase,
+        "corpus token id").as("ctok"),
       corpusDoc.cast("long").as("cdoc"))
     // candidate pairs: probe hits map token → document (one streamed pass
     // over the corpus-sized map, probe side broadcast), unpack the query

@@ -97,6 +97,50 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(breaches.keySet == Set("qW_mv_merge"))
   }
 
+  test("clamp saturation is flagged per pass (VERDICT r15 #6): a 3×-storm " +
+      "pass reads clamped=true in the artifact, quiet passes false") {
+    // BENCH_r15's literal pass_factors shape: [1.53, 1.30, 3.00] — the
+    // third pass's canary ran ≥3× committed, so up to (ratio/3)× of real
+    // regression could hide inside that pass's discount
+    assert(Bench.clampSaturated(Seq(1.53, 1.30, 4.2)) ==
+      Seq(false, false, true))
+    assert(Bench.clampSaturated(Seq(3.0)) == Seq(true)) // exactly at cap
+    assert(Bench.clampSaturated(Seq(0.9, 1.0)) == Seq(false, false))
+    // failed-run placeholder slots carry no clamp evidence
+    assert(Bench.clampSaturated(Seq(Double.NaN, 5.0)) == Seq(false, true))
+    assert(Bench.clampSaturated(Nil) == Nil)
+  }
+
+  test("failed retry runs keep pass alignment (ADVICE r15): a NaN slot " +
+      "neither discounts as weather nor counts as evidence") {
+    // canary's pass-1 retry failed (NaN slot); the lane's pass-1 run must
+    // pair with factor 1.0, NOT with pass 2's storm factor — under the
+    // old compaction the lane's [in-storm, quiet] runs would shift left
+    // and the quiet run would borrow the storm's 3× discount
+    val runs = Map(
+      "q01_pricing_summary" -> Seq(Double.NaN, 0.81), // pass 2 at 3×
+      "q167_ngram_lm" -> Seq(6.62, 6.65)) // 2× the floor both passes
+    val (factors, breaches) =
+      Bench.floorBreachesPerPass(runs, floors, canary)
+    assert(factors == Seq(1.0, 3.0))
+    // pass-2's genuine 3× weather discounts 6.65 → 2.22 ≤ 3.31: acquitted
+    // by ITS OWN pass — correct; but had the NaN compacted away, pass 1's
+    // 6.62 would also have claimed the 3× discount
+    assert(breaches.isEmpty)
+    // a lane whose lone surviving run is quiet-pass still trips
+    val runs2 = Map(
+      "q01_pricing_summary" -> Seq(0.27, Double.NaN),
+      "q167_ngram_lm" -> Seq(6.62, Double.NaN))
+    val (f2, b2) = Bench.floorBreachesPerPass(runs2, floors, canary)
+    assert(f2 == Seq(1.0, 1.0))
+    assert(b2.keySet == Set("q167_ngram_lm"))
+    // all-NaN lane: no evidence, no breach, no crash
+    val runs3 = Map(
+      "q01_pricing_summary" -> Seq(0.27),
+      "q167_ngram_lm" -> Seq(Double.NaN))
+    assert(Bench.floorBreachesPerPass(runs3, floors, canary)._2.isEmpty)
+  }
+
   test("quiet-host canary alarm: fires only when EVERY pass is slow AND " +
       "the load is genuinely idle (r14 false-fired at load 0.108)") {
     // the r14 judge-host shape: ratio 1.633 at load/core 0.108 — loaded,

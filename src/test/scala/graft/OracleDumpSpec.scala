@@ -69,4 +69,51 @@ class OracleDumpSpec extends AnyFunSuite {
     val again = SparkEntry.oracleSql
     assert(again === dump)
   }
+
+  // ---- Output-type gate (VERDICT r15 #2) -------------------------------
+  // The driver hashes SERIALIZED results: an oracle projecting HUGEINT
+  // (DuckDB's uncast sum(BIGINT)) hash-reds against Spark's INT64 even
+  // when every cell value is identical — the r11-r15 q167/q169 class.
+  // scripts/oracle_type_gate.py DESCRIBEs every dumped oracle (data-free
+  // bind, no execution) and fails on HUGEINT/UHUGEINT/DECIMAL(38,*).
+  // These lanes shell into it; skipped cleanly where python3+duckdb are
+  // unavailable (the driver's gate re-runs it via local_check.py).
+
+  private lazy val pyDuckdb: Boolean =
+    try scala.sys.process.Process(
+      Seq("python3", "-c", "import duckdb")).!  == 0
+    catch { case _: Exception => false }
+
+  test("type-gate selftest: the deliberately-uncast fixture is caught") {
+    assume(pyDuckdb, "python3+duckdb unavailable")
+    val rc = scala.sys.process.Process(
+      Seq("python3", "scripts/oracle_type_gate.py", "--selftest")).!
+    assert(rc == 0, "oracle_type_gate.py --selftest failed — the gate " +
+      "no longer catches an uncast sum(BIGINT) projection")
+  }
+
+  test("no dumped oracle projects HUGEINT/UHUGEINT/DECIMAL(38,*)") {
+    assume(pyDuckdb, "python3+duckdb unavailable")
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory, "testdata unavailable")
+    val tmp = java.nio.file.Files.createTempFile("oracle_dump", ".json")
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(tmp,
+      dump.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+        .mkString("{", ",", "}"))
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(
+      Seq("python3", "scripts/oracle_type_gate.py", tmp.toString, sf))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n')))
+    java.nio.file.Files.deleteIfExists(tmp)
+    assert(rc == 0, s"oracle type gate found violations:\n$out")
+  }
 }
