@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered IVF index → cell-pruned index probe (pgvector-planner
     // pattern; approximate by declared opt-in, deterministic in result)
     ext.injectOptimizerRule(sp => graft.plans.AnnRewrite(sp))
+    // GROUP BY doc + maxsim_q6(vec, <bag>) ORDER BY score DESC LIMIT k
+    // over a token corpus with a registered IVF index → the two-stage
+    // probe + candidate rerank (declarative multi-vector search)
+    ext.injectOptimizerRule(sp => graft.plans.MaxSimRewrite(sp))
     // ANSI DELETE FROM / MERGE INTO over a live zlake target → the
     // journaled copy-on-write mutation path (Delta-style v1 interception)
     ext.injectPostHocResolutionRule(sp => graft.plans.GraftDml(sp))
@@ -97,6 +101,8 @@ object GraftExtensions {
     // aggregates: the analyzer wraps a bare AggregateFunction automatically
     "graft_vec_mean" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.VecMeanAgg(a.head)),
+    "graft_maxsim_q6" -> ((a: Seq[Expression]) =>
+      graft.functions.KernelAggs.MaxSimQ6Agg(a(0), a(1))),
     "graft_cms_sketch" -> ((a: Seq[Expression]) =>
       graft.functions.KernelAggs.CmsAgg(a(0),
         intArg(a(1), "depth"), intArg(a(2), "width"))),

@@ -112,6 +112,122 @@ object KernelAggs {
   def vec_mean(c: Column): Column =
     ColumnBridge.column(VecMeanAgg(ColumnBridge.expression(c)).toAggregateExpression())
 
+  /** MaxSim late-interaction score (ColBERT — Khattab & Zaharia 2020) per
+    * group, against a CONSTANT query bag: `Σ_j max over the group's rows
+    * of cosQ6(cv, q_j)`, each per-token max rounded to integer micros
+    * (`floor(cos·10⁶ + 0.5)` — the rounding is monotone, so rounding
+    * before or after the max is identical and the partial buffers stay
+    * exact integers). This is the aggregate spelling of
+    * [[graft.operators.Similarity.maxSimTopK]]'s scoring tail: a user
+    * writes `groupBy(doc).agg(maxsim_q6(cv, bag)) ORDER BY ... LIMIT k`
+    * (the brute-force shape) and [[graft.plans.MaxSimRewrite]] substitutes
+    * the two-stage index probe when one is registered.
+    *
+    * `queryBag` must be a non-empty constant `array<array<long>>` of
+    * quantized query-token vectors. Null corpus rows are skipped (a group
+    * whose every vector is null scores null, matching the brute path's
+    * null-skipping `max`). The buffer is one long per query token —
+    * map-side combinable, merge-order-free. */
+  case class MaxSimQ6Agg(
+      child: Expression, queryBag: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+    override def left: Expression = child
+    override def right: Expression = queryBag
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    @transient private lazy val qVecs: Array[Array[Long]] = {
+      require(queryBag.foldable,
+        "maxsim_q6: the query bag must be a constant (foldable) expression")
+      val elemT = queryBag.dataType match {
+        case ArrayType(ArrayType(et @ (LongType | IntegerType), _), _) => et
+        case other => throw new IllegalArgumentException(
+          s"maxsim_q6: the query bag must be array<array<bigint>> (got $other)")
+      }
+      val v = queryBag.eval()
+      require(v != null, "maxsim_q6: the query bag must not be null")
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() > 0,
+        "maxsim_q6: the query bag must not be empty")
+      Array.tabulate(arr.numElements()) { j =>
+        val e = arr.getArray(j)
+        require(e != null,
+          "maxsim_q6: the query bag must not contain null vectors")
+        if (elemT == LongType) e.toLongArray()
+        else e.toIntArray().map(_.toLong)
+      }
+    }
+
+    override def createAggregationBuffer(): Array[Long] =
+      Array.fill(qVecs.length)(Long.MinValue)
+
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val cv = v.asInstanceOf[ArrayData].toLongArray()
+        var j = 0
+        while (j < b.length) {
+          val m = math.floor(
+            Kernels.cosineQ6Arrays(cv, qVecs(j)) * 1000000.0 + 0.5).toLong
+          if (m > b(j)) b(j) = m
+          j += 1
+        }
+      }
+      b
+    }
+
+    override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < b.length) { if (o(j) > b(j)) b(j) = o(j); j += 1 }
+      b
+    }
+
+    override def eval(b: Array[Long]): Any =
+      if (b.isEmpty || b(0) == Long.MinValue) null
+      else {
+        var s = 0L; var j = 0
+        while (j < b.length) { s += b(j); j += 1 }
+        s
+      }
+
+    override def serialize(b: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 8 * b.length)
+      bb.putInt(b.length)
+      var j = 0
+      while (j < b.length) { bb.putLong(b(j)); j += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val out = new Array[Long](n)
+      var j = 0
+      while (j < n) { out(j) = bb.getLong(); j += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): MaxSimQ6Agg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): MaxSimQ6Agg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): MaxSimQ6Agg =
+      copy(child = newLeft, queryBag = newRight)
+    override def prettyName: String = "graft_maxsim_q6"
+  }
+
+  /** Column wrapper: MaxSim score of a group's quantized token vectors
+    * against a constant quantized query bag. */
+  def maxsim_q6(cv: Column, queryBag: Column): Column =
+    ColumnBridge.column(MaxSimQ6Agg(ColumnBridge.expression(cv),
+      ColumnBridge.expression(queryBag)).toAggregateExpression())
+
   // ---------------------------------------------------------------------------
 
   /** Count-Min Sketch buffer: `depth × width` long counters, flattened. */

@@ -214,6 +214,72 @@ object Similarity {
     maxSimRank(scored, k)
   }
 
+  /** The two-stage MaxSim serving plan for a CONSTANT quantized query bag
+    * — the substitution target of [[graft.plans.MaxSimRewrite]] (the
+    * declarative `groupBy(doc).agg(maxsim_q6(...)) ORDER BY ... LIMIT k`
+    * shape). Unlike [[maxSimTopKIndexed]] the per-token cell probe runs
+    * at PLAN TIME (the bag is a constant, exactly like
+    * [[graft.plans.AnnRewrite]]'s centroid probe), so the assignment read
+    * carries a static `cell IN (...)` partition filter — only the probed
+    * cell directories are listed. Stage 1 ranks each query token's
+    * top-`tokK` corpus tokens within its probed cells; matched tokens map
+    * to documents through one streamed pass over the (token → doc)
+    * projection; stage 2 re-scores ONLY the candidate documents with the
+    * same [[graft.functions.KernelAggs.MaxSimQ6Agg]] aggregate the brute
+    * query uses — score-identical by construction. No self-doc exclusion:
+    * a constant bag has no document identity. Returns
+    * `(doc, score_micros)` unranked — the caller's surviving Sort + Limit
+    * execute the top-k over the candidate-bounded set.
+    *
+    * Everything here is a pure logical plan (no checkpoint, no job): the
+    * builder runs inside an optimizer rule. */
+  private[graft] def maxSimServeConstQ(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpusTokens: DataFrame, docCol: String, tokCol: String,
+      vecCol: String, qVecs: Array[Array[Long]],
+      nprobe: Int, tokK: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    require(tokK >= 1, s"tokK must be >= 1 (got $tokK)")
+    require(qVecs.nonEmpty, "query bag must not be empty")
+    val cents = readCentroids(spark, indexPath)
+    // plan-time per-token probe: nprobe best cells under (cosQ6 desc,
+    // cell asc) — the same ordering the data-side probe uses
+    val probes: Seq[(Int, Seq[Long], Seq[Int])] =
+      qVecs.toSeq.zipWithIndex.map { case (qv, j) =>
+        val cells = cents
+          .map { case (cid, c) => (cid, graft.functions.Kernels.cosineQ6Arrays(qv, c)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(nprobe).map(_._1).toSeq
+        (j, qv.toSeq, cells)
+      }
+    val allCells = probes.flatMap(_._3).distinct.sorted
+    import spark.implicits._
+    val qdf = probes.toDF("qtok", "qv", "cells")
+    val assigned = readAssign(spark, indexPath)
+      .filter(col("cell").isin(allCells.map(Int.box).toSeq: _*))
+    val scoredTok = assigned
+      .join(broadcast(qdf), array_contains(col("cells"), col("cell")))
+      .withColumn("cos", F.vec_cosine_q6(col("cv"), col("qv")))
+    val topTok = TopK.perGroup(scoredTok, tokK, Seq(col("qtok")),
+      Seq(col("cos").desc, col("neighbor_id").asc))
+    val cand = corpusTokens
+      .select(col(tokCol).cast("long").as("ctok"), col(docCol).as("cdoc"))
+      .join(broadcast(topTok
+        .select(col("neighbor_id").cast("long").as("ctok")).distinct()),
+        Seq("ctok"))
+      .select(col("cdoc")).distinct()
+    // exact rerank: the SAME aggregate the declarative brute shape uses,
+    // over candidate docs' tokens only
+    val bagLit = typedlit(qVecs.map(_.toSeq).toSeq)
+    corpusTokens
+      .select(col(docCol).as("cdoc"),
+        F.vec_quantize(col(vecCol), 1000).as("cv"))
+      .join(broadcast(cand), Seq("cdoc"))
+      .groupBy(col("cdoc"))
+      .agg(graft.functions.KernelAggs.maxsim_q6(col("cv"), bagLit)
+        .as("score_micros"))
+  }
+
   /** RANGE SEARCH under the cosine metric (pgvector
     * `WHERE v <=> q < r`, spelled as similarity): every pair with q6
     * cosine `>= minCos`, self-pairs excluded. Both engines compare the
@@ -1279,7 +1345,10 @@ object Similarity {
     // their freshness fingerprint on every committed batch (VERDICT r13
     // #5) — without this, streaming ingest advances the index while the
     // AnnRewrite guard keeps failing and silently serves full scans
-    if (adopted) graft.plans.AnnIndex.onIndexAdvanced(spark, path)
+    if (adopted) {
+      graft.plans.AnnIndex.onIndexAdvanced(spark, path)
+      graft.plans.MaxSimIndex.onIndexAdvanced(spark, path)
+    }
     adopted
   }
 

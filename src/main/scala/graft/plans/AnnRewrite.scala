@@ -154,7 +154,7 @@ object AnnIndex {
   private[graft] def lookup(path: String): Option[Registration] =
     Option(registry.get(MvRewrite.norm(path)))
 
-  private def fingerprint(spark: SparkSession, path: String): String =
+  private[plans] def fingerprint(spark: SparkSession, path: String): String =
     try graft.sources.ZLake.stateFingerprint(spark, path)
     catch { case NonFatal(_) => "unreadable" }
 
@@ -263,7 +263,8 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           if a.name == reg.vecCol && rel.outputSet.contains(a) => a
       case _ => return None
     }
-    if (!verifyQuantization(cexpr, rel, vecAttr, qArr.length)) return None
+    if (!AnnVerify.quantization(cexpr, rel.output, vecAttr, qArr.length))
+      return None
 
     // filters below the Project: predicate pushdown substitutes the
     // cosine alias with its full expression, so re-anchor any subtree
@@ -358,14 +359,17 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       .map(c => Filter(c, projected)).getOrElse(projected))
   }
 
-  /** Behavioral gate: bound against the relation, `cexpr` must reproduce
-    * `vec_quantize(vecCol, 1000)` on a fixed probe set — rounding-boundary
-    * magnitudes, negatives, zero — and preserve null. Literal-free
-    * verification that survives whatever shape the optimizer has folded
-    * the quantization chain into. */
-  private def verifyQuantization(cexpr: Expression, rel: LogicalRelation,
-                                 vecAttr: AttributeReference,
-                                 dim: Int): Boolean = {
+}
+
+/** Behavioral gate shared by [[AnnRewrite]] and [[MaxSimRewrite]]: bound
+  * against the relation output, `cexpr` must reproduce
+  * `vec_quantize(vecCol, 1000)` on a fixed probe set — rounding-boundary
+  * magnitudes, negatives, zero — and preserve null. Literal-free
+  * verification that survives whatever shape the optimizer has folded
+  * the quantization chain into. */
+private[plans] object AnnVerify {
+  def quantization(cexpr: Expression, relOutput: Seq[Attribute],
+                   vecAttr: AttributeReference, dim: Int): Boolean = {
     cexpr.dataType match {
       case ArrayType(LongType, _) =>
       case _ => return false
@@ -375,8 +379,8 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => return false
     }
     if (!cexpr.deterministic) return false
-    val bound = BindReferences.bindReference(cexpr, rel.output)
-    val idx = rel.output.indexWhere(_.exprId == vecAttr.exprId)
+    val bound = BindReferences.bindReference(cexpr, relOutput)
+    val idx = relOutput.indexWhere(_.exprId == vecAttr.exprId)
     if (idx < 0) return false
 
     val samples: Seq[Array[Double]] = Seq(
@@ -388,7 +392,7 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         case FloatType => raw.map(d => d.toFloat: Any)
         case _ => raw.map(d => d: Any)
       }
-      val row = new GenericInternalRow(rel.output.size)
+      val row = new GenericInternalRow(relOutput.size)
       row.update(idx, new GenericArrayData(vals))
       val expected = vals.map {
         case f: Float => math.floor(f.toDouble * 1000 + 0.5).toLong
@@ -400,7 +404,7 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
     } && {
       // null vector must stay null (never a fabricated score)
-      val row = new GenericInternalRow(rel.output.size)
+      val row = new GenericInternalRow(relOutput.size)
       row.update(idx, null)
       bound.eval(row) == null
     }
