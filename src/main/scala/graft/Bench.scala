@@ -228,6 +228,9 @@ object Bench {
     /** Cell-partitioned cosine IVF index over embeddings (q198's dense
       * serving side; 8 seed cells). */
     val ivfIdx: String = tmp("ivf") + "/idx"
+    /** Materialized (doc, tok, embedding) token corpus — the registered
+      * base of the declarative-MaxSim read lane (q219's shape). */
+    val mvToks: String = tmp("mvtoks") + "/toks"
     /** Codes-only IVF,SQ8 index (q206/q207's serving layout). */
     val sq8Idx: String = tmp("sq8") + "/idx"
     /** Bloom-manifested embeddings z-lake — the PRIMARY store the
@@ -308,6 +311,14 @@ object Bench {
         emb.withColumn("pad", (col("vec_id") % 97).cast("long")),
         "vec_id", "pad", embLake, numFiles = 16, bits = 12,
         bloomCols = Seq("vec_id"))
+      // declarative-MaxSim base: the ivfIdx token index (keyed by
+      // vec_id = tok) serves the registered (doc, tok, embedding) corpus
+      emb.select(floor(col("vec_id") / 4).cast("long").as("doc"),
+          col("vec_id").as("tok"), col("embedding"))
+        .write.mode("overwrite").parquet(mvToks)
+      graft.plans.MaxSimIndex.register(spark, mvToks, ivfIdx,
+        docCol = "doc", tokCol = "tok", vecCol = "embedding",
+        nprobe = 2, tokK = 8)
     }
 
     /** Fixed hybrid query vector (embedding 7, q198's). */
@@ -579,6 +590,19 @@ object Bench {
             docsMv, col("doc"), col("tok"), col("embedding"),
             docsMv.filter(col("doc") < 3), col("doc"), col("tokpos"),
             col("embedding"), k = 5, nprobe = 2, tokK = 8).collect()
+          ()
+        }),
+        // declarative MaxSim (r16): the brute-shape SQL query over the
+        // registered token corpus, answered by MaxSimRewrite's two-stage
+        // substitution — times the whole planner-served path end-to-end
+        new Timed("qR_maxsim_sql", {
+          spark.read.parquet(lakes.mvToks)
+            .groupBy(col("doc"))
+            .agg(graft.functions.KernelAggs.maxsim_q6(
+              graft.functions.Functions.vec_quantize(col("embedding"), 1000),
+              typedlit(QueriesML.dkMsBag)).as("score_micros"))
+            .orderBy(col("score_micros").desc, col("doc"))
+            .limit(5).collect()
           ()
         }),
         // lake-served SQ8 rerank (r13): codes-only probe shortlist, then

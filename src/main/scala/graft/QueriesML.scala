@@ -68,6 +68,19 @@ object QueriesML {
       r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY cos DESC, cell) AS rn FROM a2)"""
 
+  /** Constant quantized query bag for the declarative MaxSim lanes
+    * (q219/q220): 3 query tokens × 64 dims from a pure integer formula —
+    * compile-time constants spliced into BOTH engines, no process
+    * state. Magnitudes ≈ raw·1000, matching the corpus quantization. */
+  private[graft] val dkMsBag: Seq[Seq[Long]] =
+    (0 until 3).map(t => (0 until 64).map(j =>
+      (((t * 131 + j * 37) % 1601) - 800).toLong))
+
+  /** The bag as a DuckDB VALUES list `(qtok, qv BIGINT[])`. */
+  private def dkMsBagValues: String = dkMsBag.zipWithIndex.map {
+    case (v, t) => s"($t, CAST(${v.mkString("[", ", ", "]")} AS BIGINT[]))"
+  }.mkString(", ")
+
   /** `lnm(v, m)` CTE block — the PURE-INTEGER fixed-point ln-micros of
     * [[graft.functions.Kernels.lnFixMicros]], replayed by the engine
     * itself as a recursive CTE over the chain's own distinct counts
@@ -3886,6 +3899,134 @@ object QueriesML {
             docs.filter(col("doc") < 3), col("doc"), col("qtokpos"),
             col("embedding"), k = 5, nprobe = 2, tokK = 8)
           .orderBy(col("query_id"), col("rn"))
+      }),
+
+    // -- DECLARATIVE MaxSim (r16, VERDICT r15 #4): the user writes the
+    //    BRUTE-FORCE late-interaction query — groupBy(doc) +
+    //    maxsim_q6(quantized vec, constant bag), ORDER BY score DESC
+    //    LIMIT k — over a registered token corpus, and MaxSimRewrite
+    //    substitutes the q216 two-stage plan (plan-time per-token cell
+    //    probe → top-tokK tokens → candidate-doc union → exact rerank).
+    //    The oracle replays probe → union → rerank, NOT the brute
+    //    scoring, so green proves the rewrite FIRED and pruned
+    //    correctly: with nprobe=2 of 8 cells the candidate set is a
+    //    strict subset of the corpus and the brute answer differs.
+    QueryDef("q219_maxsim_declarative", Some(s"""
+      WITH ${dkIvfCells(8)},
+      cell2 AS (SELECT vec_id AS ctok, vec_id // 4 AS cdoc, qv AS cv, cell
+                FROM r2 WHERE rn = 1),
+      qt AS (SELECT qtok, qv FROM (VALUES $dkMsBagValues) t(qtok, qv)),
+      pa AS (SELECT qt.qtok, qt.qv, cent.cell,
+               ${dkCos("qt.qv", "cent.cq")} AS cos
+             FROM qt, cent),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY qtok
+               ORDER BY cos DESC, cell) AS rn FROM pa),
+      pc AS (SELECT qtok, qv, cell FROM pr WHERE rn <= 2),
+      tkc AS (SELECT p.qtok, c.ctok, c.cdoc, ${dkCos("c.cv", "p.qv")} AS cos
+              FROM cell2 c JOIN pc p USING (cell)),
+      tkr AS (SELECT *, row_number() OVER (PARTITION BY qtok
+                ORDER BY cos DESC, ctok) AS rn FROM tkc),
+      cand AS (SELECT DISTINCT cdoc FROM tkr WHERE rn <= 8),
+      ct AS (SELECT vec_id // 4 AS cdoc, ${dkQuant("embedding")} AS cv
+             FROM embeddings),
+      s AS (SELECT t.qtok, c.cdoc, ${dkCos("c.cv", "t.qv")} AS cos
+            FROM cand a JOIN ct c ON c.cdoc = a.cdoc, qt t),
+      tm AS (SELECT qtok, cdoc, max(cos) AS tok_max FROM s GROUP BY 1, 2),
+      pair AS (SELECT cdoc,
+                 CAST(sum(CAST(floor(tok_max * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS score_micros
+               FROM tm GROUP BY 1),
+      ranked AS (SELECT *, row_number() OVER
+                   (ORDER BY score_micros DESC, cdoc) AS rn
+                 FROM pair)
+      SELECT cdoc AS doc, score_micros FROM ranked WHERE rn <= 5
+      ORDER BY doc"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q219-msrw").toString
+        val cp = tmp + "/toks"
+        emb.select(floor(col("vec_id") / 4).cast("long").as("doc"),
+            col("vec_id").as("tok"), col("embedding"))
+          .write.parquet(cp)
+        val t = s.read.parquet(cp)
+        Similarity.writeIvfIndex(t, col("tok"), col("embedding"),
+          t.filter(col("tok") < 8), col("tok"), col("embedding"),
+          tmp + "/idx")
+        graft.plans.MaxSimIndex.register(s, cp, tmp + "/idx",
+          docCol = "doc", tokCol = "tok", vecCol = "embedding",
+          nprobe = 2, tokK = 8)
+        t.groupBy(col("doc"))
+          .agg(graft.functions.KernelAggs.maxsim_q6(
+            F.vec_quantize(col("embedding"), 1000),
+            typedlit(dkMsBag)).as("score_micros"))
+          .orderBy(col("score_micros").desc, col("doc"))
+          .limit(5)
+          .orderBy(col("doc"))
+      }),
+
+    // -- FILTERED declarative MaxSim (r16, VERDICT r15 #5 — the q171
+    //    pgvector shape for the multi-vector lane): a covered doc
+    //    predicate below the aggregate rides the probe — the candidate
+    //    union is filtered BEFORE the rerank/top-k, never after it. The
+    //    oracle filters the candidate set (candf), so a post-top-k
+    //    implementation (filter applied to the unfiltered top-5) would
+    //    hash-mismatch whenever the filtered and unfiltered top-5
+    //    disagree — which nprobe=2 pruning plus doc % 3 makes real.
+    QueryDef("q220_maxsim_filtered", Some(s"""
+      WITH ${dkIvfCells(8)},
+      cell2 AS (SELECT vec_id AS ctok, vec_id // 4 AS cdoc, qv AS cv, cell
+                FROM r2 WHERE rn = 1),
+      qt AS (SELECT qtok, qv FROM (VALUES $dkMsBagValues) t(qtok, qv)),
+      pa AS (SELECT qt.qtok, qt.qv, cent.cell,
+               ${dkCos("qt.qv", "cent.cq")} AS cos
+             FROM qt, cent),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY qtok
+               ORDER BY cos DESC, cell) AS rn FROM pa),
+      pc AS (SELECT qtok, qv, cell FROM pr WHERE rn <= 2),
+      tkc AS (SELECT p.qtok, c.ctok, c.cdoc, ${dkCos("c.cv", "p.qv")} AS cos
+              FROM cell2 c JOIN pc p USING (cell)),
+      tkr AS (SELECT *, row_number() OVER (PARTITION BY qtok
+                ORDER BY cos DESC, ctok) AS rn FROM tkc),
+      cand AS (SELECT DISTINCT cdoc FROM tkr WHERE rn <= 8),
+      candf AS (SELECT cdoc FROM cand WHERE cdoc % 3 = 1),
+      ct AS (SELECT vec_id // 4 AS cdoc, ${dkQuant("embedding")} AS cv
+             FROM embeddings),
+      s AS (SELECT t.qtok, c.cdoc, ${dkCos("c.cv", "t.qv")} AS cos
+            FROM candf a JOIN ct c ON c.cdoc = a.cdoc, qt t),
+      tm AS (SELECT qtok, cdoc, max(cos) AS tok_max FROM s GROUP BY 1, 2),
+      pair AS (SELECT cdoc,
+                 CAST(sum(CAST(floor(tok_max * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS score_micros
+               FROM tm GROUP BY 1),
+      ranked AS (SELECT *, row_number() OVER
+                   (ORDER BY score_micros DESC, cdoc) AS rn
+                 FROM pair)
+      SELECT cdoc AS doc, score_micros FROM ranked WHERE rn <= 5
+      ORDER BY doc"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q220-msrw").toString
+        val cp = tmp + "/toks"
+        emb.select(floor(col("vec_id") / 4).cast("long").as("doc"),
+            col("vec_id").as("tok"), col("embedding"))
+          .write.parquet(cp)
+        val t = s.read.parquet(cp)
+        Similarity.writeIvfIndex(t, col("tok"), col("embedding"),
+          t.filter(col("tok") < 8), col("tok"), col("embedding"),
+          tmp + "/idx")
+        graft.plans.MaxSimIndex.register(s, cp, tmp + "/idx",
+          docCol = "doc", tokCol = "tok", vecCol = "embedding",
+          nprobe = 2, tokK = 8)
+        t.filter(col("doc") % 3 === 1)
+          .groupBy(col("doc"))
+          .agg(graft.functions.KernelAggs.maxsim_q6(
+            F.vec_quantize(col("embedding"), 1000),
+            typedlit(dkMsBag)).as("score_micros"))
+          .orderBy(col("score_micros").desc, col("doc"))
+          .limit(5)
+          .orderBy(col("doc"))
       })
   )
 }
