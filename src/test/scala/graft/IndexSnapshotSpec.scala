@@ -178,6 +178,50 @@ class IndexSnapshotSpec extends AnyFunSuite with SparkSpec {
       "an r13-cohort pin must restore exactly the pinned generation")
   }
 
+  test("an r13-cohort pin whose chain includes ROOT-LAYER rels resolves " +
+      "them by on-disk evidence, not name shape (ADVICE r15)") {
+    // The r14 rule — '=' in the first path component ⇒ version-dir-
+    // relative — mis-prefixes an r13-cohort (version:1, root-relative)
+    // pin's root-layer rels like `cell=1/f2`. The fix checks whether the
+    // unprefixed rel exists with the pinned (len, mtime) before falling
+    // back to the prefixed form. Hand-craft the mixed pin the advice
+    // describes: one version-resolved rel, one root-layer rel.
+    val root = java.nio.file.Paths.get(tmp("isnap-evidence"))
+    def mk(rel: String, bytes: String): (String, Long, Long) = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes.getBytes)
+      (rel, java.nio.file.Files.size(p), p.toFile.lastModified)
+    }
+    val a = mk("assign-v1/cell=0/f1.parquet", "version-resolved")
+    val b = mk("cell=1/f2.parquet", "root-layer")
+    // the prefixed candidate dir exists but does NOT hold f2 — name-shape
+    // prefixing would point the pin at a missing file
+    java.nio.file.Files.createDirectories(root.resolve("assign-v1/cell=1"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("pointer", "assign-v1")
+    node.put("version", 1)
+    val files = node.putObject("files")
+    Seq(a, b).foreach { case (rel, len, mt) =>
+      val o = files.putObject(rel)
+      o.put("len", len); o.put("mtime", mt); ()
+    }
+    node.putObject("companions")
+    val snapDir = root.resolve(graft.operators.IndexSnapshots.SnapDirName)
+    java.nio.file.Files.createDirectories(snapDir)
+    java.nio.file.Files.write(snapDir.resolve("mix.json"),
+      om.writeValueAsBytes(node))
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pointers = IndexSnapshots.pinnedPointers(fs,
+      new org.apache.hadoop.fs.Path(root.toString))
+    // evidence resolution: the root-layer rel maps to "" (the root
+    // layout); the r14 name-shape rule returned only {"assign-v1"}
+    assert(pointers == Set("assign-v1", ""),
+      s"root-layer rel must resolve unprefixed: $pointers")
+  }
+
   test("publish revalidates under its lock: an index that advanced " +
       "between stage and publish fails the publish, not silently") {
     val path = tmp("isnap-stage-race")
