@@ -73,6 +73,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "graft_sq8_encode" -> "graft_sq8_encode(array(5L, 70L), array(0L, 0L), array(10L, 100L))",
       "graft_sq8_recon" -> "graft_sq8_recon(graft_sq8_encode(array(5L, 70L), array(0L, 0L), array(10L, 100L)), array(0L, 0L), array(10L, 100L))",
       "graft_vec_mean" -> "(SELECT graft_vec_mean(v) FROM (SELECT array(1L, 2L) AS v))",
+      "graft_maxsim_q6" -> "(SELECT graft_maxsim_q6(v, array(array(1L, 2L), array(3L, 4L))) FROM (SELECT array(1L, 2L) AS v))",
       "graft_cms_sketch" -> "(SELECT graft_cms_sketch(x, 2, 8) FROM (SELECT 'a' AS x))",
       "graft_hll_registers" -> "(SELECT graft_hll_registers(x, 16) FROM (SELECT 'a' AS x))",
       "graft_sketch_merge_max" -> "(SELECT graft_sketch_merge_max(v) FROM (SELECT array(1L) AS v))",

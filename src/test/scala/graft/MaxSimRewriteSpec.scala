@@ -259,6 +259,57 @@ class MaxSimRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(scanRoots(df).forall(_.contains("/toks")))
   }
 
+  test("autoRefresh: streamed token-index ingest re-arms the registration " +
+      "and the rewrite serves the ingested document") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-maxsim-auto").toString
+    val cp = s"$base/toks"; val idx = s"$base/idx"; val ckpt = s"$base/ckpt"
+    (0 until 80).map { i =>
+      (i.toLong / 4, i.toLong,
+        (0 until dim).map(j => math.sin(i * 0.37 + j * 1.13) * 0.9))
+    }.toDF("doc", "tok", "embedding").write.parquet(cp)
+    val t0 = spark.read.parquet(cp)
+    Similarity.writeIvfIndex(t0, col("tok"), col("embedding"),
+      t0.filter(col("tok") < 6), col("tok"), col("embedding"), idx)
+    MaxSimIndex.register(spark, cp, idx, "doc", "tok", "embedding",
+      nprobe = 6, tokK = 8, autoRefresh = true)
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Seq[Double])]
+      val sq = mem.toDS().toDF("doc", "tok", "embedding").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val batch = b.cache()
+          batch.write.mode("append").parquet(cp)
+          Similarity.ingestBatchIvf(batch, col("tok"),
+            col("embedding"), idx, bid)
+          batch.unpersist(); ()
+        }.start()
+      try {
+        // the ingested doc 500's tokens ARE the bag → per-token cos 1.0,
+        // the global best MaxSim score
+        mem.addData(bag.zipWithIndex.map { case (qv, j) =>
+          (500L, 900L + j, qv.map(_.toDouble / 1000.0))
+        })
+        sq.processAllAvailable()
+      } finally sq.stop()
+      // NO manual MaxSimIndex.refresh — onIndexAdvanced re-armed it
+      val df = spark.read.parquet(cp)
+        .groupBy(col("doc"))
+        .agg(KernelAggs.maxsim_q6(
+          F.vec_quantize(col("embedding"), 1000),
+          typedlit(bag)).as("score_micros"))
+        .orderBy(col("score_micros").desc, col("doc"))
+        .limit(1)
+      val top = rows(df)
+      assert(scanRoots(df).exists(_.contains("/idx")),
+        "auto-refreshed registration must still probe the index")
+      assert(top.head._1 == 500L,
+        s"the ingested best-match doc must surface: $top")
+    } finally MaxSimIndex.unregister(cp)
+  }
+
   test("bails: stale corpus (freshness guard)") {
     // a dedicated corpus copy, so the append can't leak into other lanes
     val cp2 = java.nio.file.Files
