@@ -4027,6 +4027,142 @@ object QueriesML {
           .orderBy(col("score_micros").desc, col("doc"))
           .limit(5)
           .orderBy(col("doc"))
+      }),
+
+    // -- COMPRESSED-STAGE-1 declarative MaxSim (r16 — the ColBERTv2/
+    //    PLAID shape, Santhanam et al. 2022: token vectors dominate
+    //    index storage at scale, so stage 1 serves from an SQ8
+    //    codes-only lake at 4× less at-rest IO while stage 2 reranks
+    //    RAW vectors, keeping served scores exact). Same declarative
+    //    query as q219 over a `cosine-sq8` registration; the oracle
+    //    replays centroid refinement, SQ8 train/encode/recon (q206's
+    //    integer spellings), the cosine-ADC per-token probe, the
+    //    candidate union, and the raw-vector rerank — a green row
+    //    proves the compressed probe's candidate set AND the exact
+    //    rerank both replay.
+    QueryDef("q221_maxsim_sq8", Some(s"""
+      WITH ${dkIvfCells(8)},
+      cell2 AS (SELECT vec_id AS ctok, vec_id // 4 AS cdoc, qv AS cv, cell
+                FROM r2 WHERE rn = 1),
+      mm AS (SELECT i, min(qv[i]) AS mn, max(qv[i]) AS mx
+             FROM q, range(1, 65) t(i) GROUP BY i),
+      ma AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+             FROM mm),
+      rec AS (SELECT ctok, cdoc, cell,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN mn[i] ELSE mn[i] + (2*((2*255*(LEAST(mx[i],
+                   GREATEST(mn[i], cv[i])) - mn[i]) + (mx[i]-mn[i]))
+                   // (2*(mx[i]-mn[i])))*(mx[i]-mn[i]) + 255) // 510 END)
+                 AS rv
+              FROM cell2, ma),
+      qt AS (SELECT qtok, qv FROM (VALUES $dkMsBagValues) t(qtok, qv)),
+      pa AS (SELECT qt.qtok, qt.qv, cent.cell,
+               ${dkCos("qt.qv", "cent.cq")} AS cos
+             FROM qt, cent),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY qtok
+               ORDER BY cos DESC, cell) AS rn FROM pa),
+      pc AS (SELECT qtok, qv, cell FROM pr WHERE rn <= 2),
+      tkc AS (SELECT p.qtok, c.ctok, c.cdoc, ${dkCos("c.rv", "p.qv")} AS cos
+              FROM rec c JOIN pc p USING (cell)),
+      tkr AS (SELECT *, row_number() OVER (PARTITION BY qtok
+                ORDER BY cos DESC, ctok) AS rn FROM tkc),
+      cand AS (SELECT DISTINCT cdoc FROM tkr WHERE rn <= 8),
+      ct AS (SELECT vec_id // 4 AS cdoc, ${dkQuant("embedding")} AS cv
+             FROM embeddings),
+      s AS (SELECT t.qtok, c.cdoc, ${dkCos("c.cv", "t.qv")} AS cos
+            FROM cand a JOIN ct c ON c.cdoc = a.cdoc, qt t),
+      tm AS (SELECT qtok, cdoc, max(cos) AS tok_max FROM s GROUP BY 1, 2),
+      pair AS (SELECT cdoc,
+                 CAST(sum(CAST(floor(tok_max * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS score_micros
+               FROM tm GROUP BY 1),
+      ranked AS (SELECT *, row_number() OVER
+                   (ORDER BY score_micros DESC, cdoc) AS rn
+                 FROM pair)
+      SELECT cdoc AS doc, score_micros FROM ranked WHERE rn <= 5
+      ORDER BY doc"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q221-msq8").toString
+        val cp = tmp + "/toks"
+        emb.select(floor(col("vec_id") / 4).cast("long").as("doc"),
+            col("vec_id").as("tok"), col("embedding"))
+          .write.parquet(cp)
+        val t = s.read.parquet(cp)
+        Similarity.writeIvfIndexSq8Cos(t, col("tok"), col("embedding"),
+          t.filter(col("tok") < 8), col("tok"), col("embedding"),
+          tmp + "/idx")
+        graft.plans.MaxSimIndex.register(s, cp, tmp + "/idx",
+          docCol = "doc", tokCol = "tok", vecCol = "embedding",
+          nprobe = 2, tokK = 8)
+        t.groupBy(col("doc"))
+          .agg(graft.functions.KernelAggs.maxsim_q6(
+            F.vec_quantize(col("embedding"), 1000),
+            typedlit(dkMsBag)).as("score_micros"))
+          .orderBy(col("score_micros").desc, col("doc"))
+          .limit(5)
+          .orderBy(col("doc"))
+      }),
+
+    // -- DECLARATIVE ANN over the COSINE IVF,SQ8 layout (r16 — q211's
+    //    lane under the cosine operator class): the user writes
+    //    `ORDER BY cosine DESC LIMIT k`; the planner substitutes the
+    //    codes-only probe, scoring the cosine of the SQ8 reconstruction
+    //    (ADC). The served cosines carry quantization error vs the raw
+    //    ones, so a green row proves the compressed lane fired — the
+    //    exact scan would emit DIFFERENT values (and see every cell).
+    //    Unlike q211's layout this index REFINES centroids (one Lloyd
+    //    step under cosine, writeIvfIndex's geometry — dkIvfCells), so
+    //    the MaxSim serving stage-1 and this single-vector lane share
+    //    one cell assignment.
+    QueryDef("q222_ann_sq8cos_declarative", Some(s"""
+      WITH ${dkIvfCells(8)},
+      cell2 AS (SELECT vec_id AS neighbor_id, qv AS cv, cell
+                FROM r2 WHERE rn = 1),
+      mm AS (SELECT i, min(qv[i]) AS mn, max(qv[i]) AS mx
+             FROM q, range(1, 65) t(i) GROUP BY i),
+      ma AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+             FROM mm),
+      rec AS (SELECT neighbor_id, cell,
+               list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i]
+                 THEN mn[i] ELSE mn[i] + (2*((2*255*(LEAST(mx[i],
+                   GREATEST(mn[i], cv[i])) - mn[i]) + (mx[i]-mn[i]))
+                   // (2*(mx[i]-mn[i])))*(mx[i]-mn[i]) + 255) // 510 END)
+                 AS rv
+              FROM cell2, ma),
+      qv0 AS (SELECT qv AS xv FROM q WHERE vec_id = 4),
+      qa AS (SELECT cent.cell, ${dkCos("xv", "cent.cq")} AS d
+             FROM qv0, cent),
+      qr AS (SELECT cell, row_number() OVER (ORDER BY d DESC, cell) AS rn
+             FROM qa),
+      probed AS (SELECT cell FROM qr WHERE rn <= 2),
+      cand AS (SELECT neighbor_id AS vec_id, ${dkCos("rv", "xv")} AS cosine
+               FROM rec JOIN probed USING (cell) CROSS JOIN qv0
+               WHERE neighbor_id <> 4)
+      SELECT vec_id, cosine FROM cand
+      ORDER BY cosine DESC, vec_id LIMIT 12"""),
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-q222-sq8cos").toString
+        val cp = base + "/emb"; val path = base + "/idx"
+        emb.write.parquet(cp)
+        Similarity.writeIvfIndexSq8Cos(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          path)
+        graft.plans.AnnIndex.register(s, cp, path,
+          idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+        val qv = emb.filter(col("vec_id") === 4)
+          .select(col("embedding")).head.getSeq[Float](0)
+          .map(f => math.floor(f.toDouble * 1000 + 0.5).toLong)
+        s.read.parquet(cp)
+          .filter(col("vec_id") =!= 4)
+          .select(col("vec_id"),
+            F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+              typedlit(qv)).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(12)
       })
   )
 }

@@ -255,8 +255,20 @@ object Similarity {
     val allCells = probes.flatMap(_._3).distinct.sorted
     import spark.implicits._
     val qdf = probes.toDF("qtok", "qv", "cells")
-    val assigned = readAssign(spark, indexPath)
+    val pruned = readAssign(spark, indexPath)
       .filter(col("cell").isin(allCells.map(Int.box).toSeq: _*))
+    // a cosine-sq8 index stores codes only: reconstruct against the
+    // trained bounds and ADC-score the reconstruction (stage-2's exact
+    // rerank below always runs on RAW corpus vectors)
+    val assigned = indexMetric(spark, indexPath) match {
+      case "cosine" => pruned
+      case "cosine-sq8" =>
+        val (mn, mx) = readSq8Bounds(spark, indexPath)
+        pruned.withColumn("cv", F.vec_sq8_recon(col("codes"),
+          typedlit(mn.toSeq), typedlit(mx.toSeq)))
+      case m => throw new IllegalArgumentException(
+        s"MaxSim serves cosine kernels only; index at $indexPath is '$m'")
+    }
     val scoredTok = assigned
       .join(broadcast(qdf), array_contains(col("cells"), col("cell")))
       .withColumn("cos", F.vec_cosine_q6(col("cv"), col("qv")))
@@ -829,6 +841,44 @@ object Similarity {
     writeMetric(spark, path, "l2-sq8")
   }
 
+  /** The COSINE-metric `IVF,SQ8` layout — the compressed TOKEN index the
+    * multi-vector serving lanes need (ColBERTv2/PLAID — Santhanam et al.
+    * 2022 — compress stored token vectors for exactly this reason: at
+    * 100 TB the token-level vectors dominate index storage, and SQ8 cuts
+    * the at-rest assignment lake 4×). Identical cell geometry to
+    * [[writeIvfIndex]] (one Lloyd refinement, cosine assignment on the
+    * RAW quantized vector, so [[graft.plans.MaxSimRewrite]]'s plan-time
+    * centroid probe needs no changes), but the assignment lake stores
+    * SQ8 CODES ONLY; probes reconstruct against the trained bounds and
+    * cosine-score the reconstruction (ADC), and the exact rerank always
+    * runs on raw vectors from the corpus. Metric sidecar: `cosine-sq8`. */
+  def writeIvfIndexSq8Cos(corpus: DataFrame, corpusId: Column,
+                          corpusVec: Column, seeds: DataFrame,
+                          seedId: Column, seedVec: Column,
+                          path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      F.vec_quantize(corpusVec, 1000).as("cv"))
+    val refined = ivfCentroids(c, seeds, seedId, seedVec, 1)
+    refined.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell", "cq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val (mn, mx) = sq8Train(corpus, corpusVec)
+    Seq((mn.toSeq, mx.toSeq)).toDF("mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sq8_bounds")
+    c.withColumn("cell", assignCell(spark, refined)(col("cv")))
+      .withColumn("codes", F.vec_sq8_encode(col("cv"),
+        typedlit(mn.toSeq), typedlit(mx.toSeq)))
+      .drop("cv")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assign")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_assign"), false)
+    writeMetric(spark, path, "cosine-sq8")
+  }
+
   /** The persisted SQ8 index's trained bounds. */
   private[graft] def readSq8Bounds(spark: org.apache.spark.sql.SparkSession,
                                    path: String): (Array[Long], Array[Long]) = {
@@ -1199,7 +1249,7 @@ object Similarity {
       case "ip" => assignCellIp(spark, cents)
       // a raw-vector append into a codes-only lake would silently corrupt
       // every later probe — refuse loudly, the sq8 append encodes
-      case "l2-sq8" => throw new IllegalArgumentException(
+      case "l2-sq8" | "cosine-sq8" => throw new IllegalArgumentException(
         s"$path is an IVF,SQ8 index (codes-only rows) — use appendIvfIndexSq8")
       case _ => assignCell(spark, cents)
     }
@@ -1231,7 +1281,8 @@ object Similarity {
   def appendIvfIndexSq8(corpus: DataFrame, corpusId: Column,
                         corpusVec: Column, path: String): Unit = {
     val spark = corpus.sparkSession
-    require(indexMetric(spark, path) == "l2-sq8",
+    val metric = indexMetric(spark, path)
+    require(metric == "l2-sq8" || metric == "cosine-sq8",
       s"$path is not an IVF,SQ8 index — use appendIvfIndex")
     val cents = readCentroids(spark, path)
     val (mn, mx) = readSq8Bounds(spark, path)
@@ -1239,9 +1290,13 @@ object Similarity {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val stage =
       new org.apache.hadoop.fs.Path(root, IndexOcc.stageName("append"))
+    // assignment follows the index's metric on the RAW quantized vector
+    val assign: Column => Column =
+      if (metric == "cosine-sq8") assignCell(spark, cents)
+      else assignCellL2(spark, cents)
     corpus.select(corpusId.as("neighbor_id"),
         F.vec_quantize(corpusVec, 1000).as("cv"))
-      .withColumn("cell", assignCellL2(spark, cents)(col("cv")))
+      .withColumn("cell", assign(col("cv")))
       .withColumn("codes", F.vec_sq8_encode(col("cv"),
         typedlit(mn.toSeq), typedlit(mx.toSeq)))
       .drop("cv")
@@ -1309,10 +1364,13 @@ object Similarity {
     val quantized = batch.select(id.as("neighbor_id"),
       F.vec_quantize(vec, 1000).as("cv"))
     val staged = metric match {
-      case "l2-sq8" =>
+      case "l2-sq8" | "cosine-sq8" =>
         val (mn, mx) = readSq8Bounds(spark, path)
+        val assign: Column => Column =
+          if (metric == "cosine-sq8") assignCell(spark, cents)
+          else assignCellL2(spark, cents)
         quantized
-          .withColumn("cell", assignCellL2(spark, cents)(col("cv")))
+          .withColumn("cell", assign(col("cv")))
           .withColumn("codes", F.vec_sq8_encode(col("cv"),
             typedlit(mn.toSeq), typedlit(mx.toSeq)))
           .drop("cv")

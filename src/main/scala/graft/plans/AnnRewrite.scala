@@ -236,9 +236,9 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // corpus vec, constant query) — any other metric's kernel keeps the
     // scan (an L2 index cannot answer a cosine query and vice versa)
     val (cexpr, qexpr) = (reg.metric, cosOut.child) match {
-      case ("cosine", KernelExprs.CosineQ6(l, r))
+      case ("cosine" | "cosine-sq8", KernelExprs.CosineQ6(l, r))
           if r.foldable && !l.foldable => (l, r)
-      case ("cosine", KernelExprs.CosineQ6(l, r))
+      case ("cosine" | "cosine-sq8", KernelExprs.CosineQ6(l, r))
           if l.foldable && !r.foldable => (r, l)
       case ("l2" | "l2-sq8", KernelExprs.L2sqLong(l, r))
           if r.foldable && !l.foldable => (l, r)
@@ -282,7 +282,7 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // query no index can cover). Optionally followed by id ASC.
     val scoreOrderOk: SortOrder => Boolean = so => (so, reg.metric) match {
       case (SortOrder(c: AttributeReference, Descending, NullsLast, _),
-            "cosine" | "ip") => c.exprId == cosOut.exprId
+            "cosine" | "cosine-sq8" | "ip") => c.exprId == cosOut.exprId
       case (SortOrder(c: AttributeReference, Ascending, NullsLast, _),
             "l2" | "l2-sq8") => c.exprId == cosOut.exprId
       case _ => false
@@ -330,6 +330,11 @@ case class AnnRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val (mn, mx) = Similarity.readSq8Bounds(spark, reg.indexPath)
         pruned.select(col("neighbor_id"),
           F.vec_l2sq_long(F.vec_sq8_recon(col("codes"),
+            typedlit(mn.toSeq), typedlit(mx.toSeq)), qLit).as("__score"))
+      case "cosine-sq8" =>
+        val (mn, mx) = Similarity.readSq8Bounds(spark, reg.indexPath)
+        pruned.select(col("neighbor_id"),
+          F.vec_cosine_q6(F.vec_sq8_recon(col("codes"),
             typedlit(mn.toSeq), typedlit(mx.toSeq)), qLit).as("__score"))
       case "l2" => pruned.select(col("neighbor_id"),
         F.vec_l2sq_long(col("cv"), qLit).as("__score"))

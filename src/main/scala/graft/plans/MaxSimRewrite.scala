@@ -92,7 +92,7 @@ object MaxSimIndex {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     require(tokK >= 1, s"tokK must be >= 1 (got $tokK)")
     val metric = Similarity.indexMetric(spark, indexPath)
-    require(metric == "cosine",
+    require(metric == "cosine" || metric == "cosine-sq8",
       s"MaxSim serves the cosine kernel only; index at $indexPath is '$metric'")
     registry.put(MvRewrite.norm(corpusPath),
       Registration(indexPath, corpusPath, docCol, tokCol, vecCol,

@@ -465,6 +465,60 @@ class AnnRewriteSpec extends AnyFunSuite with SparkSpec {
     } finally AnnIndex.unregister(cp)
   }
 
+  test("IVF,SQ8 under COSINE (r16): ORDER BY cosine DESC answers from " +
+      "the codes-only probe with reconstructed-vector scoring") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annrw-sq8cos").toString
+    val cp = dir + "/emb"; val idx = dir + "/idxsq8c"
+    (0 until 240).map { i =>
+      (i.toLong,
+        (0 until dim).map(j => math.sin(i * 0.37 + j * 1.13) * 0.9))
+    }.toDF("vec_id", "embedding").repartition(3).write.parquet(cp)
+    val emb = spark.read.parquet(cp)
+    Similarity.writeIvfIndexSq8Cos(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 6), col("vec_id"), col("embedding"), idx)
+    AnnIndex.register(spark, cp, idx,
+      idCol = "vec_id", vecCol = "embedding", nprobe = 2)
+    try {
+      val df = spark.read.parquet(cp)
+        .select(col("vec_id"),
+          F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+            typedlit(qv.toSeq)).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+      val got = rows(df)
+      val roots = scanRoots(df)
+      assert(roots.nonEmpty && roots.forall(_.contains("/idxsq8c")),
+        s"query still scans the corpus: $roots")
+      // expected: cosine centroid probe (the cells were refined and
+      // assigned under cosine), decode the probed cells' codes, rank by
+      // cosine of the reconstruction
+      val cents = Similarity.readCentroids(spark, idx)
+      val probed = cents
+        .map { case (cid, c) => (cid, Kernels.cosineQ6Arrays(qv, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(2).map(_._1)
+      val (mn, mx) = Similarity.readSq8Bounds(spark, idx)
+      val expected = rows(spark.read.parquet(s"$idx/assign")
+        .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+        .select(col("neighbor_id").as("vec_id"),
+          F.vec_cosine_q6(F.vec_sq8_recon(col("codes"),
+            typedlit(mn.toSeq), typedlit(mx.toSeq)),
+            typedlit(qv.toSeq)).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(k))
+      assert(got === expected)
+      // the ADC cosines must carry quantization error vs the exact ones
+      spark.conf.set("spark.graft.annRewrite", "false")
+      val exact = try rows(emb
+        .select(col("vec_id"),
+          F.vec_cosine_q6(F.vec_quantize(col("embedding"), 1000),
+            typedlit(qv.toSeq)).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(k))
+      finally spark.conf.set("spark.graft.annRewrite", "true")
+      assert(got.map(_._2) != exact.map(_._2),
+        "reconstructed cosines should differ from exact ones")
+    } finally AnnIndex.unregister(cp)
+  }
+
   test("cross-metric queries keep the scan (per-operator-class binding)") {
     // cosine query over the L2-registered corpus
     val cosOverL2 = spark.read.parquet(l2CorpusPath)

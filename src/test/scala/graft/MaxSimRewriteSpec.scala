@@ -259,6 +259,65 @@ class MaxSimRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(scanRoots(df).forall(_.contains("/toks")))
   }
 
+  test("cosine-sq8 token index (ColBERTv2-style compressed stage-1): the " +
+      "rewrite serves from codes, reranks raw, scores stay TRUE") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maxsim-sq8").toString
+    val cp = dir + "/toks"
+    spark.read.parquet(corpusPath).write.parquet(cp)
+    val t = spark.read.parquet(cp)
+    Similarity.writeIvfIndexSq8Cos(t, col("tok"), col("embedding"),
+      t.filter(col("tok") < 6), col("tok"), col("embedding"), dir + "/idx")
+    MaxSimIndex.register(spark, cp, dir + "/idx",
+      "doc", "tok", "embedding", nprobe = nprobe, tokK = tokK)
+    try {
+      val df = spark.read.parquet(cp)
+        .groupBy(col("doc"))
+        .agg(KernelAggs.maxsim_q6(
+          F.vec_quantize(col("embedding"), 1000),
+          typedlit(bag)).as("score_micros"))
+        .orderBy(col("score_micros").desc, col("doc"))
+        .limit(k)
+      val got = rows(df)
+      assert(scanRoots(df).exists(_.contains("/idx")),
+        "the sq8 registration must be served from the index")
+      // stage-1 expectation: reconstruct codes, cosine-rank per token,
+      // candidates, then TRUE raw-vector rerank — the serving contract
+      val cents = Similarity.readCentroids(spark, dir + "/idx")
+      val boundsRow = spark.read.parquet(dir + "/idx/sq8_bounds").head()
+      val (mn, mx) = (boundsRow.getSeq[Long](0), boundsRow.getSeq[Long](1))
+      val qArr = bag.map(_.toArray).toArray
+      val perTok = qArr.toSeq.flatMap { qv =>
+        val cells = cents
+          .map { case (cid, c) => (cid, Kernels.cosineQ6Arrays(qv, c)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+        spark.read.parquet(dir + "/idx/assign")
+          .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
+          .select(col("neighbor_id"),
+            F.vec_cosine_q6(F.vec_sq8_recon(col("codes"),
+              typedlit(mn), typedlit(mx)), typedlit(qv.toSeq)).as("cos"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+          .limit(tokK)
+          .collect().map(_.getLong(0)).toSeq
+      }.distinct
+      val candDocs = spark.read.parquet(cp)
+        .filter(col("tok").isin(perTok.map(Long.box): _*))
+        .select(col("doc")).distinct().collect().map(_.getLong(0)).toSet
+      val bruteAll = spark.read.parquet(cp)
+        .groupBy(col("doc"))
+        .agg(KernelAggs.maxsim_q6(
+          F.vec_quantize(col("embedding"), 1000),
+          typedlit(bag)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = candDocs.toSeq.map(d => (d, bruteAll(d)))
+        .sortBy { case (d, s) => (-s, d) }.take(k)
+      assert(got === expected)
+      // every served score is the doc's TRUE brute score — quantization
+      // affects WHICH docs are candidates, never their scores
+      got.foreach { case (d, s) => assert(bruteAll(d) == s) }
+    } finally MaxSimIndex.unregister(cp)
+  }
+
   test("autoRefresh: streamed token-index ingest re-arms the registration " +
       "and the rewrite serves the ingested document") {
     implicit val sqlCtx = spark.sqlContext
