@@ -174,7 +174,13 @@ object Bench {
   }
 
   private final class Timed(val name: String, body0: => Unit, val fixture: Boolean = false) {
-    private def body: Unit = body0
+    // guide §1.5: label every lane's jobs so UI/joblog output attributes
+    // to lanes; description is thread-local and cleared after the body
+    private def body: Unit = {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      sc.setJobDescription(name)
+      try body0 finally sc.setJobDescription(null)
+    }
     val wall = collection.mutable.ArrayBuffer[Double]()
     val cpu = collection.mutable.ArrayBuffer[Double]()
     val gc = collection.mutable.ArrayBuffer[Double]()
@@ -259,12 +265,16 @@ object Bench {
         sumCols = Seq("c_custkey"))
 
     def writeWindowed(root: String): Unit =
-      for (w <- 0 until 4)
+      // four disjoint window directories, each write deterministic —
+      // overlapped (§2.6) so the lane pays one planning/commit tail, not
+      // four; bytes per window are identical to the sequential loop
+      graft.sinks.Sinks.inParallel(4)((0 until 4).map { w => () =>
         graft.sinks.Sinks.zorderedWrite(
           windowedProj.filter(col("c_custkey") % 4 === w),
           "a", "b", s"$root/win=$w", numFiles = 4, bits = 8,
           sumCols = Seq("c_custkey", "bal"),
           sketchCols = Seq("u"), sketchM = 16)
+      })
 
     /** q103's maintenance path: 4 fragmented appends, then compaction. */
     def appendAndCompact(root: String): Unit = {
@@ -282,43 +292,57 @@ object Bench {
     }
 
     def build(): Unit = {
-      writeFlat(flat); writeWindowed(windowed)
-      graft.sinks.Sinks.zorderedWrite(eventsProj, "t", "event_id", timeLake,
-        numFiles = 8, bits = 16)
-      // pin the flat lake for the snapshot read lane: qR_snapshot_agg
-      // measures time-travel planning against qR_envelope_agg's live read
-      graft.sources.Snapshots.snapshot(spark, flat, "bench")
-      graft.operators.Retrieval.writeBm25Index(T("documents"),
-        col("doc_id"), col("text"), bm25Idx, nBuckets = 64)
-      // layered twin: 3 appends, NO compaction → a 4-layer chain (appends
-      // stack layers; only compaction flattens at MaxLayers)
-      graft.operators.Retrieval.writeBm25Index(T("documents"),
-        col("doc_id"), col("text"), bm25IdxChain, nBuckets = 64)
-      (1 to 3).foreach { i =>
-        graft.operators.Retrieval.appendBm25Index(
-          T("documents").filter(col("doc_id") % 16 === i)
-            .select((col("doc_id") + i * 1000000L).as("doc_id"), col("text")),
-          col("doc_id"), col("text"), bm25IdxChain)
-      }
+      // independent fixtures overlap (§2.6); each thunk keeps its own
+      // internal ordering (snapshot after its lake, appends after their
+      // base, MaxSim registration after both of its inputs)
       val emb = T("embeddings")
-      graft.operators.Similarity.writeIvfIndex(emb, col("vec_id"),
-        col("embedding"), emb.filter(col("vec_id") < 8),
-        col("vec_id"), col("embedding"), ivfIdx)
-      graft.operators.Similarity.writeIvfIndexSq8(emb, col("vec_id"),
-        col("embedding"), emb.filter(col("vec_id") < 8),
-        col("vec_id"), col("embedding"), sq8Idx)
-      graft.sinks.Sinks.zorderedWrite(
-        emb.withColumn("pad", (col("vec_id") % 97).cast("long")),
-        "vec_id", "pad", embLake, numFiles = 16, bits = 12,
-        bloomCols = Seq("vec_id"))
-      // declarative-MaxSim base: the ivfIdx token index (keyed by
-      // vec_id = tok) serves the registered (doc, tok, embedding) corpus
-      emb.select(floor(col("vec_id") / 4).cast("long").as("doc"),
-          col("vec_id").as("tok"), col("embedding"))
-        .write.mode("overwrite").parquet(mvToks)
-      graft.plans.MaxSimIndex.register(spark, mvToks, ivfIdx,
-        docCol = "doc", tokCol = "tok", vecCol = "embedding",
-        nprobe = 2, tokK = 8)
+      graft.sinks.Sinks.inParallel(4)(Seq(
+        () => {
+          writeFlat(flat)
+          // pin the flat lake for the snapshot read lane: qR_snapshot_agg
+          // measures time-travel planning against qR_envelope_agg's live
+          // read
+          graft.sources.Snapshots.snapshot(spark, flat, "bench")
+        },
+        () => writeWindowed(windowed),
+        () => graft.sinks.Sinks.zorderedWrite(eventsProj, "t", "event_id",
+          timeLake, numFiles = 8, bits = 16),
+        () => graft.operators.Retrieval.writeBm25Index(T("documents"),
+          col("doc_id"), col("text"), bm25Idx, nBuckets = 64),
+        () => {
+          // layered twin: 3 appends, NO compaction → a 4-layer chain
+          // (appends stack layers; only compaction flattens at MaxLayers)
+          graft.operators.Retrieval.writeBm25Index(T("documents"),
+            col("doc_id"), col("text"), bm25IdxChain, nBuckets = 64)
+          (1 to 3).foreach { i =>
+            graft.operators.Retrieval.appendBm25Index(
+              T("documents").filter(col("doc_id") % 16 === i)
+                .select((col("doc_id") + i * 1000000L).as("doc_id"),
+                  col("text")),
+              col("doc_id"), col("text"), bm25IdxChain)
+          }
+        },
+        () => {
+          graft.operators.Similarity.writeIvfIndex(emb, col("vec_id"),
+            col("embedding"), emb.filter(col("vec_id") < 8),
+            col("vec_id"), col("embedding"), ivfIdx)
+          // declarative-MaxSim base: the ivfIdx token index (keyed by
+          // vec_id = tok) serves the registered (doc, tok, embedding)
+          // corpus
+          emb.select(floor(col("vec_id") / 4).cast("long").as("doc"),
+              col("vec_id").as("tok"), col("embedding"))
+            .write.mode("overwrite").parquet(mvToks)
+          graft.plans.MaxSimIndex.register(spark, mvToks, ivfIdx,
+            docCol = "doc", tokCol = "tok", vecCol = "embedding",
+            nprobe = 2, tokK = 8)
+        },
+        () => graft.operators.Similarity.writeIvfIndexSq8(emb,
+          col("vec_id"), col("embedding"), emb.filter(col("vec_id") < 8),
+          col("vec_id"), col("embedding"), sq8Idx),
+        () => graft.sinks.Sinks.zorderedWrite(
+          emb.withColumn("pad", (col("vec_id") % 97).cast("long")),
+          "vec_id", "pad", embLake, numFiles = 16, bits = 12,
+          bloomCols = Seq("vec_id"))))
     }
 
     /** Fixed hybrid query vector (embedding 7, q198's). */
@@ -377,6 +401,39 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.addSparkListener(taskCpuListener)
+    // SPARK_GRAFT_BENCH_JOBLOG=1: per-job wall breakdown on STDERR (lane
+    // attribution for the optimization rounds — which of a lane's Spark
+    // jobs the wall clock goes to). Off by default; never touches the
+    // stdout JSON contract.
+    if (sys.env.get("SPARK_GRAFT_BENCH_JOBLOG").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Long)]()
+          private val lastEnd = new java.util.concurrent.atomic.AtomicLong(0L)
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val d = Option(e.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("") + " @ " + Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("")
+            val now = System.nanoTime()
+            val prev = lastEnd.get()
+            // "gap" = driver think-time since the previous job ended —
+            // planning, file listing, footer reads, journal/FS work
+            starts.put(e.jobId, (now, d, if (prev == 0L) 0L else now - prev))
+            ()
+          }
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(e.jobId)
+            val now = System.nanoTime()
+            lastEnd.set(now)
+            if (s != null) System.err.println(
+              f"[joblog] job ${e.jobId}%4d ${(now - s._1) / 1e9}%7.3f s gap ${s._3 / 1e9}%7.3f s  ${s._2}")
+          }
+        })
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // session warm-up
 

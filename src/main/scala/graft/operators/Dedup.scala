@@ -26,11 +26,24 @@ object Dedup {
     df.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Keep one row (min id) per distinct `text`; scalable exact dedup. */
+  /** Keep one row (min id) per distinct `text`; scalable exact dedup.
+    * Spelled as groupBy(hash) + min(id) + per-column min_by(c, id) rather
+    * than a row_number window: the aggregate gets MAP-SIDE partial
+    * aggregation (each input partition ships at most one candidate row
+    * per distinct hash instead of every duplicate — guide §2.3
+    * "aggregate before you shuffle"), skips the window's per-partition
+    * sorts, and — unlike a single min(struct(all cols)) — keeps COLUMN
+    * PRUNING alive: a consumer projecting two columns aggregates two
+    * columns (each min_by depends only on its own column + the id),
+    * where the struct spelling forced every column through the shuffle.
+    * On duplicate ids min_by's tie is arbitrary, exactly like
+    * row_number's tie order was; ids are unique by contract. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val others = df.columns.filterNot(_ == idCol)
+      .map(c => min_by(col(c), col(idCol)).as(c))
+    df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol), others.toSeq: _*)
+      .select(df.columns.map(col): _*)
   }
 
   /** MinHash signature as an array<long> of `numHashes` minima over

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{Functions => F}
+import graft.functions.{Kernels, Functions => F}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -192,20 +192,31 @@ object Similarity {
       corpusDoc.cast("long").as("cdoc"))
     // candidate pairs: probe hits map token → document (one streamed pass
     // over the corpus-sized map, probe side broadcast), unpack the query
-    // id, drop self-docs — the division is exact (power-of-two base)
-    val cand = tokDoc
+    // id, drop self-docs — the division is exact (power-of-two base).
+    // COLLECTED, not checkpointed: the pair set is
+    // (queries × query-tokens × tokK)-bounded by construction, and the old
+    // broadcast-join shape shipped exactly these rows through the driver
+    // anyway — materializing them once replaces a localCheckpoint job plus
+    // two broadcast builds with one collect, and lets the candidate doc
+    // ids reach the corpus scan as a PUSHED `IN` predicate instead of a
+    // semi join (PushedFilters prunes at the parquet reader).
+    val candPairs: Array[(Long, Long)] = tokDoc
       .join(broadcast(probe.select(col("neighbor_id").as("ctok"),
         col("query_id").as("quid"))), Seq("ctok"))
       .select(((col("quid") / MaxSimPackBase).cast("long") - 1)
         .as("query_id"), col("cdoc").as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .distinct()
-      .localCheckpoint(false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val cand = candPairs.toSeq.toDF("query_id", "neighbor_id")
+    val docIds = candPairs.map(_._2).distinct.sorted
     // exact MaxSim over the shortlist: candidate docs' tokens only
     val c = corpus.select(corpusDoc.cast("long").as("neighbor_id"),
         F.vec_quantize(corpusVec, 1000).as("cv"))
-      .join(broadcast(cand.select(col("neighbor_id")).distinct()),
-        Seq("neighbor_id"))
+      .filter(if (docIds.isEmpty) lit(false)
+        else col("neighbor_id").isin(docIds.map(Long.box).toSeq: _*))
     val qq = q.select(col("qdoc").as("query_id"), col("qtok"),
       F.vec_quantize(col("qv"), 1000).as("qv"))
     val scored = c.join(broadcast(cand), Seq("neighbor_id"))
@@ -899,15 +910,11 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val cents = readCentroids(spark, path)
     val (mn, mx) = readSq8Bounds(spark, path)
-    val q = queries.select(queryId.as("query_id"),
-        F.vec_quantize(queryVec, 1000).as("qv"))
-      .withColumn("cell",
-        explode(assignCellsL2(spark, cents, nprobe)(col("qv"))))
-      .localCheckpoint(false)
-    val cells = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val assigned = readAssign(spark, path)
-      .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
+    // driver-side probe: same kernel + ordering as assignCellsL2's UDF
+    val (q, cells) = probeQueriesDriver(spark, queries, queryId, queryVec,
+      v => cents.map { case (id, c) => (id, Kernels.l2sqArrays(v, c)) }
+        .sortBy { case (id, d) => (d, id) }.take(nprobe).map(_._1).toSeq)
+    val assigned = readAssign(spark, path).filter(cellFilter(cells))
       .withColumn("rv", F.vec_sq8_recon(col("codes"),
         typedlit(mn.toSeq), typedlit(mx.toSeq)))
     val scored = assigned.join(broadcast(q), Seq("cell"))
@@ -1022,15 +1029,11 @@ object Similarity {
                        nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val cents = readCentroids(spark, path)
-    val q = queries.select(queryId.as("query_id"),
-        F.vec_quantize(queryVec, 1000).as("qv"))
-      .withColumn("cell",
-        explode(assignCellsL2(spark, cents, nprobe)(col("qv"))))
-      .localCheckpoint(false)
-    val cells = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val assigned = readAssign(spark, path)
-      .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
+    // driver-side probe: same kernel + ordering as assignCellsL2's UDF
+    val (q, cells) = probeQueriesDriver(spark, queries, queryId, queryVec,
+      v => cents.map { case (id, c) => (id, Kernels.l2sqArrays(v, c)) }
+        .sortBy { case (id, d) => (d, id) }.take(nprobe).map(_._1).toSeq)
+    val assigned = readAssign(spark, path).filter(cellFilter(cells))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("l2sq", F.vec_l2sq_long(col("cv"), col("qv")))
@@ -1049,15 +1052,11 @@ object Similarity {
                        nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val cents = readCentroids(spark, path)
-    val q = queries.select(queryId.as("query_id"),
-        F.vec_quantize(queryVec, 1000).as("qv"))
-      .withColumn("cell",
-        explode(assignCellsIp(spark, cents, nprobe)(col("qv"))))
-      .localCheckpoint(false)
-    val cells = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val assigned = readAssign(spark, path)
-      .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
+    // driver-side probe: same kernel + ordering as assignCellsIp's UDF
+    val (q, cells) = probeQueriesDriver(spark, queries, queryId, queryVec,
+      v => cents.map { case (id, c) => (id, Kernels.dotArrays(v, c)) }
+        .sortBy { case (id, d) => (-d, id) }.take(nprobe).map(_._1).toSeq)
+    val assigned = readAssign(spark, path).filter(cellFilter(cells))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dot", F.vec_dot_long(col("cv"), col("qv")))
@@ -1074,6 +1073,47 @@ object Similarity {
     spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
+
+  /** Driver-side query probe shared by every `ivf*TopKIndexed`: collect
+    * the quantized query side ONCE (it is broadcast downstream, so it is
+    * driver-bounded by the existing contract already), rank each query's
+    * probe cells on the DRIVER with the same integer kernels the
+    * data-side assignCells* UDFs run (identical values ⇒ identical cells
+    * ⇒ identical results), and return the exploded (query_id, qv, cell)
+    * frame as a LOCAL relation plus the distinct probed cells. Replaces
+    * the old explode-UDF + localCheckpoint + distinct-collect query side
+    * — two jobs and a checkpoint per probe — with one collect; the local
+    * relation also broadcasts without re-reading checkpoint blocks, and
+    * this is the data-side twin of the plan-time probe
+    * [[maxSimServeConstQ]] / [[graft.plans.AnnRewrite]] already run.
+    * Null query vectors probe no cells, exactly like the UDF path. */
+  private def probeQueriesDriver(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      rank: Array[Long] => Seq[Int]): (DataFrame, Seq[Int]) = {
+    val qflat = queries.select(queryId.as("query_id"),
+      F.vec_quantize(queryVec, 1000).as("qv"))
+    val rows = qflat.collect()
+    val schema = org.apache.spark.sql.types.StructType(
+      qflat.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "cell", org.apache.spark.sql.types.IntegerType, nullable = false))
+    val exploded = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val cells = scala.collection.mutable.SortedSet.empty[Int]
+    rows.foreach { r =>
+      val v = r.getSeq[Long](1)
+      if (v != null) rank(v.toArray).foreach { c =>
+        cells += c
+        exploded.add(org.apache.spark.sql.Row(r.get(0), v, c))
+      }
+    }
+    (spark.createDataFrame(exploded, schema), cells.toSeq)
+  }
+
+  /** `cell IN (probed cells)` as a pushable scan predicate; `false` when
+    * no cell was probed (every query vector null — the join below would
+    * be empty anyway, this keeps `isin` well-formed). */
+  private def cellFilter(cells: Seq[Int]): Column =
+    if (cells.isEmpty) lit(false)
+    else col("cell").isin(cells.map(Int.box): _*)
 
   /** The index's ACTIVE assignment directory: named by the `_assign`
     * pointer file when present (written atomically by
@@ -1437,14 +1477,11 @@ object Similarity {
                      k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val cents = readCentroids(spark, path)
-    val q = queries.select(queryId.as("query_id"),
-        F.vec_quantize(queryVec, 1000).as("qv"))
-      .withColumn("cell", explode(assignCells(spark, cents, nprobe)(col("qv"))))
-      .localCheckpoint(false)
-    val cells = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val assigned = readAssign(spark, path)
-      .filter(col("cell").isin(cells.map(_.asInstanceOf[Any]).toSeq: _*))
+    // driver-side probe: same kernel + ordering as assignCells' UDF
+    val (q, cells) = probeQueriesDriver(spark, queries, queryId, queryVec,
+      v => cents.map { case (id, c) => (id, Kernels.cosineQ6Arrays(v, c)) }
+        .sortBy { case (id, cos) => (-cos, id) }.take(nprobe).map(_._1).toSeq)
+    val assigned = readAssign(spark, path).filter(cellFilter(cells))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", F.vec_cosine_q6(col("cv"), col("qv")))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
   Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, when}
+import org.apache.spark.sql.functions.{coalesce, col, collect_set, count, lit, not, when}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -927,18 +927,22 @@ object LakeDelete {
     requireNotBucketed(fs, rootPath, "MERGE")
     val recovered = recover(spark, root)
 
-    val keyRows = source.select(col(keyCol)).distinct().limit(maxKeys + 1)
-      .collect()
+    // ONE pass over the CDC batch serves both guards: the per-key counts
+    // give the distinct keys (key-cap check) AND the duplicate check —
+    // the old shape ran a distinct-collect plus a second groupBy job for
+    // the dup probe. The limit only truncates past the cap, where the
+    // key-cap require below throws before the dup check matters.
+    val keyRows = source.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .limit(maxKeys + 1).collect()
     require(keyRows.length <= maxKeys,
       s"merge batch has more than $maxKeys distinct keys — this operator " +
         "is for dimension/CDC batches; merge bigger sets in batches")
     val keys = keyRows.map(_.get(0))
     require(!keys.contains(null), "merge keys must be non-null")
     require(keys.nonEmpty, "empty merge batch")
-    val dup = source.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
+    val dup = keyRows.find(_.getLong(1) > 1)
     require(dup.isEmpty,
-      s"merge source has duplicate key(s) (example: ${dup.headOption
+      s"merge source has duplicate key(s) (example: ${dup
         .map(_.get(0))}) — a key matching several source rows would " +
         "apply an arbitrary one; dedup the batch first")
 
@@ -1003,17 +1007,23 @@ object LakeDelete {
         .select(Seq(col("__act"), col(s"t.$keyCol").as("__tkey")) ++
           img: _*)
         .localCheckpoint(true)
-      val actCounts: Map[Int, Long] = flat.groupBy(col("__act"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // ONE job over the checkpointed matches serves both the per-clause
+      // counts and the affected keys (collect_set is bounded by the
+      // merge's own maxKeys cap) — the old shape ran a count job plus a
+      // separate distinct-collect job
+      val actRows = flat.groupBy(col("__act"))
+        .agg(count(lit(1)).as("n"), collect_set(col("__tkey")).as("ks"))
+        .collect()
+      val actCounts: Map[Int, Long] =
+        actRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
       val rowsUpdated = updateIdx.map(actCounts.getOrElse(_, 0L)).sum
       val rowsDeleted = matched.zipWithIndex.collect {
         case (MergeMatched(_, None), i) => actCounts.getOrElse(i, 0L)
       }.sum
       // only rows a clause actually fired on are deleted; untouched
       // matches keep their bytes
-      val affectedKeys = flat.filter(col("__act") >= 0)
-        .select(col("__tkey")).distinct().collect().map(_.get(0))
+      val affectedKeys: Array[Any] = actRows.filter(_.getInt(0) >= 0)
+        .flatMap(_.getSeq[Any](2)).distinct
 
       val updateLane =
         if (updateIdx.isEmpty) None
@@ -1128,8 +1138,10 @@ object LakeDelete {
     var adds = Vector.empty[String]
     var inserted = 0L
     val partNum = "^part-(\\d+)-".r
-    walkAdds(addTmp, "").sortBy(_._2.getName).foreach { case (dirRel, p) =>
-      val n = footerRows(fs, conf, p)
+    val walked = walkAdds(addTmp, "").sortBy(_._2.getName)
+    val rowsOf = footerRowsAll(fs, conf, walked.map(_._2))
+    walked.foreach { case (dirRel, p) =>
+      val n = rowsOf(p)
       if (n > 0L) {
         // on a bucketed lake the staged name carries the bucket id in
         // Spark's `_NNNNN` spelling (parsed back by BucketingUtils)
@@ -1311,8 +1323,10 @@ object LakeDelete {
       stagedByDir = outs.groupBy(_._1).map { case (d, fs0) =>
         d -> fs0.map(_._2).sortBy(_.getName)
       }
+      val stagedRows = footerRowsAll(fs, conf,
+        stagedByDir.values.flatten.toSeq)
       keptByDir = stagedByDir.map { case (d, ps) =>
-        d -> ps.map(footerRows(fs, conf, _)).sum
+        d -> ps.map(stagedRows).sum
       }
     }
     val rewritesByDir = rewrites.groupBy(dirRelOf)
@@ -1501,5 +1515,28 @@ object LakeDelete {
         .fromStatus(fs.getFileStatus(p), conf))
     try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     finally rd.close()
+  }
+
+  /** [[footerRows]] for a batch of files, footers opened CONCURRENTLY
+    * from a bounded driver pool: every journaled mutation row-counts its
+    * staged outputs, and a sequential footer sweep serializes N
+    * filesystem round-trips the driver then sits in between jobs (each
+    * open is I/O-bound, ~5-20 ms local and far worse on object stores).
+    * Order-insensitive by construction — the result is keyed by path. */
+  private[sinks] def footerRowsAll(fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      ps: Seq[Path]): Map[Path, Long] = {
+    if (ps.sizeIs <= 1) ps.map(p => p -> footerRows(fs, conf, p)).toMap
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(8, ps.size))
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(ps.map(p => Future(p -> footerRows(fs, conf, p)))),
+          scala.concurrent.duration.Duration.Inf).toMap
+      } finally { pool.shutdown() }
+    }
   }
 }

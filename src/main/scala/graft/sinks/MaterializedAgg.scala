@@ -199,10 +199,17 @@ object MaterializedAgg {
     // batch: the double-count this fence exists to prevent.
     LakeDelete.recover(spark, root)
     if (lastCommitted(spark, root).exists(_ >= batchId)) return false
+    // ONE materialization of the batch's partial aggregate serves
+    // everything downstream: the empty-batch check (was a separate
+    // `batch.isEmpty` job — a second scan of the batch), the bootstrap
+    // write (whose histogram + write passes each recomputed the
+    // aggregate), and the incremental lanes. partial() of an empty batch
+    // has zero groups, so delta.isEmpty ⇔ batch.isEmpty.
+    val delta = partial(batch, spec).localCheckpoint(true)
     // an empty batch merges nothing and moves no fence (replaying an
     // empty is vacuously exactly-once); bootstrapping on one would
     // create a rowless root — wait for real data instead
-    if (batch.isEmpty) return false
+    if (delta.isEmpty) return false
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -224,7 +231,7 @@ object MaterializedAgg {
       val stage = new Path(rootPath.getParent,
         rootPath.getName + ".bootstrap")
       if (fs.exists(stage)) fs.delete(stage, true)
-      Sinks.zorderedWrite(partial(batch, spec), ZA, ZB, stage.toString,
+      Sinks.zorderedWrite(delta, ZA, ZB, stage.toString,
         numFiles = spec.files, bits = spec.bits, bloomCols = Seq(KeyCol))
       val out = fs.create(new Path(stage, SpecMarker), true)
       try out.write(
@@ -241,9 +248,8 @@ object MaterializedAgg {
     }
     // INCREMENTAL: current rows for the touched keys (bloom/InSet-pruned
     // read — cost follows the batch, not the view), plus the batch's
-    // partials, re-aggregated (sum-of-sums) and upserted atomically with
-    // the fence.
-    val delta = partial(batch, spec).localCheckpoint(true)
+    // partials (the checkpointed `delta` above), re-aggregated
+    // (sum-of-sums) and upserted atomically with the fence.
     val cols = delta.columns
     val current = graft.operators.DynamicPrune.readSemiFiltered(
       spark, root, KeyCol, delta, col(KeyCol), maxKeys = maxReadKeys)
@@ -338,7 +344,9 @@ object MaterializedAgg {
 
   /** Streaming maintenance: each micro-batch merges exactly once (fence-
     * checked under replay; journal-recovered under crash). The batch is
-    * materialized once — the merge reads it for keys and partials. */
+    * scanned exactly once — mergeBatch aggregates it into the checkpointed
+    * `delta` up front, so pre-materializing the raw batch here would be a
+    * second full pass for nothing. */
   def maintain(updates: DataFrame, root: String, spec: Spec,
                checkpoint: String,
                interval: String = "5 minutes"): DataStreamWriter[Row] =
@@ -347,8 +355,7 @@ object MaterializedAgg {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // mergeBatch owns the empty-batch no-op — no pre-check job here
-        mergeBatch(batch.sparkSession, root,
-          batch.localCheckpoint(true), spec, id)
+        mergeBatch(batch.sparkSession, root, batch, spec, id)
         mergeTestHook.get()()
         ()
       }

@@ -12,6 +12,33 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** Overlap INDEPENDENT Spark actions from a bounded thread pool
+    * (optimization guide §2.6): Spark happily runs several jobs at once
+    * inside one application — independent writes submitted sequentially
+    * leave the cluster idle through each job's scheduling/commit tail and
+    * the driver idle through each job's planning. The pool is created PER
+    * CALL so Spark's thread-local job group/description are inherited by
+    * the worker threads (the [[graft.operators.NgramLm.train]] pattern —
+    * a shared global pool's threads would escape the caller's job group
+    * and survive cancelJobGroup). Bodies must target disjoint outputs;
+    * the first failure is rethrown after all bodies settle. */
+  private[graft] def inParallel(maxConcurrent: Int)
+                               (bodies: Seq[() => Unit]): Unit = {
+    if (bodies.sizeIs <= 1 || maxConcurrent <= 1) bodies.foreach(_())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(maxConcurrent, bodies.size))
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(bodies.map(b => Future(b()))),
+          scala.concurrent.duration.Duration.Inf)
+        ()
+      } finally { pool.shutdown() }
+    }
+  }
+
   /** K1: JDBC append tuned for a columnar OLAP store (batch insert, single
     * writer connection, isolation NONE — ClickUtils.scala:24-27). */
   def jdbcAppend(df: DataFrame, url: String, table: String,
@@ -96,13 +123,17 @@ object Sinks {
           // windows answer planning-time approx-distinct / point-skip /
           // metadata-sum queries exactly like batch zorderedWrite lakes.
           val cached = stamped.cache()
-          try cached.select("win").distinct().collect().map(_.getString(0))
-            .sorted.foreach { w =>
-              zorderedWrite(cached.filter(col("win") === w).drop("win"),
-                a, b, s"$root/$name/win=$w", filesPerWindow, zorderBits,
-                sketchCols = sketchCols, bloomCols = bloomCols,
-                sumCols = sumCols)
-            }
+          // window writes target disjoint directories and are each
+          // deterministic — overlap them (§2.6) instead of paying every
+          // window's planning + commit tail sequentially
+          try inParallel(4)(
+            cached.select("win").distinct().collect().map(_.getString(0))
+              .sorted.toSeq.map { w => () =>
+                zorderedWrite(cached.filter(col("win") === w).drop("win"),
+                  a, b, s"$root/$name/win=$w", filesPerWindow, zorderBits,
+                  sketchCols = sketchCols, bloomCols = bloomCols,
+                  sumCols = sumCols)
+              })
           finally { cached.unpersist(); () }
       }
     }
@@ -262,14 +293,16 @@ object Sinks {
             .write.mode("overwrite").parquet(outDir.toString)
           val partNum = "^part-(\\d+)-".r
           val runId = java.util.UUID.randomUUID()
-          val adds = fs.listStatus(outDir).toSeq.map(_.getPath)
+          val outFiles = fs.listStatus(outDir).toSeq.map(_.getPath)
             .filter(p => p.getName.endsWith(".parquet") &&
               !p.getName.startsWith("_") && !p.getName.startsWith("."))
-            .sortBy(_.getName).flatMap { p =>
+            .sortBy(_.getName)
+          val outRows = LakeDelete.footerRowsAll(fs, conf, outFiles)
+          val adds = outFiles.flatMap { p =>
               // every repartition task writes a file, including the
               // zero-row tasks of buckets NOT being compacted — those
               // empty files must not land in the lake
-              if (LakeDelete.footerRows(fs, conf, p) == 0L) Nil
+              if (outRows(p) == 0L) Nil
               else {
                 val b = partNum.findFirstMatchIn(p.getName)
                   .map(_.group(1).toInt).getOrElse(

@@ -542,15 +542,42 @@ object ZLake {
     val statsByFile = statsPass(
       spark.read.parquet(path).drop(partitionColsOf(files): _*), schema,
       sketchCols, sketchM, bloomCols, bloomBits, bloomHashes, sumCols)
+    val envs = envelopesAll(files, conf)
     files.groupBy(_._1.getPath.getParent).foreach { case (dir, inDir) =>
       val entries = inDir.map { case (st, parts) =>
-        val env = envelopeOf(st, parts, conf)
+        val env = envs(st.getPath)
         val (sk, bl, sm) = statsByFile.getOrElse(st.getPath.toUri.getPath,
           (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]],
             Map.empty[String, BigDecimal]))
         st.getPath.getName -> env.copy(sketches = sk, blooms = bl, sums = sm)
       }
       writeManifestFile(fs, dir, schema, entries)
+    }
+  }
+
+  /** [[envelopeOf]] for a batch of files, footers opened CONCURRENTLY
+    * from a bounded driver pool: the manifest write's per-file envelope
+    * harvest is driver-side I/O (one footer open per file, ~5-20 ms
+    * local, worse on object stores) and was swept sequentially —
+    * serializing N round-trips between the write job and the stats job.
+    * Keyed by path; fail-loud like the sequential write path was. */
+  private def envelopesAll(
+      files: Seq[(FileStatus, Seq[(String, String)])],
+      conf: org.apache.hadoop.conf.Configuration): Map[Path, FileEnvelope] = {
+    if (files.sizeIs <= 1)
+      files.map { case (st, parts) =>
+        st.getPath -> envelopeOf(st, parts, conf) }.toMap
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(8, files.size))
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(files.map { case (st, parts) =>
+            Future(st.getPath -> envelopeOf(st, parts, conf)) }),
+          scala.concurrent.duration.Duration.Inf).toMap
+      } finally { pool.shutdown() }
     }
   }
 
@@ -705,8 +732,9 @@ object ZLake {
         st.getPath.getName -> FileEnvelope(st, e.rowGroups, e.cols, Nil,
           e.rows, e.nulls, e.sketches, e.blooms, e.sums)
       }
+      val freshEnvs = envelopesAll(p.fresh.map(st => (st, Nil)), conf)
       val freshEntries = p.fresh.map { st =>
-        val env = envelopeOf(st, Nil, conf)
+        val env = freshEnvs(st.getPath)
         val (sk, bl, sm) = stats.getOrElse(st.getPath.toUri.getPath,
           (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]],
             Map.empty[String, BigDecimal]))
