@@ -296,7 +296,7 @@ object Bench {
       // internal ordering (snapshot after its lake, appends after their
       // base, MaxSim registration after both of its inputs)
       val emb = T("embeddings")
-      graft.sinks.Sinks.inParallel(4)(Seq(
+      graft.sinks.Sinks.inParallel(6)(Seq(
         () => {
           writeFlat(flat)
           // pin the flat lake for the snapshot read lane: qR_snapshot_agg

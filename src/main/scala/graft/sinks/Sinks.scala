@@ -72,13 +72,15 @@ object Sinks {
     * 983-1012); see LakeLayoutSpec. */
   def lakeAppend(tables: Map[String, DataFrame], root: String,
                  stampCol: String = "accesstime"): Unit =
-    tables.foreach { case (name, df) =>
+    // per-table appends target disjoint directories — overlap them
+    // (§2.6) so a six-sink window pays one commit tail, not six
+    inParallel(4)(tables.toSeq.sortBy(_._1).map { case (name, df) => () =>
       parquetAppend(
         df.withColumn("win",
           org.apache.spark.sql.functions.date_format(
             org.apache.spark.sql.functions.col(stampCol), WinFormat)),
         s"$root/$name", Seq("win"))
-    }
+    })
 
   /** Idempotent lake write for exactly-once streaming: same layout as
     * [[lakeAppend]], but the window stamp is the idempotency key — dynamic
@@ -105,7 +107,10 @@ object Sinks {
                 sketchCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil,
                 sumCols: Seq[String] = Nil): Unit =
-    tables.foreach { case (name, df) =>
+    // tables are disjoint sink directories: overlap them like the
+    // windows within each (§2.6); total in-flight jobs stay bounded
+    // (outer 2 x inner 4)
+    inParallel(2)(tables.toSeq.sortBy(_._1).map { case (name, df) => () =>
       import org.apache.spark.sql.functions.{col, date_format}
       val stamped = df.withColumn("win",
         date_format(col(stampCol), WinFormat))
@@ -136,7 +141,7 @@ object Sinks {
               })
           finally { cached.unpersist(); () }
       }
-    }
+    })
 
   /** Co-located lake layout for repeated fact/fact joins at scale: bucket +
     * sort both tables by the join key (same bucket count) and joins plan

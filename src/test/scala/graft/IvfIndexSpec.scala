@@ -153,4 +153,38 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
         s"query $qid")
     }
   }
+
+  test("driver-side probe: null query vectors probe no cells (UDF parity)") {
+    // r16 optimization moved the per-query cell probe from an explode-UDF
+    // job to the driver (probeQueriesDriver); the UDF path mapped a null
+    // vector to Seq.empty (no probed cell, no output rows) — pin that the
+    // driver path does too, alongside a live query in the same batch
+    val corpus = vecs(40)
+    val seeds = corpus.filter(col("vec_id") < 4)
+    val path = tmp()
+    Similarity.writeIvfIndex(corpus, col("vec_id"), col("embedding"),
+      seeds, col("vec_id"), col("embedding"), path)
+    val queries = Seq(
+      (1000L, Some(Array.tabulate(8)(d => (10 + d).toFloat))),
+      (1001L, Option.empty[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopKIndexed(spark, path, queries,
+        col("vec_id"), col("embedding"), k = 3, nprobe = 2)
+      .select("query_id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(_ == 1000L),
+      s"null-vec query must emit nothing, live one must answer: ${got.toSeq}")
+  }
+
+  test("driver-side probe: all-null query batch returns an empty frame") {
+    val corpus = vecs(40)
+    val seeds = corpus.filter(col("vec_id") < 4)
+    val path = tmp()
+    Similarity.writeIvfIndex(corpus, col("vec_id"), col("embedding"),
+      seeds, col("vec_id"), col("embedding"), path)
+    val queries = Seq((1001L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopKIndexed(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 3, nprobe = 2)
+    assert(got.isEmpty)
+  }
 }
