@@ -734,14 +734,32 @@ object Snapshots {
       return Right(RestoreReport(keptIds.size, 0, 0, 0, 0))
 
     // stage resurrected files: copy trash → txn dir at the original rel
-    // (copy, not move — other snapshots keep resolving the trash bytes)
-    (missing.map(sf => (sf.rel, sf.len, sf.mtime)) ++ dvMissing).foreach {
-      case (rel, len, mtime) =>
-        val src = resolve(fs, rootPath, tag, rel, len, mtime).getPath
-        val dst = new Path(txnDir, rel)
-        fs.mkdirs(dst.getParent)
-        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
-          false, true, conf), s"restore failed copying $src to $dst")
+    // (copy, not move — other snapshots keep resolving the trash bytes).
+    // Copies are independent driver-side I/O over distinct targets —
+    // batched through a bounded pool like the footer sweeps
+    // ([[LakeDelete.footerRowsAll]]) instead of N serialized round-trips
+    val toStage = missing.map(sf => (sf.rel, sf.len, sf.mtime)) ++ dvMissing
+    def stageOne(rel: String, len: Long, mtime: Long): Unit = {
+      val src = resolve(fs, rootPath, tag, rel, len, mtime).getPath
+      val dst = new Path(txnDir, rel)
+      fs.mkdirs(dst.getParent)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+        false, true, conf), s"restore failed copying $src to $dst")
+    }
+    if (toStage.sizeIs <= 1)
+      toStage.foreach { case (rel, len, mtime) => stageOne(rel, len, mtime) }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(8, toStage.size))
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(toStage.map { case (rel, len, mtime) =>
+            Future(stageOne(rel, len, mtime)) }),
+          scala.concurrent.duration.Duration.Inf)
+        ()
+      } finally { pool.shutdown() }
     }
 
     LakeDelete.stagedHook.get()()

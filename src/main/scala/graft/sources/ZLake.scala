@@ -539,10 +539,18 @@ object ZLake {
     // k. Sums go through decimal(38, s) — exact for integral and decimal
     // columns (no double lane), overflow → NULL → the entry is omitted
     // and the query-time rewrite bails for files it cannot prove all-null.
+    // the stats pass is a CLUSTER job, the envelope harvest DRIVER-side
+    // footer I/O over the same (already-written) files — independent, so
+    // they overlap (§2.6): the footer sweep hides entirely behind the
+    // stats job's runtime instead of serializing after it (the sweep is
+    // the expensive half on object stores)
+    val envsF = scala.concurrent.Future(envelopesAll(files, conf))(
+      scala.concurrent.ExecutionContext.global)
     val statsByFile = statsPass(
       spark.read.parquet(path).drop(partitionColsOf(files): _*), schema,
       sketchCols, sketchM, bloomCols, bloomBits, bloomHashes, sumCols)
-    val envs = envelopesAll(files, conf)
+    val envs = scala.concurrent.Await.result(envsF,
+      scala.concurrent.duration.Duration.Inf)
     files.groupBy(_._1.getPath.getParent).foreach { case (dir, inDir) =>
       val entries = inDir.map { case (st, parts) =>
         val env = envs(st.getPath)
@@ -707,12 +715,25 @@ object ZLake {
         }
       }
     }
+    // every pending dir's FRESH footer envelopes harvest on a driver-side
+    // future while the stats jobs run on the cluster — independent inputs
+    // (the files are already written), so the footer sweep hides behind
+    // the stats job instead of serializing after it inside the per-dir
+    // loop below (§2.6)
+    val freshEnvsF = scala.concurrent.Future(envelopesAll(
+      pend.toSeq.flatMap(_.fresh).map(st => (st, Nil)), conf))(
+      scala.concurrent.ExecutionContext.global)
     // one stats job per distinct layout, across every pending dir's fresh
     // files (explicit merged schema: an evolved file missing a stats
-    // column reads NULL, contributing nothing — as the per-dir pass did)
-    val statsByLayout = pend.toSeq.filter(p =>
+    // column reads NULL, contributing nothing — as the per-dir pass did);
+    // distinct layouts are INDEPENDENT jobs over disjoint file sets —
+    // submitted concurrently (call-time pool so the caller's job
+    // group/description are inherited, the inParallel pattern)
+    val layoutGroups = pend.toSeq.filter(p =>
         p.fresh.nonEmpty && !p.layout.isEmpty)
-      .groupBy(_.layout).map { case (lay, ps) =>
+      .groupBy(_.layout).toSeq
+    val statsByLayout = {
+      def statsOf(lay: Layout, ps: Seq[Pend]) = {
         val paths = ps.flatMap(_.fresh).map(_.getPath.toString)
         val schema = ps.map(_.man.schema).reduce { (a, b) =>
           StructType(a.fields ++
@@ -722,6 +743,24 @@ object ZLake {
           schema, lay.sketchCols, lay.sketchM, lay.bloomCols, lay.bloomBits,
           lay.bloomHashes, lay.sumCols)
       }
+      if (layoutGroups.sizeIs <= 1)
+        layoutGroups.map { case (lay, ps) => statsOf(lay, ps) }.toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(4, layoutGroups.size))
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.sequence(layoutGroups.map { case (lay, ps) =>
+              Future(statsOf(lay, ps)) }),
+            scala.concurrent.duration.Duration.Inf).toMap
+        } finally { pool.shutdown() }
+      }
+    }
+    val freshEnvsAll = scala.concurrent.Await.result(freshEnvsF,
+      scala.concurrent.duration.Duration.Inf)
     pend.foreach { p =>
       val fs = p.dir.getFileSystem(conf)
       val stats = statsByLayout.getOrElse(p.layout,
@@ -732,9 +771,8 @@ object ZLake {
         st.getPath.getName -> FileEnvelope(st, e.rowGroups, e.cols, Nil,
           e.rows, e.nulls, e.sketches, e.blooms, e.sums)
       }
-      val freshEnvs = envelopesAll(p.fresh.map(st => (st, Nil)), conf)
       val freshEntries = p.fresh.map { st =>
-        val env = freshEnvs(st.getPath)
+        val env = freshEnvsAll(st.getPath)
         val (sk, bl, sm) = stats.getOrElse(st.getPath.toUri.getPath,
           (Map.empty[String, Array[Long]], Map.empty[String, Array[Long]],
             Map.empty[String, BigDecimal]))
